@@ -10,13 +10,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the tsod core — an ensemble of detectors scored in a single pass over
+    * the events series.
+    */
   def entry(spark: SparkSession): DataFrame =
-    relational.RelationalQueries.queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    relational.DetectorQueries.queries("det_combined")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relational.RelationalQueries.queries
+    relational.RelationalQueries.queries ++ relational.DetectorQueries.queries
 
   def oracleSql: Map[String, String] =
-    relational.RelationalQueries.oracle
+    relational.RelationalQueries.oracle ++ relational.DetectorQueries.oracle
 }

@@ -1,0 +1,217 @@
+package graft.relational
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ts._
+
+/** The tsod detector surface exposed as driver-verifiable queries over the
+  * `events` table: one series per `user_id`, ordered by `(ts, event_id)`,
+  * signal = `value`. Each query emits the full mask table
+  * `(user_id, event_id, value, is_anomaly)` and has a DuckDB oracle that
+  * re-states the same window algebra in ANSI SQL.
+  *
+  * Fitted thresholds that involve real arithmetic (quantiles) are rounded
+  * to 6 dp on BOTH sides so engine-specific interpolation ulp cannot flip
+  * a comparison; thresholds that are pure selections (max of a column) are
+  * embedded exactly.
+  */
+object DetectorQueries {
+
+  private val spec = SeriesSpec(
+    value = "value", orderBy = Seq("ts", "event_id"),
+    seriesId = Seq("user_id"))
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  private def out(df: DataFrame): DataFrame =
+    df.select("user_id", "event_id", "value", spec.flag)
+
+  private def round6(x: Double): Double =
+    new JBigDecimal(x).setScale(6, RoundingMode.HALF_UP).doubleValue()
+
+  // window-clause prelude shared by the oracle SQL strings
+  private val W = "PARTITION BY user_id ORDER BY ts, event_id"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "det_range" -> ((s, dir) =>
+      out(RangeDetector(5.0, 175.0).detect(ev(s, dir), spec))),
+
+    "det_range_fit" -> ((s, dir) => {
+      val f = RangeDetector(quantiles = (0.01, 0.99)).fit(ev(s, dir), spec)
+      val d = f.copy(minValue = round6(f.minValue), maxValue = round6(f.maxValue))
+      out(d.detect(ev(s, dir), spec))
+    }),
+
+    "det_diff" -> ((s, dir) =>
+      out(DiffDetector(120.0).detect(ev(s, dir), spec))),
+
+    "det_diff_fit" -> ((s, dir) => {
+      val d = DiffDetector().fit(ev(s, dir), spec)
+      out(d.detect(ev(s, dir), spec))
+    }),
+
+    "det_gradient" -> ((s, dir) =>
+      out(GradientDetector(0.5).detect(ev(s, dir), spec))),
+
+    "det_rolling_std" -> ((s, dir) =>
+      out(RollingStdDevDetector(10, 60.0).detect(ev(s, dir), spec))),
+
+    "det_rolling_std_fit" -> ((s, dir) => {
+      val f = RollingStdDevDetector(10).fit(ev(s, dir), spec)
+      val d = f.copy(maxStd = round6(f.maxStd))
+      out(d.detect(ev(s, dir), spec))
+    }),
+
+    "det_constant_value" -> ((s, dir) =>
+      out(ConstantValueDetector(3, 1.0).detect(ev(s, dir), spec))),
+
+    "det_constant_gradient" -> ((s, dir) =>
+      out(ConstantGradientDetector(3).detect(ev(s, dir), spec))),
+
+    "det_hampel" -> ((s, dir) =>
+      out(HampelDetector(5, 3.0).detect(ev(s, dir), spec))),
+
+    "det_combined" -> ((s, dir) =>
+      out(CombinedDetector(Seq(
+        RangeDetector(5.0, 175.0),
+        DiffDetector(120.0),
+        HampelDetector(5, 3.0))).detect(ev(s, dir), spec)))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "det_range" ->
+      s"""SELECT user_id, event_id, value,
+          coalesce(value < 5.0 OR value > 175.0, false) AS is_anomaly
+          FROM events""",
+
+    "det_range_fit" ->
+      s"""WITH q AS (SELECT round(quantile_cont(value, 0.01), 6) AS lo,
+                            round(quantile_cont(value, 0.99), 6) AS hi FROM events)
+          SELECT user_id, event_id, value,
+          coalesce(value < q.lo OR value > q.hi, false) AS is_anomaly
+          FROM events, q""",
+
+    "det_diff" ->
+      s"""SELECT user_id, event_id, value,
+          coalesce(abs(value - lag(value) OVER ($W)) > 120.0, false) AS is_anomaly
+          FROM events""",
+
+    "det_diff_fit" ->
+      s"""WITH d AS (SELECT user_id, event_id, value,
+                            value - lag(value) OVER ($W) AS dv FROM events),
+               m AS (SELECT max(dv) AS t FROM d)
+          SELECT user_id, event_id, value,
+          coalesce(abs(dv) > m.t, false) AS is_anomaly FROM d, m""",
+
+    "det_gradient" ->
+      s"""SELECT user_id, event_id, value,
+          coalesce(abs((value - lag(value) OVER ($W)) /
+            ((epoch_us(ts) - lag(epoch_us(ts)) OVER ($W)) / 1000000.0)) > 0.5,
+            false) AS is_anomaly
+          FROM events""",
+
+    "det_rolling_std" ->
+      s"""WITH b AS (
+            SELECT user_id, event_id, value, row_number() OVER w AS rn,
+              CASE WHEN count(value) OVER f = 10
+                   THEN stddev_samp(value) OVER f END AS std
+            FROM events
+            WINDOW w AS ($W),
+                   f AS ($W ROWS BETWEEN 5 PRECEDING AND 4 FOLLOWING))
+          SELECT user_id, event_id, value,
+          (coalesce(std > 60.0, false) AND rn <> 1) AS is_anomaly FROM b""",
+
+    "det_rolling_std_fit" ->
+      s"""WITH r AS (
+            SELECT user_id, event_id, value, row_number() OVER w AS rn,
+              CASE WHEN count(value) OVER t = 10
+                   THEN stddev_samp(value) OVER t END AS tstd,
+              CASE WHEN count(value) OVER f = 10
+                   THEN stddev_samp(value) OVER f END AS std
+            FROM events
+            WINDOW w AS ($W),
+                   t AS ($W ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+                   f AS ($W ROWS BETWEEN 5 PRECEDING AND 4 FOLLOWING)),
+               m AS (SELECT round(max(tstd), 6) AS thr FROM r)
+          SELECT user_id, event_id, value,
+          (coalesce(std > m.thr, false) AND rn <> 1) AS is_anomaly FROM r, m""",
+
+    "det_constant_value" ->
+      s"""WITH b AS (
+            SELECT user_id, ts, event_id, value, row_number() OVER w AS rn,
+              count(*) OVER (PARTITION BY user_id) AS cnt,
+              CASE WHEN count(value) OVER f = 3
+                   THEN max(value) OVER f - min(value) OVER f END AS spread
+            FROM events
+            WINDOW w AS ($W),
+                   f AS ($W ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)),
+               m AS (
+            SELECT *, (coalesce(abs(spread) < 1.0, false)
+                       AND rn <> 1 AND rn <> cnt) AS base FROM b)
+          SELECT user_id, event_id, value,
+          (base OR coalesce(lag(base) OVER ($W), false)
+                OR coalesce(lead(base) OVER ($W), false)) AS is_anomaly
+          FROM m""",
+
+    "det_constant_gradient" ->
+      s"""WITH g AS (
+            SELECT user_id, ts, event_id, value, row_number() OVER w AS rn,
+              count(*) OVER (PARTITION BY user_id) AS cnt,
+              (value - lag(value) OVER w) /
+                ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0) AS gf,
+              (value - lead(value) OVER w) /
+                ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0) AS gb
+            FROM events WINDOW w AS ($W)),
+               s AS (
+            SELECT *,
+              CASE WHEN count(gf) OVER f = 3
+                   THEN max(gf) OVER f - min(gf) OVER f END AS sf,
+              CASE WHEN count(gb) OVER f = 3
+                   THEN max(gb) OVER f - min(gb) OVER f END AS sb
+            FROM g WINDOW f AS ($W ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)),
+               m AS (
+            SELECT *, (coalesce(abs(sf) < 1e-7, false) AND rn <> 1 AND rn <> cnt) AS bf,
+                      (coalesce(abs(sb) < 1e-7, false) AND rn <> 1 AND rn <> cnt) AS bb
+            FROM s)
+          SELECT user_id, event_id, value,
+          ((bf OR coalesce(lag(bf) OVER ($W), false)
+               OR coalesce(lead(bf) OVER ($W), false)) OR
+           (bb OR coalesce(lag(bb) OVER ($W), false)
+               OR coalesce(lead(bb) OVER ($W), false))) AS is_anomaly
+          FROM m""",
+
+    "det_hampel" ->
+      s"""WITH b AS (
+            SELECT user_id, event_id, value, row_number() OVER w AS rn,
+              count(*) OVER (PARTITION BY user_id) AS cnt,
+              median(value) OVER f AS med,
+              mad(value) OVER f AS madv
+            FROM events
+            WINDOW w AS ($W),
+                   f AS ($W ROWS BETWEEN 5 PRECEDING AND 4 FOLLOWING))
+          SELECT user_id, event_id, value,
+          (rn > 5 AND rn <= cnt - 5 AND
+           coalesce(abs(value - med) > 3.0 * (1.4826 * madv), false)) AS is_anomaly
+          FROM b""",
+
+    "det_combined" ->
+      s"""WITH h AS (
+            SELECT user_id, event_id, value, row_number() OVER w AS rn,
+              count(*) OVER (PARTITION BY user_id) AS cnt,
+              lag(value) OVER w AS pv,
+              median(value) OVER f AS med,
+              mad(value) OVER f AS madv
+            FROM events
+            WINDOW w AS ($W),
+                   f AS ($W ROWS BETWEEN 5 PRECEDING AND 4 FOLLOWING))
+          SELECT user_id, event_id, value,
+          (coalesce(value < 5.0 OR value > 175.0, false) OR
+           coalesce(abs(value - pv) > 120.0, false) OR
+           (rn > 5 AND rn <= cnt - 5 AND
+            coalesce(abs(value - med) > 3.0 * (1.4826 * madv), false))) AS is_anomaly
+          FROM h"""
+  )
+}

@@ -1,0 +1,107 @@
+package graft.ts
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Error paths, persistence round-trips, features — mirroring the
+  * reference's test_detectors.py error tests and test_persistence.py.
+  */
+class ApiSpec extends SparkSpecBase {
+
+  def walk = seriesDf(loadGolden("walk"))
+
+  test("wrong input columns raise WrongInputDataTypeError (base.py:74-80 analog)") {
+    val df = walk.withColumnRenamed("value", "other")
+    intercept[WrongInputDataTypeError](RangeDetector(0, 1).detect(df))
+    intercept[WrongInputDataTypeError](
+      DiffDetector(1.0).detect(walk, SeriesSpec(value = "nope")))
+    intercept[WrongInputDataTypeError](
+      RangeDetector(0, 1).detect(walk.withColumn("value", col("value").cast("string"))))
+  }
+
+  test("invalid direction raises (detectors.py:158-164)") {
+    val e = intercept[IllegalArgumentException](DiffDetector(1.0, "sideways"))
+    assert(e.getMessage.contains("not a valid direction"))
+    intercept[IllegalArgumentException](GradientDetector(1.0, "up"))
+  }
+
+  test("hampel argument validation (hampel.py:16-24)") {
+    assert(intercept[InvalidArgumentError](HampelDetector(0))
+      .getMessage == "window_size must be nonnegative.")
+    assert(intercept[InvalidArgumentError](HampelDetector(5, -1))
+      .getMessage == "threshold must be positive.")
+  }
+
+  test("assertStrictlyIncreasing rejects duplicate timestamps (base.py:86-87)") {
+    val dup = walk.union(walk.limit(1))
+    val e = intercept[IllegalArgumentException](
+      Detector.assertStrictlyIncreasing(dup))
+    assert(e.getMessage == "Index must be monotonically increasing")
+    Detector.assertStrictlyIncreasing(walk) // clean series passes
+  }
+
+  test("persistence round-trip incl. CombinedDetector (test_persistence.py analog)") {
+    val original = CombinedDetector(Seq(
+      ConstantValueDetector(5, 1e-4),
+      RangeDetector(maxValue = 2.0),
+      HampelDetector(7, 2.5),
+      DiffDetector(3.0, "negative"),
+      GradientDetector(),
+      RollingStdDevDetector(8, 1.25, center = false),
+      ConstantGradientDetector(4)))
+    val path = Files.createTempDirectory("tsod").resolve("combined.json").toString
+    DetectorIO.save(original, path)
+    val loaded = DetectorIO.load(path)
+    assert(loaded == original)
+    // fitted params survive the round-trip
+    val fitted = RangeDetector().fit(walk)
+    DetectorIO.save(fitted, path)
+    assert(DetectorIO.load(path) == fitted)
+    // non-finite defaults survive (inf encoded as string in JSON)
+    val d = DetectorIO.load({
+      DetectorIO.save(DiffDetector(), path); path
+    }).asInstanceOf[DiffDetector]
+    assert(d.maxDiff.isPosInfinity)
+  }
+
+  test("lagTimeSeries appends one column per lag named str(lag) (features.py:5-23)") {
+    val out = Features.lagTimeSeries(walk, Seq(1, 2, -1))
+    assert(Seq("1", "2", "-1").forall(out.columns.contains))
+    val rows = out.orderBy("ts").select("value", "1", "2", "-1").collect()
+    val v = rows.map(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
+    def colv(i: Int) = rows.map(r => Option(r.get(i)).map(_.asInstanceOf[Double]))
+    assert(colv(1).drop(1).toSeq == v.dropRight(1).toSeq) // lag 1
+    assert(colv(1)(0).isEmpty)
+    assert(colv(3).dropRight(1).toSeq == v.drop(1).toSeq) // lead (lag -1)
+  }
+
+  test("createDataset emits complete windows + shifted label (features.py:26-32)") {
+    val steps = 2
+    val out = Features.createDataset(walk, Seq("value"), "value", steps)
+      .orderBy("ts").select("features", "label").collect()
+    val n = walk.count().toInt
+    assert(out.length == n - steps)
+    val vals = walk.orderBy("ts").select("value").collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
+    // row i: features = values[i, i+1], label = values[i+2]
+    val feats0 = out(0).getSeq[Seq[java.lang.Double]](0)
+    assert(feats0.length == steps)
+    assert(Option(out(0).get(1)).map(_.asInstanceOf[Double]) == vals(steps))
+  }
+
+  test("detect preserves input columns and appends non-null boolean flag") {
+    val out = HampelDetector(5, 3).detect(walk.withColumn("extra", lit("x")))
+    assert(out.columns.toSeq == Seq("ts", "value", "extra", "is_anomaly"))
+    assert(out.filter(col("is_anomaly").isNull).count() == 0)
+    // custom flag column name
+    val out2 = RangeDetector(0, 1).detect(walk, SeriesSpec(flag = "flag2"))
+    assert(out2.columns.contains("flag2"))
+  }
+
+  test("CombinedDetector is sequence-like (detectors.py:51-55)") {
+    val cd = CombinedDetector(Seq(ConstantValueDetector(), RangeDetector()))
+    assert(cd.length == 2)
+    assert(cd(0).isInstanceOf[ConstantValueDetector])
+    assert(cd(1).isInstanceOf[RangeDetector])
+  }
+}
