@@ -1,33 +1,234 @@
 package graft.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Relational operator surface over the TESTDATA star schema.
+/** Relational operator surface over the TESTDATA star schema: scans with
+  * pushdown, projections/filters, every join flavor (broadcast, semi,
+  * anti, outer, range), aggregation (hash, rollup, conditional, exact
+  * quantiles, approx-distinct), distinct, window functions (ranking,
+  * analytic, running), sorts/top-k, set operations, scalar
+  * string/date/math/JSON functions, and gap-based sessionization.
   *
   * Each query has (a) a Spark DataFrame implementation and (b) an ANSI-SQL
   * oracle run by the driver in DuckDB over the same parquet files. Column
   * names and types are kept identical on both sides (the driver sorts
-  * columns by name and hashes values). Doubles produced by aggregation are
-  * rounded on BOTH sides so partial-aggregation summation order cannot
-  * flip the last ulp.
+  * columns by name and hashes values):
+  *   - double aggregates are `round(..., k)` on BOTH sides so summation
+  *     order can't flip the last ulp;
+  *   - DuckDB integer sums/`length`/`floor`/`row_number` are cast to match
+  *     Spark's output types (BIGINT vs HUGEINT/INT quirks).
   */
 object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  // Money aggregates round to 4 dp on both sides: inputs carry ≤2 decimals,
+  // so products/sums have ≤4 true decimals — a 4-dp round recovers the exact
+  // decimal value in both engines, immune to Spark-vs-DuckDB rounding-rule
+  // differences AT a half-way boundary (which 2 dp can hit).
+  private def r2(c: Column): Column = round(c, 4)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // TPC-H Q1 style aggregation: map-side partial agg, tiny result.
+    // ---- scans / aggregation -------------------------------------------
+    // TPC-H Q1 style: map-side partial agg into a 6-row result.
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum("l_quantity").as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          r2(sum("l_extendedprice")).as("sum_base_price"),
+          r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           count(lit(1)).as("count_order"))
+    }),
+
+    // Filter + projection; predicates and column pruning reach the scan.
+    "q2_filter_pushdown" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r2(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    }),
+
+    // ---- joins ----------------------------------------------------------
+    // 5-way star join; dims broadcast, fact joins shuffle on the key.
+    "q3_join_star" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = broadcast(t(s, dir, "customer"))
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // Left-semi (EXISTS): customers with ≥1 1995 order, counted per nation.
+    "q4_semi_join" -> ((s, dir) => {
+      val o95 = t(s, dir, "orders").filter(year(col("o_orderdate")) === 1995)
+      t(s, dir, "customer")
+        .join(o95, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // Left-anti (NOT EXISTS): parts never shipped, counted per brand.
+    "q5_anti_join" -> ((s, dir) => {
+      t(s, dir, "part")
+        .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"), "left_anti")
+        .groupBy("p_brand").agg(count(lit(1)).as("n_parts"))
+    }),
+
+    // Left-outer join + per-customer aggregate (0 orders preserved).
+    "q6_outer_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          r2(coalesce(sum("o_totalprice"), lit(0.0))).as("total_spent"))
+    }),
+
+    // Equi + range (interval) join: events within 5 minutes after an error
+    // event of the same user.
+    "q7_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events").select("user_id", "ts", "event_id")
+      val err = t(s, dir, "events").filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      e.join(err,
+        col("user_id") === col("e_user") &&
+          col("ts") > col("e_ts") &&
+          col("ts") <= col("e_ts") + expr("INTERVAL 5 MINUTES"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // ---- distinct / set ops --------------------------------------------
+    "q8_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()),
+
+    "q9_set_ops" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val withOrders = t(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
+      val rich = c.filter(col("c_acctbal") > 7000).select(col("c_custkey").as("custkey"))
+      val machinery = c.filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey").as("custkey"))
+      rich.intersect(withOrders).union(machinery.except(withOrders)).distinct()
+    }),
+
+    // ---- window functions ----------------------------------------------
+    // Top-3 orders per customer by price (ranking window + filter).
+    "q10_window_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    }),
+
+    // Analytic windows: lag/lead/rank/running sum per customer order history.
+    "q11_window_analytics" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val wr = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        rank().over(wr).cast("long").as("price_rank"),
+        r2(sum("o_totalprice").over(w.rowsBetween(Long.MinValue, 0))).as("running_spent"))
+    }),
+
+    // ---- sort / limit ---------------------------------------------------
+    "q12_topn" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")),
+
+    // ---- grouping sets / conditional agg / quantiles -------------------
+    "q13_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))),
+
+    "q14_case_agg" -> ((s, dir) =>
+      t(s, dir, "part").groupBy("p_brand").agg(
+        sum(when(col("p_size") > 25, 1).otherwise(0)).cast("long").as("n_large"),
+        sum(when(col("p_type") === "ECONOMY", col("p_retailprice"))).as("economy_price_raw"),
+        count(lit(1)).as("n_parts"))
+      .withColumn("economy_price", r2(coalesce(col("economy_price_raw"), lit(0.0))))
+      .drop("economy_price_raw")),
+
+    "q15_quantiles" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        round(percentile(col("l_quantity"), lit(0.5)), 6).as("median_qty"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 6).as("p90_price"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"))),
+
+    // Approx-distinct sketch (HyperLogLog++): implementation-specific
+    // values, so no SQL oracle — driver records a rows-only check.
+    "q16_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        approx_count_distinct("l_partkey").as("approx_parts"),
+        countDistinct("l_partkey").as("exact_parts"))),
+
+    // ---- scalar functions ----------------------------------------------
+    "q17_scalar_fns" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_type")).as("type_upper"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        (col("p_size") % 7).as("size_mod"),
+        r2(col("p_retailprice") * 1.1).as("marked_up"),
+        sqrt(col("p_size")).as("size_sqrt"),
+        floor(col("p_retailprice") / 100).as("price_bucket"),
+        substring(col("p_name"), 1, 4).as("name_prefix"))),
+
+    "q18_date_fns" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        col("o_orderdate").cast("date").as("order_date"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_ref"))),
+
+    "q19_json_fns" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))),
+
+    // String aggregation, deterministic via sorted collect.
+    "q20_string_agg" -> ((s, dir) =>
+      t(s, dir, "nation").groupBy("n_regionkey")
+        .agg(concat_ws(",", array_sort(collect_list("n_name"))).as("nations"))),
+
+    // ---- sessionization (gap > 30 min starts a new session) ------------
+    "q21_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val us = unix_micros(col("ts"))
+      val newSess = when(
+        (us - lag(us, 1).over(w)) > 1800L * 1000000L, 1L).otherwise(0L)
+      t(s, dir, "events")
+        .withColumn("sess", sum(newSess).over(w.rowsBetween(Long.MinValue, 0)))
+        .groupBy("user_id", "sess")
+        .agg(count(lit(1)).as("n_events"),
+          ((max(us) - min(us)) / lit(1000000.0)).as("duration_sec"))
     })
   )
 
@@ -35,10 +236,165 @@ object RelationalQueries {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_base_price,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         round(sum(l_extendedprice), 4) AS sum_base_price,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
          round(avg(l_quantity), 4) AS avg_qty,
          count(*) AS count_order
-         FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q2_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(l_extendedprice * (1.0 - l_discount), 4) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+           AND l_shipdate < TIMESTAMP '1996-01-01'
+           AND l_quantity >= 45""",
+
+    "q3_join_star" ->
+      """SELECT r_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+         count(*) AS n_rows
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+
+    "q4_semi_join" ->
+      """SELECT c_nationkey, count(*) AS n_customers
+         FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey
+                         AND year(o_orderdate) = 1995)
+         GROUP BY c_nationkey""",
+
+    "q5_anti_join" ->
+      """SELECT p_brand, count(*) AS n_parts
+         FROM part
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+         GROUP BY p_brand""",
+
+    "q6_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+         round(coalesce(sum(o_totalprice), 0.0), 4) AS total_spent
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey""",
+
+    "q7_range_join" ->
+      """SELECT e.user_id, count(*) AS n_pairs
+         FROM events e
+         JOIN (SELECT user_id AS e_user, ts AS e_ts FROM events
+               WHERE event_type = 'error') err
+           ON e.user_id = err.e_user
+          AND e.ts > err.e_ts
+          AND e.ts <= err.e_ts + INTERVAL 5 MINUTE
+         GROUP BY e.user_id""",
+
+    "q8_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q9_set_ops" ->
+      """WITH with_orders AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+            rich AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 7000),
+            machinery AS (SELECT c_custkey AS custkey FROM customer
+                          WHERE c_mktsegment = 'MACHINERY')
+         SELECT DISTINCT custkey FROM (
+           SELECT custkey FROM (SELECT * FROM rich INTERSECT SELECT * FROM with_orders)
+           UNION
+           SELECT custkey FROM (SELECT * FROM machinery EXCEPT SELECT * FROM with_orders))""",
+
+    "q10_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  CAST(row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+           FROM orders) WHERE rn <= 3""",
+
+    "q11_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+         lag(o_totalprice) OVER w AS prev_price,
+         lead(o_totalprice) OVER w AS next_price,
+         CAST(rank() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spent
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+
+    "q12_topn" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""",
+
+    "q13_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty, count(*) AS n_rows
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q14_case_agg" ->
+      """SELECT p_brand,
+         CAST(sum(CASE WHEN p_size > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+         count(*) AS n_parts,
+         round(coalesce(sum(CASE WHEN p_type = 'ECONOMY'
+                            THEN p_retailprice END), 0.0), 2) AS economy_price
+         FROM part GROUP BY p_brand""",
+
+    "q15_quantiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+         round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+         min(l_quantity) AS min_qty,
+         max(l_quantity) AS max_qty
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q17_scalar_fns" ->
+      """SELECT p_partkey,
+         upper(p_type) AS type_upper,
+         CAST(length(p_name) AS BIGINT) AS name_len,
+         p_brand || '-' || p_type AS brand_type,
+         p_size % 7 AS size_mod,
+         round(p_retailprice * 1.1, 4) AS marked_up,
+         sqrt(p_size) AS size_sqrt,
+         CAST(floor(p_retailprice / 100) AS BIGINT) AS price_bucket,
+         substring(p_name, 1, 4) AS name_prefix
+         FROM part""",
+
+    "q18_date_fns" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS INTEGER) AS y,
+         CAST(month(o_orderdate) AS INTEGER) AS m,
+         CAST(day(o_orderdate) AS INTEGER) AS d,
+         CAST(o_orderdate AS DATE) AS order_date,
+         CAST(o_orderdate AS DATE) + 30 AS due_date,
+         datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_ref
+         FROM orders""",
+
+    "q19_json_fns" ->
+      """SELECT event_type,
+         CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+         count(*) AS n
+         FROM events GROUP BY event_type""",
+
+    "q20_string_agg" ->
+      """SELECT n_regionkey,
+         string_agg(n_name, ',' ORDER BY n_name) AS nations
+         FROM nation GROUP BY n_regionkey""",
+
+    "q21_sessionize" ->
+      """WITH b AS (
+           SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+           FROM events),
+           s AS (
+           SELECT user_id, us,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+           FROM b)
+         SELECT user_id, sess, count(*) AS n_events,
+           (max(us) - min(us)) / 1000000.0 AS duration_sec
+         FROM s GROUP BY user_id, sess"""
   )
 }
