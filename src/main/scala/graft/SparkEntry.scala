@@ -18,8 +18,12 @@ object SparkEntry {
     relational.DetectorQueries.queries("det_combined")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relational.RelationalQueries.queries ++ relational.DetectorQueries.queries
+    relational.RelationalQueries.queries ++
+      relational.DetectorQueries.queries ++
+      relational.PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
-    relational.RelationalQueries.oracle ++ relational.DetectorQueries.oracle
+    relational.RelationalQueries.oracle ++
+      relational.DetectorQueries.oracle ++
+      relational.PipelineQueries.oracle
 }

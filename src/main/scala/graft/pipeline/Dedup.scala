@@ -1,0 +1,163 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextOps._
+
+/** Deduplication operators for training-data pipelines, smallest to
+  * largest hammer:
+  *
+  *  - exact:      one hash-shuffle groupBy (content hash).
+  *  - fingerprint: rolling-hash equality (see [[TextOps.fingerprint]]).
+  *  - n-gram Jaccard: shingle-set overlap via an inverted-index
+  *    self-join — shuffles on shingle, never materializes the O(n²)
+  *    pair space (only docs sharing a shingle meet).
+  *  - MinHash + LSH: constant-size signatures; banding buckets the
+  *    join so candidate generation is linear in collisions, the scale
+  *    path for 100 TB corpora.
+  *  - SimHash: 48-bit locality-sensitive bit signature; near-dup =
+  *    small Hamming distance.
+  *
+  * All hashes are md5-derived so the DuckDB oracle reproduces them
+  * exactly.
+  */
+object Dedup {
+
+  // ---- exact -----------------------------------------------------------
+
+  /** Group identical texts: (hash, keep_id = min id, dup_cnt). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Keep one row per distinct text (first by id). */
+  def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---- shingling -------------------------------------------------------
+
+  /** Distinct word n-gram shingles of the token array (empty when the
+    * doc has fewer than n tokens).
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Inverted-index pairwise Jaccard: docs sharing ≥1 shingle meet on a
+    * shingle-keyed shuffle; J = |A∩B| / (|A|+|B|-|A∩B|). Returns pairs
+    * with doc_a < doc_b and jaccard ≥ threshold (rounded to 6 dp).
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val withSh = docs.select(col(idCol).as("doc"),
+      shingles(tokens(col(textCol)), n).as("sh"))
+    val exploded = withSh.select(col("doc"), explode(col("sh")).as("s"))
+    val sizes = withSh.select(col("doc"), size(col("sh")).as("n_sh"))
+    val inter = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // ---- MinHash + LSH ---------------------------------------------------
+
+  /** k-permutation MinHash signature of the shingle set: element j is
+    * min over shingles of hash60(j + ":" + shingle). Null-free; docs
+    * with no shingles get an all-null signature (never collide).
+    */
+  def minhashSignature(sh: Column, k: Int): Column =
+    array((0 until k).map { j =>
+      array_min(transform(sh, s => hash60(concat(lit(j.toString), lit(":"), s))))
+    }: _*)
+
+  /** LSH banding: band i (r consecutive signature slots) hashed to a
+    * bucket id; docs sharing any (band, bucket) are candidates. Returns
+    * (doc, band, bucket) — one shuffle key per band.
+    */
+  def lshBands(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    val sig = minhashSignature(shingles(tokens(col(textCol)), n), k)
+    docs.select(col(idCol).as("doc"), sig.as("sig"))
+      .filter(size(filter(col("sig"), s => s.isNull)) === 0)
+      .select(col("doc"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws(",",
+            transform(slice(col("sig"), b * r + 1, r), x => x.cast("string")))).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** MinHash-LSH near-dup pairs: candidates from band-bucket collisions,
+    * then exact Jaccard on the candidates only. The verify join is
+    * proportional to collisions, not to n².
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    val bandsDf = lshBands(docs, idCol, textCol, n, k, bands)
+    val candidates = bandsDf.as("a")
+      .join(bandsDf.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    val withSh = docs.select(col(idCol).as("doc"),
+      shingles(tokens(col(textCol)), n).as("sh"))
+    candidates
+      .join(withSh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(withSh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("inter") * lit(1.0) /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // ---- SimHash ---------------------------------------------------------
+
+  /** 48-bit SimHash over whitespace tokens (frequency-weighted): bit p is
+    * set when the sum over tokens of ±1 (by bit p of the token's 48-bit
+    * hash) is ≥ 0. All bit math stays below 2^53 so double-precision
+    * floor-division extracts bits exactly — bit-identical to the SQL
+    * oracle.
+    */
+  def simhash48(text: Column): Column = {
+    val ths = transform(tokens(text), t => hash48(t))
+    val bitVals = transform(sequence(lit(0), lit(47)), p => {
+      val pw = pow(lit(2.0), p).cast("long")
+      val contrib = transform(ths, h =>
+        floor((h % (pw * 2)) / pw).cast("long") * 2 - 1)
+      when(aggregate(contrib, lit(0L), (a, x) => a + x) >= 0, pw).otherwise(lit(0L))
+    })
+    aggregate(bitVals, lit(0L), (a, x) => a + x)
+  }
+
+  /** SimHash near-dup pairs under a Hamming-distance cutoff. O(n²)
+    * compare here; at scale, block by bit-bands first (same LSH idea).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc"), simhash48(col(textCol)).as("sh"))
+    sh.as("a").join(sh.as("b"), col("a.doc") < col("b.doc"))
+      .withColumn("hamming",
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import java.security.MessageDigest
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and an LSH
+  * (random-hyperplane) bucketed variant as the scale path — signatures
+  * partition the corpus so the candidate join is per-bucket instead of
+  * the full cross product.
+  */
+object Similarity {
+
+  /** Left-to-right dot product of two double arrays — the exact
+    * summation order DuckDB's list_dot_product uses, so oracle results
+    * are bit-identical.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k cosine neighbors for each query vector (self excluded).
+    * The query side is broadcast — the corpus streams once, no shuffle
+    * of the big side.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"), col("rnk"))
+  }
+
+  /** Deterministic pseudo-random hyperplane `p` for `dim` dimensions:
+    * component d = (md5-derived int in [-1000, 1000]) / 1000.
+    */
+  private[pipeline] def hyperplane(p: Int, dim: Int): Array[Double] = {
+    val mdig = MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { d =>
+      val h = mdig.digest(s"plane:$p:$d".getBytes("UTF-8"))
+      val v = ((h(0) & 0xffL) << 40) | ((h(1) & 0xffL) << 32) | ((h(2) & 0xffL) << 24) |
+        ((h(3) & 0xffL) << 16) | ((h(4) & 0xffL) << 8) | (h(5) & 0xffL)
+      (v % 2001 - 1000) / 1000.0
+    }
+  }
+
+  /** Sign-bucket id from `nPlanes` random hyperplanes (0..2^nPlanes-1). */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val plane = array(hyperplane(p, dim).map(lit): _*)
+      when(dot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: queries only meet corpus vectors in the same
+    * hyperplane bucket. One shuffle on the bucket id; recall trades off
+    * with nPlanes (fewer planes = bigger buckets = higher recall).
+    */
+  def lshBucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int,
+      dim: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), nPlanes, dim)))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), nPlanes, dim))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"), col("rnk"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, a < b. */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .withColumn("sim", round(cosine(col("a.v"), col("b.v")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"), col("sim"))
+  }
+}

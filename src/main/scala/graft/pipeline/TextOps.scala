@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID and
+  * document fingerprinting. All pure Catalyst expressions (codegen'd,
+  * no UDFs) so they vectorize over billions of documents; every
+  * expression has an exactly-equivalent DuckDB form used by the
+  * driver oracle (see PipelineQueries).
+  */
+object TextOps {
+
+  val HashPrime = 1000000007L
+
+  /** Whitespace tokens, lowercased, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+
+  /** BPE-ish lexer tokens: letter runs, digit runs, single punctuation. */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** First 15 hex chars of md5 as a 60-bit non-negative long — the shared
+    * deterministic hash for minhash seeds and fingerprints (same value as
+    * DuckDB's `('0x'||substr(md5(s),1,15))::BIGINT`).
+    */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** 48-bit variant: values < 2^48 survive double-precision bit math
+    * exactly (needed by SimHash's per-bit extraction, which must agree
+    * bit-for-bit with the SQL oracle).
+    */
+  def hash48(s: Column): Column =
+    conv(substring(md5(s), 1, 12), 16, 10).cast("long")
+
+  /** Polynomial rolling hash (Rabin–Karp) over the characters of the
+    * whitespace-normalized document: acc = (acc*31 + code) mod p. One
+    * pass, O(len), collision-checkable fingerprint for content-defined
+    * dedup.
+    */
+  def fingerprint(text: Column): Column = {
+    val norm = concat_ws(" ", tokens(text))
+    val chars = regexp_extract_all(norm, lit("."), lit(0))
+    aggregate(
+      transform(chars, c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % HashPrime)
+  }
+
+  /** Language marker lexicons for the n-gram-free stopword heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+    "es" -> Seq("el", "la", "los", "de", "y", "es", "en", "un", "una", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"))
+
+  /** Count of tokens present in a marker lexicon (with multiplicity). */
+  def markerHits(toks: Column, markers: Seq[String]): Column = {
+    val m = array(markers.map(lit): _*)
+    size(filter(toks, t => array_contains(m, t))).cast("long")
+  }
+
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by")
+
+  /** Ratio helper: null-safe division rounded to 6 dp (both engines
+    * compute the identical expression shape).
+    */
+  def ratio(num: Column, den: Column): Column =
+    coalesce(round(num * lit(1.0) / nullif(den, lit(0)), 6), lit(0.0))
+}

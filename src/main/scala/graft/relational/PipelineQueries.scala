@@ -1,0 +1,277 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.pipeline._
+import graft.pipeline.TextOps._
+
+/** Training-data pipeline operators exposed as driver-verifiable queries
+  * over `documents` / `embeddings`. Every hash is md5-derived so the
+  * DuckDB oracle reproduces Spark's values exactly; doubles are rounded
+  * identically on both sides.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  // tokenization prelude shared by the oracle SQL strings
+  private val TOKS =
+    raw"""list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')"""
+  private val SHINGLES3 =
+    s"""CASE WHEN len(toks) >= 3
+        THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+             i -> array_to_string(toks[i:i+2], ' ')))
+        ELSE [] END"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
+
+    "p2_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.4)),
+
+    "p3_dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        n = 3, k = 32, bands = 8, threshold = 0.4)),
+
+    "p4_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(
+        docs(s, dir).filter(size(tokens(col("text"))) > 0),
+        "doc_id", "text", maxHamming = 5)),
+
+    "p5_dedup_embedding" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.35)),
+
+    "p6_ann_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(
+        emb(s, dir), emb(s, dir).filter(col("vec_id") < 20), k = 5)),
+
+    // LSH-bucketed ANN — approximate by construction, no SQL oracle;
+    // recall vs brute force is asserted in PipelineSpec.
+    "p7_ann_lsh" -> ((s, dir) =>
+      Similarity.lshBucketedTopK(
+        emb(s, dir), emb(s, dir).filter(col("vec_id") < 50),
+        k = 3, nPlanes = 4, dim = 64)),
+
+    "p8_text_tokens" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        size(bpeishTokens(col("text"))).cast("long").as("n_bpe_tokens"))),
+
+    "p9_text_quality" -> ((s, dir) => {
+      val t = col("text")
+      val toks = tokens(t)
+      val nChars = length(t).cast("long")
+      val nTokens = size(toks).cast("long")
+      val sumTokLen = aggregate(
+        transform(toks, x => length(x).cast("long")), lit(0L), (a, x) => a + x)
+      val nPunct = nChars - length(regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
+      val nDigit = nChars - length(regexp_replace(t, "[0-9]", ""))
+      val nUpper = nChars - length(regexp_replace(t, "[A-Z]", ""))
+      val stopArr = array(Stopwords.map(lit): _*)
+      val nStop = size(filter(toks, x => array_contains(stopArr, x))).cast("long")
+      docs(s, dir)
+        .withColumn("n_chars", nChars)
+        .withColumn("n_tokens", nTokens)
+        .withColumn("avg_token_len", ratio(sumTokLen, nTokens))
+        .withColumn("punct_ratio", ratio(nPunct, nChars))
+        .withColumn("digit_ratio", ratio(nDigit, nChars))
+        .withColumn("upper_ratio", ratio(nUpper, nChars))
+        .withColumn("stopword_ratio", ratio(nStop, nTokens))
+        .withColumn("quality", round(
+          least(lit(1.0), col("n_tokens") / lit(100.0)) *
+            (lit(1.0) - col("punct_ratio")) * (lit(1.0) - col("digit_ratio")), 6))
+        .select("doc_id", "n_chars", "n_tokens", "avg_token_len", "punct_ratio",
+          "digit_ratio", "upper_ratio", "stopword_ratio", "quality")
+    }),
+
+    "p10_text_langid" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val scores = LangMarkers.map { case (lang, markers) =>
+        lang -> markerHits(toks, markers)
+      }
+      val Seq(en, de, es, fr) = scores.map(_._2)
+      docs(s, dir)
+        .withColumn("s_en", en).withColumn("s_de", de)
+        .withColumn("s_es", es).withColumn("s_fr", fr)
+        .withColumn("lang_pred",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+            col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr"))
+        .select("doc_id", "s_en", "s_de", "s_es", "s_fr", "lang_pred")
+    }),
+
+    "p11_text_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), fingerprint(col("text")).as("fp"))),
+
+    "p12_multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeFeatures(
+        Multimodal.attachMedia(docs(s, dir), "doc_id", "text")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "p1_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+         count(*) AS dup_cnt FROM documents GROUP BY md5(text)""",
+
+    "p2_dedup_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+             s AS (SELECT doc_id, $SHINGLES3 AS sh FROM d),
+             ex AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+             sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+             inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                       FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2),
+             j AS (SELECT doc_a, doc_b,
+                     round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+                   FROM inter JOIN sz sa ON doc_a = sa.doc_id
+                              JOIN sz sb ON doc_b = sb.doc_id)
+         SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.4""",
+
+    "p3_dedup_minhash_lsh" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+             s AS (SELECT doc_id, $SHINGLES3 AS sh FROM d),
+             sig AS (SELECT doc_id, sh,
+                       list_transform(generate_series(0, 31), j ->
+                         list_min(list_transform(sh, sg ->
+                           ('0x' || substr(md5(j || ':' || sg), 1, 15))::BIGINT))) AS sig
+                     FROM s WHERE len(sh) > 0),
+             bands AS (SELECT doc_id, b,
+                         md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bucket
+                       FROM sig, unnest(generate_series(0, 7)) t(b)),
+             cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                      FROM bands a JOIN bands b
+                        ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+             j AS (SELECT doc_a, doc_b,
+                     round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                       (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+                       AS jaccard
+                   FROM cand JOIN s sa ON doc_a = sa.doc_id
+                             JOIN s sb ON doc_b = sb.doc_id)
+         SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.4""",
+
+    "p4_dedup_simhash" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+             h AS (SELECT doc_id,
+                     list_transform(toks, t ->
+                       ('0x' || substr(md5(t), 1, 12))::BIGINT) AS ths
+                   FROM d WHERE len(toks) > 0),
+             s AS (SELECT doc_id,
+                     CAST(list_sum(list_transform(generate_series(0, 47), p ->
+                       CASE WHEN list_sum(list_transform(ths, hh ->
+                              CAST(floor((hh % (CAST(pow(2, p) AS BIGINT) * 2)) /
+                                   CAST(pow(2, p) AS BIGINT)) AS BIGINT) * 2 - 1)) >= 0
+                            THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT) AS sh
+                   FROM h)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sh, b.sh)) <= 5""",
+
+    "p5_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     round(list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) *
+                        sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+                   FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.35""",
+
+    "p6_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+             s AS (SELECT query_id, c.vec_id AS neighbor_id,
+                     list_dot_product(qv, c.v) /
+                       (sqrt(list_dot_product(qv, qv)) *
+                        sqrt(list_dot_product(c.v, c.v))) AS sim
+                   FROM q JOIN e c ON c.vec_id <> query_id),
+             r AS (SELECT query_id, neighbor_id, sim,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+                   FROM s)
+         SELECT query_id, neighbor_id, round(sim, 6) AS sim, rnk
+         FROM r WHERE rnk <= 5""",
+
+    "p8_text_tokens" ->
+      s"""SELECT doc_id,
+          CAST(len($TOKS) AS BIGINT) AS n_ws_tokens,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+               AS BIGINT) AS n_bpe_tokens
+          FROM documents""",
+
+    "p9_text_quality" ->
+      s"""WITH d AS (
+            SELECT doc_id, text, $TOKS AS toks,
+              CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents),
+              m AS (
+            SELECT doc_id, n_chars,
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+                   AS BIGINT) AS sum_tok_len,
+              n_chars - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+              n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+              n_chars - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+              CAST(len(list_filter(toks, t -> list_contains(
+                ['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by'],
+                t))) AS BIGINT) AS n_stop
+            FROM d),
+              r AS (
+            SELECT doc_id, n_chars, n_tokens,
+              coalesce(round(sum_tok_len * 1.0 / nullif(n_tokens, 0), 6), 0.0) AS avg_token_len,
+              coalesce(round(n_punct * 1.0 / nullif(n_chars, 0), 6), 0.0) AS punct_ratio,
+              coalesce(round(n_digit * 1.0 / nullif(n_chars, 0), 6), 0.0) AS digit_ratio,
+              coalesce(round(n_upper * 1.0 / nullif(n_chars, 0), 6), 0.0) AS upper_ratio,
+              coalesce(round(n_stop * 1.0 / nullif(n_tokens, 0), 6), 0.0) AS stopword_ratio
+            FROM m)
+         SELECT doc_id, n_chars, n_tokens, avg_token_len, punct_ratio,
+           digit_ratio, upper_ratio, stopword_ratio,
+           round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio) *
+                 (1.0 - digit_ratio), 6) AS quality
+         FROM r""",
+
+    "p10_text_langid" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+             sc AS (SELECT doc_id,
+               CAST(len(list_filter(toks, t -> list_contains(
+                 ['the','a','and','of','to','in','is','it','for','on'], t))) AS BIGINT) AS s_en,
+               CAST(len(list_filter(toks, t -> list_contains(
+                 ['der','die','das','und','ist','nicht','ein','zu','mit','von'], t))) AS BIGINT) AS s_de,
+               CAST(len(list_filter(toks, t -> list_contains(
+                 ['el','la','los','de','y','es','en','un','una','que'], t))) AS BIGINT) AS s_es,
+               CAST(len(list_filter(toks, t -> list_contains(
+                 ['le','la','les','et','est','un','une','dans','pour','que'], t))) AS BIGINT) AS s_fr
+             FROM d)
+         SELECT doc_id, s_en, s_de, s_es, s_fr,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+         FROM sc""",
+
+    "p11_text_fingerprint" ->
+      s"""WITH d AS (SELECT doc_id, array_to_string($TOKS, ' ') AS norm FROM documents)
+         SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(regexp_extract_all(norm, '.'), c -> ord(c)::BIGINT)),
+             (a, b) -> (a * 31 + b) % 1000000007) AS fp
+         FROM d""",
+
+    "p12_multimodal_decode" ->
+      """SELECT doc_id,
+         CAST(strlen(text) AS BIGINT) AS n_bytes,
+         1 + ('0x' || substr(md5(text), 1, 12))::BIGINT % 512 AS width,
+         1 + ('0x' || substr(md5(text), 13, 12))::BIGINT % 512 AS height,
+         1 + ('0x' || substr(md5(text), 17, 12))::BIGINT % 32 AS n_frames,
+         (('0x' || substr(md5(text), 21, 12))::BIGINT % 1000000) / 1000000.0 AS brightness
+         FROM documents"""
+  )
+}

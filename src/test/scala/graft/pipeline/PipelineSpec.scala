@@ -1,0 +1,128 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ts.SparkSpecBase
+
+class PipelineSpec extends SparkSpecBase {
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  def docs: DataFrame = graft.Tables.load(spark, sfDir, "documents")
+  def emb: DataFrame = graft.Tables.load(spark, sfDir, "embeddings")
+
+  def docsOf(rows: (Long, String)*): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 2), schema)
+  }
+
+  test("exact dedup groups identical texts and keeps the min id") {
+    val d = docsOf((1L, "a b c"), (2L, "a b c"), (3L, "x y"), (7L, "x y"), (5L, "zz"))
+    val groups = Dedup.exactGroups(d, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(groups.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L), (3L, 2L), (5L, 1L)))
+    val kept = Dedup.dropExactDuplicates(d, "doc_id", "text")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L, 3L, 5L))
+  }
+
+  test("minhash-LSH finds every jaccard pair on the test corpus (high-sim recall)") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.7)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 32, 8, 0.7)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ≥0.7-jaccard pairs collide in ≥1 of 8 bands with prob ~1-(1-0.7^4)^8 ≈ 0.9;
+    // on this corpus the survivors are ≥0.9 so recall should be total.
+    assert(exact.nonEmpty)
+    assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
+  }
+
+  test("simhash of identical docs is identical; near-dup pairs have small hamming") {
+    val d = docsOf(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox leaps over the lazy dog"),
+      (4L, "completely different words entirely unrelated content here"))
+    val pairs = Dedup.simhashPairs(d, "doc_id", "text", 48)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs((1L, 3L)) < pairs((1L, 4L)))
+    assert(pairs((1L, 3L)) <= 12)
+  }
+
+  test("brute-force ANN: self-similarity excluded, scores ordered, k respected") {
+    val topk = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 5)
+    val rows = topk.collect()
+    assert(rows.length == 25)
+    assert(!rows.exists(r => r.getLong(0) == r.getLong(1)))
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      val sims = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH-bucketed ANN returns a subset quality ≥ bucket-mate best (recall sanity)") {
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 50), 3)
+      .filter(col("rnk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Similarity.lshBucketedTopK(emb, emb.filter(col("vec_id") < 50), 3, 4, 64)
+      .filter(col("rnk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every query must get SOME neighbor (buckets are non-trivial with 4 planes
+    // over 500 vectors) and a recall floor vs brute force
+    assert(lsh.nonEmpty)
+    val hits = lsh.count { case (q, n) => brute.get(q).contains(n) }
+    assert(hits * 1.0 / lsh.size > 0.03, s"rank-1 recall ${hits}/${lsh.size}")
+  }
+
+  test("fingerprint is whitespace-normalization invariant and content-sensitive") {
+    val d = docsOf(
+      (1L, "hello   world  foo"), (2L, "hello world foo"),
+      (3L, "Hello world foo"), (4L, "hello world bar"))
+    val fps = d.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L)) // extra whitespace collapses
+    assert(fps(2L) == fps(3L)) // case-folded
+    assert(fps(2L) != fps(4L)) // content differs
+    assert(fps.values.forall(_ >= 0))
+  }
+
+  test("multimodal: mapPartitions decode plumbing is deterministic and schema-typed") {
+    val media = Multimodal.attachMedia(docs, "doc_id", "text")
+    assert(media.schema("media").dataType == BinaryType)
+    val decoded = Multimodal.decodeFeatures(media)
+    assert(decoded.columns.toSeq ==
+      Seq("doc_id", "n_bytes", "width", "height", "n_frames", "brightness"))
+    val twice = Multimodal.decodeFeatures(media)
+    assert(decoded.except(twice).count() == 0) // deterministic stub
+    val withResize = Multimodal.resizePlan(decoded, 256)
+    val bad = withResize.filter(
+      greatest(col("out_width"), col("out_height")) > 256 ||
+        col("out_width") < 1 || col("out_height") < 1).count()
+    assert(bad == 0)
+    val frames = Multimodal.frameSamplePlan(decoded, 8)
+    assert(frames.filter(size(col("sampled_frames")) > 8).count() == 0)
+    assert(frames.filter(size(col("sampled_frames")) < 1).count() == 0)
+  }
+
+  test("langid marker scoring picks a language deterministically") {
+    val d = docsOf(
+      (1L, "the cat and the dog of a house"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "el perro y la casa de los gatos"))
+    val toks = TextOps.tokens(col("text"))
+    val out = d.select(col("doc_id"),
+      TextOps.markerHits(toks, TextOps.LangMarkers.toMap.apply("en")).as("en"),
+      TextOps.markerHits(toks, TextOps.LangMarkers.toMap.apply("de")).as("de"),
+      TextOps.markerHits(toks, TextOps.LangMarkers.toMap.apply("es")).as("es"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L)._1 > out(1L)._2 && out(1L)._1 > out(1L)._3)
+    assert(out(2L)._2 > out(2L)._1)
+    assert(out(3L)._3 > out(3L)._1)
+  }
+}
