@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Dot product of two `array<double>` columns as a native codegen'd
+  * expression: a tight primitive loop inside whole-stage codegen, no
+  * per-element lambda dispatch. Replaces the
+  * `aggregate(zip_with(a, b, _*_), 0d, _+_)` higher-order-function chain
+  * in the similarity-search hot path (~40× less per-pair overhead at
+  * sf0.1).
+  *
+  * Summation is strictly left-to-right — the same order as the HOF chain
+  * and DuckDB's list_dot_product — so results are bit-identical and the
+  * driver's oracle comparisons still hash-match.
+  *
+  * Null/short inputs: null arrays propagate null (NullIntolerant
+  * behavior via nullSafeEval); lengths are clamped to the shorter array;
+  * null ELEMENTS are read as 0.0 (embeddings are dense, so this path is
+  * never hit in practice).
+  */
+case class DotProductDouble(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProductDouble {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProductDouble(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.ts.{DiffDetector, GradientDetector, RangeDetector, SeriesSpec, SparkSpecBase}
+import StreamingDetectors._
+
+/** Streaming detectors must reproduce the batch masks when fed the same
+  * series through MemoryStream micro-batches (including a batch split in
+  * the middle of a series, which exercises cross-batch state).
+  */
+class StreamingSpec extends SparkSpecBase {
+
+  def ts(i: Int): Timestamp = Timestamp.valueOf(s"2020-01-01 ${"%02d".format(i)}:00:00")
+
+  val seriesA: Seq[Point] = Seq(
+    Point("a", ts(0), 1.0), Point("a", ts(1), 1.5), Point("a", ts(2), 9.0),
+    Point("a", ts(3), null), Point("a", ts(4), 9.5), Point("a", ts(5), 2.0))
+  val seriesB: Seq[Point] = Seq(
+    Point("b", ts(0), 0.0), Point("b", ts(1), 100.0), Point("b", ts(2), 100.2))
+
+  def batchMask(det: graft.ts.Detector, pts: Seq[Point]): Map[(String, Timestamp), Boolean] = {
+    import spark.implicits._
+    val df = pts.toDF()
+    det.detect(df, SeriesSpec(seriesId = Seq("series_id")))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getBoolean(3)).toMap
+  }
+
+  def runStream(pts: Seq[Point], splitAt: Int)(
+      mk: org.apache.spark.sql.Dataset[Point] => org.apache.spark.sql.Dataset[FlaggedPoint])
+      : Map[(String, Timestamp), Boolean] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Point]
+    val q = mk(mem.toDS()).writeStream
+      .format("memory").queryName("flags").outputMode("append").start()
+    try {
+      mem.addData(pts.take(splitAt)); q.processAllAvailable()
+      mem.addData(pts.drop(splitAt)); q.processAllAvailable()
+      spark.table("flags").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getBoolean(3)).toMap
+    } finally q.stop()
+  }
+
+  test("diffStream matches batch DiffDetector across micro-batch boundaries") {
+    val pts = seriesA ++ seriesB
+    val want = batchMask(DiffDetector(3.0), pts)
+    val got = runStream(pts, splitAt = 4)(ds => diffStream(ds, 3.0))
+    assert(got == want)
+  }
+
+  test("gradientStream matches batch GradientDetector") {
+    val pts = seriesA ++ seriesB
+    val want = batchMask(GradientDetector(0.001), pts)
+    val got = runStream(pts, splitAt = 5)(ds => gradientStream(ds, 0.001))
+    assert(got == want)
+  }
+
+  test("rangeStream is the stateless batch expression on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Point]
+    val out = rangeStream(mem.toDF(), RangeDetector(0.5, 50.0),
+      SeriesSpec(seriesId = Seq("series_id")))
+    val q = out.writeStream.format("memory").queryName("range_flags")
+      .outputMode("append").start()
+    try {
+      mem.addData(seriesA ++ seriesB); q.processAllAvailable()
+      val got = spark.table("range_flags")
+        .filter(col("is_anomaly")).select("value").collect()
+        .map(r => Option(r.get(0)).map(_.asInstanceOf[Double])).toSet
+      assert(got == Set(Some(100.0), Some(100.2), Some(0.0)))
+    } finally q.stop()
+  }
+}
