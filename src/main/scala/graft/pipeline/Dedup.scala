@@ -40,15 +40,31 @@ object Dedup {
 
   // ---- shingling -------------------------------------------------------
 
-  /** Distinct word n-gram shingles of the token array (empty when the
-    * doc has fewer than n tokens).
+  /** Distinct word n-gram shingles of a token-array column (empty when
+    * the doc has fewer than n tokens), built with n unrolled
+    * `element_at` reads per position.
+    *
+    * IMPORTANT: `toks` must be a MATERIALIZED column reference, not an
+    * inline `tokens(text)` expression — Catalyst does not CSE an
+    * expression referenced inside a lambda, so an inline tokenizer
+    * re-runs per element_at per shingle (measured 20× slower at sf0.1).
+    * Use [[shingleSets]] which materializes the tokens first.
     */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(
         sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
+        i => concat_ws(" ", (0 until n).map(d => element_at(toks, i + d)): _*))))
       .otherwise(array().cast("array<string>"))
+
+  /** (doc, sh) with the tokens materialized before shingling; docs with
+    * no shingles are dropped.
+    */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc"), tokens(col(textCol)).as("__toks"))
+      .withColumn("sh", shingles(col("__toks"), n))
+      .filter(size(col("sh")) > 0)
+      .select("doc", "sh")
 
   /** Inverted-index pairwise Jaccard: docs sharing ≥1 shingle meet on a
     * shingle-keyed shuffle; J = |A∩B| / (|A|+|B|-|A∩B|). Returns pairs
@@ -56,8 +72,10 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val withSh = docs.select(col(idCol).as("doc"),
-      shingles(tokens(col(textCol)), n).as("sh"))
+    // persisted: the self-join + size joins read this 4×, and without a
+    // materialization barrier CollapseProject inlines the tokenizer into
+    // each consumer (and then into every per-shingle lambda element)
+    val withSh = shingleSets(docs, idCol, textCol, n).persist()
     val exploded = withSh.select(col("doc"), explode(col("sh")).as("s"))
     val sizes = withSh.select(col("doc"), size(col("sh")).as("n_sh"))
     val inter = exploded.as("a")
@@ -76,14 +94,44 @@ object Dedup {
 
   // ---- MinHash + LSH ---------------------------------------------------
 
-  /** k-permutation MinHash signature of the shingle set: element j is
-    * min over shingles of hash60(j + ":" + shingle). Null-free; docs
-    * with no shingles get an all-null signature (never collide).
+  /** MinHash permutation family: one md5 per shingle reduced mod p, then
+    * k universal hashes h_j(x) = (a_j·x + b_j) mod p — 32 permutations
+    * cost 1 digest + pure integer arithmetic instead of 32 digests.
+    * Constants stay < 2^31 and x < p < 2^30, so a_j·x < 2^61 never
+    * overflows int64 in either engine.
     */
-  def minhashSignature(sh: Column, k: Int): Column =
+  val MinhashP = 1000000007L
+  private[pipeline] def mhA(j: Int): Long = (j * 2654435761L % MinhashP) | 1L
+  private[pipeline] def mhB(j: Int): Long = j * 40503L * 2654435761L % MinhashP
+
+  /** Base hash per shingle: md5-derived 60-bit value reduced mod p. */
+  def shingleHash(s: Column): Column = hash60(s) % MinhashP
+
+  /** k-permutation MinHash signature of the shingle set (HOF form):
+    * element j is min over shingles of (a_j·h + b_j) mod p. Docs with no
+    * shingles get an all-null signature (never collide).
+    */
+  def minhashSignature(sh: Column, k: Int): Column = {
+    val hp = transform(sh, s => shingleHash(s))
     array((0 until k).map { j =>
-      array_min(transform(sh, s => hash60(concat(lit(j.toString), lit(":"), s))))
+      array_min(transform(hp, h => (lit(mhA(j)) * h + lit(mhB(j))) % MinhashP))
     }: _*)
+  }
+
+  /** Same signatures the codegen-friendly way: shingles exploded to rows,
+    * one md5 per row, k arithmetic-min aggregates in one
+    * whole-stage-codegen hash aggregate. Returns (doc, sig); docs
+    * without shingles are absent.
+    */
+  def minhashSignaturesExploded(shDf: DataFrame, k: Int): DataFrame = {
+    val exploded = shDf.select(col("doc"), explode(col("sh")).as("s"))
+      .withColumn("hp", shingleHash(col("s")))
+    val mins = (0 until k).map { j =>
+      min((lit(mhA(j)) * col("hp") + lit(mhB(j))) % MinhashP).as(s"m$j")
+    }
+    exploded.groupBy("doc").agg(mins.head, mins.tail: _*)
+      .select(col("doc"), array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
+  }
 
   /** LSH banding: band i (r consecutive signature slots) hashed to a
     * bucket id; docs sharing any (band, bucket) are candidates. Returns
@@ -92,14 +140,12 @@ object Dedup {
   def lshBands(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, bands: Int): DataFrame = {
     val r = k / bands
-    val sig = minhashSignature(shingles(tokens(col(textCol)), n), k)
-    docs.select(col(idCol).as("doc"), sig.as("sig"))
-      .filter(size(filter(col("sig"), s => s.isNull)) === 0)
-      .select(col("doc"), explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          md5(concat_ws(",",
-            transform(slice(col("sig"), b * r + 1, r), x => x.cast("string")))).as("bucket"))
-      }: _*)).as("bb"))
+    val sigDf = minhashSignaturesExploded(shingleSets(docs, idCol, textCol, n), k)
+    sigDf.select(col("doc"), explode(array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",",
+          transform(slice(col("sig"), b * r + 1, r), x => x.cast("string")))).as("bucket"))
+    }: _*)).as("bb"))
       .select(col("doc"), col("bb.band"), col("bb.bucket"))
   }
 
@@ -115,11 +161,8 @@ object Dedup {
     // Catalyst happily re-derives k md5-min reductions from the raw text
     // on every side of every join (measured 20× slower at sf0.1). At
     // cluster scale this intermediate is what you'd write to a table.
-    val sigDf = docs
-      .select(col(idCol).as("doc"), shingles(tokens(col(textCol)), n).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
-      .filter(size(col("sh")) > 0)
-      .persist()
+    val shDf = shingleSets(docs, idCol, textCol, n).persist()
+    val sigDf = shDf.join(minhashSignaturesExploded(shDf, k), "doc").persist()
     val bandsDf = sigDf.select(col("doc"), explode(array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws(",",

@@ -138,11 +138,16 @@ object PipelineQueries {
     "p3_dedup_minhash_lsh" ->
       s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
              s AS (SELECT doc_id, $SHINGLES3 AS sh FROM d),
+             hp AS (SELECT doc_id, sh,
+                      list_transform(sh, sg ->
+                        ('0x' || substr(md5(sg), 1, 15))::BIGINT % 1000000007) AS hps
+                    FROM s WHERE len(sh) > 0),
              sig AS (SELECT doc_id, sh,
                        list_transform(generate_series(0, 31), j ->
-                         list_min(list_transform(sh, sg ->
-                           ('0x' || substr(md5(j || ':' || sg), 1, 15))::BIGINT))) AS sig
-                     FROM s WHERE len(sh) > 0),
+                         list_min(list_transform(hps, h ->
+                           (((j * 2654435761 % 1000000007) | 1) * h +
+                            (j * 40503 * 2654435761 % 1000000007)) % 1000000007))) AS sig
+                     FROM hp),
              bands AS (SELECT doc_id, b,
                          md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bucket
                        FROM sig, unnest(generate_series(0, 7)) t(b)),
