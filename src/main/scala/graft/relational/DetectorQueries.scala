@@ -78,7 +78,19 @@ object DetectorQueries {
       out(CombinedDetector(Seq(
         RangeDetector(5.0, 175.0),
         DiffDetector(120.0),
-        HampelDetector(5, 3.0))).detect(ev(s, dir), spec)))
+        HampelDetector(5, 3.0))).detect(ev(s, dir), spec))),
+
+    // Per-series fit (scale generalization): each user_id learns its own
+    // thresholds from its even-event_id half, scored over everything.
+    "det_range_fit_series" -> ((s, dir) => {
+      val e = ev(s, dir)
+      out(PerSeriesFit.rangeDetect(e.filter(col("event_id") % 2 === 0), e, spec = spec))
+    }),
+
+    "det_diff_fit_series" -> ((s, dir) => {
+      val e = ev(s, dir)
+      out(PerSeriesFit.diffDetect(e.filter(col("event_id") % 2 === 0), e, spec = spec))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -212,6 +224,23 @@ object DetectorQueries {
            coalesce(abs(value - pv) > 120.0, false) OR
            (rn > 5 AND rn <= cnt - 5 AND
             coalesce(abs(value - med) > 3.0 * (1.4826 * madv), false))) AS is_anomaly
-          FROM h"""
+          FROM h""",
+
+    "det_range_fit_series" ->
+      s"""WITH f AS (SELECT user_id, min(value) AS mn, max(value) AS mx
+                     FROM events WHERE event_id % 2 = 0 GROUP BY user_id)
+          SELECT e.user_id, e.event_id, e.value,
+            coalesce(e.value < f.mn OR e.value > f.mx, false) AS is_anomaly
+          FROM events e LEFT JOIN f USING (user_id)""",
+
+    "det_diff_fit_series" ->
+      s"""WITH t AS (SELECT user_id, value,
+                       value - lag(value) OVER ($W) AS dv
+                     FROM events WHERE event_id % 2 = 0),
+               f AS (SELECT user_id, max(dv) AS md FROM t GROUP BY user_id)
+          SELECT e.user_id, e.event_id, e.value,
+            coalesce(abs(e.value - lag(e.value) OVER (PARTITION BY e.user_id
+              ORDER BY e.ts, e.event_id)) > f.md, false) AS is_anomaly
+          FROM events e LEFT JOIN f USING (user_id)"""
   )
 }
