@@ -13,48 +13,67 @@ import graft.util.Json._
   * reference's loop bounds). Nulls are skipped inside windows
   * (`np.nanmedian`) and a null x_t is never an anomaly.
   *
-  * The reference needs a numba-JIT'd scalar loop; here both medians are
-  * computed per-row from a frame-bounded `collect_list` with
-  * `array_sort` + element access — O(n·w log w) inside one WindowExec
-  * pass, no UDF, distributed by `seriesId`.
+  * The reference needs a numba-JIT'd scalar loop; here both medians come
+  * from the custom [[graft.functions.HampelStats]]
+  * `TypedImperativeAggregate` over the frame (one sorted primitive
+  * buffer per row, no UDF, distributed by `seriesId`). `impl =
+  * "builtin"` keeps the pure-built-ins formulation (`collect_list` +
+  * `array_sort` + element access) — bit-identical results, used to
+  * cross-check the native aggregate.
   */
 final case class HampelDetector(
     windowSize: Int = 5,
     threshold: Double = 3.0,
-    k: Double = TsOps.GaussianScaleFactor) extends Detector {
+    k: Double = TsOps.GaussianScaleFactor,
+    impl: String = "native") extends Detector {
 
   if (windowSize <= 0) throw new InvalidArgumentError("window_size", "nonnegative")
   if (threshold < 0) throw new InvalidArgumentError("threshold", "positive")
+  require(impl == "native" || impl == "builtin", s"unknown impl: $impl")
 
   override protected def detectImpl(df: DataFrame, spec: SeriesSpec): DataFrame = {
     val ws = windowSize
     val frame = spec.w.rowsBetween(-ws.toLong, (ws - 1).toLong)
     val v = TsOps.cleanValue(spec)
     val (rn, cnt) = TsOps.rowNumberAndCount(spec)
-    val (arrC, medC, madC, rnC, cntC) =
-      ("__hampel_arr", "__hampel_med", "__hampel_mad", "__hampel_rn", "__hampel_cnt")
-    df
-      // collect_list skips nulls — matches np.nanmedian's NaN skipping
-      .withColumn(arrC, collect_list(v).over(frame))
-      .withColumn(rnC, rn).withColumn(cntC, cnt)
-      .withColumn(medC, TsOps.sortedArrayMedian(array_sort(col(arrC))))
-      .withColumn(madC,
-        lit(k) * TsOps.sortedArrayMedian(
-          array_sort(transform(col(arrC), x => abs(x - col(medC))))))
+    val (rnC, cntC) = ("__hampel_rn", "__hampel_cnt")
+    val withMedMad = if (impl == "native") {
+      val statsC = "__hampel_stats"
+      df.withColumn(statsC, graft.functions.HampelStats(v).over(frame))
+        .withColumn(rnC, rn).withColumn(cntC, cnt)
+        .withColumn("__hampel_med", col(statsC).getField("med"))
+        .withColumn("__hampel_mad", lit(k) * col(statsC).getField("rawmad"))
+        .drop(statsC)
+    } else {
+      val arrC = "__hampel_arr"
+      df
+        // collect_list skips nulls — matches np.nanmedian's NaN skipping
+        .withColumn(arrC, collect_list(v).over(frame))
+        .withColumn(rnC, rn).withColumn(cntC, cnt)
+        .withColumn("__hampel_med", TsOps.sortedArrayMedian(array_sort(col(arrC))))
+        .withColumn("__hampel_mad",
+          lit(k) * TsOps.sortedArrayMedian(
+            array_sort(transform(col(arrC), x => abs(x - col("__hampel_med"))))))
+        .drop(arrC)
+    }
+    withMedMad
       .withColumn(spec.flag,
         col(rnC) > ws && col(rnC) <= col(cntC) - ws &&
-          coalesce(abs(v - col(medC)) > lit(threshold) * col(madC), lit(false)))
-      .drop(arrC, medC, madC, rnC, cntC)
+          coalesce(abs(v - col("__hampel_med")) > lit(threshold) * col("__hampel_mad"),
+            lit(false)))
+      .drop("__hampel_med", "__hampel_mad", rnC, cntC)
   }
 
   override def toJson: JValue = JObj(Seq(
     "type" -> JStr("HampelDetector"),
     "window_size" -> Json.num(windowSize.toDouble),
     "threshold" -> Json.num(threshold),
-    "k" -> Json.num(k)))
+    "k" -> Json.num(k),
+    "impl" -> JStr(impl)))
 }
 
 object HampelDetector {
   def fromJson(j: JValue): HampelDetector =
-    HampelDetector(j("window_size").num.toInt, j("threshold").num, j("k").num)
+    HampelDetector(j("window_size").num.toInt, j("threshold").num, j("k").num,
+      j("impl").opt.map(_.str).getOrElse("native"))
 }
