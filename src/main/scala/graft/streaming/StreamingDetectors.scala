@@ -33,6 +33,17 @@ object StreamingDetectors {
       series_id: String, ts: Timestamp, value: java.lang.Double, is_anomaly: Boolean)
   final case class LastPoint(tsMicros: Long, value: java.lang.Double)
 
+  /** Input for the bounded-lookahead detectors: a normal sample, or an
+    * end-of-series marker (`eos = true`, value ignored) that flushes the
+    * pending tail rows — flushed rows get `false` flags, exactly the
+    * batch edge semantics (incomplete frames / tail masking).
+    */
+  final case class StreamEvent(
+      series_id: String, ts: Timestamp, value: java.lang.Double, eos: Boolean)
+
+  final case class WindowState(
+      rows: Seq[(Long, Option[Double])], pendingFrom: Int, emitted: Long)
+
   /** Stateless: same Catalyst expression as the batch detector. */
   def rangeStream(stream: DataFrame, detector: RangeDetector,
       spec: SeriesSpec = SeriesSpec()): DataFrame =
@@ -73,6 +84,110 @@ object StreamingDetectors {
                 }
             }
           }
+      }
+  }
+
+  /** Centered rolling-stddev detector on a stream: emits row t once
+    * `lookahead` future rows exist (or on eos), computing the same
+    * guarded sample-stddev flag as the batch
+    * [[graft.ts.RollingStdDevDetector]] — verified mask-identical in
+    * StreamingSpec.
+    */
+  def rollingStdStream(events: Dataset[StreamEvent], windowSize: Int,
+      maxStd: Double, center: Boolean = true): Dataset[FlaggedPoint] = {
+    val (back, ahead) =
+      if (center) (windowSize / 2, (windowSize - 1) / 2)
+      else (windowSize - 1, 0)
+    slidingWindowStream(events, back, ahead, gate = ahead) {
+      (win, centerIdx, rn) =>
+        val vals = win.flatMap(_._2)
+        rn != 1 && vals.length == windowSize && {
+          val mean = vals.sum / vals.length
+          val variance = vals.map(v => (v - mean) * (v - mean)).sum / (vals.length - 1)
+          math.sqrt(variance) > maxStd
+        }
+    }
+  }
+
+  /** Hampel detector on a stream. The batch tail rule (`rn ≤ cnt - ws`)
+    * needs to know whether ws rows FOLLOW t, so emission gates on ws
+    * future rows even though the frame only spans ws-1 ahead; eos
+    * flushes the tail as false — again exactly the batch masks.
+    */
+  def hampelStream(events: Dataset[StreamEvent], windowSize: Int,
+      threshold: Double,
+      k: Double = graft.ts.TsOps.GaussianScaleFactor): Dataset[FlaggedPoint] = {
+    val ws = windowSize
+    slidingWindowStream(events, back = ws, ahead = ws - 1, gate = ws) {
+      (win, centerIdx, rn) =>
+        rn > ws && {
+          val vals = win.flatMap(_._2) // frame [t-ws, t+ws-1] includes row t
+          val x = win(centerIdx)._2
+          x.isDefined && vals.nonEmpty && {
+            val sorted = vals.sorted.toArray
+            val med = graft.functions.HampelStats.medianOfSorted(sorted)
+            val dev = sorted.map(v => math.abs(v - med)).sorted
+            val mad = k * graft.functions.HampelStats.medianOfSorted(dev)
+            math.abs(x.get - med) > threshold * mad
+          }
+        }
+    }
+  }
+
+  /** Shared bounded-lookahead machinery: per-series state keeps `back`
+    * context rows plus the pending suffix; a pending row emits once
+    * `gate` rows exist after it (or unconditionally false on eos). The
+    * flag callback sees the window `[idx-back, idx+ahead]` (clipped at
+    * the head), the row's index within it, and its 1-based position rn.
+    */
+  private def slidingWindowStream(events: Dataset[StreamEvent],
+      back: Int, ahead: Int, gate: Int)(
+      flag: (IndexedSeq[(Long, Option[Double])], Int, Long) => Boolean)
+      : Dataset[FlaggedPoint] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.series_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, batch: Iterator[StreamEvent], state: GroupState[WindowState]) =>
+          val evs = batch.toVector.sortBy(e => (micros(e.ts), !e.eos))
+          val st = state.getOption.getOrElse(WindowState(Vector.empty, 0, 0L))
+          var rows = st.rows.toVector
+          var pendingFrom = st.pendingFrom
+          var emitted = st.emitted
+          val out = Vector.newBuilder[FlaggedPoint]
+          var flushed = false
+
+          def emitUpTo(isEos: Boolean): Unit = {
+            while (pendingFrom < rows.length &&
+              (isEos || rows.length - 1 - pendingFrom >= gate)) {
+              val idx = pendingFrom
+              val lo = math.max(0, idx - back)
+              val win = rows.slice(lo, math.min(rows.length, idx + ahead + 1))
+              val rn = emitted + 1
+              val isAnomaly = !isEos && flag(win, idx - lo, rn)
+              val (tsm, v) = rows(idx)
+              out += FlaggedPoint(key, new Timestamp(tsm / 1000L),
+                v.map(Double.box).orNull, isAnomaly)
+              emitted += 1
+              pendingFrom += 1
+            }
+            // trim context no longer needed
+            val keepFrom = math.max(0, pendingFrom - back)
+            if (keepFrom > 0) {
+              rows = rows.drop(keepFrom)
+              pendingFrom -= keepFrom
+            }
+          }
+
+          evs.foreach { e =>
+            if (e.eos) { emitUpTo(isEos = true); flushed = true }
+            else {
+              rows = rows :+ (micros(e.ts) -> Option(e.value).map(_.doubleValue()))
+              emitUpTo(isEos = false)
+            }
+          }
+          if (flushed && pendingFrom >= rows.length) state.remove()
+          else state.update(WindowState(rows, pendingFrom, emitted))
+          out.result().iterator
       }
   }
 

@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.ts.{DiffDetector, GradientDetector, RangeDetector, SeriesSpec, SparkSpecBase}
+import graft.ts.{DiffDetector, GradientDetector, HampelDetector, RangeDetector, RollingStdDevDetector, SeriesSpec, SparkSpecBase}
 import StreamingDetectors._
 
 /** Streaming detectors must reproduce the batch masks when fed the same
@@ -55,6 +55,44 @@ class StreamingSpec extends SparkSpecBase {
     val pts = seriesA ++ seriesB
     val want = batchMask(GradientDetector(0.001), pts)
     val got = runStream(pts, splitAt = 5)(ds => gradientStream(ds, 0.001))
+    assert(got == want)
+  }
+
+  def runWindowedStream(pts: Seq[Point], splitAt: Int)(
+      mk: org.apache.spark.sql.Dataset[StreamEvent] => org.apache.spark.sql.Dataset[FlaggedPoint])
+      : Map[(String, Timestamp), Boolean] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamEvent]
+    val name = s"wflags_${System.nanoTime()}"
+    val q = mk(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      def ev(p: Point) = StreamEvent(p.series_id, p.ts, p.value, eos = false)
+      mem.addData(pts.take(splitAt).map(ev)); q.processAllAvailable()
+      mem.addData(pts.drop(splitAt).map(ev)); q.processAllAvailable()
+      // end-of-series markers flush the pending tails
+      mem.addData(pts.map(_.series_id).distinct.map(s =>
+        StreamEvent(s, ts(23), null, eos = true)))
+      q.processAllAvailable()
+      spark.table(name).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getBoolean(3)).toMap
+    } finally q.stop()
+  }
+
+  test("rollingStdStream matches batch RollingStdDevDetector incl. tail flush") {
+    val pts = seriesA ++ seriesB
+    val want = batchMask(RollingStdDevDetector(4, 2.0), pts)
+    val got = runWindowedStream(pts, splitAt = 3)(ds =>
+      rollingStdStream(ds, 4, 2.0))
+    assert(got == want)
+  }
+
+  test("hampelStream matches batch HampelDetector incl. rn tail rule") {
+    val pts = (0 until 16).map(i => Point("a", ts(i),
+      if (i == 7) 40.0 else if (i == 11) -25.0 else i.toDouble)) ++ seriesB
+    val want = batchMask(HampelDetector(3, 1.0), pts)
+    val got = runWindowedStream(pts, splitAt = 9)(ds => hampelStream(ds, 3, 1.0))
     assert(got == want)
   }
 
