@@ -24,11 +24,19 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  // Money aggregates round to 4 dp on both sides: inputs carry ≤2 decimals,
-  // so products/sums have ≤4 true decimals — a 4-dp round recovers the exact
-  // decimal value in both engines, immune to Spark-vs-DuckDB rounding-rule
+  // Money per-row values round to 4 dp on both sides: inputs carry ≤2
+  // decimals, so products have ≤4 true decimals — a 4-dp round recovers
+  // the exact decimal value in both engines, immune to rounding-rule
   // differences AT a half-way boundary (which 2 dp can hit).
   private def r2(c: Column): Column = round(c, 4)
+
+  // Money SUMS go through DECIMAL: double summation order differs between
+  // engines and at sf0.1 the accumulated error (~1e-5 on ~1e9 sums)
+  // already straddles the 4-dp grid, so round-after-sum is not
+  // scale-robust. Summing per-row-rounded decimals is exact and
+  // order-independent; the final double cast is then identical.
+  private def moneySum(c: Column): Column =
+    sum(round(c, 4).cast("decimal(28,4)")).cast("double")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- scans / aggregation -------------------------------------------
@@ -38,8 +46,8 @@ object RelationalQueries {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum("l_quantity").as("sum_qty"),
-          r2(sum("l_extendedprice")).as("sum_base_price"),
-          r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           count(lit(1)).as("count_order"))
     }),
@@ -68,7 +76,7 @@ object RelationalQueries {
         .join(r, col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
         .agg(
-          r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_rows"))
     }),
 
@@ -93,7 +101,7 @@ object RelationalQueries {
         .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
         .groupBy("c_custkey")
         .agg(count(col("o_orderkey")).as("n_orders"),
-          r2(coalesce(sum("o_totalprice"), lit(0.0))).as("total_spent"))
+          coalesce(moneySum(col("o_totalprice")), lit(0.0)).as("total_spent"))
     }),
 
     // Equi + range (interval) join: events within 5 minutes after an error
@@ -144,7 +152,7 @@ object RelationalQueries {
         lag("o_totalprice", 1).over(w).as("prev_price"),
         lead("o_totalprice", 1).over(w).as("next_price"),
         rank().over(wr).cast("long").as("price_rank"),
-        r2(sum("o_totalprice").over(w.rowsBetween(Long.MinValue, 0))).as("running_spent"))
+        sum(round(col("o_totalprice"), 4).cast("decimal(28,4)")).over(w.rowsBetween(Long.MinValue, 0)).cast("double").as("running_spent"))
     }),
 
     // ---- sort / limit ---------------------------------------------------
@@ -163,9 +171,9 @@ object RelationalQueries {
     "q14_case_agg" -> ((s, dir) =>
       t(s, dir, "part").groupBy("p_brand").agg(
         sum(when(col("p_size") > 25, 1).otherwise(0)).cast("long").as("n_large"),
-        sum(when(col("p_type") === "ECONOMY", col("p_retailprice"))).as("economy_price_raw"),
+        sum(when(col("p_type") === "ECONOMY", round(col("p_retailprice"), 4).cast("decimal(28,4)"))).as("economy_price_raw"),
         count(lit(1)).as("n_parts"))
-      .withColumn("economy_price", r2(coalesce(col("economy_price_raw"), lit(0.0))))
+      .withColumn("economy_price", coalesce(col("economy_price_raw").cast("double"), lit(0.0)))
       .drop("economy_price_raw")),
 
     "q15_quantiles" -> ((s, dir) =>
@@ -236,8 +244,8 @@ object RelationalQueries {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,
-         round(sum(l_extendedprice), 4) AS sum_base_price,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+         CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
          round(avg(l_quantity), 4) AS avg_qty,
          count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
@@ -252,7 +260,7 @@ object RelationalQueries {
 
     "q3_join_star" ->
       """SELECT r_name,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
          count(*) AS n_rows
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
@@ -277,7 +285,7 @@ object RelationalQueries {
 
     "q6_outer_join" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-         round(coalesce(sum(o_totalprice), 0.0), 4) AS total_spent
+         coalesce(CAST(sum(CAST(round(o_totalprice, 4) AS DECIMAL(28,4))) AS DOUBLE), 0.0) AS total_spent
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          GROUP BY c_custkey""",
 
