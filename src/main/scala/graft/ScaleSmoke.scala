@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ts._
+
+/** Synthetic scale smoke (SURVEY.md §5.2 #5): many series × many rows
+  * through the detector ensemble, far beyond the driver test tables.
+  * Generates data distributively (spark.range — no driver materialization),
+  * so row count is bounded only by cluster size; prints rows/s per stage.
+  *
+  * Usage: runMain graft.ScaleSmoke [totalRows] [numSeries]
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val totalRows = args.headOption.map(_.toLong).getOrElse(20000000L)
+    val numSeries = args.lift(1).map(_.toLong).getOrElse(10000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // deterministic synthetic sensors: smooth signal + hash noise,
+    // ~0.1% injected spikes, 0.1% nulls, strictly increasing per-series ts
+    val pos = col("id") / lit(numSeries)
+    val noise = (abs(hash(col("id"))) % 1000) / lit(1000.0)
+    val base = sin(pos / lit(50.0)) * 10 + noise
+    val spike = when(abs(hash(col("id"), lit(1))) % 1000 === 0, lit(500.0)).otherwise(lit(0.0))
+    val df = spark.range(totalRows).select(
+      (col("id") % numSeries).as("series_id"),
+      timestamp_micros(lit(1700000000000000L) +
+        (col("id") / lit(numSeries)).cast("long") * 60000000L).as("ts"),
+      when(abs(hash(col("id"), lit(2))) % 1000 === 0, lit(null).cast("double"))
+        .otherwise(base + spike).as("value"))
+      .persist()
+    val n = df.count()
+    val spec = SeriesSpec(seriesId = Seq("series_id"))
+
+    def stage(name: String)(flagged: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val f = flagged
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name%-24s $sec%8.2fs  ${n / sec / 1e6}%6.2fM rows/s  flagged=$f")
+    }
+
+    println(s"[scale] rows=$n series=$numSeries cores=$cpus")
+    stage("range")(RangeDetector(-15, 15).detect(df, spec)
+      .filter(col("is_anomaly")).count())
+    stage("diff")(DiffDetector(5.0).detect(df, spec)
+      .filter(col("is_anomaly")).count())
+    stage("rolling_std_w10")(RollingStdDevDetector(10, 3.0).detect(df, spec)
+      .filter(col("is_anomaly")).count())
+    stage("hampel_w5")(HampelDetector(5, 3.0).detect(df, spec)
+      .filter(col("is_anomaly")).count())
+    stage("ensemble_3det")(CombinedDetector(Seq(
+      RangeDetector(-15, 15), DiffDetector(5.0), HampelDetector(5, 3.0)))
+      .detect(df, spec).filter(col("is_anomaly")).count())
+    stage("fit_per_series_range")(PerSeriesFit.rangeDetect(df, df,
+      quantiles = (0.001, 0.999), spec = spec)
+      .filter(col("is_anomaly")).count())
+    spark.stop()
+  }
+}
