@@ -58,12 +58,15 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
 
   /** (doc, sh) with the tokens materialized before shingling; docs with
-    * no shingles are dropped.
+    * no shingles are dropped. The emptiness filter tests the TOKEN count
+    * (equivalent, lambda-free): filtering on `size(sh) > 0` would inline
+    * the whole shingle lambda into the predicate, where Catalyst's
+    * no-CSE-in-lambdas behavior re-tokenizes per element (13× slower).
     */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("doc"), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= n)
       .withColumn("sh", shingles(col("__toks"), n))
-      .filter(size(col("sh")) > 0)
       .select("doc", "sh")
 
   /** Inverted-index pairwise Jaccard: docs sharing ≥1 shingle meet on a
