@@ -225,6 +225,17 @@ object RelationalQueries {
       t(s, dir, "nation").groupBy("n_regionkey")
         .agg(concat_ws(",", array_sort(collect_list("n_name"))).as("nations"))),
 
+    // SQL-text interface: the same engine surface through spark.sql over
+    // registered views (the oracle is literally the same statement).
+    "q22_sql_interface" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, dir, "part").createOrReplaceTempView("part")
+      s.sql(
+        """SELECT p_brand, count(*) AS n_ship, sum(l_quantity) AS qty
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_size > 40 GROUP BY p_brand""")
+    }),
+
     // ---- sessionization (gap > 30 min starts a new session) ------------
     "q21_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -388,6 +399,11 @@ object RelationalQueries {
       """SELECT n_regionkey,
          string_agg(n_name, ',' ORDER BY n_name) AS nations
          FROM nation GROUP BY n_regionkey""",
+
+    "q22_sql_interface" ->
+      """SELECT p_brand, count(*) AS n_ship, sum(l_quantity) AS qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size > 40 GROUP BY p_brand""",
 
     "q21_sessionize" ->
       """WITH b AS (
