@@ -225,6 +225,19 @@ object RelationalQueries {
       t(s, dir, "nation").groupBy("n_regionkey")
         .agg(concat_ws(",", array_sort(collect_list("n_name"))).as("nations"))),
 
+    // Multiset (bag) semantics: INTERSECT ALL / EXCEPT ALL keep duplicate
+    // cardinality, unlike q9's set-semantics ops.
+    "q23_multiset_ops" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_suppkey").as("k"))
+      val o = t(s, dir, "orders").select((col("o_custkey") % 100).as("k"))
+      li.intersectAll(o).groupBy("k").agg(count(lit(1)).as("n_inter"))
+        .join(li.exceptAll(o).groupBy("k").agg(count(lit(1)).as("n_except")),
+          Seq("k"), "full")
+        .select(col("k"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+          coalesce(col("n_except"), lit(0L)).as("n_except"))
+    }),
+
     // SQL-text interface: the same engine surface through spark.sql over
     // registered views (the oracle is literally the same statement).
     "q22_sql_interface" -> ((s, dir) => {
@@ -399,6 +412,18 @@ object RelationalQueries {
       """SELECT n_regionkey,
          string_agg(n_name, ',' ORDER BY n_name) AS nations
          FROM nation GROUP BY n_regionkey""",
+
+    "q23_multiset_ops" ->
+      """WITH li AS (SELECT l_suppkey AS k FROM lineitem),
+            o AS (SELECT o_custkey % 100 AS k FROM orders),
+            i AS (SELECT k, count(*) AS n_inter FROM
+                    (SELECT * FROM li INTERSECT ALL SELECT * FROM o) GROUP BY k),
+            e AS (SELECT k, count(*) AS n_except FROM
+                    (SELECT * FROM li EXCEPT ALL SELECT * FROM o) GROUP BY k)
+         SELECT coalesce(i.k, e.k) AS k,
+           coalesce(n_inter, 0) AS n_inter,
+           coalesce(n_except, 0) AS n_except
+         FROM i FULL JOIN e ON i.k = e.k""",
 
     "q22_sql_interface" ->
       """SELECT p_brand, count(*) AS n_ship, sum(l_quantity) AS qty

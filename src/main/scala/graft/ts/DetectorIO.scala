@@ -37,4 +37,28 @@ object DetectorIO {
 
   def load(path: String): Detector =
     fromJsonString(new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8))
+
+  /** Hadoop-FS variants for cluster deployments (hdfs://, s3a://, ...):
+    * same JSON document, written through the session's FileSystem.
+    */
+  def save(d: Detector, path: String, spark: org.apache.spark.sql.SparkSession): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(toJsonString(d).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def load(path: String, spark: org.apache.spark.sql.SparkSession): Detector = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      fromJsonString(new String(bytes.toByteArray, StandardCharsets.UTF_8))
+    } finally in.close()
+  }
 }

@@ -62,6 +62,9 @@ class ApiSpec extends SparkSpecBase {
       DetectorIO.save(DiffDetector(), path); path
     }).asInstanceOf[DiffDetector]
     assert(d.maxDiff.isPosInfinity)
+    // Hadoop-FS variant round-trips through the session's FileSystem
+    DetectorIO.save(original, s"file://$path", spark)
+    assert(DetectorIO.load(s"file://$path", spark) == original)
   }
 
   test("lagTimeSeries appends one column per lag named str(lag) (features.py:5-23)") {
