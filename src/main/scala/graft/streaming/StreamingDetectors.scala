@@ -194,6 +194,53 @@ object StreamingDetectors {
   private def micros(ts: Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
 
+  // ---- streaming sessionization ---------------------------------------
+
+  final case class SessionEvent(series_id: String, ts: Timestamp, eos: Boolean)
+  final case class Session(
+      series_id: String, session_no: Long, n_events: Long, duration_sec: Double)
+  final case class SessionState(
+      startMicros: Long, lastMicros: Long, n: Long, emitted: Long)
+
+  /** Gap-based sessionization on a stream (the streaming twin of the
+    * batch `q21_sessionize` query): a session closes when the gap to the
+    * next event exceeds `gapSeconds` (emitting it downstream) or when an
+    * eos marker flushes the open session. Events must arrive in order
+    * per series across batches (sorted within each batch here).
+    */
+  def sessionizeStream(events: Dataset[SessionEvent], gapSeconds: Long)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapSeconds * 1000000L
+    events.groupByKey(_.series_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val evs = batch.toVector.sortBy(e => (micros(e.ts), e.eos))
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[Session]
+          def close(): Unit = if (st != null) {
+            out += Session(key, st.emitted, st.n,
+              (st.lastMicros - st.startMicros) / 1e6)
+            st = SessionState(0, 0, 0, st.emitted + 1)
+          }
+          evs.foreach { e =>
+            if (e.eos) { close(); st = null }
+            else {
+              val m = micros(e.ts)
+              if (st == null || st.n == 0)
+                st = SessionState(m, m,  1,
+                  if (st == null) 0L else st.emitted)
+              else if (m - st.lastMicros > gapMicros) {
+                close()
+                st = st.copy(startMicros = m, lastMicros = m, n = 1)
+              } else st = st.copy(lastMicros = m, n = st.n + 1)
+            }
+          }
+          if (st == null) state.remove() else state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Shared state walk: sort the micro-batch by event time, thread the
     * last (ts, value) through, persist the newest as the series state.
     */

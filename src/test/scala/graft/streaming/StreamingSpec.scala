@@ -96,6 +96,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("sessionizeStream matches the batch gap-sessionization query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // events with >30min gaps inside two series
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2020-01-01 $h%02d:$m%02d:00")
+    val evs = Seq(
+      ("u1", t(0, 0)), ("u1", t(0, 10)), ("u1", t(0, 20)),  // session 0 (3 ev)
+      ("u1", t(2, 0)), ("u1", t(2, 5)),                      // session 1 (2 ev)
+      ("u1", t(5, 0)),                                       // session 2 (1 ev)
+      ("u2", t(1, 0)), ("u2", t(1, 29)))                     // session 0 (2 ev)
+    val mem = MemoryStream[SessionEvent]
+    val q = sessionizeStream(mem.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      val (b1, b2) = evs.map(e => SessionEvent(e._1, e._2, eos = false)).splitAt(4)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      mem.addData(Seq(SessionEvent("u1", t(23, 0), eos = true),
+        SessionEvent("u2", t(23, 0), eos = true)))
+      q.processAllAvailable()
+      val got = spark.table("sessions").as[Session].collect()
+        .map(s => (s.series_id, s.session_no) -> ((s.n_events, s.duration_sec))).toMap
+      assert(got == Map(
+        ("u1", 0L) -> ((3L, 1200.0)), ("u1", 1L) -> ((2L, 300.0)),
+        ("u1", 2L) -> ((1L, 0.0)), ("u2", 0L) -> ((2L, 1740.0))))
+    } finally q.stop()
+  }
+
   test("rangeStream is the stateless batch expression on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
