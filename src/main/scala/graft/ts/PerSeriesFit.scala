@@ -60,6 +60,31 @@ object PerSeriesFit {
       .drop("__max_diff")
   }
 
+  /** RollingStdDevDetector per series: threshold = each series' max
+    * right-aligned rolling stddev (the reference's fit asymmetry,
+    * `detectors.py:205-208`), detect centered by default.
+    */
+  def rollingStdDetect(train: DataFrame, data: DataFrame,
+      windowSize: Int = 10, center: Boolean = true,
+      spec: SeriesSpec = SeriesSpec()): DataFrame = {
+    val v = TsOps.cleanValue(spec)
+    val trainStd = TsOps.guarded(
+      stddev_samp, v, TsOps.trailingFrame(spec.w, windowSize), windowSize)
+    val fitted = train.withColumn("__s", trainStd)
+      .groupBy(spec.seriesId.map(col): _*)
+      .agg(max(col("__s")).as("__max_std"))
+      .select(spec.seriesId.map(col) :+ col("__max_std"): _*)
+    val frame =
+      if (center) TsOps.centeredFrame(spec.w, windowSize)
+      else TsOps.trailingFrame(spec.w, windowSize)
+    val std = TsOps.guarded(stddev_samp, v, frame, windowSize)
+    val (rn, _) = TsOps.rowNumberAndCount(spec)
+    data.join(fitted, spec.seriesId, "left")
+      .withColumn(spec.flag,
+        coalesce(std > col("__max_std"), lit(false)) && rn =!= 1)
+      .drop("__max_std")
+  }
+
   /** GradientDetector per series: threshold = each series' max absolute
     * per-second gradient (`detectors.py:305-309`).
     */

@@ -41,6 +41,15 @@ class PerSeriesFitSpec extends SparkSpecBase {
     }
   }
 
+  test("per-series rolling-std fit == per-series global RollingStdDev fits") {
+    val joint = PerSeriesFit.rollingStdDetect(stacked, stacked, windowSize = 4, spec = spec)
+    for (n <- names) {
+      val single = seriesDf(loadGolden(n))
+      val want = maskOf(RollingStdDevDetector(4).fit(single).detect(single))
+      assert(perSeriesMask(joint, n) == want, n)
+    }
+  }
+
   test("train/score split: thresholds come from the train frame only") {
     val train = stacked.filter(col("value") < 5 || col("value").isNull)
     val joint = PerSeriesFit.rangeDetect(train, stacked, spec = spec)
