@@ -225,6 +225,24 @@ object RelationalQueries {
       t(s, dir, "nation").groupBy("n_regionkey")
         .agg(concat_ws(",", array_sort(collect_list("n_name"))).as("nations"))),
 
+    // CUBE grouping sets (all 4 combinations of the two dims).
+    "q24_cube" -> ((s, dir) =>
+      t(s, dir, "part")
+        .cube("p_brand", "p_type")
+        .agg(count(lit(1)).as("n"), sum("p_size").cast("long").as("sum_size"))),
+
+    // Map-typed columns: JSON props → map, then map functions (scalar
+    // outputs so the parquet/duckdb comparison stays simple).
+    "q25_map_fns" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("m", from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")))
+        .select(
+          col("event_id"),
+          size(col("m")).cast("long").as("n_keys"),
+          element_at(map_keys(col("m")), 1).as("first_key"),
+          element_at(col("m"), "k").as("k_value"))),
+
     // Multiset (bag) semantics: INTERSECT ALL / EXCEPT ALL keep duplicate
     // cardinality, unlike q9's set-semantics ops.
     "q23_multiset_ops" -> ((s, dir) => {
@@ -412,6 +430,18 @@ object RelationalQueries {
       """SELECT n_regionkey,
          string_agg(n_name, ',' ORDER BY n_name) AS nations
          FROM nation GROUP BY n_regionkey""",
+
+    "q24_cube" ->
+      """SELECT p_brand, p_type, count(*) AS n,
+         CAST(sum(p_size) AS BIGINT) AS sum_size
+         FROM part GROUP BY CUBE (p_brand, p_type)""",
+
+    "q25_map_fns" ->
+      """SELECT event_id,
+         CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+         json_keys(props)[1] AS first_key,
+         CAST(props->>'$.k' AS BIGINT) AS k_value
+         FROM events""",
 
     "q23_multiset_ops" ->
       """WITH li AS (SELECT l_suppkey AS k FROM lineitem),
