@@ -39,6 +39,26 @@ final case class RangeDetector(
     }
   }
 
+  /** Sketch-based fit for petabyte training frames: exact `percentile`
+    * is a global sort-aggregate, while `percentile_approx` (KLL-style
+    * sketch) is one mergeable pass. `accuracy` trades memory for error
+    * (1/accuracy relative rank error) — use where thresholds tolerate
+    * approximation; the reference's exact semantics stay in [[fit]].
+    */
+  def fitApprox(df: DataFrame, spec: SeriesSpec = SeriesSpec(),
+      accuracy: Int = 10000): RangeDetector = {
+    validate(df, spec)
+    val v = TsOps.cleanValue(spec)
+    val row = df.agg(
+      percentile_approx(v, lit(quantiles._1), lit(accuracy)).as("lo"),
+      percentile_approx(v, lit(quantiles._2), lit(accuracy)).as("hi")).head()
+    if (row.isNullAt(0) || row.isNullAt(1)) this
+    else {
+      val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+      copy(minValue = math.min(lo, hi), maxValue = math.max(lo, hi))
+    }
+  }
+
   override def toJson: JValue = JObj(Seq(
     "type" -> JStr("RangeDetector"),
     "min_value" -> Json.num(minValue),

@@ -28,6 +28,14 @@ class FitParitySpec extends SparkSpecBase {
     assert(close(q.maxValue, want("fit_range_q_on_quant_train")("_max").num))
   }
 
+  test("RangeDetector.fitApprox tracks the exact quantile fit") {
+    val t = train("quant_train")
+    val exact = RangeDetector(quantiles = (0.05, 0.95)).fit(t)
+    val approx = RangeDetector(quantiles = (0.05, 0.95)).fitApprox(t)
+    assert(math.abs(exact.minValue - approx.minValue) < 0.1)
+    assert(math.abs(exact.maxValue - approx.maxValue) < 0.1)
+  }
+
   test("DiffDetector.fit learns SIGNED max diff") {
     val d = DiffDetector().fit(train("range_normal"))
     assert(d.maxDiff == want("fit_diff_on_range_normal")("_max_diff").num)
