@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warm-up: JVM/codegen spin-up and parquet footer listing
+    // otherwise land on whichever query happens to run first
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
