@@ -96,6 +96,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("watermarked diffStream scores out-of-order arrivals like the in-order batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pts = (0 until 12).map(i => Point("a", ts(i),
+      if (i == 5) 50.0 else i.toDouble))
+    val want = batchMask(DiffDetector(3.0), pts)
+    // deliver shuffled within a 4-hour lateness horizon, across batches
+    val scrambled = Seq(
+      Seq(pts(1), pts(0), pts(3), pts(2)),
+      Seq(pts(6), pts(4), pts(5), pts(8)),
+      Seq(pts(7), pts(9), pts(11), pts(10)),
+      // advance the watermark far enough to flush everything
+      Seq(Point("a", ts(23), null)))
+    val mem = MemoryStream[Point]
+    val q = WatermarkedDetectors.diffStreamWatermarked(mem.toDS(), 3.0, 4L * 3600)
+      .writeStream.format("memory").queryName("wm_flags").outputMode("append").start()
+    try {
+      scrambled.foreach { b => mem.addData(b); q.processAllAvailable() }
+      val got = spark.table("wm_flags").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getBoolean(3)).toMap
+      assert(pts.forall(p => got.get(("a", p.ts)) == want.get(("a", p.ts))),
+        s"got=$got want=$want")
+    } finally q.stop()
+  }
+
   test("sessionizeStream matches the batch gap-sessionization query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
