@@ -113,7 +113,10 @@ object PipelineQueries {
 
     "p12_multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(
-        Multimodal.attachMedia(docs(s, dir), "doc_id", "text")))
+        Multimodal.attachMedia(docs(s, dir), "doc_id", "text"))),
+
+    "p13_text_tfidf" -> ((s, dir) =>
+      TfIdf.topTerms(docs(s, dir), "doc_id", "text", k = 3))
   )
 
   val oracle: Map[String, String] = Map(
@@ -269,6 +272,21 @@ object PipelineQueries {
                list_transform(regexp_extract_all(norm, '.'), c -> ord(c)::BIGINT)),
              (a, b) -> (a * 31 + b) % 1000000007) AS fp
          FROM d""",
+
+    "p13_text_tfidf" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+             tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+             tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+             dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+             n AS (SELECT count(*) AS nd FROM d),
+             sc AS (SELECT doc_id, term,
+                      round(tf * round(ln((nd + 1.0) / (df + 1.0)), 6), 6) AS score
+                    FROM tf JOIN dfr USING (term), n),
+             r AS (SELECT doc_id, term, score,
+                     CAST(row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, term) AS BIGINT) AS rnk
+                   FROM sc)
+         SELECT doc_id, term, score, rnk FROM r WHERE rnk <= 3""",
 
     "p12_multimodal_decode" ->
       """SELECT doc_id,
