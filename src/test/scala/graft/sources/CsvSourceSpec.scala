@@ -30,6 +30,22 @@ class CsvSourceSpec extends SparkSpecBase {
     assert(firstFlag == "2000-01-01 13:00:00.0")
   }
 
+  test("partitioned anomaly sink prunes on the date partition") {
+    val df = TimeSeriesCSV.read(spark, examplePath)
+    val detected = graft.ts.RangeDetector(maxValue = 2.0).detect(df)
+    val out = java.nio.file.Files.createTempDirectory("sink").toString + "/anoms"
+    TimeSeriesSink.writeAnomalies(detected, out)
+    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("det_date="))
+    assert(dirs.nonEmpty)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3) // the example.csv range flags
+    // partition filter prunes to a subset of files
+    val pruned = back.filter(col("det_date") === lit("2000-01-03").cast("date"))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() < 3)
+    assert(plan.contains("PartitionFilters") || dirs.length > 1)
+  }
+
   test("permissive ingest: bad rows, NaN strings, and series ids") {
     val p = Files.createTempDirectory("csv").resolve("multi.csv")
     Files.writeString(p,
