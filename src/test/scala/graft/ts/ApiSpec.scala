@@ -67,6 +67,22 @@ class ApiSpec extends SparkSpecBase {
     assert(DetectorIO.load(s"file://$path", spark) == original)
   }
 
+  test("loads the committed v1 parameter document (back-compat artifact, " +
+    "like tests/data/combined.joblib)") {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/golden/combined_detector_v1.json"), "UTF-8")
+    val doc = try src.mkString finally src.close()
+    val cd = DetectorIO.fromJsonString(doc).asInstanceOf[CombinedDetector]
+    assert(cd.length == 3)
+    assert(cd(0) == ConstantValueDetector(3, 1e-7))
+    assert(cd(1) == RangeDetector(Double.NegativeInfinity, 2.0))
+    // missing "impl" field defaults — older documents stay loadable
+    assert(cd(2).asInstanceOf[HampelDetector].windowSize == 5)
+    // and it actually detects (reference test_persistence analog)
+    val out = cd.detect(seriesDf(loadGolden("range_abnormal")))
+    assert(maskOf(out).count(identity) > 0)
+  }
+
   test("lagTimeSeries appends one column per lag named str(lag) (features.py:5-23)") {
     val out = Features.lagTimeSeries(walk, Seq(1, 2, -1))
     assert(Seq("1", "2", "-1").forall(out.columns.contains))
