@@ -190,6 +190,47 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Incremental near-dup detection: candidates only where at least one
+    * side is a NEW document — the continuous-ingestion shape (screen each
+    * arriving batch against the historical corpus without re-pairing the
+    * corpus with itself). With banded corpus signatures stored as a
+    * table, per-batch cost is proportional to the batch, not the corpus.
+    */
+  def incrementalMinhashPairs(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    val r = k / bands
+    def prep(df: DataFrame) = {
+      val sh = shingleSets(df, idCol, textCol, n).persist()
+      val sig = sh.join(minhashSignaturesExploded(sh, k), "doc")
+      val bandsDf = sig.select(col("doc"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws(",",
+            transform(slice(col("sig"), b * r + 1, r), x => x.cast("string")))).as("bucket"))
+      }: _*)).as("bb"))
+        .select(col("doc"), col("bb.band"), col("bb.bucket"))
+      (sh, bandsDf)
+    }
+    val (newSh, newBands) = prep(newDocs)
+    val (allSh, allBands) = prep(corpus.unionByName(newDocs))
+    val candidates = newBands.as("a")
+      .join(allBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") =!= col("b.doc"))
+      .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
+        greatest(col("a.doc"), col("b.doc")).as("doc_b"))
+      .distinct()
+    candidates
+      .join(allSh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(allSh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("inter") * lit(1.0) /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   // ---- SimHash ---------------------------------------------------------
 
   /** 48-bit SimHash over whitespace tokens (frequency-weighted): bit p is

@@ -73,16 +73,26 @@ object Similarity {
   }
 
   /** Approximate top-k: queries only meet corpus vectors in the same
-    * hyperplane bucket. One shuffle on the bucket id; recall trades off
-    * with nPlanes (fewer planes = bigger buckets = higher recall).
+    * hyperplane bucket — plus, with `probes > 1`, the buckets within
+    * hamming distance 1 of theirs (multi-probe LSH: recall rises with
+    * searched volume, corpus-side cost unchanged). One shuffle on the
+    * bucket id; recall trades off with nPlanes and probes.
     */
   def lshBucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int,
-      dim: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      dim: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      probes: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = broadcast(queries.select(
+    val qBase = queries.select(
       col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), nPlanes, dim))
-      .withColumn("qn", sqrt(dot(col("qv"), col("qv")))))
+      .withColumn("__b0", lshBucket(col("qv"), nPlanes, dim))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val probed =
+      if (probes <= 1) qBase.withColumn("bucket", col("__b0"))
+      else qBase.withColumn("bucket", explode(array(
+        (col("__b0") +:
+          (0 until nPlanes).map(p =>
+            col("__b0").bitwiseXOR(lit(1L << p)))): _*)))
+    val q = broadcast(probed.drop("__b0"))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), nPlanes, dim))
       .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))

@@ -80,6 +80,35 @@ class PipelineSpec extends SparkSpecBase {
     assert(hits * 1.0 / lsh.size > 0.03, s"rank-1 recall ${hits}/${lsh.size}")
   }
 
+  test("incremental minhash == full pairs restricted to pairs touching new docs") {
+    val all = docs
+    val newDocs = all.filter(col("doc_id") >= 400)
+    val corpus = all.filter(col("doc_id") < 400)
+    val full = Dedup.minhashLshPairs(all, "doc_id", "text", 3, 32, 8, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val wantKeys = full.keySet.filter { case (a, b) => a >= 400 || b >= 400 }
+    val inc = Dedup.incrementalMinhashPairs(newDocs, corpus, "doc_id", "text", 3, 32, 8, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(inc.keySet == wantKeys, s"missing=${wantKeys -- inc.keySet} extra=${inc.keySet -- wantKeys}")
+    assert(wantKeys.forall(k => inc(k) == full(k)))
+  }
+
+  test("multi-probe LSH recall dominates single-probe") {
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 50), 3)
+      .filter(col("rnk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recall(probes: Int): Double = {
+      val got = Similarity.lshBucketedTopK(emb, emb.filter(col("vec_id") < 50),
+        3, 4, 64, probes = probes)
+        .filter(col("rnk") === 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got.count { case (q, n) => brute.get(q).contains(n) } * 1.0 / brute.size
+    }
+    val r1 = recall(1); val r2 = recall(2)
+    assert(r2 >= r1, s"multi-probe $r2 < single $r1")
+    assert(r2 > 0.2, s"multi-probe recall $r2")
+  }
+
   test("fingerprint is whitespace-normalization invariant and content-sensitive") {
     val d = docsOf(
       (1L, "hello   world  foo"), (2L, "hello world foo"),
