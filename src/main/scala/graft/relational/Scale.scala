@@ -23,6 +23,11 @@ object Scale {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit each UNMATCHED small row once per salt
+    // replica — only big-side-preserving join types are sound here
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin supports big-side-preserving join types only, got $joinType")
     val saltedBig = big.withColumn("__salt",
       (rand(seed = 42) * saltFactor).cast("int"))
     val saltedSmall = small.withColumn("__salt",

@@ -23,6 +23,13 @@ class ScaleSpec extends SparkSpecBase {
     val saltedLeft = Scale.saltedJoin(big, small.filter(col("k") < 5), "k", 8, "left")
       .agg(count(lit(1)), sum("v")).head()
     assert(plainLeft == saltedLeft)
+    // semi/anti preserve big-side multiplicity
+    val plainAnti = big.join(small.filter(col("k") < 5), Seq("k"), "left_anti").count()
+    assert(Scale.saltedJoin(big, small.filter(col("k") < 5), "k", 8, "left_anti")
+      .count() == plainAnti)
+    // small-side-preserving joins are rejected (they would duplicate rows)
+    intercept[IllegalArgumentException](
+      Scale.saltedJoin(big, small, "k", 8, "full"))
   }
 
   test("bucketed tables join without an Exchange") {
