@@ -90,7 +90,19 @@ object DetectorQueries {
     "det_diff_fit_series" -> ((s, dir) => {
       val e = ev(s, dir)
       out(PerSeriesFit.diffDetect(e.filter(col("event_id") % 2 === 0), e, spec = spec))
-    })
+    }),
+
+    // Time-bucketed resampling (the pandas `.resample()` analog): one
+    // aggregation over Spark's built-in event-time window.
+    "det_resample_1h" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(col("user_id"), window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"),
+          round(avg("value"), 6).as("avg_value"),
+          min("value").as("min_value"),
+          max("value").as("max_value"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("bucket_us"),
+          col("n"), col("avg_value"), col("min_value"), col("max_value")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -232,6 +244,15 @@ object DetectorQueries {
           SELECT e.user_id, e.event_id, e.value,
             coalesce(e.value < f.mn OR e.value > f.mx, false) AS is_anomaly
           FROM events e LEFT JOIN f USING (user_id)""",
+
+    "det_resample_1h" ->
+      s"""SELECT user_id,
+          epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS bucket_us,
+          count(*) AS n,
+          round(avg(value), 6) AS avg_value,
+          min(value) AS min_value,
+          max(value) AS max_value
+          FROM events GROUP BY user_id, time_bucket(INTERVAL 1 HOUR, ts)""",
 
     "det_diff_fit_series" ->
       s"""WITH t AS (SELECT user_id, value,

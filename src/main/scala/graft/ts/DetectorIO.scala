@@ -28,6 +28,7 @@ object DetectorIO {
     case "ConstantValueDetector" => ConstantValueDetector.fromJson(j)
     case "ConstantGradientDetector" => ConstantGradientDetector.fromJson(j)
     case "HampelDetector" => HampelDetector.fromJson(j)
+    case "EwmaDetector" => EwmaDetector.fromJson(j)
     case "CombinedDetector" => CombinedDetector.fromJson(j)
     case other => throw new TsodSparkException(s"Unknown detector type: $other")
   }
