@@ -56,17 +56,44 @@ object ScaleSmokeDocs {
     val found = stage("minhash_lsh")(Dedup.minhashLshPairs(
       docs, "doc_id", "text", n = 3, k = 32, bands = 8, threshold = 0.5).count())
     stage("simhash_sigs")(Dedup.simhashSignatures(docs, "doc_id", "text").count())
+    // banded simhash pairing: pigeonhole bands make the candidate join an
+    // equality shuffle — with maxHamming=2 each band carries 16 bits, so
+    // random docs partition 65536 ways per band and the verify join stays
+    // linear-ish; planted dups (3 of 60 words changed) mostly land within
+    // hamming 2 of their base
+    val simhashPairs = stage("simhash_pairs_banded")(
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 2).count())
     stage("tfidf_top3")(TfIdf.topTerms(docs, "doc_id", "text", 3).count())
     val planted = n / 100
     println(f"[docs-scale] lsh recall vs planted: ${found * 100.0 / planted}%.1f%% " +
-      s"($found of $planted)")
+      s"($found of $planted); simhash_pairs=$simhashPairs")
 
-    // ANN over synthetic embeddings: half the doc count, 64 dims
+    // hot-shingle skew: append a boilerplate sentence to HALF the corpus.
+    // Without the document-frequency cutoff the inverted-index self-join
+    // would emit ~(n/2)²/2 pairs from those shingles alone (quadratic —
+    // unrunnable already at 200k docs); maxDf bounds the fan-out while
+    // keeping the planted rare-shingle dups.
+    val boiler = " common header text shared by every crawled page"
+    val skewed = docs.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, concat(col("text"), lit(boiler)))
+        .otherwise(col("text")).as("text"))
+      .persist()
+    skewed.count()
+    stage("jaccard_skewed_maxdf")(Dedup.jaccardPairs(
+      skewed, "doc_id", "text", n = 3, threshold = 0.5, maxDf = 1000).count())
+    skewed.unpersist()
+
+    // ANN over synthetic embeddings: half the doc count, 64 dims, with
+    // planted near-dups (id ≡ 1 mod 100 = predecessor with coordinate 0
+    // nudged → cosine ≈ 0.999) so banded-pair recall is checkable
     val nVec = math.max(10000L, totalDocs / 2)
+    val isDupV = col("id") % 100 === 1
+    val baseIdV = when(isDupV, col("id") - 1).otherwise(col("id"))
     val vecs = spark.range(nVec).select(
       col("id").as("vec_id"),
       transform(sequence(lit(0), lit(63)),
-        d => (pmod(hash(col("id"), d), lit(2001)) - 1000) / lit(1000.0))
+        d => (pmod(hash(baseIdV, d), lit(2001)) - 1000) / lit(1000.0) +
+          when(isDupV && d === 0, lit(0.5)).otherwise(lit(0.0)))
         .as("embedding"))
       .persist()
     vecs.count()
@@ -81,6 +108,16 @@ object ScaleSmokeDocs {
     vstage("ann_lsh_multiprobe")(
       Similarity.lshBucketedTopK(vecs, vecs.filter(col("vec_id") < 1000),
         5, nPlanes = 8, dim = 64, probes = 2).count())
+    // banded near-dup pairs over the full corpus: 8 tables × 16 planes —
+    // random pairs collide with P ≈ 8/2^16 (candidates linear-ish in n),
+    // planted ~0.994-cosine dups are found with P ≈ 0.999
+    val t0 = System.nanoTime()
+    val cosFound = Similarity.cosineNearDupPairs(vecs, threshold = 0.98,
+      tables = 8, planesPerTable = 16).count()
+    val cosSec = (System.nanoTime() - t0) / 1e9
+    val plantedV = (nVec + 98) / 100
+    println(f"[docs-scale] cosine_pairs_banded   $cosSec%8.2fs  rows=$cosFound " +
+      f"recall=${cosFound * 100.0 / plantedV}%.1f%% of $plantedV planted")
     spark.stop()
   }
 }

@@ -74,12 +74,26 @@ object Dedup {
     * with doc_a < doc_b and jaccard ≥ threshold (rounded to 6 dp).
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, maxDf: Int = Int.MaxValue): DataFrame = {
     // persisted: the self-join + size joins read this 4×, and without a
     // materialization barrier CollapseProject inlines the tokenizer into
     // each consumer (and then into every per-shingle lambda element)
     val withSh = shingleSets(docs, idCol, textCol, n).persist()
-    val exploded = withSh.select(col("doc"), explode(col("sh")).as("s"))
+    val allShingles = withSh.select(col("doc"), explode(col("sh")).as("s"))
+    // Optional hot-shingle cutoff: a shingle present in m docs emits
+    // m(m-1)/2 intersection pairs, and real corpora are power-law — one
+    // boilerplate sentence shared by half the corpus turns the self-join
+    // quadratic. Dropping shingles with document frequency > maxDf bounds
+    // per-shingle fan-out, at the cost of treating ubiquitous shingles as
+    // non-evidence: pairs sharing ONLY hot shingles are missed, and they
+    // no longer count toward intersections (while n_sh keeps the full
+    // set size), so reported Jaccard is a lower bound of the true value.
+    // Default off so the exact form stays oracle-parity.
+    val exploded = if (maxDf == Int.MaxValue) allShingles else {
+      val rare = allShingles.groupBy("s").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select("s")
+      allShingles.join(rare, "s")
+    }
     val sizes = withSh.select(col("doc"), size(col("sh")).as("n_sh"))
     val inter = exploded.as("a")
       .join(exploded.as("b"),
@@ -136,21 +150,61 @@ object Dedup {
       .select(col("doc"), array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
   }
 
+  /** Band-bucket structs for a k-slot minhash signature: band b hashes
+    * its r consecutive slots to an md5 bucket, so two docs collide in
+    * band b iff they agree on ALL r slots there. One array per doc —
+    * explode it for the (band, bucket) shuffle-key form.
+    */
+  def bandBuckets(sig: Column, bands: Int, r: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",",
+          transform(slice(sig, b * r + 1, r), x => x.cast("string")))).as("bucket"))
+    }: _*)
+
+  /** (doc, band, bucket) rows from an index's `bb` array — the join key
+    * form of [[bandBuckets]].
+    */
+  private def explodeBands(index: DataFrame): DataFrame =
+    index.select(col("doc"), explode(col("bb")).as("__bb"))
+      .select(col("doc"), col("__bb.band"), col("__bb.bucket"))
+
+  /** Precomputed near-dup index: one row per doc with its shingle set
+    * `sh`, minhash signature `sig` and LSH band buckets `bb` — the table
+    * a continuous-ingestion pipeline persists between batches (at
+    * cluster scale, written as parquet so arriving batches join against
+    * it without recomputing the corpus).
+    */
+  def minhashIndex(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int): DataFrame = {
+    // persisted: the signature aggregate re-reads the shingle relation
+    val sh = shingleSets(docs, idCol, textCol, n).persist()
+    sh.join(minhashSignaturesExploded(sh, k), "doc")
+      .withColumn("bb", bandBuckets(col("sig"), bands, k / bands))
+  }
+
   /** LSH banding: band i (r consecutive signature slots) hashed to a
     * bucket id; docs sharing any (band, bucket) are candidates. Returns
     * (doc, band, bucket) — one shuffle key per band.
     */
   def lshBands(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int, bands: Int): DataFrame = {
-    val r = k / bands
-    val sigDf = minhashSignaturesExploded(shingleSets(docs, idCol, textCol, n), k)
-    sigDf.select(col("doc"), explode(array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws(",",
-          transform(slice(col("sig"), b * r + 1, r), x => x.cast("string")))).as("bucket"))
-    }: _*)).as("bb"))
-      .select(col("doc"), col("bb.band"), col("bb.bucket"))
-  }
+      n: Int, k: Int, bands: Int): DataFrame =
+    explodeBands(minhashIndex(docs, idCol, textCol, n, k, bands))
+
+  /** Exact Jaccard over candidate pairs only: join each side back to its
+    * shingle set and keep pairs at or above the threshold.
+    */
+  private def verifyJaccard(candidates: DataFrame, shByDoc: DataFrame,
+      threshold: Double): DataFrame =
+    candidates
+      .join(shByDoc.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shByDoc.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("inter") * lit(1.0) /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
 
   /** MinHash-LSH near-dup pairs: candidates from band-bucket collisions,
     * then exact Jaccard on the candidates only. The verify join is
@@ -158,78 +212,57 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
-    val r = k / bands
-    // Materialize (doc, shingles, signature) ONCE: both sides of the
-    // band self-join and the verify join reuse it. Without the persist,
-    // Catalyst happily re-derives k md5-min reductions from the raw text
-    // on every side of every join (measured 20× slower at sf0.1). At
-    // cluster scale this intermediate is what you'd write to a table.
-    val shDf = shingleSets(docs, idCol, textCol, n).persist()
-    val sigDf = shDf.join(minhashSignaturesExploded(shDf, k), "doc").persist()
-    val bandsDf = sigDf.select(col("doc"), explode(array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws(",",
-          transform(slice(col("sig"), b * r + 1, r), x => x.cast("string")))).as("bucket"))
-    }: _*)).as("bb"))
-      .select(col("doc"), col("bb.band"), col("bb.bucket"))
+    // Materialize (doc, shingles, signature, bands) ONCE: both sides of
+    // the band self-join and the verify join reuse it. Without the
+    // persist, Catalyst happily re-derives k md5-min reductions from the
+    // raw text on every side of every join (measured 20× slower at
+    // sf0.1). At cluster scale this intermediate is what you'd write to
+    // a table — exactly [[minhashIndex]].
+    val idx = minhashIndex(docs, idCol, textCol, n, k, bands).persist()
+    val bandsDf = explodeBands(idx)
     val candidates = bandsDf.as("a")
       .join(bandsDf.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
-    val withSh = sigDf.select(col("doc"), col("sh"))
-    candidates
-      .join(withSh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(withSh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        round(col("inter") * lit(1.0) /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    verifyJaccard(candidates, idx.select(col("doc"), col("sh")), threshold)
   }
 
-  /** Incremental near-dup detection: candidates only where at least one
-    * side is a NEW document — the continuous-ingestion shape (screen each
-    * arriving batch against the historical corpus without re-pairing the
-    * corpus with itself). With banded corpus signatures stored as a
-    * table, per-batch cost is proportional to the batch, not the corpus.
+  /** Incremental near-dup detection: screen an arriving batch against a
+    * PRECOMPUTED corpus index (the stored output of [[minhashIndex]]) —
+    * only the batch is shingled and signed, so per-batch cost is the
+    * batch prep plus one bucket-keyed join against the stored bands.
+    * Candidates require at least one NEW side: the historical corpus is
+    * never re-paired with itself. After screening, union `newIdx` into
+    * the stored table for the next batch.
     */
-  def incrementalMinhashPairs(newDocs: DataFrame, corpus: DataFrame,
-      idCol: String, textCol: String,
-      n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
-    val r = k / bands
-    def prep(df: DataFrame) = {
-      val sh = shingleSets(df, idCol, textCol, n).persist()
-      val sig = sh.join(minhashSignaturesExploded(sh, k), "doc")
-      val bandsDf = sig.select(col("doc"), explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          md5(concat_ws(",",
-            transform(slice(col("sig"), b * r + 1, r), x => x.cast("string")))).as("bucket"))
-      }: _*)).as("bb"))
-        .select(col("doc"), col("bb.band"), col("bb.bucket"))
-      (sh, bandsDf)
-    }
-    val (newSh, newBands) = prep(newDocs)
-    val (allSh, allBands) = prep(corpus.unionByName(newDocs))
-    val candidates = newBands.as("a")
-      .join(allBands.as("b"),
+  def incrementalMinhashPairsFromIndex(newIdx: DataFrame, corpusIndex: DataFrame,
+      threshold: Double): DataFrame = {
+    val cols = Seq("doc", "sh", "sig", "bb").map(col)
+    val allIdx = corpusIndex.select(cols: _*).unionByName(newIdx.select(cols: _*))
+    val candidates = explodeBands(newIdx).as("a")
+      .join(explodeBands(allIdx).as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc") =!= col("b.doc"))
       .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
         greatest(col("a.doc"), col("b.doc")).as("doc_b"))
       .distinct()
-    candidates
-      .join(allSh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(allSh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        round(col("inter") * lit(1.0) /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    verifyJaccard(candidates, allIdx.select(col("doc"), col("sh")), threshold)
   }
+
+  /** Convenience form of [[incrementalMinhashPairsFromIndex]] that preps
+    * the new batch itself. The corpus side must already be an index —
+    * pass `minhashIndex(corpusDocs, ...)` once and store it; passing raw
+    * corpus docs per batch would put the whole corpus back on the
+    * per-batch critical path.
+    */
+  def incrementalMinhashPairs(newDocs: DataFrame, corpusIndex: DataFrame,
+      idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int, threshold: Double): DataFrame =
+    incrementalMinhashPairsFromIndex(
+      minhashIndex(newDocs, idCol, textCol, n, k, bands).persist(),
+      corpusIndex, threshold)
 
   // ---- SimHash ---------------------------------------------------------
 
@@ -269,17 +302,52 @@ object Dedup {
           .reduce(_ + _).as("sh"))
   }
 
-  /** SimHash near-dup pairs under a Hamming-distance cutoff. O(n²)
-    * compare on the 8-byte signatures only (cheap, codegen); at scale,
-    * block by bit-bands first (same LSH idea).
+  /** SimHash near-dup pairs under a Hamming-distance cutoff, found by
+    * pigeonhole banding (LOSSLESS): split the 48-bit signature into
+    * `maxHamming + 1` contiguous bit bands — a pair within Hamming ≤
+    * maxHamming differs in at most maxHamming bands, so it must agree
+    * EXACTLY on at least one band. Candidates come from an equality
+    * shuffle join on (band, band bits), then the true Hamming distance
+    * filters them: results are identical to the all-pairs compare with
+    * no cartesian product (the web-scale simhash shape — Manku et al.,
+    * WWW'07, "Detecting Near-Duplicates for Web Crawling" §3; reference
+    * semantics pin: near-dup screening per SURVEY.md §2 pipeline ops).
+    *
+    * Per-band selectivity is 2^(48/(maxHamming+1)) — it decays
+    * exponentially in the cutoff, so keep maxHamming modest at corpus
+    * scale (6 bands of 8 bits at the default 5 ⇒ each band partitions
+    * the corpus 256 ways). A cutoff ≥ 48 keeps every pair by definition
+    * and degenerates to the O(n²) compare (retained for tiny corpora /
+    * recall baselines).
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
     val sh = simhashSignatures(docs, idCol, textCol).persist()
-    sh.as("a").join(sh.as("b"), col("a.doc") < col("b.doc"))
+    val pairSelect = (df: DataFrame) => df
       .withColumn("hamming",
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"), col("hamming"))
+    if (maxHamming >= 48) {
+      pairSelect(sh.as("a").join(sh.as("b"), col("a.doc") < col("b.doc")))
+    } else {
+      val nBands = maxHamming + 1
+      val base = 48 / nBands
+      val rem = 48 % nBands
+      val widths = (0 until nBands).map(b => base + (if (b < rem) 1 else 0))
+      val offsets = widths.scanLeft(0)(_ + _)
+      val banded = sh.select(col("doc"), col("sh"),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sh"), offsets(b))
+              .bitwiseAND(lit((1L << widths(b)) - 1)).as("bits"))
+        }: _*)).as("__bb"))
+        .select(col("doc"), col("sh"), col("__bb.band"), col("__bb.bits"))
+      // a pair can agree on several bands → dedupe after the verify
+      pairSelect(banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.doc") < col("b.doc")))
+        .distinct()
+    }
   }
 }

@@ -105,8 +105,62 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"), col("rnk"))
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold, a < b. */
+  /** Banded hyperplane signatures: table t's bucket packs the sign bits
+    * of planes [t·b, (t+1)·b), so two vectors collide in table t iff all
+    * b signs agree there. With per-plane agreement p = 1 − θ/π (θ the
+    * pair's angle), recall over L tables is 1 − (1 − p^b)^L while
+    * near-orthogonal pairs collide with probability ≈ L/2^b — more
+    * planes per table sharpens selectivity, more tables raises recall.
+    */
+  def hyperplaneBands(vec: Column, tables: Int, planesPerTable: Int,
+      dim: Int): Column =
+    array((0 until tables).map { t =>
+      val bits = (0 until planesPerTable).map { j =>
+        val plane = array(hyperplane(t * planesPerTable + j, dim).map(lit): _*)
+        when(dot(vec, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("band"), bits.reduce(_ + _).as("bucket"))
+    }: _*)
+
+  /** Embedding near-duplicate pairs (cosine ≥ threshold, a < b) via
+    * banded hyperplane LSH: candidates are pairs colliding in ≥ 1 of
+    * `tables` sign-buckets, verified with the exact cosine — the same
+    * two-phase shape as [[Dedup.minhashLshPairs]]. The candidate join is
+    * an equality shuffle on (band, bucket), never O(n²). Recall is
+    * threshold-dependent: with the defaults (16 tables × 8 planes),
+    * pairs at cosine ≥ 0.9 are found with P > 0.999 — the near-duplicate
+    * regime — while random near-orthogonal pairs collide with P ≈ 16/256,
+    * bounding the verify join at ~6% of the pair space. For the exact
+    * O(n²) compare (small corpora / recall baselines) see
+    * [[cosineNearDupPairsExact]].
+    */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      tables: Int = 16, planesPerTable: Int = 8, dim: Int = 64): DataFrame = {
+    val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .persist() // (id, vec, norm) — reused by the banding and both verify sides
+    val banded = v.select(col("id"),
+      explode(hyperplaneBands(col("v"), tables, planesPerTable, dim)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(v.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .withColumn("sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("sim"))
+  }
+
+  /** Exact all-pairs cosine near-dup compare — O(n²) by definition; keep
+    * it for small corpora and as the recall baseline for
+    * [[cosineNearDupPairs]].
+    */
+  def cosineNearDupPairsExact(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))

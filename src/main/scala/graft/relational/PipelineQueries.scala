@@ -43,8 +43,12 @@ object PipelineQueries {
         docs(s, dir).filter(size(tokens(col("text"))) > 0),
         "doc_id", "text", maxHamming = 5)),
 
+    // banded hyperplane LSH (16 tables × 8 planes), candidates verified
+    // with the exact cosine; the oracle mirrors the banding (same
+    // md5-derived hyperplanes), so results are hash-exact
     "p5_dedup_embedding" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.35)),
+      Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.35,
+        tables = 16, planesPerTable = 8, dim = 64)),
 
     "p6_ann_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(
@@ -183,14 +187,29 @@ object PipelineQueries {
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sh, b.sh)) <= 5""",
 
+    // mirrors the Spark banding: 128 md5-derived hyperplanes (16 tables
+    // × 8 planes), candidates = bucket collisions, verify exact cosine
     "p5_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                     round(list_dot_product(a.v, b.v) /
-                       (sqrt(list_dot_product(a.v, a.v)) *
-                        sqrt(list_dot_product(b.v, b.v))), 6) AS sim
-                   FROM e a JOIN e b ON a.vec_id < b.vec_id)
-         SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.35""",
+             pl AS (SELECT p, list_transform(generate_series(0, 63), d ->
+                      ((('0x' || substr(md5('plane:' || p || ':' || d), 1, 12))::BIGINT
+                        % 2001) - 1000) / 1000.0) AS pv
+                    FROM unnest(generate_series(0, 127)) t(p)),
+             bits AS (SELECT vec_id, p // 8 AS band, 1 << (p % 8) AS w,
+                        CASE WHEN list_dot_product(v, pv) >= 0 THEN 1 ELSE 0 END AS bit
+                      FROM e, pl),
+             bk AS (SELECT vec_id, band, sum(bit * w) AS bucket
+                    FROM bits GROUP BY 1, 2),
+             cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                      FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.vec_id < b.vec_id),
+             pr AS (SELECT vec_a, vec_b,
+                      round(list_dot_product(ea.v, eb.v) /
+                        (sqrt(list_dot_product(ea.v, ea.v)) *
+                         sqrt(list_dot_product(eb.v, eb.v))), 6) AS sim
+                    FROM cand JOIN e ea ON vec_a = ea.vec_id
+                              JOIN e eb ON vec_b = eb.vec_id)
+         SELECT vec_a, vec_b, sim FROM pr WHERE sim >= 0.35""",
 
     "p6_ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

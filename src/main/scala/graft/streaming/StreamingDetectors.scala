@@ -99,7 +99,7 @@ object StreamingDetectors {
       if (center) (windowSize / 2, (windowSize - 1) / 2)
       else (windowSize - 1, 0)
     slidingWindowStream(events, back, ahead, gate = ahead) {
-      (win, centerIdx, rn) =>
+      (win, centerIdx, rn, _) =>
         val vals = win.flatMap(_._2)
         rn != 1 && vals.length == windowSize && {
           val mean = vals.sum / vals.length
@@ -119,7 +119,7 @@ object StreamingDetectors {
       k: Double = graft.ts.TsOps.GaussianScaleFactor): Dataset[FlaggedPoint] = {
     val ws = windowSize
     slidingWindowStream(events, back = ws, ahead = ws - 1, gate = ws) {
-      (win, centerIdx, rn) =>
+      (win, centerIdx, rn, _) =>
         rn > ws && {
           val vals = win.flatMap(_._2) // frame [t-ws, t+ws-1] includes row t
           val x = win(centerIdx)._2
@@ -134,15 +134,112 @@ object StreamingDetectors {
     }
   }
 
+  /** Flat-line (stuck-sensor) detection on a stream — the batch
+    * [[graft.ts.ConstantValueDetector]] semantics (centered max-min
+    * spread < threshold, complete NaN-free frames only, first/last row
+    * forced false, then one-step dilation) with bounded lookahead. The
+    * dilation needs the NEXT row's base flag, whose frame spans one row
+    * past this row's own — hence lookahead `⌊(w-1)/2⌋ + 1`. Emission at
+    * eos still evaluates (a dilated flag can land on the final rows),
+    * with the now-known series length driving the last-row rule.
+    */
+  def constantValueStream(events: Dataset[StreamEvent], windowSize: Int = 3,
+      threshold: Double = 1e-7): Dataset[FlaggedPoint] = {
+    val w = windowSize
+    // for w ≤ 2 the base frame never clips at the tail, so the last-row
+    // rule needs one extra row of lookahead to know "next is not last"
+    val ahead = math.max((w - 1) / 2, 1) + 1
+    slidingWindowStream(cleanNaN(events), back = w / 2 + 1, ahead, gate = ahead,
+      evalOnEos = true) { (win, centerIdx, rn, total) =>
+      val vals = win.map(_._2)
+      def base(j: Int): Boolean =
+        constantBase(vals, j, rn + (j - centerIdx), total, w, threshold)
+      base(centerIdx - 1) || base(centerIdx) || base(centerIdx + 1)
+    }
+  }
+
+  /** Linear-interpolation (constant-gradient) detection on a stream —
+    * the batch [[graft.ts.ConstantGradientDetector]]: the constant-mask
+    * pipeline applied to BOTH the forward per-second gradient and the
+    * backward difference over the forward Δt (the reference's
+    * `base.py:89` idiosyncrasy), OR-combined. Gradients are derived
+    * inside the window, so lookahead grows by one more row (the
+    * backward gradient at the frame's tail needs its successor).
+    */
+  def constantGradientStream(events: Dataset[StreamEvent], windowSize: Int = 3)
+      : Dataset[FlaggedPoint] = {
+    val w = windowSize
+    val threshold = 1e-7
+    val ahead = math.max((w - 1) / 2, 1) + 2
+    slidingWindowStream(cleanNaN(events), back = w / 2 + 2, ahead, gate = ahead,
+      evalOnEos = true) { (win, centerIdx, rn, total) =>
+      val n = win.length
+      // win(0) with rn > 1 is a context row whose predecessor was
+      // trimmed — its gradient is never inside an evaluated frame
+      // (back = w/2 + 2 keeps one spare row of slack), so None is safe
+      def grad(j: Int, backward: Boolean): Option[Double] =
+        if (j < 1 || j >= n) None
+        else {
+          val dt = (win(j)._1 - win(j - 1)._1) / 1e6
+          for {
+            x <- win(j)._2
+            y <- if (backward) { if (j + 1 < n) win(j + 1)._2 else None }
+                 else win(j - 1)._2
+            // batch Divide yields null on a zero divisor (duplicate ts)
+            if dt != 0.0
+          } yield (x - y) / dt
+        }
+      val gF = IndexedSeq.tabulate(n)(j => grad(j, backward = false))
+      val gB = IndexedSeq.tabulate(n)(j => grad(j, backward = true))
+      def base(vals: IndexedSeq[Option[Double]], j: Int): Boolean =
+        constantBase(vals, j, rn + (j - centerIdx), total, w, threshold)
+      def dilated(vals: IndexedSeq[Option[Double]]): Boolean =
+        base(vals, centerIdx - 1) || base(vals, centerIdx) ||
+          base(vals, centerIdx + 1)
+      dilated(gF) || dilated(gB)
+    }
+  }
+
+  /** The batch constant-mask base flag for window position j (series
+    * position rnj): centered frame `[j-⌊w/2⌋, j+⌊(w-1)/2⌋]` must hold
+    * exactly w rows (a frame clipped by a series edge can never flag),
+    * all non-null, with max-min spread under the threshold; the first
+    * and last rows of the series are forced false. `total` is known
+    * only during an eos flush — during gated emission the successor's
+    * presence already proves a row is not last.
+    */
+  private def constantBase(vals: IndexedSeq[Option[Double]], j: Int, rnj: Long,
+      total: Option[Long], w: Int, threshold: Double): Boolean =
+    j >= 0 && j < vals.length && rnj != 1 && !total.contains(rnj) && {
+      val frame = (j - w / 2) to (j + (w - 1) / 2)
+      frame.forall(i => i >= 0 && i < vals.length && vals(i).isDefined) && {
+        val xs = frame.map(i => vals(i).get)
+        math.abs(xs.max - xs.min) < threshold
+      }
+    }
+
+  /** NaN behaves as null in every batch detector (TsOps.cleanValue);
+    * mirror that before windowing.
+    */
+  private def cleanNaN(events: Dataset[StreamEvent]): Dataset[StreamEvent] = {
+    import events.sparkSession.implicits._
+    events.map(e =>
+      if (e.value != null && e.value.isNaN) e.copy(value = null) else e)
+  }
+
   /** Shared bounded-lookahead machinery: per-series state keeps `back`
     * context rows plus the pending suffix; a pending row emits once
-    * `gate` rows exist after it (or unconditionally false on eos). The
-    * flag callback sees the window `[idx-back, idx+ahead]` (clipped at
-    * the head), the row's index within it, and its 1-based position rn.
+    * `gate` rows exist after it (or on eos — flushed rows get `false`
+    * flags unless `evalOnEos`, in which case the callback still runs
+    * with the window clipped at the true series end). The flag callback
+    * sees the window `[idx-back, idx+ahead]` (clipped at the head), the
+    * row's index within it, its 1-based position rn, and — during an
+    * eos flush only — the series' total row count (for batch semantics
+    * that force the LAST row, like the constant detectors' edge rule).
     */
   private def slidingWindowStream(events: Dataset[StreamEvent],
-      back: Int, ahead: Int, gate: Int)(
-      flag: (IndexedSeq[(Long, Option[Double])], Int, Long) => Boolean)
+      back: Int, ahead: Int, gate: Int, evalOnEos: Boolean = false)(
+      flag: (IndexedSeq[(Long, Option[Double])], Int, Long, Option[Long]) => Boolean)
       : Dataset[FlaggedPoint] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.series_id)
@@ -157,13 +254,19 @@ object StreamingDetectors {
           var flushed = false
 
           def emitUpTo(isEos: Boolean): Unit = {
+            // invariant under emission: emitted and pendingFrom advance
+            // together, so the series total is loop-constant
+            val total =
+              if (isEos) Some(emitted + rows.length - pendingFrom) else None
             while (pendingFrom < rows.length &&
               (isEos || rows.length - 1 - pendingFrom >= gate)) {
               val idx = pendingFrom
               val lo = math.max(0, idx - back)
               val win = rows.slice(lo, math.min(rows.length, idx + ahead + 1))
               val rn = emitted + 1
-              val isAnomaly = !isEos && flag(win, idx - lo, rn)
+              val isAnomaly =
+                if (isEos && !evalOnEos) false
+                else flag(win, idx - lo, rn, total)
               val (tsm, v) = rows(idx)
               out += FlaggedPoint(key, new Timestamp(tsm / 1000L),
                 v.map(Double.box).orNull, isAnomaly)

@@ -54,6 +54,67 @@ class PipelineSpec extends SparkSpecBase {
     assert(pairs((1L, 3L)) <= 12)
   }
 
+  test("banded simhash pairs == all-pairs compare (pigeonhole is lossless)") {
+    // sf0.001 corpus is small enough for the exact O(n²) baseline
+    val d = docs.filter(size(TextOps.tokens(col("text"))) > 0)
+    def collectPairs(df: DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    for (maxH <- Seq(2, 5)) {
+      val banded = Dedup.simhashPairs(d, "doc_id", "text", maxH)
+      val plan = banded.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"banded simhash still O(n²) at maxHamming=$maxH:\n$plan")
+      // the exact path (maxHamming >= 48) filtered down is the truth
+      val exact = Dedup.simhashPairs(d, "doc_id", "text", 48)
+        .filter(col("hamming") <= maxH)
+      assert(collectPairs(banded) == collectPairs(exact),
+        s"banding lost/invented pairs at maxHamming=$maxH")
+    }
+  }
+
+  test("banded cosine near-dup pairs: no cartesian, finds planted high-sim pairs") {
+    import org.apache.spark.sql.functions.{array => fArray}
+    // planted: vec 1000+i = vec i with one coordinate nudged → cosine ≈ 1
+    val base = emb.filter(col("vec_id") < 50).select("vec_id", "embedding")
+    val dups = base.select((col("vec_id") + 1000).as("vec_id"),
+      concat(
+        fArray(element_at(col("embedding"), 1) + lit(0.01f)),
+        slice(col("embedding"), 2, 63)).as("embedding"))
+    val corpus = base.unionByName(dups)
+    val banded = Similarity.cosineNearDupPairs(corpus, 0.9)
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded cosine pairs still O(n²):\n$plan")
+    val found = banded.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.cosineNearDupPairsExact(corpus, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 50, s"planting failed: only ${exact.size} high-sim pairs")
+    // ≥0.9-cosine pairs collide in ≥1 of 16 8-plane tables w.p. >0.999
+    val recall = found.intersect(exact).size * 1.0 / exact.size
+    assert(recall >= 0.95, s"recall $recall (${found.size} found, ${exact.size} true)")
+    assert(found.subsetOf(exact), "banded verify admitted a sub-threshold pair")
+  }
+
+  test("jaccard maxDf cutoff bounds hot-shingle fan-out and keeps rare-shingle pairs") {
+    // two true near-dups (differ in one token) + many docs sharing ONE
+    // boilerplate shingle ("s1 s2 s3", document frequency 52)
+    val boiler = "s1 s2 s3"
+    val rows = Seq(
+      (1L, s"a1 a2 a3 a4 a5 a6 a7 a8 x9 $boiler"),
+      (2L, s"a1 a2 a3 a4 a5 a6 a7 b8 x9 $boiler")) ++
+      (10L until 60L).map(i => (i, s"unique$i distinct$i words$i only$i $boiler"))
+    val d = docsOf(rows: _*)
+    val exact = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cut = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.3, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1,2): exact inter=7/10 shingles → J=0.538; with the hot shingle
+    // dropped inter=6 → J=6/14≈0.43 — still over threshold
+    assert(cut.contains((1L, 2L)), "cutoff dropped a rare-shingle near-dup pair")
+    assert(cut.subsetOf(exact), "cutoff invented pairs")
+  }
+
   test("brute-force ANN: self-similarity excluded, scores ordered, k respected") {
     val topk = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 5)
     val rows = topk.collect()
@@ -87,10 +148,28 @@ class PipelineSpec extends SparkSpecBase {
     val full = Dedup.minhashLshPairs(all, "doc_id", "text", 3, 32, 8, 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val wantKeys = full.keySet.filter { case (a, b) => a >= 400 || b >= 400 }
-    val inc = Dedup.incrementalMinhashPairs(newDocs, corpus, "doc_id", "text", 3, 32, 8, 0.4)
+    // the corpus index is stored between batches — parquet round-trip it
+    // so the per-batch plan physically CANNOT recompute corpus shingles
+    val idxDir = java.nio.file.Files.createTempDirectory("mh_index").toString
+    Dedup.minhashIndex(corpus, "doc_id", "text", 3, 32, 8)
+      .write.mode("overwrite").parquet(idxDir)
+    val stored = spark.read.parquet(idxDir)
+    val incDf = Dedup.incrementalMinhashPairs(
+      newDocs, stored, "doc_id", "text", 3, 32, 8, 0.4)
+    val inc = incDf
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(inc.keySet == wantKeys, s"missing=${wantKeys -- inc.keySet} extra=${inc.keySet -- wantKeys}")
     assert(wantKeys.forall(k => inc(k) == full(k)))
+    // per-batch cost: the only text tokenization in the plan is the new
+    // batch's — every scan of the raw documents carries the new-batch
+    // filter, and the corpus side arrives pre-signed from the stored
+    // index parquet
+    val plan = incDf.queryExecution.executedPlan.toString
+    assert(plan.contains("mh_index"), s"stored index not read:\n$plan")
+    val docScanLines = plan.linesIterator.filter(_.contains("documents.parquet")).toSeq
+    assert(docScanLines.nonEmpty)
+    assert(docScanLines.forall(_.contains("GreaterThanOrEqual(doc_id,400)")),
+      s"corpus documents re-scanned without the new-batch filter:\n${docScanLines.mkString("\n")}")
   }
 
   test("multi-probe LSH recall dominates single-probe") {

@@ -96,6 +96,47 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("constantValueStream matches batch ConstantValueDetector incl. dilation at edges") {
+    // flat stretch mid-series, a flat stretch running INTO the series
+    // tail (dilation must flag the last row on eos flush), and nulls
+    val flat = Seq(
+      Point("a", ts(0), 1.0), Point("a", ts(1), 2.0), Point("a", ts(2), 5.0),
+      Point("a", ts(3), 5.0), Point("a", ts(4), 5.0), Point("a", ts(5), 5.0),
+      Point("a", ts(6), 3.0), Point("a", ts(7), null), Point("a", ts(8), 4.0),
+      Point("a", ts(9), 7.0), Point("a", ts(10), 7.0), Point("a", ts(11), 7.0),
+      Point("a", ts(12), 7.0)) ++
+      Seq(Point("b", ts(0), 9.0), Point("b", ts(1), 9.0), Point("b", ts(2), 9.0),
+        Point("b", ts(3), 1.0))
+    for (w <- Seq(2, 3, 4); split <- Seq(3, 8)) {
+      val want = batchMask(graft.ts.ConstantValueDetector(w, 1e-7), flat)
+      val got = runWindowedStream(flat, splitAt = split)(ds =>
+        constantValueStream(ds, w, 1e-7))
+      assert(got == want, s"w=$w split=$split: " +
+        s"diff=${(got.toSet -- want.toSet) ++ (want.toSet -- got.toSet)}")
+    }
+  }
+
+  test("constantGradientStream matches batch ConstantGradientDetector") {
+    // linear ramp mid-series (constant gradient), plus irregular spacing
+    def t2(i: Int, m: Int = 0) = Timestamp.valueOf(f"2020-01-01 $i%02d:$m%02d:00")
+    val pts = Seq(
+      Point("a", t2(0), 1.0), Point("a", t2(1), 5.0), Point("a", t2(2), 6.0),
+      Point("a", t2(3), 7.0), Point("a", t2(4), 8.0), Point("a", t2(5), 9.0),
+      Point("a", t2(6), 2.0), Point("a", t2(7), null), Point("a", t2(8), 1.0),
+      Point("a", t2(9), 3.0), Point("a", t2(10), 5.0), Point("a", t2(11), 7.0),
+      Point("a", t2(12), 9.0)) ++
+      Seq(Point("b", t2(0), 0.0), Point("b", t2(1, 30), 3.0),
+        Point("b", t2(3), 6.0), Point("b", t2(4, 30), 9.0),
+        Point("b", t2(5), 1.0))
+    for (w <- Seq(3, 4); split <- Seq(4, 9)) {
+      val want = batchMask(graft.ts.ConstantGradientDetector(w), pts)
+      val got = runWindowedStream(pts, splitAt = split)(ds =>
+        constantGradientStream(ds, w))
+      assert(got == want, s"w=$w split=$split: " +
+        s"diff=${(got.toSet -- want.toSet) ++ (want.toSet -- got.toSet)}")
+    }
+  }
+
   test("watermarked diffStream scores out-of-order arrivals like the in-order batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -83,6 +83,23 @@ class ApiSpec extends SparkSpecBase {
     assert(maskOf(out).count(identity) > 0)
   }
 
+  test("export_joblib.py migrates the reference's pickle artifact " +
+    "(tests/data/combined.joblib → JSON → load)") {
+    // src/test/resources/golden/combined_from_joblib.json is the committed
+    // output of `python3 scripts/export_joblib.py` over the reference's
+    // back-compat fixture — a tsod user's saved model survives migration
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/golden/combined_from_joblib.json"), "UTF-8")
+    val doc = try src.mkString finally src.close()
+    val cd = DetectorIO.fromJsonString(doc).asInstanceOf[CombinedDetector]
+    // exact pickled state of the fixture (tests/test_persistence.py:24-48)
+    assert(cd == CombinedDetector(Seq(
+      ConstantValueDetector(5, 1e-7),
+      RangeDetector(Double.NegativeInfinity, 2.0))))
+    val out = cd.detect(seriesDf(loadGolden("range_abnormal")))
+    assert(maskOf(out).count(identity) > 0)
+  }
+
   test("lagTimeSeries appends one column per lag named str(lag) (features.py:5-23)") {
     val out = Features.lagTimeSeries(walk, Seq(1, 2, -1))
     assert(Seq("1", "2", "-1").forall(out.columns.contains))
