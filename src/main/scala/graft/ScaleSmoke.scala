@@ -62,6 +62,44 @@ object ScaleSmoke {
     stage("fit_per_series_range")(PerSeriesFit.rangeDetect(df, df,
       quantiles = (0.001, 0.999), spec = spec)
       .filter(col("is_anomaly")).count())
+
+    // ---- skew: one hot series holds ~10% of ALL rows (power-law corpus
+    // shape). Window detectors need each series co-resident in one task,
+    // so the hot series is inherently a straggler partition — AQE cannot
+    // split a window partition and salting would break the row order. The
+    // smoke proves the job completes under that skew AND that the hot
+    // series' mask is bit-identical to running it through the uniform
+    // (single-series) path; the printed time shows the straggler cost.
+    val skewDf = spark.range(totalRows).select(
+      when(col("id") % 10 === 0, lit(0L))
+        .otherwise(col("id") % numSeries).as("series_id"),
+      // globally increasing ts stays strictly increasing inside every series
+      timestamp_micros(lit(1700000000000000L) + col("id") * 1000000L).as("ts"),
+      when(abs(hash(col("id"), lit(2))) % 1000 === 0, lit(null).cast("double"))
+        .otherwise(base + spike).as("value"))
+      .persist()
+    skewDf.count()
+    def hotMaskChecksum(masked: org.apache.spark.sql.DataFrame): Long =
+      masked.filter(col("series_id") === 0)
+        .select(sum(when(col("is_anomaly"), abs(hash(col("ts"))))
+          .otherwise(lit(0L))).cast("long"))
+        .head().getLong(0)
+    val ensemble = CombinedDetector(Seq(
+      RangeDetector(-15, 15), DiffDetector(5.0), HampelDetector(5, 3.0)))
+    var skewedChecksum = 0L
+    stage("ensemble_skewed_10pct")({
+      val out = ensemble.detect(skewDf, spec).persist()
+      val flagged = out.filter(col("is_anomaly")).count()
+      skewedChecksum = hotMaskChecksum(out)
+      out.unpersist()
+      flagged
+    })
+    val aloneChecksum = hotMaskChecksum(
+      ensemble.detect(skewDf.filter(col("series_id") === 0), spec))
+    assert(skewedChecksum == aloneChecksum,
+      s"hot-series mask diverged under skew: $skewedChecksum != $aloneChecksum")
+    println(s"[scale] skew check: hot-series mask identical to uniform path " +
+      s"(checksum $skewedChecksum)")
     spark.stop()
   }
 }

@@ -1,0 +1,53 @@
+package graft.relational
+
+import graft.ts.SparkSpecBase
+
+/** Physical-plan regression pins: the properties below are the load-
+  * bearing scale claims of the engine (single exchange per detector
+  * ensemble, parquet pushdown), so a future edit that silently regresses
+  * one fails here rather than at cluster scale.
+  */
+class PlanShapeSpec extends SparkSpecBase {
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  private def countOccurrences(plan: String, token: String): Int =
+    plan.sliding(token.length).count(_ == token)
+
+  test("det_combined ensemble runs in ONE exchange + ONE sort (single-pass plan)") {
+    val df = graft.SparkEntry.queries("det_combined")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // every detector in the ensemble shares the (series_id, ts) window
+    // spec, so Catalyst collapses all masks into one Window over one
+    // shuffle — the property that makes a 100-detector ensemble cost the
+    // same shuffle as a single detector
+    val exchanges = countOccurrences(plan, "Exchange ")
+    val sorts = countOccurrences(plan, "+- Sort ") + (if (plan.startsWith("Sort ")) 1 else 0)
+    assert(exchanges == 1, s"expected 1 Exchange, got $exchanges:\n$plan")
+    assert(sorts == 1, s"expected 1 Sort, got $sorts:\n$plan")
+  }
+
+  test("q2 parquet scan carries pushed filters and a pruned read schema") {
+    val df = graft.SparkEntry.queries("q2_filter_pushdown")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("FileScan parquet"))
+      .getOrElse(fail(s"no parquet scan in plan:\n$plan"))
+    assert(scanLine.contains("PushedFilters: [") &&
+      !scanLine.contains("PushedFilters: []"),
+      s"no pushed filters on the scan:\n$scanLine")
+    // the scan must not read the full 16-column lineitem schema
+    val readSchema = scanLine.split("ReadSchema: ").last
+    val nCols = readSchema.count(_ == ':')
+    assert(nCols <= 8, s"scan reads $nCols columns — pruning regressed:\n$readSchema")
+  }
+
+  test("every detector query plan is cartesian-free and UDF-free") {
+    for ((name, fn) <- graft.SparkEntry.queries if name.startsWith("det_")) {
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$name has an O(n²) join")
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+        s"$name fell out of codegen into a UDF")
+    }
+  }
+}
