@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.ts.{RangeDetector, SeriesSpec, SparkSpecBase}
+
+/** Reads the reference's CMEMS marine-obs fixture
+  * (`/root/reference/tests/data/BO_TS_MO_FINO2.nc`, the cmems.ipynb
+  * workflow) through the pure-JVM netCDF reader and runs a detector over
+  * the decoded series. Expected values below were independently decoded
+  * from the raw HDF5 bytes (zlib + struct, no netCDF library).
+  */
+class NetCdfSourceSpec extends SparkSpecBase {
+
+  val fixture = "/root/reference/tests/data/BO_TS_MO_FINO2.nc"
+
+  test("decodes TIME/TEMP/QC with CF units, scale_factor and _FillValue") {
+    val df = NetCDF.read(spark, fixture, valueVars = Seq("TEMP")).persist()
+    // 34797 obs × 10 depth levels
+    assert(df.count() == 347970L)
+    assert(df.select(countDistinct("series_id")).head().getLong(0) == 10)
+    val sid = "TEMP:0"
+    val first = df.filter(col("series_id") === sid).orderBy("ts").limit(3)
+      .collect()
+    // time units "days since 1950-01-01T00:00:00Z", first = 24014.0
+    assert(first(0).getTimestamp(1).toInstant.toString == "2015-10-01T00:00:00Z")
+    // int32 raw 15680 × scale_factor 0.001f = 15.68 °C (float32 factor)
+    assert(math.abs(first(0).getDouble(2) - 15.68) < 1e-5)
+    assert(first(0).getInt(3) == 1) // good_data
+    // fill values become null and carry QC flag 9 (missing_value)
+    val fills = df.filter(col("value").isNull)
+    assert(fills.count() == 5438)
+    assert(fills.filter(col("qc") =!= 9).count() == 0)
+    // QC-good range sanity: Baltic sea temperature (bad samples carry
+    // -273.15 sentinels with qc=4 — the flags are load-bearing)
+    val mm = df.filter(col("qc") === 1).agg(min("value"), max("value")).head()
+    assert(mm.getDouble(0) > -5 && mm.getDouble(1) < 35)
+  }
+
+  test("detector over the decoded frame flags QC-bad samples (cmems workflow)") {
+    val df = NetCDF.read(spark, fixture, valueVars = Seq("TEMP"))
+      .filter(col("series_id") === "TEMP:0")
+    // the notebook's workflow: trust QC==1 as good data; a range detector
+    // fit on good data should flag a superset-consistent mask on the rest
+    val spec = SeriesSpec(seriesId = Seq("series_id"))
+    val good = df.filter(col("qc") === 1)
+    val fitted = RangeDetector().fit(good, spec)
+    val flagged = fitted.detect(df, spec).filter(col("is_anomaly"))
+    // fitted min/max span all good data → no good sample flags
+    assert(flagged.filter(col("qc") === 1).count() == 0)
+    assert(fitted.minValue > -5 && fitted.maxValue < 35)
+  }
+
+  test("readMany distributes parsing per file and tags series ids") {
+    val df = NetCDF.readMany(spark, fixture, valueVars = Seq("PSAL"))
+    val sids = df.select("series_id").distinct().collect().map(_.getString(0))
+    assert(sids.length == 10)
+    assert(sids.forall(_.startsWith("BO_TS_MO_FINO2:PSAL:")))
+    assert(df.count() == 347970L)
+  }
+}
