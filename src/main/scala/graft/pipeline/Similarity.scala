@@ -1,6 +1,5 @@
 package graft.pipeline
 
-import java.security.MessageDigest
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -53,24 +52,15 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane `p` for `dim` dimensions:
     * component d = (md5-derived int in [-1000, 1000]) / 1000.
     */
-  private[pipeline] def hyperplane(p: Int, dim: Int): Array[Double] = {
-    val mdig = MessageDigest.getInstance("MD5")
-    Array.tabulate(dim) { d =>
-      val h = mdig.digest(s"plane:$p:$d".getBytes("UTF-8"))
-      val v = ((h(0) & 0xffL) << 40) | ((h(1) & 0xffL) << 32) | ((h(2) & 0xffL) << 24) |
-        ((h(3) & 0xffL) << 16) | ((h(4) & 0xffL) << 8) | (h(5) & 0xffL)
-      (v % 2001 - 1000) / 1000.0
-    }
-  }
+  private[pipeline] def hyperplane(p: Int, dim: Int): Array[Double] =
+    graft.functions.HyperplaneBuckets.hyperplane(p, dim)
 
-  /** Sign-bucket id from `nPlanes` random hyperplanes (0..2^nPlanes-1). */
-  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val plane = array(hyperplane(p, dim).map(lit): _*)
-      when(dot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** Sign-bucket id from `nPlanes` random hyperplanes (0..2^nPlanes-1),
+    * computed by the one-pass codegen'd signature expression.
+    */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column =
+    element_at(
+      graft.functions.HyperplaneBuckets(vec, 1, nPlanes, dim), 1)
 
   /** Approximate top-k: queries only meet corpus vectors in the same
     * hyperplane bucket — plus, with `probes > 1`, the buckets within
@@ -113,14 +103,14 @@ object Similarity {
     * planes per table sharpens selectivity, more tables raises recall.
     */
   def hyperplaneBands(vec: Column, tables: Int, planesPerTable: Int,
-      dim: Int): Column =
-    array((0 until tables).map { t =>
-      val bits = (0 until planesPerTable).map { j =>
-        val plane = array(hyperplane(t * planesPerTable + j, dim).map(lit): _*)
-        when(dot(vec, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
-      }
-      struct(lit(t).as("band"), bits.reduce(_ + _).as("bucket"))
-    }: _*)
+      dim: Int): Column = {
+    // signature computed ONCE by the codegen'd one-pass expression
+    // ([[graft.functions.HyperplaneBuckets]]); zipped with band indexes
+    val buckets = graft.functions.HyperplaneBuckets(vec, tables, planesPerTable, dim)
+    zip_with(
+      sequence(lit(0), lit(tables - 1)), buckets,
+      (band, bucket) => struct(band.as("band"), bucket.as("bucket")))
+  }
 
   /** Embedding near-duplicate pairs (cosine ≥ threshold, a < b) via
     * banded hyperplane LSH: candidates are pairs colliding in ≥ 1 of

@@ -21,6 +21,12 @@ import graft.util.Json._
   * shape that holds at any series count. Nulls pass through unflagged
   * without updating the state; the first sample seeds the average and is
   * never flagged.
+  *
+  * SCALE WARNING: with an empty `spec.seriesId` the whole frame is one
+  * logical series, so the scan necessarily runs in ONE partition
+  * (`repartition(1)`) — a global recursion cannot parallelize. That path
+  * is for modest single-sensor frames; at cluster scale always provide
+  * series keys, which spread the recursion across executors.
   */
 final case class EwmaDetector(
     alpha: Double = 0.3,
