@@ -92,6 +92,13 @@ object DetectorQueries {
       out(PerSeriesFit.diffDetect(e.filter(col("event_id") % 2 === 0), e, spec = spec))
     }),
 
+    // EWMA forecast deviation: the one imperative-path detector (recursive
+    // state has no window-frame form). The oracle restates the recursion
+    // as a list_reduce over each row's non-null prefix — same
+    // left-to-right α·x + (1−α)·acc arithmetic, bit-identical flags.
+    "det_ewma" -> ((s, dir) =>
+      out(EwmaDetector(alpha = 0.3, threshold = 60.0).detect(ev(s, dir), spec))),
+
     // Time-bucketed resampling (the pandas `.resample()` analog): one
     // aggregation over Spark's built-in event-time window.
     "det_resample_1h" -> ((s, dir) =>
@@ -106,6 +113,20 @@ object DetectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "det_ewma" ->
+      s"""WITH s AS (SELECT user_id, event_id, value,
+                list(value) OVER ($W
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+              FROM events),
+              e AS (SELECT user_id, event_id, value,
+                list_filter(prev, x -> x IS NOT NULL) AS pv FROM s)
+          SELECT user_id, event_id, value,
+            CASE WHEN value IS NULL OR pv IS NULL OR len(pv) = 0 THEN false
+                 ELSE abs(value - list_reduce(pv,
+                   (acc, x) -> 0.3 * x + 0.7 * acc)) > 60.0
+            END AS is_anomaly
+          FROM e""",
+
     "det_range" ->
       s"""SELECT user_id, event_id, value,
           coalesce(value < 5.0 OR value > 175.0, false) AS is_anomaly

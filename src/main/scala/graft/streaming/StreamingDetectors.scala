@@ -134,6 +134,40 @@ object StreamingDetectors {
     }
   }
 
+  final case class EwmaState(ewma: Double)
+
+  /** EWMA forecast-deviation detection on a stream — the batch
+    * [[graft.ts.EwmaDetector]] recursion with O(1) state per series
+    * (`ewma_t = α·x_t + (1−α)·ewma_{t-1}`; flag when
+    * `|x_t − ewma_{t-1}| > threshold`). The recursion is inherently
+    * sequential, which makes it a BETTER fit for streaming than batch:
+    * each event costs one multiply-add against one stored double, no
+    * lookahead, no window buffer.
+    */
+  def ewmaStream(points: Dataset[Point], alpha: Double,
+      threshold: Double): Dataset[FlaggedPoint] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.series_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Point], state: GroupState[EwmaState]) =>
+          val sorted = rows.toVector.sortBy(p => micros(p.ts))
+          var ewma: java.lang.Double = state.getOption.map(s => Double.box(s.ewma)).orNull
+          val out = sorted.map { p =>
+            // NaN behaves as null, like the batch cleanValue
+            val v: java.lang.Double =
+              if (p.value != null && p.value.isNaN) null else p.value
+            val anomaly = v != null && ewma != null &&
+              math.abs(v.doubleValue() - ewma.doubleValue()) > threshold
+            if (v != null)
+              ewma = if (ewma == null) v
+                else java.lang.Double.valueOf(alpha * v + (1 - alpha) * ewma)
+            FlaggedPoint(key, p.ts, p.value, anomaly)
+          }
+          if (ewma != null) state.update(EwmaState(ewma.doubleValue()))
+          out.iterator
+      }
+  }
+
   /** Flat-line (stuck-sensor) detection on a stream — the batch
     * [[graft.ts.ConstantValueDetector]] semantics (centered max-min
     * spread < threshold, complete NaN-free frames only, first/last row

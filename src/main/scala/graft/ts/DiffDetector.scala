@@ -37,6 +37,10 @@ final case class DiffDetector(
     if (row.isNullAt(0)) this else copy(maxDiff = row.getDouble(0))
   }
 
+  /** Reference display parity (`detectors.py:180-183` __str__). */
+  override def toString: String =
+    s"DiffDetector(${TsOps.pyFloat(maxDiff)}, direction:$direction)"
+
   override def toJson: JValue = JObj(Seq(
     "type" -> JStr("DiffDetector"),
     "max_diff" -> Json.num(maxDiff),

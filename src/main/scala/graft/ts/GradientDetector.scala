@@ -36,6 +36,10 @@ final case class GradientDetector(
     if (row.isNullAt(0)) this else copy(maxGradient = row.getDouble(0))
   }
 
+  /** Reference display parity (`detectors.py:320-324` __str__ — per HOUR). */
+  override def toString: String =
+    s"GradientDetector(${TsOps.pyFloat(maxGradient * 3600.0)}/hr, direction:$direction)"
+
   override def toJson: JValue = JObj(Seq(
     "type" -> JStr("GradientDetector"),
     "max_gradient" -> Json.num(maxGradient),

@@ -64,6 +64,10 @@ final case class HampelDetector(
       .drop("__hampel_med", "__hampel_mad", rnC, cntC)
   }
 
+  /** Reference display parity (`hampel.py:89-90` __str__). */
+  override def toString: String =
+    s"HampelDetector($windowSize, ${TsOps.pyFloat(threshold)})"
+
   override def toJson: JValue = JObj(Seq(
     "type" -> JStr("HampelDetector"),
     "window_size" -> Json.num(windowSize.toDouble),

@@ -59,6 +59,10 @@ final case class RangeDetector(
     }
   }
 
+  /** Reference display parity (`detectors.py:135-136` __repr__). */
+  override def toString: String =
+    s"RangeDetector(min: ${TsOps.pyExp(minValue)}, max: ${TsOps.pyExp(maxValue)})"
+
   override def toJson: JValue = JObj(Seq(
     "type" -> JStr("RangeDetector"),
     "min_value" -> Json.num(minValue),

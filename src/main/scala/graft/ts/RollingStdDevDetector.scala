@@ -38,6 +38,11 @@ final case class RollingStdDevDetector(
     if (row.isNullAt(0)) this else copy(maxStd = row.getDouble(0))
   }
 
+  /** Reference display parity (`detectors.py:218-219` __str__; the
+    * reference class is named RollingStandardDeviationDetector). */
+  override def toString: String =
+    s"RollingStdDevDetector(window_size:$windowSize, max_std:${TsOps.pyFloat(maxStd)})"
+
   override def toJson: JValue = JObj(Seq(
     "type" -> JStr("RollingStdDevDetector"),
     "window_size" -> Json.num(windowSize.toDouble),

@@ -21,6 +21,24 @@ private[graft] object TsOps {
     * (`/root/reference/tsod/hampel.py:14`). */
   val GaussianScaleFactor = 1.4826
 
+  /** Python-style float rendering for the `__str__` display-parity
+    * toStrings (`str(3.0)` = "3.0", `str(inf)` = "inf"). Covers the
+    * integral/simple-decimal/infinite cases the reference prints; exotic
+    * magnitudes fall back to Scala's rendering.
+    */
+  private[ts] def pyFloat(d: Double): String =
+    if (d.isPosInfinity) "inf"
+    else if (d.isNegInfinity) "-inf"
+    else if (d.isNaN) "nan"
+    else if (d == math.rint(d) && math.abs(d) < 1e16) s"${d.toLong}.0"
+    else d.toString
+
+  /** Python `f"{x:.1e}"` (differs from Java only for infinities). */
+  private[ts] def pyExp(d: Double): String =
+    if (d.isPosInfinity) "inf"
+    else if (d.isNegInfinity) "-inf"
+    else String.format(java.util.Locale.ROOT, "%.1e", Double.box(d))
+
   /** Value column with NaN mapped to null. Canonical ingest is NaN → NULL
     * (SURVEY.md §1.2), but this makes every detector NaN-safe regardless:
     * Spark orders NaN greater than any value (so `NaN > max` would flag,

@@ -96,6 +96,14 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("ewmaStream matches batch EwmaDetector across micro-batch boundaries") {
+    val pts = (0 until 14).map(i => Point("a", ts(i),
+      if (i == 6) 80.0 else if (i == 10) null else i.toDouble)) ++ seriesB
+    val want = batchMask(graft.ts.EwmaDetector(0.3, 10.0), pts)
+    val got = runStream(pts, splitAt = 8)(ds => ewmaStream(ds, 0.3, 10.0))
+    assert(got == want)
+  }
+
   test("constantValueStream matches batch ConstantValueDetector incl. dilation at edges") {
     // flat stretch mid-series, a flat stretch running INTO the series
     // tail (dilation must flag the last row on eos flush), and nulls

@@ -83,6 +83,19 @@ class ApiSpec extends SparkSpecBase {
     assert(maskOf(out).count(identity) > 0)
   }
 
+  test("display parity: reference __str__/__repr__ formats " +
+    "(detectors.py:132-136,180-183,218-219,320-324; hampel.py:89-90)") {
+    assert(RangeDetector(0.5, 2.0).toString == "RangeDetector(min: 5.0e-01, max: 2.0e+00)")
+    assert(RangeDetector().toString == "RangeDetector(min: -inf, max: inf)")
+    assert(DiffDetector(3.0, "negative").toString == "DiffDetector(3.0, direction:negative)")
+    assert(DiffDetector().toString == "DiffDetector(inf, direction:both)")
+    // gradient prints per HOUR (detectors.py:320-324)
+    assert(GradientDetector(0.5).toString == "GradientDetector(1800.0/hr, direction:both)")
+    assert(RollingStdDevDetector(8, 1.25).toString ==
+      "RollingStdDevDetector(window_size:8, max_std:1.25)")
+    assert(HampelDetector(5, 3.0).toString == "HampelDetector(5, 3.0)")
+  }
+
   test("export_joblib.py migrates the reference's pickle artifact " +
     "(tests/data/combined.joblib → JSON → load)") {
     // src/test/resources/golden/combined_from_joblib.json is the committed
