@@ -53,8 +53,11 @@ object ScaleSmokeDocs {
     stage("fingerprint")(docs.select(
       graft.pipeline.TextOps.fingerprint(col("text")).as("fp"))
       .groupBy("fp").count().filter(col("count") > 1).count())
-    val found = stage("minhash_lsh")(Dedup.minhashLshPairs(
-      docs, "doc_id", "text", n = 3, k = 32, bands = 8, threshold = 0.5).count())
+    val lshPairs = Dedup.minhashLshPairs(
+      docs, "doc_id", "text", n = 3, k = 32, bands = 8, threshold = 0.5).persist()
+    val found = stage("minhash_lsh")(lshPairs.count())
+    stage("dup_clusters")(Dedup.duplicateClusters(lshPairs)
+      .select(countDistinct("cluster_id")).head().getLong(0))
     stage("simhash_sigs")(Dedup.simhashSignatures(docs, "doc_id", "text").count())
     // banded simhash pairing: pigeonhole bands make the candidate join an
     // equality shuffle — with maxHamming=2 each band carries 16 bits, so

@@ -264,6 +264,61 @@ object Dedup {
       minhashIndex(newDocs, idCol, textCol, n, k, bands).persist(),
       corpusIndex, threshold)
 
+  // ---- duplicate clusters ---------------------------------------------
+
+  /** Resolve near-dup PAIRS into duplicate clusters (connected
+    * components): iterative min-label propagation — each round every doc
+    * adopts the smallest label among itself and its neighbors, until a
+    * fixpoint. Returns (doc, cluster_id) where cluster_id is the
+    * smallest doc id in the component.
+    *
+    * Near-dup components are stars/cliques with tiny diameter, so this
+    * converges in 2-4 rounds; each round is one shuffle join + one
+    * aggregate, all distributed (the driver loop only checks the changed
+    * count — the standard iterative-Spark shape, no data collected).
+    * For adversarial long-chain graphs the round count is the graph
+    * diameter; cap with `maxIterations`.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("label", col("doc"))
+      .persist()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIterations) {
+      val neighborMin = edges
+        .join(labels.select(col("doc").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src").as("doc"))
+        .agg(min("nl").as("min_nbr"))
+      val next = labels.join(neighborMin, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
+        .persist()
+      changed = next.join(labels.select(col("doc"), col("label").as("old")), "doc")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc"), col("label").as("cluster_id"))
+  }
+
+  /** End-to-end dedup: keep ONE canonical doc (smallest id) per
+    * near-dup cluster; docs in no pair survive untouched.
+    */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val doomed = duplicateClusters(pairs)
+      .filter(col("doc") =!= col("cluster_id"))
+      .select(col("doc").as(idCol))
+    docs.join(doomed, Seq(idCol), "left_anti")
+  }
+
   // ---- SimHash ---------------------------------------------------------
 
   /** 48-bit SimHash over whitespace tokens (frequency-weighted): bit p is

@@ -120,30 +120,21 @@ object PipelineQueries {
         Multimodal.attachMedia(docs(s, dir), "doc_id", "text"))),
 
     "p13_text_tfidf" -> ((s, dir) =>
-      TfIdf.topTerms(docs(s, dir), "doc_id", "text", k = 3))
+      TfIdf.topTerms(docs(s, dir), "doc_id", "text", k = 3)),
+
+    // pairs → duplicate clusters (connected components by min-label
+    // propagation); the oracle walks the same graph with a recursive CTE
+    "p14_dedup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+          n = 3, k = 32, bands = 8, threshold = 0.4)))
   )
 
-  val oracle: Map[String, String] = Map(
-    "p1_dedup_exact" ->
-      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
-         count(*) AS dup_cnt FROM documents GROUP BY md5(text)""",
-
-    "p2_dedup_jaccard" ->
-      s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
-             s AS (SELECT doc_id, $SHINGLES3 AS sh FROM d),
-             ex AS (SELECT doc_id, unnest(sh) AS sg FROM s),
-             sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
-             inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-                       FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
-                       GROUP BY 1, 2),
-             j AS (SELECT doc_a, doc_b,
-                     round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
-                   FROM inter JOIN sz sa ON doc_a = sa.doc_id
-                              JOIN sz sb ON doc_b = sb.doc_id)
-         SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.4""",
-
-    "p3_dedup_minhash_lsh" ->
-      s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+  // shared CTE chain producing minhash-LSH candidate pairs `j(doc_a,
+  // doc_b, jaccard)` — used by the p3 pair oracle and, wrapped in a
+  // recursive component walk, by the p14 cluster oracle
+  private val MinhashPairsCtes =
+    s"""d AS (SELECT doc_id, $TOKS AS toks FROM documents),
              s AS (SELECT doc_id, $SHINGLES3 AS sh FROM d),
              hp AS (SELECT doc_id, sh,
                       list_transform(sh, sg ->
@@ -166,8 +157,43 @@ object PipelineQueries {
                        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
                        AS jaccard
                    FROM cand JOIN s sa ON doc_a = sa.doc_id
-                             JOIN s sb ON doc_b = sb.doc_id)
+                             JOIN s sb ON doc_b = sb.doc_id)"""
+
+  val oracle: Map[String, String] = Map(
+    "p1_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+         count(*) AS dup_cnt FROM documents GROUP BY md5(text)""",
+
+    "p2_dedup_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+             s AS (SELECT doc_id, $SHINGLES3 AS sh FROM d),
+             ex AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+             sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+             inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                       FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2),
+             j AS (SELECT doc_a, doc_b,
+                     round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+                   FROM inter JOIN sz sa ON doc_a = sa.doc_id
+                              JOIN sz sb ON doc_b = sb.doc_id)
          SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.4""",
+
+    "p3_dedup_minhash_lsh" ->
+      s"""WITH $MinhashPairsCtes
+         SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.4""",
+
+    "p14_dedup_clusters" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+             pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.4),
+             edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                       UNION SELECT doc_b, doc_a FROM pairs),
+             nodes AS (SELECT DISTINCT src AS doc FROM edges),
+             walk AS (SELECT doc, doc AS label FROM nodes
+                      UNION
+                      SELECT e.src AS doc, w.label
+                      FROM edges e JOIN walk w ON e.dst = w.doc)
+         SELECT doc, min(label) AS cluster_id FROM walk GROUP BY doc""",
+
 
     "p4_dedup_simhash" ->
       s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),

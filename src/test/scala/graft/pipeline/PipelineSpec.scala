@@ -115,6 +115,21 @@ class PipelineSpec extends SparkSpecBase {
     assert(cut.subsetOf(exact), "cutoff invented pairs")
   }
 
+  test("duplicateClusters groups transitive chains; dropNearDuplicates keeps one per cluster") {
+    import spark.implicits._
+    // chain 1-2-3 (1~2, 2~3, but NOT 1~3) + isolated pair 10-11
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val clusters = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val docs = Seq(1L, 2L, 3L, 5L, 10L, 11L).toDF("doc_id")
+    val kept = Dedup.dropNearDuplicates(docs, pairs, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // one canonical per cluster + untouched singleton 5
+    assert(kept == Set(1L, 5L, 10L))
+  }
+
   test("brute-force ANN: self-similarity excluded, scores ordered, k respected") {
     val topk = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 5)
     val rows = topk.collect()
