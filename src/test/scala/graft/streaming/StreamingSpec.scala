@@ -198,6 +198,26 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("dedupExactStream keeps first arrival per content hash across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingDedup.dedupExactStream(docs, "text", "ts", "2 hours")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0), "alpha beta"), (2L, ts(0), "gamma"))
+      q.processAllAvailable()
+      // cross-batch duplicate (same text, later ts) must be dropped
+      mem.addData((3L, ts(1), "alpha beta"), (4L, ts(1), "delta"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_out").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L, 4L), s"kept=$kept")
+    } finally q.stop()
+  }
+
   test("rangeStream is the stateless batch expression on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
