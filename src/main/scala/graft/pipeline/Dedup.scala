@@ -279,11 +279,42 @@ object Dedup {
     * For adversarial long-chain graphs the round count is the graph
     * diameter; cap with `maxIterations`.
     */
-  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20,
+      driverUnionFindMax: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist()
+    // materialize the pair pipeline ONCE — every propagation round (and
+    // the initial labels) reads the cached edges, not the upstream
+    // minhash/LSH computation
+    val nDirected = edges.count()
+    // The pair relation is a REDUCED artifact — near-dup pairs number
+    // far below corpus rows — so up to ~1M pairs (≈16 MB) a driver-side
+    // union-find beats rounds of distributed shuffles outright (the same
+    // size-threshold logic as broadcast joins). Larger graphs take the
+    // shuffle-round propagation below.
+    if (nDirected / 2 <= driverUnionFindMax) {
+      val spark = pairs.sparkSession
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.filter(col("src") < col("dst")).collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val docs = parent.keySet ++ parent.values
+      val rows = docs.toSeq.map(d => (d, find(d)))
+      edges.unpersist()
+      import spark.implicits._
+      return rows.toDF("doc", "cluster_id")
+    }
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("label", col("doc"))
       .persist()
@@ -295,13 +326,15 @@ object Dedup {
         .groupBy(col("src").as("doc"))
         .agg(min("nl").as("min_nbr"))
       val next = labels.join(neighborMin, Seq("doc"), "left")
-        .select(col("doc"),
+        .select(col("doc"), col("label").as("__old"),
           least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
         .persist()
-      changed = next.join(labels.select(col("doc"), col("label").as("old")), "doc")
-        .filter(col("label") =!= col("old")).count()
+      // ONE action per round: materializes the new labels AND reports
+      // whether anything moved (driver loops cost one job each — keep it
+      // one, not three)
+      changed = next.filter(col("label") =!= col("__old")).count()
       labels.unpersist()
-      labels = next
+      labels = next.select("doc", "label")
       it += 1
     }
     edges.unpersist()

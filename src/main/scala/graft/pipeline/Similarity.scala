@@ -112,6 +112,70 @@ object Similarity {
       (band, bucket) => struct(band.as("band"), bucket.as("bucket")))
   }
 
+  /** IVF (inverted-file) ANN index: a k-means coarse quantizer assigns
+    * every corpus vector to its nearest centroid list; queries probe only
+    * the `nProbe` nearest lists. Complements the hyperplane-LSH path:
+    * data-adapted cells give better recall/selectivity on CLUSTERED
+    * corpora, at the cost of a training pass (sampled k-means via
+    * spark.ml, deterministic seed).
+    *
+    * Returns (model, indexed corpus with a `list` column). At cluster
+    * scale the indexed corpus is what you'd write out partitioned by
+    * `list`, so probes prune whole files.
+    */
+  def ivfIndex(corpus: DataFrame, nLists: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = corpus.select(col(idCol), asDouble(col(vecCol)).as("__arr"))
+      .withColumn("features", array_to_vector(col("__arr")))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+      .fit(feat.select("features"))
+    val indexed = model.transform(feat)
+      .select(col(idCol), col("__arr").as(vecCol), col("prediction").as("list"))
+    (model, indexed)
+  }
+
+  /** IVF top-k: each query scans only its `nProbe` nearest inverted
+    * lists — the corpus-side join is an equality shuffle on the list id,
+    * touching ~nProbe/nLists of the corpus per query instead of all of
+    * it. Exact cosine within the probed lists.
+    */
+  def ivfTopK(indexedCorpus: DataFrame,
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      queries: DataFrame, k: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = model.clusterCenters.map(_.toArray)
+    // nearest-nProbe centroid ids per query, computed with one codegen
+    // pass per centroid (broadcast-size constant array)
+    val centArr = centroids.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("list"),
+        dot(col("qv"), array(c.map(lit): _*)).as("dp"),
+        lit(math.sqrt(c.map(x => x * x).sum)).as("cn"))
+    }
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+      .withColumn("__cand", array(centArr: _*))
+      .withColumn("__ranked", slice(array_sort(transform(col("__cand"),
+        c => struct((-c.getField("dp") / c.getField("cn")).as("negSim"),
+          c.getField("list").as("list")))), 1, nProbe))
+      .withColumn("list", explode(transform(col("__ranked"), r => r.getField("list"))))
+      .drop("__cand", "__ranked")
+    val c = indexedCorpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"), col("list"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"), col("rnk"))
+  }
+
   /** Embedding near-duplicate pairs (cosine ≥ threshold, a < b) via
     * banded hyperplane LSH: candidates are pairs colliding in ≥ 1 of
     * `tables` sign-buckets, verified with the exact cosine — the same

@@ -127,7 +127,15 @@ object PipelineQueries {
     "p14_dedup_clusters" -> ((s, dir) =>
       Dedup.duplicateClusters(
         Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
-          n = 3, k = 32, bands = 8, threshold = 0.4)))
+          n = 3, k = 32, bands = 8, threshold = 0.4))),
+
+    // IVF ANN (k-means inverted lists, 4-probe) — approximate by
+    // construction like p7; rows-only check, recall floor in PipelineSpec
+    "p15_ann_ivf" -> ((s, dir) => {
+      val (model, indexed) = Similarity.ivfIndex(emb(s, dir), nLists = 16)
+      Similarity.ivfTopK(indexed, model,
+        emb(s, dir).filter(col("vec_id") < 50), k = 3, nProbe = 4)
+    })
   )
 
   // shared CTE chain producing minhash-LSH candidate pairs `j(doc_a,

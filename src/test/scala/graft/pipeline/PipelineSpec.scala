@@ -123,6 +123,10 @@ class PipelineSpec extends SparkSpecBase {
     val clusters = Dedup.duplicateClusters(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // distributed label-propagation path (forced) agrees with union-find
+    val distClusters = Dedup.duplicateClusters(pairs, driverUnionFindMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distClusters == clusters)
     val docs = Seq(1L, 2L, 3L, 5L, 10L, 11L).toDF("doc_id")
     val kept = Dedup.dropNearDuplicates(docs, pairs, "doc_id")
       .collect().map(_.getLong(0)).toSet
@@ -185,6 +189,25 @@ class PipelineSpec extends SparkSpecBase {
     assert(docScanLines.nonEmpty)
     assert(docScanLines.forall(_.contains("GreaterThanOrEqual(doc_id,400)")),
       s"corpus documents re-scanned without the new-batch filter:\n${docScanLines.mkString("\n")}")
+  }
+
+  test("IVF ANN: probed-list search beats single-probe LSH recall on rank-1") {
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 50), 3)
+      .filter(col("rnk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (model, indexed) = Similarity.ivfIndex(emb, nLists = 16)
+    val ivf = Similarity.ivfTopK(indexed, model,
+      emb.filter(col("vec_id") < 50), k = 3, nProbe = 4)
+      .filter(col("rnk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivf.size == 50, "every query must get a neighbor")
+    val hits = ivf.count { case (q, n) => brute.get(q).contains(n) }
+    // probing 4 of 16 data-adapted cells recovers most true rank-1s
+    assert(hits * 1.0 / ivf.size > 0.35, s"IVF rank-1 recall $hits/50")
+    // results are a subset of true similarities (exact cosine inside lists)
+    val plan = Similarity.ivfTopK(indexed, model,
+      emb.filter(col("vec_id") < 50), 3, 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
   }
 
   test("multi-probe LSH recall dominates single-probe") {
