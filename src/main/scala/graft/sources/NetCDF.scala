@@ -33,43 +33,68 @@ object NetCDF {
     StructField("value", DoubleType),
     StructField("qc", IntegerType)))
 
-  /** Decode one netCDF byte payload to rows of (series_id, ts, value, qc).
-    * `fileTag` prefixes the series id so unions over many files keep
-    * series distinct.
+  private final case class VarData(dims: Seq[Long], vals: Array[Double],
+      scale: Double, offset: Double, fill: Option[Double],
+      qc: Option[Array[Double]])
+
+  /** Decode one netCDF byte payload to rows of (series_id, ts, value, qc),
+    * dispatching on the container magic: netCDF-4 (HDF5) via
+    * [[Hdf5Mini]], netCDF-3 classic via [[NetCdf3Mini]]. `fileTag`
+    * prefixes the series id so unions over many files keep series
+    * distinct.
     */
   def decode(bytes: Array[Byte], valueVars: Seq[String], timeVar: String,
       fileTag: String): Iterator[(String, java.sql.Timestamp, java.lang.Double, Integer)] = {
-    val rd = new Hdf5Mini.Reader(bytes)
-    val dsets = rd.rootDatasets()
-    val time = dsets.getOrElse(timeVar,
-      throw new IllegalArgumentException(s"no $timeVar variable"))
-    val epochAndScale = parseTimeUnits(time.attrs.get("units").map(_.string)
-      .getOrElse("seconds since 1970-01-01"))
-    val rawTime = rd.readDoubles(time)
-    val ts = rawTime.map { t =>
-      val (epochMicros, unitMicros) = epochAndScale
+    val (timeUnits, timeRaw, varData) =
+      if (bytes.length > 3 && bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F') {
+        val rd = new NetCdf3Mini.Reader(bytes)
+        val vars = rd.byName
+        val time = vars.getOrElse(timeVar,
+          throw new IllegalArgumentException(s"no $timeVar variable"))
+        (time.attrs.get("units").map(_.string), rd.readDoubles(time),
+          valueVars.map { vn =>
+            val v = vars.getOrElse(vn,
+              throw new IllegalArgumentException(s"no $vn variable"))
+            vn -> VarData(v.dims, rd.readDoubles(v),
+              v.attrs.get("scale_factor").map(_.double).getOrElse(1.0),
+              v.attrs.get("add_offset").map(_.double).getOrElse(0.0),
+              v.attrs.get("_FillValue").map(_.double),
+              vars.get(vn + "_QC").map(rd.readDoubles))
+          })
+      } else {
+        val rd = new Hdf5Mini.Reader(bytes)
+        val dsets = rd.rootDatasets()
+        val time = dsets.getOrElse(timeVar,
+          throw new IllegalArgumentException(s"no $timeVar variable"))
+        (time.attrs.get("units").map(_.string), rd.readDoubles(time),
+          valueVars.map { vn =>
+            val v = dsets.getOrElse(vn,
+              throw new IllegalArgumentException(s"no $vn variable"))
+            vn -> VarData(v.dims, rd.readDoubles(v),
+              v.attrDouble("scale_factor").getOrElse(1.0),
+              v.attrDouble("add_offset").getOrElse(0.0),
+              v.attrDouble("_FillValue"),
+              dsets.get(vn + "_QC").map(rd.readDoubles))
+          })
+      }
+    val (epochMicros, unitMicros) =
+      parseTimeUnits(timeUnits.getOrElse("seconds since 1970-01-01"))
+    val ts = timeRaw.map { t =>
       val m = epochMicros + (t * unitMicros).round
       java.sql.Timestamp.from(Instant.ofEpochSecond(m / 1000000L, m % 1000000L * 1000))
     }
-    valueVars.iterator.flatMap { vname =>
-      val v = dsets.getOrElse(vname,
-        throw new IllegalArgumentException(s"no $vname variable"))
-      val scale = v.attrDouble("scale_factor").getOrElse(1.0)
-      val offset = v.attrDouble("add_offset").getOrElse(0.0)
-      val fill = v.attrDouble("_FillValue")
-      val vals = rd.readDoubles(v)
-      val qc = dsets.get(vname + "_QC").map(q => rd.readDoubles(q))
+    val tag = if (fileTag.isEmpty) "" else fileTag + ":"
+    varData.iterator.flatMap { case (vname, v) =>
       val levels = if (v.dims.length > 1) v.dims(1).toInt else 1
       val nT = v.dims.head.toInt
-      val tag = if (fileTag.isEmpty) "" else fileTag + ":"
       for {
         lvl <- (0 until levels).iterator
         i <- (0 until nT).iterator
       } yield {
-        val raw = vals(i * levels + lvl)
-        val isFill = fill.contains(raw) || raw.isNaN
-        val value: java.lang.Double = if (isFill) null else raw * scale + offset
-        val flag: Integer = qc.map(q => Int.box(q(i * levels + lvl).toInt)).orNull
+        val raw = v.vals(i * levels + lvl)
+        val isFill = v.fill.contains(raw) || raw.isNaN
+        val value: java.lang.Double = if (isFill) null else raw * v.scale + v.offset
+        val flag: Integer = v.qc.map(q => Int.box(q(i * levels + lvl).toInt)).orNull
         val sid = if (levels == 1) s"$tag$vname" else s"$tag$vname:$lvl"
         (sid, ts(i), value, flag)
       }

@@ -50,6 +50,23 @@ class NetCdfSourceSpec extends SparkSpecBase {
     assert(fitted.minValue > -5 && fitted.maxValue < 35)
   }
 
+  test("netCDF-3 classic container decodes via the same surface (CDF-1 fixture)") {
+    // src/test/resources/golden/classic_fixture.nc is hand-assembled by
+    // scripts/gen_nc3_fixture.py (record dim, padded byte record var,
+    // scale/_FillValue attrs)
+    val path = getClass.getResource("/golden/classic_fixture.nc").getPath
+    val df = NetCDF.read(spark, path, valueVars = Seq("TEMP")).persist()
+    assert(df.count() == 10) // 5 records × 2 depth levels
+    val rows = df.filter(col("series_id") === "TEMP:0").orderBy("ts").collect()
+    assert(rows(0).getTimestamp(1).toInstant.toString == "2020-01-01T00:00:00Z")
+    assert(rows(1).getTimestamp(1).toInstant.toString == "2020-01-01T01:00:00Z")
+    assert(math.abs(rows(0).getDouble(2) - 15.5) < 1e-9) // 15500 × 0.001
+    assert(rows(1).isNullAt(2) && rows(1).getInt(3) == 9) // fill → null, qc 9
+    val lvl1 = df.filter(col("series_id") === "TEMP:1").orderBy("ts").collect()
+    assert(math.abs(lvl1(0).getDouble(2) - 16.25) < 1e-9)
+    assert(lvl1(2).isNullAt(2) && lvl1(2).getInt(3) == 4)
+  }
+
   test("readMany distributes parsing per file and tags series ids") {
     val df = NetCDF.readMany(spark, fixture, valueVars = Seq("PSAL"))
     val sids = df.select("series_id").distinct().collect().map(_.getString(0))
