@@ -77,8 +77,16 @@ object Dedup {
       n: Int, threshold: Double, maxDf: Int = Int.MaxValue): DataFrame = {
     // persisted: the self-join + size joins read this 4×, and without a
     // materialization barrier CollapseProject inlines the tokenizer into
-    // each consumer (and then into every per-shingle lambda element)
-    val withSh = shingleSets(docs, idCol, textCol, n).persist()
+    // each consumer (and then into every per-shingle lambda element).
+    // Shingles are md5-hashed to 60-bit longs BEFORE the self-join: the
+    // shuffle moves 8-byte keys instead of ~25-byte strings and the
+    // equality is integer compare. The oracle mirrors the same hashing,
+    // so even a (cosmically unlikely) collision is reproduced identically
+    // on both engines.
+    val withSh = shingleSets(docs, idCol, textCol, n)
+      .select(col("doc"),
+        array_distinct(transform(col("sh"), s => shingleHash(s))).as("sh"))
+      .persist()
     val allShingles = withSh.select(col("doc"), explode(col("sh")).as("s"))
     // Optional hot-shingle cutoff: a shingle present in m docs emits
     // m(m-1)/2 intersection pairs, and real corpora are power-law — one

@@ -172,9 +172,14 @@ object PipelineQueries {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
          count(*) AS dup_cnt FROM documents GROUP BY md5(text)""",
 
+    // shingles md5-hashed to 60-bit longs before the self-join on BOTH
+    // engines — identical join keys, 3× smaller shuffle rows on Spark
     "p2_dedup_jaccard" ->
       s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
-             s AS (SELECT doc_id, $SHINGLES3 AS sh FROM d),
+             s0 AS (SELECT doc_id, $SHINGLES3 AS sh0 FROM d),
+             s AS (SELECT doc_id, list_distinct(list_transform(sh0, sg ->
+                     ('0x' || substr(md5(sg), 1, 15))::BIGINT % 1000000007)) AS sh
+                   FROM s0),
              ex AS (SELECT doc_id, unnest(sh) AS sg FROM s),
              sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
              inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
