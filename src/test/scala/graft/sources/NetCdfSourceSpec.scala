@@ -67,6 +67,20 @@ class NetCdfSourceSpec extends SparkSpecBase {
     assert(lvl1(2).isNullAt(2) && lvl1(2).getInt(3) == 4)
   }
 
+  test("classic HDF5 layout decodes: v0 superblock, v1 headers, symbol-table group") {
+    // hand-assembled by scripts/gen_hdf5_v0_fixture.py — exercises the
+    // pre-1.8 half of the HDF5 feature matrix (the CMEMS fixture covers
+    // v2 superblock / OHDR / dense storage / chunked+deflate)
+    val path = getClass.getResource("/golden/classic_hdf5.nc").getPath
+    val df = NetCDF.read(spark, path, valueVars = Seq("TEMP"))
+    val rows = df.orderBy("ts").collect()
+    assert(rows.length == 4)
+    assert(rows(0).getTimestamp(1).toInstant.toString == "2021-01-01T00:00:00Z")
+    assert(rows(3).getTimestamp(1).toInstant.toString == "2021-01-04T00:00:00Z")
+    // int32 raw × scale_factor 0.5 (v1 attribute message)
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(15.0, 15.5, -2.0, 16.5))
+  }
+
   test("readMany distributes parsing per file and tags series ids") {
     val df = NetCDF.readMany(spark, fixture, valueVars = Seq("PSAL"))
     val sids = df.select("series_id").distinct().collect().map(_.getString(0))
