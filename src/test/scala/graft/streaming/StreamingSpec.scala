@@ -218,6 +218,31 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("nearDupStream flags cross-batch minhash near-dups, skips dissimilar docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i <= 2) s"x$i" else s"w$i").mkString(" ")
+    val distinctDoc = (1 to 40).map(i => s"z$i").mkString(" ")
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingNearDup.nearDupStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      n = 3, k = 32, bands = 8, estThreshold = 0.5)
+    val q = out.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, base), (2L, distinctDoc)); q.processAllAvailable()
+      mem.addData((3L, nearDup)); q.processAllAvailable()
+      val hits = spark.table("neardup_out")
+        .select("doc_id", "matched_doc", "est_jaccard").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(hits.exists { case (d, m, e) => d == 3L && m == 1L && e >= 0.5 },
+        s"near-dup not flagged: ${hits.toSeq}")
+      assert(!hits.exists { case (d, m, _) => m == 2L || d == 2L },
+        s"dissimilar doc flagged: ${hits.toSeq}")
+    } finally q.stop()
+  }
+
   test("rangeStream is the stateless batch expression on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
