@@ -272,6 +272,44 @@ object Dedup {
       minhashIndex(newDocs, idCol, textCol, n, k, bands).persist(),
       corpusIndex, threshold)
 
+  // ---- boilerplate line removal ---------------------------------------
+
+  /** Line-level boilerplate removal (the CCNet/RefinedWeb-style cleanup a
+    * crawl corpus needs before document-level dedup): a line whose
+    * normalized form appears in more than `maxLineDf` DISTINCT documents
+    * is boilerplate (nav menus, cookie banners, license headers) and is
+    * dropped from every document; line order is preserved and documents
+    * reduced to nothing survive with empty text.
+    *
+    * Two hash aggregates + one broadcast-ready join on the 60-bit line
+    * key — no per-document state, scales like word-count.
+    */
+  def removeBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+      maxLineDf: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{split => fsplit}
+    val others = docs.columns.filter(c => c != idCol && c != textCol)
+    val lines = docs
+      .select(col(idCol), posexplode(fsplit(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("lk", TextOps.lineKey(col("line")))
+    val hot = lines.groupBy("lk")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") > maxLineDf)
+      .select("lk")
+    val kept = lines.join(hot, Seq("lk"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("line")))).as("__ls"))
+      .withColumn(textCol,
+        array_join(transform(col("__ls"), x => x.getField("line")), "\n"))
+      .select(col(idCol), col(textCol))
+    docs.select(idCol, others: _*)
+      .join(kept, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col(textCol), lit("")))
+      .select(docs.columns.map {
+        case c if c == textCol => col(textCol)
+        case c => col(c)
+      }: _*)
+  }
+
   // ---- duplicate clusters ---------------------------------------------
 
   /** Resolve near-dup PAIRS into duplicate clusters (connected

@@ -72,4 +72,10 @@ object TextOps {
     */
   def ratio(num: Column, den: Column): Column =
     coalesce(round(num * lit(1.0) / nullif(den, lit(0)), 6), lit(0.0))
+
+  /** Normalized line key for boilerplate detection: lowercased,
+    * whitespace-collapsed, md5-hashed to a 60-bit long.
+    */
+  def lineKey(line: Column): Column =
+    hash60(concat_ws(" ", filter(split(lower(trim(line)), "\\s+"), t => t =!= "")))
 }

@@ -135,7 +135,18 @@ object PipelineQueries {
       val (model, indexed) = Similarity.ivfIndex(emb(s, dir), nLists = 16)
       Similarity.ivfTopK(indexed, model,
         emb(s, dir).filter(col("vec_id") < 50), k = 3, nProbe = 4)
-    })
+    }),
+
+    // boilerplate line removal over synthesized multi-line docs (the
+    // corpus is single-line, so a shared banner line is planted in every
+    // doc — mirrored in the oracle — and must be stripped while unique
+    // head/tail lines survive)
+    "p16_boilerplate_lines" -> ((s, dir) =>
+      Dedup.removeBoilerplateLines(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"), lit("\nshared cookie banner accept all\nDOC-"),
+            col("doc_id").cast("string")).as("text")),
+        "doc_id", "text", maxLineDf = 10))
   )
 
   // shared CTE chain producing minhash-LSH candidate pairs `j(doc_a,
@@ -345,6 +356,26 @@ object PipelineQueries {
                           ORDER BY score DESC, term) AS BIGINT) AS rnk
                    FROM sc)
          SELECT doc_id, term, score, rnk FROM r WHERE rnk <= 3""",
+
+    "p16_boilerplate_lines" ->
+      raw"""WITH d0 AS (SELECT doc_id,
+                text || chr(10) || 'shared cookie banner accept all' ||
+                chr(10) || 'DOC-' || doc_id::VARCHAR AS text
+              FROM documents),
+             d AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d0),
+             l AS (SELECT doc_id, i AS pos, ls[i] AS line
+                   FROM d, unnest(generate_series(1, len(ls))) t(i)),
+             lk AS (SELECT doc_id, pos, line,
+                      ('0x' || substr(md5(array_to_string(list_filter(
+                        string_split_regex(lower(trim(line)), '\s+'),
+                        x -> x != ''), ' ')), 1, 15))::BIGINT AS k
+                    FROM l),
+             hot AS (SELECT k FROM (SELECT k, count(DISTINCT doc_id) AS df
+                                    FROM lk GROUP BY 1) WHERE df > 10),
+             kept AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t2
+                      FROM lk ANTI JOIN hot USING (k) GROUP BY doc_id)
+         SELECT d0.doc_id, coalesce(kept.t2, '') AS text
+         FROM d0 LEFT JOIN kept USING (doc_id)""",
 
     "p12_multimodal_decode" ->
       """SELECT doc_id,

@@ -115,6 +115,23 @@ class PipelineSpec extends SparkSpecBase {
     assert(cut.subsetOf(exact), "cutoff invented pairs")
   }
 
+  test("removeBoilerplateLines strips hot lines, keeps order, empties all-boiler docs") {
+    val banner = "Accept  ALL cookies" // normalization: case + whitespace
+    val d = docsOf(
+      (1L, s"unique first line\n$banner\nunique last line"),
+      (2L, s"another doc\naccept all cookies"),
+      (3L, s"accept all COOKIES"), // only boilerplate → emptied
+      (4L, s"$banner\nmiddle kept\n$banner"),
+      (5L, "no boiler here"))
+    val out = Dedup.removeBoilerplateLines(d, "doc_id", "text", maxLineDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "unique first line\nunique last line")
+    assert(out(2L) == "another doc")
+    assert(out(3L) == "")
+    assert(out(4L) == "middle kept")
+    assert(out(5L) == "no boiler here")
+  }
+
   test("duplicateClusters groups transitive chains; dropNearDuplicates keeps one per cluster") {
     import spark.implicits._
     // chain 1-2-3 (1~2, 2~3, but NOT 1~3) + isolated pair 10-11
