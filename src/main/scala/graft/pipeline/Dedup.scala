@@ -398,6 +398,32 @@ object Dedup {
     docs.join(doomed, Seq(idCol), "left_anti")
   }
 
+  // ---- end-to-end corpus cleaning --------------------------------------
+
+  /** The composed training-corpus cleanup pipeline, in the order a crawl
+    * pipeline runs it:
+    *
+    *   1. strip boilerplate lines (site chrome shared across > maxLineDf
+    *      docs) — BEFORE dedup, so shared chrome doesn't glue distinct
+    *      documents together;
+    *   2. drop exact duplicates (content hash, keep smallest id);
+    *   3. find near-duplicate pairs with MinHash+LSH banding, resolve to
+    *      clusters, keep one canonical doc per cluster.
+    *
+    * Returns the surviving docs with cleaned text. Every stage is a
+    * shuffle-join/aggregate shape that scales linearly; nothing is
+    * quadratic in the corpus.
+    */
+  def cleanCorpus(docs: DataFrame, idCol: String, textCol: String,
+      maxLineDf: Int = 1000, n: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    val deboiled = removeBoilerplateLines(docs, idCol, textCol, maxLineDf)
+      .persist()
+    val exact = dropExactDuplicates(deboiled, idCol, textCol).persist()
+    val pairs = minhashLshPairs(exact, idCol, textCol, n, k, bands, threshold)
+    dropNearDuplicates(exact, pairs, idCol)
+  }
+
   // ---- SimHash ---------------------------------------------------------
 
   /** 48-bit SimHash over whitespace tokens (frequency-weighted): bit p is

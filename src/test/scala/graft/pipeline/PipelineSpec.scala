@@ -132,6 +132,21 @@ class PipelineSpec extends SparkSpecBase {
     assert(out(5L) == "no boiler here")
   }
 
+  test("cleanCorpus end-to-end: boilerplate → exact dedup → near-dup clusters") {
+    val banner = "accept all cookies"
+    val body = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearBody = (1 to 30).map(i => if (i == 1) "x1" else s"w$i").mkString(" ")
+    val d = docsOf(
+      (1L, s"$body\n$banner"),
+      (2L, s"$body\n$banner"),      // exact dup of 1 after de-boilering
+      (3L, s"$nearBody\n$banner"),  // near dup of 1 (jaccard ≈ 0.9)
+      (4L, s"completely different content entirely unrelated words\n$banner"))
+    val out = Dedup.cleanCorpus(d, "doc_id", "text", maxLineDf = 2, threshold = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 4L), s"survivors=${out.keySet}")
+    assert(out(1L) == body) // banner stripped
+  }
+
   test("duplicateClusters groups transitive chains; dropNearDuplicates keeps one per cluster") {
     import spark.implicits._
     // chain 1-2-3 (1~2, 2~3, but NOT 1~3) + isolated pair 10-11
