@@ -398,6 +398,27 @@ object Dedup {
     docs.join(doomed, Seq(idCol), "left_anti")
   }
 
+  // ---- benchmark decontamination ---------------------------------------
+
+  /** Benchmark decontamination check: flag documents sharing any word
+    * n-gram with an evaluation set (the standard guard against training
+    * on test data). `benchmark` is a one-column (`sh`) relation of
+    * benchmark shingles — small by construction, so it broadcasts and
+    * the corpus streams through one semi-join-shaped pass; per-doc hit
+    * counts support thresholded policies (flag on ≥ k collisions).
+    */
+  def contaminationFlags(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, n: Int): DataFrame = {
+    val hits = shingleSets(docs, idCol, textCol, n)
+      .select(col("doc"), explode(col("sh")).as("s"))
+      .join(broadcast(benchmark.select(col("sh").as("s")).distinct()), "s")
+      .groupBy("doc").agg(count(lit(1)).as("n_hits"))
+    docs.select(col(idCol))
+      .join(hits.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   // ---- end-to-end corpus cleaning --------------------------------------
 
   /** The composed training-corpus cleanup pipeline, in the order a crawl

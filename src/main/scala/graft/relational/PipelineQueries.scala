@@ -137,6 +137,17 @@ object PipelineQueries {
         emb(s, dir).filter(col("vec_id") < 50), k = 3, nProbe = 4)
     }),
 
+    // benchmark decontamination: docs 0-4 stand in for an eval set; any
+    // doc sharing a 3-gram with them is flagged with its hit count
+    "p17_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val benchmark = Dedup.shingleSets(
+        d.filter(col("doc_id") < 5), "doc_id", "text", 3)
+        .select(explode(col("sh")).as("sh"))
+      Dedup.contaminationFlags(d.filter(col("doc_id") >= 5),
+        "doc_id", "text", benchmark, n = 3)
+    }),
+
     // boilerplate line removal over synthesized multi-line docs (the
     // corpus is single-line, so a shared banner line is planted in every
     // doc — mirrored in the oracle — and must be stripped while unique
@@ -356,6 +367,18 @@ object PipelineQueries {
                           ORDER BY score DESC, term) AS BIGINT) AS rnk
                    FROM sc)
          SELECT doc_id, term, score, rnk FROM r WHERE rnk <= 3""",
+
+    "p17_decontaminate" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+             s AS (SELECT doc_id, $SHINGLES3 AS sh FROM d),
+             bm AS (SELECT DISTINCT unnest(sh) AS sg FROM s WHERE doc_id < 5),
+             ex AS (SELECT doc_id, unnest(sh) AS sg FROM s WHERE doc_id >= 5),
+             h AS (SELECT doc_id, count(*) AS n_hits
+                   FROM ex JOIN bm USING (sg) GROUP BY 1)
+         SELECT d2.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+         FROM (SELECT doc_id FROM documents WHERE doc_id >= 5) d2
+         LEFT JOIN h USING (doc_id)""",
 
     "p16_boilerplate_lines" ->
       raw"""WITH d0 AS (SELECT doc_id,

@@ -132,6 +132,21 @@ class PipelineSpec extends SparkSpecBase {
     assert(out(5L) == "no boiler here")
   }
 
+  test("contaminationFlags counts benchmark n-gram overlaps per doc") {
+    import spark.implicits._
+    val d = docsOf(
+      (10L, "the quick brown fox jumps high"),   // shares "the quick brown"+
+      (11L, "totally clean document words only"),
+      (12L, "quick brown fox seen again today")) // shares "quick brown fox"
+    val benchmark = Seq("the quick brown", "quick brown fox", "unused gram x")
+      .toDF("sh")
+    val out = Dedup.contaminationFlags(d, "doc_id", "text", benchmark, n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(10L) == ((2L, true)))
+    assert(out(11L) == ((0L, false)))
+    assert(out(12L) == ((1L, true)))
+  }
+
   test("cleanCorpus end-to-end: boilerplate → exact dedup → near-dup clusters") {
     val banner = "accept all cookies"
     val body = (1 to 30).map(i => s"w$i").mkString(" ")
