@@ -409,7 +409,10 @@ object Dedup {
     */
   def contaminationFlags(docs: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, n: Int): DataFrame = {
-    val hits = shingleSets(docs, idCol, textCol, n)
+    // persist = materialization barrier: without it CollapseProject
+    // inlines the tokenizer into the shingle lambda (re-tokenizing per
+    // element — measured 8× slower at sf0.1)
+    val hits = shingleSets(docs, idCol, textCol, n).persist()
       .select(col("doc"), explode(col("sh")).as("s"))
       .join(broadcast(benchmark.select(col("sh").as("s")).distinct()), "s")
       .groupBy("doc").agg(count(lit(1)).as("n_hits"))

@@ -143,6 +143,7 @@ object PipelineQueries {
       val d = docs(s, dir)
       val benchmark = Dedup.shingleSets(
         d.filter(col("doc_id") < 5), "doc_id", "text", 3)
+        .persist() // barrier against tokenizer-in-lambda inlining
         .select(explode(col("sh")).as("sh"))
       Dedup.contaminationFlags(d.filter(col("doc_id") >= 5),
         "doc_id", "text", benchmark, n = 3)
