@@ -503,6 +503,12 @@ object Dedup {
     * the corpus 256 ways). A cutoff ≥ 48 keeps every pair by definition
     * and degenerates to the O(n²) compare (retained for tiny corpora /
     * recall baselines).
+    *
+    * Hot-bucket note: a flood of IDENTICAL signatures (mass-duplicated
+    * boilerplate docs) makes its bucket quadratic — but those are exact
+    * duplicates, which belong to [[dropExactDuplicates]] BEFORE near-dup
+    * screening (the [[cleanCorpus]] ordering); after exact dedup,
+    * signature collisions are bounded by genuine near-dup cluster sizes.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
