@@ -71,6 +71,16 @@ object ScaleSmokeDocs {
     println(f"[docs-scale] lsh recall vs planted: ${found * 100.0 / planted}%.1f%% " +
       s"($found of $planted); simhash_pairs=$simhashPairs")
 
+    // decontamination: the BASE docs of the first 100 planted dup pairs
+    // stand in for a benchmark — their near-dup twins (id ≡ 1 mod 100)
+    // must be flagged by the broadcast semi-join pass over the corpus
+    val benchIds = col("doc_id") % 100 === 0 && col("doc_id") < 10000
+    stage("decontaminate_100bm")(Dedup.contaminationFlags(
+      docs.filter(!benchIds), "doc_id", "text",
+      Dedup.shingleSets(docs.filter(benchIds), "doc_id", "text", 3)
+        .persist().select(explode(col("sh")).as("sh")), n = 3)
+      .filter(col("contaminated")).count())
+
     // hot-shingle skew: append a boilerplate sentence to HALF the corpus.
     // Without the document-frequency cutoff the inverted-index self-join
     // would emit ~(n/2)²/2 pairs from those shingles alone (quadratic —
@@ -84,6 +94,14 @@ object ScaleSmokeDocs {
     skewed.count()
     stage("jaccard_skewed_maxdf")(Dedup.jaccardPairs(
       skewed, "doc_id", "text", n = 3, threshold = 0.5, maxDf = 1000).count())
+    // boilerplate removal: a standalone banner line appended to EVERY doc
+    // must vanish entirely (rows = docs still carrying it as a line = 0)
+    stage("boilerplate_strip")(Dedup.removeBoilerplateLines(
+      skewed.select(col("doc_id"),
+        concat(col("text"), lit("\n"), lit(boiler.trim)).as("text")),
+      "doc_id", "text", maxLineDf = 1000)
+      .filter(col("text").contains("\n" + boiler.trim) ||
+        col("text") === boiler.trim).count())
     skewed.unpersist()
 
     // ANN over synthetic embeddings: half the doc count, 64 dims, with
