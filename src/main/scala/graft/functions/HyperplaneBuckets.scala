@@ -33,7 +33,14 @@ case class HyperplaneBuckets(child: Expression, tables: Int,
 
   override protected def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), dim)
+    // STRICT dimension check: silently clamping (min(len, dim)) would
+    // truncate longer vectors and zero-pad shorter ones, voiding the
+    // stated recall guarantees without any error — a mismatch here is a
+    // caller bug and must be loud.
+    if (x.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"HyperplaneBuckets: vector has ${x.numElements()} dims, expected $dim")
+    val n = dim
     val out = new Array[Long](tables)
     val nPlanes = tables * planesPerTable
     var p = 0
@@ -58,7 +65,11 @@ case class HyperplaneBuckets(child: Expression, tables: Int,
       val d = ctx.freshName("d")
       val base = ctx.freshName("base")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $dim);
+         |if ($x.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "HyperplaneBuckets: vector has " + $x.numElements() + " dims, expected " + $dim);
+         |}
+         |int $n = $dim;
          |long[] $out = new long[$tables];
          |for (int $p = 0; $p < ${tables * planesPerTable}; $p++) {
          |  double $acc = 0.0;

@@ -20,6 +20,16 @@ import TextOps._
   *
   * All hashes are md5-derived so the DuckDB oracle reproduces them
   * exactly.
+  *
+  * CACHING CONTRACT: the one-shot pair/cluster APIs ([[jaccardPairs]],
+  * [[minhashLshPairs]], [[minhashIndex]], [[cleanCorpus]]) persist
+  * intermediates that stay cached until the returned (lazy) DataFrame
+  * is consumed — a single job leaves at most a few cached relations,
+  * which the session releases on `spark.catalog.clearCache()` or
+  * session stop. The per-batch loop API ([[incrementalMinhashPairs]])
+  * is self-cleaning: it eagerly materializes the batch result and
+  * unpersists its own intermediates before returning, so repeated
+  * calls do NOT accumulate cache.
   */
 object Dedup {
 
@@ -80,12 +90,15 @@ object Dedup {
     // each consumer (and then into every per-shingle lambda element).
     // Shingles are md5-hashed to 60-bit longs BEFORE the self-join: the
     // shuffle moves 8-byte keys instead of ~25-byte strings and the
-    // equality is integer compare. The oracle mirrors the same hashing,
-    // so even a (cosmically unlikely) collision is reproduced identically
-    // on both engines.
+    // equality is integer compare. The FULL 60-bit hash is the join key
+    // (no mod-p reduction — that would shrink the space to ~2^30, where
+    // birthday collisions start near 30k distinct shingles); at 60 bits,
+    // expected colliding shingle pairs ≈ m²/2^61, i.e. <0.1% error below
+    // ~10^8 distinct shingles. The oracle mirrors the same hashing, so
+    // any collision is reproduced identically on both engines.
     val withSh = shingleSets(docs, idCol, textCol, n)
       .select(col("doc"),
-        array_distinct(transform(col("sh"), s => shingleHash(s))).as("sh"))
+        array_distinct(transform(col("sh"), s => hash60(s))).as("sh"))
       .persist()
     val allShingles = withSh.select(col("doc"), explode(col("sh")).as("s"))
     // Optional hot-shingle cutoff: a shingle present in m docs emits
@@ -184,11 +197,21 @@ object Dedup {
     * it without recomputing the corpus).
     */
   def minhashIndex(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int, bands: Int): DataFrame = {
+      n: Int, k: Int, bands: Int): DataFrame =
+    minhashIndexTracked(docs, idCol, textCol, n, k, bands)._1
+
+  /** [[minhashIndex]] plus a handle on its cached shingle relation, so
+    * loop-shaped callers (the per-batch incremental path) can unpersist
+    * it once the batch result is materialized instead of accumulating
+    * cached relations forever.
+    */
+  private def minhashIndexTracked(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int): (DataFrame, DataFrame) = {
     // persisted: the signature aggregate re-reads the shingle relation
     val sh = shingleSets(docs, idCol, textCol, n).persist()
-    sh.join(minhashSignaturesExploded(sh, k), "doc")
+    val idx = sh.join(minhashSignaturesExploded(sh, k), "doc")
       .withColumn("bb", bandBuckets(col("sig"), bands, k / bands))
+    (idx, sh)
   }
 
   /** LSH banding: band i (r consecutive signature slots) hashed to a
@@ -267,10 +290,20 @@ object Dedup {
     */
   def incrementalMinhashPairs(newDocs: DataFrame, corpusIndex: DataFrame,
       idCol: String, textCol: String,
-      n: Int, k: Int, bands: Int, threshold: Double): DataFrame =
-    incrementalMinhashPairsFromIndex(
-      minhashIndex(newDocs, idCol, textCol, n, k, bands).persist(),
-      corpusIndex, threshold)
+      n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    val (idx, sh) = minhashIndexTracked(newDocs, idCol, textCol, n, k, bands)
+    val newIdx = idx.persist()
+    // EAGER localCheckpoint: materializes the (small) per-batch pair
+    // result and truncates its lineage, so the batch's cached
+    // intermediates can be released immediately. Without this, a
+    // continuous-ingestion loop calling this once per batch accumulates
+    // persisted relations across batches until executors spill or OOM.
+    val out = incrementalMinhashPairsFromIndex(newIdx, corpusIndex, threshold)
+      .localCheckpoint()
+    newIdx.unpersist()
+    sh.unpersist()
+    out
+  }
 
   // ---- boilerplate line removal ---------------------------------------
 
@@ -320,10 +353,13 @@ object Dedup {
     *
     * Near-dup components are stars/cliques with tiny diameter, so this
     * converges in 2-4 rounds; each round is one shuffle join + one
-    * aggregate, all distributed (the driver loop only checks the changed
-    * count — the standard iterative-Spark shape, no data collected).
-    * For adversarial long-chain graphs the round count is the graph
-    * diameter; cap with `maxIterations`.
+    * aggregate plus a pointer-jumping join (label := label's label),
+    * all distributed (the driver loop only checks the changed count —
+    * the standard iterative-Spark shape, no data collected). Pointer
+    * jumping halves chains each round, so convergence is O(log
+    * diameter) and the default `maxIterations` = 20 covers components
+    * of diameter ~2^20; if the cap is still hit, the method THROWS
+    * rather than silently returning split clusters.
     */
   def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20,
       driverUnionFindMax: Long = 1000000L): DataFrame = {
@@ -339,8 +375,16 @@ object Dedup {
     // far below corpus rows — so up to ~1M pairs (≈16 MB) a driver-side
     // union-find beats rounds of distributed shuffles outright (the same
     // size-threshold logic as broadcast joins). Larger graphs take the
-    // shuffle-round propagation below.
-    if (nDirected / 2 <= driverUnionFindMax) {
+    // shuffle-round propagation below. Driver memory is bounded in BOTH
+    // pairs and nodes: each pair introduces at most 2 nodes, so the
+    // pair gate also caps nodes at 2×driverUnionFindMax (a pathological
+    // star graph near the gate holds ~1M+1 nodes ≈ 32 MB of map — fine).
+    // The fast path requires LONG doc ids (it reads rows with getLong
+    // and emits a long-typed result); any other id type — string, int —
+    // falls through to the type-generic distributed propagation.
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && nDirected / 2 <= driverUnionFindMax) {
       val spark = pairs.sparkSession
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -361,9 +405,16 @@ object Dedup {
       import spark.implicits._
       return rows.toDF("doc", "cluster_id")
     }
+    // Each round references the previous round's labels FOUR times (the
+    // propagation join twice, the pointer-jump self-join doubling it),
+    // so the LOGICAL plan grows 4^rounds if lineage is left to nest —
+    // the analyzer OOMs near round 7 regardless of data size. An eager
+    // localCheckpoint per round materializes the (node-sized) label
+    // table AND truncates the plan to a leaf; out-of-scope checkpoint
+    // RDDs from prior rounds are released by the ContextCleaner.
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("label", col("doc"))
-      .persist()
+      .localCheckpoint()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIterations) {
@@ -371,19 +422,32 @@ object Dedup {
         .join(labels.select(col("doc").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("doc"))
         .agg(min("nl").as("min_nbr"))
-      val next = labels.join(neighborMin, Seq("doc"), "left")
+      val prop = labels.join(neighborMin, Seq("doc"), "left")
         .select(col("doc"), col("label").as("__old"),
           least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
-        .persist()
-      // ONE action per round: materializes the new labels AND reports
-      // whether anything moved (driver loops cost one job each — keep it
-      // one, not three)
+      // pointer jumping: replace each label with its LABEL'S label
+      // (labels only shrink, so label(label(x)) <= label(x)) — the
+      // chain-halving step that makes convergence O(log diameter)
+      // instead of O(diameter), so `maxIterations` rounds cover
+      // components of diameter ~2^maxIterations rather than
+      // maxIterations (a >20-diameter chain would otherwise silently
+      // yield split clusters once the graph exceeds the driver gate)
+      val next = prop.as("x")
+        .join(prop.select(col("doc").as("__ld"), col("label").as("__ll")),
+          col("x.label") === col("__ld"), "left")
+        .select(col("x.doc").as("doc"), col("x.__old").as("__old"),
+          least(col("x.label"), coalesce(col("__ll"), col("x.label"))).as("label"))
+        .localCheckpoint() // ONE materializing job per round + lineage cut
       changed = next.filter(col("label") =!= col("__old")).count()
-      labels.unpersist()
       labels = next.select("doc", "label")
       it += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"duplicateClusters: label propagation did not converge after " +
+          s"$maxIterations rounds (with pointer jumping this needs a component " +
+          s"of diameter ~2^$maxIterations) — raise maxIterations")
     labels.select(col("doc"), col("label").as("cluster_id"))
   }
 

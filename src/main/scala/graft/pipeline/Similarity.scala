@@ -187,15 +187,34 @@ object Similarity {
     * bounding the verify join at ~6% of the pair space. For the exact
     * O(n²) compare (small corpora / recall baselines) see
     * [[cosineNearDupPairsExact]].
+    *
+    * NOTE (API history): before the banded rewrite this name computed
+    * the exact O(n²) compare — existing callers compile unchanged but
+    * now get LSH-approximate results; use [[cosineNearDupPairsExact]]
+    * for the old exact behavior.
+    *
+    * `dim` defaults to -1 = derive from the first corpus vector (one
+    * cheap `take(1)` job). Whether passed or derived, EVERY vector is
+    * checked against it at runtime — a mismatched vector throws
+    * (see [[graft.functions.HyperplaneBuckets]]) instead of being
+    * silently truncated/padded, which would void the recall guarantee.
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      tables: Int = 16, planesPerTable: Int = 8, dim: Int = 64): DataFrame = {
+      tables: Int = 16, planesPerTable: Int = 8, dim: Int = -1): DataFrame = {
+    val d =
+      if (dim > 0) dim
+      else corpus.select(size(col(vecCol))).take(1) match {
+        case Array(r) => r.getInt(0)
+        case _ => // empty corpus: no pairs, schema preserved from idCol
+          return corpus.select(col(idCol).as("vec_a"), col(idCol).as("vec_b"),
+            lit(0.0).as("sim")).limit(0)
+      }
     val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .persist() // (id, vec, norm) — reused by the banding and both verify sides
     val banded = v.select(col("id"),
-      explode(hyperplaneBands(col("v"), tables, planesPerTable, dim)).as("bb"))
+      explode(hyperplaneBands(col("v"), tables, planesPerTable, d)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

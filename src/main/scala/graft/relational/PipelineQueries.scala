@@ -195,13 +195,15 @@ object PipelineQueries {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
          count(*) AS dup_cnt FROM documents GROUP BY md5(text)""",
 
-    // shingles md5-hashed to 60-bit longs before the self-join on BOTH
-    // engines — identical join keys, 3× smaller shuffle rows on Spark
+    // shingles md5-hashed to FULL 60-bit longs before the self-join on
+    // BOTH engines — identical join keys, 3× smaller shuffle rows on
+    // Spark, and no mod-p reduction (which would shrink the key space
+    // to ~2^30 and perturb Jaccard from ~30k distinct shingles up)
     "p2_dedup_jaccard" ->
       s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
              s0 AS (SELECT doc_id, $SHINGLES3 AS sh0 FROM d),
              s AS (SELECT doc_id, list_distinct(list_transform(sh0, sg ->
-                     ('0x' || substr(md5(sg), 1, 15))::BIGINT % 1000000007)) AS sh
+                     ('0x' || substr(md5(sg), 1, 15))::BIGINT)) AS sh
                    FROM s0),
              ex AS (SELECT doc_id, unnest(sh) AS sg FROM s),
              sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),

@@ -181,6 +181,57 @@ class PipelineSpec extends SparkSpecBase {
     assert(kept == Set(1L, 5L, 10L))
   }
 
+  test("duplicateClusters handles STRING doc ids (falls through the Long-only fast path)") {
+    import spark.implicits._
+    // chain a-b-c + isolated pair x-y; the driver union-find fast path
+    // reads Longs, so string ids must take the distributed propagation
+    val pairs = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("doc_a", "doc_b")
+    val clusters = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(clusters == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+    val docs = Seq("a", "b", "c", "q", "x", "y").toDF("doc_id")
+    val kept = Dedup.dropNearDuplicates(docs, pairs, "doc_id")
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("a", "q", "x"))
+  }
+
+  test("distributed propagation converges on a 60-diameter chain within 20 rounds") {
+    import spark.implicits._
+    // without pointer jumping, min-label propagation needs diameter
+    // rounds and would hit maxIterations=20 (now a loud throw); with
+    // jumping it converges in O(log 60) ≈ 7 rounds
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.duplicateClusters(chain, driverUnionFindMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == 61)
+    assert(clusters.values.forall(_ == 0L), s"split clusters: ${clusters.values.toSet}")
+  }
+
+  test("cosineNearDupPairs derives dim from data; mismatched dims throw, not truncate") {
+    import spark.implicits._
+    def vec(seed: Int, dim: Int): Array[Double] =
+      Array.tabulate(dim)(d => math.sin(seed * 31 + d).abs + 0.1)
+    // 32-dim corpus with a planted near-identical pair — the default
+    // dim=-1 must derive 32 from the data (a hard-coded 64 would
+    // zero-pad and still bucket, but this pins the derivation path)
+    val c32 = Seq(
+      (1L, vec(1, 32)), (2L, vec(1, 32).updated(0, vec(1, 32)(0) + 0.001)),
+      (3L, vec(7, 32)), (4L, vec(13, 32)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(c32, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"planted 32-dim pair missed: $pairs")
+    // a corpus with inconsistent dims must fail loudly — silent
+    // truncation/padding voids the recall guarantee
+    val mixed = Seq((1L, vec(1, 32)), (2L, vec(2, 16))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.cosineNearDupPairs(mixed, 0.5).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("HyperplaneBuckets")), s"unexpected error: $e")
+  }
+
   test("brute-force ANN: self-similarity excluded, scores ordered, k respected") {
     val topk = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 5)
     val rows = topk.collect()
@@ -220,8 +271,16 @@ class PipelineSpec extends SparkSpecBase {
     Dedup.minhashIndex(corpus, "doc_id", "text", 3, 32, 8)
       .write.mode("overwrite").parquet(idxDir)
     val stored = spark.read.parquet(idxDir)
+    // the wrapper is self-cleaning: it eagerly materializes the batch
+    // result (localCheckpoint) and unpersists its own intermediates, so
+    // a per-batch ingestion loop must not accumulate cached relations —
+    // each call may retain AT MOST its checkpointed result RDD
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
     val incDf = Dedup.incrementalMinhashPairs(
       newDocs, stored, "doc_id", "text", 3, 32, 8, 0.4)
+    val persistedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(persistedAfter <= persistedBefore + 1,
+      s"incremental batch leaked caches: $persistedBefore -> $persistedAfter")
     val inc = incDf
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(inc.keySet == wantKeys, s"missing=${wantKeys -- inc.keySet} extra=${inc.keySet -- wantKeys}")
@@ -229,8 +288,11 @@ class PipelineSpec extends SparkSpecBase {
     // per-batch cost: the only text tokenization in the plan is the new
     // batch's — every scan of the raw documents carries the new-batch
     // filter, and the corpus side arrives pre-signed from the stored
-    // index parquet
-    val plan = incDf.queryExecution.executedPlan.toString
+    // index parquet. (The wrapper checkpoints its result, so plan shape
+    // is asserted on the lazy core it delegates to.)
+    val plan = Dedup.incrementalMinhashPairsFromIndex(
+      Dedup.minhashIndex(newDocs, "doc_id", "text", 3, 32, 8), stored, 0.4)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("mh_index"), s"stored index not read:\n$plan")
     val docScanLines = plan.linesIterator.filter(_.contains("documents.parquet")).toSeq
     assert(docScanLines.nonEmpty)
