@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.functions._
-import graft.ts.{RangeDetector, SeriesSpec, SparkSpecBase}
+import graft.ts._
 
 /** Reads the reference's CMEMS marine-obs fixture
   * (`/root/reference/tests/data/BO_TS_MO_FINO2.nc`, the cmems.ipynb
@@ -48,6 +48,53 @@ class NetCdfSourceSpec extends SparkSpecBase {
     // fitted min/max span all good data → no good sample flags
     assert(flagged.filter(col("qc") === 1).count() == 0)
     assert(fitted.minValue > -5 && fitted.maxValue < 35)
+  }
+
+  test("end-to-end CMEMS: decoded NetCDF through detectors reproduces reference masks bit-exactly") {
+    // golden/cmems_masks.csv = the REAL reference (pandas tsod) run over
+    // the first 8000 decoded TEMP:0 samples (scripts/gen_cmems_golden.py;
+    // input series dumped by DumpCmemsGolden) — so this asserts the full
+    // workflow: HDF5 bytes → reader → QC filter → fit → detect produces
+    // the same mask bits the reference produces on the same numbers.
+    val g = loadGolden("cmems_masks")
+    val df = NetCDF.read(spark, fixture, valueVars = Seq("TEMP"))
+      .filter(col("series_id") === "TEMP:0")
+      .orderBy("ts").limit(8000)
+      .select(col("ts"), col("value"), col("qc"))
+      .persist()
+    // the decoded numbers must equal what the reference consumed — this
+    // pins reader drift separately from detector drift
+    val decoded = df.orderBy("ts").collect()
+    assert(decoded.length == 8000)
+    decoded.zip(g.rows).foreach { case (r, (ts, v, _)) =>
+      assert(r.getTimestamp(0) == ts, s"ts drift at $ts")
+      if (v == null) assert(r.isNullAt(1), s"expected null at $ts")
+      else assert(r.getDouble(1) == v.doubleValue, s"value drift at $ts")
+    }
+    val good = df.filter(col("qc") === 1)
+    val dets: Map[String, Detector] = Map(
+      "range_fit_goodqc" -> RangeDetector().fit(good),
+      "range_fitq_goodqc" -> RangeDetector(quantiles = (0.001, 0.999)).fit(good),
+      "range_10_15" -> RangeDetector(10, 15),
+      "diff_0p1" -> DiffDetector(0.1),
+      "grad_1em4" -> GradientDetector(1e-4),
+      "rollstd_w10_0p05" -> RollingStdDevDetector(10, 0.05),
+      "const_w3_1em4" -> ConstantValueDetector(3, 1e-4),
+      "cgrad_w3" -> ConstantGradientDetector(3),
+      "hampel_w5_t3" -> HampelDetector(5, 3),
+      "combined_const_range18" -> CombinedDetector(
+        Seq(ConstantValueDetector(), RangeDetector(maxValue = 18.0))))
+    val failures = dets.flatMap { case (name, det) =>
+      val got = maskOf(det.detect(df))
+      val want = g.expected(name)
+      if (got != want) {
+        val diffs = got.zip(want).zipWithIndex.filter { case ((a, b), _) => a != b }
+        Some(s"$name: ${diffs.size} differing bits (first at row ${diffs.head._2}); " +
+          s"got ${got.count(identity)} vs want ${want.count(identity)} anomalies")
+      } else None
+    }
+    df.unpersist()
+    assert(failures.isEmpty, s"\n${failures.mkString("\n")}")
   }
 
   test("netCDF-3 classic container decodes via the same surface (CDF-1 fixture)") {
