@@ -86,20 +86,37 @@ object ScaleSmoke {
         .head().getLong(0)
     val ensemble = CombinedDetector(Seq(
       RangeDetector(-15, 15), DiffDetector(5.0), HampelDetector(5, 3.0)))
-    var skewedChecksum = 0L
-    stage("ensemble_skewed_10pct")({
-      val out = ensemble.detect(skewDf, spec).persist()
-      val flagged = out.filter(col("is_anomaly")).count()
-      skewedChecksum = hotMaskChecksum(out)
-      out.unpersist()
-      flagged
-    })
+    // timed stages are count-only — the SAME action as the uniform
+    // ensemble_3det stage, so the skewed/uniform ratio is a clean
+    // straggler-cost measure; mask checksums are verified untimed below
+    stage("ensemble_skewed_10pct")(
+      ensemble.detect(skewDf, spec).filter(col("is_anomaly")).count())
+    val skewedChecksum = hotMaskChecksum(ensemble.detect(skewDf, spec))
     val aloneChecksum = hotMaskChecksum(
       ensemble.detect(skewDf.filter(col("series_id") === 0), spec))
     assert(skewedChecksum == aloneChecksum,
       s"hot-series mask diverged under skew: $skewedChecksum != $aloneChecksum")
     println(s"[scale] skew check: hot-series mask identical to uniform path " +
       s"(checksum $skewedChecksum)")
+
+    // ---- skew MITIGATED: same ensemble through ChunkedDetect — only the
+    // hot series (minRowsToChunk gate, sampled) is cut into time-bucket
+    // chunks with boundary-margin context copied by stateless per-row
+    // routing; cold series keep their plain window inside the same job.
+    // Sizing is for the HOT cadence alone (one row per 10 s): 2M s
+    // buckets put ~200k rows in each hot chunk (≈50-way parallel), 20k s
+    // margins hold 2000 rows ≫ the ensemble's contextRows = 5, and
+    // duplication is 2·0.02/2 = 2% of the hot series only.
+    def chunkedOut = ChunkedDetect.detect(ensemble, skewDf, spec,
+      bucketSeconds = 2000000L, marginSeconds = 20000L,
+      minRowsToChunk = 1000000L)
+    stage("ensemble_skew_chunked")(
+      chunkedOut.filter(col("is_anomaly")).count())
+    val chunkedChecksum = hotMaskChecksum(chunkedOut)
+    assert(chunkedChecksum == skewedChecksum,
+      s"chunked skew mask diverged: $chunkedChecksum != $skewedChecksum")
+    println(s"[scale] chunked skew check: masks bit-identical to unchunked " +
+      s"(checksum $chunkedChecksum)")
     spark.stop()
   }
 }

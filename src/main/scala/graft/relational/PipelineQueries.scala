@@ -158,14 +158,27 @@ object PipelineQueries {
         docs(s, dir).select(col("doc_id"),
           concat(col("text"), lit("\nshared cookie banner accept all\nDOC-"),
             col("doc_id").cast("string")).as("text")),
-        "doc_id", "text", maxLineDf = 10))
+        "doc_id", "text", maxLineDf = 10)),
+
+    // the COMPOSED corpus-cleanup pipeline end-to-end (boilerplate strip
+    // → exact dedup → minhash-LSH near-dup clusters → canonical keep),
+    // on the same banner-planted corpus as p16; the oracle chains the
+    // p16/p1/p3/p14 CTEs so the composition itself is oracle-pinned
+    "p18_clean_corpus" -> ((s, dir) =>
+      Dedup.cleanCorpus(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"), lit("\nshared cookie banner accept all\nDOC-"),
+            col("doc_id").cast("string")).as("text")),
+        "doc_id", "text", maxLineDf = 10, n = 3, k = 32, bands = 8,
+        threshold = 0.4))
   )
 
   // shared CTE chain producing minhash-LSH candidate pairs `j(doc_a,
-  // doc_b, jaccard)` — used by the p3 pair oracle and, wrapped in a
-  // recursive component walk, by the p14 cluster oracle
-  private val MinhashPairsCtes =
-    s"""d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+  // doc_b, jaccard)` from relation `src(doc_id, text)` — used by the p3
+  // pair oracle, the p14 cluster oracle (wrapped in a recursive component
+  // walk), and the p18 end-to-end pipeline oracle
+  private def minhashPairsCtes(src: String) =
+    s"""d AS (SELECT doc_id, $TOKS AS toks FROM $src),
              s AS (SELECT doc_id, $SHINGLES3 AS sh FROM d),
              hp AS (SELECT doc_id, sh,
                       list_transform(sh, sg ->
@@ -217,11 +230,11 @@ object PipelineQueries {
          SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.4""",
 
     "p3_dedup_minhash_lsh" ->
-      s"""WITH $MinhashPairsCtes
+      s"""WITH ${minhashPairsCtes("documents")}
          SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.4""",
 
     "p14_dedup_clusters" ->
-      s"""WITH RECURSIVE $MinhashPairsCtes,
+      s"""WITH RECURSIVE ${minhashPairsCtes("documents")},
              pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.4),
              edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                        UNION SELECT doc_b, doc_a FROM pairs),
@@ -402,6 +415,45 @@ object PipelineQueries {
                       FROM lk ANTI JOIN hot USING (k) GROUP BY doc_id)
          SELECT d0.doc_id, coalesce(kept.t2, '') AS text
          FROM d0 LEFT JOIN kept USING (doc_id)""",
+
+    // chains the p16 boilerplate CTEs → exact dedup (min doc_id per
+    // md5(text)) → the p3 minhash-pair CTEs over the deduped relation →
+    // the p14 recursive component walk → canonical-only survivors
+    "p18_clean_corpus" ->
+      raw"""WITH RECURSIVE d0 AS (SELECT doc_id,
+                text || chr(10) || 'shared cookie banner accept all' ||
+                chr(10) || 'DOC-' || doc_id::VARCHAR AS text
+              FROM documents),
+             dl AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d0),
+             l AS (SELECT doc_id, i AS pos, ls[i] AS line
+                   FROM dl, unnest(generate_series(1, len(ls))) t(i)),
+             lk AS (SELECT doc_id, pos, line,
+                      ('0x' || substr(md5(array_to_string(list_filter(
+                        string_split_regex(lower(trim(line)), '\s+'),
+                        x -> x != ''), ' ')), 1, 15))::BIGINT AS k
+                    FROM l),
+             hot AS (SELECT k FROM (SELECT k, count(DISTINCT doc_id) AS df
+                                    FROM lk GROUP BY 1) WHERE df > 10),
+             kept AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t2
+                      FROM lk ANTI JOIN hot USING (k) GROUP BY doc_id),
+             cleaned AS (SELECT d0.doc_id, coalesce(kept.t2, '') AS text
+                         FROM d0 LEFT JOIN kept USING (doc_id)),
+             dd AS (SELECT doc_id, text FROM cleaned
+                    QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                               ORDER BY doc_id) = 1),
+             ${minhashPairsCtes("dd")},
+             pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.4),
+             edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                       UNION SELECT doc_b, doc_a FROM pairs),
+             nodes AS (SELECT DISTINCT src AS doc FROM edges),
+             walk AS (SELECT doc, doc AS label FROM nodes
+                      UNION
+                      SELECT e.src AS doc, w.label
+                      FROM edges e JOIN walk w ON e.dst = w.doc),
+             clusters AS (SELECT doc, min(label) AS cluster_id FROM walk GROUP BY doc),
+             doomed AS (SELECT doc FROM clusters WHERE doc <> cluster_id)
+         SELECT doc_id, text FROM dd
+         WHERE doc_id NOT IN (SELECT doc FROM doomed)""",
 
     "p12_multimodal_decode" ->
       """SELECT doc_id,

@@ -22,6 +22,9 @@ final case class CombinedDetector(detectors: Seq[Detector]) extends Detector {
   def apply(i: Int): Detector = detectors(i)
   def length: Int = detectors.size
 
+  override def contextRows: Int =
+    if (detectors.exists(_.contextRows < 0)) -1 else detectors.map(_.contextRows).max
+
   override protected def detectImpl(df: DataFrame, spec: SeriesSpec): DataFrame = {
     val tmpFlags = detectors.indices.map(i => s"__combined_flag_$i")
     val withAll = detectors.zip(tmpFlags).foldLeft(df) { case (acc, (d, f)) =>

@@ -21,6 +21,8 @@ final case class ConstantValueDetector(
     windowSize: Int = 3,
     threshold: Double = 1e-7) extends Detector {
 
+  override def contextRows: Int = windowSize + 1 // centered frame + dilation
+
   override protected def detectImpl(df: DataFrame, spec: SeriesSpec): DataFrame = {
     val clean = s"__${spec.flag}_cv"
     TsOps.constantMask(
@@ -54,6 +56,8 @@ object ConstantValueDetector {
 final case class ConstantGradientDetector(windowSize: Int = 3) extends Detector {
 
   private val threshold = 1e-7
+
+  override def contextRows: Int = windowSize + 2 // gradient lag/lead + frame + dilation
 
   override protected def detectImpl(df: DataFrame, spec: SeriesSpec): DataFrame = {
     val (gF, gB, mF, mB) = ("__cg_fwd", "__cg_bwd", "__cg_mask_fwd", "__cg_mask_bwd")

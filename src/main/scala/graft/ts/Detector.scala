@@ -40,6 +40,14 @@ trait Detector extends Serializable {
 
   protected def fitImpl(df: DataFrame, spec: SeriesSpec): Detector = this
 
+  /** Maximum rows of neighbor context `detectImpl` reads on either side
+    * of a row (row-bounded window lookback/lookahead, including any
+    * mask dilation). 0 = pure per-row; -1 = unbounded (an unchunkable
+    * whole-series recursion). Over-approximating is safe; understating
+    * breaks [[ChunkedDetect]]'s mask equality. Conservative default: -1.
+    */
+  def contextRows: Int = -1
+
   /** Schema validation mirroring `base.py:74-80`; throws
     * [[WrongInputDataTypeError]] like the reference's validate.
     */

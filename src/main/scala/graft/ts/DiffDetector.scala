@@ -18,6 +18,8 @@ final case class DiffDetector(
 
   Directions.check(direction)
 
+  override def contextRows: Int = 1 // lag(1)
+
   override protected def detectImpl(df: DataFrame, spec: SeriesSpec): DataFrame = {
     val v = TsOps.cleanValue(spec)
     val d = v - lag(v, 1).over(spec.w)

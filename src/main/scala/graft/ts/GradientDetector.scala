@@ -19,6 +19,8 @@ final case class GradientDetector(
 
   Directions.check(direction)
 
+  override def contextRows: Int = 1 // lag(1) value + ts
+
   override protected def detectImpl(df: DataFrame, spec: SeriesSpec): DataFrame = {
     val g = TsOps.gradient(spec)
     val cond = direction match {

@@ -31,6 +31,8 @@ final case class HampelDetector(
   if (threshold < 0) throw new InvalidArgumentError("threshold", "positive")
   require(impl == "native" || impl == "builtin", s"unknown impl: $impl")
 
+  override def contextRows: Int = windowSize // [t-ws, t+ws-1] frame + edge rule
+
   override protected def detectImpl(df: DataFrame, spec: SeriesSpec): DataFrame = {
     val ws = windowSize
     val frame = spec.w.rowsBetween(-ws.toLong, (ws - 1).toLong)

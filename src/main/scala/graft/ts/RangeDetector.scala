@@ -20,6 +20,8 @@ final case class RangeDetector(
   require(quantiles._1 >= 0.0 && quantiles._1 <= 1.0, "quantiles must be in [0, 1]")
   require(quantiles._2 >= 0.0 && quantiles._2 <= 1.0, "quantiles must be in [0, 1]")
 
+  override def contextRows: Int = 0 // pure per-row compare
+
   override protected def detectImpl(df: DataFrame, spec: SeriesSpec): DataFrame = {
     val v = TsOps.cleanValue(spec)
     df.withColumn(spec.flag,

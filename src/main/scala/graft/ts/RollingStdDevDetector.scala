@@ -19,6 +19,8 @@ final case class RollingStdDevDetector(
     maxStd: Double = Double.PositiveInfinity,
     center: Boolean = true) extends Detector {
 
+  override def contextRows: Int = windowSize // centered/trailing w-row frame
+
   override protected def detectImpl(df: DataFrame, spec: SeriesSpec): DataFrame = {
     val v = TsOps.cleanValue(spec)
     val frame =

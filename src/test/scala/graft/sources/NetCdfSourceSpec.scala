@@ -128,6 +128,28 @@ class NetCdfSourceSpec extends SparkSpecBase {
     assert(rows.map(_.getDouble(2)).toSeq == Seq(15.0, 15.5, -2.0, 16.5))
   }
 
+  test("unsupported HDF5 features fail loudly with a feature-naming message") {
+    // the documented Hdf5Mini limits (v2 B-tree internal nodes,
+    // multi-level fractal heaps, szip, exotic superblocks) must throw a
+    // clear error, never silently mis-decode. Cheapest trigger: an HDF5
+    // file whose superblock advertises a version the reader doesn't
+    // implement — flip the version byte of the real CMEMS fixture.
+    import java.nio.file.{Files, Paths}
+    val bytes = Files.readAllBytes(Paths.get(fixture))
+    val mutated = bytes.clone()
+    mutated(8) = 9 // superblock version byte (after the 8-byte signature)
+    val tmp = Files.createTempFile("graft_bad_superblock", ".nc")
+    Files.write(tmp, mutated)
+    val e = intercept[Exception] {
+      NetCDF.read(spark, tmp.toString, valueVars = Seq("TEMP")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("superblock v9")),
+      s"expected a clear superblock-version error, got: ${messages(e).mkString(" | ")}")
+    Files.delete(tmp)
+  }
+
   test("readMany distributes parsing per file and tags series ids") {
     val df = NetCDF.readMany(spark, fixture, valueVars = Seq("PSAL"))
     val sids = df.select("series_id").distinct().collect().map(_.getString(0))
