@@ -80,6 +80,18 @@ object DetectorQueries {
         DiffDetector(120.0),
         HampelDetector(5, 3.0))).detect(ev(s, dir), spec))),
 
+    // the same ensemble through the skew-mitigated chunked evaluator —
+    // the driver holds it to the IDENTICAL oracle as det_combined, so
+    // chunk-boundary frame relay, positional edge rules, and the
+    // validation fallback (random event cadence makes some chunks thin
+    // ⇒ both the chunked and fallback paths execute) are all hash-pinned
+    "det_combined_chunked" -> ((s, dir) =>
+      out(ChunkedDetect.detect(CombinedDetector(Seq(
+        RangeDetector(5.0, 175.0),
+        DiffDetector(120.0),
+        HampelDetector(5, 3.0))), ev(s, dir), spec,
+        bucketSeconds = 600000L, marginSeconds = 300000L))),
+
     // Per-series fit (scale generalization): each user_id learns its own
     // thresholds from its even-event_id half, scored over everything.
     "det_range_fit_series" -> ((s, dir) => {
@@ -112,7 +124,7 @@ object DetectorQueries {
           col("n"), col("avg_value"), col("min_value"), col("max_value")))
   )
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "det_ewma" ->
       s"""WITH s AS (SELECT user_id, event_id, value,
                 list(value) OVER ($W
@@ -285,4 +297,9 @@ object DetectorQueries {
               ORDER BY e.ts, e.event_id)) > f.md, false) AS is_anomaly
           FROM events e LEFT JOIN f USING (user_id)"""
   )
+
+  // chunked evaluation is an execution strategy, not a semantics change:
+  // det_combined_chunked is held to det_combined's oracle, VERBATIM
+  val oracle: Map[String, String] =
+    oracleBase + ("det_combined_chunked" -> oracleBase("det_combined"))
 }
