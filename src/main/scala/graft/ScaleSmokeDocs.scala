@@ -129,12 +129,18 @@ object ScaleSmokeDocs {
     vstage("ann_lsh_multiprobe")(
       Similarity.lshBucketedTopK(vecs, vecs.filter(col("vec_id") < 1000),
         5, nPlanes = 8, dim = 64, probes = 2).count())
-    // banded near-dup pairs over the full corpus: 8 tables × 16 planes —
-    // random pairs collide with P ≈ 8/2^16 (candidates linear-ish in n),
-    // planted ~0.994-cosine dups are found with P ≈ 0.999
+    // banded near-dup pairs over the full corpus: random pairs collide
+    // with P ≈ L/2^b per pair, i.e. an n²·L/2^b candidate component —
+    // so b (planes per table) must GROW with log2(n) to hold the verify
+    // join linear. b = log2(n)+4 keeps expected random candidates at
+    // ~n·L/16 while planted ~0.999-cosine dups still collide in ≥1 of 8
+    // tables with P > 0.999 (per-plane agreement ≈ 0.986 ⇒ 0.986^b ≈
+    // 0.7 at n=1M ⇒ 1-(1-0.7)^8 ≈ 0.9997).
+    val planesB = math.max(16,
+      (math.log(nVec.toDouble) / math.log(2.0)).ceil.toInt + 4)
     val t0 = System.nanoTime()
     val cosFound = Similarity.cosineNearDupPairs(vecs, threshold = 0.98,
-      tables = 8, planesPerTable = 16).count()
+      tables = 8, planesPerTable = planesB).count()
     val cosSec = (System.nanoTime() - t0) / 1e9
     val plantedV = (nVec + 98) / 100
     println(f"[docs-scale] cosine_pairs_banded   $cosSec%8.2fs  rows=$cosFound " +

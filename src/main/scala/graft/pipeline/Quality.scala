@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextOps._
+
+/** Corpus-quality operators beyond the per-doc ratios of p9: repetition
+  * signals (the Gopher/RefinedWeb-style filters that catch boilerplate
+  * and degenerate generations) and PII scrubbing. All explode + hash
+  * aggregate / codegen'd regex shapes — linear, shuffle-on-doc-id,
+  * no UDFs — with exactly-equivalent DuckDB oracle forms
+  * (PipelineQueries p19/p20).
+  */
+object Quality {
+
+  /** All word n-grams WITH multiplicity (contrast [[Dedup.shingles]],
+    * which is distinct-set semantics for Jaccard) — frequency signals
+    * need the duplicates.
+    */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(d => element_at(toks, i + d)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-document repetition signals (public filter thresholds from the
+    * Gopher appendix / RefinedWeb pipeline):
+    *
+    *   - `max_word_frac`: occurrences of the most frequent word /
+    *     total words — catches `foo foo foo ...` degeneracy;
+    *   - `top_bigram_frac`: occurrences of the most frequent 2-gram /
+    *     total 2-grams — catches looping phrases;
+    *   - `dup_trigram_frac`: fraction of 3-gram instances that are
+    *     repeats of an earlier 3-gram (1 − distinct/total) — catches
+    *     paragraph-level copy loops.
+    *
+    * Docs with no tokens (or too few for an n-gram) report 0.0. Three
+    * explode + hash-aggregate passes, joined back on doc id; ratios
+    * rounded to 6 dp for oracle parity.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // persisted: three explodes consume the token relation; without the
+    // barrier each re-tokenizes from raw text (the CollapseProject /
+    // no-CSE-in-lambdas trap documented in Dedup)
+    val toks = docs.select(col(idCol).as("doc"), tokens(col(textCol)).as("__toks"))
+      .persist()
+    def freqStats(grams: Column, outMax: String, outTot: String, outDist: String) =
+      toks.select(col("doc"), explode(grams).as("g"))
+        .groupBy("doc", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc").agg(
+          max(col("c")).as(outMax),
+          sum(col("c")).as(outTot),
+          count(lit(1)).as(outDist))
+    val words = freqStats(col("__toks"), "w_max", "w_tot", "w_dist")
+    val bi = freqStats(ngrams(col("__toks"), 2), "b_max", "b_tot", "b_dist")
+    val tri = freqStats(ngrams(col("__toks"), 3), "t_max", "t_tot", "t_dist")
+    docs.select(col(idCol).as("doc"))
+      .join(words, Seq("doc"), "left")
+      .join(bi, Seq("doc"), "left")
+      .join(tri, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        ratio(col("w_max"), col("w_tot")).as("max_word_frac"),
+        ratio(col("b_max"), col("b_tot")).as("top_bigram_frac"),
+        ratio(col("t_tot") - col("t_dist"), col("t_tot")).as("dup_trigram_frac"))
+  }
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII scrub: count and redact emails, IPv4 addresses and
+    * NNN-NNN-NNNN phone numbers. The three patterns use only regex
+    * constructs with identical semantics in Java regex (Spark) and RE2
+    * (DuckDB): character classes, bounded repetition, `\b`. Email is
+    * redacted FIRST so its domain can never be half-eaten by the IP
+    * pass. Pure codegen'd regexp expressions — one projection, no
+    * shuffle at all.
+    */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "[EMAIL]"),
+          Ipv4Re, "[IP]"),
+        PhoneRe, "[PHONE]").as("text_redacted"))
+  }
+}

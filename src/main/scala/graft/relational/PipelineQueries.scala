@@ -170,7 +170,22 @@ object PipelineQueries {
           concat(col("text"), lit("\nshared cookie banner accept all\nDOC-"),
             col("doc_id").cast("string")).as("text")),
         "doc_id", "text", maxLineDf = 10, n = 3, k = 32, bands = 8,
-        threshold = 0.4))
+        threshold = 0.4)),
+
+    // Gopher/RefinedWeb repetition signals (degenerate-text filters)
+    "p19_text_repetition" -> ((s, dir) =>
+      Quality.repetitionSignals(docs(s, dir), "doc_id", "text")),
+
+    // PII scrub over a corpus with one planted email/IP/phone per doc
+    // (the synthetic corpus carries none; the oracle mirrors the plant)
+    "p20_pii_scrub" -> ((s, dir) =>
+      Quality.piiScrub(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com from 10.1."),
+            (col("doc_id") % 256).cast("string"),
+            lit(".7 call 555-123-4567")).as("text")),
+        "doc_id", "text"))
   )
 
   // shared CTE chain producing minhash-LSH candidate pairs `j(doc_a,
@@ -454,6 +469,50 @@ object PipelineQueries {
              doomed AS (SELECT doc FROM clusters WHERE doc <> cluster_id)
          SELECT doc_id, text FROM dd
          WHERE doc_id NOT IN (SELECT doc FROM doomed)""",
+
+    "p19_text_repetition" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+             w AS (SELECT doc_id, unnest(toks) AS g FROM d),
+             wc AS (SELECT doc_id, g, count(*) AS c FROM w GROUP BY 1, 2),
+             ws AS (SELECT doc_id, max(c) AS w_max, sum(c) AS w_tot FROM wc GROUP BY 1),
+             b AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+                     THEN list_transform(generate_series(1, len(toks) - 1),
+                          i -> array_to_string(toks[i:i+1], ' '))
+                     ELSE [] END) AS g FROM d),
+             bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+             bs AS (SELECT doc_id, max(c) AS b_max, sum(c) AS b_tot FROM bc GROUP BY 1),
+             t AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+                     THEN list_transform(generate_series(1, len(toks) - 2),
+                          i -> array_to_string(toks[i:i+2], ' '))
+                     ELSE [] END) AS g FROM d),
+             tc AS (SELECT doc_id, g, count(*) AS c FROM t GROUP BY 1, 2),
+             ts AS (SELECT doc_id, sum(c) AS t_tot, count(*) AS t_dist FROM tc GROUP BY 1)
+         SELECT d0.doc_id,
+           coalesce(round(w_max * 1.0 / nullif(w_tot, 0), 6), 0.0) AS max_word_frac,
+           coalesce(round(b_max * 1.0 / nullif(b_tot, 0), 6), 0.0) AS top_bigram_frac,
+           coalesce(round((t_tot - t_dist) * 1.0 / nullif(t_tot, 0), 6), 0.0) AS dup_trigram_frac
+         FROM (SELECT doc_id FROM documents) d0
+         LEFT JOIN ws USING (doc_id)
+         LEFT JOIN bs USING (doc_id)
+         LEFT JOIN ts USING (doc_id)""",
+
+    "p20_pii_scrub" ->
+      raw"""WITH d AS (SELECT doc_id,
+                text || ' contact user' || doc_id::VARCHAR || '@example.com from 10.1.' ||
+                (doc_id % 256)::VARCHAR || '.7 call 555-123-4567' AS text
+              FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS text_redacted
+         FROM d""",
 
     "p12_multimodal_decode" ->
       """SELECT doc_id,

@@ -365,6 +365,37 @@ class PipelineSpec extends SparkSpecBase {
     assert(frames.filter(size(col("sampled_frames")) < 1).count() == 0)
   }
 
+  test("repetition signals: degenerate docs score high, diverse docs low, empties zero") {
+    val d = docsOf(
+      (1L, "spam spam spam spam spam spam"),           // one word only
+      (2L, "buy now buy now buy now buy now"),          // looping bigram
+      (3L, "each word here appears exactly once today"),
+      (4L, ""))                                         // no tokens
+    val out = Quality.repetitionSignals(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L)._1 == 1.0)     // max_word_frac: single repeated word
+    assert(out(1L)._3 == 0.75)    // 4 trigram instances, 1 distinct → 3/4
+    assert(out(2L)._2 >= 0.5, s"looping bigram frac ${out(2L)._2}")
+    assert(out(3L)._1 < 0.2 && out(3L)._3 == 0.0)
+    assert(out(4L) == ((0.0, 0.0, 0.0)))
+  }
+
+  test("PII scrub counts and redacts emails/IPs/phones; clean text untouched") {
+    val d = docsOf(
+      (1L, "mail a.b-c_1@sub.example.org and root@x.io now"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255 up"),
+      (3L, "call 555-123-4567 maybe"),
+      (4L, "no pii here at all"))
+    val out = Quality.piiScrub(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._4 == "mail [EMAIL] and [EMAIL] now")
+    assert(out(2L)._2 == 2 && out(2L)._4 == "server at [IP] and [IP] up")
+    assert(out(3L)._3 == 1 && out(3L)._4 == "call [PHONE] maybe")
+    assert(out(4L) == ((0L, 0L, 0L, "no pii here at all")))
+  }
+
   test("langid marker scoring picks a language deterministically") {
     val d = docsOf(
       (1L, "the cat and the dog of a house"),
