@@ -41,11 +41,21 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(nCols <= 8, s"scan reads $nCols columns — pruning regressed:\n$readSchema")
   }
 
-  test("every detector query plan is cartesian-free and UDF-free") {
-    for ((name, fn) <- graft.SparkEntry.queries if name.startsWith("det_")) {
+  test("EVERY query plan is cartesian-free and UDF-free (sweep)") {
+    // p6 is the brute-force ANN baseline: a deliberate broadcast
+    // theta-join (every query × every corpus vector) kept as the exact
+    // recall reference — the scale paths are p7/p15/p5
+    val intentionalThetaJoins = Set("p6_ann_topk")
+    // p13 attaches a ONE-ROW aggregate (the corpus count for IDF) via
+    // crossJoin(broadcast(...)) — a BroadcastNestedLoopJoin whose build
+    // side is a single row is O(n·1), the canonical lazy scalar attach
+    val scalarAttachJoins = Set("p13_text_tfidf")
+    for ((name, fn) <- graft.SparkEntry.queries
+         if !intentionalThetaJoins(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct") &&
-        !plan.contains("BroadcastNestedLoopJoin"), s"$name has an O(n²) join")
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
+      assert(scalarAttachJoins(name) || !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name has an O(n²) join")
       assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
         s"$name fell out of codegen into a UDF")
     }

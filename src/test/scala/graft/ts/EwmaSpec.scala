@@ -49,4 +49,44 @@ class EwmaSpec extends SparkSpecBase {
     val d = EwmaDetector(0.25, 4.5)
     assert(DetectorIO.fromJsonString(DetectorIO.toJsonString(d)) == d)
   }
+
+  test("segmented-scan detectChunked matches the sequential scan") {
+    // single unnamed series (the repartition(1) case detectChunked
+    // exists to kill): golden walk fixture, several chunk widths so
+    // boundaries land on nulls, spikes and quiet stretches
+    val g = loadGolden("walk")
+    val df = seriesDf(g)
+    val det = EwmaDetector(0.3, 5.0)
+    val want = maskOf(det.detect(df))
+    for (bucketHours <- Seq(5, 24, 1000)) {
+      val got = maskOf(det.detectChunked(df, SeriesSpec(), bucketHours * 3600L))
+      assert(got == want, s"chunked EWMA diverged at bucket ${bucketHours}h")
+    }
+    // multi-series: per-series state isolation survives chunking
+    val stacked = stackedDf(Seq(loadGolden("range_normal"), loadGolden("walk")))
+    val spec = SeriesSpec(seriesId = Seq("sid"))
+    val outC = det.detectChunked(stacked, spec, 24 * 3600L)
+    for (n <- Seq("range_normal", "walk")) {
+      val single = maskOf(det.detect(stacked.filter(col("sid") === n), spec))
+      assert(maskOf(outC.filter(col("sid") === n)) == single, n)
+    }
+    // a 50k-row series crossing ~20 chunk boundaries with nulls: flag
+    // SETS must agree (entry states may drift by ulps — the documented
+    // contract — but these thresholds sit far from any |x-ewma| value)
+    import spark.implicits._
+    val big = (0 until 50000).map { i =>
+      val v: java.lang.Double =
+        if (i % 997 == 0) null
+        else if (i % 500 == 13) 60.0 + i % 7
+        else math.sin(i / 30.0) * 10
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1500000000L + i * 60L)), v)
+    }.toDF("ts", "value")
+    val seqFlags = det.detect(big).filter(col("is_anomaly"))
+      .select("ts").collect().map(_.getTimestamp(0)).toSet
+    val chFlags = det.detectChunked(big, SeriesSpec(), 50 * 3600L)
+      .filter(col("is_anomaly")).select("ts").collect().map(_.getTimestamp(0)).toSet
+    assert(seqFlags.nonEmpty)
+    assert(chFlags == seqFlags,
+      s"diff=${(chFlags -- seqFlags) ++ (seqFlags -- chFlags)}")
+  }
 }
