@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.ts.SparkSpecBase
+
+/** The DSv2 `netcdf` format: schema inference, decode parity with the
+  * imperative reader, and — the point of the exercise — column pruning
+  * reaching the scan as variable selection.
+  */
+class NetCdfV2Spec extends SparkSpecBase {
+
+  val fixture = "/root/reference/tests/data/BO_TS_MO_FINO2.nc"
+
+  test("format(netcdf) infers the wide schema and decodes the CMEMS fixture") {
+    val df = spark.read.format("netcdf").load(fixture)
+    val cols = df.columns.toSeq
+    assert(cols.take(3) == Seq("file", "ts", "level"))
+    assert(cols.contains("TEMP") && cols.contains("TEMP_qc"))
+    assert(cols.contains("PSAL") && cols.contains("PSAL_qc"))
+    // 34797 time steps × 10 depth levels, every variable on one row
+    assert(df.count() == 347970L)
+    // decode parity with the imperative reader on TEMP level 0
+    val v1 = NetCDF.read(spark, fixture, valueVars = Seq("TEMP"))
+      .filter(col("series_id") === "TEMP:0")
+      .select(col("ts"), col("value"), col("qc"))
+    val v2 = df.filter(col("level") === 0)
+      .select(col("ts"), col("TEMP").as("value"), col("TEMP_qc").as("qc"))
+    assert(v1.exceptAll(v2).count() == 0 && v2.exceptAll(v1).count() == 0)
+  }
+
+  test("column pruning reaches the scan as variable selection") {
+    val df = spark.read.format("netcdf").load(fixture)
+      .select("ts", "TEMP")
+    val plan = df.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("BatchScan"))
+      .getOrElse(fail(s"no BatchScan in plan:\n$plan"))
+    assert(scanLine.contains("TEMP"), s"TEMP missing from scan:\n$scanLine")
+    assert(!scanLine.contains("PSAL"),
+      s"PSAL not pruned from the scan — variable pushdown regressed:\n$scanLine")
+    // and the pruned read still decodes correct values
+    val first = df.orderBy("ts").limit(1).collect()(0)
+    assert(first.getTimestamp(0).toInstant.toString == "2015-10-01T00:00:00Z")
+    assert(math.abs(first.getDouble(1) - 15.68) < 1e-5)
+  }
+
+  test("QC-filtered detector workflow runs on the v2 frame") {
+    import graft.ts._
+    val df = spark.read.format("netcdf").load(fixture)
+      .filter(col("level") === 0)
+      .select(col("ts"), col("TEMP").as("value"), col("TEMP_qc"))
+    val spec = SeriesSpec()
+    val fitted = RangeDetector().fit(df.filter(col("TEMP_qc") === 1), spec)
+    val flagged = fitted.detect(df, spec).filter(col("is_anomaly"))
+    assert(flagged.filter(col("TEMP_qc") === 1).count() == 0)
+  }
+}
