@@ -43,6 +43,30 @@ class NetCdfV2Spec extends SparkSpecBase {
     assert(math.abs(first.getDouble(1) - 15.68) < 1e-5)
   }
 
+  test("netCDF-3 classic container reads through the same format") {
+    val path = getClass.getResource("/golden/classic_fixture.nc").getPath
+    val df = spark.read.format("netcdf").load(path)
+    assert(df.columns.toSeq == Seq("file", "ts", "level", "TEMP", "TEMP_qc"))
+    assert(df.count() == 10) // 5 records × 2 depth levels
+    val r0 = df.filter(col("level") === 0).orderBy("ts").collect()
+    assert(r0(0).getTimestamp(1).toInstant.toString == "2020-01-01T00:00:00Z")
+    assert(math.abs(r0(0).getDouble(3) - 15.5) < 1e-9)
+    assert(r0(1).isNullAt(3) && r0(1).getInt(4) == 9) // fill → null
+  }
+
+  test("directory load fans out one partition per file with per-file tags") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("ncv2")
+    for (n <- Seq("station_a", "station_b"))
+      Files.copy(Paths.get(fixture), dir.resolve(s"$n.nc"),
+        StandardCopyOption.REPLACE_EXISTING)
+    val df = spark.read.format("netcdf").load(dir.toString)
+    assert(df.rdd.getNumPartitions == 2)
+    val tags = df.select("file").distinct().collect().map(_.getString(0)).toSet
+    assert(tags == Set("station_a", "station_b"))
+    assert(df.count() == 2 * 347970L)
+  }
+
   test("QC-filtered detector workflow runs on the v2 frame") {
     import graft.ts._
     val df = spark.read.format("netcdf").load(fixture)
