@@ -67,21 +67,43 @@ private[sources] class NetCdfTable(tableSchema: StructType, paths: Seq[String],
 }
 
 private[sources] class NetCdfScanBuilder(full: StructType, paths: Seq[String],
-    timeVar: String) extends ScanBuilder with SupportsPushDownRequiredColumns {
+    timeVar: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = full
+  private var filePredicates: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new NetCdfScan(required, paths, timeVar)
+  /** FILE PRUNING: predicates on the `file` column (equality, IN,
+    * prefix) skip whole input files at planning time — querying one
+    * station out of a 10k-file archive opens ONE file. The accepted
+    * filters are reported as pushed (they show on the scan's explain
+    * line) but are ALSO returned as residual, so Spark re-applies them
+    * per row — partition pruning is an optimization, never the
+    * correctness boundary.
+    */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]):
+      Array[org.apache.spark.sql.sources.Filter] = {
+    filePredicates = filters.filter(NetCdfV2.isFileFilter)
+    filters // everything stays post-scan evaluated
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    filePredicates
+  override def build(): Scan =
+    new NetCdfScan(required, paths, timeVar, filePredicates)
 }
 
 private[sources] case class NetCdfInputPartition(path: String) extends InputPartition
 
 private[sources] class NetCdfScan(required: StructType, paths: Seq[String],
-    timeVar: String) extends Scan with Batch {
+    timeVar: String,
+    filePredicates: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    paths.map(NetCdfInputPartition.apply).toArray
+    paths.filter(p => NetCdfV2.keepFile(p, filePredicates))
+      .map(NetCdfInputPartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory = {
     // snapshot the driver's Hadoop conf into a plain serializable map —
     // executors reconstruct it (SparkSession.active does not exist there)
@@ -169,6 +191,32 @@ private[sources] object NetCdfV2 {
     rd.names.toSeq.sorted.filter(n =>
       n != timeVar && !n.endsWith("_QC") &&
         rd.dims(n).nonEmpty && rd.dims(n).head == nTime)
+  }
+
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In, StringStartsWith}
+
+  /** Filters usable for file-level partition pruning. */
+  def isFileFilter(f: Filter): Boolean = f match {
+    case EqualTo("file", _: String) => true
+    case In("file", _) => true
+    case StringStartsWith("file", _) => true
+    case _ => false
+  }
+
+  /** The `file` column value a path produces. */
+  def fileTagOf(path: String): String = path.split('/').last.stripSuffix(".nc")
+
+  /** Conservative file-keep decision: a file survives unless a pushed
+    * predicate PROVABLY excludes its tag.
+    */
+  def keepFile(path: String, predicates: Array[Filter]): Boolean = {
+    val tag = fileTagOf(path)
+    predicates.forall {
+      case EqualTo("file", v: String) => tag == v
+      case In("file", vs) => vs.exists(_ == tag)
+      case StringStartsWith("file", p) => tag.startsWith(p)
+      case _ => true
+    }
   }
 
   /** Expand `path`/`paths` options through the Hadoop filesystem (globs
