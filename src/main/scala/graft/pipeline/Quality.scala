@@ -74,19 +74,20 @@ object Quality {
     * constructs with identical semantics in Java regex (Spark) and RE2
     * (DuckDB): character classes, bounded repetition, `\b`. Email is
     * redacted FIRST so its domain can never be half-eaten by the IP
-    * pass. Pure codegen'd regexp expressions — one projection, no
-    * shuffle at all.
+    * pass, and each count is taken on the text as it stood ENTERING
+    * that stage — so `n_X` always equals the number of `[X]` tokens in
+    * `text_redacted` (an overlapping match like `1.2.3.4@example.com`
+    * counts once, as the email that consumed it). Pure codegen'd
+    * regexp expressions — one projection, no shuffle at all.
     */
   def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
+    val afterEmail = regexp_replace(t, EmailRe, "[EMAIL]")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "[IP]")
     docs.select(col(idCol),
       size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
-      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
-      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(t, EmailRe, "[EMAIL]"),
-          Ipv4Re, "[IP]"),
-        PhoneRe, "[PHONE]").as("text_redacted"))
+      size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(afterIp, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      regexp_replace(afterIp, PhoneRe, "[PHONE]").as("text_redacted"))
   }
 }

@@ -193,24 +193,28 @@ object Similarity {
     * now get LSH-approximate results; use [[cosineNearDupPairsExact]]
     * for the old exact behavior.
     *
-    * `dim` defaults to -1 = derive from the first corpus vector (one
-    * cheap `take(1)` job). Whether passed or derived, EVERY vector is
-    * checked against it at runtime — a mismatched vector throws
-    * (see [[graft.functions.HyperplaneBuckets]]) instead of being
-    * silently truncated/padded, which would void the recall guarantee.
+    * `dim` defaults to -1 = derive from the first NON-NULL corpus
+    * vector (one cheap `take(1)` job). Whether passed or derived, EVERY
+    * vector is checked against it at runtime — a mismatched vector
+    * throws (see [[graft.functions.HyperplaneBuckets]]) instead of
+    * being silently truncated/padded, which would void the recall
+    * guarantee. Rows whose embedding is NULL are excluded from pairing
+    * entirely (a missing vector can be a near-duplicate of nothing);
+    * an all-null or empty corpus yields the empty pair frame.
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       tables: Int = 16, planesPerTable: Int = 8, dim: Int = -1): DataFrame = {
+    val nonNull = corpus.filter(col(vecCol).isNotNull)
     val d =
       if (dim > 0) dim
-      else corpus.select(size(col(vecCol))).take(1) match {
+      else nonNull.select(size(col(vecCol))).take(1) match {
         case Array(r) => r.getInt(0)
-        case _ => // empty corpus: no pairs, schema preserved from idCol
+        case _ => // empty / all-null corpus: no pairs, schema preserved
           return corpus.select(col(idCol).as("vec_a"), col(idCol).as("vec_b"),
             lit(0.0).as("sim")).limit(0)
       }
-    val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val v = nonNull.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .persist() // (id, vec, norm) — reused by the banding and both verify sides
     val banded = v.select(col("id"),

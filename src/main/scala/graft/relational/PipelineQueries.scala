@@ -496,23 +496,29 @@ object PipelineQueries {
          LEFT JOIN bs USING (doc_id)
          LEFT JOIN ts USING (doc_id)""",
 
+    // counts are stage-by-stage on the progressively redacted text, so
+    // n_X always equals the number of [X] tokens in text_redacted
     "p20_pii_scrub" ->
       raw"""WITH d AS (SELECT doc_id,
                 text || ' contact user' || doc_id::VARCHAR || '@example.com from 10.1.' ||
                 (doc_id % 256)::VARCHAR || '.7 call 555-123-4567' AS text
-              FROM documents)
+              FROM documents),
+            r1 AS (SELECT doc_id, text, regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+              FROM d),
+            r2 AS (SELECT doc_id, text, t1, regexp_replace(t1,
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS t2
+              FROM r1)
          SELECT doc_id,
            CAST(len(regexp_extract_all(text,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-           CAST(len(regexp_extract_all(text,
+           CAST(len(regexp_extract_all(t1,
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
-           CAST(len(regexp_extract_all(text,
+           CAST(len(regexp_extract_all(t2,
              '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
-           regexp_replace(regexp_replace(regexp_replace(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+           regexp_replace(t2,
              '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS text_redacted
-         FROM d""",
+         FROM r2""",
 
     "p12_multimodal_decode" ->
       """SELECT doc_id,

@@ -23,7 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * ...)` — one value column per data variable of the FIRST file (a
   * variable whose leading dimension is the time dimension), plus a
   * `<VAR>_qc` column when the file carries a `<VAR>_QC` flag channel.
-  * 1-D (time-only) variables repeat their value across levels.
+  * 1-D (time-only) variables repeat their value across levels; a
+  * multi-level variable with fewer levels than the file's deepest one
+  * is NULL beyond its own depth, and a schema variable missing from a
+  * later file of a multi-file load null-fills its column for that file.
   *
   * Why DSv2 rather than the `binaryFile`+flatMap of [[NetCDF.readMany]]:
   * COLUMN PRUNING BECOMES VARIABLE SELECTION. The scan builder
@@ -235,7 +238,9 @@ private[sources] object NetCdfV2 {
           .filter(_.getPath.getName.endsWith(".nc"))
         else fs.globStatus(hp).toSeq
       require(statuses != null && statuses.nonEmpty, s"no netcdf files at $p")
-      statuses.map(_.getPath.toString)
+      // sorted so schema inference (first file wins) is deterministic —
+      // FileSystem.listStatus order is filesystem-dependent
+      statuses.map(_.getPath.toString).sorted
     }
   }
 
@@ -244,8 +249,12 @@ private[sources] object NetCdfV2 {
     val fs = hp.getFileSystem(conf)
     val in = fs.open(hp)
     try {
-      val len = fs.getFileStatus(hp).getLen.toInt
-      val buf = new Array[Byte](len)
+      val len = fs.getFileStatus(hp).getLen
+      // toInt on a >=2GiB length would go negative (NegativeArraySize) and
+      // a >=4GiB one would wrap positive, silently truncating the buffer
+      require(len <= Int.MaxValue,
+        s"netcdf file $path is $len bytes — larger than the 2GiB single-buffer limit")
+      val buf = new Array[Byte](len.toInt)
       in.readFully(0, buf)
       buf
     } finally in.close()
@@ -270,58 +279,72 @@ private[sources] object NetCdfV2 {
 
   /** Decode one file, reading ONLY the datasets backing `required`
     * columns, emitting catalyst rows in `required` field order.
+    *
+    * Heterogeneous shapes are handled conservatively — never fabricate:
+    *  - a multi-level variable (nl > 1) is NULL for `lvl >= nl`; only
+    *    1-D (time-only) variables repeat their value across levels
+    *  - a schema variable absent from THIS file (multi-file loads infer
+    *    schema from the first file only) null-fills its column
+    *  - a file without the time variable fails loudly, naming both
     */
   def decodePruned(bytes: Array[Byte], path: String, required: StructType,
       timeVar: String): Iterator[InternalRow] = {
     val rd = open(bytes)
+    require(rd.names.contains(timeVar),
+      s"netcdf file $path has no time variable '$timeVar' (vars: ${rd.names.toSeq.sorted.mkString(",")})")
     val nT = rd.dims(timeVar).head.toInt
     // level count spans ALL data vars so row shape is pruning-invariant
     val levels = dataVars(rd, timeVar)
       .map(n => if (rd.dims(n).length > 1) rd.dims(n)(1).toInt else 1)
       .foldLeft(1)(math.max)
-    val needTs = required.fieldNames.contains("ts")
     val tsMicros: Array[Long] =
-      if (!needTs) Array.emptyLongArray
+      if (!required.fieldNames.contains("ts")) Array.emptyLongArray
       else {
         val units = rd.meta(timeVar)._4.getOrElse("seconds since 1970-01-01")
         val (epochMicros, unitMicros) = NetCDF.parseTimeUnits(units)
         rd.vals(timeVar).map(t => epochMicros + (t * unitMicros).round)
       }
-    // decode exactly the needed datasets — this loop is the pushdown
-    val varData = required.fieldNames.collect {
-      case f if f != "file" && f != "ts" && f != "level" && !f.endsWith("_qc") =>
-        val (fill, scale, off, _) = rd.meta(f)
-        val d = rd.dims(f)
-        f -> ((if (d.length > 1) d(1).toInt else 1), rd.vals(f), fill, scale, off)
-    }.toMap
-    val qcData = required.fieldNames.collect {
-      case f if f.endsWith("_qc") =>
-        val src = f.stripSuffix("_qc") + "_QC"
-        val d = rd.dims(src)
-        f -> ((if (d.length > 1) d(1).toInt else 1), rd.vals(src))
-    }.toMap
-    val fileTag = UTF8String.fromString(path.split('/').last.stripSuffix(".nc"))
-    val fields = required.fields
-    (0 until nT).iterator.flatMap { i =>
-      (0 until levels).iterator.map { lvl =>
-        val out = new Array[Any](fields.length)
-        var j = 0
-        while (j < fields.length) {
-          out(j) = fields(j).name match {
-            case "file" => fileTag
-            case "ts" => tsMicros(i)
-            case "level" => lvl
-            case f if f.endsWith("_qc") =>
-              val (nl, vals) = qcData(f)
-              vals(i * nl + math.min(lvl, nl - 1)).toInt
-            case f =>
-              val (nl, vals, fill, scale, off) = varData(f)
-              val raw = vals(i * nl + math.min(lvl, nl - 1))
+    val fileTag = UTF8String.fromString(fileTagOf(path))
+    val absent = (_: Int, _: Int) => null: Any
+    // one extractor per required field, bound once per file — the
+    // dataset decodes inside these bindings ARE the column pushdown
+    val extract: Array[(Int, Int) => Any] = required.fields.map { fld =>
+      fld.name match {
+        case "file" => (_: Int, _: Int) => fileTag: Any
+        case "ts" => (i: Int, _: Int) => tsMicros(i): Any
+        case "level" => (_: Int, lvl: Int) => lvl: Any
+        case f if f.endsWith("_qc") =>
+          val src = f.stripSuffix("_qc") + "_QC"
+          if (!rd.names.contains(src)) absent
+          else {
+            val d = rd.dims(src)
+            val nl = if (d.length > 1) d(1).toInt else 1
+            val vals = rd.vals(src)
+            if (nl == 1) (i: Int, _: Int) => Int.box(vals(i).toInt): Any
+            else (i: Int, lvl: Int) =>
+              (if (lvl >= nl) null else Int.box(vals(i * nl + lvl).toInt)): Any
+          }
+        case f =>
+          if (!rd.names.contains(f)) absent
+          else {
+            val (fill, scale, off, _) = rd.meta(f)
+            val d = rd.dims(f)
+            val nl = if (d.length > 1) d(1).toInt else 1
+            val vals = rd.vals(f)
+            def decode(raw: Double): Any =
               if (fill.contains(raw) || raw.isNaN) null
               else Double.box(raw * scale + off)
+            if (nl == 1) (i: Int, _: Int) => decode(vals(i))
+            else (i: Int, lvl: Int) =>
+              if (lvl >= nl) null else decode(vals(i * nl + lvl))
           }
-          j += 1
-        }
+      }
+    }
+    (0 until nT).iterator.flatMap { i =>
+      (0 until levels).iterator.map { lvl =>
+        val out = new Array[Any](extract.length)
+        var j = 0
+        while (j < extract.length) { out(j) = extract(j)(i, lvl); j += 1 }
         new GenericInternalRow(out): InternalRow
       }
     }

@@ -396,6 +396,38 @@ class PipelineSpec extends SparkSpecBase {
     assert(out(4L) == ((0L, 0L, 0L, "no pii here at all")))
   }
 
+  test("PII scrub counts agree with redaction on overlapping matches") {
+    // the email consumes the would-be IP: it must count as 1 email,
+    // 0 IPs — counts always match the [X] tokens in text_redacted
+    val d = docsOf(
+      (1L, "ping 1.2.3.4@example.com done"),
+      (2L, "at 1.2.3.4 mail 1.2.3.4@example.com"))
+    val out = Quality.piiScrub(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((1L, 0L, 0L, "ping [EMAIL] done")))
+    assert(out(2L) == ((1L, 1L, 0L, "at [IP] mail [EMAIL]")))
+  }
+
+  test("cosineNearDupPairs skips null embeddings and derives dim past them") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Double] =
+      Array.tabulate(16)(d => math.sin(seed * 31 + d).abs + 0.1)
+    // first row's embedding is null — dim derivation must look past it
+    // instead of NPEing, and the null row must pair with nothing
+    val rows = Seq((9L, null.asInstanceOf[Array[Double]]),
+      (1L, vec(1)), (2L, vec(1).updated(0, vec(1)(0) + 0.001)), (3L, vec(7)))
+    val pairs = Similarity.cosineNearDupPairs(
+        rows.toDF("vec_id", "embedding"), 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"planted pair missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 9L || p._2 == 9L))
+    // all-null corpus: empty pair frame, not a failure
+    val allNull = Seq((1L, null.asInstanceOf[Array[Double]]))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.cosineNearDupPairs(allNull, 0.5).count() == 0)
+  }
+
   test("langid marker scoring picks a language deterministically") {
     val d = docsOf(
       (1L, "the cat and the dog of a house"),

@@ -67,6 +67,54 @@ class NetCdfV2Spec extends SparkSpecBase {
     assert(df.count() == 2 * 347970L)
   }
 
+  test("mixed level counts: shallower variables are null beyond their depth") {
+    val path = getClass.getResource("/golden/mixed_levels.nc").getPath
+    val df = spark.read.format("netcdf").load(path)
+    assert(df.columns.toSeq ==
+      Seq("file", "ts", "level", "AIRT", "PSAL", "PSAL_qc", "TEMP"))
+    // TEMP has 3 levels -> file level count 3; 4 records x 3 levels
+    assert(df.count() == 12)
+    val rows = df.orderBy("ts", "level").collect()
+    // PSAL (2 levels) must be NULL at level 2 — not a repeat of level 1
+    val lvl2 = rows.filter(_.getInt(2) == 2)
+    assert(lvl2.forall(_.isNullAt(4)), "PSAL fabricated beyond its depth")
+    assert(lvl2.forall(_.isNullAt(5)), "PSAL_qc fabricated beyond its depth")
+    // TEMP genuinely has a level 2: first three records decode there
+    assert(lvl2.take(3).forall(r => !r.isNullAt(6)))
+    assert(math.abs(lvl2(0).getDouble(6) - 13.5) < 1e-9)
+    // ...while real PSAL levels decode with CF scaling (3500 * 0.01)
+    assert(math.abs(rows(0).getDouble(4) - 35.0) < 1e-9)
+    assert(rows(0).getInt(5) == 1)
+    // 1-D AIRT repeats across all levels (documented nl == 1 behavior)
+    assert(rows.take(3).forall(r => math.abs(r.getDouble(3) - 10.0) < 1e-9))
+    // _FillValue still maps to null inside a variable's real depth
+    val t2l0 = rows.filter(r => r.getInt(2) == 0)(2) // 3rd record, level 0
+    assert(t2l0.isNullAt(4)) // PSAL fill at record 2 level 0
+    val t3l2 = rows.filter(r => r.getInt(2) == 2)(3) // 4th record, level 2
+    assert(t3l2.isNullAt(6)) // TEMP fill at record 3 level 2
+  }
+
+  test("multi-file load null-fills variables missing from a later file") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("ncv2het")
+    Files.copy(Paths.get(getClass.getResource("/golden/classic_fixture.nc").getPath),
+      dir.resolve("a_classic.nc"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(getClass.getResource("/golden/mixed_levels.nc").getPath),
+      dir.resolve("b_mixed.nc"), StandardCopyOption.REPLACE_EXISTING)
+    // schema comes from a_classic: (file, ts, level, TEMP, TEMP_qc);
+    // b_mixed has TEMP but no TEMP_QC -> its TEMP_qc rows are null,
+    // instead of the pre-fix executor NoSuchElementException
+    val df = spark.read.format("netcdf").load(dir.toString)
+    assert(df.columns.toSeq == Seq("file", "ts", "level", "TEMP", "TEMP_qc"))
+    assert(df.count() == 5 * 2 + 4 * 3)
+    val mixed = df.filter(col("file") === "b_mixed")
+    assert(mixed.count() == 12)
+    assert(mixed.filter(col("TEMP_qc").isNotNull).count() == 0)
+    assert(mixed.filter(col("TEMP").isNotNull).count() == 11) // one fill
+    val classic = df.filter(col("file") === "a_classic")
+    assert(classic.filter(col("TEMP_qc").isNotNull).count() == 10)
+  }
+
   test("QC-filtered detector workflow runs on the v2 frame") {
     import graft.ts._
     val df = spark.read.format("netcdf").load(fixture)
