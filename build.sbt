@@ -26,5 +26,17 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Fixed, pre-touched heap: G1's default grow-and-uncommit behavior
+  // re-faults heap pages all run long, and on an aged host those
+  // first-touch faults arrive as multi-second whole-JVM stall windows
+  // (reproduced with a constant job: median 0.99s with 3-7s spikes →
+  // flat 0.46s with Xms=Xmx + AlwaysPreTouch). The one-time pre-touch
+  // (~45s for 16g) happens at JVM start, outside any timed region —
+  // exactly how a real executor would be sized (fixed heap per host).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+AlwaysPreTouch",
 )
+// escape hatch for GC logging / tuning experiments without editing the build
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(
+  _.split(" ").filter(_.nonEmpty))

@@ -279,6 +279,26 @@ object RelationalQueries {
         .groupBy("user_id", "sess")
         .agg(count(lit(1)).as("n_events"),
           ((max(us) - min(us)) / lit(1000000.0)).as("duration_sec"))
+    }),
+
+    // ---- as-of join (merge_asof): each click joined to the user's most
+    // recent purchase at-or-before it. Union + one windowed scan — one
+    // Exchange, one Sort, NO join node (see AsOf scaladoc); the oracle is
+    // an independent formulation (LATERAL top-1), so parity checks the
+    // semantics, not the plan.
+    "q26_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      AsOf.join(clicks, purchases, keys = Seq("user_id"), tsCol = "ts",
+          rightId = "event_id", rightVals = Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"),
+          col("event_id_r").as("purchase_id"),
+          unix_micros(col("ts_r")).as("purchase_ts_us"),
+          col("value_r").as("purchase_value"))
     })
   )
 
@@ -474,6 +494,22 @@ object RelationalQueries {
            FROM b)
          SELECT user_id, sess, count(*) AS n_events,
            (max(us) - min(us)) / 1000000.0 AS duration_sec
-         FROM s GROUP BY user_id, sess"""
+         FROM s GROUP BY user_id, sess""",
+
+    // independent formulation (top-1 LATERAL per click, ties broken by
+    // event_id DESC) of the engine's union+window as-of join
+    "q26_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts, value FROM events
+                    WHERE event_type = 'click'),
+            p AS (SELECT event_id, user_id, ts, value FROM events
+                    WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, c.value,
+           m.event_id AS purchase_id,
+           epoch_us(m.ts) AS purchase_ts_us,
+           m.value AS purchase_value
+         FROM c LEFT JOIN LATERAL (
+           SELECT p.event_id, p.ts, p.value FROM p
+           WHERE p.user_id = c.user_id AND p.ts <= c.ts
+           ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) m ON true"""
   )
 }
