@@ -121,7 +121,18 @@ object DetectorQueries {
           min("value").as("min_value"),
           max("value").as("max_value"))
         .select(col("user_id"), unix_micros(col("w.start")).as("bucket_us"),
-          col("n"), col("avg_value"), col("min_value"), col("max_value")))
+          col("n"), col("avg_value"), col("min_value"), col("max_value"))),
+
+    // Linear gap interpolation: 'error' events stand in for QC-masked
+    // readings (deterministic nulls), filled between non-null neighbors
+    // unless they bracket more than 24h (a real outage stays null).
+    "det_interpolate" -> ((s, dir) => {
+      val masked = ev(s, dir).withColumn("value",
+        when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+      Interpolate.linear(masked, spec, maxGapSeconds = Some(86400.0))
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 6).as("value"), col("interpolated"))
+    })
   )
 
   private val oracleBase: Map[String, String] = Map(
@@ -286,6 +297,31 @@ object DetectorQueries {
           min(value) AS min_value,
           max(value) AS max_value
           FROM events GROUP BY user_id, time_bucket(INTERVAL 1 HOUR, ts)""",
+
+    "det_interpolate" ->
+      s"""WITH m AS (SELECT user_id, event_id, ts,
+                CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+              FROM events),
+            b AS (SELECT user_id, event_id, value,
+                CAST(epoch_us(ts) AS DOUBLE) AS t,
+                last_value(value IGNORE NULLS) OVER ($W
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS v0,
+                last_value(CASE WHEN value IS NOT NULL
+                    THEN CAST(epoch_us(ts) AS DOUBLE) END IGNORE NULLS) OVER ($W
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t0,
+                first_value(value IGNORE NULLS) OVER ($W
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS v1,
+                first_value(CASE WHEN value IS NOT NULL
+                    THEN CAST(epoch_us(ts) AS DOUBLE) END IGNORE NULLS) OVER ($W
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS t1
+              FROM m)
+          SELECT user_id, event_id,
+            round(CASE WHEN value IS NOT NULL THEN value
+              WHEN v0 IS NOT NULL AND v1 IS NOT NULL AND (t1 - t0) <= 86400 * 1e6
+              THEN v0 + (v1 - v0) * (t - t0) / (t1 - t0) END, 6) AS value,
+            (value IS NULL AND v0 IS NOT NULL AND v1 IS NOT NULL
+              AND (t1 - t0) <= 86400 * 1e6) AS interpolated
+          FROM b""",
 
     "det_diff_fit_series" ->
       s"""WITH t AS (SELECT user_id, value,

@@ -243,6 +243,45 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("asOfStream matches batch AsOf.join backward across micro-batches") {
+    import spark.implicits._
+    import StreamingAsOf._
+    implicit val sqlCtx = spark.sqlContext
+    // left events (clicks) and right updates (quotes) on two keys,
+    // including an equal-ts tie and a key with no right rows
+    def L(k: String, i: Int) = AsOfInput(k, ts(i), isRight = false, null, null)
+    def R(k: String, i: Int, id: Long, v: Double) =
+      AsOfInput(k, ts(i), isRight = true, id, v)
+    val rows = Seq(
+      R("a", 0, 1L, 10.0), R("a", 0, 2L, 11.0), // same-ts dup: max id wins
+      L("a", 1), R("a", 2, 3L, 12.0), L("a", 2), // tie: inclusive
+      L("b", 0),                                  // no right state yet
+      R("b", 3, 4L, 20.0), L("b", 5))
+    // batch reference on the same data through the batch operator
+    val lhs = rows.filter(!_.isRight).map(r => (r.key, r.ts))
+      .toDF("key", "ts")
+    val rhs = rows.filter(_.isRight)
+      .map(r => (r.key, r.ts, r.rid.longValue, r.value.doubleValue))
+      .toDF("key", "ts", "rid", "value")
+    val want = graft.relational.AsOf.join(lhs, rhs, Seq("key"), "ts",
+        rightId = "rid", rightVals = Seq("value"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)) ->
+        ((Option(r.get(3)), Option(r.get(4))))).toMap
+    val mem = MemoryStream[AsOfInput]
+    val q = asOfStream(mem.toDS()).writeStream
+      .format("memory").queryName("asof_out").outputMode("append").start()
+    try {
+      mem.addData(rows.take(5)); q.processAllAvailable()
+      mem.addData(rows.drop(5)); q.processAllAvailable()
+      val got = spark.table("asof_out").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1)) ->
+          ((Option(r.get(3)), Option(r.get(4))))).toMap
+      assert(got == want, s"stream $got\nbatch $want")
+      // and the no-state left row really is an unmatched emit
+      assert(got(("b", ts(0))) == ((None, None)))
+    } finally q.stop()
+  }
+
   test("rangeStream is the stateless batch expression on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
