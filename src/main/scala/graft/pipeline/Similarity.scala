@@ -112,6 +112,66 @@ object Similarity {
       (band, bucket) => struct(band.as("band"), bucket.as("bucket")))
   }
 
+  /** Symmetric per-vector int8 quantization: scale = max|v_i|/127,
+    * code_i = clamp(floor(v_i/scale + 0.5), ±127) as TINYINT. Returns
+    * `struct(q: array<tinyint>, scale: double)`.
+    *
+    * THE SCALE STORY: an int8 code array is 8× smaller than the double
+    * vectors the exact path shuffles and 4× smaller than float32
+    * storage — at 100 TB the candidate scan is memory-bandwidth-bound,
+    * so the quantized representation is what you keep hot (and what
+    * crosses the wire in a shuffle); full-precision vectors are fetched
+    * only for the rescore candidates. Cosine needs no dequantization at
+    * all: per-vector linear scaling cancels in the ratio.
+    *
+    * `floor(x + 0.5)` rather than half-even/half-up rounding: floor is
+    * IEEE-exact and identical across engines, so quantized results stay
+    * hash-reproducible against the SQL oracle.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    val s = greatest(aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x))),
+      lit(1e-30)) / 127.0
+    struct(
+      transform(v, x =>
+        greatest(lit(-127.0), least(lit(127.0), floor(x / s + 0.5)))
+          .cast("tinyint")).as("q"),
+      s.as("scale"))
+  }
+
+  /** Two-stage quantized ANN: (1) brute-force cosine over the INT8
+    * codes picks `m` candidates per query; (2) candidates are rescored
+    * with the exact double cosine and cut to top-k. Deterministic end
+    * to end (id tie-breaks at both stages), so unlike LSH/IVF this
+    * approximate path is oracle-checkable — and with m ≳ 2k the int8
+    * stage's ~1e-2 similarity error virtually never evicts a true
+    * top-k neighbor (recall floor asserted in PipelineSpec).
+    */
+  def quantizedRescoreTopK(corpus: DataFrame, queries: DataFrame,
+      k: Int, m: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def prep(df: DataFrame, id: String, vec: String, code: String) =
+      df.select(col(idCol).as(id), asDouble(col(vecCol)).as(vec),
+          quantizeInt8(col(vecCol)).getField("q").cast("array<double>").as(code))
+        .withColumn(vec + "_n", sqrt(dot(col(vec), col(vec))))
+        .withColumn(code + "_n", sqrt(dot(col(code), col(code))))
+    val q = broadcast(prep(queries, "query_id", "qv", "qq"))
+    val c = prep(corpus, "neighbor_id", "cv", "cq")
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("qsim").desc, col("neighbor_id"))
+    val wx = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("qsim", dot(col("qq"), col("cq")) / (col("qq_n") * col("cq_n")))
+      .withColumn("crnk", row_number().over(wq))
+      .filter(col("crnk") <= m)
+      .withColumn("sim", round(dot(col("qv"), col("cv")) / (col("qv_n") * col("cv_n")), 6))
+      .withColumn("rnk", row_number().over(wx).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rnk"))
+  }
+
   /** IVF (inverted-file) ANN index: a k-means coarse quantizer assigns
     * every corpus vector to its nearest centroid list; queries probe only
     * the `nProbe` nearest lists. Complements the hyperplane-LSH path:

@@ -61,6 +61,12 @@ object PipelineQueries {
         emb(s, dir), emb(s, dir).filter(col("vec_id") < 50),
         k = 3, nPlanes = 4, dim = 64)),
 
+    // int8-quantized candidate scan + exact rescore — deterministic,
+    // so unlike p7/p15 this approximate path IS oracle-checked
+    "p21_ann_quantized" -> ((s, dir) =>
+      Similarity.quantizedRescoreTopK(
+        emb(s, dir), emb(s, dir).filter(col("vec_id") < 20), k = 5, m = 10)),
+
     "p8_text_tokens" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -317,6 +323,38 @@ object PipelineQueries {
                    FROM s)
          SELECT query_id, neighbor_id, round(sim, 6) AS sim, rnk
          FROM r WHERE rnk <= 5""",
+
+    // mirrors quantizeInt8 + quantizedRescoreTopK exactly: same
+    // floor(x/s + 0.5) codes, same int8-cosine candidate cut at m=10,
+    // same exact-cosine rescore to k=5
+    "p21_ann_quantized" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             z AS (SELECT vec_id, v,
+                     greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0 AS s
+                   FROM e),
+             c AS (SELECT vec_id, v,
+                     list_transform(v, x ->
+                       greatest(-127.0, least(127.0, floor(x / s + 0.5)))) AS q
+                   FROM z),
+             qs AS (SELECT vec_id AS query_id, v AS qv, q AS qc FROM c
+                    WHERE vec_id < 20),
+             s1 AS (SELECT query_id, n.vec_id AS neighbor_id, qv, n.v AS cv,
+                      list_dot_product(qc, n.q) /
+                        (sqrt(list_dot_product(qc, qc)) *
+                         sqrt(list_dot_product(n.q, n.q))) AS qsim
+                    FROM qs JOIN c n ON n.vec_id <> query_id),
+             s2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY qsim DESC, neighbor_id) AS crnk FROM s1),
+             s3 AS (SELECT query_id, neighbor_id,
+                      round(list_dot_product(qv, cv) /
+                        (sqrt(list_dot_product(qv, qv)) *
+                         sqrt(list_dot_product(cv, cv))), 6) AS sim
+                    FROM s2 WHERE crnk <= 10),
+             r AS (SELECT query_id, neighbor_id, sim,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+                   FROM s3)
+         SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 5""",
 
     "p8_text_tokens" ->
       s"""SELECT doc_id,

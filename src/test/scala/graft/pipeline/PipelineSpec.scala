@@ -428,6 +428,21 @@ class PipelineSpec extends SparkSpecBase {
     assert(Similarity.cosineNearDupPairs(allNull, 0.5).count() == 0)
   }
 
+  test("quantized-rescore ANN: int8 stage keeps the true top-k, output sims exact") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val quant = Similarity.quantizedRescoreTopK(emb, queries, k = 5, m = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(quant.size == brute.size)
+    // the rescore emits EXACT cosines, so overlapping pairs agree exactly
+    val shared = quant.keySet intersect brute.keySet
+    assert(shared.forall(k => quant(k) == brute(k)))
+    // int8 candidate error must not evict true neighbors: recall >= 0.95
+    val recall = shared.size.toDouble / brute.size
+    assert(recall >= 0.95, s"quantized recall $recall")
+  }
+
   test("langid marker scoring picks a language deterministically") {
     val d = docsOf(
       (1L, "the cat and the dog of a house"),
