@@ -117,6 +117,25 @@ object ScaleSmoke {
       s"chunked skew mask diverged: $chunkedChecksum != $skewedChecksum")
     println(s"[scale] chunked skew check: masks bit-identical to unchunked " +
       s"(checksum $chunkedChecksum)")
+
+    // ---- round-4 operators at the same scale: gap interpolation over
+    // the ~0.1% injected nulls (same one-window-group shape as a
+    // detector) and as-of enrichment of every reading with its series'
+    // latest calibration record (~1 right row per series per 1000 min;
+    // union + one windowed scan — the whole point is that 100M left
+    // rows cost ONE shuffle, not a per-key range probe)
+    stage("interpolate")(Interpolate.linear(df, spec)
+      .filter(col("interpolated")).count())
+    val calib = spark.range(numSeries * 100).select(
+      (col("id") % numSeries).as("series_id"),
+      timestamp_micros(lit(1700000000000000L) +
+        (col("id") / lit(numSeries)).cast("long") * 60000000000L).as("ts"),
+      col("id").as("cal_id"),
+      (abs(hash(col("id"))) % 1000 / lit(1000.0)).as("cal_offset"))
+    stage("asof_calibration")(graft.relational.AsOf.join(
+        df, calib, keys = Seq("series_id"), tsCol = "ts",
+        rightId = "cal_id", rightVals = Seq("cal_offset"))
+      .filter(col("cal_offset_r").isNotNull).count())
     spark.stop()
   }
 }

@@ -26,11 +26,15 @@ import org.apache.spark.sql.functions._
   *  - an `interpolated` flag marks filled rows, mirroring the CMEMS
   *    flag-8 convention.
   *
-  * Execution shape: two `last/first(_, ignoreNulls)` window sweeps over
-  * the standard per-series (partition, order) — the SAME single
-  * Exchange + Sort every detector shares (Catalyst reuses one window
-  * group for all four carried values), so adding interpolation in
-  * front of a detector ensemble costs no extra shuffle.
+  * Execution shape: ONE Exchange on the series key, then two sorted
+  * window sweeps — ascending for the previous non-null, DESCENDING for
+  * the next one. The descending pass exists because Spark evaluates a
+  * `(1, unboundedFollowing)` shrinking frame by re-scanning the tail
+  * for every row — O(rows²) per series, measured 0.67M rows/s at the
+  * 100M-row smoke — while "next non-null" restated as "previous
+  * non-null over reverse order" is an UnboundedPreceding growing frame
+  * Spark maintains incrementally. The second Sort shares the same hash
+  * partitioning, so no extra shuffle (plan-asserted).
   */
 object Interpolate {
 
@@ -38,12 +42,16 @@ object Interpolate {
       maxGapSeconds: Option[Double] = None): DataFrame = {
     val v = col(spec.value)
     val tsUs = unix_micros(col(spec.ts)).cast("double")
+    val pDesc =
+      if (spec.seriesId.isEmpty) Window.partitionBy()
+      else Window.partitionBy(spec.seriesId.map(col): _*)
+    val wDesc = pDesc.orderBy(spec.orderBy.map(c => col(c).desc): _*)
     val before = spec.w.rowsBetween(Window.unboundedPreceding, -1)
-    val after = spec.w.rowsBetween(1, Window.unboundedFollowing)
+    val after = wDesc.rowsBetween(Window.unboundedPreceding, -1)
     val v0 = last(v, ignoreNulls = true).over(before)
     val t0 = last(when(v.isNotNull, tsUs), ignoreNulls = true).over(before)
-    val v1 = first(v, ignoreNulls = true).over(after)
-    val t1 = first(when(v.isNotNull, tsUs), ignoreNulls = true).over(after)
+    val v1 = last(v, ignoreNulls = true).over(after)
+    val t1 = last(when(v.isNotNull, tsUs), ignoreNulls = true).over(after)
     val gapOk = maxGapSeconds match {
       case Some(g) => (t1 - t0) <= g * 1e6
       case None => lit(true)
