@@ -125,6 +125,19 @@ object PipelineQueries {
       Multimodal.decodeFeatures(
         Multimodal.attachMedia(docs(s, dir), "doc_id", "text"))),
 
+    // resize + frame-sample planning over the decoded metadata, exploded
+    // to one row per sampled frame so the hash compare sees scalars
+    "p22_multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSamplePlan(
+          Multimodal.resizePlan(
+            Multimodal.decodeFeatures(
+              Multimodal.attachMedia(docs(s, dir), "doc_id", "text")),
+            maxSide = 256),
+          maxFrames = 8)
+        .select(col("doc_id"), col("out_width"), col("out_height"),
+          round(col("scale"), 6).as("scale"),
+          explode(col("sampled_frames")).as("frame_no"))),
+
     "p13_text_tfidf" -> ((s, dir) =>
       TfIdf.topTerms(docs(s, dir), "doc_id", "text", k = 3)),
 
@@ -557,6 +570,32 @@ object PipelineQueries {
            regexp_replace(t2,
              '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS text_redacted
          FROM r2""",
+
+    // mirrors resizePlan + frameSamplePlan over the same md5-derived
+    // decode stub as p12
+    "p22_multimodal_frames" ->
+      """WITH m AS (SELECT doc_id,
+             1 + ('0x' || substr(md5(text), 1, 12))::BIGINT % 512 AS width,
+             1 + ('0x' || substr(md5(text), 13, 12))::BIGINT % 512 AS height,
+             1 + ('0x' || substr(md5(text), 17, 12))::BIGINT % 32 AS n_frames
+           FROM documents),
+           r AS (SELECT doc_id, width, height, n_frames,
+             CASE WHEN greatest(width, height) <= 256 THEN 1.0
+                  ELSE 256.0 / greatest(width, height) END AS scale
+           FROM m),
+           f AS (SELECT doc_id,
+             CAST(ceil(width * scale) AS BIGINT) AS out_width,
+             CAST(ceil(height * scale) AS BIGINT) AS out_height,
+             round(scale, 6) AS scale,
+             CASE WHEN n_frames <= 8
+                  THEN list_transform(range(0, n_frames::INT), x -> x::BIGINT)
+                  ELSE list_transform(range(0, 8),
+                         i -> CAST(floor(i * n_frames / 8.0) AS BIGINT))
+             END AS frames
+           FROM r)
+         SELECT doc_id, out_width, out_height, scale,
+           unnest(frames) AS frame_no
+         FROM f""",
 
     "p12_multimodal_decode" ->
       """SELECT doc_id,
