@@ -281,6 +281,30 @@ object RelationalQueries {
           ((max(us) - min(us)) / lit(1000000.0)).as("duration_sec"))
     }),
 
+    // ---- pivot: event counts per user spread across event-type columns
+    // (the DataFrame pivot operator; fixed value list so the schema is
+    // static and the oracle is a plain CASE aggregation)
+    "q27_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "error", "signup"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("user_id"), col("click").as("n_click"),
+          col("view").as("n_view"), col("purchase").as("n_purchase"),
+          col("error").as("n_error"), col("signup").as("n_signup"))),
+
+    // ---- correlated scalar subquery: customers above their own
+    // nation's average balance (decorrelates to an aggregate + join)
+    "q28_subquery" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.createOrReplaceTempView("customer_sq")
+      s.sql("""SELECT c_custkey, c_name, round(c_acctbal, 4) AS bal
+               FROM customer_sq o
+               WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_sq i
+                                  WHERE i.c_nationkey = o.c_nationkey)""")
+    }),
+
     // ---- as-of join (merge_asof): each click joined to the user's most
     // recent purchase at-or-before it. Union + one windowed scan — one
     // Exchange, one Sort, NO join node (see AsOf scaladoc); the oracle is
@@ -495,6 +519,21 @@ object RelationalQueries {
          SELECT user_id, sess, count(*) AS n_events,
            (max(us) - min(us)) / 1000000.0 AS duration_sec
          FROM s GROUP BY user_id, sess""",
+
+    "q27_pivot" ->
+      """SELECT user_id,
+         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+         CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+         CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+         CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup
+         FROM events GROUP BY user_id""",
+
+    "q28_subquery" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 4) AS bal
+         FROM customer o
+         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer i
+                            WHERE i.c_nationkey = o.c_nationkey)""",
 
     // independent formulation (top-1 LATERAL per click, ties broken by
     // event_id DESC) of the engine's union+window as-of join
