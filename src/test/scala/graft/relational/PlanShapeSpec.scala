@@ -44,8 +44,10 @@ class PlanShapeSpec extends SparkSpecBase {
   test("EVERY query plan is cartesian-free and UDF-free (sweep)") {
     // p6 is the brute-force ANN baseline: a deliberate broadcast
     // theta-join (every query × every corpus vector) kept as the exact
-    // recall reference — the scale paths are p7/p15/p5
-    val intentionalThetaJoins = Set("p6_ann_topk")
+    // recall reference — the scale paths are p7/p15/p5; p21's candidate
+    // stage is the same deliberate exhaustive scan, over 8x-smaller
+    // int8 codes (its scale variant is IVF/LSH + quantized lists)
+    val intentionalThetaJoins = Set("p6_ann_topk", "p21_ann_quantized")
     // p13 attaches a ONE-ROW aggregate (the corpus count for IDF) via
     // crossJoin(broadcast(...)) — a BroadcastNestedLoopJoin whose build
     // side is a single row is O(n·1), the canonical lazy scalar attach
