@@ -123,6 +123,21 @@ object DetectorQueries {
         .select(col("user_id"), unix_micros(col("w.start")).as("bucket_us"),
           col("n"), col("avg_value"), col("min_value"), col("max_value"))),
 
+    // OHLC-style resampling: first/last by (ts, event_id) plus min/max
+    // per 6h bucket — deterministic open/close via the struct-min trick
+    // (one hash aggregate, no window pass at all)
+    "det_resample_ohlc" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(col("user_id"), window(col("ts"), "6 hours").as("w"))
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("open"),
+          max("value").as("high"), min("value").as("low"),
+          max(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value").as("close"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("bucket_us"),
+          col("open"), col("high"), col("low"), col("close"))),
+
     // Linear gap interpolation: 'error' events stand in for QC-masked
     // readings (deterministic nulls), filled between non-null neighbors
     // unless they bracket more than 24h (a real outage stays null).
@@ -297,6 +312,23 @@ object DetectorQueries {
           min(value) AS min_value,
           max(value) AS max_value
           FROM events GROUP BY user_id, time_bucket(INTERVAL 1 HOUR, ts)""",
+
+    "det_resample_ohlc" ->
+      s"""WITH b AS (SELECT user_id,
+                epoch_us(time_bucket(INTERVAL 6 HOUR, ts)) AS bucket_us,
+                ts, event_id, value
+              FROM events),
+            w AS (SELECT *,
+                row_number() OVER (PARTITION BY user_id, bucket_us
+                  ORDER BY ts, event_id) AS ra,
+                row_number() OVER (PARTITION BY user_id, bucket_us
+                  ORDER BY ts DESC, event_id DESC) AS rd
+              FROM b)
+          SELECT user_id, bucket_us,
+            max(CASE WHEN ra = 1 THEN value END) AS open,
+            max(value) AS high, min(value) AS low,
+            max(CASE WHEN rd = 1 THEN value END) AS close
+          FROM w GROUP BY user_id, bucket_us""",
 
     "det_interpolate" ->
       s"""WITH m AS (SELECT user_id, event_id, ts,

@@ -294,6 +294,14 @@ object RelationalQueries {
           col("view").as("n_view"), col("purchase").as("n_purchase"),
           col("error").as("n_error"), col("signup").as("n_signup"))),
 
+    // ---- unpivot (melt): the pivot's inverse — customer measure
+    // columns stacked into (measure, val) rows via the stack() generator
+    "q29_unpivot" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          expr("stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE))")
+            .as(Seq("measure", "val")))),
+
     // ---- correlated scalar subquery: customers above their own
     // nation's average balance (decorrelates to an aggregate + join)
     "q28_subquery" -> ((s, dir) => {
@@ -534,6 +542,12 @@ object RelationalQueries {
          FROM customer o
          WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer i
                             WHERE i.c_nationkey = o.c_nationkey)""",
+
+    "q29_unpivot" ->
+      """SELECT c_custkey, 'acctbal' AS measure, c_acctbal AS val FROM customer
+         UNION ALL
+         SELECT c_custkey, 'nationkey' AS measure, CAST(c_nationkey AS DOUBLE) AS val
+         FROM customer""",
 
     // independent formulation (top-1 LATERAL per click, ties broken by
     // event_id DESC) of the engine's union+window as-of join

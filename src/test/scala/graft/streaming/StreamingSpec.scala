@@ -282,6 +282,44 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("interpolateStream matches batch Interpolate.linear incl. maxGap and edges") {
+    import spark.implicits._
+    import StreamingInterpolate._
+    implicit val sqlCtx = spark.sqlContext
+    // leading null, interior single + double null runs, trailing null,
+    // and a wide (3h) gap that a 2h maxGap must refuse to fill
+    def E(k: String, i: Int, v: java.lang.Double) = StreamEvent(k, ts(i), v, eos = false)
+    val pts = Seq(
+      E("a", 0, null), E("a", 1, 10.0), E("a", 2, null), E("a", 3, 16.0),
+      E("a", 4, null), E("a", 5, null), E("a", 6, 22.0), E("a", 7, null),
+      E("b", 0, 5.0), E("b", 3, null), E("b", 6, 11.0)) // 3h gap
+    val eos = Seq(StreamEvent("a", ts(23), null, eos = true),
+      StreamEvent("b", ts(23), null, eos = true))
+    val maxGapUs = Some(2L * 3600 * 1000000)
+    val batchWant = graft.ts.Interpolate.linear(
+        pts.map(p => (p.series_id, p.ts, p.value)).toDF("series_id", "ts", "value"),
+        graft.ts.SeriesSpec(seriesId = Seq("series_id")),
+        maxGapSeconds = Some(2.0 * 3600))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)) ->
+        ((Option(r.get(2)), r.getBoolean(3)))).toMap
+    val mem = MemoryStream[StreamEvent]
+    val q = interpolateStream(mem.toDS(), maxGapUs).writeStream
+      .format("memory").queryName("interp_out").outputMode("append").start()
+    try {
+      mem.addData(pts.take(5)); q.processAllAvailable()
+      mem.addData(pts.drop(5) ++ eos); q.processAllAvailable()
+      val got = spark.table("interp_out").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1)) ->
+          ((Option(r.get(2)), r.getBoolean(3)))).toMap
+      assert(got == batchWant, s"stream $got\nbatch $batchWant")
+      // sanity on the interesting rows
+      assert(got(("a", ts(2)))._1 == Some(13.0)) // midpoint of 10→16
+      assert(got(("b", ts(3)))._1 == None)       // 3h bracket > 2h maxGap
+      assert(got(("a", ts(0))) == ((None, false)))
+      assert(got(("a", ts(7))) == ((None, false)))
+    } finally q.stop()
+  }
+
   test("rangeStream is the stateless batch expression on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
