@@ -151,11 +151,17 @@ object Similarity {
       k: Int, m: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the candidate kernel runs on the raw byte codes via the native
+    // [[graft.functions.DotProductBytes]] LONG-accumulating expression —
+    // no per-pair cast of the code array to array<double>. Integer dot
+    // of |codes| ≤ 127 is exact in both long and double, so qsim is
+    // bit-identical to the SQL oracle's list_dot_product on the codes.
+    def dotB(a: Column, b: Column): Column = graft.functions.DotProductBytes(a, b)
     def prep(df: DataFrame, id: String, vec: String, code: String) =
       df.select(col(idCol).as(id), asDouble(col(vecCol)).as(vec),
-          quantizeInt8(col(vecCol)).getField("q").cast("array<double>").as(code))
+          quantizeInt8(col(vecCol)).getField("q").as(code))
         .withColumn(vec + "_n", sqrt(dot(col(vec), col(vec))))
-        .withColumn(code + "_n", sqrt(dot(col(code), col(code))))
+        .withColumn(code + "_n", sqrt(dotB(col(code), col(code)).cast("double")))
     val q = broadcast(prep(queries, "query_id", "qv", "qq"))
     val c = prep(corpus, "neighbor_id", "cv", "cq")
     val wq = Window.partitionBy("query_id")
@@ -163,7 +169,8 @@ object Similarity {
     val wx = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("qsim", dot(col("qq"), col("cq")) / (col("qq_n") * col("cq_n")))
+      .withColumn("qsim",
+        dotB(col("qq"), col("cq")).cast("double") / (col("qq_n") * col("cq_n")))
       .withColumn("crnk", row_number().over(wq))
       .filter(col("crnk") <= m)
       .withColumn("sim", round(dot(col("qv"), col("cv")) / (col("qv_n") * col("cv_n")), 6))
