@@ -145,6 +145,12 @@ object ScaleSmokeDocs {
     val plantedV = (nVec + 98) / 100
     println(f"[docs-scale] cosine_pairs_banded   $cosSec%8.2fs  rows=$cosFound " +
       f"recall=${cosFound * 100.0 / plantedV}%.1f%% of $plantedV planted")
+    // int8-quantized candidate scan + exact rescore vs the double
+    // brute force above — same 100 queries; the quantized kernel
+    // (DotProductBytes over array<tinyint>) reads 8× less per pair
+    vstage(s"ann_quantized_100q")(
+      Similarity.quantizedRescoreTopK(vecs, vecs.filter(col("vec_id") < 100),
+        k = 5, m = 15).count())
     spark.stop()
   }
 }

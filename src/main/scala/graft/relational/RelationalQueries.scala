@@ -294,6 +294,24 @@ object RelationalQueries {
           col("view").as("n_view"), col("purchase").as("n_purchase"),
           col("error").as("n_error"), col("signup").as("n_signup"))),
 
+    // ---- time-RANGE window frame: each event's trailing-24h moving
+    // average per user — a RANGE (value-based) frame over event-time
+    // micros, not a ROWS frame; rows with equal ordering values share
+    // one frame, so the result is order-insensitive and oracle-exact
+    "q30_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val us = unix_micros(col("ts"))
+      val w = Window.partitionBy("user_id").orderBy(us)
+        .rangeBetween(-86400L * 1000000L, 0L)
+      // decimal window sum: tied ordering values make the in-frame
+      // float summation order engine-dependent (moneySum discipline)
+      t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        sum(round(col("value"), 4).cast("decimal(28,4)")).over(w)
+          .cast("double").as("sum_24h"),
+        count(lit(1)).over(w).as("n_24h"))
+    }),
+
     // ---- unpivot (melt): the pivot's inverse — customer measure
     // columns stacked into (measure, val) rows via the stack() generator
     "q29_unpivot" -> ((s, dir) =>
@@ -548,6 +566,14 @@ object RelationalQueries {
          UNION ALL
          SELECT c_custkey, 'nationkey' AS measure, CAST(c_nationkey AS DOUBLE) AS val
          FROM customer""",
+
+    "q30_range_frame" ->
+      """SELECT user_id, event_id,
+         CAST(sum(CAST(round(value, 4) AS DECIMAL(28,4))) OVER w AS DOUBLE) AS sum_24h,
+         CAST(count(*) OVER w AS BIGINT) AS n_24h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""",
 
     // independent formulation (top-1 LATERAL per click, ties broken by
     // event_id DESC) of the engine's union+window as-of join
