@@ -343,6 +343,77 @@ object Dedup {
       }: _*)
   }
 
+  // ---- duplicated-span removal ----------------------------------------
+
+  /** Exact duplicated-substring removal (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" technique, restated as
+    * Spark relational algebra instead of a suffix array): every duplicated
+    * span of `k` consecutive whitespace tokens is removed from all but its
+    * first occurrence — first = smallest `(doc id, position)` — and the
+    * surviving tokens are reassembled in order. Word case is preserved
+    * (dedup keys are case-sensitive; unlike [[minhashLshPairs]] this
+    * operator rewrites text, so it must not normalize what it keeps).
+    *
+    * Plan shape (all linear, all key-hashed):
+    *   1. one pass emits `(doc, pos, gram-hash)` for every k-token window
+    *      — O(tokens) rows, the 60-bit hash instead of the k-word string
+    *      keeps shuffle rows small;
+    *   2. `row_number() OVER (PARTITION BY gram ORDER BY doc, pos)` marks
+    *      every occurrence after the first — one shuffle on the gram hash;
+    *   3. marked occurrences explode to their covered positions (k rows
+    *      each — duplicated text only), positions union via `distinct`;
+    *   4. an anti-join drops covered tokens and a hash aggregate
+    *      reassembles each document.
+    *
+    * Skew note: a span shared verbatim by millions of docs puts all its
+    * occurrences in one gram partition (a sort, not a join — no quadratic
+    * blowup, same bounded-straggler caveat as [[simhashPairs]] hot
+    * buckets). Mass-shared chrome belongs to [[removeBoilerplateLines]] /
+    * [[dropExactDuplicates]] first; span dedup then handles the residual
+    * literal copying (quotes, mirrored paragraphs) those stages miss.
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"span length k must be >= 2, got $k")
+    import org.apache.spark.sql.functions.{split => fsplit}
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .select(col(idCol),
+        filter(fsplit(col(textCol), "\\s+"), t => t =!= "").as("toks"))
+      .persist() // read twice: gram pass + token-rebuild pass
+    val grams = words
+      .filter(size(col("toks")) >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - k),
+        p => TextOps.hash60(array_join(slice(col("toks"), p + 1, lit(k)), " "))))
+        .as(Seq("pos", "gh")))
+    val removed = grams
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("gh").orderBy(col(idCol), col("pos"))))
+      .filter(col("__rn") > 1)
+      .select(col(idCol), col("pos"))
+    val covered = removed
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+      .distinct()
+    val kept = words
+      .select(col(idCol), posexplode(col("toks")).as(Seq("pos", "word")))
+      .join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("word")))).as("__ws"))
+      .withColumn(textCol,
+        array_join(transform(col("__ws"), x => x.getField("word")), " "))
+      .select(col(idCol), col(textCol))
+    val others = docs.columns.filter(c => c != idCol && c != textCol)
+    docs.select(idCol, others: _*)
+      .join(kept, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col(textCol), lit("")))
+      .select(docs.columns.map {
+        case c if c == textCol => col(textCol)
+        case c => col(c)
+      }: _*)
+  }
+
   // ---- duplicate clusters ---------------------------------------------
 
   /** Resolve near-dup PAIRS into duplicate clusters (connected

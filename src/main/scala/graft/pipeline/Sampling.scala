@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting / packing operators for
+  * training-data pipelines. Everything here is hash-derived — no RNG —
+  * so results are reproducible run-to-run, independent of partitioning
+  * and row order, and exactly reproducible by the DuckDB oracle (the
+  * properties `df.sample` / `sampleBy` cannot give: their output depends
+  * on partition layout). At 100 TB that determinism is the feature: the
+  * same doc lands in the same split on every re-run and on every
+  * cluster size, so train/eval membership is stable across pipeline
+  * versions.
+  */
+object Sampling {
+
+  /** 0..9999 bucket from the salted md5 of the id — the shared
+    * deterministic "uniform draw" (basis-point resolution).
+    */
+  private def bucket(idCol: Column, salt: String): Column =
+    TextOps.hash60(concat(lit(salt + ":"), idCol.cast("string"))) % 10000
+
+  /** Deterministic holdout split: each row gets a stable `bucket`
+    * (0..9999) and a `split` label from `weights` (name → basis points,
+    * must sum to ≤ 10000; any remainder falls into the last split).
+    * One projection, no shuffle, no state — membership depends only on
+    * (salt, id).
+    */
+  def holdoutSplit(docs: DataFrame, idCol: String,
+      weights: Seq[(String, Int)] = Seq("train" -> 8000, "val" -> 1000, "test" -> 1000),
+      salt: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._2).sum <= 10000,
+      s"split weights must be non-empty and sum to <= 10000 bp: $weights")
+    val b = bucket(col(idCol), salt)
+    val cuts = weights.map(_._2).scanLeft(0)(_ + _)
+    val label = weights.zipWithIndex.tail.foldLeft(
+      when(b < cuts(1), weights.head._1)) { case (acc, ((name, _), i)) =>
+        acc.when(b < cuts(i + 1), name)
+    }.otherwise(weights.last._1)
+    docs.withColumn("bucket", b).withColumn("split", label)
+  }
+
+  /** Deterministic stratified sample: keep a per-stratum fraction
+    * (`fractions` in [0,1], `default` for unlisted strata) using the
+    * same salted-hash draw as [[holdoutSplit]]. A pure filter — no
+    * shuffle, no count pass — so it composes with pushdown; sampling
+    * rates are exact in expectation and reproducible exactly.
+    */
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
+      fractions: Map[String, Double], default: Double = 0.0,
+      salt: String = "sample"): DataFrame = {
+    require((default +: fractions.values.toSeq).forall(f => f >= 0 && f <= 1),
+      s"fractions must be in [0,1]: $fractions default=$default")
+    val bp = fractions.foldLeft(lit((default * 10000).round.toInt)) {
+      case (acc, (stratum, f)) =>
+        when(col(stratumCol) === stratum, lit((f * 10000).round.toInt)).otherwise(acc)
+    }
+    docs.filter(bucket(col(idCol), salt) < bp)
+  }
+
+  /** Concatenate-and-chunk sequence packing (the GPT-style pretraining
+    * layout): within each `groupCol` shard, documents are laid end to
+    * end in `idCol` order and cut into fixed `budget`-token sequences;
+    * each document reports the sequence its first token lands in
+    * (`seq_id`) and its offset inside it (`seq_off`). One cumulative-sum
+    * window per shard — the shard key keeps the sort distributed (a
+    * global pack would serialize on one partition at 100 TB; per-shard
+    * packing is what real pipelines do, one shard per output file).
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = size(TextOps.tokens(col(textCol))).cast("long")
+    docs
+      .withColumn("n_tokens", n)
+      .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", floor(col("__start") / lit(budget)).cast("long"))
+      .withColumn("seq_off", col("__start") % lit(budget))
+      .select(col(idCol), col(groupCol), col("n_tokens"), col("seq_id"),
+        col("seq_off"))
+  }
+}

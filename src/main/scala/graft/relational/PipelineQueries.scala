@@ -204,7 +204,38 @@ object PipelineQueries {
             col("doc_id").cast("string"), lit("@example.com from 10.1."),
             (col("doc_id") % 256).cast("string"),
             lit(".7 call 555-123-4567")).as("text")),
-        "doc_id", "text"))
+        "doc_id", "text")),
+
+    // exact duplicated-span removal (Lee et al. 2022 restated as
+    // relational algebra): a 12-word span planted in every doc must
+    // survive only at its first (doc_id, pos) occurrence; exact-dup
+    // docs in the corpus additionally lose their whole shared prefix
+    "p23_span_dedup" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            lit(" shared span alpha bravo charlie delta echo foxtrot" +
+              " golf hotel india juliett tail-"),
+            col("doc_id").cast("string")).as("text")),
+        "doc_id", "text", k = 8)),
+
+    // deterministic hash holdout split (80/10/10 in basis points)
+    "p24_split_holdout" -> ((s, dir) =>
+      Sampling.holdoutSplit(docs(s, dir), "doc_id")
+        .select("doc_id", "bucket", "split")),
+
+    // concatenate-and-chunk sequence packing, 512-token budget, one
+    // pack stream per source shard
+    "p25_pack_sequences" -> ((s, dir) =>
+      Sampling.packSequences(docs(s, dir), "doc_id", "text", "source",
+        budget = 512)),
+
+    // deterministic stratified sampling: 50% of en, 25% of de, 10% of
+    // every other language
+    "p26_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.25), default = 0.1)
+        .select("doc_id", "lang", "source"))
   )
 
   // shared CTE chain producing minhash-LSH candidate pairs `j(doc_a,
@@ -604,6 +635,66 @@ object PipelineQueries {
          1 + ('0x' || substr(md5(text), 13, 12))::BIGINT % 512 AS height,
          1 + ('0x' || substr(md5(text), 17, 12))::BIGINT % 32 AS n_frames,
          (('0x' || substr(md5(text), 21, 12))::BIGINT % 1000000) / 1000000.0 AS brightness
-         FROM documents"""
+         FROM documents""",
+
+    // mirrors removeDuplicateSpans over the span-planted corpus:
+    // case-preserving whitespace tokens, k=8 grams hashed to 60 bits,
+    // every occurrence after the (doc_id, pos)-first removed, covered
+    // token positions dropped, text reassembled in order
+    "p23_span_dedup" ->
+      raw"""WITH d0 AS (SELECT doc_id,
+                text || ' shared span alpha bravo charlie delta echo foxtrot' ||
+                ' golf hotel india juliett tail-' || doc_id::VARCHAR AS text
+              FROM documents),
+             w AS (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+                   FROM d0),
+             g AS (SELECT doc_id, p - 1 AS pos,
+                     ('0x' || substr(md5(array_to_string(toks[p:p+7], ' ')), 1, 15))::BIGINT AS gh
+                   FROM w, unnest(generate_series(1, len(toks) - 7)) t(p)
+                   WHERE len(toks) >= 8),
+             rm AS (SELECT doc_id, pos FROM g
+                    QUALIFY row_number() OVER (PARTITION BY gh
+                                               ORDER BY doc_id, pos) > 1),
+             cov AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS pos
+                     FROM rm),
+             wp AS (SELECT doc_id, i - 1 AS pos, toks[i] AS word
+                    FROM w, unnest(generate_series(1, len(toks))) t(i)),
+             kept AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS t2
+                      FROM wp ANTI JOIN cov USING (doc_id, pos)
+                      GROUP BY doc_id)
+         SELECT d0.doc_id, coalesce(kept.t2, '') AS text
+         FROM d0 LEFT JOIN kept USING (doc_id)""",
+
+    "p24_split_holdout" ->
+      """WITH b AS (SELECT doc_id,
+             ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % 10000 AS bucket
+           FROM documents)
+         SELECT doc_id, bucket,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split
+         FROM b""",
+
+    "p25_pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id, source,
+              CAST(len($TOKS) AS BIGINT) AS n_tokens
+            FROM documents),
+             c AS (SELECT doc_id, source, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens AS strt
+                   FROM d)
+         SELECT doc_id, source, n_tokens,
+           CAST(floor(strt / 512.0) AS BIGINT) AS seq_id,
+           strt % 512 AS seq_off
+         FROM c""",
+
+    "p26_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % 10000
+             < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END"""
   )
 }

@@ -168,6 +168,20 @@ object RelationalQueries {
         .rollup("l_returnflag", "l_linestatus")
         .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))),
 
+    // explicit GROUPING SETS (the general form rollup/cube specialize):
+    // status×priority detail, per-status subtotal, grand total — decimal
+    // sums so both engines aggregate exactly
+    "q31_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(28,2)")).as("sum_price_raw"))
+        .withColumn("sum_price", col("sum_price_raw").cast("double"))
+        .drop("sum_price_raw")),
+
     "q14_case_agg" -> ((s, dir) =>
       t(s, dir, "part").groupBy("p_brand").agg(
         sum(when(col("p_size") > 25, 1).otherwise(0)).cast("long").as("n_large"),
@@ -451,6 +465,13 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty, count(*) AS n_rows
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q31_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                 (o_orderstatus), ())""",
 
     "q14_case_agg" ->
       """SELECT p_brand,

@@ -443,6 +443,85 @@ class PipelineSpec extends SparkSpecBase {
     assert(recall >= 0.95, s"quantized recall $recall")
   }
 
+  test("removeDuplicateSpans keeps first occurrence, strips later copies, preserves case") {
+    val d = docsOf(
+      (1L, "Alpha bravo charlie delta echo unique-one tail"),
+      (2L, "prefix Alpha bravo charlie delta echo unique-two tail"),
+      (3L, "totally different words here nothing shared at all"),
+      (4L, "short doc"))
+    val out = Dedup.removeDuplicateSpans(d, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 holds the first (doc_id, pos) occurrence of the 5-gram
+    // "Alpha bravo charlie delta echo" — kept verbatim
+    assert(out(1L) == "Alpha bravo charlie delta echo unique-one tail")
+    // doc 2's copy of the span is removed; its unique words survive in order
+    assert(out(2L) == "prefix unique-two tail")
+    // no duplicated 5-gram touches docs 3 and 4 (4 is shorter than k)
+    assert(out(3L) == "totally different words here nothing shared at all")
+    assert(out(4L) == "short doc")
+  }
+
+  test("removeDuplicateSpans: exact-duplicate docs collapse to their unique residue") {
+    val d = docsOf(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine ten"))
+    val out = Dedup.removeDuplicateSpans(d, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "one two three four five six seven eight nine ten")
+    assert(out(2L) == "") // every position of doc 2 is covered by a duplicated 4-gram
+  }
+
+  test("holdoutSplit is deterministic, disjoint-exhaustive, and near the weights") {
+    val split = Sampling.holdoutSplit(docs, "doc_id")
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    assert(n == docs.count())
+    // 80/10/10 in expectation; the 500-doc corpus should land within ±40%
+    assert(math.abs(counts("train").toDouble / n - 0.8) < 0.1,
+      s"train frac ${counts("train").toDouble / n}")
+    assert(counts.keySet == Set("train", "val", "test"))
+    // determinism: a second evaluation assigns identical buckets
+    val a = split.select("doc_id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Sampling.holdoutSplit(docs, "doc_id").select("doc_id", "bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    // a different salt reshuffles membership
+    val c = Sampling.holdoutSplit(docs, "doc_id", salt = "v2")
+      .select("doc_id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a != c)
+  }
+
+  test("stratifiedSample keeps per-stratum fractions and is a pure filter") {
+    val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 1.0, "de" -> 0.0), default = 0.2)
+    val byLang = sampled.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.getOrElse("en", 0L) == totals("en")) // fraction 1.0 keeps all
+    assert(!byLang.contains("de")) // fraction 0.0 keeps none
+    // sampled rows are a subset of the input (no projection change)
+    assert(sampled.columns.toSeq == docs.columns.toSeq)
+  }
+
+  test("packSequences: offsets stay under budget, sequences are contiguous per shard") {
+    val packed = Sampling.packSequences(docs, "doc_id", "text", "source", budget = 128)
+      .collect()
+    assert(packed.length == docs.count())
+    packed.foreach { r =>
+      val (off, seq) = (r.getLong(4), r.getLong(3))
+      assert(off >= 0 && off < 128, s"seq_off $off out of [0,128)")
+      assert(seq >= 0)
+    }
+    // per shard: doc_id order ⇒ non-decreasing seq_id starting at 0
+    packed.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      val bySeq = rows.sortBy(_.getLong(0)).map(_.getLong(3))
+      assert(bySeq.head == 0L)
+      assert(bySeq.zip(bySeq.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("langid marker scoring picks a language deterministically") {
     val d = docsOf(
       (1L, "the cat and the dog of a house"),
