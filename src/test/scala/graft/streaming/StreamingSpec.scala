@@ -320,6 +320,70 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("resampleStream: closed buckets match the batch windowed aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2020-01-01 $h%02d:$m%02d:00")
+    // 2 series × 3 hourly buckets, micro-batch split in mid-bucket
+    val pts = Seq(
+      Point("a", t(0, 5), 1.0), Point("a", t(0, 40), 3.0),
+      Point("b", t(0, 30), 10.0), Point("a", t(1, 10), 5.0),
+      Point("a", t(2, 0), 7.0), Point("b", t(2, 30), 20.0))
+    val mem = MemoryStream[Point]
+    val q = StreamingResample.resampleStream(mem.toDF(), "series_id", "ts",
+        "value", "1 hour", "0 seconds")
+      .writeStream.format("memory").queryName("resamp").outputMode("append").start()
+    try {
+      mem.addData(pts.take(3)); q.processAllAvailable()
+      mem.addData(pts.drop(3)); q.processAllAvailable()
+      // a far-future sentinel advances the watermark past every real
+      // bucket; its own (still-open) bucket never emits. Two rounds:
+      // batch N runs with the watermark computed from batch N-1.
+      val sentinel = Point("z", Timestamp.valueOf("2020-01-03 00:00:00"), 0.0)
+      mem.addData(sentinel); q.processAllAvailable()
+      mem.addData(sentinel); q.processAllAvailable()
+      val got = spark.table("resamp").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+      val want = pts.toDF()
+        .groupBy(col("series_id"), window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"),
+          min("value").as("min_value"), max("value").as("max_value"))
+        .collect()
+        .map(r => (r.getString(0), r.getStruct(1).getTimestamp(0)) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("resampleOhlcStream: open/close deterministic, matches batch struct-min trick") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2020-01-01 $h%02d:$m%02d:00")
+    val pts = Seq(
+      Point("a", t(0, 5), 3.0), Point("a", t(0, 20), 9.0),
+      Point("a", t(0, 55), 1.0), Point("b", t(0, 10), 5.0),
+      Point("a", t(1, 30), 4.0))
+    val mem = MemoryStream[Point]
+    val q = StreamingResample.resampleOhlcStream(mem.toDF(), "series_id", "ts",
+        "value", "1 hour", "0 seconds")
+      .writeStream.format("memory").queryName("ohlc").outputMode("append").start()
+    try {
+      mem.addData(pts.take(2)); q.processAllAvailable()
+      mem.addData(pts.drop(2)); q.processAllAvailable()
+      val sentinel = Point("z", Timestamp.valueOf("2020-01-03 00:00:00"), 0.0)
+      mem.addData(sentinel); q.processAllAvailable()
+      mem.addData(sentinel); q.processAllAvailable()
+      val got = spark.table("ohlc").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1)) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+      assert(got(("a", t(0, 0))) == ((3.0, 9.0, 1.0, 1.0))) // open@05, high, low, close@55
+      assert(got(("b", t(0, 0))) == ((5.0, 5.0, 5.0, 5.0)))
+      assert(got(("a", t(1, 0))) == ((4.0, 4.0, 4.0, 4.0)))
+      assert(!got.keySet.exists(_._1 == "z")) // sentinel bucket stays open
+    } finally q.stop()
+  }
+
   test("rangeStream is the stateless batch expression on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
