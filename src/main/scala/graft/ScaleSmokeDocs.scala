@@ -151,6 +151,17 @@ object ScaleSmokeDocs {
     vstage(s"ann_quantized_100q")(
       Similarity.quantizedRescoreTopK(vecs, vecs.filter(col("vec_id") < 100),
         k = 5, m = 15).count())
+    // PQ: train 8×256 codebooks, encode the corpus to 8-byte codes (32×
+    // smaller scan set than the double vectors), ADC scan + rescore the
+    // same 100 queries — the memory-bandwidth scale path
+    val tPq = System.nanoTime()
+    val (pqCb, pqCodes) = Similarity.pqIndex(vecs, nSub = 8, ksub = 256,
+      maxIter = 5)
+    val pqBuildSec = (System.nanoTime() - tPq) / 1e9
+    println(f"[docs-scale] pq_index_build        $pqBuildSec%8.2fs  rows=${pqCodes.count()}")
+    vstage("ann_pq_100q")(
+      Similarity.pqTopK(pqCodes, pqCb, vecs, vecs.filter(col("vec_id") < 100),
+        k = 5, mCand = 25).count())
     spark.stop()
   }
 }

@@ -67,6 +67,19 @@ object PipelineQueries {
       Similarity.quantizedRescoreTopK(
         emb(s, dir), emb(s, dir).filter(col("vec_id") < 20), k = 5, m = 10)),
 
+    // product-quantization ANN (PQ8×16 + ADC scan + exact rescore) —
+    // k-means codebooks make it approximate-by-construction like
+    // p7/p15: rows-only check, recall floor in PipelineSpec
+    "p27_ann_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      // maxIter 5: codebook quality converges fast at ksub=16, and the
+      // exact rescore absorbs residual ADC error — half the build passes
+      val (codebook, codes) = Similarity.pqIndex(e, nSub = 8, ksub = 16,
+        maxIter = 5)
+      Similarity.pqTopK(codes, codebook, e,
+        e.filter(col("vec_id") < 50), k = 3, mCand = 20)
+    }),
+
     "p8_text_tokens" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),

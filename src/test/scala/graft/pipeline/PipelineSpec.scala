@@ -522,6 +522,30 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("PQ ANN: deterministic, codes compress, ADC+rescore recall beats floor") {
+    val (codebook, codes) = Similarity.pqIndex(emb, nSub = 8, ksub = 16)
+    // every vector encodes to 8 small codes + a norm
+    val c0 = codes.collect()
+    assert(c0.forall(_.getSeq[Int](1).length == 8))
+    assert(codebook.count() == 8 * 16)
+    val queries = emb.filter(col("vec_id") < 30)
+    val pq = Similarity.pqTopK(codes, codebook, emb, queries, k = 3, mCand = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    assert(pq.size == brute.size)
+    // rank-1 recall: the ADC stage keeps most true nearest neighbors
+    val q1 = brute.keySet.filter(_._2 == 1L)
+    val hit = q1.count(key => pq.get(key).contains(brute(key)))
+    val recall = hit.toDouble / q1.size
+    assert(recall >= 0.6, s"PQ rank-1 recall $recall")
+    // determinism: seeded k-means + id tie-breaks reproduce exactly
+    val (cb2, codes2) = Similarity.pqIndex(emb, nSub = 8, ksub = 16)
+    val pq2 = Similarity.pqTopK(codes2, cb2, emb, queries, k = 3, mCand = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    assert(pq == pq2)
+  }
+
   test("langid marker scoring picks a language deterministically") {
     val d = docsOf(
       (1L, "the cat and the dog of a house"),

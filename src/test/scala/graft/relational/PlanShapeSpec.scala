@@ -47,7 +47,10 @@ class PlanShapeSpec extends SparkSpecBase {
     // recall reference — the scale paths are p7/p15/p5; p21's candidate
     // stage is the same deliberate exhaustive scan, over 8x-smaller
     // int8 codes (its scale variant is IVF/LSH + quantized lists)
-    val intentionalThetaJoins = Set("p6_ann_topk", "p21_ann_quantized")
+    // p27's candidate stage scans PQ code arrays (32× smaller than the
+    // vectors) against broadcast LUTs — deliberate, like p21
+    val intentionalThetaJoins = Set("p6_ann_topk", "p21_ann_quantized",
+      "p27_ann_pq")
     // p13 attaches a ONE-ROW aggregate (the corpus count for IDF) via
     // crossJoin(broadcast(...)) — a BroadcastNestedLoopJoin whose build
     // side is a single row is O(n·1), the canonical lazy scalar attach
