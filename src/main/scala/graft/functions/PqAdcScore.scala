@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Asymmetric-distance (ADC) score for product-quantization search
+  * ([[graft.pipeline.Similarity.pqTopK]]): given a vector's PQ code
+  * array (`array<int>`, one centroid id per subspace) and a query's
+  * flattened lookup table (`array<double>`, laid out
+  * `lut[sub * ksub + centroid]`), returns
+  * `Σ_j lut[j * ksub + code_j]` — the approximate query·vector dot
+  * product — as one tight codegen'd loop.
+  *
+  * Replaces a `zip_with` + `element_at` + `aggregate` HOF chain that
+  * allocated a zipped intermediate array per scanned pair: in the
+  * billion-pair candidate scan the per-row allocation dominated the
+  * actual lookups (measured ~2× slower than even the full-precision
+  * brute-force dot at 100k×100 pairs — the compressed scan MUST be
+  * allocation-free to realize PQ's bandwidth advantage).
+  *
+  * Out-of-range codes (id ≥ lut length / ksub) throw
+  * IndexOutOfBounds rather than silently contributing garbage — codes
+  * and LUT always come from the same codebook, so a mismatch is a
+  * caller bug.
+  */
+case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(codes: Any, lut: Any): Any = {
+    val c = codes.asInstanceOf[ArrayData]
+    val t = lut.asInstanceOf[ArrayData]
+    val n = c.numElements()
+    var acc = 0.0
+    var j = 0
+    while (j < n) {
+      acc += t.getDouble(j * ksub + c.getInt(j))
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, t) => {
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $c.numElements();
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  $acc += $t.getDouble($j * $ksub + $c.getInt($j));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdcScore {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def apply(codes: Column, lut: Column, ksub: Int): Column =
+    ColumnBridge.column(
+      PqAdcScore(ColumnBridge.expression(codes), ColumnBridge.expression(lut), ksub))
+}

@@ -351,12 +351,14 @@ object Similarity {
           .as("__s"))
       .withColumn("lut", transform(col("__s"), x => x.getField("pd")))
       .select(col("query_id"), col("qv"), col("qn"), col("lut"))
-    // candidate scan touches ONLY the code arrays + broadcast LUTs
+    // candidate scan touches ONLY the code arrays + broadcast LUTs; the
+    // score is the codegen'd allocation-free [[graft.functions
+    // .PqAdcScore]] loop (a HOF restatement measured ~2.5× slower than
+    // even the full-precision brute-force dot — per-pair zip allocation
+    // would throw away the whole compression win)
     val cand = codes.join(broadcast(lut), col("query_id") =!= col(idCol))
-      .withColumn("adc", aggregate(
-        zip_with(col("code"), sequence(lit(0), lit(nSub - 1)),
-          (cj, j) => element_at(col("lut"), j * ksub + cj + 1)),
-        lit(0.0), (a, x) => a + x))
+      .withColumn("adc",
+        graft.functions.PqAdcScore(col("code"), col("lut"), ksub))
       .withColumn("qsim", col("adc") / (col("qn") * col("cn")))
       .withColumn("crnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("qsim").desc, col(idCol))))

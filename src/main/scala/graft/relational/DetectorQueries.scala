@@ -111,6 +111,25 @@ object DetectorQueries {
     "det_ewma" -> ((s, dir) =>
       out(EwmaDetector(alpha = 0.3, threshold = 60.0).detect(ev(s, dir), spec))),
 
+    // §2.2 feature operators through the oracle gate: lagged copies
+    // (features.py:19-23 semantics — negative lag looks ahead) ...
+    "det_lag_features" -> ((s, dir) =>
+      Features.lagTimeSeries(ev(s, dir), Seq(1, 2, -1), spec)
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("1").as("lag_1"), col("2").as("lag_2"),
+          col("-1").as("lead_1"))),
+
+    // ... and the windowed tensor dataset (features.py:26-32), exploded
+    // to one row per (window, step) so the hash compare sees scalars
+    "det_create_dataset" -> ((s, dir) =>
+      Features.createDataset(ev(s, dir), Seq("value"), "value",
+          timeSteps = 3, spec)
+        .select(col("user_id"), col("event_id"), col("label"),
+          posexplode(col("features")).as(Seq("step", "xa")))
+        .select(col("user_id"), col("event_id"),
+          (col("step") + 1).cast("long").as("step"),
+          element_at(col("xa"), 1).as("x"), col("label"))),
+
     // Time-bucketed resampling (the pandas `.resample()` analog): one
     // aggregation over Spark's built-in event-time window.
     "det_resample_1h" -> ((s, dir) =>
@@ -303,6 +322,25 @@ object DetectorQueries {
           SELECT e.user_id, e.event_id, e.value,
             coalesce(e.value < f.mn OR e.value > f.mx, false) AS is_anomaly
           FROM events e LEFT JOIN f USING (user_id)""",
+
+    "det_lag_features" ->
+      s"""SELECT user_id, event_id, value,
+          lag(value, 1) OVER ($W) AS lag_1,
+          lag(value, 2) OVER ($W) AS lag_2,
+          lead(value, 1) OVER ($W) AS lead_1
+          FROM events""",
+
+    "det_create_dataset" ->
+      s"""WITH t AS (SELECT user_id, event_id, value,
+              list(value) OVER ($W ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)
+                AS features,
+              lead(value, 3) OVER ($W) AS label,
+              row_number() OVER ($W) AS rn,
+              count(*) OVER (PARTITION BY user_id) AS cnt
+            FROM events),
+            k AS (SELECT * FROM t WHERE rn <= cnt - 3)
+          SELECT user_id, event_id, i AS step, features[i] AS x, label
+          FROM k, unnest(generate_series(1, len(features))) u(i)""",
 
     "det_resample_1h" ->
       s"""SELECT user_id,

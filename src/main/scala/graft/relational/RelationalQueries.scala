@@ -272,6 +272,23 @@ object RelationalQueries {
 
     // SQL-text interface: the same engine surface through spark.sql over
     // registered views (the oracle is literally the same statement).
+    // correlated EXISTS / NOT EXISTS through the SQL front end (the
+    // rewrite target is semi/anti joins — asserted cartesian-free by
+    // the plan sweep; complements q4/q5's DataFrame-API joins and
+    // q28's correlated SCALAR subquery)
+    "q32_exists_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer c
+           WHERE EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 150000)
+             AND NOT EXISTS (SELECT 1 FROM orders o2
+                             WHERE o2.o_custkey = c.c_custkey
+                               AND o2.o_orderstatus = 'F')""")
+    }),
+
     "q22_sql_interface" -> ((s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
       t(s, dir, "part").createOrReplaceTempView("part")
@@ -545,6 +562,15 @@ object RelationalQueries {
            coalesce(n_inter, 0) AS n_inter,
            coalesce(n_except, 0) AS n_except
          FROM i FULL JOIN e ON i.k = e.k""",
+
+    "q32_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 150000)
+           AND NOT EXISTS (SELECT 1 FROM orders o2
+                           WHERE o2.o_custkey = c.c_custkey
+                             AND o2.o_orderstatus = 'F')""",
 
     "q22_sql_interface" ->
       """SELECT p_brand, count(*) AS n_ship, sum(l_quantity) AS qty
