@@ -90,4 +90,28 @@ object Quality {
       size(regexp_extract_all(afterIp, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
       regexp_replace(afterIp, PhoneRe, "[PHONE]").as("text_redacted"))
   }
+
+  /** Scheme-qualified URL host pattern, capture group 1 = the host.
+    * Java-regex / RE2 identical constructs only.
+    */
+  val UrlHostRe = "https?://([A-Za-z0-9.-]+)"
+
+  /** URL extraction + domain-blocklist filtering (the crawl-pipeline
+    * source-quality gate): per document, the count of scheme-qualified
+    * URLs, how many hit the blocklist (exact host match), and the
+    * resulting keep flag. The blocklist is a plan literal — at real
+    * scale it broadcasts; a suffix-match policy (subdomains) would
+    * join on a reversed-host prefix instead. One codegen'd projection,
+    * no shuffle.
+    */
+  def urlFilter(docs: DataFrame, idCol: String, textCol: String,
+      blockedHosts: Seq[String]): DataFrame = {
+    val hosts = regexp_extract_all(col(textCol), lit(UrlHostRe), lit(1))
+    val blocked = array(blockedHosts.map(lit): _*)
+    docs.select(col(idCol),
+      size(hosts).cast("long").as("n_urls"),
+      size(filter(hosts, h => array_contains(blocked, h))).cast("long")
+        .as("n_blocked"))
+      .withColumn("keep", col("n_blocked") === 0)
+  }
 }

@@ -111,6 +111,34 @@ object DetectorQueries {
     "det_ewma" -> ((s, dir) =>
       out(EwmaDetector(alpha = 0.3, threshold = 60.0).detect(ev(s, dir), spec))),
 
+    // Global z-score outlier flagging (the textbook baseline the
+    // reference's RangeDetector-with-quantile-fit generalizes): per
+    // series, |value − mean| > 3σ. One aggregate + one broadcast join
+    // back — no window pass at all.
+    "det_zscore" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val stats = e.groupBy("user_id")
+        .agg(round(avg("value"), 6).as("__mu"),
+          round(stddev_samp("value"), 6).as("__sd"))
+      e.join(broadcast(stats), Seq("user_id"), "left")
+        .select(col("user_id"), col("event_id"), col("value"),
+          coalesce(abs(col("value") - col("__mu")) > lit(3.0) * col("__sd"),
+            lit(false)).as("is_anomaly"))
+    }),
+
+    // Rolling Pearson correlation of the signal with its own lag-1
+    // (local persistence / trend-break analytic) over a centered
+    // 25-row window; incomplete edges and zero-variance windows null.
+    "det_rolling_corr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val f = w.rowsBetween(-12, 12)
+      ev(s, dir)
+        .withColumn("__lag", lag("value", 1).over(w))
+        .withColumn("rho", round(corr(col("value"), col("__lag")).over(f), 6))
+        .select("user_id", "event_id", "value", "rho")
+    }),
+
     // §2.2 feature operators through the oracle gate: lagged copies
     // (features.py:19-23 semantics — negative lag looks ahead) ...
     "det_lag_features" -> ((s, dir) =>
@@ -322,6 +350,23 @@ object DetectorQueries {
           SELECT e.user_id, e.event_id, e.value,
             coalesce(e.value < f.mn OR e.value > f.mx, false) AS is_anomaly
           FROM events e LEFT JOIN f USING (user_id)""",
+
+    "det_zscore" ->
+      s"""WITH st AS (SELECT user_id, round(avg(value), 6) AS mu,
+                        round(stddev_samp(value), 6) AS sd
+                      FROM events GROUP BY user_id)
+          SELECT e.user_id, e.event_id, e.value,
+            coalesce(abs(e.value - st.mu) > 3.0 * st.sd, false) AS is_anomaly
+          FROM events e LEFT JOIN st USING (user_id)""",
+
+    "det_rolling_corr" ->
+      s"""WITH l AS (SELECT user_id, event_id, value, ts,
+                       lag(value, 1) OVER ($W) AS lv
+                     FROM events)
+          SELECT user_id, event_id, value,
+            round(corr(value, lv) OVER ($W
+              ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING), 6) AS rho
+          FROM l""",
 
     "det_lag_features" ->
       s"""SELECT user_id, event_id, value,

@@ -219,6 +219,20 @@ object PipelineQueries {
             lit(".7 call 555-123-4567")).as("text")),
         "doc_id", "text")),
 
+    // URL extraction + domain blocklist over planted links: every doc
+    // links its shard site, every 5th doc also carries a tracker link
+    // that must flip keep=false (the oracle mirrors the plant)
+    "p28_url_filter" -> ((s, dir) =>
+      Quality.urlFilter(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(" visit https://site"),
+            (col("doc_id") % 20).cast("string"), lit(".example.org/p"),
+            col("doc_id").cast("string"),
+            when(col("doc_id") % 5 === 0, lit(" and http://ads.tracker.net/x"))
+              .otherwise(lit(""))).as("text")),
+        "doc_id", "text",
+        blockedHosts = Seq("ads.tracker.net", "spam.example.com"))),
+
     // exact duplicated-span removal (Lee et al. 2022 restated as
     // relational algebra): a 12-word span planted in every doc must
     // survive only at its first (doc_id, pos) occurrence; exact-dup
@@ -649,6 +663,24 @@ object PipelineQueries {
          1 + ('0x' || substr(md5(text), 17, 12))::BIGINT % 32 AS n_frames,
          (('0x' || substr(md5(text), 21, 12))::BIGINT % 1000000) / 1000000.0 AS brightness
          FROM documents""",
+
+    "p28_url_filter" ->
+      """WITH d AS (SELECT doc_id,
+             text || ' visit https://site' || (doc_id % 20)::VARCHAR ||
+             '.example.org/p' || doc_id::VARCHAR ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN ' and http://ads.tracker.net/x' ELSE '' END AS text
+           FROM documents),
+           h AS (SELECT doc_id,
+             regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1) AS hosts
+           FROM d)
+         SELECT doc_id,
+           CAST(len(hosts) AS BIGINT) AS n_urls,
+           CAST(len(list_filter(hosts, x -> list_contains(
+             ['ads.tracker.net', 'spam.example.com'], x))) AS BIGINT) AS n_blocked,
+           len(list_filter(hosts, x -> list_contains(
+             ['ads.tracker.net', 'spam.example.com'], x))) = 0 AS keep
+         FROM h""",
 
     // mirrors removeDuplicateSpans over the span-planted corpus:
     // case-preserving whitespace tokens, k=8 grams hashed to 60 bits,

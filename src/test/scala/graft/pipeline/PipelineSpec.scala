@@ -546,6 +546,19 @@ class PipelineSpec extends SparkSpecBase {
     assert(pq == pq2)
   }
 
+  test("urlFilter counts hosts, flags blocklist hits, keeps clean docs") {
+    val d = docsOf(
+      (1L, "plain text no links"),
+      (2L, "see https://ok.example.org/a and http://ads.tracker.net/x"),
+      (3L, "https://ok.example.org/one https://ok.example.org/two"))
+    val out = Quality.urlFilter(d, "doc_id", "text",
+        Seq("ads.tracker.net"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) == ((0L, 0L, true)))
+    assert(out(2L) == ((2L, 1L, false)))
+    assert(out(3L) == ((2L, 0L, true)))
+  }
+
   test("langid marker scoring picks a language deterministically") {
     val d = docsOf(
       (1L, "the cat and the dog of a house"),
