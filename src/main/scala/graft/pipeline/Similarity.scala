@@ -252,6 +252,46 @@ object Similarity {
         round(col("sim"), 6).as("sim"), col("rnk"))
   }
 
+  /** Deterministic driver-local Lloyd's k-means for PQ codebook
+    * training. Init = k evenly spaced rows of the (already
+    * deterministically ordered) sample; assignment ties break to the
+    * lowest centroid id; empty clusters keep their previous centroid.
+    * Samples are processed in their given order, so floating-point
+    * summation order — and therefore the codebook — is bit-reproducible.
+    */
+  private[pipeline] def localLloyd(samples: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    val n = samples.length
+    val dsub = samples(0).length
+    var centroids = Array.tabulate(math.min(k, n))(c => samples((c.toLong * n / k).toInt).clone())
+    if (centroids.length < k) // fewer samples than centroids: pad with copies
+      centroids = Array.tabulate(k)(c => centroids(c % centroids.length).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dsub))
+      val counts = new Array[Long](k)
+      var i = 0
+      while (i < n) {
+        val s = samples(i)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d2 = 0.0; var d = 0
+          while (d < dsub) { val df = s(d) - centroids(c)(d); d2 += df * df; d += 1 }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        var d = 0
+        while (d < dsub) { sums(best)(d) += s(d); d += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      centroids = Array.tabulate(k)(c =>
+        if (counts(c) == 0) centroids(c)
+        else Array.tabulate(dsub)(d => sums(c)(d) / counts(c)))
+    }
+    centroids
+  }
+
   /** Product-quantization index (Jégou et al., "Product Quantization for
     * Nearest Neighbor Search", TPAMI 2011): the vector is split into
     * `nSub` contiguous subvectors, each quantized by its own
@@ -264,18 +304,25 @@ object Similarity {
     * bound, no full vectors touched until rescore — which is what makes
     * ANN over 100 TB of embeddings tractable on a fixed cluster.
     *
-    * Training = `nSub` independent spark.ml k-means fits over one
-    * persisted slim projection (random init, like [[ivfIndex]]);
-    * encoding = ONE scan with `nSub` chained model.transform prediction
-    * columns. Returns `(codebook, codes)`:
+    * Codebooks train on a size-gated DETERMINISTIC sample collected to
+    * the driver (id-ordered lowest-`trainSampleMax` hash60 rows; ≈
+    * trainSampleMax × dim doubles — the standard PQ practice: FAISS
+    * trains on ~10⁵ samples regardless of corpus size, because
+    * subspace cell structure saturates long before that). Training is
+    * [[localLloyd]] — seeded-free, order-deterministic, no spark.ml
+    * fits (the previous nSub KMeans fits cost nSub × maxIter
+    * distributed passes; a driver loop over ≤10⁵ × dsub doubles is
+    * milliseconds). ENCODING stays fully distributed: one scan through
+    * the codegen'd [[graft.functions.PqEncode]] argmin loop against the
+    * broadcast flat codebook — no UDFs, no vector boxing.
+    *
+    * Returns `(codebook, codes)`:
     * codebook(sub, centroid_id, centroid) — tiny, broadcastable;
     * codes(id, code: array<int>, cn) — persisted, lineage-free.
     */
   def pqIndex(corpus: DataFrame, nSub: Int, ksub: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      seed: Long = 42L, maxIter: Int = 10): (DataFrame, DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      maxIter: Int = 10, trainSampleMax: Int = 100000): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     val nonNull = corpus.filter(col(vecCol).isNotNull)
     val dim = nonNull.select(size(col(vecCol))).take(1) match {
@@ -284,28 +331,33 @@ object Similarity {
     }
     require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
     val dsub = dim / nSub
-    val feat = (0 until nSub).foldLeft(
-      nonNull.select(col(idCol), asDouble(col(vecCol)).as("v"))) { (df, j) =>
-      df.withColumn(s"__f$j",
-        array_to_vector(slice(col("v"), j * dsub + 1, dsub)))
-    }.persist()
-    val models = (0 until nSub).map { j =>
-      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(maxIter)
-        .setInitMode("random")
-        .setFeaturesCol(s"__f$j").setPredictionCol(s"__c$j")
-        .fit(feat)
-    }
-    // one scan: the chained transforms each just add a prediction column
-    val codes = models.foldLeft(feat: DataFrame)((df, mo) => mo.transform(df))
+    // deterministic training sample: the trainSampleMax rows with the
+    // smallest salted id hash, collected in id order (stable across
+    // partitioning AND corpus growth-by-append within the hash gate)
+    val sample = nonNull
+      .select(col(idCol).as("__id"), asDouble(col(vecCol)).as("v"))
+      .orderBy(TextOps.hash60(concat(lit("pqtrain:"), col("__id").cast("string"))),
+        col("__id"))
+      .limit(trainSampleMax)
+      .orderBy("__id")
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pqIndex: no non-null vectors to train on")
+    // subspaces train independently — a driver thread per codebook
+    // (results are index-ordered, so parallelism cannot affect them)
+    val codebooks = (0 until nSub).toArray.map { j => () =>
+      localLloyd(sample.map(v => v.slice(j * dsub, (j + 1) * dsub)), ksub, maxIter)
+    }.map(f => scala.concurrent.Future(f())(scala.concurrent.ExecutionContext.global))
+      .map(scala.concurrent.Await.result(_, scala.concurrent.duration.Duration.Inf))
+    val flat = codebooks.flatMap(_.flatMap(_.toSeq)).toArray
+    val codes = nonNull
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
       .select(col(idCol),
-        array((0 until nSub).map(j => col(s"__c$j")): _*).as("code"),
+        graft.functions.PqEncode(col("v"), lit(flat), nSub, ksub).as("code"),
         sqrt(dot(col("v"), col("v"))).as("cn"))
       .persist()
-    codes.count() // materialize while feat is cached, then free the features
-    feat.unpersist()
     import spark.implicits._
-    val codebook = models.zipWithIndex.flatMap { case (mo, j) =>
-      mo.clusterCenters.zipWithIndex.map { case (ctr, c) => (j, c, ctr.toArray) }
+    val codebook = codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (ctr, c) => (j, c, ctr.toSeq) }
     }.toSeq.toDF("sub", "centroid_id", "centroid")
     (codebook, codes)
   }
