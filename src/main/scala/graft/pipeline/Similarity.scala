@@ -221,9 +221,19 @@ object Similarity {
   def ivfTopK(indexedCorpus: DataFrame,
       model: org.apache.spark.ml.clustering.KMeansModel,
       queries: DataFrame, k: Int, nProbe: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopK(indexedCorpus, model.clusterCenters.map(_.toArray),
+      queries, k, nProbe, idCol, vecCol)
+
+  /** Centroid-array overload — the form a persisted index loads back
+    * into ([[AnnIO.loadIvfIndex]]); no spark.ml model object needed to
+    * serve queries.
+    */
+  def ivfTopK(indexedCorpus: DataFrame,
+      centroids: Array[Array[Double]],
+      queries: DataFrame, k: Int, nProbe: Int,
+      idCol: String, vecCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = model.clusterCenters.map(_.toArray)
     // nearest-nProbe centroid ids per query, computed with one codegen
     // pass per centroid (broadcast-size constant array)
     val centArr = centroids.zipWithIndex.map { case (c, i) =>

@@ -546,6 +546,34 @@ class PipelineSpec extends SparkSpecBase {
     assert(pq == pq2)
   }
 
+  test("PQ and IVF indexes round-trip through parquet with identical results") {
+    val tmp = java.nio.file.Files.createTempDirectory("annio").toString
+    val queries = emb.filter(col("vec_id") < 20)
+    // PQ: (codebook, codes) relations are the entire index state
+    val (cb, codes) = Similarity.pqIndex(emb, nSub = 8, ksub = 16, maxIter = 5)
+    AnnIO.savePqIndex(cb, codes, s"$tmp/pq")
+    val (cb2, codes2) = AnnIO.loadPqIndex(spark, s"$tmp/pq")
+    val before = Similarity.pqTopK(codes, cb, emb, queries, k = 3, mCand = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    val after = Similarity.pqTopK(codes2, cb2, emb, queries, k = 3, mCand = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    assert(before == after)
+    // IVF: corpus persists PARTITIONED BY list (one directory per
+    // inverted list — probe-pruned reads skip whole files)
+    val (model, indexed) = Similarity.ivfIndex(emb, nLists = 8)
+    AnnIO.saveIvfIndex(model.clusterCenters.map(_.toArray), indexed, s"$tmp/ivf")
+    val (cents, indexed2) = AnnIO.loadIvfIndex(spark, s"$tmp/ivf")
+    val iBefore = Similarity.ivfTopK(indexed, model, queries, k = 3, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    val iAfter = Similarity.ivfTopK(indexed2, cents, queries, k = 3, nProbe = 3,
+        "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    assert(iBefore == iAfter)
+    val listDirs = new java.io.File(s"$tmp/ivf/corpus").listFiles()
+      .filter(_.getName.startsWith("list="))
+    assert(listDirs.length == 8, s"expected 8 list partitions, got ${listDirs.length}")
+  }
+
   test("urlFilter counts hosts, flags blocklist hits, keeps clean docs") {
     val d = docsOf(
       (1L, "plain text no links"),
