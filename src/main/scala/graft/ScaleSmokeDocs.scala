@@ -102,6 +102,12 @@ object ScaleSmokeDocs {
       "doc_id", "text", maxLineDf = 1000)
       .filter(col("text").contains("\n" + boiler.trim) ||
         col("text") === boiler.trim).count())
+    // duplicated-span removal over the half-boilerplated corpus: the
+    // 8-word shared suffix must survive on exactly ONE doc (rows = docs
+    // still containing the span afterwards)
+    stage("span_dedup_k8")(Dedup.removeDuplicateSpans(
+      skewed, "doc_id", "text", k = 8)
+      .filter(col("text").contains(boiler.trim)).count())
     skewed.unpersist()
 
     // ANN over synthetic embeddings: half the doc count, 64 dims, with

@@ -272,6 +272,40 @@ object RelationalQueries {
 
     // SQL-text interface: the same engine surface through spark.sql over
     // registered views (the oracle is literally the same statement).
+    // Ordered funnel (view → click → purchase): stage timestamps via
+    // nested partition-only windows — derived columns feed the next
+    // window, all on the same partitioning, so the whole funnel is ONE
+    // Exchange + three Window nodes + one aggregate
+    "q33_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+      t(s, dir, "events")
+        .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2", min(when(col("event_type") === "click" &&
+          col("ts") > col("t1"), col("ts"))).over(w))
+        .withColumn("t3", min(when(col("event_type") === "purchase" &&
+          col("ts") > col("t2"), col("ts"))).over(w))
+        .agg(
+          count_distinct(when(col("t1").isNotNull, col("user_id"))).as("n_view"),
+          count_distinct(when(col("t2").isNotNull, col("user_id"))).as("n_click"),
+          count_distinct(when(col("t3").isNotNull, col("user_id"))).as("n_purchase"))
+    }),
+
+    // Weekly retention cohorts: cohort = ISO week of the user's first
+    // event, n_users active per (cohort, week offset) — first-activity
+    // aggregate joined back, then one hash aggregate
+    "q34_retention" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val first = e.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+      e.join(first, Seq("user_id"))
+        .withColumn("week_off",
+          floor((unix_micros(col("ts")) - unix_micros(col("cohort"))) /
+            lit(604800000000L)).cast("long"))
+        .groupBy(unix_micros(col("cohort")).as("cohort_us"), col("week_off"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+    }),
+
     // correlated EXISTS / NOT EXISTS through the SQL front end (the
     // rewrite target is semi/anti joins — asserted cartesian-free by
     // the plan sweep; complements q4/q5's DataFrame-API joins and
@@ -562,6 +596,32 @@ object RelationalQueries {
            coalesce(n_inter, 0) AS n_inter,
            coalesce(n_except, 0) AS n_except
          FROM i FULL JOIN e ON i.k = e.k""",
+
+    "q33_funnel" ->
+      """WITH s1 AS (SELECT user_id, event_type, ts,
+              min(CASE WHEN event_type = 'view' THEN ts END)
+                OVER (PARTITION BY user_id) AS t1
+            FROM events),
+            s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+                     THEN ts END) OVER (PARTITION BY user_id) AS t2
+            FROM s1),
+            s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+                     THEN ts END) OVER (PARTITION BY user_id) AS t3
+            FROM s2)
+         SELECT count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS n_view,
+           count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS n_click,
+           count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS n_purchase
+         FROM s3""",
+
+    "q34_retention" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+                    FROM events GROUP BY user_id)
+         SELECT epoch_us(cohort) AS cohort_us,
+           CAST(floor((epoch_us(ts) - epoch_us(cohort)) / 604800000000.0)
+                AS BIGINT) AS week_off,
+           count(DISTINCT user_id) AS n_users
+         FROM events JOIN f USING (user_id)
+         GROUP BY 1, 2""",
 
     "q32_exists_subquery" ->
       """SELECT c_custkey, c_name FROM customer c
