@@ -384,6 +384,52 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("funnelStream advances match the batch q33 window funnel across batches") {
+    import spark.implicits._
+    import StreamingFunnel._
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2020-01-01 $h%02d:$m%02d:00")
+    val evs = Seq(
+      // user 1 completes in order, with noise between stages
+      FunnelEvent(1L, t(0, 0), "view"), FunnelEvent(1L, t(0, 10), "error"),
+      FunnelEvent(1L, t(0, 20), "click"), FunnelEvent(1L, t(0, 30), "purchase"),
+      // user 2 clicks BEFORE viewing: click must not count; later click does
+      FunnelEvent(2L, t(0, 0), "click"), FunnelEvent(2L, t(0, 5), "view"),
+      FunnelEvent(2L, t(0, 9), "click"),
+      // user 3 views only; a second view/purchase-without-click is ignored
+      FunnelEvent(3L, t(1, 0), "view"), FunnelEvent(3L, t(1, 1), "view"),
+      FunnelEvent(3L, t(1, 2), "purchase"),
+      // user 4: completes, then a fresh "view" must NOT restart the funnel
+      FunnelEvent(4L, t(2, 0), "view"), FunnelEvent(4L, t(2, 1), "click"),
+      FunnelEvent(4L, t(2, 2), "purchase"), FunnelEvent(4L, t(2, 3), "view"))
+    val stages = Seq("view", "click", "purchase")
+    val mem = MemoryStream[FunnelEvent]
+    val q = funnelStream(mem.toDS(), stages).writeStream
+      .format("memory").queryName("funnel").outputMode("append").start()
+    val got = try {
+      mem.addData(evs.take(6)); q.processAllAvailable()
+      mem.addData(evs.drop(6)); q.processAllAvailable()
+      spark.table("funnel").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getTimestamp(2)).toMap
+    } finally q.stop()
+    // batch oracle: the q33 nested-window stage timestamps
+    val df = evs.toDF()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val batch = df
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("ts") > col("t1"), col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("ts") > col("t2"), col("ts"))).over(w))
+      .select("user_id", "t1", "t2", "t3").distinct().collect()
+      .flatMap { r =>
+        Seq("view" -> r.getTimestamp(1), "click" -> r.getTimestamp(2),
+          "purchase" -> r.getTimestamp(3))
+          .collect { case (s, ts) if ts != null => (r.getLong(0), s) -> ts }
+      }.toMap
+    assert(got == batch)
+  }
+
   test("rangeStream is the stateless batch expression on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
