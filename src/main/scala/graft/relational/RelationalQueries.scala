@@ -155,6 +155,24 @@ object RelationalQueries {
         sum(round(col("o_totalprice"), 4).cast("decimal(28,4)")).over(w.rowsBetween(Long.MinValue, 0)).cast("double").as("running_spent"))
     }),
 
+    // The rest of the analytic-function surface: dense/percent ranks,
+    // cume_dist, quartile ntile, first/nth value over the full frame —
+    // fully tie-broken ordering so every engine agrees exactly
+    "q35_window_ranks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val full = w.rowsBetween(Long.MinValue, Long.MaxValue)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        dense_rank().over(w).cast("long").as("drank"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        first_value(col("o_orderkey")).over(full).as("top_order"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_order"))
+    }),
+
     // ---- sort / limit ---------------------------------------------------
     "q12_topn" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -596,6 +614,22 @@ object RelationalQueries {
            coalesce(n_inter, 0) AS n_inter,
            coalesce(n_except, 0) AS n_except
          FROM i FULL JOIN e ON i.k = e.k""",
+
+    "q35_window_ranks" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(dense_rank() OVER w AS BIGINT) AS drank,
+         round(percent_rank() OVER w, 6) AS prank,
+         round(cume_dist() OVER w, 6) AS cdist,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         first_value(o_orderkey) OVER wf AS top_order,
+         nth_value(o_orderkey, 2) OVER wf AS second_order
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey),
+                wf AS (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)""",
 
     "q33_funnel" ->
       """WITH s1 AS (SELECT user_id, event_type, ts,
