@@ -168,6 +168,17 @@ object ScaleSmokeDocs {
     vstage("ann_pq_100q")(
       Similarity.pqTopK(pqCodes, pqCb, vecs, vecs.filter(col("vec_id") < 100),
         k = 5, mCand = 25).count())
+    // IVF-PQ: the probe-pruned variant of the same scan — 8 of 64
+    // lists per query, so the ADC stage reads ~1/8 of the codes and
+    // the join is pure equality (no per-query full scan at all)
+    val tIvfPq = System.nanoTime()
+    val (ipCents, ipCb, ipCodes) = Similarity.ivfPqIndex(vecs,
+      nLists = 64, nSub = 8, ksub = 256, maxIter = 5)
+    ipCodes.count()
+    println(f"[docs-scale] ivfpq_index_build     ${(System.nanoTime() - tIvfPq) / 1e9}%8.2fs  rows=${ipCodes.count()}")
+    vstage("ann_ivfpq_100q")(
+      Similarity.ivfPqTopK(ipCodes, ipCents, ipCb, vecs,
+        vecs.filter(col("vec_id") < 100), k = 5, mCand = 25, nProbe = 8).count())
     spark.stop()
   }
 }

@@ -438,6 +438,94 @@ object Similarity {
         round(col("sim"), 6).as("sim"), col("rnk"))
   }
 
+  /** IVF-PQ composition (the FAISS `IVFx,PQy` architecture — the shape
+    * billion-vector serving actually uses): corpus vectors live in
+    * k-means inverted lists AND are stored as PQ codes, so a query (1)
+    * probes its `nProbe` nearest lists and (2) ADC-scans ONLY those
+    * lists' code arrays, then (3) exact-rescores the top `mCand`.
+    * The candidate stage is an EQUALITY join on the list id — unlike
+    * the flat-PQ scan there is no theta join anywhere: cost per query
+    * is (nProbe/nLists) × corpus code bytes.
+    *
+    * Codes quantize the raw vectors (not centroid residuals — the
+    * classic residual refinement buys ADC precision but the exact
+    * rescore stage recovers the difference here; documented tradeoff).
+    *
+    * Returns (centroids, codebook, codesWithList) — all three persist
+    * via [[AnnIO]]-style parquet (codesWithList partitioned by `list`
+    * prunes probe reads to whole files).
+    */
+  def ivfPqIndex(corpus: DataFrame, nLists: Int, nSub: Int, ksub: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L, maxIter: Int = 10, trainSampleMax: Int = 100000)
+      : (Array[Array[Double]], DataFrame, DataFrame) = {
+    val (model, indexed) = ivfIndex(corpus, nLists, idCol, vecCol, seed)
+    val (codebook, codes) = pqIndex(corpus, nSub, ksub, idCol, vecCol,
+      maxIter, trainSampleMax)
+    val codesWithList = codes
+      .join(indexed.select(col(idCol), col("list")), Seq(idCol))
+      .persist()
+    (model.clusterCenters.map(_.toArray), codebook, codesWithList)
+  }
+
+  /** IVF-PQ top-k: probe + ADC scan + exact rescore (see
+    * [[ivfPqIndex]]). Recall is governed by nProbe (coarse level) ×
+    * mCand (ADC level); both stages are id-deterministic.
+    */
+  def ivfPqTopK(codesWithList: DataFrame, centroids: Array[Array[Double]],
+      codebook: DataFrame, corpus: DataFrame, queries: DataFrame,
+      k: Int, mCand: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Array(metaRow) = codebook
+      .agg(max("sub").as("ms"), max("centroid_id").as("mc"),
+        max(size(col("centroid"))).as("dsub"))
+      .collect()
+    val (_, ksub, dsub) = (metaRow.getInt(0) + 1, metaRow.getInt(1) + 1,
+      metaRow.getInt(2))
+    // per-query probed lists (same centroid ranking as ivfTopK) ...
+    val centArr = centroids.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("list"),
+        dot(col("qv"), array(c.map(lit): _*)).as("dp"),
+        lit(math.sqrt(c.map(x => x * x).sum)).as("cn"))
+    }
+    val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    // ... plus the flat ADC LUT (same layout as pqTopK)
+    val lut = q0.crossJoin(broadcast(codebook))
+      .withColumn("pd",
+        dot(slice(col("qv"), col("sub") * dsub + 1, lit(dsub)), col("centroid")))
+      .groupBy("query_id")
+      .agg(first("qv").as("qv"), first("qn").as("qn"),
+        array_sort(collect_list(struct(col("sub"), col("centroid_id"), col("pd"))))
+          .as("__s"))
+      .withColumn("lut", transform(col("__s"), x => x.getField("pd")))
+      .withColumn("__cand", array(centArr: _*))
+      .withColumn("__ranked", slice(array_sort(transform(col("__cand"),
+        c => struct((-c.getField("dp") / c.getField("cn")).as("negSim"),
+          c.getField("list").as("list")))), 1, nProbe))
+      .withColumn("list", explode(transform(col("__ranked"), r => r.getField("list"))))
+      .select(col("query_id"), col("qv"), col("qn"), col("lut"), col("list"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    val wq = Window.partitionBy("query_id").orderBy(col("qsim").desc, col(idCol))
+    val cand = codesWithList.join(broadcast(lut), Seq("list"))
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("qsim",
+        graft.functions.PqAdcScore(col("code"), col("lut"), ksub) /
+          (col("qn") * col("cn")))
+      .withColumn("crnk", row_number().over(wq))
+      .filter(col("crnk") <= mCand)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("qv"), col("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn2", sqrt(dot(col("cv"), col("cv"))))
+    cand.join(c, Seq("neighbor_id"))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn2")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"), col("rnk"))
+  }
+
   /** Embedding near-duplicate pairs (cosine ≥ threshold, a < b) via
     * banded hyperplane LSH: candidates are pairs colliding in ≥ 1 of
     * `tables` sign-buckets, verified with the exact cosine — the same

@@ -80,6 +80,17 @@ object PipelineQueries {
         e.filter(col("vec_id") < 50), k = 3, mCand = 20)
     }),
 
+    // IVF-PQ composition (FAISS IVFx,PQy shape): probed inverted lists
+    // + ADC code scan + exact rescore — equality join only, no theta
+    // join; approximate-by-construction, rows-only like p7/p15/p27
+    "p29_ann_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val (cents, codebook, codesL) = Similarity.ivfPqIndex(e,
+        nLists = 16, nSub = 8, ksub = 16, maxIter = 5)
+      Similarity.ivfPqTopK(codesL, cents, codebook, e,
+        e.filter(col("vec_id") < 50), k = 3, mCand = 20, nProbe = 4)
+    }),
+
     "p8_text_tokens" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),

@@ -574,6 +574,27 @@ class PipelineSpec extends SparkSpecBase {
     assert(listDirs.length == 8, s"expected 8 list partitions, got ${listDirs.length}")
   }
 
+  test("IVF-PQ: equality-join scan only probes lists, recall tracks the flat PQ path") {
+    val queries = emb.filter(col("vec_id") < 30)
+    val (cents, codebook, codesL) = Similarity.ivfPqIndex(emb,
+      nLists = 8, nSub = 8, ksub = 16, maxIter = 5)
+    val out = Similarity.ivfPqTopK(codesL, cents, codebook, emb, queries,
+      k = 3, mCand = 30, nProbe = 4)
+    // no theta join anywhere: candidate stage is an equality join on list
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    val q1 = brute.keySet.filter(_._2 == 1L)
+    val hit = q1.count(key => got.get(key).contains(brute(key)))
+    val recall = hit.toDouble / q1.size
+    // probing half the lists (4/8) bounds attainable recall vs flat PQ;
+    // rank-1 should still be found for most queries
+    assert(recall >= 0.5, s"IVF-PQ rank-1 recall $recall")
+    assert(got.size == brute.size)
+  }
+
   test("urlFilter counts hosts, flags blocklist hits, keeps clean docs") {
     val d = docsOf(
       (1L, "plain text no links"),

@@ -53,8 +53,11 @@ class PlanShapeSpec extends SparkSpecBase {
       "p27_ann_pq")
     // p13 attaches a ONE-ROW aggregate (the corpus count for IDF) via
     // crossJoin(broadcast(...)) — a BroadcastNestedLoopJoin whose build
-    // side is a single row is O(n·1), the canonical lazy scalar attach
-    val scalarAttachJoins = Set("p13_text_tfidf")
+    // side is a single row is O(n·1), the canonical lazy scalar attach;
+    // p29's only BNLJ is the ADC lookup-table build (queries × the
+    // 128-row broadcast codebook) — its corpus-side candidate scan is
+    // an EQUALITY join on the probed list id
+    val scalarAttachJoins = Set("p13_text_tfidf", "p29_ann_ivfpq")
     for ((name, fn) <- graft.SparkEntry.queries
          if !intentionalThetaJoins(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
