@@ -139,6 +139,24 @@ object DetectorQueries {
         .select("user_id", "event_id", "value", "rho")
     }),
 
+    // Seasonal deviation via the as-of join: compare each reading to
+    // the latest reading ≥ 24h older (daily-cycle baseline), with a 6h
+    // staleness tolerance — the event cadence is irregular, so "value
+    // 24h ago" is an as-of lookup, not a fixed lag. One union + one
+    // windowed scan (AsOf's no-join-node shape), no self-join.
+    "det_seasonal" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val shifted = e.select(col("user_id"),
+        (col("ts") + expr("INTERVAL 24 HOURS")).as("ts"),
+        col("event_id"), col("value"))
+      AsOf.join(e, shifted, Seq("user_id"), "ts",
+          rightId = "event_id", rightVals = Seq("value"),
+          tolerance = Some("'6' HOUR"))
+        .select(col("user_id"), col("event_id"), col("value"),
+          coalesce(abs(col("value") - col("value_r")) > 100.0, lit(false))
+            .as("is_anomaly"))
+    }),
+
     // §2.2 feature operators through the oracle gate: lagged copies
     // (features.py:19-23 semantics — negative lag looks ahead) ...
     "det_lag_features" -> ((s, dir) =>
@@ -350,6 +368,17 @@ object DetectorQueries {
           SELECT e.user_id, e.event_id, e.value,
             coalesce(e.value < f.mn OR e.value > f.mx, false) AS is_anomaly
           FROM events e LEFT JOIN f USING (user_id)""",
+
+    // latest (shifted-ts <= e.ts) match first, THEN the tolerance test —
+    // mirroring AsOf.join's match-then-tolerance order exactly
+    "det_seasonal" ->
+      s"""SELECT e.user_id, e.event_id, e.value,
+          coalesce(CASE WHEN m.mts >= e.ts - INTERVAL 6 HOUR
+                        THEN abs(e.value - m.v) > 100.0 END, false) AS is_anomaly
+          FROM events e LEFT JOIN LATERAL (
+            SELECT r.ts + INTERVAL 24 HOUR AS mts, r.value AS v FROM events r
+            WHERE r.user_id = e.user_id AND r.ts + INTERVAL 24 HOUR <= e.ts
+            ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) m ON true""",
 
     "det_zscore" ->
       s"""WITH st AS (SELECT user_id, round(avg(value), 6) AS mu,

@@ -608,6 +608,38 @@ class PipelineSpec extends SparkSpecBase {
     assert(out(3L) == ((2L, 0L, true)))
   }
 
+  test("new-op edge cases: empty inputs, whitespace-only docs, tiny corpora") {
+    val empty = docsOf()
+    // span dedup: empty corpus and all-whitespace docs survive unchanged
+    assert(Dedup.removeDuplicateSpans(empty, "doc_id", "text", k = 5).count() == 0)
+    val ws = docsOf((1L, "   "), (2L, ""))
+    val wsOut = Dedup.removeDuplicateSpans(ws, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(wsOut == Map(1L -> "", 2L -> "")) // no tokens ⇒ empty reassembly
+    // k < 2 rejected loudly
+    intercept[IllegalArgumentException] {
+      Dedup.removeDuplicateSpans(ws, "doc_id", "text", k = 1)
+    }
+    // holdout split: bad weights rejected; empty frame fine
+    intercept[IllegalArgumentException] {
+      Sampling.holdoutSplit(ws, "doc_id", weights = Seq("a" -> 20000))
+    }
+    assert(Sampling.holdoutSplit(empty, "doc_id").count() == 0)
+    // packing: empty-text docs pack with zero width at valid offsets
+    val packed = Sampling.packSequences(
+      docsOf((1L, ""), (2L, "a b"), (3L, "")).withColumn("src", lit("s")),
+      "doc_id", "text", "src", budget = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(packed(1L) == ((0L, 0L, 0L)))
+    assert(packed(2L) == ((2L, 0L, 0L)))
+    assert(packed(3L) == ((0L, 0L, 2L))) // starts after doc 2's two tokens
+    // pqIndex: empty corpus throws a clear error, not an opaque NPE
+    val emptyVecs = emb.filter(col("vec_id") < 0)
+    intercept[IllegalArgumentException] {
+      Similarity.pqIndex(emptyVecs, nSub = 8, ksub = 16)
+    }
+  }
+
   test("langid marker scoring picks a language deterministically") {
     val d = docsOf(
       (1L, "the cat and the dog of a house"),
