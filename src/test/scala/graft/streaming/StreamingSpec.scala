@@ -430,6 +430,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == batch)
   }
 
+  test("stateless pipeline ops (holdout split, url filter) run unchanged on streams") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "clean text"), (2L, "see http://ads.tracker.net/x"),
+      (3L, "https://ok.example.org/a"))
+    val mem = MemoryStream[(Long, String)]
+    val streamDocs = mem.toDF().toDF("doc_id", "text")
+    // the SAME operators, applied to a streaming frame: pure projections
+    // and filters — no state, no watermark needed, append mode
+    val out = graft.pipeline.Quality.urlFilter(
+      graft.pipeline.Sampling.holdoutSplit(streamDocs, "doc_id"),
+      "doc_id", "text", Seq("ads.tracker.net"))
+    val q = out.writeStream.format("memory").queryName("statelessops")
+      .outputMode("append").start()
+    val got = try {
+      mem.addData(docs.take(2))
+      q.processAllAvailable()
+      mem.addData(docs.drop(2))
+      q.processAllAvailable()
+      spark.table("statelessops").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    } finally q.stop()
+    val want = graft.pipeline.Quality.urlFilter(
+      graft.pipeline.Sampling.holdoutSplit(
+        docs.toDF("doc_id", "text"), "doc_id"),
+      "doc_id", "text", Seq("ads.tracker.net"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got == want)
+  }
+
   test("rangeStream is the stateless batch expression on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
