@@ -126,6 +126,24 @@ object DetectorQueries {
             lit(false)).as("is_anomaly"))
     }),
 
+    // Global robust outliers (the per-series GLOBAL form of Hampel's
+    // rolling rule): |value − median| > 3 · 1.4826 · MAD. Two exact-
+    // percentile aggregates chained by broadcast joins — medians are
+    // sort-exact on both engines, no rounding needed until the flag.
+    "det_mad" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val med = e.groupBy("user_id")
+        .agg(percentile(col("value"), lit(0.5)).as("__med"))
+      val withMed = e.join(broadcast(med), Seq("user_id"), "left")
+      val mad = withMed.groupBy("user_id")
+        .agg(percentile(abs(col("value") - col("__med")), lit(0.5)).as("__mad"))
+      withMed.join(broadcast(mad), Seq("user_id"), "left")
+        .select(col("user_id"), col("event_id"), col("value"),
+          coalesce(
+            abs(col("value") - col("__med")) > lit(3.0) * lit(1.4826) * col("__mad"),
+            lit(false)).as("is_anomaly"))
+    }),
+
     // Rolling Pearson correlation of the signal with its own lag-1
     // (local persistence / trend-break analytic) over a centered
     // 25-row window; incomplete edges and zero-variance windows null.
@@ -387,6 +405,19 @@ object DetectorQueries {
           SELECT e.user_id, e.event_id, e.value,
             coalesce(abs(e.value - st.mu) > 3.0 * st.sd, false) AS is_anomaly
           FROM events e LEFT JOIN st USING (user_id)""",
+
+    "det_mad" ->
+      s"""WITH med AS (SELECT user_id, median(value) AS m FROM events
+                       GROUP BY user_id),
+            mad AS (SELECT e.user_id, median(abs(e.value - med.m)) AS d
+                    FROM events e JOIN med USING (user_id)
+                    GROUP BY e.user_id)
+          SELECT e.user_id, e.event_id, e.value,
+            coalesce(abs(e.value - med.m) > 3.0 * 1.4826 * mad.d, false)
+              AS is_anomaly
+          FROM events e
+          LEFT JOIN med USING (user_id)
+          LEFT JOIN mad USING (user_id)""",
 
     "det_rolling_corr" ->
       s"""WITH l AS (SELECT user_id, event_id, value, ts,
