@@ -52,6 +52,17 @@ def main(sf_dir, out_dir):
         bad = []
         for c in want.columns:
             w, g = want[c], got[c]
+            # dtype-strict: DuckDB HUGEINT/DECIMAL widenings land as float64
+            # in pandas while Spark writes int64 — values compare equal here
+            # but the driver's hash sees "0.0" vs "0". Flag int-vs-float
+            # mismatches as hard failures so local verify predicts the driver.
+            w_f, g_f = pd.api.types.is_float_dtype(w), pd.api.types.is_float_dtype(g)
+            w_i = pd.api.types.is_integer_dtype(w) or pd.api.types.is_bool_dtype(w)
+            g_i = pd.api.types.is_integer_dtype(g) or pd.api.types.is_bool_dtype(g)
+            if (w_f and g_i) or (w_i and g_f):
+                bad.append(f"{c} (DTYPE oracle={w.dtype} vs spark={g.dtype}: "
+                           "driver hash will mismatch — cast the oracle)")
+                continue
             if pd.api.types.is_float_dtype(w) or pd.api.types.is_float_dtype(g):
                 w = w.astype(float); g = g.astype(float)
                 eq = (w.values == g.values) | (w.isna().values & g.isna().values)

@@ -744,7 +744,7 @@ object PipelineQueries {
                    FROM d)
          SELECT doc_id, source, n_tokens,
            CAST(floor(strt / 512.0) AS BIGINT) AS seq_id,
-           strt % 512 AS seq_off
+           CAST(strt % 512 AS BIGINT) AS seq_off
          FROM c""",
 
     "p26_stratified_sample" ->
