@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Polynomial rolling hash (Rabin–Karp) over the Unicode code points of a
+  * string: acc = (acc*31 + codePoint) mod 1000000007, one pass over the
+  * UTF-8 bytes, zero per-character allocation.
+  *
+  * Replaces the round-3 HOF formulation
+  * `aggregate(transform(regexp_extract_all(s, "."), ascii), ...)`, which
+  * materialized a one-char UTF8String per character and regex-matched each
+  * one (the PqAdcScore precedent: HOF restatements of tight numeric loops
+  * measured ~2.5x slower from per-element allocation). Semantics are
+  * bit-identical — `ascii()` on a 1-char string and this walk both yield
+  * the code point — so the DuckDB oracle (`ord()` per regexp char) still
+  * hash-matches; `RollingHashSemanticsSpec` pins the equivalence on
+  * multilingual inputs.
+  *
+  * The accumulator stays < 2^30 and each step is acc*31+cp < 2^36 — exact
+  * in a long, no overflow or float caveats at any document length.
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHash.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val cp = ctx.freshName("cp")
+      val c0 = ctx.freshName("c0")
+      val acc = ctx.freshName("acc")
+      // sequential shift-accumulate (not one nested |-of-shifts expression):
+      // janino mis-parses a parenthesized shift followed by `|` as a cast
+      s"""
+         |byte[] $b = $a.getBytes();
+         |int $n = $b.length;
+         |long $acc = 0L;
+         |int $i = 0;
+         |while ($i < $n) {
+         |  int $c0 = $b[$i] & 0xFF;
+         |  int $cp;
+         |  if ($c0 < 0x80) { $cp = $c0; $i += 1; }
+         |  else if ($c0 < 0xE0) {
+         |    $cp = $c0 & 0x1F;
+         |    $cp = ($cp << 6) + ($b[$i + 1] & 0x3F);
+         |    $i += 2;
+         |  } else if ($c0 < 0xF0) {
+         |    $cp = $c0 & 0x0F;
+         |    $cp = ($cp << 6) + ($b[$i + 1] & 0x3F);
+         |    $cp = ($cp << 6) + ($b[$i + 2] & 0x3F);
+         |    $i += 3;
+         |  } else {
+         |    $cp = $c0 & 0x07;
+         |    $cp = ($cp << 6) + ($b[$i + 1] & 0x3F);
+         |    $cp = ($cp << 6) + ($b[$i + 2] & 0x3F);
+         |    $cp = ($cp << 6) + ($b[$i + 3] & 0x3F);
+         |    $i += 4;
+         |  }
+         |  $acc = ($acc * 31L + $cp) % ${RollingHash.Prime}L;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  val Prime = 1000000007L
+
+  /** Interpreted path — same UTF-8 code-point walk as the generated code. */
+  def hash(s: UTF8String): Long = {
+    val b = s.getBytes
+    val n = b.length
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val c0 = b(i) & 0xFF
+      var cp = 0
+      if (c0 < 0x80) { cp = c0; i += 1 }
+      else if (c0 < 0xE0) {
+        cp = ((c0 & 0x1F) << 6) | (b(i + 1) & 0x3F); i += 2
+      } else if (c0 < 0xF0) {
+        cp = ((c0 & 0x0F) << 12) | ((b(i + 1) & 0x3F) << 6) | (b(i + 2) & 0x3F)
+        i += 3
+      } else {
+        cp = ((c0 & 0x07) << 18) | ((b(i + 1) & 0x3F) << 12) |
+          ((b(i + 2) & 0x3F) << 6) | (b(i + 3) & 0x3F)
+        i += 4
+      }
+      acc = (acc * 31L + cp) % Prime
+    }
+    acc
+  }
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def apply(s: Column): Column =
+    ColumnBridge.column(RollingHash(ColumnBridge.expression(s)))
+}

@@ -36,19 +36,14 @@ object TextOps {
   def hash48(s: Column): Column =
     conv(substring(md5(s), 1, 12), 16, 10).cast("long")
 
-  /** Polynomial rolling hash (Rabin–Karp) over the characters of the
+  /** Polynomial rolling hash (Rabin–Karp) over the code points of the
     * whitespace-normalized document: acc = (acc*31 + code) mod p. One
-    * pass, O(len), collision-checkable fingerprint for content-defined
-    * dedup.
+    * codegen'd pass over the UTF-8 bytes ([[graft.functions.RollingHash]]),
+    * O(len) with zero per-character allocation; collision-checkable
+    * fingerprint for content-defined dedup.
     */
-  def fingerprint(text: Column): Column = {
-    val norm = concat_ws(" ", tokens(text))
-    val chars = regexp_extract_all(norm, lit("."), lit(0))
-    aggregate(
-      transform(chars, c => ascii(c).cast("long")),
-      lit(0L),
-      (acc, x) => (acc * 31 + x) % HashPrime)
-  }
+  def fingerprint(text: Column): Column =
+    graft.functions.RollingHash(concat_ws(" ", tokens(text)))
 
   /** Language marker lexicons for the n-gram-free stopword heuristic. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
@@ -57,11 +52,12 @@ object TextOps {
     "es" -> Seq("el", "la", "los", "de", "y", "es", "en", "un", "una", "que"),
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"))
 
-  /** Count of tokens present in a marker lexicon (with multiplicity). */
-  def markerHits(toks: Column, markers: Seq[String]): Column = {
-    val m = array(markers.map(lit): _*)
-    size(filter(toks, t => array_contains(m, t))).cast("long")
-  }
+  /** Count of tokens present in a marker lexicon (with multiplicity).
+    * Hash-set membership probe per token ([[graft.functions.MarkerHits]])
+    * rather than a linear array_contains scan per token per language.
+    */
+  def markerHits(toks: Column, markers: Seq[String]): Column =
+    graft.functions.MarkerHits(toks, markers)
 
   val Stopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
