@@ -27,7 +27,15 @@ case class PqEncode(left: Expression, right: Expression, nSub: Int, ksub: Int)
   override protected def nullSafeEval(vec: Any, cb: Any): Any = {
     val v = vec.asInstanceOf[ArrayData]
     val t = cb.asInstanceOf[ArrayData]
-    val dsub = v.numElements() / nSub
+    val dsub = t.numElements() / (nSub * ksub)
+    // heterogeneous vector lengths would otherwise silently mis-encode
+    // (dsub derived per ROW truncates trailing dims or walks past the
+    // codebook layout) — pqIndex validates only the first row, so the
+    // encoder itself must reject mismatches
+    if (v.numElements() != nSub * dsub)
+      throw new IllegalArgumentException(
+        s"PqEncode: vector length ${v.numElements()} != nSub*dsub = ${nSub * dsub}" +
+          s" implied by the codebook (nSub=$nSub, ksub=$ksub)")
     val out = new Array[Int](nSub)
     var j = 0
     while (j < nSub) {
@@ -63,7 +71,13 @@ case class PqEncode(left: Expression, right: Expression, nSub: Int, ksub: Int)
       val diff = ctx.freshName("diff")
       val out = ctx.freshName("out")
       s"""
-         |int $dsub = $v.numElements() / $nSub;
+         |int $dsub = $t.numElements() / (${nSub * ksub});
+         |if ($v.numElements() != $nSub * $dsub) {
+         |  throw new IllegalArgumentException(
+         |    "PqEncode: vector length " + $v.numElements() +
+         |    " != nSub*dsub = " + ($nSub * $dsub) +
+         |    " implied by the codebook (nSub=$nSub, ksub=$ksub)");
+         |}
          |int[] $out = new int[$nSub];
          |for (int $j = 0; $j < $nSub; $j++) {
          |  int $best = 0; double $bestD = Double.MAX_VALUE;

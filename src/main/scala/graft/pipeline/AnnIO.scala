@@ -47,11 +47,60 @@ object AnnIO {
       .partitionBy("list").parquet(s"$path/corpus")
   }
 
-  /** Returns (centroids, indexedCorpus) for [[Similarity.ivfTopK]]. */
+  /** Returns (centroids, indexedCorpus) for [[Similarity.ivfTopK]].
+    *
+    * Columns are selected BY NAME and centroids indexed by their stored
+    * `list` id — a centroids relation written by another engine may be
+    * sparse, reordered, or column-permuted, and positional collection
+    * would silently route probes to the wrong lists. Non-dense list ids
+    * fail loudly instead.
+    */
   def loadIvfIndex(spark: SparkSession, path: String): (Array[Array[Double]], DataFrame) = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy("list").collect()
-      .map(r => r.getSeq[Double](1).toArray)
-    (centroids, spark.read.parquet(s"$path/corpus"))
+    val rows = spark.read.parquet(s"$path/centroids")
+      .select(col("list").cast("int"), col("centroid"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    val ids = rows.map(_._1).sorted
+    require(ids.sameElements(rows.indices),
+      s"loadIvfIndex: centroid list ids must be dense 0..${rows.length - 1}, " +
+        s"got [${ids.take(5).mkString(",")}...] at $path")
+    val byId = rows.toMap
+    ((0 until rows.length).map(byId).toArray, spark.read.parquet(s"$path/corpus"))
+  }
+
+  /** Persist an IVF-PQ index ([[Similarity.ivfPqIndex]]'s three
+    * relations): coarse centroids + PQ codebook + the code table
+    * partitioned by inverted list, so a probe-pruned serve reads only
+    * nProbe/nLists of the code files.
+    */
+  def saveIvfPqIndex(centroids: Array[Array[Double]], codebook: DataFrame,
+      codesWithList: DataFrame, path: String): Unit = {
+    val spark = codesWithList.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    codebook.write.mode("overwrite").parquet(s"$path/codebook")
+    codesWithList.write.mode("overwrite")
+      .partitionBy("list").parquet(s"$path/codes")
+  }
+
+  /** Returns (centroids, codebook, codesWithList) for
+    * [[Similarity.ivfPqTopK]]; same by-name/dense-id discipline as
+    * [[loadIvfIndex]].
+    */
+  def loadIvfPqIndex(spark: SparkSession, path: String)
+      : (Array[Array[Double]], DataFrame, DataFrame) = {
+    val rows = spark.read.parquet(s"$path/centroids")
+      .select(col("list").cast("int"), col("centroid"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    val ids = rows.map(_._1).sorted
+    require(ids.sameElements(rows.indices),
+      s"loadIvfPqIndex: centroid list ids must be dense 0..${rows.length - 1} at $path")
+    val byId = rows.toMap
+    ((0 until rows.length).map(byId).toArray,
+      spark.read.parquet(s"$path/codebook"),
+      spark.read.parquet(s"$path/codes"))
   }
 }

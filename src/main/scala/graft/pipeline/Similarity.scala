@@ -164,10 +164,17 @@ object Similarity {
     // plain brute force at 100k×100 pairs: the quantized kernel saves
     // nothing if every pair's row still hauls both full vectors.
     def dotB(a: Column, b: Column): Column = graft.functions.DotProductBytes(a, b)
+    // the candidate scan carries ONLY (query_id, codes) — the full-
+    // precision qv would otherwise ride through every scanned pair AND
+    // the row_number() exchange, shuffling the exact dim-double width
+    // the quantization was meant to avoid; it is joined back from the
+    // broadcast query frame for just the m survivors
+    val qFull = broadcast(queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv")))))
     val q = broadcast(queries
-      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
+      .select(col(idCol).as("query_id"),
         quantizeInt8(col(vecCol)).getField("q").as("qq"))
-      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
       .withColumn("qq_n", sqrt(dotB(col("qq"), col("qq")).cast("double"))))
     val c = corpus
       .select(col(idCol).as("neighbor_id"),
@@ -182,11 +189,11 @@ object Similarity {
         dotB(col("qq"), col("cq")).cast("double") / (col("qq_n") * col("cq_n")))
       .withColumn("crnk", row_number().over(wq))
       .filter(col("crnk") <= m)
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"))
+      .select(col("query_id"), col("neighbor_id"))
     val full = corpus.select(col(idCol).as("neighbor_id"),
         asDouble(col(vecCol)).as("cv"))
       .withColumn("cn2", sqrt(dot(col("cv"), col("cv"))))
-    cand.join(full, Seq("neighbor_id"))
+    cand.join(qFull, Seq("query_id")).join(full, Seq("neighbor_id"))
       .withColumn("sim", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn2")), 6))
       .withColumn("rnk", row_number().over(wx).cast("long"))
       .filter(col("rnk") <= k)
@@ -422,16 +429,19 @@ object Similarity {
       .withColumn("pd",
         dot(slice(col("qv"), col("sub") * dsub + 1, lit(dsub)), col("centroid")))
       .groupBy("query_id")
-      .agg(first("qv").as("qv"), first("qn").as("qn"),
+      .agg(first("qn").as("qn"),
         array_sort(collect_list(struct(col("sub"), col("centroid_id"), col("pd"))))
           .as("__s"))
       .withColumn("lut", transform(col("__s"), x => x.getField("pd")))
-      .select(col("query_id"), col("qv"), col("qn"), col("lut"))
+      .select(col("query_id"), col("qn"), col("lut"))
     // candidate scan touches ONLY the code arrays + broadcast LUTs; the
     // score is the codegen'd allocation-free [[graft.functions
     // .PqAdcScore]] loop (a HOF restatement measured ~2.5× slower than
     // even the full-precision brute-force dot — per-pair zip allocation
-    // would throw away the whole compression win)
+    // would throw away the whole compression win). The full-precision
+    // qv does NOT ride through the scan or its row_number() exchange —
+    // it joins back from the broadcast query frame for the mCand
+    // survivors only
     val cand = codes.join(broadcast(lut), col("query_id") =!= col(idCol))
       .withColumn("adc",
         graft.functions.PqAdcScore(col("code"), col("lut"), ksub))
@@ -439,12 +449,12 @@ object Similarity {
       .withColumn("crnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("qsim").desc, col(idCol))))
       .filter(col("crnk") <= mCand)
-      .select(col("query_id"), col(idCol).as("neighbor_id"), col("qv"), col("qn"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"))
     // exact rescore of mCand candidates per query against full vectors
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn2", sqrt(dot(col("cv"), col("cv"))))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    cand.join(c, Seq("neighbor_id"))
+    cand.join(broadcast(q0), Seq("query_id")).join(c, Seq("neighbor_id"))
       .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn2")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -519,7 +529,9 @@ object Similarity {
         c => struct((-c.getField("dp") / c.getField("cn")).as("negSim"),
           c.getField("list").as("list")))), 1, nProbe))
       .withColumn("list", explode(transform(col("__ranked"), r => r.getField("list"))))
-      .select(col("query_id"), col("qv"), col("qn"), col("lut"), col("list"))
+      // the probed scan carries (qn, lut) only — qv joins back from the
+      // broadcast query frame after the mCand cut (see pqTopK)
+      .select(col("query_id"), col("qn"), col("lut"), col("list"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     val wq = Window.partitionBy("query_id").orderBy(col("qsim").desc, col(idCol))
     val cand = codesWithList.join(broadcast(lut), Seq("list"))
@@ -529,10 +541,10 @@ object Similarity {
           (col("qn") * col("cn")))
       .withColumn("crnk", row_number().over(wq))
       .filter(col("crnk") <= mCand)
-      .select(col("query_id"), col(idCol).as("neighbor_id"), col("qv"), col("qn"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn2", sqrt(dot(col("cv"), col("cv"))))
-    cand.join(c, Seq("neighbor_id"))
+    cand.join(broadcast(q0), Seq("query_id")).join(c, Seq("neighbor_id"))
       .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn2")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
