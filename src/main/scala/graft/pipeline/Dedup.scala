@@ -354,6 +354,21 @@ object Dedup {
     * (dedup keys are case-sensitive; unlike [[minhashLshPairs]] this
     * operator rewrites text, so it must not normalize what it keeps).
     *
+    * Caveats a user must know:
+    *   - "Exact" is exact UP TO the 60-bit gram hash: two DIFFERENT
+    *     k-gram strings colliding on hash60 would delete non-duplicate
+    *     text. Birthday bound: P(any collision) ≈ g²/2⁶¹ for g distinct
+    *     grams — negligible at 10⁷ grams (~10⁻⁷) but ~0.4 at 10⁹ and
+    *     near-certain at the 100 TB corpus scale (10¹¹⁺ grams). At that
+    *     scale verify candidate spans against the real strings (one
+    *     extra join of marked occurrences back to their k-gram text)
+    *     or widen the key; this implementation is collision-unchecked
+    *     by design and says so.
+    *   - Documents that LOSE a span are reassembled by joining surviving
+    *     tokens with single spaces — runs of whitespace in the kept text
+    *     collapse. Documents with NO duplicated span pass through
+    *     VERBATIM (byte-identical, whitespace untouched).
+    *
     * Plan shape (all linear, all key-hashed):
     *   1. one pass emits `(doc, pos, gram-hash)` for every k-token window
     *      — O(tokens) rows, the 60-bit hash instead of the k-word string
@@ -396,22 +411,27 @@ object Dedup {
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
       .distinct()
-    val kept = words
+    // only documents that actually lose tokens are re-tokenized and
+    // reassembled; everything else passes through verbatim (no silent
+    // whitespace normalization of untouched text)
+    val touched = covered.select(col(idCol)).distinct()
+    val rebuilt = words
+      .join(touched, Seq(idCol))
       .select(col(idCol), posexplode(col("toks")).as(Seq("pos", "word")))
       .join(covered, Seq(idCol, "pos"), "left_anti")
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("pos"), col("word")))).as("__ws"))
-      .withColumn(textCol,
+      .withColumn("__t2",
         array_join(transform(col("__ws"), x => x.getField("word")), " "))
-      .select(col(idCol), col(textCol))
-    val others = docs.columns.filter(c => c != idCol && c != textCol)
-    docs.select(idCol, others: _*)
-      .join(kept, Seq(idCol), "left")
-      .withColumn(textCol, coalesce(col(textCol), lit("")))
-      .select(docs.columns.map {
-        case c if c == textCol => col(textCol)
-        case c => col(c)
-      }: _*)
+      .select(col(idCol), col("__t2"))
+    docs
+      .join(touched.withColumn("__touched", lit(true)), Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      // touched + no surviving tokens (fully covered) reassembles to ""
+      .withColumn(textCol,
+        when(col("__touched").isNull, col(textCol))
+          .otherwise(coalesce(col("__t2"), lit(""))))
+      .select(docs.columns.map(col): _*)
   }
 
   // ---- duplicate clusters ---------------------------------------------

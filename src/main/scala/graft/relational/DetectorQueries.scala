@@ -117,9 +117,13 @@ object DetectorQueries {
     // back — no window pass at all.
     "det_zscore" -> ((s, dir) => {
       val e = ev(s, dir)
+      // single-row series: Spark's stddev_samp is NaN where DuckDB's is
+      // NULL — the flag happens to agree (NaN-largest vs NULL-coalesce)
+      // but the guard makes the parity explicit, not data-dependent
+      val sd = stddev_samp("value")
       val stats = e.groupBy("user_id")
         .agg(round(avg("value"), 6).as("__mu"),
-          round(stddev_samp("value"), 6).as("__sd"))
+          round(when(isnan(sd), lit(null)).otherwise(sd), 6).as("__sd"))
       e.join(broadcast(stats), Seq("user_id"), "left")
         .select(col("user_id"), col("event_id"), col("value"),
           coalesce(abs(col("value") - col("__mu")) > lit(3.0) * col("__sd"),
@@ -151,9 +155,13 @@ object DetectorQueries {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val f = w.rowsBetween(-12, 12)
+      // zero-variance (or constant-lag) frames: Spark's corr is NaN,
+      // DuckDB's is NULL — normalize to NULL so hash parity does not
+      // depend on the generated data never hitting a flat window
+      val rho = corr(col("value"), col("__lag")).over(f)
       ev(s, dir)
         .withColumn("__lag", lag("value", 1).over(w))
-        .withColumn("rho", round(corr(col("value"), col("__lag")).over(f), 6))
+        .withColumn("rho", round(when(isnan(rho), lit(null)).otherwise(rho), 6))
         .select("user_id", "event_id", "value", "rho")
     }),
 

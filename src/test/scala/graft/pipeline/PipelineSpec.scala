@@ -352,9 +352,12 @@ class PipelineSpec extends SparkSpecBase {
     assert(media.schema("media").dataType == BinaryType)
     val decoded = Multimodal.decodeFeatures(media)
     assert(decoded.columns.toSeq ==
-      Seq("doc_id", "n_bytes", "width", "height", "n_frames", "brightness"))
+      Seq("doc_id", "n_bytes", "width", "height", "n_frames", "brightness",
+        "decoded_real"))
+    // text bytes are not an image: every row takes the fallback path
+    assert(decoded.filter(col("decoded_real")).count() == 0)
     val twice = Multimodal.decodeFeatures(media)
-    assert(decoded.except(twice).count() == 0) // deterministic stub
+    assert(decoded.except(twice).count() == 0) // deterministic fallback
     val withResize = Multimodal.resizePlan(decoded, 256)
     val bad = withResize.filter(
       greatest(col("out_width"), col("out_height")) > 256 ||
@@ -459,6 +462,21 @@ class PipelineSpec extends SparkSpecBase {
     // no duplicated 5-gram touches docs 3 and 4 (4 is shorter than k)
     assert(out(3L) == "totally different words here nothing shared at all")
     assert(out(4L) == "short doc")
+  }
+
+  test("removeDuplicateSpans passes untouched docs through verbatim (whitespace kept)") {
+    val d = docsOf(
+      (1L, "alpha  double  spaced   text with no duplicate span at all"),
+      (2L, "one two three four five shared residue A"),
+      (3L, "one two three four five shared residue B"))
+    val out = Dedup.removeDuplicateSpans(d, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 loses nothing — its double spaces must survive byte-identical
+    assert(out(1L) == "alpha  double  spaced   text with no duplicate span at all")
+    // doc 2 holds every first occurrence — verbatim too
+    assert(out(2L) == "one two three four five shared residue A")
+    // doc 3's grams at pos 0..2 duplicate doc 2 ⇒ tokens 0..6 covered
+    assert(out(3L) == "B")
   }
 
   test("removeDuplicateSpans: exact-duplicate docs collapse to their unique residue") {
@@ -615,7 +633,9 @@ class PipelineSpec extends SparkSpecBase {
     val ws = docsOf((1L, "   "), (2L, ""))
     val wsOut = Dedup.removeDuplicateSpans(ws, "doc_id", "text", k = 5)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(wsOut == Map(1L -> "", 2L -> "")) // no tokens ⇒ empty reassembly
+    // no duplicated span touches either doc ⇒ VERBATIM pass-through
+    // (whitespace preserved; only rebuilt docs are re-joined with ' ')
+    assert(wsOut == Map(1L -> "   ", 2L -> ""))
     // k < 2 rejected loudly
     intercept[IllegalArgumentException] {
       Dedup.removeDuplicateSpans(ws, "doc_id", "text", k = 1)
