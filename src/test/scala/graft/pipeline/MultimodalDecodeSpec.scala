@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ts.SparkSpecBase
+
+/** Pins [[MediaDecoder]]'s REAL ImageIO path against fixtures whose
+  * metadata is known analytically: images are painted pixel-by-pixel in
+  * the test, so expected width/height/brightness come from the paint
+  * loop, not from any decoder. Lossless formats (PNG, BMP) must match
+  * the mean-luma brightness bit-exactly (same accumulation order);
+  * JPEG is lossy so brightness gets a tolerance; GIF exercises the
+  * multi-frame count. Non-image and truncated blobs must fall back to
+  * the deterministic fake with decoded_real = false.
+  */
+class MultimodalDecodeSpec extends SparkSpecBase {
+
+  private def paint(w: Int, h: Int)(px: (Int, Int) => Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+    img
+  }
+
+  private def bytes(img: BufferedImage, fmt: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, out), s"no $fmt writer in this JDK")
+    out.toByteArray
+  }
+
+  /** Expected brightness via the decoder's exact accumulation order. */
+  private def meanLuma(img: BufferedImage): Double = {
+    var sum = 0.0
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+          0.114 * (rgb & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    sum / (img.getWidth.toLong * img.getHeight * 255.0)
+  }
+
+  private def decodeAll(blobs: Seq[(Long, Array[Byte])]) = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("media", BinaryType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(blobs.map(b => Row(b._1, b._2)), 2), schema)
+    Multimodal.decodeFeatures(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6))))
+      .toMap
+  }
+
+  test("PNG and BMP decode real dimensions and bit-exact mean-luma brightness") {
+    val solid = paint(16, 12)((_, _) => (100 << 16) | (150 << 8) | 200)
+    val gradient = paint(7, 5)((x, y) => {
+      val v = (x * 30 + y * 40) % 256; (v << 16) | (v << 8) | v
+    })
+    val out = decodeAll(Seq(
+      1L -> bytes(solid, "png"), 2L -> bytes(gradient, "png"),
+      3L -> bytes(solid, "bmp"), 4L -> bytes(gradient, "bmp")))
+    for ((id, img) <- Seq(1L -> solid, 2L -> gradient, 3L -> solid, 4L -> gradient)) {
+      val (w, h, frames, brightness, real) = out(id)
+      assert(real, s"doc $id should take the real path")
+      assert((w, h) == (img.getWidth.toLong, img.getHeight.toLong), s"dims of $id")
+      assert(frames == 1L, s"frames of $id")
+      assert(brightness == meanLuma(img), s"brightness of $id")
+    }
+  }
+
+  test("JPEG decodes exact dimensions and approximate brightness (lossy)") {
+    val img = paint(24, 18)((_, _) => (90 << 16) | (120 << 8) | 60)
+    val out = decodeAll(Seq(1L -> bytes(img, "jpg")))
+    val (w, h, frames, brightness, real) = out(1L)
+    assert(real && (w, h) == (24L, 18L) && frames == 1L)
+    assert(math.abs(brightness - meanLuma(img)) < 0.02,
+      s"jpeg brightness $brightness vs ${meanLuma(img)}")
+  }
+
+  test("animated GIF reports its real frame count") {
+    val f1 = paint(8, 8)((_, _) => 0xFF0000)
+    val f2 = paint(8, 8)((_, _) => 0x00FF00)
+    val f3 = paint(8, 8)((_, _) => 0x0000FF)
+    val out = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    Seq(f1, f2, f3).foreach(f =>
+      writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    val res = decodeAll(Seq(1L -> out.toByteArray))
+    val (w, h, frames, _, real) = res(1L)
+    assert(real && (w, h) == (8L, 8L))
+    assert(frames == 3L, s"expected 3 GIF frames, got $frames")
+  }
+
+  test("non-image and truncated blobs fall back to the deterministic fake") {
+    val png = bytes(paint(9, 9)((_, _) => 0x808080), "png")
+    val truncated = png.take(20) // valid magic, unreadable body
+    val text = "just some document text".getBytes("UTF-8")
+    val out = decodeAll(Seq(1L -> truncated, 2L -> text))
+    assert(!out(1L)._5 && !out(2L)._5)
+    // fake metadata is the md5 derivation — deterministic across runs
+    val again = decodeAll(Seq(1L -> truncated, 2L -> text))
+    assert(out == again)
+    // and the real path on the intact bytes still works in the same batch
+    val mixed = decodeAll(Seq(1L -> png, 2L -> text))
+    assert(mixed(1L)._5 && !mixed(2L)._5)
+    assert(mixed(1L)._1 == 9L && mixed(1L)._2 == 9L)
+  }
+}
