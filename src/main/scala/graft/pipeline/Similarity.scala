@@ -411,29 +411,53 @@ object Similarity {
     * data-adapted codebook, so it holds recall at far higher
     * compression.
     */
+  /** The relational codebook collected into the flat driver array
+    * [[graft.functions.PqEncode]] / [[graft.functions.PqLut]] index —
+    * `flat[(sub*ksub + centroid)*dsub + d]`. Tiny by construction
+    * (nSub·ksub·dsub doubles); ids must be dense, loudly checked so a
+    * foreign codebook relation can't silently misalign.
+    */
+  private[graft] def flatCodebook(codebook: DataFrame): (Array[Double], Int, Int, Int) = {
+    val rows = codebook
+      .select(col("sub").cast("int"), col("centroid_id").cast("int"), col("centroid"))
+      .collect()
+    require(rows.nonEmpty, "flatCodebook: empty codebook relation")
+    val nSub = rows.iterator.map(_.getInt(0)).max + 1
+    val ksub = rows.iterator.map(_.getInt(1)).max + 1
+    val dsub = rows.head.getSeq[Double](2).length
+    require(rows.length == nSub * ksub,
+      s"flatCodebook: expected dense $nSub x $ksub codebook, got ${rows.length} rows")
+    val flat = new Array[Double](nSub * ksub * dsub)
+    rows.foreach { r =>
+      val (j, c, ctr) = (r.getInt(0), r.getInt(1), r.getSeq[Double](2))
+      require(ctr.length == dsub, s"flatCodebook: ragged centroid in sub $j")
+      var d = 0
+      while (d < dsub) { flat((j * ksub + c) * dsub + d) = ctr(d); d += 1 }
+    }
+    (flat, nSub, ksub, dsub)
+  }
+
+  /** Query frame (query_id, qv, qn, lut) with the ADC lookup table as a
+    * PURE PROJECTION ([[graft.functions.PqLut]]) — no crossJoin/groupBy
+    * shuffle of the queries, and legal on a STREAMING query frame
+    * (aggregations upstream of a stateful operator are not).
+    */
+  private[graft] def pqQueryFrame(queries: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String): (DataFrame, Int) = {
+    val (flat, nSub, ksub, _) = flatCodebook(codebook)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+      .withColumn("lut", graft.functions.PqLut(col("qv"), lit(flat), nSub, ksub))
+    (q, ksub)
+  }
+
   def pqTopK(codes: DataFrame, codebook: DataFrame, corpus: DataFrame,
       queries: DataFrame, k: Int, mCand: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val Array(metaRow) = codebook
-      .agg(max("sub").as("ms"), max("centroid_id").as("mc"),
-        max(size(col("centroid"))).as("dsub"))
-      .collect()
-    val (nSub, ksub, dsub) = (metaRow.getInt(0) + 1, metaRow.getInt(1) + 1,
-      metaRow.getInt(2))
-    val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
-    // LUT per query: ordered (sub, centroid) partial dots flattened so
-    // the scan indexes lut[sub*ksub + code] directly
-    val lut = q0.crossJoin(broadcast(codebook))
-      .withColumn("pd",
-        dot(slice(col("qv"), col("sub") * dsub + 1, lit(dsub)), col("centroid")))
-      .groupBy("query_id")
-      .agg(first("qn").as("qn"),
-        array_sort(collect_list(struct(col("sub"), col("centroid_id"), col("pd"))))
-          .as("__s"))
-      .withColumn("lut", transform(col("__s"), x => x.getField("pd")))
-      .select(col("query_id"), col("qn"), col("lut"))
+    val (qf, ksub) = pqQueryFrame(queries, codebook, idCol, vecCol)
+    val q0 = qf.select(col("query_id"), col("qv"), col("qn"))
+    val lut = qf.select(col("query_id"), col("qn"), col("lut"))
     // candidate scan touches ONLY the code arrays + broadcast LUTs; the
     // score is the codegen'd allocation-free [[graft.functions
     // .PqAdcScore]] loop (a HOF restatement measured ~2.5× slower than
@@ -496,42 +520,41 @@ object Similarity {
     * [[ivfPqIndex]]). Recall is governed by nProbe (coarse level) ×
     * mCand (ADC level); both stages are id-deterministic.
     */
-  def ivfPqTopK(codesWithList: DataFrame, centroids: Array[Array[Double]],
-      codebook: DataFrame, corpus: DataFrame, queries: DataFrame,
-      k: Int, mCand: Int, nProbe: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val Array(metaRow) = codebook
-      .agg(max("sub").as("ms"), max("centroid_id").as("mc"),
-        max(size(col("centroid"))).as("dsub"))
-      .collect()
-    val (_, ksub, dsub) = (metaRow.getInt(0) + 1, metaRow.getInt(1) + 1,
-      metaRow.getInt(2))
-    // per-query probed lists (same centroid ranking as ivfTopK) ...
+  /** Query frame (query_id, qv, qn, lut, list) — [[pqQueryFrame]] plus
+    * the exploded nProbe nearest inverted lists; every stage a stateless
+    * projection, shared verbatim by the batch and streaming serve paths.
+    */
+  private[graft] def ivfPqQueryFrame(queries: DataFrame,
+      centroids: Array[Array[Double]], codebook: DataFrame, nProbe: Int,
+      idCol: String, vecCol: String): (DataFrame, Int) = {
     val centArr = centroids.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("list"),
         dot(col("qv"), array(c.map(lit): _*)).as("dp"),
         lit(math.sqrt(c.map(x => x * x).sum)).as("cn"))
     }
-    val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
-    // ... plus the flat ADC LUT (same layout as pqTopK)
-    val lut = q0.crossJoin(broadcast(codebook))
-      .withColumn("pd",
-        dot(slice(col("qv"), col("sub") * dsub + 1, lit(dsub)), col("centroid")))
-      .groupBy("query_id")
-      .agg(first("qv").as("qv"), first("qn").as("qn"),
-        array_sort(collect_list(struct(col("sub"), col("centroid_id"), col("pd"))))
-          .as("__s"))
-      .withColumn("lut", transform(col("__s"), x => x.getField("pd")))
+    val (qf, ksub) = pqQueryFrame(queries, codebook, idCol, vecCol)
+    val probed = qf
       .withColumn("__cand", array(centArr: _*))
       .withColumn("__ranked", slice(array_sort(transform(col("__cand"),
         c => struct((-c.getField("dp") / c.getField("cn")).as("negSim"),
           c.getField("list").as("list")))), 1, nProbe))
       .withColumn("list", explode(transform(col("__ranked"), r => r.getField("list"))))
-      // the probed scan carries (qn, lut) only — qv joins back from the
-      // broadcast query frame after the mCand cut (see pqTopK)
-      .select(col("query_id"), col("qn"), col("lut"), col("list"))
+      .select(col("query_id"), col("qv"), col("qn"), col("lut"), col("list"))
+    (probed, ksub)
+  }
+
+  def ivfPqTopK(codesWithList: DataFrame, centroids: Array[Array[Double]],
+      codebook: DataFrame, corpus: DataFrame, queries: DataFrame,
+      k: Int, mCand: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (probed, ksub) = ivfPqQueryFrame(queries, centroids, codebook, nProbe,
+      idCol, vecCol)
+    val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    // the probed scan carries (qn, lut) only — qv joins back from the
+    // broadcast query frame after the mCand cut (see pqTopK)
+    val lut = probed.select(col("query_id"), col("qn"), col("lut"), col("list"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     val wq = Window.partitionBy("query_id").orderBy(col("qsim").desc, col(idCol))
     val cand = codesWithList.join(broadcast(lut), Seq("list"))
