@@ -77,6 +77,16 @@ object PipelineQueries {
       Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.35,
         tables = 16, planesPerTable = 8, dim = 64)),
 
+    // embedding near-dup pairs resolved into duplicate clusters — the
+    // p5 banded-LSH pairs (hash-exact) composed with the p14 connected-
+    // components machinery, so semantic-dedup canonical selection is
+    // oracle-pinned end to end
+    "p30_embedding_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.35,
+            tables = 16, planesPerTable = 8, dim = 64)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))),
+
     "p6_ann_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(
         emb(s, dir), emb(s, dir).filter(col("vec_id") < 20), k = 5)),
@@ -431,6 +441,37 @@ object PipelineQueries {
                     FROM cand JOIN e ea ON vec_a = ea.vec_id
                               JOIN e eb ON vec_b = eb.vec_id)
          SELECT vec_a, vec_b, sim FROM pr WHERE sim >= 0.35""",
+
+    // the p5 pair CTEs + the p14 recursive min-label walk
+    "p30_embedding_clusters" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             pl AS (SELECT p, list_transform(generate_series(0, 63), d ->
+                      ((('0x' || substr(md5('plane:' || p || ':' || d), 1, 12))::BIGINT
+                        % 2001) - 1000) / 1000.0) AS pv
+                    FROM unnest(generate_series(0, 127)) t(p)),
+             bits AS (SELECT vec_id, p // 8 AS band, 1 << (p % 8) AS w,
+                        CASE WHEN list_dot_product(v, pv) >= 0 THEN 1 ELSE 0 END AS bit
+                      FROM e, pl),
+             bk AS (SELECT vec_id, band, sum(bit * w) AS bucket
+                    FROM bits GROUP BY 1, 2),
+             cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                      FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.vec_id < b.vec_id),
+             pr AS (SELECT vec_a, vec_b,
+                      round(list_dot_product(ea.v, eb.v) /
+                        (sqrt(list_dot_product(ea.v, ea.v)) *
+                         sqrt(list_dot_product(eb.v, eb.v))), 6) AS sim
+                    FROM cand JOIN e ea ON vec_a = ea.vec_id
+                              JOIN e eb ON vec_b = eb.vec_id),
+             pairs AS (SELECT vec_a, vec_b FROM pr WHERE sim >= 0.35),
+             edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+                       UNION SELECT vec_b, vec_a FROM pairs),
+             nodes AS (SELECT DISTINCT src AS doc FROM edges),
+             walk AS (SELECT doc, doc AS label FROM nodes
+                      UNION
+                      SELECT ed.src AS doc, w.label
+                      FROM edges ed JOIN walk w ON ed.dst = w.doc)
+         SELECT doc, min(label) AS cluster_id FROM walk GROUP BY doc""",
 
     "p6_ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

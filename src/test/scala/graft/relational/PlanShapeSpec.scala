@@ -41,6 +41,18 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(nCols <= 8, s"scan reads $nCols columns — pruning regressed:\n$readSchema")
   }
 
+  test("IVF-PQ serve scan is pruned to the probed inverted lists (DPP)") {
+    // the persisted code table is PARTITIONED BY list; the serve join on
+    // the broadcast probed-query frame must plan a dynamic-partition-
+    // pruning filter on the scan, so each query batch reads only
+    // ~nProbe/nLists of the code files — the property that makes IVF-PQ
+    // serving ~flat in corpus size at 100 TB
+    val df = graft.SparkEntry.queries("p29_ann_ivfpq")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning on the IVF-PQ serve scan:\n$plan")
+  }
+
   test("EVERY query plan is cartesian-free and UDF-free (sweep)") {
     // p6 is the brute-force ANN baseline: a deliberate broadcast
     // theta-join (every query × every corpus vector) kept as the exact
@@ -53,11 +65,11 @@ class PlanShapeSpec extends SparkSpecBase {
       "p27_ann_pq")
     // p13 attaches a ONE-ROW aggregate (the corpus count for IDF) via
     // crossJoin(broadcast(...)) — a BroadcastNestedLoopJoin whose build
-    // side is a single row is O(n·1), the canonical lazy scalar attach;
-    // p29's only BNLJ is the ADC lookup-table build (queries × the
-    // 128-row broadcast codebook) — its corpus-side candidate scan is
-    // an EQUALITY join on the probed list id
-    val scalarAttachJoins = Set("p13_text_tfidf", "p29_ann_ivfpq")
+    // side is a single row is O(n·1), the canonical lazy scalar attach.
+    // (p29 used to carry a BNLJ for its ADC lookup-table crossJoin; the
+    // codegen'd PqLut projection removed it — p29 is now equality-joins
+    // only and gets no exemption)
+    val scalarAttachJoins = Set("p13_text_tfidf")
     for ((name, fn) <- graft.SparkEntry.queries
          if !intentionalThetaJoins(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
