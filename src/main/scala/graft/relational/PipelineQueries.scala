@@ -142,6 +142,42 @@ object PipelineQueries {
         size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
         size(bpeishTokens(col("text"))).cast("long").as("n_bpe_tokens"))),
 
+    // corpus vocabulary (BPE-training prep): global top-200 lexer tokens
+    // by frequency. orderBy+limit plans TakeOrderedAndProject — each
+    // partition keeps its local top-200 and only those merge on the
+    // driver; no global sort, no single-partition window
+    "p31_vocab_topk" -> ((s, dir) =>
+      docs(s, dir).select(explode(bpeishTokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term"))
+        .limit(200)),
+
+    // domain mixing: resample each source to hash-derived target mixture
+    // weights — the largest total N s.t. every source can fill its
+    // quota, then the quota-k docs per source with the smallest salted
+    // hash (deterministic membership, stable under repartitioning).
+    // The scalar attaches (sum of weights, N) are one-row broadcast
+    // crossJoins on the SOURCE-level frame (~20 rows), like p13's IDF
+    "p32_domain_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val w = d.groupBy("source").agg(count(lit(1)).cast("double").as("n"))
+        .withColumn("wraw",
+          (hash60(concat(lit("mix:"), col("source"))) % 5 + 1).cast("double"))
+      val sw = w.agg(sum("wraw").as("sumw"))
+      val p = w.crossJoin(broadcast(sw)).withColumn("p", col("wraw") / col("sumw"))
+      val bigN = p.agg(floor(min(col("n") / col("p"))).as("ntot"))
+      val quota = p.crossJoin(broadcast(bigN))
+        .withColumn("k", floor(col("p") * col("ntot")))
+        .select("source", "k")
+      d.withColumn("rnk", row_number().over(Window.partitionBy("source")
+          .orderBy(hash60(concat(lit("mixsel:"), col("doc_id").cast("string"))),
+            col("doc_id"))).cast("long"))
+        .join(broadcast(quota), Seq("source"))
+        .filter(col("rnk") <= col("k"))
+        .select(col("doc_id"), col("source"), col("rnk"))
+    }),
+
     "p9_text_quality" -> ((s, dir) => {
       val t = col("text")
       val toks = tokens(t)
@@ -526,6 +562,32 @@ object PipelineQueries {
           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
                AS BIGINT) AS n_bpe_tokens
           FROM documents""",
+
+    "p31_vocab_topk" ->
+      s"""WITH t AS (SELECT unnest(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS term
+                     FROM documents)
+         SELECT term, count(*) AS cnt FROM t GROUP BY term
+         ORDER BY cnt DESC, term LIMIT 200""",
+
+    "p32_domain_mix" ->
+      """WITH c AS (SELECT source, count(*)::DOUBLE AS n
+                    FROM documents GROUP BY source),
+             w AS (SELECT source, n,
+                     (1 + ('0x' || substr(md5('mix:' || source), 1, 15))::BIGINT
+                       % 5)::DOUBLE AS wraw
+                   FROM c),
+             sw AS (SELECT sum(wraw) AS sumw FROM w),
+             p AS (SELECT source, n, wraw / sumw AS p FROM w, sw),
+             nn AS (SELECT floor(min(n / p)) AS ntot FROM p),
+             q AS (SELECT source, floor(p * ntot) AS k FROM p, nn),
+             r AS (SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY ('0x' || substr(md5('mixsel:' || doc_id::VARCHAR),
+                                 1, 15))::BIGINT, doc_id) AS rnk
+                   FROM documents)
+         SELECT r.doc_id, r.source, CAST(r.rnk AS BIGINT) AS rnk
+         FROM r JOIN q USING (source) WHERE r.rnk <= q.k""",
 
     "p9_text_quality" ->
       s"""WITH d AS (

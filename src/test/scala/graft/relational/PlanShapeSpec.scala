@@ -68,8 +68,10 @@ class PlanShapeSpec extends SparkSpecBase {
     // side is a single row is O(n·1), the canonical lazy scalar attach.
     // (p29 used to carry a BNLJ for its ADC lookup-table crossJoin; the
     // codegen'd PqLut projection removed it — p29 is now equality-joins
-    // only and gets no exemption)
-    val scalarAttachJoins = Set("p13_text_tfidf")
+    // only and gets no exemption). p32 attaches two one-row scalars
+    // (weight sum, total N) to its ~20-row source-level frame the same
+    // way
+    val scalarAttachJoins = Set("p13_text_tfidf", "p32_domain_mix")
     for ((name, fn) <- graft.SparkEntry.queries
          if !intentionalThetaJoins(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
