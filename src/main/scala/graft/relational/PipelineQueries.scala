@@ -30,7 +30,12 @@ object PipelineQueries {
     */
   private def cachedIndex(dir: String, kind: String): String = {
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft_ann_cache_v1/$safe/$kind"
+    // key on the SOURCE DATA's identity (size + mtime of the embeddings
+    // parquet), not just its path — a regenerated file at the same path
+    // must rebuild, never serve a stale index
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val stamp = s"${src.length()}_${src.lastModified()}"
+    s"${System.getProperty("java.io.tmpdir")}/graft_ann_cache_v1/$safe/${kind}_$stamp"
   }
 
   private def withIndexCache[T](dir: String, kind: String)(
