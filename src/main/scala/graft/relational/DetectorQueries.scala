@@ -111,6 +111,14 @@ object DetectorQueries {
     "det_ewma" -> ((s, dir) =>
       out(EwmaDetector(alpha = 0.3, threshold = 60.0).detect(ev(s, dir), spec))),
 
+    // two-sided CUSUM changepoint detection (Page 1954): sustained drift
+    // above/below the target accumulates until it trips — level shifts
+    // no single-point rule catches. Same mapPartitions recursion shape
+    // as det_ewma; the oracle replays the recursion with list_reduce.
+    "det_cusum" -> ((s, dir) =>
+      out(CusumDetector(target = 90.0, slack = 50.0, threshold = 200.0)
+        .detect(ev(s, dir), spec))),
+
     // Global z-score outlier flagging (the textbook baseline the
     // reference's RangeDetector-with-quantile-fit generalizes): per
     // series, |value − mean| > 3σ. One aggregate + one broadcast join
@@ -260,6 +268,24 @@ object DetectorQueries {
       s"""SELECT user_id, event_id, value,
           coalesce(value < 5.0 OR value > 175.0, false) AS is_anomaly
           FROM events""",
+
+    // replays S+ = max(0, S + x - (target+slack)) and
+    // S- = max(0, S - x + (target-slack)) over the non-null prefix
+    // INCLUDING the current row; identical +/- ordering to the Spark scan
+    "det_cusum" ->
+      s"""WITH s AS (SELECT user_id, event_id, value,
+                list_filter(list(value) OVER ($W
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  x -> x IS NOT NULL) AS pv
+              FROM events)
+          SELECT user_id, event_id, value,
+            CASE WHEN value IS NULL THEN false
+                 ELSE list_reduce(list_prepend(0.0, pv),
+                        (acc, x) -> greatest(0.0, acc + x - 140.0)) > 200.0
+                   OR list_reduce(list_prepend(0.0, pv),
+                        (acc, x) -> greatest(0.0, acc - x + 40.0)) > 200.0
+            END AS is_anomaly
+          FROM s""",
 
     "det_range_fit" ->
       s"""WITH q AS (SELECT round(quantile_cont(value, 0.01), 6) AS lo,

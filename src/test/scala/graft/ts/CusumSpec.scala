@@ -1,0 +1,51 @@
+package graft.ts
+
+/** CUSUM semantics pinned against hand-computed Page recursion values. */
+class CusumSpec extends SparkSpecBase {
+
+  private def series(vals: Seq[java.lang.Double]): GoldenSeries =
+    GoldenSeries("cusum", vals.zipWithIndex.map { case (v, i) =>
+      (java.sql.Timestamp.valueOf(f"2020-01-01 ${i}%02d:00:00"), v, Map.empty[String, Boolean])
+    }.toVector)
+
+  test("accumulating drift trips the high side; settle-back resets (hand-computed)") {
+    // target=10, slack=2 → hi=12, lo=8, threshold=5
+    // x:    10   14   14   14    6    10
+    // S+:    0    2    4    6    0     0   (6-12 floors at 0)
+    // S-:    0    0    0    0    2     0
+    val df = seriesDf(series(Seq(10.0, 14.0, 14.0, 14.0, 6.0, 10.0)))
+    val mask = maskOf(CusumDetector(target = 10.0, slack = 2.0, threshold = 5.0)
+      .detect(df))
+    assert(mask == Vector(false, false, false, true, false, false))
+  }
+
+  test("sustained low drift trips the low side; nulls pass through unflagged") {
+    // lo=8: x=5 contributes +3 per sample to S-
+    val df = seriesDf(series(Seq(10.0, 5.0, null, 5.0, 5.0)))
+    // S-: 0, 3, (null skips), 6, 9 → trips at the last sample (thr=7)
+    val mask = maskOf(CusumDetector(target = 10.0, slack = 2.0, threshold = 7.0)
+      .detect(df))
+    assert(mask == Vector(false, false, false, false, true))
+  }
+
+  test("multi-series state resets per series; drift below slack never trips") {
+    val a = series(Seq(14.0, 14.0, 14.0)).copy(name = "a")
+    val b = series(Seq(14.0, 14.0, 14.0)).copy(name = "b")
+    val stacked = stackedDf(Seq(a, b))
+    // per series S+ reaches 6 (= 3 × 2) — below an 8 threshold; if state
+    // leaked across the series boundary the combined 6-row run would hit 12
+    val out = CusumDetector(target = 10.0, slack = 2.0, threshold = 8.0)
+      .detect(stacked, SeriesSpec(seriesId = Seq("sid")))
+    assert(out.filter(org.apache.spark.sql.functions.col("is_anomaly")).count() == 0)
+    // slack swallows any drift smaller than it, at any length
+    val loose = CusumDetector(target = 0.0, slack = 1e6, threshold = 1.0)
+      .detect(stacked, SeriesSpec(seriesId = Seq("sid")))
+    assert(loose.filter(org.apache.spark.sql.functions.col("is_anomaly")).count() == 0)
+  }
+
+  test("JSON persistence round-trip") {
+    val d = CusumDetector(target = 90.0, slack = 50.0, threshold = 200.0)
+    val back = DetectorIO.fromJsonString(DetectorIO.toJsonString(d))
+    assert(back == d)
+  }
+}
