@@ -168,6 +168,43 @@ object StreamingDetectors {
       }
   }
 
+  final case class CusumState(sHi: Double, sLo: Double)
+
+  /** Two-sided CUSUM changepoint detection on a stream — the batch
+    * [[graft.ts.CusumDetector]] recursion with O(1) state per series
+    * (`S⁺ = max(0, S⁺ + x − (target+slack))`, mirrored low side; flag
+    * when either sum exceeds `threshold`). Like EWMA the recursion is
+    * one stored pair of doubles per series — no window buffer — and the
+    * arithmetic ordering matches the batch scan exactly, so flags are
+    * batch-identical.
+    */
+  def cusumStream(points: Dataset[Point], target: Double, slack: Double,
+      threshold: Double): Dataset[FlaggedPoint] = {
+    import points.sparkSession.implicits._
+    val hi = target + slack
+    val lo = target - slack
+    points.groupByKey(_.series_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Point], state: GroupState[CusumState]) =>
+          val sorted = rows.toVector.sortBy(p => micros(p.ts))
+          var sHi = state.getOption.map(_.sHi).getOrElse(0.0)
+          var sLo = state.getOption.map(_.sLo).getOrElse(0.0)
+          val out = sorted.map { p =>
+            val v: java.lang.Double =
+              if (p.value != null && p.value.isNaN) null else p.value
+            var anomaly = false
+            if (v != null) {
+              sHi = math.max(0.0, sHi + v.doubleValue() - hi)
+              sLo = math.max(0.0, sLo - v.doubleValue() + lo)
+              anomaly = sHi > threshold || sLo > threshold
+            }
+            FlaggedPoint(key, p.ts, p.value, anomaly)
+          }
+          state.update(CusumState(sHi, sLo))
+          out.iterator
+      }
+  }
+
   /** Flat-line (stuck-sensor) detection on a stream — the batch
     * [[graft.ts.ConstantValueDetector]] semantics (centered max-min
     * spread < threshold, complete NaN-free frames only, first/last row

@@ -104,6 +104,19 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("cusumStream matches batch CusumDetector across micro-batch boundaries") {
+    // a sustained high run that trips S+ only after accumulating past
+    // the split point — the cross-batch state is what's under test
+    val pts = (0 until 14).map(i => Point("a", ts(i),
+      if (i == 5) null else if (i >= 6) 9.0 else 1.0)) ++ seriesB
+    val want = batchMask(graft.ts.CusumDetector(target = 2.0, slack = 1.0,
+      threshold = 20.0), pts)
+    val got = runStream(pts, splitAt = 8)(ds =>
+      cusumStream(ds, target = 2.0, slack = 1.0, threshold = 20.0))
+    assert(got == want)
+    assert(want.exists(_._2), "expected the drift to trip at least one flag")
+  }
+
   test("constantValueStream matches batch ConstantValueDetector incl. dilation at edges") {
     // flat stretch mid-series, a flat stretch running INTO the series
     // tail (dilation must flag the last row on eos flush), and nulls
