@@ -43,6 +43,28 @@ class CusumSpec extends SparkSpecBase {
     assert(loose.filter(org.apache.spark.sql.functions.col("is_anomaly")).count() == 0)
   }
 
+  test("segmented-scan detectChunked matches the sequential scan") {
+    import org.apache.spark.sql.functions.col
+    val g = loadGolden("walk")
+    val df = seriesDf(g)
+    // walk around its own mean: pick params that accumulate and trip
+    val det = CusumDetector(target = 0.0, slack = 0.5, threshold = 3.0)
+    val want = maskOf(det.detect(df))
+    assert(want.exists(identity), "params should trip at least once on the walk")
+    for (bucketHours <- Seq(5, 24, 1000)) {
+      val got = maskOf(det.detectChunked(df, SeriesSpec(), bucketHours * 3600L))
+      assert(got == want, s"chunked CUSUM diverged at bucket ${bucketHours}h")
+    }
+    // multi-series: per-series state isolation survives chunking
+    val stacked = stackedDf(Seq(loadGolden("range_normal"), loadGolden("walk")))
+    val spec = SeriesSpec(seriesId = Seq("sid"))
+    val outC = det.detectChunked(stacked, spec, 24 * 3600L)
+    for (n <- Seq("range_normal", "walk")) {
+      val single = maskOf(det.detect(stacked.filter(col("sid") === n), spec))
+      assert(maskOf(outC.filter(col("sid") === n)) == single, n)
+    }
+  }
+
   test("JSON persistence round-trip") {
     val d = CusumDetector(target = 90.0, slack = 50.0, threshold = 200.0)
     val back = DetectorIO.fromJsonString(DetectorIO.toJsonString(d))
