@@ -48,6 +48,29 @@ object Multimodal {
       .toDF()
   }
 
+  final case class DecodedAudio(
+      doc_id: Long, n_bytes: Long, sample_rate: Long, n_channels: Long,
+      n_frames: Long, duration_ms: Double, rms: Double, decoded_real: Boolean)
+
+  /** Batched audio decode (WAV/AIFF/AU via the JDK's javax.sound.sampled
+    * — zero new dependencies): real sample rate / channels / frame count
+    * / duration and the RMS level of the PCM samples in [0, 1]. Blobs
+    * that aren't decodable audio get deterministic md5-derived fake
+    * metadata with `decoded_real = false`, keeping the operator total —
+    * the same dispatch contract as [[decodeFeatures]] for images.
+    */
+  def decodeAudioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decoder = new AudioDecoder // per-partition init, not per-row
+        rows.map { case (id, blob) => decoder.decode(id, blob) }
+      }
+      .toDF()
+  }
+
   /** Aspect-preserving resize metadata. */
   def resizePlan(decoded: DataFrame, maxSide: Int): DataFrame =
     decoded
@@ -63,6 +86,84 @@ object Multimodal {
       when(col("n_frames") <= maxFrames, sequence(lit(0L), col("n_frames") - 1))
         .otherwise(transform(sequence(lit(0), lit(maxFrames - 1)),
           i => floor(i * col("n_frames") / maxFrames).cast("long"))))
+}
+
+/** Per-partition audio decoder: javax.sound.sampled for WAV/AIFF/AU
+  * (RIFF/FORM/.snd magic sniffed first), md5 fake otherwise. RMS is
+  * computed over the normalized PCM samples ([-1, 1]; 16-bit signed
+  * little/big-endian and 8-bit supported) in one streaming pass.
+  */
+final class AudioDecoder extends Serializable {
+  private val mdig = MessageDigest.getInstance("MD5")
+
+  private def hexSlice(hex: String, from: Int, len: Int): Long =
+    java.lang.Long.parseLong(hex.substring(from, from + len), 16)
+
+  private def looksLikeAudio(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') || // wav
+      (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M') || // aiff
+      (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd')) // au
+
+  private def realDecode(blob: Array[Byte]): Option[(Long, Long, Long, Double, Double)] = {
+    import javax.sound.sampled.AudioSystem
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(blob))
+      try {
+        val fmt = in.getFormat
+        val nFrames = in.getFrameLength
+        val rate = fmt.getSampleRate.toDouble
+        val channels = fmt.getChannels
+        val bits = fmt.getSampleSizeInBits
+        if (nFrames <= 0 || rate <= 0 || (bits != 8 && bits != 16)) return None
+        val bytes = in.readAllBytes()
+        val big = fmt.isBigEndian
+        val signed = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        var sumSq = 0.0
+        var n = 0L
+        var i = 0
+        while (i + (bits / 8) <= bytes.length) {
+          val s =
+            if (bits == 8) {
+              val raw = bytes(i) & 0xFF
+              (if (signed) bytes(i).toDouble else (raw - 128).toDouble) / 128.0
+            } else {
+              val (lo, hi) = if (big) (bytes(i + 1) & 0xFF, bytes(i)) else (bytes(i) & 0xFF, bytes(i + 1))
+              ((hi.toInt << 8) | lo).toShort.toDouble / 32768.0
+            }
+          sumSq += s * s
+          n += 1
+          i += bits / 8
+        }
+        val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+        Some((rate.toLong, channels.toLong, nFrames,
+          nFrames * 1000.0 / rate, rms))
+      } finally in.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  def decode(id: Long, blob: Array[Byte]): Multimodal.DecodedAudio = {
+    val real = if (looksLikeAudio(blob)) realDecode(blob) else None
+    real match {
+      case Some((rate, ch, frames, durMs, rms)) =>
+        Multimodal.DecodedAudio(id, blob.length.toLong, rate, ch, frames,
+          durMs, rms, decoded_real = true)
+      case None =>
+        val hex = mdig.digest(blob).map("%02x".format(_)).mkString
+        Multimodal.DecodedAudio(
+          doc_id = id,
+          n_bytes = blob.length.toLong,
+          sample_rate = Seq(8000L, 16000L, 22050L, 44100L)(
+            (hexSlice(hex, 0, 12) % 4).toInt),
+          n_channels = 1L + hexSlice(hex, 12, 4) % 2,
+          n_frames = 1L + hexSlice(hex, 16, 12) % 1000000,
+          duration_ms = (hexSlice(hex, 4, 12) % 10000000L) / 1000.0,
+          rms = (hexSlice(hex, 20, 12) % 1000000L) / 1000000.0,
+          decoded_real = false)
+    }
+  }
 }
 
 /** Per-partition decoder: real ImageIO for image blobs, deterministic

@@ -248,6 +248,13 @@ object PipelineQueries {
           round(col("scale"), 6).as("scale"),
           explode(col("sampled_frames")).as("frame_no"))),
 
+    // audio twin of p12: text bytes are never decodable audio, so the
+    // oracle pins the fallback dispatch; the REAL javax.sound path is
+    // pinned by MultimodalDecodeSpec's synthesized-WAV fixtures
+    "p33_audio_decode" -> ((s, dir) =>
+      Multimodal.decodeAudioFeatures(
+        Multimodal.attachMedia(docs(s, dir), "doc_id", "text"))),
+
     "p13_text_tfidf" -> ((s, dir) =>
       TfIdf.topTerms(docs(s, dir), "doc_id", "text", k = 3)),
 
@@ -825,6 +832,19 @@ object PipelineQueries {
          1 + ('0x' || substr(md5(text), 13, 12))::BIGINT % 512 AS height,
          1 + ('0x' || substr(md5(text), 17, 12))::BIGINT % 32 AS n_frames,
          (('0x' || substr(md5(text), 21, 12))::BIGINT % 1000000) / 1000000.0 AS brightness,
+         false AS decoded_real
+         FROM documents""",
+
+    "p33_audio_decode" ->
+      """SELECT doc_id,
+         CAST(strlen(text) AS BIGINT) AS n_bytes,
+         list_extract([8000, 16000, 22050, 44100],
+           CAST(1 + ('0x' || substr(md5(text), 1, 12))::BIGINT % 4 AS INT))
+           ::BIGINT AS sample_rate,
+         1 + ('0x' || substr(md5(text), 13, 4))::BIGINT % 2 AS n_channels,
+         1 + ('0x' || substr(md5(text), 17, 12))::BIGINT % 1000000 AS n_frames,
+         (('0x' || substr(md5(text), 5, 12))::BIGINT % 10000000) / 1000.0 AS duration_ms,
+         (('0x' || substr(md5(text), 21, 12))::BIGINT % 1000000) / 1000000.0 AS rms,
          false AS decoded_real
          FROM documents""",
 

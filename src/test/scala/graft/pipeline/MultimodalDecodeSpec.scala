@@ -104,6 +104,62 @@ class MultimodalDecodeSpec extends SparkSpecBase {
     assert(frames == 3L, s"expected 3 GIF frames, got $frames")
   }
 
+  private def wavBytes(samples: Array[Short], rate: Float): Array[Byte] = {
+    import javax.sound.sampled._
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xFF).toByte // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  private def decodeAudioAll(blobs: Seq[(Long, Array[Byte])]) = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("media", BinaryType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(blobs.map(b => Row(b._1, b._2)), 2), schema)
+    Multimodal.decodeAudioFeatures(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getBoolean(7))))
+      .toMap
+  }
+
+  test("WAV decodes real rate/frames/duration and bit-exact RMS") {
+    // square wave at half amplitude: every sample ±16384 ⇒ each
+    // normalized s² is exactly 0.25 ⇒ RMS exactly 0.5
+    val square = Array.tabulate[Short](8000)(i =>
+      if (i % 2 == 0) 16384 else -16384)
+    val silent = Array.fill[Short](400)(0)
+    val out = decodeAudioAll(Seq(
+      1L -> wavBytes(square, 8000f), 2L -> wavBytes(silent, 16000f)))
+    val (rate1, ch1, frames1, durMs1, rms1, real1) = out(1L)
+    assert(real1 && rate1 == 8000L && ch1 == 1L && frames1 == 8000L)
+    assert(durMs1 == 1000.0)
+    assert(rms1 == 0.5, s"square-wave RMS must be exactly 0.5, got $rms1")
+    val (rate2, _, frames2, durMs2, rms2, real2) = out(2L)
+    assert(real2 && rate2 == 16000L && frames2 == 400L && durMs2 == 25.0)
+    assert(rms2 == 0.0)
+  }
+
+  test("non-audio and truncated blobs fall back to the audio fake deterministically") {
+    val wav = wavBytes(Array.fill[Short](100)(1000), 8000f)
+    val truncated = wav.take(16) // RIFF magic, unreadable body
+    val text = "definitely not audio".getBytes("UTF-8")
+    val out = decodeAudioAll(Seq(1L -> truncated, 2L -> text))
+    assert(!out(1L)._6 && !out(2L)._6)
+    assert(out == decodeAudioAll(Seq(1L -> truncated, 2L -> text)))
+    // mixed batch: real and fallback side by side
+    val mixed = decodeAudioAll(Seq(1L -> wav, 2L -> text))
+    assert(mixed(1L)._6 && !mixed(2L)._6)
+  }
+
   test("non-image and truncated blobs fall back to the deterministic fake") {
     val png = bytes(paint(9, 9)((_, _) => 0x808080), "png")
     val truncated = png.take(20) // valid magic, unreadable body
