@@ -124,6 +124,17 @@ object ScaleSmoke {
     // latest calibration record (~1 right row per series per 1000 min;
     // union + one windowed scan — the whole point is that 100M left
     // rows cost ONE shuffle, not a per-key range probe)
+    // CUSUM: sequential per-series scan, then the max-plus segmented
+    // scan treating the WHOLE frame as one series (the distributed
+    // formulation a billion-row single sensor needs)
+    // slack 12 swallows the ±10 sine drift; only the injected 500-spikes
+    // accumulate, tripping immediately and decaying over ~40 samples
+    stage("cusum")(CusumDetector(target = 0.5, slack = 12.0, threshold = 400.0)
+      .detect(df, spec).filter(col("is_anomaly")).count())
+    stage("cusum_chunked_1series")(
+      CusumDetector(target = 0.5, slack = 12.0, threshold = 400.0)
+        .detectChunked(df.drop("series_id"), SeriesSpec(), 3600L)
+        .filter(col("is_anomaly")).count())
     stage("interpolate")(Interpolate.linear(df, spec)
       .filter(col("interpolated")).count())
     val calib = spark.range(numSeries * 100).select(
