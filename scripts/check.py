@@ -56,10 +56,16 @@ def main(sf_dir, out_dir):
             # in pandas while Spark writes int64 — values compare equal here
             # but the driver's hash sees "0.0" vs "0". Flag int-vs-float
             # mismatches as hard failures so local verify predicts the driver.
-            w_f, g_f = pd.api.types.is_float_dtype(w), pd.api.types.is_float_dtype(g)
-            w_i = pd.api.types.is_integer_dtype(w) or pd.api.types.is_bool_dtype(w)
-            g_i = pd.api.types.is_integer_dtype(g) or pd.api.types.is_bool_dtype(g)
-            if (w_f and g_i) or (w_i and g_f):
+            def dclass(s):
+                if pd.api.types.is_bool_dtype(s): return "bool"
+                if pd.api.types.is_integer_dtype(s): return "int"
+                if pd.api.types.is_float_dtype(s): return "float"
+                return "other"
+            wc, gc = dclass(w), dclass(g)
+            # bool/int/float are three DISTINCT classes: the driver hash
+            # renders True vs 1 vs 1.0 differently even though pandas
+            # compares them equal
+            if wc != gc and "other" not in (wc, gc):
                 bad.append(f"{c} (DTYPE oracle={w.dtype} vs spark={g.dtype}: "
                            "driver hash will mismatch — cast the oracle)")
                 continue

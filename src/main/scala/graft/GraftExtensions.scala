@@ -41,7 +41,11 @@ object GraftFunctions {
     }
     require(e.foldable && integral,
       s"$fn: argument ${pos + 1} must be a literal integer")
-    e.eval().asInstanceOf[Number].intValue
+    e.eval() match {
+      case n: Number => n.intValue
+      case _ => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be a non-NULL literal integer")
+    }
   }
 
   private def stringArrayArg(fn: String, args: Seq[Expression], pos: Int): Seq[String] = {

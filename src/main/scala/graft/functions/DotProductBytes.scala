@@ -20,7 +20,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * summation-order caveats at all.
   */
 case class DotProductBytes(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
 
   override def dataType: DataType = LongType
 

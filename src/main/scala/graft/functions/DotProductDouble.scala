@@ -23,7 +23,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * never hit in practice).
   */
 case class DotProductDouble(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
 
   override def dataType: DataType = DoubleType
 

@@ -24,7 +24,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * oracle's mirrored banding.
   */
 case class HyperplaneBuckets(child: Expression, tables: Int,
-    planesPerTable: Int, dim: Int) extends UnaryExpression {
+    planesPerTable: Int, dim: Int) extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

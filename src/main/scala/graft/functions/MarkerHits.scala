@@ -23,7 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * filter, which drops nulls from the filtered result).
   */
 case class MarkerHits(child: Expression, markers: Seq[String])
-  extends UnaryExpression {
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
 
   override def dataType: DataType = LongType
 

@@ -27,7 +27,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * caller bug.
   */
 case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
-  extends BinaryExpression {
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
 
   override def dataType: DataType = DoubleType
 

@@ -20,7 +20,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * serialization, one scan).
   */
 case class PqEncode(left: Expression, right: Expression, nSub: Int, ksub: Int)
-  extends BinaryExpression {
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 

@@ -22,7 +22,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * codebook layout (same guard as PqEncode).
   */
 case class PqLut(left: Expression, right: Expression, nSub: Int, ksub: Int)
-  extends BinaryExpression {
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 

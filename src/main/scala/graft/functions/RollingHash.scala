@@ -23,7 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * The accumulator stays < 2^30 and each step is acc*31+cp < 2^36 — exact
   * in a long, no overflow or float caveats at any document length.
   */
-case class RollingHash(child: Expression) extends UnaryExpression {
+case class RollingHash(child: Expression) extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.StringType)
 
   override def dataType: DataType = LongType
 

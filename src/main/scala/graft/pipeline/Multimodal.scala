@@ -115,7 +115,21 @@ final class AudioDecoder extends Serializable {
         val rate = fmt.getSampleRate.toDouble
         val channels = fmt.getChannels
         val bits = fmt.getSampleSizeInBits
-        if (nFrames <= 0 || rate <= 0 || (bits != 8 && bits != 16)) return None
+        // LINEAR PCM only: mu-law/A-law (the canonical .au payload) and
+        // anything else companded would silently compute garbage RMS if
+        // treated as linear — those fall back rather than lie. 16-bit
+        // must be signed (unsigned 16-bit PCM is nonstandard in these
+        // containers and the sample loop assumes two's complement).
+        import javax.sound.sampled.AudioFormat.Encoding
+        val enc = fmt.getEncoding
+        val linearOk =
+          (bits == 16 && enc == Encoding.PCM_SIGNED) ||
+          (bits == 8 && (enc == Encoding.PCM_SIGNED || enc == Encoding.PCM_UNSIGNED))
+        if (nFrames <= 0 || rate <= 0 || !linearOk) return None
+        // bound the PCM buffer before materializing it (frames × frame
+        // size): a crafted header claiming hours of audio must fall
+        // back, not allocate gigabytes inside a task
+        if (nFrames * math.max(fmt.getFrameSize, 1) > 64L * 1024 * 1024) return None
         val bytes = in.readAllBytes()
         val big = fmt.isBigEndian
         val signed = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
@@ -201,6 +215,13 @@ final class MediaDecoder extends Serializable {
       try {
         reader.setInput(iis, false, true)
         val nFrames = math.max(reader.getNumImages(true), 1)
+        // size gate BEFORE decoding: a crafted header declaring e.g.
+        // 60000×60000 would otherwise attempt a multi-GB BufferedImage
+        // allocation whose OutOfMemoryError is not NonFatal — one
+        // adversarial blob in a corpus must take the fallback, not
+        // kill the executor. getWidth/getHeight read only the header.
+        val (hw, hh) = (reader.getWidth(0), reader.getHeight(0))
+        if (hw <= 0 || hh <= 0 || hw.toLong * hh > 64L * 1024 * 1024) return None
         val img = reader.read(0)
         val (w, h) = (img.getWidth, img.getHeight)
         var sum = 0.0

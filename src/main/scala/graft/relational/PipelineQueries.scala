@@ -28,6 +28,12 @@ object PipelineQueries {
     * reports. Keyed by sf dir + parameters + a layout version so a
     * format change can never serve a stale index.
     */
+  /** BUMP whenever any index-BUILDER code changes (pqIndex, ivfIndex,
+    * localLloyd, PqEncode, AnnIO layout …) — the data stamp below can't
+    * see code edits, and a stale cached index would silently mask them.
+    */
+  private val IndexCacheVersion = 2
+
   private def cachedIndex(dir: String, kind: String): String = {
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     // key on the SOURCE DATA's identity (size + mtime of the embeddings
@@ -35,17 +41,33 @@ object PipelineQueries {
     // must rebuild, never serve a stale index
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val stamp = s"${src.length()}_${src.lastModified()}"
-    s"${System.getProperty("java.io.tmpdir")}/graft_ann_cache_v1/$safe/${kind}_$stamp"
+    s"${System.getProperty("java.io.tmpdir")}/graft_ann_cache_v$IndexCacheVersion/$safe/${kind}_$stamp"
   }
 
   private def withIndexCache[T](dir: String, kind: String)(
       build: String => Unit)(load: String => T): T = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val path = cachedIndex(dir, kind)
-    val marker = new java.io.File(s"$path/_built")
-    if (!marker.exists()) {
-      build(path)
-      marker.getParentFile.mkdirs()
-      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+    if (!new java.io.File(s"$path/_built").exists()) {
+      // build into a process-unique staging dir, then ATOMIC-rename into
+      // place: concurrent builders (another suite, another Bench JVM)
+      // each produce a complete artifact, exactly one rename wins, and
+      // losers discard their copy — a reader can never observe a
+      // half-written index
+      val staging =
+        s"$path.build.${ProcessHandle.current().pid()}.${System.nanoTime()}"
+      build(staging)
+      Files.write(Paths.get(staging, "_built"), Array.emptyByteArray)
+      try Files.move(Paths.get(staging), Paths.get(path),
+        StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException =>
+          // lost the race — a complete index is already in place
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(new java.io.File(staging))
+      }
     }
     load(path)
   }

@@ -102,14 +102,19 @@ object StreamingAnn {
           // expressions (and FP order) to the batch rescore stage
           val survivors: Seq[(Long, Double, Seq[Double], Seq[Double], Double)] =
             heap.dequeueAll
+          // rank on the UNROUNDED sim exactly like the batch row_number
+          // (batch rounds only in its final select) — ranking on the
+          // rounded value would flip the k-boundary whenever two sims
+          // differ only past the 6th decimal
           survivors.map { case (nid, _, _, cv, _) =>
             val cn2 = math.sqrt(dotLR(cv, cv))
-            (nid, roundHalfUp6(dotLR(qv, cv) / (qn * cn2)))
+            (nid, dotLR(qv, cv) / (qn * cn2))
           }
             .sortBy { case (nid, sim) => (-sim, nid) }
             .take(k)
             .zipWithIndex
-            .map { case ((nid, sim), i) => AnnResult(qid, nid, sim, i + 1L) }
+            .map { case ((nid, sim), i) =>
+              AnnResult(qid, nid, roundHalfUp6(sim), i + 1L) }
             .iterator
       }
   }

@@ -511,12 +511,18 @@ class PipelineSpec extends SparkSpecBase {
       val k = math.floor(wraw(s) / sumw * bigN).toLong
       assert(perSource.getOrElse(s, 0L) == k, s"source $s quota")
     }
-    // membership is hash-derived: a different partitioning yields the
-    // same selected doc ids
-    val again = graft.relational.PipelineQueries.queries("p32_domain_mix")(
-      spark, sfDir.replace("sf0.001", "sf0.001")) // same data, fresh plan
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // membership is hash-derived: re-running under a DIFFERENT shuffle
+    // partitioning must select the same doc ids (the salted-hash window
+    // order is a total order, so layout can't leak into the quota cut)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val again = graft.relational.PipelineQueries.queries("p32_domain_mix")(
+        spark, sfDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(again == ids)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   test("holdoutSplit is deterministic, disjoint-exhaustive, and near the weights") {
