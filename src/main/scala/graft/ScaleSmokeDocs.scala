@@ -151,6 +151,16 @@ object ScaleSmokeDocs {
     val plantedV = (nVec + 98) / 100
     println(f"[docs-scale] cosine_pairs_banded   $cosSec%8.2fs  rows=$cosFound " +
       f"recall=${cosFound * 100.0 / plantedV}%.1f%% of $plantedV planted")
+    // pairs → duplicate clusters (the p30 composition): connected
+    // components over the banded-LSH near-dup graph
+    val t0c = System.nanoTime()
+    val nClusters = Dedup.duplicateClusters(
+        Similarity.cosineNearDupPairs(vecs, threshold = 0.98,
+          tables = 8, planesPerTable = planesB)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select("cluster_id").distinct().count()
+    println(f"[docs-scale] embedding_clusters    ${(System.nanoTime() - t0c) / 1e9}%8.2fs  " +
+      f"clusters=$nClusters (planted pair groups ≈ $plantedV)")
     // int8-quantized candidate scan + exact rescore vs the double
     // brute force above — same 100 queries; the quantized kernel
     // (DotProductBytes over array<tinyint>) reads 8× less per pair
