@@ -391,6 +391,12 @@ object PipelineQueries {
 
     // deterministic stratified sampling: 50% of en, 25% of de, 10% of
     // every other language
+    // training-shard membership (the write path's partition key): pure
+    // salted-hash projection, stable under any partitioning
+    "p34_shard_assign" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        Sharding.shardId(col("doc_id"), nShards = 8).as("shard"))),
+
     "p26_stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang",
         Map("en" -> 0.5, "de" -> 0.25), default = 0.1)
@@ -946,6 +952,12 @@ object PipelineQueries {
            CAST(floor(strt / 512.0) AS BIGINT) AS seq_id,
            CAST(strt % 512 AS BIGINT) AS seq_off
          FROM c""",
+
+    "p34_shard_assign" ->
+      """SELECT doc_id,
+           CAST(('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 15))::BIGINT
+             % 8 AS INT) AS shard
+         FROM documents""",
 
     "p26_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents

@@ -525,6 +525,44 @@ class PipelineSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("training shards: balanced, one file per shard, partition-pruned read-back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_").toString
+    try {
+      val n = 500
+      Sharding.writeShards(docs, "doc_id", dir, nShards = 8)
+      val back = spark.read.parquet(dir)
+      assert(back.count() == n)
+      val perShard = back.groupBy("shard").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(perShard.keySet == (0 until 8).toSet)
+      // hash balance: every shard within 3x of the uniform share
+      assert(perShard.values.forall(c => c > n / 24 && c < n * 3 / 8),
+        s"unbalanced shards: $perShard")
+      // exactly one parquet file per shard directory
+      (0 until 8).foreach { k =>
+        val files = new java.io.File(s"$dir/shard=$k")
+          .listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1, s"shard $k has ${files.length} files")
+      }
+      // membership is layout-independent: a repartitioned write selects
+      // the same (doc -> shard) mapping
+      val dir2 = java.nio.file.Files.createTempDirectory("graft_shards2_").toString
+      try {
+        Sharding.writeShards(docs.repartition(13), "doc_id", dir2, nShards = 8)
+        val m1 = back.select("doc_id", "shard").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        val m2 = spark.read.parquet(dir2).select("doc_id", "shard").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        assert(m1 == m2)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
+      // read-back of one shard prunes to its partition directory
+      val one = Sharding.readShard(spark, dir, 3)
+      assert(one.count() == perShard(3))
+      val scan = one.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters"), "expected a partition-pruned scan")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("holdoutSplit is deterministic, disjoint-exhaustive, and near the weights") {
     val split = Sampling.holdoutSplit(docs, "doc_id")
     val counts = split.groupBy("split").count()
