@@ -46,8 +46,14 @@ object Bench {
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
     var errors = Vector.empty[(String, String)]
     val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
+    // which ANN index kinds each run BUILT (vs served from a warm cache):
+    // run 1 of a cold environment pays builds, later runs (and later
+    // bench invocations — the cache lives in /tmp across JVMs) serve
+    // only; a reader of run_totals needs this to interpret the spread
+    var indexBuilds = Vector.empty[Set[String]]
     val runs: Seq[Map[String, Double]] = (1 to nRuns).map { _ =>
-      names.flatMap { name =>
+      graft.relational.PipelineQueries.resetIndexBuildLog()
+      val timings = names.flatMap { name =>
         if (errors.exists(_._1 == name)) None
         else {
           val t0 = System.nanoTime()
@@ -62,6 +68,8 @@ object Bench {
           Some(name -> (System.nanoTime() - t0) / 1e9)
         }
       }.toMap
+      indexBuilds :+= graft.relational.PipelineQueries.indexBuildsThisJvm
+      timings
     }
     def fmt(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
@@ -70,7 +78,13 @@ object Bench {
     val runsJson = runs.map(r => fmt(names.flatMap(n => r.get(n).map(n -> _)))).mkString("[", ",", "]")
     val runTotals = runs.map(_.values.sum).mkString("[", ",", "]")
     val errJson = errors.map { case (k, m) => s""""$k":"$m"""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best)},"sf":"$sfDir","runs":$runsJson,"run_totals":$runTotals,"errors":$errJson}""")
+    // per-run list of ANN index kinds BUILT during that run (empty = all
+    // indexes served warm from the /tmp cache): lets a reader tell a
+    // cold run's total from a warm one's
+    val buildsJson = indexBuilds
+      .map(_.toSeq.sorted.map(k => s""""$k"""").mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best)},"sf":"$sfDir","runs":$runsJson,"run_totals":$runTotals,"index_builds_per_run":$buildsJson,"errors":$errJson}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"BENCH FAILED: ${errors.size} queries errored: ${errors.map(_._1).mkString(", ")}")

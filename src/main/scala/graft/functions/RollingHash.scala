@@ -43,7 +43,11 @@ case class RollingHash(child: Expression) extends UnaryExpression
       val c0 = ctx.freshName("c0")
       val acc = ctx.freshName("acc")
       // sequential shift-accumulate (not one nested |-of-shifts expression):
-      // janino mis-parses a parenthesized shift followed by `|` as a cast
+      // janino mis-parses a parenthesized shift followed by `|` as a cast.
+      // Truncated multi-byte sequences (possible via unvalidated
+      // binary→string casts) degrade to hashing the lead byte alone
+      // instead of reading past the array — identical to the interpreted
+      // path below; valid UTF-8 is untouched.
       s"""
          |byte[] $b = $a.getBytes();
          |int $n = $b.length;
@@ -54,20 +58,26 @@ case class RollingHash(child: Expression) extends UnaryExpression
          |  int $cp;
          |  if ($c0 < 0x80) { $cp = $c0; $i += 1; }
          |  else if ($c0 < 0xE0) {
-         |    $cp = $c0 & 0x1F;
-         |    $cp = ($cp << 6) + ($b[$i + 1] & 0x3F);
-         |    $i += 2;
+         |    if ($i + 1 < $n) {
+         |      $cp = $c0 & 0x1F;
+         |      $cp = ($cp << 6) + ($b[$i + 1] & 0x3F);
+         |      $i += 2;
+         |    } else { $cp = $c0; $i += 1; }
          |  } else if ($c0 < 0xF0) {
-         |    $cp = $c0 & 0x0F;
-         |    $cp = ($cp << 6) + ($b[$i + 1] & 0x3F);
-         |    $cp = ($cp << 6) + ($b[$i + 2] & 0x3F);
-         |    $i += 3;
+         |    if ($i + 2 < $n) {
+         |      $cp = $c0 & 0x0F;
+         |      $cp = ($cp << 6) + ($b[$i + 1] & 0x3F);
+         |      $cp = ($cp << 6) + ($b[$i + 2] & 0x3F);
+         |      $i += 3;
+         |    } else { $cp = $c0; $i += 1; }
          |  } else {
-         |    $cp = $c0 & 0x07;
-         |    $cp = ($cp << 6) + ($b[$i + 1] & 0x3F);
-         |    $cp = ($cp << 6) + ($b[$i + 2] & 0x3F);
-         |    $cp = ($cp << 6) + ($b[$i + 3] & 0x3F);
-         |    $i += 4;
+         |    if ($i + 3 < $n) {
+         |      $cp = $c0 & 0x07;
+         |      $cp = ($cp << 6) + ($b[$i + 1] & 0x3F);
+         |      $cp = ($cp << 6) + ($b[$i + 2] & 0x3F);
+         |      $cp = ($cp << 6) + ($b[$i + 3] & 0x3F);
+         |      $i += 4;
+         |    } else { $cp = $c0; $i += 1; }
          |  }
          |  $acc = ($acc * 31L + $cp) % ${RollingHash.Prime}L;
          |}
@@ -82,7 +92,11 @@ case class RollingHash(child: Expression) extends UnaryExpression
 object RollingHash {
   val Prime = 1000000007L
 
-  /** Interpreted path — same UTF-8 code-point walk as the generated code. */
+  /** Interpreted path — same UTF-8 code-point walk as the generated code.
+    * Truncated multi-byte sequences (an unvalidated binary→string cast
+    * can produce them) hash the lead byte alone instead of reading past
+    * the array; valid UTF-8 hashes are unchanged.
+    */
   def hash(s: UTF8String): Long = {
     val b = s.getBytes
     val n = b.length
@@ -93,14 +107,19 @@ object RollingHash {
       var cp = 0
       if (c0 < 0x80) { cp = c0; i += 1 }
       else if (c0 < 0xE0) {
-        cp = ((c0 & 0x1F) << 6) | (b(i + 1) & 0x3F); i += 2
+        if (i + 1 < n) { cp = ((c0 & 0x1F) << 6) | (b(i + 1) & 0x3F); i += 2 }
+        else { cp = c0; i += 1 }
       } else if (c0 < 0xF0) {
-        cp = ((c0 & 0x0F) << 12) | ((b(i + 1) & 0x3F) << 6) | (b(i + 2) & 0x3F)
-        i += 3
+        if (i + 2 < n) {
+          cp = ((c0 & 0x0F) << 12) | ((b(i + 1) & 0x3F) << 6) | (b(i + 2) & 0x3F)
+          i += 3
+        } else { cp = c0; i += 1 }
       } else {
-        cp = ((c0 & 0x07) << 18) | ((b(i + 1) & 0x3F) << 12) |
-          ((b(i + 2) & 0x3F) << 6) | (b(i + 3) & 0x3F)
-        i += 4
+        if (i + 3 < n) {
+          cp = ((c0 & 0x07) << 18) | ((b(i + 1) & 0x3F) << 12) |
+            ((b(i + 2) & 0x3F) << 6) | (b(i + 3) & 0x3F)
+          i += 4
+        } else { cp = c0; i += 1 }
       }
       acc = (acc * 31L + cp) % Prime
     }

@@ -132,7 +132,10 @@ object DetectorQueries {
       val stats = e.groupBy("user_id")
         .agg(round(avg("value"), 6).as("__mu"),
           round(when(isnan(sd), lit(null)).otherwise(sd), 6).as("__sd"))
-      e.join(broadcast(stats), Seq("user_id"), "left")
+      // stats is one row per series — it grows with sensor count, so no
+      // forced broadcast: the join is already keyed by user_id and AQE
+      // picks broadcast at small scale by itself.
+      e.join(stats, Seq("user_id"), "left")
         .select(col("user_id"), col("event_id"), col("value"),
           coalesce(abs(col("value") - col("__mu")) > lit(3.0) * col("__sd"),
             lit(false)).as("is_anomaly"))
@@ -146,10 +149,12 @@ object DetectorQueries {
       val e = ev(s, dir)
       val med = e.groupBy("user_id")
         .agg(percentile(col("value"), lit(0.5)).as("__med"))
-      val withMed = e.join(broadcast(med), Seq("user_id"), "left")
+      // med/mad are one row per series (grow with sensor count): plain
+      // keyed joins, AQE decides broadcast by measured size.
+      val withMed = e.join(med, Seq("user_id"), "left")
       val mad = withMed.groupBy("user_id")
         .agg(percentile(abs(col("value") - col("__med")), lit(0.5)).as("__mad"))
-      withMed.join(broadcast(mad), Seq("user_id"), "left")
+      withMed.join(mad, Seq("user_id"), "left")
         .select(col("user_id"), col("event_id"), col("value"),
           coalesce(
             abs(col("value") - col("__med")) > lit(3.0) * lit(1.4826) * col("__mad"),

@@ -28,20 +28,58 @@ object PipelineQueries {
     * reports. Keyed by sf dir + parameters + a layout version so a
     * format change can never serve a stale index.
     */
-  /** BUMP whenever any index-BUILDER code changes (pqIndex, ivfIndex,
-    * localLloyd, PqEncode, AnnIO layout …) — the data stamp below can't
-    * see code edits, and a stale cached index would silently mask them.
+  /** Cache key component derived from the BUILDER CODE itself: an md5
+    * over the classfile bytes of every class on the index-build path
+    * (plus this object, which holds the build parameters). Any recompile
+    * that changes builder behavior changes the stamp, so a stale index
+    * can never silently mask a builder edit — no hand-bumped version
+    * constant to forget.
     */
-  private val IndexCacheVersion = 2
+  private lazy val BuilderCodeStamp: String = {
+    val builderClasses = Seq(
+      "graft/pipeline/Similarity$.class", // pqIndex / ivfIndex / localLloyd
+      "graft/pipeline/AnnIO$.class",      // on-disk layout
+      "graft/functions/PqEncode.class",
+      "graft/functions/PqAdcScore.class",
+      "graft/functions/PqLut.class",
+      "graft/relational/PipelineQueries$.class") // build parameters live here
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val cl = getClass.getClassLoader
+    for (c <- builderClasses) {
+      val in = cl.getResourceAsStream(c)
+      require(in != null, s"builder classfile $c not found on classpath")
+      try {
+        val buf = new Array[Byte](8192)
+        var r = in.read(buf)
+        while (r > 0) { md.update(buf, 0, r); r = in.read(buf) }
+      } finally in.close()
+    }
+    md.digest().map("%02x".format(_)).mkString.take(12)
+  }
+
+  /** Index kinds BUILT (not served from cache) by this JVM — lets Bench
+    * report cold/warm per run so BENCH totals are interpretable.
+    */
+  private val builtKinds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def indexBuildsThisJvm: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    builtKinds.asScala.toSet
+  }
+  def resetIndexBuildLog(): Unit = builtKinds.clear()
 
   private def cachedIndex(dir: String, kind: String): String = {
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     // key on the SOURCE DATA's identity (size + mtime of the embeddings
     // parquet), not just its path — a regenerated file at the same path
-    // must rebuild, never serve a stale index
+    // must rebuild, never serve a stale index. Fail loudly if the
+    // single-file layout assumption breaks (a directory-style or renamed
+    // parquet would otherwise stamp "0_0" and disable invalidation).
     val src = new java.io.File(s"$dir/embeddings.parquet")
+    require(src.isFile,
+      s"$dir/embeddings.parquet is not a plain file — index-cache data " +
+        "stamping assumes the driver's single-file parquet layout")
     val stamp = s"${src.length()}_${src.lastModified()}"
-    s"${System.getProperty("java.io.tmpdir")}/graft_ann_cache_v$IndexCacheVersion/$safe/${kind}_$stamp"
+    s"${System.getProperty("java.io.tmpdir")}/graft_ann_cache_c$BuilderCodeStamp/$safe/${kind}_$stamp"
   }
 
   private def withIndexCache[T](dir: String, kind: String)(
@@ -56,6 +94,7 @@ object PipelineQueries {
       // half-written index
       val staging =
         s"$path.build.${ProcessHandle.current().pid()}.${System.nanoTime()}"
+      builtKinds.add(kind)
       build(staging)
       Files.write(Paths.get(staging, "_built"), Array.emptyByteArray)
       try Files.move(Paths.get(staging), Paths.get(path),

@@ -63,11 +63,14 @@ object RelationalQueries {
     }),
 
     // ---- joins ----------------------------------------------------------
-    // 5-way star join; dims broadcast, fact joins shuffle on the key.
+    // 5-way star join; true dims (nation 25 rows, region 5) broadcast,
+    // fact-scale tables (lineitem, orders, customer — all grow with SF)
+    // shuffle on their keys; AQE turns customer into a broadcast join at
+    // small SF on its own, without baking an OOM into the 100× plan.
     "q3_join_star" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
-      val c = broadcast(t(s, dir, "customer"))
+      val c = t(s, dir, "customer")
       val n = broadcast(t(s, dir, "nation"))
       val r = broadcast(t(s, dir, "region"))
       li.join(o, col("l_orderkey") === col("o_orderkey"))

@@ -68,6 +68,36 @@ class RollingHashSemanticsSpec extends SparkSpecBase {
     }
   }
 
+  test("RollingHash degrades gracefully on truncated UTF-8 (no array read past end)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // Spark does not validate a binary→string cast, so an expression can
+    // receive bytes that end mid-sequence; the hash must treat the
+    // dangling lead byte as a lone code point instead of throwing.
+    val truncated = Seq(
+      Array(0xE4, 0xB8).map(_.toByte),              // 3-byte lead, 1 continuation
+      Array(0xF0, 0x9F, 0x98).map(_.toByte),        // 4-byte lead, 2 continuations
+      Array('a'.toByte, 0xC3.toByte),               // ascii then dangling 2-byte lead
+      Array(0xC3).map(_.toByte))                    // lone 2-byte lead
+    truncated.foreach { bytes =>
+      val s = UTF8String.fromBytes(bytes)
+      val h = RollingHash.hash(s) // must not throw
+      assert(h >= 0L && h < 1000000007L)
+    }
+    // and the codegen path agrees: run the truncated bytes through a
+    // binary→string cast inside a query
+    val rows = truncated.zipWithIndex.map { case (b, i) => Row(i.toLong, b) }
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("raw", BinaryType)))
+    val d = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val got = d.select(col("id"),
+        RollingHash(col("raw").cast("string")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    truncated.zipWithIndex.foreach { case (b, i) =>
+      assert(got(i.toLong) == RollingHash.hash(UTF8String.fromBytes(b)),
+        s"codegen/interpreted divergence on fixture $i")
+    }
+  }
+
   test("MarkerHits matches the legacy array_contains filter, with multiplicity") {
     val markers = graft.pipeline.TextOps.LangMarkers.toMap.apply("en")
     val toks = graft.pipeline.TextOps.tokens(col("text"))

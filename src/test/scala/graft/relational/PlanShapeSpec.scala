@@ -53,6 +53,50 @@ class PlanShapeSpec extends SparkSpecBase {
       s"no dynamic partition pruning on the IVF-PQ serve scan:\n$plan")
   }
 
+  test("no forced broadcast hint on a fact-scale frame (hint allowlist sweep)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, ResolvedHint}
+    // Tables that grow linearly with SF — a broadcast() hint whose subtree
+    // scans one of these UNBOUNDED is a baked-in OOM at 100×: the hint
+    // wins over AQE's size estimate, so the plan cannot adapt. True dims
+    // (nation: 25 rows, region: 5) are constant-size and always safe.
+    val factTables = Seq("customer", "orders", "lineitem", "part",
+      "supplier", "partsupp", "events", "documents", "embeddings")
+    val trueDims = Set("nation", "region")
+    // Broadcasts that DO scan a fact table but are bounded by
+    // construction — each entry names the bound so a reviewer can audit
+    // it. (Structurally-bounded subtrees — those containing an Aggregate
+    // or GlobalLimit — are allowed without listing.)
+    val boundedByName: Map[String, String] = Map(
+      "p6_ann_topk" -> "serve-time query batch: embeddings filtered to vec_id < 20",
+      "p7_ann_lsh" -> "serve-time query batch: vec_id < 50 (+ multi-probe explode)",
+      "p15_ann_ivf" -> "serve-time query batch: vec_id < 50, probed per list",
+      "p21_ann_quantized" -> "serve-time query batch: vec_id < 20 (int8 + full-precision rescore frames)",
+      "p27_ann_pq" -> "serve-time query batch + per-query PQ LUT (k*dsub doubles each)",
+      "p29_ann_ivfpq" -> "serve-time query batch + per-query LUT, probed per list",
+      "p17_decontaminate" -> "benchmark shingle set: fixed eval suite, small by construction",
+      "p18_clean_corpus" -> "composes p17's benchmark shingle broadcast")
+    for ((name, fn) <- graft.SparkEntry.queries) {
+      val analyzed = fn(spark, sfDir).queryExecution.analyzed
+      val hints = analyzed.collect {
+        case h: ResolvedHint if h.hints.toString.toLowerCase.contains("broadcast") => h
+      }
+      for (h <- hints) {
+        val leaves = h.child.collectLeaves().map(_.toString).mkString("\n")
+        val factsHit = factTables.filter(ft => leaves.contains(s"$ft.parquet"))
+        val dimsOnly = factsHit.isEmpty &&
+          (trueDims.exists(d => leaves.contains(s"$d.parquet")) || leaves.isEmpty)
+        val structurallyBounded = h.child.collectFirst {
+          case a: Aggregate => a; case g: GlobalLimit => g
+        }.isDefined
+        assert(dimsOnly || structurallyBounded || boundedByName.contains(name) ||
+          factsHit.isEmpty,
+          s"$name force-broadcasts a frame scanning fact-scale table(s) " +
+            s"${factsHit.mkString(", ")} with no Aggregate/GlobalLimit bound " +
+            s"and no allowlist entry — a 100× scale hazard")
+      }
+    }
+  }
+
   test("EVERY query plan is cartesian-free and UDF-free (sweep)") {
     // p6 is the brute-force ANN baseline: a deliberate broadcast
     // theta-join (every query × every corpus vector) kept as the exact
