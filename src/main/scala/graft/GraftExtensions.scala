@@ -73,6 +73,13 @@ object GraftFunctions {
       info("rolling_hash",
         "rolling_hash(str) - Rabin-Karp code-point hash mod 1e9+7"),
       args => { arity("rolling_hash", args, 1); RollingHash(args.head) }),
+    ("char_window_hashes",
+      info("char_window_hashes",
+        "char_window_hashes(str, window_len) - rolling 64-bit hashes of every window_len-char substring"),
+      args => {
+        arity("char_window_hashes", args, 2)
+        CharWindowHashes(args.head, intArg("char_window_hashes", args, 1))
+      }),
     ("marker_hits",
       info("marker_hits",
         "marker_hits(tokens, array('the','a')) - count of tokens in the literal lexicon"),

@@ -434,6 +434,88 @@ object Dedup {
       .select(docs.columns.map(col): _*)
   }
 
+  /** CHARACTER-level exact duplicated-substring removal — the regime of
+    * Lee et al. 2022 that [[removeDuplicateSpans]]'s whitespace-token
+    * k-grams cannot reach: duplicated runs shorter than k tokens, runs
+    * whose boundaries fall mid-word, and duplication in unsegmented
+    * scripts. Every substring of `minLen` consecutive code points that
+    * occurs more than once in the corpus is removed from all but its
+    * first occurrence (first = smallest `(doc id, char position)`);
+    * maximal duplicated runs longer than `minLen` are covered by their
+    * overlapping windows and removed whole. Documents that lose nothing
+    * pass through VERBATIM.
+    *
+    * Where Lee et al. build a suffix array over the concatenated corpus,
+    * this restates the same "mark every position inside a duplicated
+    * window ≥ threshold" semantics as linear relational algebra — the
+    * shape that distributes: a suffix array is a global sorted structure,
+    * a window-hash shuffle is embarrassingly key-parallel.
+    *
+    * Plan shape (all linear, all key-hashed):
+    *   1. ONE pass per document emits every `minLen`-char window hash via
+    *      the codegen'd rolling kernel [[graft.functions.CharWindowHashes]]
+    *      — O(chars) work and O(chars) rows (a per-window re-hash would
+    *      be O(chars·minLen) work: the factor the rolling update removes);
+    *   2. `row_number() OVER (PARTITION BY hash ORDER BY doc, pos)` marks
+    *      non-first occurrences — one shuffle on the window hash;
+    *   3. covered char INTERVALS merge per doc with the classic islands
+    *      window (prev-max-end), so rebuild touches one row per merged
+    *      interval, NOT one per character;
+    *   4. one fold over each touched doc's sorted intervals slices the
+    *      kept text back together (`aggregate` HOF — no char explode).
+    *
+    * Hash-collision caveat: identical to [[removeDuplicateSpans]] but in
+    * the 64-bit wraparound ring (birthday ≈ w²/2⁶⁵) — see
+    * [[graft.functions.CharWindowHashes]]. Skew note: a substring shared
+    * by millions of docs lands its occurrences in one hash partition — a
+    * sort, not a join; run [[removeBoilerplateLines]] /
+    * [[dropExactDuplicates]] first, as with token spans.
+    */
+  def removeDuplicateCharSpans(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int): DataFrame = {
+    require(minLen >= 2, s"substring length minLen must be >= 2, got $minLen")
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs.select(col(idCol),
+        posexplode(graft.functions.CharWindowHashes(col(textCol), minLen))
+          .as(Seq("p0", "wh")))
+      .select(col(idCol), (col("p0") + 1).as("s"), col("wh")) // 1-based chars
+    val removed = wins
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("wh").orderBy(col(idCol), col("s"))))
+      .filter(col("__rn") > 1)
+      .select(col(idCol), col("s"), (col("s") + lit(minLen - 1)).as("e"))
+    // islands: merge overlapping/adjacent covered intervals per doc
+    val wDoc = Window.partitionBy(idCol).orderBy("s")
+    val merged = removed
+      .withColumn("__pme",
+        max(col("e")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__ni",
+        when(col("__pme").isNull || col("s") > col("__pme") + 1, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__ni")).over(wDoc))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min("s").as("s"), max("e").as("e"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("__ivs"))
+    // fold once over the sorted intervals: emit the text BETWEEN them
+    val rebuilt = docs.join(merged, Seq(idCol))
+      .withColumn("__t2",
+        aggregate(col("__ivs"),
+          struct(lit(1).as("pos"), lit("").as("out")),
+          (acc, iv) => struct(
+            (iv.getField("e") + 1).as("pos"),
+            concat(acc.getField("out"),
+              col(textCol).substr(acc.getField("pos"),
+                iv.getField("s") - acc.getField("pos"))).as("out")),
+          acc => concat(acc.getField("out"),
+            col(textCol).substr(acc.getField("pos"),
+              length(col(textCol)) - acc.getField("pos") + 1))))
+      .select(col(idCol), col("__t2"))
+    docs.join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__t2").isNull, col(textCol)).otherwise(col("__t2")))
+      .select(docs.columns.map(col): _*)
+  }
+
   // ---- duplicate clusters ---------------------------------------------
 
   /** Resolve near-dup PAIRS into duplicate clusters (connected

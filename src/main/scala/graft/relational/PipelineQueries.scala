@@ -439,7 +439,24 @@ object PipelineQueries {
     "p26_stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang",
         Map("en" -> 0.5, "de" -> 0.25), default = 0.1)
-        .select("doc_id", "lang", "source"))
+        .select("doc_id", "lang", "source")),
+
+    // character-level duplicated-substring removal (the Lee et al. '22
+    // suffix-array regime p23's 8-token gram floor can't reach): a
+    // 37-char / 6-token run — below p23's floor — is planted on every
+    // doc, so each doc but the globally first loses it; natural ≥30-char
+    // repeats in the corpus are caught the same way. The oracle groups
+    // by the actual substring (exact); Spark groups by the 64-bit
+    // rolling window hash — identical results absent a hash collision
+    // (birthday ≈ w²/2⁶⁵; ~10⁻⁸ at this scale, and deterministic per
+    // dataset, not flaky).
+    "p35_substring_dedup" -> ((s, dir) =>
+      Dedup.removeDuplicateCharSpans(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            lit(" sub-span golf echo bravo delta wrap-"),
+            col("doc_id").cast("string")).as("text")),
+        "doc_id", "text", minLen = 30))
   )
 
   // shared CTE chain producing minhash-LSH candidate pairs `j(doc_a,
@@ -966,6 +983,58 @@ object PipelineQueries {
                 ELSE coalesce(kept.t2, '') END AS text
          FROM d0 LEFT JOIN touched t USING (doc_id)
                  LEFT JOIN kept USING (doc_id)""",
+
+    // exact mirror of removeDuplicateCharSpans, grouping by the ACTUAL
+    // 30-char substring where Spark groups by its rolling 64-bit hash
+    // — identical output absent a hash collision; interval merge and
+    // gap-slice rebuild replayed verbatim
+    "p35_substring_dedup" ->
+      """WITH d0 AS (SELECT doc_id,
+                text || ' sub-span golf echo bravo delta wrap-' ||
+                doc_id::VARCHAR AS text
+              FROM documents),
+             w AS (SELECT doc_id, s, s + 29 AS e
+                   FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, len(text) - 29)) AS s
+                         FROM d0 WHERE len(text) >= 30) ws
+                   QUALIFY row_number() OVER (
+                     PARTITION BY substr(text, s, 30)
+                     ORDER BY doc_id, s) > 1),
+             m1 AS (SELECT doc_id, s, e,
+                      max(e) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS pme
+                    FROM w),
+             m2 AS (SELECT doc_id, s, e,
+                      CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END
+                        AS ni
+                    FROM m1),
+             m3 AS (SELECT doc_id, s, e,
+                      sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS UNBOUNDED PRECEDING) AS isl
+                    FROM m2),
+             iv AS (SELECT doc_id, min(s) AS s, max(e) AS e
+                    FROM m3 GROUP BY doc_id, isl),
+             gaps AS (
+               SELECT doc_id,
+                 coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+                   + 1 AS gs,
+                 s - 1 AS ge
+               FROM iv
+               UNION ALL
+               SELECT iv.doc_id, max(iv.e) + 1 AS gs, max(len(d0.text)) AS ge
+               FROM iv JOIN d0 USING (doc_id) GROUP BY iv.doc_id),
+             pieces AS (SELECT g.doc_id, gs,
+                          substr(d0.text, gs, ge - gs + 1) AS piece
+                        FROM gaps g JOIN d0 USING (doc_id) WHERE ge >= gs),
+             reb AS (SELECT doc_id, string_agg(piece, '' ORDER BY gs) AS t2
+                     FROM pieces GROUP BY doc_id),
+             touched AS (SELECT DISTINCT doc_id FROM w)
+         SELECT d0.doc_id,
+           CASE WHEN t.doc_id IS NULL THEN d0.text
+                ELSE coalesce(reb.t2, '') END AS text
+         FROM d0 LEFT JOIN touched t USING (doc_id)
+                 LEFT JOIN reb USING (doc_id)""",
 
     "p24_split_holdout" ->
       """WITH b AS (SELECT doc_id,

@@ -30,6 +30,22 @@ class SqlFunctionsSpec extends SparkSpecBase {
     assert(viaSql(1L)._2 == 2L)
   }
 
+  test("char_window_hashes resolves in SQL and matches the Column API") {
+    import spark.implicits._
+    Seq((1L, "abcdefgh"), (2L, "naïve café"), (3L, "ab"))
+      .toDF("id", "text").createOrReplaceTempView("t_sql_cwh")
+    val viaSql = spark.sql(
+      "SELECT id, char_window_hashes(text, 3) AS h FROM t_sql_cwh")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaApi = spark.table("t_sql_cwh")
+      .select(col("id"),
+        graft.functions.CharWindowHashes(col("text"), 3).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql == viaApi)
+    assert(viaSql(1L).length == 6) // 8 chars → 6 windows of 3
+    assert(viaSql(3L).isEmpty)     // shorter than the window
+  }
+
   test("dot products, PQ kernels and LSH signature resolve in SQL") {
     val row = spark.sql(
       """SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,

@@ -489,6 +489,69 @@ class PipelineSpec extends SparkSpecBase {
     assert(out(2L) == "") // every position of doc 2 is covered by a duplicated 4-gram
   }
 
+  test("removeDuplicateCharSpans catches sub-token-k runs, mid-word boundaries, verbatim pass-through") {
+    val d = docsOf(
+      // the 12-char run "SHARED-RUN-X" duplicates across docs 1/2 — only
+      // ~2 whitespace tokens, far below any useful token-gram floor, and
+      // in doc 2 it starts mid-"word" (glued to "prefix")
+      (1L, "first SHARED-RUN-X tail one"),
+      (2L, "prefixSHARED-RUN-X quit two"),
+      (3L, "nothing in common here at all"),
+      (4L, "tiny"))
+    val out = Dedup.removeDuplicateCharSpans(d, "doc_id", "text", minLen = 12)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 holds the first (doc_id, pos) occurrence — kept verbatim
+    assert(out(1L) == "first SHARED-RUN-X tail one")
+    // doc 2 loses the shared run AND the shared trailing space (both
+    // docs have ' ' after the run, so the duplicated region is chars
+    // [7,19], not just the 12 visible run chars) — splice is char-exact
+    assert(out(2L) == "prefixquit two")
+    assert(out(3L) == "nothing in common here at all")
+    assert(out(4L) == "tiny") // shorter than minLen: no windows, verbatim
+  }
+
+  test("removeDuplicateCharSpans merges overlapping windows into maximal runs") {
+    val run = "abcdefghijklmnopqrstuvwxyz0123456789" // 36 chars, windows overlap
+    val d = docsOf(
+      (1L, s"keep $run keep"),
+      (2L, s"lose $run lose"),
+      (3L, s"$run")) // doc 3 IS the run
+    val out = Dedup.removeDuplicateCharSpans(d, "doc_id", "text", minLen = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == s"keep $run keep")
+    // all duplicated 10-windows merge to ONE interval covering the run
+    // plus BOTH flanking spaces (docs 1 and 2 share " <run> ")
+    assert(out(2L) == "loselose")
+    assert(out(3L) == "") // fully covered doc reassembles to empty
+  }
+
+  test("removeDuplicateCharSpans interpreted and codegen window hashes agree") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val texts = Seq("alpha bravo charlie", "überlänge straße größe", "早上好世界你好早上好",
+      "mixed ascii und ümläute 混合", "")
+    // via a data column (NOT lit: Catalyst would constant-fold through
+    // the interpreted path and never exercise the generated code)
+    val df = docsOf(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+    val viaExpr = df.select(col("doc_id"),
+        graft.functions.CharWindowHashes(col("text"), 5).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val direct = graft.functions.CharWindowHashes.hashes(
+        UTF8String.fromString(t), 5).toSeq
+      assert(viaExpr(i.toLong) == direct, s"codegen/interpreted divergence on: $t")
+      val nc = t.codePointCount(0, t.length)
+      assert(direct.length == math.max(0, nc - 5 + 1), s"window count on: $t")
+    }
+    // rolling hash == direct polynomial hash of each window (ring Z/2^64)
+    val t = "the quick brown fox jumps over the lazy dog"
+    val cps = t.codePoints().toArray
+    val want = (0 to cps.length - 7).map { p =>
+      cps.slice(p, p + 7).foldLeft(0L)((a, c) => a * 31L + c)
+    }
+    assert(graft.functions.CharWindowHashes.hashes(
+      UTF8String.fromString(t), 7).toSeq == want)
+  }
+
   test("domain mix fills every source's quota exactly and is repartition-stable") {
     val out = graft.relational.PipelineQueries.queries("p32_domain_mix")(
       spark, sfDir)
