@@ -283,6 +283,45 @@ object Similarity {
         round(col("sim"), 6).as("sim"), col("rnk"))
   }
 
+  /** Self-certification for approximate top-k results: attaches per-query
+    * `recall_at_k` and corpus-wide `mean_recall` columns computed against
+    * the BRUTE-FORCE truth ([[bruteForceTopK]], the p6 machinery) inside
+    * the same plan, and FAILS the query outright (`assert_true`) if the
+    * mean falls below `floor`. Approximate ANN queries cannot be
+    * hash-checked by a SQL oracle (k-means/LSH values are
+    * implementation-specific), so each emits its own evidence instead:
+    * the driver's rows-only check then pins result shape AND a visible,
+    * machine-readable recall — a silent quality regression becomes a
+    * loud query failure.
+    *
+    * The truth pass streams the corpus once against the broadcast query
+    * batch — the certification costs one brute-force scan, which is the
+    * point: it is the certificate, not the serving path. The one-row
+    * mean attaches via `crossJoin(broadcast(...))` (the documented
+    * scalar-attach shape).
+    */
+  def withRecall(approx: DataFrame, corpus: DataFrame, queries: DataFrame,
+      k: Int, floor: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val truth = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.select("query_id", "neighbor_id")
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("__hits"))
+    val recall = approx.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("__hits"), lit(0L)) / lit(k.toDouble), 6)
+          .as("recall_at_k"))
+    val mean = recall.agg(round(avg("recall_at_k"), 6).as("mean_recall"))
+    approx
+      .join(recall, Seq("query_id"), "left")
+      .crossJoin(broadcast(mean))
+      .filter(assert_true(col("mean_recall") >= lit(floor),
+        concat(lit(s"ANN mean recall@$k fell below floor $floor: "),
+          col("mean_recall").cast("string"))).isNull)
+  }
+
   /** Deterministic driver-local Lloyd's k-means for PQ codebook
     * training. Init = k evenly spaced rows of the (already
     * deterministically ordered) sample; assignment ties break to the

@@ -158,11 +158,17 @@ object PipelineQueries {
         emb(s, dir), emb(s, dir).filter(col("vec_id") < 20), k = 5)),
 
     // LSH-bucketed ANN — approximate by construction, no SQL oracle;
-    // recall vs brute force is asserted in PipelineSpec.
-    "p7_ann_lsh" -> ((s, dir) =>
-      Similarity.lshBucketedTopK(
-        emb(s, dir), emb(s, dir).filter(col("vec_id") < 50),
-        k = 3, nPlanes = 4, dim = 64)),
+    // self-certifying instead: per-query recall@3 vs the brute-force
+    // truth rides in the output and the query FAILS below the floor
+    // (single-probe 4-plane LSH is the low-recall baseline — the floor
+    // is correspondingly low; p15/p27/p29 are the quality paths)
+    "p7_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 50)
+      Similarity.withRecall(
+        Similarity.lshBucketedTopK(e, q, k = 3, nPlanes = 4, dim = 64),
+        e, q, k = 3, floor = 0.05)
+    }),
 
     // int8-quantized candidate scan + exact rescore — deterministic,
     // so unlike p7/p15 this approximate path IS oracle-checked
@@ -182,8 +188,10 @@ object PipelineQueries {
         val (cb, cd) = Similarity.pqIndex(e, nSub = 8, ksub = 16, maxIter = 5)
         AnnIO.savePqIndex(cb, cd, path)
       }(AnnIO.loadPqIndex(s, _))
-      Similarity.pqTopK(codes, codebook, e,
-        e.filter(col("vec_id") < 50), k = 3, mCand = 20)
+      val q = e.filter(col("vec_id") < 50)
+      Similarity.withRecall(
+        Similarity.pqTopK(codes, codebook, e, q, k = 3, mCand = 20),
+        e, q, k = 3, floor = 0.2)
     }),
 
     // IVF-PQ composition (FAISS IVFx,PQy shape): probed inverted lists
@@ -198,8 +206,11 @@ object PipelineQueries {
           nLists = 16, nSub = 8, ksub = 16, maxIter = 5)
         AnnIO.saveIvfPqIndex(cs, cb, cl, path)
       }(AnnIO.loadIvfPqIndex(s, _))
-      Similarity.ivfPqTopK(codesL, cents, codebook, e,
-        e.filter(col("vec_id") < 50), k = 3, mCand = 20, nProbe = 4)
+      val q = e.filter(col("vec_id") < 50)
+      Similarity.withRecall(
+        Similarity.ivfPqTopK(codesL, cents, codebook, e, q,
+          k = 3, mCand = 20, nProbe = 4),
+        e, q, k = 3, floor = 0.15)
     }),
 
     "p8_text_tokens" -> ((s, dir) =>
@@ -335,9 +346,11 @@ object PipelineQueries {
         val (model, idx) = Similarity.ivfIndex(emb(s, dir), nLists = 16)
         AnnIO.saveIvfIndex(model.clusterCenters.map(_.toArray), idx, path)
       }(AnnIO.loadIvfIndex(s, _))
-      Similarity.ivfTopK(indexed, cents,
-        emb(s, dir).filter(col("vec_id") < 50), k = 3, nProbe = 4,
-        "vec_id", "embedding")
+      val q = emb(s, dir).filter(col("vec_id") < 50)
+      Similarity.withRecall(
+        Similarity.ivfTopK(indexed, cents, q, k = 3, nProbe = 4,
+          "vec_id", "embedding"),
+        emb(s, dir), q, k = 3, floor = 0.25)
     }),
 
     // benchmark decontamination: docs 0-4 stand in for an eval set; any

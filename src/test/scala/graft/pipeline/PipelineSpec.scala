@@ -335,6 +335,30 @@ class PipelineSpec extends SparkSpecBase {
     assert(r2 > 0.2, s"multi-probe recall $r2")
   }
 
+  test("withRecall certificate: exact result scores 1.0; floor violation fails the query") {
+    val q = emb.filter(col("vec_id") < 20)
+    // brute force certified against itself: recall@k must be exactly 1
+    val exact = Similarity.bruteForceTopK(emb, q, 3)
+    val certified = Similarity.withRecall(exact, emb, q, k = 3, floor = 0.99)
+    assert(certified.columns.contains("recall_at_k"))
+    assert(certified.columns.contains("mean_recall"))
+    val perQuery = certified.select("recall_at_k").distinct()
+      .collect().map(_.getDouble(0)).toSeq
+    assert(perQuery == Seq(1.0), s"per-query recalls: $perQuery")
+    assert(certified.select("mean_recall").head().getDouble(0) == 1.0)
+    // a deliberately wrong result (neighbors shifted out of the corpus)
+    // must trip the in-plan floor assertion, not silently pass rows-only
+    val wrong = exact.withColumn("neighbor_id",
+      col("neighbor_id") + lit(10000000L))
+    val ex = intercept[Exception] {
+      Similarity.withRecall(wrong, emb, q, k = 3, floor = 0.5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("fell below floor")),
+      s"unexpected failure: ${msgs(ex).mkString(" | ")}")
+  }
+
   test("fingerprint is whitespace-normalization invariant and content-sensitive") {
     val d = docsOf(
       (1L, "hello   world  foo"), (2L, "hello world foo"),

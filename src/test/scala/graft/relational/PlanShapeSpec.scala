@@ -104,9 +104,13 @@ class PlanShapeSpec extends SparkSpecBase {
     // stage is the same deliberate exhaustive scan, over 8x-smaller
     // int8 codes (its scale variant is IVF/LSH + quantized lists)
     // p27's candidate stage scans PQ code arrays (32× smaller than the
-    // vectors) against broadcast LUTs — deliberate, like p21
+    // vectors) against broadcast LUTs — deliberate, like p21.
+    // p7/p15/p29 are approximate serve paths whose plans NOW include the
+    // brute-force recall certificate (Similarity.withRecall): the truth
+    // pass is the same deliberate broadcast theta-join as p6 — it exists
+    // to certify the approximate stage, not to serve
     val intentionalThetaJoins = Set("p6_ann_topk", "p21_ann_quantized",
-      "p27_ann_pq")
+      "p27_ann_pq", "p7_ann_lsh", "p15_ann_ivf", "p29_ann_ivfpq")
     // p13 attaches a ONE-ROW aggregate (the corpus count for IDF) via
     // crossJoin(broadcast(...)) — a BroadcastNestedLoopJoin whose build
     // side is a single row is O(n·1), the canonical lazy scalar attach.
