@@ -119,6 +119,20 @@ object DetectorQueries {
       out(CusumDetector(target = 90.0, slack = 50.0, threshold = 200.0)
         .detect(ev(s, dir), spec))),
 
+    // the same CUSUM through the max-plus segmented scan (the path a
+    // 100M-row hot series needs). The chunk transfer reassociates float
+    // additions, so the driver query detects on a dyadic grid — value
+    // floored to 1/64ths — where every +/−/max is EXACT in IEEE doubles
+    // (all quantities are multiples of 1/64, far below 2^53): chunked ==
+    // sequential == oracle bitwise, not just within ulps. The output
+    // keeps the original value column; only the detected signal is
+    // quantized, mirrored exactly by floor(value*64)/64 in the oracle.
+    "det_cusum_chunked" -> ((s, dir) =>
+      out(CusumDetector(target = 90.0, slack = 50.0, threshold = 200.0)
+        .detectChunked(
+          ev(s, dir).withColumn("qvalue", floor(col("value") * 64d) / 64d),
+          spec.copy(value = "qvalue"), bucketSeconds = 600000L))),
+
     // Global z-score outlier flagging (the textbook baseline the
     // reference's RangeDetector-with-quantile-fit generalizes): per
     // series, |value − mean| > 3σ. One aggregate + one broadcast join
@@ -280,6 +294,24 @@ object DetectorQueries {
     "det_cusum" ->
       s"""WITH s AS (SELECT user_id, event_id, value,
                 list_filter(list(value) OVER ($W
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  x -> x IS NOT NULL) AS pv
+              FROM events)
+          SELECT user_id, event_id, value,
+            CASE WHEN value IS NULL THEN false
+                 ELSE list_reduce(list_prepend(0.0, pv),
+                        (acc, x) -> greatest(0.0, acc + x - 140.0)) > 200.0
+                   OR list_reduce(list_prepend(0.0, pv),
+                        (acc, x) -> greatest(0.0, acc - x + 40.0)) > 200.0
+            END AS is_anomaly
+          FROM s""",
+
+    // identical recursion to det_cusum but over the 1/64-grid signal —
+    // exact dyadic arithmetic on both engines, so the segmented-scan
+    // Spark path must match BITWISE (no ulp allowance anywhere)
+    "det_cusum_chunked" ->
+      s"""WITH s AS (SELECT user_id, event_id, value,
+                list_filter(list(floor(value * 64) / 64) OVER ($W
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                   x -> x IS NOT NULL) AS pv
               FROM events)

@@ -92,11 +92,18 @@ final case class CusumDetector(
     *      sequential composition → each chunk's entry (S⁺, S⁻);
     *   3. per chunk: the ordinary seeded scan emits the flags.
     *
-    * NOT bit-identical to [[detect]]: `s + T` reassociates the float
-    * additions the sequential scan interleaved with max-floors, so
-    * entry states can drift by ulps — a flag can differ only when a sum
-    * sits within that drift of `threshold` (the same documented
-    * contract as the EWMA chunked path).
+    * NOT bit-identical to [[detect]] in general: `s + T` reassociates
+    * the float additions the sequential scan interleaved with
+    * max-floors, so entry states can drift by ulps — a flag can differ
+    * only when a sum sits within that drift of `threshold` (the same
+    * documented contract as the EWMA chunked path). EXCEPTION — exact
+    * on a dyadic grid: when every value and hi/lo constant is a
+    * multiple of 2^-g and all running magnitudes stay below 2^(53-g),
+    * every add/subtract/max here is exact IEEE arithmetic, so the
+    * transfer composition is associative and chunked == sequential
+    * BITWISE. The driver query `det_cusum_chunked` runs on
+    * floor(value·64)/64 (g = 6) to get that guarantee; at n samples of
+    * magnitude ~2^m per series the bound holds while n < 2^(47-m).
     */
   def detectChunked(df: DataFrame, spec: SeriesSpec,
       bucketSeconds: Long): DataFrame = {

@@ -65,6 +65,41 @@ class CusumSpec extends SparkSpecBase {
     }
   }
 
+  test("dyadic-grid inputs: detectChunked == detect bitwise (driver-query contract)") {
+    import org.apache.spark.sql.functions.col
+    // det_cusum_chunked's guarantee: values that are multiples of 1/64
+    // (with grid hi/lo constants) make every +/−/max exact, so the
+    // max-plus transfer composes associatively — equality is structural,
+    // not luck. Adversarial fixture: values hugging the threshold, ~5%
+    // nulls, three series, and small buckets to force many chunk entries.
+    val rnd = new scala.util.Random(7)
+    def gridSeries(name: String, n: Int, drift: Double): GoldenSeries =
+      GoldenSeries(name, (0 until n).map { i =>
+        val v: java.lang.Double =
+          if (rnd.nextInt(20) == 0) null
+          else math.floor((rnd.nextDouble() * 4 - 2 + drift) * 64) / 64
+        (new java.sql.Timestamp(1577836800000L + i * 3600000L), v,
+          Map.empty[String, Boolean])
+      }.toVector)
+    // hi = 0.375 (24/64), lo = 0.125 (8/64) — grid constants
+    val det = CusumDetector(target = 0.25, slack = 0.125, threshold = 2.0)
+    val stacked = stackedDf(Seq(
+      gridSeries("a", 500, 0.3), gridSeries("b", 500, 0.0),
+      gridSeries("c", 500, -0.3)))
+    val spec = SeriesSpec(seriesId = Seq("sid"))
+    for (bucketHours <- Seq(3, 17, 100)) {
+      val outC = det.detectChunked(stacked, spec, bucketHours * 3600L)
+      var tripped = 0
+      for (n <- Seq("a", "b", "c")) {
+        val seq = maskOf(det.detect(stacked.filter(col("sid") === n), spec))
+        if (seq.exists(identity)) tripped += 1
+        assert(maskOf(outC.filter(col("sid") === n)) == seq,
+          s"grid chunked diverged: series $n bucket ${bucketHours}h")
+      }
+      assert(tripped > 0, "fixture should trip at least one series")
+    }
+  }
+
   test("JSON persistence round-trip") {
     val d = CusumDetector(target = 90.0, slack = 50.0, threshold = 200.0)
     val back = DetectorIO.fromJsonString(DetectorIO.toJsonString(d))
