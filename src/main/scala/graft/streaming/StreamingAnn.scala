@@ -62,7 +62,6 @@ object StreamingAnn {
       codesWithList: DataFrame, corpus: DataFrame,
       k: Int, mCand: Int, nProbe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): Dataset[AnnResult] = {
-    import queries.sparkSession.implicits._
     val (probed, ksub) = Similarity.ivfPqQueryFrame(
       queries, centroids, codebook, nProbe, idCol, vecCol)
     // static side: codes + full vectors co-located by id (see scaladoc)
@@ -73,6 +72,45 @@ object StreamingAnn {
         col("cn"), col("__cv"))
     val scored = probed.join(static, Seq("list"))
       .filter(col("query_id") =!= col("neighbor_id"))
+    heapRescoreTopK(scored, ksub, k, mCand)
+  }
+
+  /** Streaming twin of [[Similarity.pqTopK]] — flat-PQ serving over a
+    * persisted codebook + code table ([[graft.pipeline.AnnIO
+    * .loadPqIndex]]), no coarse quantizer: every arriving query
+    * ADC-scans the WHOLE code table and exact-rescores its mCand best.
+    * Query prep and the stateful heap are byte-for-byte the IVF-PQ
+    * path's; only the candidate source differs — with no list id to
+    * equi-join on, the stream-static join is the same deliberate
+    * exhaustive scan as the batch flat-PQ candidate stage, with the
+    * sides INVERTED: batch broadcasts the tiny query LUT frame and
+    * scans codes; a stream side cannot be broadcast, so here the
+    * codes+vectors frame is the build side. Right for code tables that
+    * fit an executor (flat PQ's whole niche); past that, build the IVF
+    * variant and serve with [[ivfPqServeStream]].
+    */
+  def pqServeStream(queries: DataFrame, codebook: DataFrame,
+      codes: DataFrame, corpus: DataFrame, k: Int, mCand: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Dataset[AnnResult] = {
+    val (qf, ksub) = Similarity.pqQueryFrame(queries, codebook, idCol, vecCol)
+    val static = codes
+      .join(corpus.select(col(idCol),
+        col(vecCol).cast("array<double>").as("__cv")), Seq(idCol))
+      .select(col(idCol).as("neighbor_id"), col("code"), col("cn"), col("__cv"))
+    val scored = qf.join(static, col("query_id") =!= col("neighbor_id"))
+    heapRescoreTopK(scored, ksub, k, mCand)
+  }
+
+  /** Shared tail of the streaming serve paths: ADC-score the candidate
+    * rows, keep a bounded mCand heap per query id, exact-rescore the
+    * survivors and emit the k-cut — one `flatMapGroupsWithState` that
+    * keeps no state across batches (every query is self-contained in
+    * its micro-batch; a re-sent query id is simply served again).
+    */
+  private def heapRescoreTopK(candidates: DataFrame, ksub: Int,
+      k: Int, mCand: Int): Dataset[AnnResult] = {
+    import candidates.sparkSession.implicits._
+    val scored = candidates
       .withColumn("qsim",
         graft.functions.PqAdcScore(col("code"), col("lut"), ksub) /
           (col("qn") * col("cn")))

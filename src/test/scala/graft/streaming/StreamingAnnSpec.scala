@@ -45,4 +45,36 @@ class StreamingAnnSpec extends SparkSpecBase {
     assert(got.nonEmpty && queryIds.forall(id => got.keySet.exists(_._1 == id)))
     assert(got == batch)
   }
+
+  test("pqServeStream matches batch pqTopK row for row across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.Tables.load(spark, sfDir, "embeddings")
+    val (codebook, codes) = Similarity.pqIndex(corpus,
+      nSub = 8, ksub = 16, maxIter = 5)
+    val queryIds = (0L until 20L)
+    val batch = Similarity.pqTopK(codes, codebook, corpus,
+        corpus.filter(col("vec_id") < 20), k = 3, mCand = 12)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getLong(3))))
+      .toMap
+    val qVecs = corpus.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val streamQ = mem.toDF().toDF("vec_id", "embedding")
+    val q = StreamingAnn.pqServeStream(streamQ, codebook, codes,
+        corpus, k = 3, mCand = 12)
+      .writeStream.format("memory").queryName("pq_serve")
+      .outputMode("append").start()
+    val got = try {
+      mem.addData(qVecs.take(7)); q.processAllAvailable()
+      mem.addData(qVecs.drop(7)); q.processAllAvailable()
+      spark.table("pq_serve").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getLong(3))))
+        .toMap
+    } finally q.stop()
+    assert(got.nonEmpty && queryIds.forall(id => got.keySet.exists(_._1 == id)))
+    assert(got == batch)
+  }
 }
