@@ -204,56 +204,55 @@ object Similarity {
     * every corpus vector to its nearest centroid list; queries probe only
     * the `nProbe` nearest lists. Complements the hyperplane-LSH path:
     * data-adapted cells give better recall/selectivity on CLUSTERED
-    * corpora, at the cost of a training pass (sampled k-means via
-    * spark.ml, deterministic seed).
+    * corpora.
     *
-    * Returns (model, indexed corpus with a `list` column). At cluster
-    * scale the indexed corpus is what you'd write out partitioned by
-    * `list`, so probes prune whole files.
+    * The coarse quantizer trains exactly like the PQ codebooks
+    * ([[pqIndex]]): driver-local deterministic [[localLloyd]] on the
+    * hash-gated lowest-`trainSampleMax` sample — list structure
+    * saturates at FAISS-size samples regardless of corpus size, and the
+    * previous spark.ml fit cost maxIter+1 distributed passes over the
+    * corpus where this build costs TWO corpus reads total (the sample
+    * collect and the assignment scan). Assignment is the codegen'd
+    * [[graft.functions.PqEncode]] L2 argmin with a single subspace
+    * spanning the whole vector — no spark.ml vector boxing, no UDF.
+    *
+    * Returns (centroids, indexed corpus with a `list` column). At
+    * cluster scale the indexed corpus is what you'd write out
+    * partitioned by `list`, so probes prune whole files.
     */
   def ivfIndex(corpus: DataFrame, nLists: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      seed: Long = 42L): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    // persisted: every k-means iteration is a full pass over the
-    // features — uncached, each pass would re-read and re-convert the
-    // corpus. Random init instead of k-means||: the parallel init alone
-    // costs ~5 extra distributed passes, and a coarse quantizer (lists,
-    // not fine clusters) converges to equivalent cell quality without it
-    // — at corpus scale, dropped passes are the difference between
-    // 10 and 16 reads of the data.
-    val feat = corpus.select(col(idCol), asDouble(col(vecCol)).as("__arr"))
-      .withColumn("features", array_to_vector(col("__arr")))
-      .persist()
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
-      .setInitMode("random")
-      .fit(feat.select("features"))
-    val indexed = model.transform(feat)
-      .select(col(idCol), col("__arr").as(vecCol), col("prediction").as("list"))
-    (model, indexed)
+      maxIter: Int = 10, trainSampleMax: Int = 100000)
+      : (Array[Array[Double]], DataFrame) = {
+    val nonNull = corpus.filter(col(vecCol).isNotNull)
+    val sample = nonNull
+      .select(col(idCol).as("__id"), asDouble(col(vecCol)).as("v"))
+      .orderBy(TextOps.hash60(concat(lit("ivftrain:"), col("__id").cast("string"))),
+        col("__id"))
+      .limit(trainSampleMax)
+      .orderBy("__id")
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "ivfIndex: no non-null vectors to train on")
+    val cents = localLloyd(sample, nLists, maxIter)
+    val flat = cents.flatten
+    val indexed = nonNull
+      .select(col(idCol), asDouble(col(vecCol)).as(vecCol))
+      .withColumn("list", element_at(
+        graft.functions.PqEncode(col(vecCol), lit(flat), 1, nLists), 1))
+    (cents, indexed)
   }
 
   /** IVF top-k: each query scans only its `nProbe` nearest inverted
     * lists — the corpus-side join is an equality shuffle on the list id,
     * touching ~nProbe/nLists of the corpus per query instead of all of
-    * it. Exact cosine within the probed lists.
-    */
-  def ivfTopK(indexedCorpus: DataFrame,
-      model: org.apache.spark.ml.clustering.KMeansModel,
-      queries: DataFrame, k: Int, nProbe: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    ivfTopK(indexedCorpus, model.clusterCenters.map(_.toArray),
-      queries, k, nProbe, idCol, vecCol)
-
-  /** Centroid-array overload — the form a persisted index loads back
-    * into ([[AnnIO.loadIvfIndex]]); no spark.ml model object needed to
-    * serve queries.
+    * it. Exact cosine within the probed lists. Centroids arrive as the
+    * plain arrays [[ivfIndex]] returns (and [[AnnIO.loadIvfIndex]]
+    * loads back) — no model object needed to serve.
     */
   def ivfTopK(indexedCorpus: DataFrame,
       centroids: Array[Array[Double]],
       queries: DataFrame, k: Int, nProbe: Int,
-      idCol: String, vecCol: String): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // nearest-nProbe centroid ids per query, computed with one codegen
     // pass per centroid (broadcast-size constant array)
@@ -544,15 +543,16 @@ object Similarity {
     */
   def ivfPqIndex(corpus: DataFrame, nLists: Int, nSub: Int, ksub: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      seed: Long = 42L, maxIter: Int = 10, trainSampleMax: Int = 100000)
+      maxIter: Int = 10, trainSampleMax: Int = 100000)
       : (Array[Array[Double]], DataFrame, DataFrame) = {
-    val (model, indexed) = ivfIndex(corpus, nLists, idCol, vecCol, seed)
+    val (cents, indexed) = ivfIndex(corpus, nLists, idCol, vecCol,
+      maxIter, trainSampleMax)
     val (codebook, codes) = pqIndex(corpus, nSub, ksub, idCol, vecCol,
       maxIter, trainSampleMax)
     val codesWithList = codes
       .join(indexed.select(col(idCol), col("list")), Seq(idCol))
       .persist()
-    (model.clusterCenters.map(_.toArray), codebook, codesWithList)
+    (cents, codebook, codesWithList)
   }
 
   /** IVF-PQ top-k: probe + ADC scan + exact rescore (see

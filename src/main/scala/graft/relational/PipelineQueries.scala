@@ -343,8 +343,8 @@ object PipelineQueries {
     // timed path is probe + scan, not k-means training.
     "p15_ann_ivf" -> ((s, dir) => {
       val (cents, indexed) = withIndexCache(dir, "ivf16") { path =>
-        val (model, idx) = Similarity.ivfIndex(emb(s, dir), nLists = 16)
-        AnnIO.saveIvfIndex(model.clusterCenters.map(_.toArray), idx, path)
+        val (cents0, idx) = Similarity.ivfIndex(emb(s, dir), nLists = 16)
+        AnnIO.saveIvfIndex(cents0, idx, path)
       }(AnnIO.loadIvfIndex(s, _))
       val q = emb(s, dir).filter(col("vec_id") < 50)
       Similarity.withRecall(

@@ -739,10 +739,10 @@ class PipelineSpec extends SparkSpecBase {
     assert(before == after)
     // IVF: corpus persists PARTITIONED BY list (one directory per
     // inverted list — probe-pruned reads skip whole files)
-    val (model, indexed) = Similarity.ivfIndex(emb, nLists = 8)
-    AnnIO.saveIvfIndex(model.clusterCenters.map(_.toArray), indexed, s"$tmp/ivf")
+    val (cents0, indexed) = Similarity.ivfIndex(emb, nLists = 8)
+    AnnIO.saveIvfIndex(cents0, indexed, s"$tmp/ivf")
     val (cents, indexed2) = AnnIO.loadIvfIndex(spark, s"$tmp/ivf")
-    val iBefore = Similarity.ivfTopK(indexed, model, queries, k = 3, nProbe = 3)
+    val iBefore = Similarity.ivfTopK(indexed, cents0, queries, k = 3, nProbe = 3)
       .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
     val iAfter = Similarity.ivfTopK(indexed2, cents, queries, k = 3, nProbe = 3,
         "vec_id", "embedding")
