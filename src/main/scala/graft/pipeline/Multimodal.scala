@@ -86,6 +86,32 @@ object Multimodal {
       when(col("n_frames") <= maxFrames, sequence(lit(0L), col("n_frames") - 1))
         .otherwise(transform(sequence(lit(0), lit(maxFrames - 1)),
           i => floor(i * col("n_frames") / maxFrames).cast("long"))))
+
+  final case class FrameFeature(
+      doc_id: Long, frame_idx: Long, luma: Double, decoded_real: Boolean)
+
+  /** Per-frame feature extraction at the [[frameSamplePlan]] stride: for
+    * each blob, decode the evenly spaced sample frames (all of them when
+    * `n_frames <= maxFrames`, else `floor(i·n_frames/maxFrames)` — the
+    * same offsets frameSamplePlan plans) and emit one row per sampled
+    * frame with its mean Rec.601 luma. Real multi-frame decode for
+    * ImageIO-readable blobs (animated GIF); the md5 fake otherwise, with
+    * the SAME fake n_frames as [[decodeFeatures]] so the two operators
+    * agree on a corpus. One decoder instance per partition, rows fan out
+    * ≤ maxFrames per blob.
+    */
+  def decodeFrameFeatures(media: DataFrame, maxFrames: Int): DataFrame = {
+    require(maxFrames > 0, "maxFrames must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decoder = new MediaDecoder // per-partition init, not per-row
+        rows.flatMap { case (id, blob) => decoder.decodeFrames(id, blob, maxFrames) }
+      }
+      .toDF()
+  }
 }
 
 /** Per-partition audio decoder: javax.sound.sampled for WAV/AIFF/AU
@@ -223,26 +249,84 @@ final class MediaDecoder extends Serializable {
         val (hw, hh) = (reader.getWidth(0), reader.getHeight(0))
         if (hw <= 0 || hh <= 0 || hw.toLong * hh > 64L * 1024 * 1024) return None
         val img = reader.read(0)
-        val (w, h) = (img.getWidth, img.getHeight)
-        var sum = 0.0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val r = (rgb >> 16) & 0xFF
-            val g = (rgb >> 8) & 0xFF
-            val b = rgb & 0xFF
-            sum += 0.299 * r + 0.587 * g + 0.114 * b
-            x += 1
-          }
-          y += 1
-        }
-        Some((w.toLong, h.toLong, nFrames.toLong, sum / (w.toLong * h * 255.0)))
+        Some((img.getWidth.toLong, img.getHeight.toLong, nFrames.toLong,
+          lumaOf(img)))
       } finally reader.dispose()
     } catch {
       case scala.util.control.NonFatal(_) => None
     } finally iis.close()
+  }
+
+  /** Mean Rec.601 luma in [0, 1] — the accumulation order every painted
+    * fixture in MultimodalDecodeSpec replays bit-exactly.
+    */
+  private def lumaOf(img: java.awt.image.BufferedImage): Double = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sum = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xFF
+        val g = (rgb >> 8) & 0xFF
+        val b = rgb & 0xFF
+        sum += 0.299 * r + 0.587 * g + 0.114 * b
+        x += 1
+      }
+      y += 1
+    }
+    sum / (w.toLong * h * 255.0)
+  }
+
+  /** Sampled offsets — integer-division floor, identical to
+    * frameSamplePlan's `floor(i·n/max)` column formula.
+    */
+  private def sampleOffsets(nFrames: Long, maxFrames: Int): Seq[Long] =
+    if (nFrames <= maxFrames) (0L until nFrames).toSeq
+    else (0 until maxFrames).map(i => i * nFrames / maxFrames)
+
+  private def realFrames(blob: Array[Byte], maxFrames: Int): Option[Seq[(Long, Double)]] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new ByteArrayInputStream(blob))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false, true)
+        val nFrames = math.max(reader.getNumImages(true), 1)
+        val (hw, hh) = (reader.getWidth(0), reader.getHeight(0))
+        // same per-frame size gate as realDecode — ×frames is bounded
+        // by maxFrames, so the worst case stays maxFrames × 64 MP
+        if (hw <= 0 || hh <= 0 || hw.toLong * hh > 64L * 1024 * 1024) return None
+        Some(sampleOffsets(nFrames.toLong, maxFrames)
+          .map(f => (f, lumaOf(reader.read(f.toInt)))))
+      } finally reader.dispose()
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    } finally iis.close()
+  }
+
+  /** Per-frame rows for [[Multimodal.decodeFrameFeatures]]; the fake
+    * path reuses decode's fake n_frames and derives a per-frame luma
+    * from the same md5 (deterministic, frame-index-sensitive).
+    */
+  def decodeFrames(id: Long, blob: Array[Byte],
+      maxFrames: Int): Seq[Multimodal.FrameFeature] = {
+    val real = if (looksLikeImage(blob)) realFrames(blob, maxFrames) else None
+    real match {
+      case Some(fs) =>
+        fs.map { case (f, l) =>
+          Multimodal.FrameFeature(id, f, l, decoded_real = true) }
+      case None =>
+        val hex = mdig.digest(blob).map("%02x".format(_)).mkString
+        val nFrames = 1L + hexSlice(hex, 16, 12) % 32 // decode's fake count
+        sampleOffsets(nFrames, maxFrames).map(f =>
+          Multimodal.FrameFeature(id, f,
+            ((hexSlice(hex, 20, 12) + f * 2654435761L) % 1000000L) / 1000000.0,
+            decoded_real = false))
+    }
   }
 
   def decode(id: Long, blob: Array[Byte]): Multimodal.DecodedMedia = {

@@ -104,6 +104,61 @@ class MultimodalDecodeSpec extends SparkSpecBase {
     assert(frames == 3L, s"expected 3 GIF frames, got $frames")
   }
 
+  private def animatedGif(frames: Seq[BufferedImage]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f =>
+      writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    out.toByteArray
+  }
+
+  private def frameRows(blob: Array[Byte], maxFrames: Int) = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("media", BinaryType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, blob)), 2), schema)
+    Multimodal.decodeFrameFeatures(df, maxFrames)
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+  }
+
+  test("multi-frame GIF: per-frame luma pins frame ORDER and sampling STRIDE") {
+    // six frames of distinct solid grays — per-frame expected luma comes
+    // from the paint loop, so a reordered or mis-strided read cannot pass
+    val grays = Seq(10, 60, 110, 160, 210, 250)
+    val frames = grays.map(g => paint(8, 6)((_, _) => (g << 16) | (g << 8) | g))
+    val blob = animatedGif(frames)
+    // maxFrames above the count: every frame, in index order
+    val all = frameRows(blob, maxFrames = 8)
+    assert(all.map(_._1) == (0L until 6L).toSeq, s"frame order: ${all.map(_._1)}")
+    assert(all.forall(_._3), "should take the real path")
+    for (((_, luma, _), i) <- all.zipWithIndex)
+      assert(luma == meanLuma(frames(i)), s"frame $i luma $luma")
+    // maxFrames = 3 over 6 frames: stride floor(i·6/3) = frames 0, 2, 4 —
+    // and their lumas must be those frames', proving read(offset) honors
+    // the planned stride rather than reading the first three
+    val sampled = frameRows(blob, maxFrames = 3)
+    assert(sampled.map(_._1) == Seq(0L, 2L, 4L), s"stride: ${sampled.map(_._1)}")
+    assert(sampled.map(_._2) == Seq(0, 2, 4).map(i => meanLuma(frames(i))))
+    // the offsets must equal frameSamplePlan's column formula verbatim
+    val planned = Multimodal.frameSamplePlan(
+        spark.range(1).select(lit(6L).as("n_frames")), maxFrames = 3)
+      .select("sampled_frames").head().getSeq[Long](0)
+    assert(planned == Seq(0L, 2L, 4L), s"plan/decode stride drift: $planned")
+    // fallback blobs fan out deterministically with the same fake count
+    // decodeFeatures reports, capped by maxFrames
+    val junk = "definitely not an image".getBytes("UTF-8")
+    val fakeN = decodeAll(Seq(1L -> junk))(1L)._3
+    val fake = frameRows(junk, maxFrames = 4)
+    assert(fake.size == math.min(fakeN, 4L).toInt && fake.forall(!_._3))
+    assert(fake == frameRows(junk, maxFrames = 4), "fake path must be deterministic")
+  }
+
   private def wavBytes(samples: Array[Short], rate: Float): Array[Byte] = {
     import javax.sound.sampled._
     val pcm = new Array[Byte](samples.length * 2)
