@@ -67,6 +67,45 @@ object ScaleSmokeDocs {
     val simhashPairs = stage("simhash_pairs_banded")(
       Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 2).count())
     stage("tfidf_top3")(TfIdf.topTerms(docs, "doc_id", "text", 3).count())
+    // vocab top-k (p31): tokenize-explode-count — one shuffle on term,
+    // partial-aggregated map-side, then a 200-row limit
+    stage("vocab_topk")(docs.select(
+        explode(TextOps.bpeishTokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(200).count())
+    // domain mixing (p32): 20 synthetic sources, hash-derived target
+    // weights, quota-k smallest-salted-hash membership per source —
+    // the p32 chain verbatim (source-level scalar attaches are one-row
+    // broadcast crossJoins; the per-doc work is one window rank)
+    stage("domain_mix")({
+      import org.apache.spark.sql.expressions.Window
+      val d = docs.withColumn("source",
+        concat(lit("s"), pmod(hash(col("doc_id")), lit(20))))
+      val w = d.groupBy("source").agg(count(lit(1)).cast("double").as("n"))
+        .withColumn("wraw",
+          (TextOps.hash60(concat(lit("mix:"), col("source"))) % 5 + 1).cast("double"))
+      val sw = w.agg(sum("wraw").as("sumw"))
+      val p = w.crossJoin(broadcast(sw)).withColumn("p", col("wraw") / col("sumw"))
+      val bigN = p.agg(floor(min(col("n") / col("p"))).as("ntot"))
+      val quota = p.crossJoin(broadcast(bigN))
+        .withColumn("k", floor(col("p") * col("ntot")))
+        .select("source", "k")
+      d.withColumn("rnk", row_number().over(Window.partitionBy("source")
+          .orderBy(TextOps.hash60(concat(lit("mixsel:"), col("doc_id").cast("string"))),
+            col("doc_id"))).cast("long"))
+        .join(broadcast(quota), Seq("source"))
+        .filter(col("rnk") <= col("k"))
+        .count()
+    })
+    // shard write (p34): hash-deterministic 64-way shard assignment +
+    // partitioned parquet write, then one partition-pruned shard read
+    stage("shard_write_64")({
+      val shardDir = java.nio.file.Files.createTempDirectory("smoke_shards").toString
+      Sharding.writeShards(docs, "doc_id", shardDir, nShards = 64)
+      val one = Sharding.readShard(spark, shardDir, 7).count()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(shardDir))
+      one
+    })
     val planted = n / 100
     println(f"[docs-scale] lsh recall vs planted: ${found * 100.0 / planted}%.1f%% " +
       s"($found of $planted); simhash_pairs=$simhashPairs")
@@ -107,6 +146,13 @@ object ScaleSmokeDocs {
     // still containing the span afterwards)
     stage("span_dedup_k8")(Dedup.removeDuplicateSpans(
       skewed, "doc_id", "text", k = 8)
+      .filter(col("text").contains(boiler.trim)).count())
+    // character-level substring dedup (p35): the 47-char shared suffix
+    // sits below no floor here (minLen = 30 chars ≈ 5 tokens — the
+    // sub-k-gram regime p23 can't reach); it must survive on exactly
+    // one doc. Cost driver: one window hash per char position.
+    stage("char_span_dedup_30")(Dedup.removeDuplicateCharSpans(
+      skewed, "doc_id", "text", minLen = 30)
       .filter(col("text").contains(boiler.trim)).count())
     skewed.unpersist()
 

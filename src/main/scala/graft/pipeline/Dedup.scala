@@ -373,19 +373,30 @@ object Dedup {
     *   1. one pass emits `(doc, pos, gram-hash)` for every k-token window
     *      — O(tokens) rows, the 60-bit hash instead of the k-word string
     *      keeps shuffle rows small;
-    *   2. `row_number() OVER (PARTITION BY gram ORDER BY doc, pos)` marks
-    *      every occurrence after the first — one shuffle on the gram hash;
+    *   2. `min(struct(doc, pos))` + count per gram hash (map-side partial
+    *      aggregation — a hot gram collapses to one row per input
+    *      partition before the exchange), grams seen once drop out, and a
+    *      sort-free hash join back against the survivors marks every
+    *      occurrence after the first. This deliberately avoids the
+    *      `row_number() OVER (PARTITION BY gram)` formulation: that is a
+    *      TOTAL SORT of every gram row — measured super-linear (spill
+    *      knee) past ~10⁸ gram rows — where the aggregate+join shape
+    *      moves only duplicated grams through the join build side;
     *   3. marked occurrences explode to their covered positions (k rows
     *      each — duplicated text only), positions union via `distinct`;
     *   4. an anti-join drops covered tokens and a hash aggregate
     *      reassembles each document.
     *
     * Skew note: a span shared verbatim by millions of docs puts all its
-    * occurrences in one gram partition (a sort, not a join — no quadratic
-    * blowup, same bounded-straggler caveat as [[simhashPairs]] hot
-    * buckets). Mass-shared chrome belongs to [[removeBoilerplateLines]] /
-    * [[dropExactDuplicates]] first; span dedup then handles the residual
-    * literal copying (quotes, mirrored paragraphs) those stages miss.
+    * occurrences in one gram-hash join partition — probe rows against a
+    * single build entry, no straggler sort. The join build side holds one
+    * row per DUPLICATED gram (`shuffle_hash`-hinted so no side is ever
+    * sorted; AQE upgrades it to broadcast when small) — size it against
+    * executor memory with `spark.sql.shuffle.partitions` when a corpus
+    * has billions of distinct duplicated grams. Mass-shared chrome
+    * belongs to [[removeBoilerplateLines]] / [[dropExactDuplicates]]
+    * first; span dedup then handles the residual literal copying
+    * (quotes, mirrored paragraphs) those stages miss.
     */
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
@@ -402,10 +413,15 @@ object Dedup {
         sequence(lit(0), size(col("toks")) - k),
         p => TextOps.hash60(array_join(slice(col("toks"), p + 1, lit(k)), " "))))
         .as(Seq("pos", "gh")))
+    val firstOcc = grams
+      .groupBy("gh")
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"),
+        count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > 1)
+      .select(col("gh"), col("__first"))
     val removed = grams
-      .withColumn("__rn",
-        row_number().over(Window.partitionBy("gh").orderBy(col(idCol), col("pos"))))
-      .filter(col("__rn") > 1)
+      .join(firstOcc.hint("shuffle_hash"), Seq("gh"))
+      .filter(struct(col(idCol), col("pos")) =!= col("__first"))
       .select(col(idCol), col("pos"))
     val covered = removed
       .select(col(idCol),
@@ -456,8 +472,15 @@ object Dedup {
     *      the codegen'd rolling kernel [[graft.functions.CharWindowHashes]]
     *      — O(chars) work and O(chars) rows (a per-window re-hash would
     *      be O(chars·minLen) work: the factor the rolling update removes);
-    *   2. `row_number() OVER (PARTITION BY hash ORDER BY doc, pos)` marks
-    *      non-first occurrences — one shuffle on the window hash;
+    *   2. `min(struct(doc, pos))` + count per window hash, then a
+    *      sort-free hash join back against the duplicated-window
+    *      survivors — same aggregate+join shape as
+    *      [[removeDuplicateSpans]] step 2 and for the same reason: the
+    *      row_number-over-hash formulation total-sorts every window row
+    *      (O(chars) of them — measured super-linear past ~10⁸ rows from
+    *      the spill knee), while partial aggregation collapses hot
+    *      windows before the exchange and singleton windows never reach
+    *      the join;
     *   3. covered char INTERVALS merge per doc with the classic islands
     *      window (prev-max-end), so rebuild touches one row per merged
     *      interval, NOT one per character;
@@ -467,9 +490,11 @@ object Dedup {
     * Hash-collision caveat: identical to [[removeDuplicateSpans]] but in
     * the 64-bit wraparound ring (birthday ≈ w²/2⁶⁵) — see
     * [[graft.functions.CharWindowHashes]]. Skew note: a substring shared
-    * by millions of docs lands its occurrences in one hash partition — a
-    * sort, not a join; run [[removeBoilerplateLines]] /
-    * [[dropExactDuplicates]] first, as with token spans.
+    * by millions of docs sends its occurrences to one join partition as
+    * probe rows against one build entry — no straggler sort; the join
+    * build side is one row per duplicated window (AQE-broadcast when
+    * small). Run [[removeBoilerplateLines]] / [[dropExactDuplicates]]
+    * first, as with token spans.
     */
   def removeDuplicateCharSpans(docs: DataFrame, idCol: String,
       textCol: String, minLen: Int): DataFrame = {
@@ -479,10 +504,15 @@ object Dedup {
         posexplode(graft.functions.CharWindowHashes(col(textCol), minLen))
           .as(Seq("p0", "wh")))
       .select(col(idCol), (col("p0") + 1).as("s"), col("wh")) // 1-based chars
+    val firstWin = wins
+      .groupBy("wh")
+      .agg(min(struct(col(idCol), col("s"))).as("__first"),
+        count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > 1)
+      .select(col("wh"), col("__first"))
     val removed = wins
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("wh").orderBy(col(idCol), col("s"))))
-      .filter(col("__rn") > 1)
+      .join(firstWin.hint("shuffle_hash"), Seq("wh"))
+      .filter(struct(col(idCol), col("s")) =!= col("__first"))
       .select(col(idCol), col("s"), (col("s") + lit(minLen - 1)).as("e"))
     // islands: merge overlapping/adjacent covered intervals per doc
     val wDoc = Window.partitionBy(idCol).orderBy("s")
