@@ -37,8 +37,15 @@ object DetectorIO {
   def save(d: Detector, path: String): Unit =
     Files.write(Paths.get(path), toJsonString(d).getBytes(StandardCharsets.UTF_8))
 
-  def load(path: String): Detector =
-    fromJsonString(new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8))
+  /** Loads either format, like `tsod.load`: the engine's JSON documents,
+    * or the reference's joblib pickle files (sniffed by the pickle PROTO
+    * byte 0x80, which no JSON document can start with) via [[JoblibIO]].
+    */
+  def load(path: String): Detector = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    if (bytes.nonEmpty && (bytes(0) & 0xFF) == 0x80) JoblibIO.fromBytes(bytes)
+    else fromJsonString(new String(bytes, StandardCharsets.UTF_8))
+  }
 
   /** Hadoop-FS variants for cluster deployments (hdfs://, s3a://, ...):
     * same JSON document, written through the session's FileSystem.
