@@ -65,6 +65,47 @@ object Quality {
         ratio(col("t_tot") - col("t_dist"), col("t_tot")).as("dup_trigram_frac"))
   }
 
+  /** CCNet-style language-model quality signal (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): score each document by the mean negative log-probability of
+    * its tokens under an add-one-smoothed UNIGRAM model trained on the
+    * corpus itself — the deterministic, SQL-replayable stand-in for
+    * CCNet's wiki-trained KenLM perplexity filter. Low `lm_nll` ≈
+    * common/fluent vocabulary; high ≈ rare-token gibberish — threshold
+    * it (or bucket into CCNet's head/middle/tail tertiles) to filter.
+    *
+    * Plan: one term-count aggregate (map-side partial), one token→count
+    * equality join on the term, corpus totals attached as a ONE-ROW
+    * broadcast crossJoin (the documented scalar-attach shape). Each
+    * token's NLL is quantized to an integer count of MICRO-NATS before
+    * the per-doc mean: the per-doc sum is then an exact 64-bit integer
+    * (order-free — a float mean would flip its 6th decimal whenever
+    * summation order lands it on a rounding boundary, and Spark vs
+    * DuckDB order always differs), and the mean is one identical double
+    * division on both engines. Token-less documents report
+    * `n_tokens = 0` with a NULL score.
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("__cnt"))
+    val tot = counts.agg(sum("__cnt").as("__n"), count(lit(1)).as("__v"))
+    val scored = toks.join(counts, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__nllu",
+        round(-log((col("__cnt") + lit(1.0)) / (col("__n") + col("__v")))
+          * lit(1000000.0)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum("__nllu").as("__s"))
+      .withColumn("lm_nll",
+        round(col("__s") / (col("n_tokens") * lit(1000000.0)), 6))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("lm_nll"))
+  }
+
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"

@@ -469,7 +469,14 @@ object PipelineQueries {
           concat(col("text"),
             lit(" sub-span golf echo bravo delta wrap-"),
             col("doc_id").cast("string")).as("text")),
-        "doc_id", "text", minLen = 30))
+        "doc_id", "text", minLen = 30)),
+
+    // CCNet-style unigram-LM quality score: mean per-token negative log
+    // prob under the corpus-trained smoothed unigram model (the
+    // perplexity-proxy filter; Wenzek et al. 2020). One term aggregate,
+    // one term join, one one-row broadcast total
+    "p36_lm_score" -> ((s, dir) =>
+      Quality.lmScore(docs(s, dir), "doc_id", "text"))
   )
 
   // shared CTE chain producing minhash-LSH candidate pairs `j(doc_a,
@@ -1048,6 +1055,28 @@ object PipelineQueries {
                 ELSE coalesce(reb.t2, '') END AS text
          FROM d0 LEFT JOIN touched t USING (doc_id)
                  LEFT JOIN reb USING (doc_id)""",
+
+    // identical add-one-smoothed unigram NLL: per-token MICRO-NAT
+    // integers before the per-doc mean (exact BIGINT sum — a float mean
+    // flips its 6th decimal on summation order, measured on 1 sf0.01
+    // row); sum(cnt)/sum(nllu) cast to BIGINT (DuckDB sums to HUGEINT)
+    "p36_lm_score" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+             tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+             c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+             t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                          CAST(count(*) AS BIGINT) AS v FROM c),
+             s AS (SELECT doc_id,
+                     CAST(round(-ln((cnt + 1.0) / (n + v)) * 1000000)
+                          AS BIGINT) AS nllu
+                   FROM tok JOIN c USING (term), t),
+             g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     round(CAST(sum(nllu) AS BIGINT)
+                           / (count(*) * 1000000.0), 6) AS lm_nll
+                   FROM s GROUP BY 1)
+         SELECT doc_id,
+           coalesce(n_tokens, CAST(0 AS BIGINT)) AS n_tokens, lm_nll
+         FROM documents LEFT JOIN g USING (doc_id)""",
 
     "p24_split_holdout" ->
       """WITH b AS (SELECT doc_id,

@@ -359,6 +359,32 @@ class PipelineSpec extends SparkSpecBase {
       s"unexpected failure: ${msgs(ex).mkString(" | ")}")
   }
 
+  test("unigram LM score: hand-computed smoothed NLL; rare vocab scores higher") {
+    // corpus: counts a=3, b=2 -> n=5, v=2; p(a)=4/7, p(b)=3/7
+    // nll(a)=round(ln(7/4),6)=0.559616  nll(b)=round(ln(7/3),6)=0.847298
+    val d = docsOf((1L, "a a b"), (2L, "a b"), (3L, "   "))
+    val out = Quality.lmScore(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))).toMap
+    assert(out(1L)._1 == 3L)
+    assert(out(1L)._2 == BigDecimal((0.559616 * 2 + 0.847298) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(2L)._1 == 2L)
+    assert(out(2L)._2 == BigDecimal((0.559616 + 0.847298) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // token-less doc: zero tokens, NULL score
+    assert(out(3L)._1 == 0L && out(3L)._2.isNaN)
+    // ranking property on a bigger corpus: a doc of corpus-common words
+    // must score strictly below one of singleton gibberish
+    val corpus = docsOf((0 until 50).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog")) ++
+      Seq((100L, "the quick brown fox"), (101L, "zxqj vvkw pplm qqrs")): _*)
+    val scores = Quality.lmScore(corpus, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(100L) < scores(101L),
+      s"common ${scores(100L)} should beat gibberish ${scores(101L)}")
+  }
+
   test("fingerprint is whitespace-normalization invariant and content-sensitive") {
     val d = docsOf(
       (1L, "hello   world  foo"), (2L, "hello world foo"),

@@ -119,7 +119,9 @@ class PlanShapeSpec extends SparkSpecBase {
     // only and gets no exemption). p32 attaches two one-row scalars
     // (weight sum, total N) to its ~20-row source-level frame the same
     // way
-    val scalarAttachJoins = Set("p13_text_tfidf", "p32_domain_mix")
+    // p36 attaches the one-row (n, v) corpus total the same way
+    val scalarAttachJoins = Set("p13_text_tfidf", "p32_domain_mix",
+      "p36_lm_score")
     for ((name, fn) <- graft.SparkEntry.queries
          if !intentionalThetaJoins(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
