@@ -73,6 +73,11 @@ object ScaleSmokeDocs {
         explode(TextOps.bpeishTokens(col("text"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term")).limit(200).count())
+    // unigram LM scoring (p36): corpus term-count aggregate, token→count
+    // equality join, one-row broadcast total — two shuffles on term plus
+    // the per-doc sum; micro-nat longs keep the agg exact and order-free
+    stage("lm_score")(Quality.lmScore(docs, "doc_id", "text")
+      .filter(col("lm_nll").isNotNull).count())
     // domain mixing (p32): 20 synthetic sources, hash-derived target
     // weights, quota-k smallest-salted-hash membership per source —
     // the p32 chain verbatim (source-level scalar attaches are one-row

@@ -85,6 +85,21 @@ object AnnIO {
       .partitionBy("list").parquet(s"$path/codes")
   }
 
+  /** Persist the brute-force ANN ground truth for a pinned query set —
+    * the (query_id, neighbor_id) top-k pairs the recall certificates
+    * ([[Similarity.withRecall]]) compare against. Like the indexes, the
+    * truth is a pure function of the corpus data and so belongs in the
+    * same build-once artifact family: recomputing an O(corpus × queries)
+    * scan on every serve would bill the certificate, not the serving
+    * path, and at 100 TB would re-read the whole corpus per query run.
+    */
+  def saveTruth(truth: DataFrame, path: String): Unit =
+    truth.select("query_id", "neighbor_id")
+      .write.mode("overwrite").parquet(s"$path/truth")
+
+  def loadTruth(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/truth")
+
   /** Returns (centroids, codebook, codesWithList) for
     * [[Similarity.ivfPqTopK]]; same by-name/dense-id discipline as
     * [[loadIvfIndex]].

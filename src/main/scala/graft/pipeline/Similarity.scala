@@ -295,15 +295,30 @@ object Similarity {
     *
     * The truth pass streams the corpus once against the broadcast query
     * batch — the certification costs one brute-force scan, which is the
-    * point: it is the certificate, not the serving path. The one-row
-    * mean attaches via `crossJoin(broadcast(...))` (the documented
-    * scalar-attach shape).
+    * point: it is the certificate, not the serving path. For a pinned
+    * query set the truth is a pure function of the corpus, so serving
+    * paths should persist it next to the index ([[AnnIO.saveTruth]]) and
+    * call the `truth:`-taking overload — otherwise every serve re-scans
+    * the corpus to re-derive a constant. The one-row mean attaches via
+    * `crossJoin(broadcast(...))` (the documented scalar-attach shape).
     */
   def withRecall(approx: DataFrame, corpus: DataFrame, queries: DataFrame,
-      k: Int, floor: Double, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val truth = bruteForceTopK(corpus, queries, k, idCol, vecCol)
-      .select(col("query_id"), col("neighbor_id"))
+      k: Int, floor: Double, idCol: String,
+      vecCol: String): DataFrame =
+    withRecall(approx,
+      bruteForceTopK(corpus, queries, k, idCol, vecCol), k, floor)
+
+  def withRecall(approx: DataFrame, corpus: DataFrame, queries: DataFrame,
+      k: Int, floor: Double): DataFrame =
+    withRecall(approx, corpus, queries, k, floor, "vec_id", "embedding")
+
+  /** Certificate attachment against a PRECOMPUTED (query_id, neighbor_id)
+    * truth relation — the serve-path variant: the truth is loaded from
+    * the index artifact instead of re-derived by a corpus scan.
+    */
+  def withRecall(approx: DataFrame, truthPairs: DataFrame,
+      k: Int, floor: Double): DataFrame = {
+    val truth = truthPairs.select(col("query_id"), col("neighbor_id"))
     val hits = approx.select("query_id", "neighbor_id")
       .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("__hits"))

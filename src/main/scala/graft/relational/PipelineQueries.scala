@@ -111,6 +111,20 @@ object PipelineQueries {
     load(path)
   }
 
+  /** Brute-force ground truth for the pinned ANN query set (vec_id < 50,
+    * k = 3), shared by every recall certificate (p7/p15/p27/p29). A pure
+    * function of the corpus, so it is a build-once artifact like the
+    * indexes: recomputing the O(corpus × queries) scan inside every
+    * serve would bill the certificate to the serving path (and at
+    * 100 TB re-read the whole corpus per query run).
+    */
+  private def annTruth(s: SparkSession, dir: String): DataFrame =
+    withIndexCache(dir, "truth3_q50") { path =>
+      val e = emb(s, dir)
+      AnnIO.saveTruth(Similarity.bruteForceTopK(
+        e, e.filter(col("vec_id") < 50), k = 3), path)
+    }(AnnIO.loadTruth(s, _))
+
   // tokenization prelude shared by the oracle SQL strings
   private val TOKS =
     raw"""list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')"""
@@ -167,7 +181,7 @@ object PipelineQueries {
       val q = e.filter(col("vec_id") < 50)
       Similarity.withRecall(
         Similarity.lshBucketedTopK(e, q, k = 3, nPlanes = 4, dim = 64),
-        e, q, k = 3, floor = 0.05)
+        annTruth(s, dir), k = 3, floor = 0.05)
     }),
 
     // int8-quantized candidate scan + exact rescore — deterministic,
@@ -191,7 +205,7 @@ object PipelineQueries {
       val q = e.filter(col("vec_id") < 50)
       Similarity.withRecall(
         Similarity.pqTopK(codes, codebook, e, q, k = 3, mCand = 20),
-        e, q, k = 3, floor = 0.2)
+        annTruth(s, dir), k = 3, floor = 0.2)
     }),
 
     // IVF-PQ composition (FAISS IVFx,PQy shape): probed inverted lists
@@ -210,7 +224,7 @@ object PipelineQueries {
       Similarity.withRecall(
         Similarity.ivfPqTopK(codesL, cents, codebook, e, q,
           k = 3, mCand = 20, nProbe = 4),
-        e, q, k = 3, floor = 0.15)
+        annTruth(s, dir), k = 3, floor = 0.15)
     }),
 
     "p8_text_tokens" -> ((s, dir) =>
@@ -350,7 +364,7 @@ object PipelineQueries {
       Similarity.withRecall(
         Similarity.ivfTopK(indexed, cents, q, k = 3, nProbe = 4,
           "vec_id", "embedding"),
-        emb(s, dir), q, k = 3, floor = 0.25)
+        annTruth(s, dir), k = 3, floor = 0.25)
     }),
 
     // benchmark decontamination: docs 0-4 stand in for an eval set; any
