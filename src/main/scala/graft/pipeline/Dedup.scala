@@ -343,6 +343,63 @@ object Dedup {
       }: _*)
   }
 
+  /** Corpus-wide exact LINE deduplication (the RefinedWeb / Dolma
+    * line-wise pass, distinct from [[removeBoilerplateLines]]): every
+    * non-empty line whose normalized form occurs more than once in the
+    * corpus — in other documents or repeated within the same one —
+    * survives only at its FIRST occurrence (smallest `(doc id, line
+    * position)`); later occurrences are dropped and the survivors
+    * rejoin with their original newlines. Boilerplate removal kills
+    * lines shared by MANY documents; this kills the long tail it
+    * ignores — a line pasted twice anywhere is still once too many for
+    * a training corpus. Whitespace-only lines pass through untouched
+    * (they are layout, and hashing them would collapse every blank
+    * line in the corpus onto one survivor).
+    *
+    * Same scale shape as [[removeDuplicateCharSpans]] step 2: one
+    * `min(struct)` aggregate per line key (partial map-side), one hash
+    * join of occurrences against the duplicated-key survivors — no
+    * row_number total sort — and only TOUCHED documents are rebuilt;
+    * everything else passes through verbatim. Line keys are
+    * [[TextOps.lineKey]] 60-bit hashes (collision caveat as in
+    * [[removeDuplicateSpans]]).
+    */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{split => fsplit}
+    val lines = docs
+      .select(col(idCol), posexplode(fsplit(col(textCol), "\n")).as(Seq("pos", "line")))
+    // "non-empty" = contains a non-whitespace char (trim() strips only
+    // spaces — a tab-only line would otherwise key as hash(""), gluing
+    // every blank-ish line in the corpus into one dedup group)
+    val content = lines.filter(col("line").rlike("\\S"))
+      .withColumn("lk", TextOps.lineKey(col("line")))
+    val dupFirst = content.groupBy("lk")
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"),
+        count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > 1)
+      .select(col("lk"), col("__first"))
+    val dropped = content.join(dupFirst.hint("shuffle_hash"), Seq("lk"))
+      .filter(struct(col(idCol), col("pos")) =!= col("__first"))
+      .select(col(idCol), col("pos"))
+    val touched = dropped.select(col(idCol)).distinct()
+    val rebuilt = lines.join(touched, Seq(idCol))
+      .join(dropped, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("line")))).as("__ls"))
+      .withColumn("__t2",
+        array_join(transform(col("__ls"), x => x.getField("line")), "\n"))
+      .select(col(idCol), col("__t2"))
+    docs
+      .join(touched.withColumn("__touched", lit(true)), Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      // touched + no surviving lines (single-line doc, line dropped)
+      // reassembles to "" — verbatim pass-through is only for UNtouched
+      .withColumn(textCol,
+        when(col("__touched").isNull, col(textCol))
+          .otherwise(coalesce(col("__t2"), lit(""))))
+      .select(docs.columns.map(col): _*)
+  }
+
   // ---- duplicated-span removal ----------------------------------------
 
   /** Exact duplicated-substring removal (the Lee et al. 2022 "Deduplicating

@@ -106,6 +106,34 @@ object Quality {
         col("lm_nll"))
   }
 
+  /** CCNet's head/middle/tail split over the [[lmScore]] signal (Wenzek
+    * et al. 2020 §4.3: perplexity TERTILES, with "head" = most fluent):
+    * documents are bucketed by where their `lm_nll` falls against the
+    * corpus 1/3 and 2/3 cutoffs. Token-less documents (NULL score) get a
+    * NULL bucket.
+    *
+    * Deliberately NOT `ntile(3)` — a global ntile is one total sort into
+    * a single window partition (the anti-pattern that dies first at
+    * scale). Instead the two cutoffs are computed by one exact
+    * `percentile` aggregate (partial per partition) and attached as a
+    * one-row broadcast; bucketing is then a per-row comparison.
+    * Boundary docs tie INTO the lower bucket (`<=`), matching the SQL
+    * mirror exactly; exact percentile (not approx) is the documented
+    * oracle-parity choice, as in q15.
+    */
+  def lmBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = lmScore(docs, idCol, textCol)
+    val cuts = scored.filter(col("lm_nll").isNotNull)
+      .agg(round(percentile(col("lm_nll"), lit(1.0 / 3)), 6).as("__c1"),
+        round(percentile(col("lm_nll"), lit(2.0 / 3)), 6).as("__c2"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col(idCol), col("n_tokens"), col("lm_nll"),
+        when(col("lm_nll").isNull, lit(null).cast("string"))
+          .when(col("lm_nll") <= col("__c1"), lit("head"))
+          .when(col("lm_nll") <= col("__c2"), lit("middle"))
+          .otherwise(lit("tail")).as("lm_bucket"))
+  }
+
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"

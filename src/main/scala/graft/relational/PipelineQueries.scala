@@ -490,7 +490,35 @@ object PipelineQueries {
     // perplexity-proxy filter; Wenzek et al. 2020). One term aggregate,
     // one term join, one one-row broadcast total
     "p36_lm_score" -> ((s, dir) =>
-      Quality.lmScore(docs(s, dir), "doc_id", "text"))
+      Quality.lmScore(docs(s, dir), "doc_id", "text")),
+
+    // corpus-wide exact line dedup (RefinedWeb/Dolma line-wise pass):
+    // a shared footer line planted on every doc must survive only on
+    // the globally-first doc; the per-doc unique line survives
+    // everywhere; natural duplicated lines (exact-dup doc bodies)
+    // dedupe the same way
+    "p37_line_dedup" -> ((s, dir) =>
+      Dedup.dedupLines(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            lit("\nshared footer please subscribe\nuniq-"),
+            col("doc_id").cast("string")).as("text")),
+        "doc_id", "text")),
+
+    // CCNet head/middle/tail perplexity tertiles over the p36 signal —
+    // cutoffs by exact percentile attached as a one-row broadcast (NOT
+    // a global ntile sort)
+    "p38_lm_buckets" -> ((s, dir) =>
+      Quality.lmBuckets(docs(s, dir), "doc_id", "text")),
+
+    // DSIR importance resampling (Xie et al. 2023): hashed
+    // unigram+bigram log-ratio score of every non-English doc against
+    // the English target distribution, top-20% selected by exact
+    // quantile cutoff — deterministic stand-in for Gumbel-top-k
+    "p39_dsir_resample" -> ((s, dir) =>
+      Dsir.importanceResample(docs(s, dir), "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 1024,
+        selectFrac = 0.2))
   )
 
   // shared CTE chain producing minhash-LSH candidate pairs `j(doc_a,
@@ -1091,6 +1119,107 @@ object PipelineQueries {
          SELECT doc_id,
            coalesce(n_tokens, CAST(0 AS BIGINT)) AS n_tokens, lm_nll
          FROM documents LEFT JOIN g USING (doc_id)""",
+
+    // corpus-wide line dedup: first occurrence = smallest (doc_id, pos)
+    // per normalized-line key; whitespace-only lines are layout and
+    // never dedup; only touched docs are reassembled
+    "p37_line_dedup" ->
+      raw"""WITH d0 AS (SELECT doc_id,
+                text || chr(10) || 'shared footer please subscribe' ||
+                chr(10) || 'uniq-' || doc_id::VARCHAR AS text
+              FROM documents),
+             dl AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d0),
+             l AS (SELECT doc_id, i - 1 AS pos, ls[i] AS line
+                   FROM dl, unnest(generate_series(1, len(ls))) t(i)),
+             c AS (SELECT doc_id, pos,
+                     ('0x' || substr(md5(array_to_string(list_filter(
+                       string_split_regex(lower(trim(line)), '\s+'),
+                       x -> x != ''), ' ')), 1, 15))::BIGINT AS k
+                   FROM l WHERE regexp_matches(line, '\S')),
+             rm AS (SELECT doc_id, pos FROM c
+                    QUALIFY row_number() OVER (PARTITION BY k
+                                               ORDER BY doc_id, pos) > 1),
+             touched AS (SELECT DISTINCT doc_id FROM rm),
+             wp AS (SELECT doc_id, pos, line FROM l
+                    WHERE doc_id IN (SELECT doc_id FROM touched)),
+             kept AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t2
+                      FROM wp ANTI JOIN rm USING (doc_id, pos)
+                      GROUP BY doc_id)
+         SELECT d0.doc_id,
+           CASE WHEN t.doc_id IS NULL THEN d0.text
+                ELSE coalesce(kept.t2, '') END AS text
+         FROM d0 LEFT JOIN touched t USING (doc_id)
+                 LEFT JOIN kept USING (doc_id)""",
+
+    // p36's CTEs + exact tertile cutoffs; (1.0::DOUBLE)/3 forces DOUBLE
+    // division (a DuckDB DECIMAL literal would interpolate at a subtly
+    // different quantile position than Spark's double 1.0/3)
+    "p38_lm_buckets" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+             tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+             c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+             t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                          CAST(count(*) AS BIGINT) AS v FROM c),
+             s AS (SELECT doc_id,
+                     CAST(round(-ln((cnt + 1.0) / (n + v)) * 1000000)
+                          AS BIGINT) AS nllu
+                   FROM tok JOIN c USING (term), t),
+             g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     round(CAST(sum(nllu) AS BIGINT)
+                           / (count(*) * 1000000.0), 6) AS lm_nll
+                   FROM s GROUP BY 1),
+             cut AS (SELECT
+                 round(quantile_cont(lm_nll, (1.0::DOUBLE)/3), 6) AS c1,
+                 round(quantile_cont(lm_nll, (2.0::DOUBLE)/3), 6) AS c2
+               FROM g)
+         SELECT d0.doc_id,
+           coalesce(g.n_tokens, CAST(0 AS BIGINT)) AS n_tokens, g.lm_nll,
+           CASE WHEN g.lm_nll IS NULL THEN NULL
+                WHEN g.lm_nll <= cut.c1 THEN 'head'
+                WHEN g.lm_nll <= cut.c2 THEN 'middle'
+                ELSE 'tail' END AS lm_bucket
+         FROM documents d0 LEFT JOIN g USING (doc_id), cut""",
+
+    // DSIR: hashed unigram+bigram buckets, add-one-smoothed target/source
+    // log ratio in integer micro-nats (exact BIGINT doc sums, as p36),
+    // top-20% selection by exact quantile cutoff
+    "p39_dsir_resample" ->
+      s"""WITH d AS (SELECT doc_id, lang = 'en' AS t, $TOKS AS toks
+                     FROM documents),
+             uni AS (SELECT doc_id, t, unnest(toks) AS g FROM d),
+             bi AS (SELECT doc_id, t,
+                      array_to_string(toks[i:i+1], ' ') AS g
+                    FROM d, unnest(generate_series(1, len(toks) - 1)) s(i)
+                    WHERE len(toks) >= 2),
+             gr AS (SELECT doc_id, t, g FROM uni
+                    UNION ALL SELECT doc_id, t, g FROM bi),
+             gb AS (SELECT doc_id, t,
+                      ('0x' || substr(md5('dsir:' || g), 1, 15))::BIGINT
+                        % 1024 AS b
+                    FROM gr),
+             bc AS (SELECT b,
+                      CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                      CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS cs
+                    FROM gb GROUP BY 1),
+             tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+                            CAST(sum(cs) AS BIGINT) AS ns FROM bc),
+             lam AS (SELECT b,
+                       CAST(round((ln((ct + 1.0) / (nt + 1024.0)) -
+                                   ln((cs + 1.0) / (ns + 1024.0)))
+                                  * 1000000) AS BIGINT) AS lam
+                     FROM bc, tot),
+             sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                      round(CAST(sum(lam) AS BIGINT)
+                            / (count(*) * 1000000.0), 6) AS dsir_score
+                    FROM gb JOIN lam USING (b) WHERE NOT t GROUP BY 1),
+             cut AS (SELECT round(quantile_cont(dsir_score,
+                                    0.8::DOUBLE), 6) AS c FROM sc)
+         SELECT s0.doc_id,
+           coalesce(sc.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+           sc.dsir_score,
+           coalesce(sc.dsir_score >= cut.c, FALSE) AS selected
+         FROM (SELECT doc_id FROM documents WHERE NOT (lang = 'en')) s0
+         LEFT JOIN sc USING (doc_id), cut""",
 
     "p24_split_holdout" ->
       """WITH b AS (SELECT doc_id,

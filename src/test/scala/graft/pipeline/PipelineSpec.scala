@@ -385,6 +385,67 @@ class PipelineSpec extends SparkSpecBase {
       s"common ${scores(100L)} should beat gibberish ${scores(101L)}")
   }
 
+  test("line dedup: first (doc,pos) occurrence survives; normalization; blank lines pass") {
+    val d = docsOf(
+      (1L, "keep me\nshared line\nunique one"),
+      (2L, "shared line\nother text"), // loses pos-0 line to doc 1 pos 1
+      (3L, "repeat\nrepeat"), // intra-doc: second occurrence dropped
+      (4L, "   \n\ttab"), // whitespace-only lines are layout, untouched
+      (5L, "shared line"), // single line dropped -> reassembles to ""
+      (6L, "Shared   LINE\nx")) // normalized match, original case lost
+    val out = Dedup.dedupLines(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "keep me\nshared line\nunique one")
+    assert(out(2L) == "other text")
+    assert(out(3L) == "repeat")
+    assert(out(4L) == "   \n\ttab")
+    assert(out(5L) == "")
+    assert(out(6L) == "x")
+  }
+
+  test("lm buckets: tertile split with ties-low boundary; empty doc gets NULL bucket") {
+    // distinct scores over 3 docs -> one doc per bucket; doc 4 empty
+    val d = docsOf(
+      (1L, "a a a a"), // most common vocab -> lowest nll -> head
+      (2L, "a a b b"),
+      (3L, "c d e f"), // all singletons -> highest nll -> tail
+      (4L, "  "))
+    val out = Quality.lmBuckets(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) null else r.getString(3)))
+      .toMap
+    assert(out(1L) == "head")
+    assert(out(2L) == "middle")
+    assert(out(3L) == "tail")
+    assert(out(4L) == null)
+  }
+
+  test("dsir: target-like source docs outscore gibberish; gram counts; target excluded") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    def mk(rows: (Long, String, String)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map(r => Row(r._1, r._2, r._3)), 2), schema)
+    val d = mk(
+      (1L, "alpha beta alpha beta", "en"), (2L, "alpha beta gamma", "en"),
+      (10L, "alpha beta delta", "xx"), // shares target vocab + bigram
+      (11L, "zz qq ww", "xx"), // disjoint from target
+      (12L, "", "xx")) // gram-less
+    val out = Dsir.importanceResample(d, "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 64, selectFrac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+          r.getBoolean(3)))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L)) // source docs only
+    assert(out(10L)._1 == 5L) // 3 unigrams + 2 bigrams
+    assert(out(11L)._1 == 5L)
+    assert(out(10L)._2 > out(11L)._2,
+      s"target-like ${out(10L)._2} must outscore gibberish ${out(11L)._2}")
+    // selectFrac 0.5 over two scored docs: cutoff = midpoint, only the
+    // target-like doc clears it; gram-less doc is never selected
+    assert(out(10L)._3 && !out(11L)._3)
+    assert(out(12L)._1 == 0L && out(12L)._2.isNaN && !out(12L)._3)
+  }
+
   test("fingerprint is whitespace-normalization invariant and content-sensitive") {
     val d = docsOf(
       (1L, "hello   world  foo"), (2L, "hello world foo"),

@@ -105,12 +105,11 @@ class PlanShapeSpec extends SparkSpecBase {
     // int8 codes (its scale variant is IVF/LSH + quantized lists)
     // p27's candidate stage scans PQ code arrays (32× smaller than the
     // vectors) against broadcast LUTs — deliberate, like p21.
-    // p7/p15/p29 are approximate serve paths whose plans NOW include the
-    // brute-force recall certificate (Similarity.withRecall): the truth
-    // pass is the same deliberate broadcast theta-join as p6 — it exists
-    // to certify the approximate stage, not to serve
+    // (p7/p15/p29's recall certificates read PERSISTED truth now —
+    // AnnIO.loadTruth — so their plans are equality-joins plus the
+    // one-row mean attach below; no theta exemption needed anymore)
     val intentionalThetaJoins = Set("p6_ann_topk", "p21_ann_quantized",
-      "p27_ann_pq", "p7_ann_lsh", "p15_ann_ivf", "p29_ann_ivfpq")
+      "p27_ann_pq")
     // p13 attaches a ONE-ROW aggregate (the corpus count for IDF) via
     // crossJoin(broadcast(...)) — a BroadcastNestedLoopJoin whose build
     // side is a single row is O(n·1), the canonical lazy scalar attach.
@@ -119,9 +118,13 @@ class PlanShapeSpec extends SparkSpecBase {
     // only and gets no exemption). p32 attaches two one-row scalars
     // (weight sum, total N) to its ~20-row source-level frame the same
     // way
-    // p36 attaches the one-row (n, v) corpus total the same way
+    // p36 attaches the one-row (n, v) corpus total the same way; p38
+    // composes p36 + a one-row tertile-cutoff attach; p39 attaches
+    // bucket totals + the selection cutoff (one row each); the recall
+    // certificates (p7/p15/p29) attach their one-row mean_recall
     val scalarAttachJoins = Set("p13_text_tfidf", "p32_domain_mix",
-      "p36_lm_score")
+      "p36_lm_score", "p38_lm_buckets", "p39_dsir_resample",
+      "p7_ann_lsh", "p15_ann_ivf", "p29_ann_ivfpq")
     for ((name, fn) <- graft.SparkEntry.queries
          if !intentionalThetaJoins(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
