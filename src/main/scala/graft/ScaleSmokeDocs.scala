@@ -78,6 +78,29 @@ object ScaleSmokeDocs {
     // the per-doc sum; micro-nat longs keep the agg exact and order-free
     stage("lm_score")(Quality.lmScore(docs, "doc_id", "text")
       .filter(col("lm_nll").isNotNull).count())
+    // CCNet head/middle/tail tertiles (p38): the lm_score chain plus one
+    // exact-percentile two-value aggregate attached back as a one-row
+    // broadcast — no global sort; marginal cost over lm_score is the
+    // cutoff agg alone
+    stage("lm_buckets")(Quality.lmBuckets(docs, "doc_id", "text")
+      .groupBy("lm_bucket").count().count())
+    // corpus-wide exact line dedup (p37): posexplode to lines, shuffle on
+    // line hash for the global first-occurrence argmin, shuffle back on
+    // doc id to reassemble — a footer line planted on EVERY doc must
+    // survive on exactly one (rows = docs still carrying it)
+    stage("line_dedup_planted")({
+      val lined = docs.select(col("doc_id"),
+        concat(col("text"), lit("\nshared footer line"),
+          lit("\nuniq-"), col("doc_id").cast("string")).as("text"))
+      Dedup.dedupLines(lined, "doc_id", "text")
+        .filter(col("text").contains("shared footer line")).count()
+    })
+    // DSIR importance resampling (p39): hashed unigram+bigram counts per
+    // (bucket, side) — one term-shaped shuffle folded to 2×1024 rows —
+    // then a per-doc log-ratio sum and an exact-quantile cutoff broadcast
+    stage("dsir_resample")(Dsir.importanceResample(docs, "doc_id", "text",
+      isTarget = col("doc_id") % 3 === 0, buckets = 1024,
+      selectFrac = 0.2).count())
     // domain mixing (p32): 20 synthetic sources, hash-derived target
     // weights, quota-k smallest-salted-hash membership per source —
     // the p32 chain verbatim (source-level scalar attaches are one-row
