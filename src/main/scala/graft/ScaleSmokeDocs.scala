@@ -11,11 +11,18 @@ import graft.pipeline._
   * expected LSH pair count is known (~totalDocs/100) and recall is
   * checkable at any size.
   *
-  * Usage: runMain graft.ScaleSmokeDocs [totalDocs]
+  * Usage: runMain graft.ScaleSmokeDocs [totalDocs[,totalDocs...]] [stage,...]
+  *
+  * Several sizes run sequentially in ONE JVM so decade pairs share JIT
+  * state (cross-JVM totals on this host vary up to 4×, BASELINE round-6
+  * note). The optional second arg restricts to named stages (substring
+  * match) so a targeted decade run doesn't pay for the full suite.
   */
 object ScaleSmokeDocs {
   def main(args: Array[String]): Unit = {
-    val totalDocs = args.headOption.map(_.toLong).getOrElse(200000L)
+    val sizes = args.headOption.map(_.split(",").map(_.trim.toLong).toSeq)
+      .getOrElse(Seq(200000L))
+    val filter = args.drop(1).headOption.map(_.split(",").map(_.trim).toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,7 +31,14 @@ object ScaleSmokeDocs {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    for (totalDocs <- sizes) runOne(spark, totalDocs, filter)
+    spark.stop()
+  }
 
+  private def runOne(spark: SparkSession, totalDocs: Long,
+      filter: Option[Seq[String]]): Unit = {
+    def wanted(name: String): Boolean =
+      filter.forall(_.exists(name.contains))
     val words = 60
     val isDup = col("id") % 100 === 1
     val baseId = when(isDup, col("id") - 1).otherwise(col("id"))
@@ -38,13 +52,14 @@ object ScaleSmokeDocs {
       })).as("text"))
       .persist()
     val n = docs.count()
-    println(s"[docs-scale] docs=$n planted_pairs=${n / 100} cores=$cpus")
+    println(s"[docs-scale] docs=$n planted_pairs=${n / 100}")
 
     def stage(name: String)(rows: => Long): Long = {
+      if (!wanted(name)) return -1L
       val t0 = System.nanoTime()
       val r = rows
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[docs-scale] $name%-22s $sec%8.2fs  ${n / sec / 1000}%8.1fk docs/s  rows=$r")
+      println(f"[docs-scale] n=$n $name%-22s $sec%8.2fs  ${n / sec / 1000}%8.1fk docs/s  rows=$r")
       r
     }
 
@@ -135,8 +150,9 @@ object ScaleSmokeDocs {
       one
     })
     val planted = n / 100
-    println(f"[docs-scale] lsh recall vs planted: ${found * 100.0 / planted}%.1f%% " +
-      s"($found of $planted); simhash_pairs=$simhashPairs")
+    if (found >= 0)
+      println(f"[docs-scale] lsh recall vs planted: ${found * 100.0 / planted}%.1f%% " +
+        s"($found of $planted); simhash_pairs=$simhashPairs")
 
     // decontamination: the BASE docs of the first 100 planted dup pairs
     // stand in for a benchmark — their near-dup twins (id ≡ 1 mod 100)
@@ -158,7 +174,8 @@ object ScaleSmokeDocs {
       when(col("doc_id") % 2 === 0, concat(col("text"), lit(boiler)))
         .otherwise(col("text")).as("text"))
       .persist()
-    skewed.count()
+    if (Seq("jaccard_skewed_maxdf", "boilerplate_strip", "span_dedup_k8",
+        "char_span_dedup_30").exists(wanted)) skewed.count()
     stage("jaccard_skewed_maxdf")(Dedup.jaccardPairs(
       skewed, "doc_id", "text", n = 3, threshold = 0.5, maxDf = 1000).count())
     // boilerplate removal: a standalone banner line appended to EVERY doc
@@ -186,7 +203,12 @@ object ScaleSmokeDocs {
 
     // ANN over synthetic embeddings: half the doc count, 64 dims, with
     // planted near-dups (id ≡ 1 mod 100 = predecessor with coordinate 0
-    // nudged → cosine ≈ 0.999) so banded-pair recall is checkable
+    // nudged → cosine ≈ 0.999) so banded-pair recall is checkable.
+    // The block's gate name carries every stage prefix it prints, so a
+    // stage filter like "ann" or "pq" keeps it and "lm,dsir" skips it.
+    if (!wanted("ann_cosine_pairs_banded_embedding_clusters_pq_ivfpq")) {
+      docs.unpersist(); return
+    }
     val nVec = math.max(10000L, totalDocs / 2)
     val isDupV = col("id") % 100 === 1
     val baseIdV = when(isDupV, col("id") - 1).otherwise(col("id"))
@@ -263,6 +285,7 @@ object ScaleSmokeDocs {
     vstage("ann_ivfpq_100q")(
       Similarity.ivfPqTopK(ipCodes, ipCents, ipCb, vecs,
         vecs.filter(col("vec_id") < 100), k = 5, mCand = 25, nProbe = 8).count())
-    spark.stop()
+    vecs.unpersist()
+    docs.unpersist()
   }
 }
