@@ -57,15 +57,20 @@ object Dsir {
         s"driver-sized (<= 65536), got $buckets")
     require(selectFrac > 0 && selectFrac <= 1,
       s"selectFrac must be in (0, 1], got $selectFrac")
-    val toks = tokens(col(textCol))
-    val gramsOf = concat(toks, Quality.ngrams(toks, 2))
+    // tokens are MATERIALIZED into a column before the n-gram build:
+    // [[Quality.ngrams]]' per-element lambda re-evaluates its argument
+    // expression on every element, so handing it the raw tokenize
+    // expression multiplies the regex split by the gram count (measured
+    // 4-10x on this query before the projection split)
+    val gramsOf = concat(col("__toks"), Quality.ngrams(col("__toks"), 2))
     def bucketOf(g: Column): Column =
       pmod(hash60(concat(lit("dsir:"), g)), lit(buckets.toLong))
     // single corpus pass: per-bucket occurrence counts of BOTH
     // distributions; a bucket unseen on one side simply counts 0 there
     // (the +1 smoothing keeps its ratio finite)
     val bucketCounts = docs
-      .select(isTarget.as("__t"), explode(gramsOf).as("g"))
+      .select(isTarget.as("__t"), tokens(col(textCol)).as("__toks"))
+      .select(col("__t"), explode(gramsOf).as("g"))
       .select(col("__t"), bucketOf(col("g")).as("b"))
       .groupBy("b").agg(
         sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("ct"),
@@ -88,11 +93,17 @@ object Dsir {
     }
     val lam = typedLit(lamArr.toSeq)
     // scoring: a pure projection over source docs — literal-array lookup
-    // per gram, exact long sum, micro-nat mean
-    val scored = docs.filter(!isTarget).select(col(idCol),
-        coalesce(when(size(gramsOf) >= 0, size(gramsOf)), lit(0))
+    // per gram, exact long sum, micro-nat mean. Three narrow projections
+    // (tokens → grams → score) so each non-cheap array is built once per
+    // row; CollapseProject keeps them separate because the aliases are
+    // multiply referenced
+    val scored = docs.filter(!isTarget)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), gramsOf.as("__g"))
+      .select(col(idCol),
+        coalesce(when(size(col("__g")) >= 0, size(col("__g"))), lit(0))
           .cast("long").as("n_grams"),
-        aggregate(transform(gramsOf,
+        aggregate(transform(col("__g"),
             g => element_at(lam, (bucketOf(g) + lit(1L)).cast("int"))),
           lit(0L), (acc, x) => acc + x).as("__s"))
       .withColumn("dsir_score",

@@ -17,6 +17,13 @@ object Quality {
     * which is distinct-set semantics for Jaccard) — frequency signals
     * need the duplicates.
     */
+  /** Word n-grams with multiplicity. CALLER CONTRACT: pass a
+    * MATERIALIZED column (an attribute), not a raw tokenize expression —
+    * the per-element lambda re-evaluates `toks` on every element
+    * (`element_at` below), so an unmaterialized argument multiplies its
+    * cost by the gram count. Project the tokens first (see
+    * [[repetitionStats]] / [[graft.pipeline.Dsir]]).
+    */
   def ngrams(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(
