@@ -774,27 +774,14 @@ object Dedup {
 
   // ---- SimHash ---------------------------------------------------------
 
-  /** 48-bit SimHash over whitespace tokens (frequency-weighted): bit p is
-    * set when the sum over tokens of ±1 (by bit p of the token's 48-bit
-    * hash) is ≥ 0. All bit math stays below 2^53 so double-precision
-    * floor-division extracts bits exactly — bit-identical to the SQL
-    * oracle.
-    */
-  def simhash48(text: Column): Column = {
-    val ths = transform(tokens(text), t => hash48(t))
-    val bitVals = transform(sequence(lit(0), lit(47)), p => {
-      val pw = pow(lit(2.0), p).cast("long")
-      val contrib = transform(ths, h =>
-        floor((h % (pw * 2)) / pw).cast("long") * 2 - 1)
-      when(aggregate(contrib, lit(0L), (a, x) => a + x) >= 0, pw).otherwise(lit(0L))
-    })
-    aggregate(bitVals, lit(0L), (a, x) => a + x)
-  }
-
   /** SimHash signatures computed the codegen-friendly way: explode
     * tokens, one hash-aggregate with 48 integral sums (whole-stage
-    * codegen, no interpreted lambdas). Identical values to
-    * [[simhash48]] — per-bit integer sums are order-independent.
+    * codegen, no interpreted lambdas). Semantics: 48-bit SimHash over
+    * whitespace tokens, frequency-weighted — bit p is set when the sum
+    * over tokens of ±1 (by bit p of the token's 48-bit hash) is ≥ 0;
+    * per-bit integer sums are order-independent, and all bit math stays
+    * below 2^53 so the SQL oracle's double-precision floor-division
+    * extracts identical bits.
     */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val perToken = docs
