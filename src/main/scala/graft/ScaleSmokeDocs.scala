@@ -73,6 +73,16 @@ object ScaleSmokeDocs {
     val found = stage("minhash_lsh")(lshPairs.count())
     stage("dup_clusters")(Dedup.duplicateClusters(lshPairs)
       .select(countDistinct("cluster_id")).head().getLong(0))
+    // quality-ranked keep-one-per-cluster (p40) over the same cluster
+    // relation: survivors = corpus - (cluster members - representatives)
+    stage("cluster_keep")(Dedup.keepClusterRepresentatives(docs, "doc_id",
+        Dedup.duplicateClusters(lshPairs), quality = length(col("text")))
+      .filter(col("kept")).count())
+    // corpus-duplicated 5-gram coverage (p41): every planted near-dup
+    // pair shares long runs, so ~2 of every 100 docs must show coverage
+    stage("dup_ngram_coverage")(Quality.dupNgramCoverage(
+        docs, "doc_id", "text", k = 5)
+      .filter(col("covered_frac") > 0.5).count())
     stage("simhash_sigs")(Dedup.simhashSignatures(docs, "doc_id", "text").count())
     // banded simhash pairing: pigeonhole bands make the candidate join an
     // equality shuffle — with maxHamming=2 each band carries 16 bits, so

@@ -722,6 +722,36 @@ object Dedup {
     docs.join(doomed, Seq(idCol), "left_anti")
   }
 
+  /** Quality-ranked keep-one-per-cluster canonicalization (the
+    * RefinedWeb/Dolma selection step after near-dup clustering): within
+    * every duplicate cluster the representative is the HIGHEST-`quality`
+    * doc (smallest id on ties) — not the smallest id, which
+    * [[dropNearDuplicates]] uses when no quality signal exists — and
+    * docs in no cluster keep themselves. Returns the full labeled
+    * decision `(id, cluster_id, kept)` rather than a filtered corpus,
+    * so downstream stages can audit WHY a doc was dropped (cluster_id
+    * NULL = never a near-dup candidate).
+    *
+    * Scale shape: one left join docs→clusters on id, one per-cluster
+    * `min(struct(-quality, id))` aggregate (map-side partial — a
+    * million-doc cluster folds within each task, no hot-key straggler),
+    * one equality join back on cluster id. No window, no sort, no hint:
+    * the cluster relation grows with the corpus, so AQE picks the join
+    * strategy.
+    */
+  def keepClusterRepresentatives(docs: DataFrame, idCol: String,
+      clusters: DataFrame, quality: Column): DataFrame = {
+    val labeled = docs
+      .join(clusters.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+    val reps = labeled.filter(col("cluster_id").isNotNull)
+      .groupBy("cluster_id")
+      .agg(min(struct((-quality).as("nq"), col(idCol).as("id"))).as("__r"))
+      .select(col("cluster_id"), col("__r.id").as("__rep"))
+    labeled.join(reps, Seq("cluster_id"), "left")
+      .select(col(idCol), col("cluster_id"),
+        coalesce(col(idCol) === col("__rep"), lit(true)).as("kept"))
+  }
+
   // ---- benchmark decontamination ---------------------------------------
 
   /** Benchmark decontamination check: flag documents sharing any word

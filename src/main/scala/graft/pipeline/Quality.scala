@@ -15,14 +15,12 @@ object Quality {
 
   /** All word n-grams WITH multiplicity (contrast [[Dedup.shingles]],
     * which is distinct-set semantics for Jaccard) — frequency signals
-    * need the duplicates.
-    */
-  /** Word n-grams with multiplicity. CALLER CONTRACT: pass a
-    * MATERIALIZED column (an attribute), not a raw tokenize expression —
-    * the per-element lambda re-evaluates `toks` on every element
-    * (`element_at` below), so an unmaterialized argument multiplies its
-    * cost by the gram count. Project the tokens first (see
-    * [[repetitionStats]] / [[graft.pipeline.Dsir]]).
+    * need the duplicates. CALLER CONTRACT: pass a MATERIALIZED column
+    * (an attribute), not a raw tokenize expression — the per-element
+    * lambda re-evaluates `toks` on every element (`element_at` below),
+    * so an unmaterialized argument multiplies its cost by the gram
+    * count. Project the tokens first (see [[repetitionStats]] /
+    * [[graft.pipeline.Dsir]]).
     */
   def ngrams(toks: Column, n: Int): Column =
     when(size(toks) >= n,
@@ -189,5 +187,77 @@ object Quality {
       size(filter(hosts, h => array_contains(blocked, h))).cast("long")
         .as("n_blocked"))
       .withColumn("keep", col("n_blocked") === 0)
+  }
+
+  /** Per-document fraction of token positions covered by CORPUS-
+    * duplicated k-grams — the "duplicated n-gram characters" family of
+    * repetition filters (Gopher appendix A1 / RefinedWeb table 2),
+    * at token resolution: a k-gram is duplicated when its hash occurs
+    * more than once anywhere in the corpus (including twice in one
+    * document), and a token position counts as covered when at least
+    * one duplicated gram's `[start, start+k-1]` window contains it.
+    * Distinguishes [[repetitionStats]] (WITHIN-document repetition)
+    * from cross-document boilerplate that exact/minhash doc-level dedup
+    * is too coarse to see and [[Dedup.removeDuplicateSpans]] would
+    * rewrite — this is the measurement those removal decisions rank on.
+    *
+    * Scale shape: the [[Dedup.removeDuplicateSpans]] gram pass (hash per
+    * token position, one groupBy on the 60-bit gram hash with map-side
+    * partial counts) followed by an equality join back and ONE window
+    * per document in position order — interval union via the classic
+    * running-max-of-ends trick, so a position covered by overlapping
+    * grams is counted once, with no per-position explode. Tokenization
+    * is the raw `\s+` split of the span machinery (case-sensitive; NOT
+    * [[TextOps.tokens]]' lowercased form) so the coverage agrees with
+    * what span dedup would actually rewrite.
+    *
+    * Output: `(id, n_tokens, dup_starts, covered_tokens, covered_frac)`
+    * — `covered_frac` NULL for token-less docs, 6-decimal rounded (the
+    * oracle-parity float discipline).
+    */
+  def dupNgramCoverage(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"gram length k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{split => fsplit}
+    val words = docs.select(col(idCol),
+      filter(fsplit(col(textCol), "\\s+"), t => t =!= "").as("toks"))
+    val grams = words
+      .filter(size(col("toks")) >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - k),
+        p => hash60(array_join(slice(col("toks"), p + 1, lit(k)), " "))))
+        .as(Seq("pos", "gh")))
+    val dupGrams = grams.groupBy("gh")
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > 1)
+      .select("gh")
+    val starts = grams.join(dupGrams.hint("shuffle_hash"), Seq("gh"))
+      .select(col(idCol), col("pos"))
+    // interval union per doc: with starts in position order, a window's
+    // NEW coverage is its end minus the running max of preceding ends
+    // (clamped at its own start) — overlaps counted once, one Sort per
+    // doc partition, no explode
+    val w = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perDoc = starts
+      .withColumn("__e", col("pos") + lit(k - 1))
+      .withColumn("__pme", max(col("__e")).over(w))
+      .withColumn("__new",
+        greatest(lit(0),
+          col("__e") - greatest(coalesce(col("__pme"), lit(-1)),
+            col("pos") - 1)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("dup_starts"),
+        sum(col("__new")).cast("long").as("covered_tokens"))
+    words
+      .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_starts"), lit(0L)).as("dup_starts"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        when(col("n_tokens") > 0,
+          round(coalesce(col("covered_tokens"), lit(0L)) / col("n_tokens"), 6))
+          .as("covered_frac"))
   }
 }

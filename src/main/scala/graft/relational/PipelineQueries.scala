@@ -518,7 +518,26 @@ object PipelineQueries {
     "p39_dsir_resample" -> ((s, dir) =>
       Dsir.importanceResample(docs(s, dir), "doc_id", "text",
         isTarget = col("lang") === "en", buckets = 1024,
-        selectFrac = 0.2))
+        selectFrac = 0.2)),
+
+    // quality-ranked keep-one-per-cluster over the p14 cluster relation:
+    // the representative is the LONGEST doc (n_chars; smallest id on
+    // ties), not p14's smallest-id convention — the audit-trail output
+    // (cluster_id + kept) a RefinedWeb-style pipeline persists
+    "p40_cluster_keep" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.keepClusterRepresentatives(d, "doc_id",
+        Dedup.duplicateClusters(
+          Dedup.minhashLshPairs(d, "doc_id", "text",
+            n = 3, k = 32, bands = 8, threshold = 0.4)),
+        quality = col("n_chars"))
+    }),
+
+    // corpus-duplicated 5-gram coverage per doc (Gopher/RefinedWeb
+    // "duplicated n-gram" repetition family at token resolution):
+    // position-interval union via one running-max window per doc
+    "p41_dup_ngram_coverage" -> ((s, dir) =>
+      Quality.dupNgramCoverage(docs(s, dir), "doc_id", "text", k = 5))
   )
 
   // shared CTE chain producing minhash-LSH candidate pairs `j(doc_a,
@@ -1220,6 +1239,63 @@ object PipelineQueries {
            coalesce(sc.dsir_score >= cut.c, FALSE) AS selected
          FROM (SELECT doc_id FROM documents WHERE NOT (lang = 'en')) s0
          LEFT JOIN sc USING (doc_id), cut""",
+
+    // p14's recursive component walk + quality-ranked representative
+    // (n_chars DESC, doc_id ASC — the row_number form of Spark's
+    // min(struct(-quality, id)) aggregate)
+    "p40_cluster_keep" ->
+      s"""WITH RECURSIVE ${minhashPairsCtes("documents")},
+             pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.4),
+             edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                       UNION SELECT doc_b, doc_a FROM pairs),
+             nodes AS (SELECT DISTINCT src AS doc FROM edges),
+             walk AS (SELECT doc, doc AS label FROM nodes
+                      UNION
+                      SELECT e.src AS doc, w.label
+                      FROM edges e JOIN walk w ON e.dst = w.doc),
+             cl AS (SELECT doc, min(label) AS cluster_id FROM walk GROUP BY doc),
+             rep AS (SELECT cluster_id, doc_id AS rep_id FROM (
+                       SELECT cl.cluster_id, dd.doc_id,
+                         row_number() OVER (PARTITION BY cl.cluster_id
+                           ORDER BY dd.n_chars DESC, dd.doc_id) AS rn
+                       FROM cl JOIN documents dd ON dd.doc_id = cl.doc) t
+                     WHERE rn = 1)
+         SELECT d.doc_id, cl.cluster_id,
+           coalesce(d.doc_id = rep.rep_id, TRUE) AS kept
+         FROM documents d
+         LEFT JOIN cl ON d.doc_id = cl.doc
+         LEFT JOIN rep ON cl.cluster_id = rep.cluster_id""",
+
+    // p23's gram hashing (raw \s+ split, 60-bit md5 gram hash) +
+    // corpus-duplicate filter + the p35 running-max interval union,
+    // aggregated to a per-doc coverage instead of a rewrite
+    "p41_dup_ngram_coverage" ->
+      raw"""WITH w AS (SELECT doc_id,
+                list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+              FROM documents),
+             g AS (SELECT doc_id, p - 1 AS pos,
+                     ('0x' || substr(md5(array_to_string(toks[p:p+4], ' ')), 1, 15))::BIGINT AS gh
+                   FROM w, unnest(generate_series(1, len(toks) - 4)) t(p)
+                   WHERE len(toks) >= 5),
+             dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1),
+             st AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+             m AS (SELECT doc_id, pos, pos + 4 AS e,
+                     max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+                   FROM st),
+             cov AS (SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS dup_starts,
+                       CAST(sum(greatest(0, e - greatest(coalesce(pme, -1), pos - 1)))
+                            AS BIGINT) AS covered_tokens
+                     FROM m GROUP BY doc_id)
+         SELECT w.doc_id,
+           CAST(len(w.toks) AS BIGINT) AS n_tokens,
+           coalesce(cov.dup_starts, CAST(0 AS BIGINT)) AS dup_starts,
+           coalesce(cov.covered_tokens, CAST(0 AS BIGINT)) AS covered_tokens,
+           CASE WHEN len(w.toks) > 0
+                THEN round(coalesce(cov.covered_tokens, 0) / (len(w.toks) * 1.0), 6)
+           END AS covered_frac
+         FROM w LEFT JOIN cov USING (doc_id)""",
 
     "p24_split_holdout" ->
       """WITH b AS (SELECT doc_id,

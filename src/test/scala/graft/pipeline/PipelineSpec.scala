@@ -923,4 +923,44 @@ class PipelineSpec extends SparkSpecBase {
     assert(out(2L)._2 > out(2L)._1)
     assert(out(3L)._3 > out(3L)._1)
   }
+
+  test("cluster keep: highest-quality doc survives, ties to smallest id, " +
+      "unclustered pass") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("n_chars", LongType)))
+    val d = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, 10L), Row(2L, 30L), Row(3L, 99L),
+      Row(4L, 20L), Row(5L, 20L)), 2), schema)
+    val clSchema = StructType(Seq(StructField("doc", LongType),
+      StructField("cluster_id", LongType)))
+    val clusters = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, 1L), Row(2L, 1L), Row(4L, 4L), Row(5L, 4L)), 2), clSchema)
+    val out = Dedup.keepClusterRepresentatives(d, "doc_id", clusters,
+        quality = col("n_chars"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getBoolean(2))).toMap
+    // cluster 1: doc 2 wins on quality (30 > 10); cluster 4: tie at 20,
+    // doc 4 wins on id; doc 3 unclustered keeps itself
+    assert(out == Map(
+      1L -> ((1L, false)), 2L -> ((1L, true)), 3L -> ((-1L, true)),
+      4L -> ((4L, true)), 5L -> ((4L, false))))
+  }
+
+  test("dup-ngram coverage: overlapping duplicated grams count positions once") {
+    val d = docsOf(
+      (1L, "a b c d e z"), // "a b c d e" shared with doc 4 ("b c d e z" unique)
+      (2L, "q r s t u"), // no duplicated gram
+      (4L, "a b c d e f g"), // [0,4] + [2,6] from "c d e f g" → union [0,6]
+      (5L, "c d e f g"),
+      (6L, "x")) // below k
+    val out = Quality.dupNgramCoverage(d, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1.0 else r.getDouble(4)))).toMap
+    assert(out(1L) == ((6L, 1L, 5L, 0.833333))) // [0,4] of 6 tokens
+    assert(out(2L) == ((5L, 0L, 0L, 0.0)))
+    assert(out(4L) == ((7L, 2L, 7L, 1.0))) // merged, not 10
+    assert(out(5L) == ((5L, 1L, 5L, 1.0)))
+    assert(out(6L) == ((1L, 0L, 0L, 0.0)))
+  }
 }
