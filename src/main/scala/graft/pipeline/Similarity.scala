@@ -49,6 +49,41 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"), col("rnk"))
   }
 
+  /** Embedding-space benchmark decontamination: per corpus vector, the
+    * max cosine against ANY benchmark vector, the nearest benchmark id
+    * (smallest id on ties), and a `contaminated` flag at `threshold` —
+    * the semantic-similarity complement of [[Dedup.contaminationFlags]]'
+    * n-gram overlap (catches paraphrased eval items that share no
+    * 3-gram).
+    *
+    * Scale shape: the benchmark is an EVAL SET — small by construction —
+    * so it broadcasts and the corpus streams through one pass
+    * (crossJoin against the broadcast side, the [[bruteForceTopK]]
+    * precedent); the per-corpus-row argmax is a `min(struct)` partial
+    * aggregate, so nothing shuffles but one row per corpus vector.
+    * Norms are precomputed per side (same value as per-pair, fewer dot
+    * products); the argmax compares UNROUNDED sims — the p6 precedent
+    * for cross-engine double ordering — and only the output rounds.
+    */
+  def embeddingDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val b = broadcast(benchmark
+      .select(col(idCol).as("bench_id"), asDouble(col(vecCol)).as("bv"))
+      .withColumn("bn", sqrt(dot(col("bv"), col("bv")))))
+    corpus.select(col(idCol), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+      .crossJoin(b)
+      .withColumn("sim", dot(col("cv"), col("bv")) / (col("cn") * col("bn")))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("sim")).as("ns"), col("bench_id").as("bid")))
+        .as("__m"))
+      .select(col(idCol),
+        round(-col("__m.ns"), 6).as("max_sim"),
+        col("__m.bid").as("nearest_bench"),
+        (-col("__m.ns") >= lit(threshold)).as("contaminated"))
+  }
+
   /** Deterministic pseudo-random hyperplane `p` for `dim` dimensions:
     * component d = (md5-derived int in [-1000, 1000]) / 1000.
     */

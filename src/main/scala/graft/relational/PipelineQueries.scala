@@ -537,7 +537,17 @@ object PipelineQueries {
     // "duplicated n-gram" repetition family at token resolution):
     // position-interval union via one running-max window per doc
     "p41_dup_ngram_coverage" -> ((s, dir) =>
-      Quality.dupNgramCoverage(docs(s, dir), "doc_id", "text", k = 5))
+      Quality.dupNgramCoverage(docs(s, dir), "doc_id", "text", k = 5)),
+
+    // embedding-space decontamination: every 50th vector stands in for
+    // an eval set; corpus docs within 0.35 cosine of ANY of them are
+    // flagged (the paraphrase-robust complement of p17's n-gram overlap)
+    "p42_embedding_decontaminate" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.embeddingDecontaminate(
+        e.filter(col("vec_id") % 50 =!= 0),
+        e.filter(col("vec_id") % 50 === 0), threshold = 0.35)
+    })
   )
 
   // shared CTE chain producing minhash-LSH candidate pairs `j(doc_a,
@@ -1296,6 +1306,25 @@ object PipelineQueries {
                 THEN round(coalesce(cov.covered_tokens, 0) / (len(w.toks) * 1.0), 6)
            END AS covered_frac
          FROM w LEFT JOIN cov USING (doc_id)""",
+
+    // p6's cosine arithmetic; argmax replayed as row_number over
+    // UNROUNDED sims (ties to smallest bench id), only the output rounds
+    "p42_embedding_decontaminate" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             b AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id % 50 = 0),
+             c AS (SELECT vec_id, v AS cv FROM e WHERE vec_id % 50 <> 0),
+             s AS (SELECT vec_id, bench_id,
+                     list_dot_product(cv, bv) /
+                       (sqrt(list_dot_product(cv, cv)) *
+                        sqrt(list_dot_product(bv, bv))) AS sim
+                   FROM c, b),
+             r AS (SELECT vec_id, sim, bench_id,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY sim DESC, bench_id) AS rn
+                   FROM s)
+         SELECT vec_id, round(sim, 6) AS max_sim, bench_id AS nearest_bench,
+           sim >= 0.35 AS contaminated
+         FROM r WHERE rn = 1""",
 
     "p24_split_holdout" ->
       """WITH b AS (SELECT doc_id,

@@ -946,6 +946,24 @@ class PipelineSpec extends SparkSpecBase {
       4L -> ((4L, true)), 5L -> ((4L, false))))
   }
 
+  test("embedding decontamination: max cosine, nearest-id ties, threshold flag") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, Seq(1.0, 0.0, 0.0)), (101L, Seq(1.0, 0.0, 0.0))) // identical pair
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), // sim 1.0 → contaminated
+      (2L, Seq(0.0, 1.0, 0.0)), // sim 0.0 → clean
+      (3L, Seq(0.9, 0.1, 0.0))) // sim ≈ 0.9939 → contaminated
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embeddingDecontaminate(corpus, bench, threshold = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((1.0, 100L, true))) // tie between 100/101 → 100
+    assert(out(2L)._1 == 0.0 && !out(2L)._3)
+    assert(out(3L)._2 == 100L && out(3L)._3 && out(3L)._1 > 0.99)
+  }
+
   test("dup-ngram coverage: overlapping duplicated grams count positions once") {
     val d = docsOf(
       (1L, "a b c d e z"), // "a b c d e" shared with doc 4 ("b c d e z" unique)

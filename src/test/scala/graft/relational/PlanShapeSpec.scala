@@ -108,8 +108,12 @@ class PlanShapeSpec extends SparkSpecBase {
     // (p7/p15/p29's recall certificates read PERSISTED truth now —
     // AnnIO.loadTruth — so their plans are equality-joins plus the
     // one-row mean attach below; no theta exemption needed anymore)
+    // p42 scans the corpus against the broadcast EVAL-SET embeddings
+    // (small by construction — it's a benchmark): the same deliberate
+    // exhaustive-scan shape as p6, folded to one row per corpus vector
+    // by the argmax aggregate
     val intentionalThetaJoins = Set("p6_ann_topk", "p21_ann_quantized",
-      "p27_ann_pq")
+      "p27_ann_pq", "p42_embedding_decontaminate")
     // p13 attaches a ONE-ROW aggregate (the corpus count for IDF) via
     // crossJoin(broadcast(...)) — a BroadcastNestedLoopJoin whose build
     // side is a single row is O(n·1), the canonical lazy scalar attach.
