@@ -43,6 +43,10 @@ final case class CombinedDetector(detectors: Seq[Detector]) extends Detector {
   override def toJson: JValue = JObj(Seq(
     "type" -> JStr("CombinedDetector"),
     "detectors" -> JArr(detectors.map(_.toJson))))
+
+  /** The reference defines no `CombinedDetector.__str__`, so it inherits
+    * the base-class display — just the class name (`base.py:92-93`). */
+  override def toString: String = "CombinedDetector"
 }
 
 object CombinedDetector {

@@ -39,6 +39,10 @@ final case class ConstantValueDetector(
     "type" -> JStr("ConstantValueDetector"),
     "window_size" -> Json.num(windowSize.toDouble),
     "threshold" -> Json.num(threshold)))
+
+  /** Reference `__str__` (`detectors.py:253-254`). */
+  override def toString: String =
+    s"ConstantValueDetector($windowSize, ${TsOps.pyFloat(threshold)})"
 }
 
 object ConstantValueDetector {
@@ -79,6 +83,9 @@ final case class ConstantGradientDetector(windowSize: Int = 3) extends Detector 
   override def toJson: JValue = JObj(Seq(
     "type" -> JStr("ConstantGradientDetector"),
     "window_size" -> Json.num(windowSize.toDouble)))
+
+  /** Reference `__str__` (`detectors.py:278-279`). */
+  override def toString: String = s"ConstantGradientDetector($windowSize)"
 }
 
 object ConstantGradientDetector {

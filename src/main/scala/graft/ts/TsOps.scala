@@ -22,16 +22,29 @@ private[graft] object TsOps {
   val GaussianScaleFactor = 1.4826
 
   /** Python-style float rendering for the `__str__` display-parity
-    * toStrings (`str(3.0)` = "3.0", `str(inf)` = "inf"). Covers the
-    * integral/simple-decimal/infinite cases the reference prints; exotic
-    * magnitudes fall back to Scala's rendering.
+    * toStrings (`str(3.0)` = "3.0", `str(inf)` = "inf", `str(1e-07)` =
+    * "1e-07"). Python switches to scientific below 1e-4 and at/above
+    * 1e16 (sign + two-digit exponent, no trailing ".0" mantissa); Java
+    * switches at 1e-3/1e7 with an unsigned bare exponent — so both the
+    * boundary band and the exponent spelling need mapping.
     */
   private[ts] def pyFloat(d: Double): String =
     if (d.isPosInfinity) "inf"
     else if (d.isNegInfinity) "-inf"
     else if (d.isNaN) "nan"
+    else if (d == 0.0) { if (1.0 / d < 0) "-0.0" else "0.0" }
     else if (d == math.rint(d) && math.abs(d) < 1e16) s"${d.toLong}.0"
-    else d.toString
+    else if (math.abs(d) >= 1e-4 && math.abs(d) < 1e16) {
+      val s = d.toString
+      if (!s.contains("E")) s
+      else // 1e-4 ≤ |d| < 1e-3: Java scientific, Python plain decimal
+        new java.math.BigDecimal(s).stripTrailingZeros().toPlainString
+    } else {
+      val Array(mant0, exp0) = d.toString.split("E")
+      val mant = if (mant0.endsWith(".0")) mant0.dropRight(2) else mant0
+      val e = exp0.toInt
+      f"${mant}e${if (e < 0) "-" else "+"}${math.abs(e)}%02d"
+    }
 
   /** Python `f"{x:.1e}"` (differs from Java only for infinities). */
   private[ts] def pyExp(d: Double): String =

@@ -94,6 +94,16 @@ class ApiSpec extends SparkSpecBase {
     assert(RollingStdDevDetector(8, 1.25).toString ==
       "RollingStdDevDetector(window_size:8, max_std:1.25)")
     assert(HampelDetector(5, 3.0).toString == "HampelDetector(5, 3.0)")
+    // threshold 1e-7 must print Python-style ("1e-07", not "1.0E-7"):
+    // scientific below 1e-4, sign + two-digit exponent, bare mantissa
+    assert(ConstantValueDetector().toString == "ConstantValueDetector(3, 1e-07)")
+    assert(ConstantValueDetector(4, 0.0001).toString ==
+      "ConstantValueDetector(4, 0.0001)") // Python keeps 1e-4 decimal
+    assert(ConstantGradientDetector(5).toString == "ConstantGradientDetector(5)")
+    // the reference defines no CombinedDetector.__str__ → class name only
+    assert(CombinedDetector(Seq(RangeDetector())).toString == "CombinedDetector")
+    assert(RangeDetector(1.5e-7, 2.34e18).toString ==
+      "RangeDetector(min: 1.5e-07, max: 2.3e+18)") // __repr__ .1e form
   }
 
   test("export_joblib.py migrates the reference's pickle artifact " +
