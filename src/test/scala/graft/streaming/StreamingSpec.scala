@@ -490,4 +490,40 @@ class StreamingSpec extends SparkSpecBase {
       assert(got == Set(Some(100.0), Some(100.2), Some(0.0)))
     } finally q.stop()
   }
+
+  test("lmServeStream over the frozen LM == batch lmScore, across batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the dog sat"),
+      (3L, "a rare word zyzzyva"), (4L, ""), // token-less → NULL score
+      (5L, "the the the")).toDF("doc_id", "text")
+    val expected = graft.pipeline.Quality.lmScore(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    // freeze the LM exactly as lmScore's internal aggregate builds it
+    val counts = corpus
+      .select(explode(graft.pipeline.TextOps.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val (nTotal, vocab) = {
+      val r = counts.agg(sum("cnt"), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingQuality.lmServeStream(
+        mem.toDF().toDF("doc_id", "text"), counts, nTotal, vocab)
+      .writeStream.format("memory").queryName("lm_serve")
+      .outputMode("append").start()
+    try {
+      val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+      mem.addData(rows.take(2).toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(rows.drop(2).toIndexedSeq: _*); q.processAllAvailable()
+      val got = spark.table("lm_serve").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+        .toMap
+      assert(got == expected, s"streaming $got vs batch $expected")
+    } finally q.stop()
+  }
 }
