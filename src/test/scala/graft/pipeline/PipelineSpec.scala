@@ -946,6 +946,66 @@ class PipelineSpec extends SparkSpecBase {
       4L -> ((4L, true)), 5L -> ((4L, false))))
   }
 
+  test("dup-ngram coverage invariants on random corpora (seeded)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val docs = docsOf((0 until 30).map { i =>
+        // small vocab forces accidental 3-gram duplicates; one doc pair
+        // is planted verbatim-identical → full coverage when n >= k
+        val words = (0 until (3 + rnd.nextInt(12)))
+          .map(_ => s"w${rnd.nextInt(6)}").mkString(" ")
+        (i.toLong, if (i == 29) "p0 p1 p2 p3" else if (i == 28) "p0 p1 p2 p3" else words)
+      }: _*)
+      val out = Quality.dupNgramCoverage(docs, "doc_id", "text", k = 3)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      out.foreach { case (id, (n, starts, cov)) =>
+        assert(cov <= n, s"trial $trial doc $id: covered $cov > n_tokens $n")
+        assert((starts == 0) == (cov == 0),
+          s"trial $trial doc $id: starts=$starts but covered=$cov")
+        if (starts > 0)
+          assert(cov >= 3, s"trial $trial doc $id: dup start but covered $cov < k")
+      }
+      // the verbatim-identical pair is fully covered
+      assert(out(28L)._3 == out(28L)._1 && out(29L)._3 == out(29L)._1,
+        s"trial $trial: verbatim pair not fully covered: ${out(28L)}, ${out(29L)}")
+    }
+  }
+
+  test("cluster keep invariants on random clusterings (seeded)") {
+    val rnd = new scala.util.Random(7)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("q", LongType)))
+    val clSchema = StructType(Seq(StructField("doc", LongType),
+      StructField("cluster_id", LongType)))
+    for (trial <- 1 to 5) {
+      val quality = (0L until 40L).map(i => i -> rnd.nextLong(100)).toMap
+      val docs = spark.createDataFrame(spark.sparkContext.parallelize(
+        quality.toSeq.map { case (i, q) => Row(i, q) }, 3), schema)
+      // random partition of a subset of docs into clusters
+      val membership = (0L until 40L).filter(_ => rnd.nextBoolean())
+        .map(i => i -> rnd.nextInt(4).toLong)
+      val clusters = spark.createDataFrame(spark.sparkContext.parallelize(
+        membership.map { case (d, c) => Row(d, c) }, 2), clSchema)
+      val out = Dedup.keepClusterRepresentatives(docs, "doc_id", clusters,
+          quality = col("q"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2)))
+      assert(out.length == 40)
+      val byCluster = out.filter(_._2.isDefined).groupBy(_._2.get)
+      byCluster.foreach { case (c, members) =>
+        val kept = members.filter(_._3)
+        assert(kept.length == 1, s"trial $trial cluster $c keeps ${kept.length}")
+        val maxQ = members.map(m => quality(m._1)).max
+        assert(quality(kept.head._1) == maxQ,
+          s"trial $trial cluster $c kept ${kept.head._1} (q=${quality(kept.head._1)}) != max $maxQ")
+      }
+      out.filter(_._2.isEmpty).foreach { m =>
+        assert(m._3, s"trial $trial unclustered doc ${m._1} not kept")
+      }
+    }
+  }
+
   test("embedding decontamination: max cosine, nearest-id ties, threshold flag") {
     import spark.implicits._
     val bench = Seq(
