@@ -139,6 +139,112 @@ object Quality {
           .otherwise(lit("tail")).as("lm_bucket"))
   }
 
+  /** The Gopher quality-rule stop set (Rae et al. 2021, appendix A:
+    * "contains at least two of the following English words").
+    */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher document-quality rules (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", appendix
+    * A — the most-cited doc-level heuristic filter set for web-scale
+    * training corpora). Per document:
+    *
+    *   - `n_words`, `mean_word_len`: 50 ≤ words ≤ 100 000 and mean word
+    *     length in [3, 10];
+    *   - `symbol_word_ratio`: ('#' chars + '...' occurrences) / words,
+    *     must be ≤ 0.1;
+    *   - `bullet_line_frac` / `ellipsis_line_frac`: fraction of lines
+    *     starting with a bullet ('•' or '-') ≤ 0.9, fraction ending in an
+    *     ellipsis ('...' or '…') ≤ 0.3;
+    *   - `alpha_word_frac`: fraction of words with ≥1 alphabetic char,
+    *     must be ≥ 0.8;
+    *   - `n_stop_distinct`: distinct [[GopherStops]] present, must be ≥ 2.
+    *
+    * `keep` is the conjunction. One codegen'd projection — no shuffle,
+    * no UDF; every ratio goes through [[TextOps.ratio]] (6-dp rounding)
+    * BEFORE thresholding so both engines compare identical values.
+    * Token-less documents fail the word-count rule (keep = false) with
+    * all ratios 0.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nWords = size(toks).cast("long")
+    val meanLen = ratio(
+      aggregate(transform(toks, x => length(x).cast("long")), lit(0L), (a, x) => a + x),
+      nWords)
+    val nHash = length(t) - length(regexp_replace(t, "#", ""))
+    val nEllipsis = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / lit(3)
+    val symbolRatio = ratio((nHash + nEllipsis).cast("long"), nWords)
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("long")
+    val bulletFrac = ratio(
+      size(filter(lines, l => substring(ltrim(l), 1, 1).isin("•", "-"))).cast("long"),
+      nLines)
+    val ellipsisFrac = ratio(
+      size(filter(lines, l =>
+        endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…")))).cast("long"),
+      nLines)
+    val alphaFrac = ratio(
+      size(filter(toks, w => w.rlike("[a-z]"))).cast("long"), nWords)
+    val nStop = size(filter(array(GopherStops.map(lit): _*),
+      w => array_contains(toks, w))).cast("long")
+    docs.select(col(idCol),
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_word_ratio"),
+      bulletFrac.as("bullet_line_frac"),
+      ellipsisFrac.as("ellipsis_line_frac"),
+      alphaFrac.as("alpha_word_frac"),
+      nStop.as("n_stop_distinct"))
+      .withColumn("keep",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_word_ratio") <= 0.1 &&
+          col("bullet_line_frac") <= 0.9 &&
+          col("ellipsis_line_frac") <= 0.3 &&
+          col("alpha_word_frac") >= 0.8 &&
+          col("n_stop_distinct") >= 2)
+  }
+
+  /** C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+    * Transfer Learning with a Unified Text-to-Text Transformer" §2.2 —
+    * the line-level heuristics behind the C4 corpus). Line level: keep
+    * only lines that end in terminal punctuation (`.` `!` `?` `"`), have
+    * ≥ 3 words, and do not mention "javascript" (case-insensitive). Page
+    * level: drop documents whose CLEANED text has < 5 sentences
+    * (counted as `[.!?]` characters) or whose ORIGINAL text contains
+    * "lorem ipsum" (case-insensitive) or a `{`.
+    *
+    * Output: `(id, n_lines, n_kept, n_sentences, has_lorem, has_brace,
+    * keep, text_clean)` — `text_clean` is the kept lines joined by
+    * newline in original order. One codegen'd projection, no shuffle.
+    * (C4's remaining rule — cross-document three-sentence span dedup —
+    * is [[Dedup.removeDuplicateSpans]] / p23.)
+    */
+  def c4Clean(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    def lineKeep(l: Column): Column =
+      substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"") &&
+        size(filter(split(trim(l), "\\s+"), x => x =!= "")) >= 3 &&
+        !lower(l).contains("javascript")
+    val keptLines = filter(lines, lineKeep(_))
+    val textClean = array_join(keptLines, "\n")
+    docs.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(keptLines).cast("long").as("n_kept"),
+      (length(textClean) -
+        length(regexp_replace(textClean, "[.!?]", ""))).cast("long")
+        .as("n_sentences"),
+      lower(t).contains("lorem ipsum").as("has_lorem"),
+      t.contains("{").as("has_brace"),
+      textClean.as("text_clean"))
+      .withColumn("keep",
+        col("n_sentences") >= 5 && !col("has_lorem") && !col("has_brace"))
+  }
+
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"

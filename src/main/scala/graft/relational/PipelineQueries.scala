@@ -547,7 +547,55 @@ object PipelineQueries {
       Similarity.embeddingDecontaminate(
         e.filter(col("vec_id") % 50 =!= 0),
         e.filter(col("vec_id") % 50 === 0), threshold = 0.35)
-    })
+    }),
+
+    // Gopher appendix-A doc-quality rules over a corpus with planted
+    // line structure (the synthetic corpus is single-line): every 3rd
+    // doc gains two bullet lines, every 5th an ellipsis line (which
+    // also adds the stop words to/be), every 7th a '#'-symbol line —
+    // so each rule fires on a known subset (the oracle mirrors the
+    // plant, as p16/p20/p28 do)
+    "p43_gopher_quality" -> ((s, dir) =>
+      Quality.gopherRules(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              lit("\n• planted bullet item\n• second bullet item"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0, lit("\nto be continued..."))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 0, lit("\n## ## tag ##"))
+              .otherwise(lit(""))).as("text")),
+        "doc_id", "text")),
+
+    // C4 §2.2 line/page cleaning rules over planted lines: one proper
+    // sentence always survives, every 2nd doc gains four more sentences
+    // (crossing the ≥5-sentence page gate), every 7th a javascript
+    // line (dropped at line level), every 11th a lorem-ipsum line and
+    // every 13th a braced line (page-level drops)
+    "p44_c4_filters" -> ((s, dir) =>
+      Quality.c4Clean(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            lit("\nA good closing sentence appears here."),
+            when(col("doc_id") % 2 === 0,
+              lit("\nOne more fine line here. Another solid sentence follows! Was that enough? \"Quoted words end well.\""))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              lit("\nplease enable javascript to continue viewing"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 11 === 0,
+              lit("\nlorem ipsum dolor sit amet."))
+              .otherwise(lit("")),
+            when(col("doc_id") % 13 === 0,
+              lit("\nconfig sample { alpha beta }"))
+              .otherwise(lit(""))).as("text")),
+        "doc_id", "text")),
+
+    // BPE iteration-1 merge candidates: top-50 within-word character
+    // pairs by corpus occurrence count, deterministic tie-break
+    "p45_bpe_pairs" -> ((s, dir) =>
+      Bpe.pairCounts(docs(s, dir), "text", k = 50))
   )
 
   // shared CTE chain producing minhash-LSH candidate pairs `j(doc_a,
@@ -1361,6 +1409,105 @@ object PipelineQueries {
       """SELECT doc_id, lang, source FROM documents
          WHERE ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 15))::BIGINT
                % 10000
-             < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END"""
+             < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END""",
+
+    // mirrors the p43 plant, then replays every Gopher rule with the
+    // identical rounded-ratio-then-threshold arithmetic
+    "p43_gopher_quality" ->
+      raw"""WITH d0 AS (SELECT doc_id,
+                text
+                || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '• planted bullet item'
+                     || chr(10) || '• second bullet item' ELSE '' END
+                || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'to be continued...'
+                     ELSE '' END
+                || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '## ## tag ##'
+                     ELSE '' END AS text
+              FROM documents),
+             d AS (SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                       x -> x != '') AS toks,
+                     string_split(text, chr(10)) AS ls
+                   FROM d0),
+             m AS (SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     coalesce(round(list_sum(list_transform(toks, x -> length(x)))
+                       * 1.0 / nullif(len(toks), 0), 6), 0.0) AS mean_word_len,
+                     coalesce(round((length(text) - length(replace(text, '#', ''))
+                       + (length(text) - length(replace(text, '...', ''))) / 3)
+                       * 1.0 / nullif(len(toks), 0), 6), 0.0) AS symbol_word_ratio,
+                     coalesce(round(len(list_filter(ls,
+                         l -> substr(ltrim(l), 1, 1) IN ('•', '-')))
+                       * 1.0 / nullif(len(ls), 0), 6), 0.0) AS bullet_line_frac,
+                     coalesce(round(len(list_filter(ls,
+                         l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+                       * 1.0 / nullif(len(ls), 0), 6), 0.0) AS ellipsis_line_frac,
+                     coalesce(round(len(list_filter(toks,
+                         x -> regexp_matches(x, '[a-z]')))
+                       * 1.0 / nullif(len(toks), 0), 6), 0.0) AS alpha_word_frac,
+                     CAST(len(list_filter(
+                       ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+                       w -> list_contains(toks, w))) AS BIGINT) AS n_stop_distinct
+                   FROM d)
+         SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_stop_distinct,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_word_ratio <= 0.1
+            AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3
+            AND alpha_word_frac >= 0.8
+            AND n_stop_distinct >= 2) AS keep
+         FROM m""",
+
+    // mirrors the p44 plant, then replays the C4 line keep-rule and the
+    // page-level sentence/lorem/brace gates
+    "p44_c4_filters" ->
+      raw"""WITH d0 AS (SELECT doc_id,
+                text || chr(10) || 'A good closing sentence appears here.'
+                || CASE WHEN doc_id % 2 = 0 THEN chr(10)
+                     || 'One more fine line here. Another solid sentence follows! Was that enough? "Quoted words end well."'
+                     ELSE '' END
+                || CASE WHEN doc_id % 7 = 0 THEN chr(10)
+                     || 'please enable javascript to continue viewing' ELSE '' END
+                || CASE WHEN doc_id % 11 = 0 THEN chr(10)
+                     || 'lorem ipsum dolor sit amet.' ELSE '' END
+                || CASE WHEN doc_id % 13 = 0 THEN chr(10)
+                     || 'config sample { alpha beta }' ELSE '' END AS text
+              FROM documents),
+             k AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls,
+                     list_filter(string_split(text, chr(10)),
+                       l -> substr(rtrim(l), -1, 1) IN ('.', '!', '?', '"')
+                         AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                               x -> x != '')) >= 3
+                         AND NOT contains(lower(l), 'javascript')) AS kl
+                   FROM d0),
+             m AS (SELECT doc_id,
+                     CAST(len(ls) AS BIGINT) AS n_lines,
+                     CAST(len(kl) AS BIGINT) AS n_kept,
+                     CAST(length(array_to_string(kl, chr(10)))
+                       - length(regexp_replace(array_to_string(kl, chr(10)),
+                           '[.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+                     contains(lower(text), 'lorem ipsum') AS has_lorem,
+                     contains(text, '{') AS has_brace,
+                     array_to_string(kl, chr(10)) AS text_clean
+                   FROM k)
+         SELECT doc_id, n_lines, n_kept, n_sentences, has_lorem, has_brace,
+           (n_sentences >= 5 AND NOT has_lorem AND NOT has_brace) AS keep,
+           text_clean
+         FROM m""",
+
+    // within-word adjacent char pairs weighted by word occurrence;
+    // deterministic LIMIT via the (count desc, pair asc) tie-break
+    "p45_bpe_pairs" ->
+      raw"""WITH w AS (SELECT unnest(list_filter(
+                string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS w
+              FROM documents),
+             p AS (SELECT unnest(CASE WHEN length(w) >= 2
+                     THEN list_transform(generate_series(1, length(w) - 1),
+                          i -> substr(w, i, 2))
+                     ELSE [] END) AS pair
+                   FROM w)
+         SELECT pair, count(*) AS n_count FROM p
+         GROUP BY 1 ORDER BY n_count DESC, pair LIMIT 50"""
   )
 }

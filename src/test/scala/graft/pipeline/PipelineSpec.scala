@@ -1041,4 +1041,76 @@ class PipelineSpec extends SparkSpecBase {
     assert(out(5L) == ((5L, 1L, 5L, 1.0)))
     assert(out(6L) == ((1L, 0L, 0L, 0.0)))
   }
+
+  test("gopherRules: each rule fires on its crafted violator; clean doc keeps") {
+    val longGood = (("the cat sat of mat and that have with " * 7) + "tail words here").trim
+    val d = docsOf(
+      (1L, longGood),                      // 66 words, all rules pass
+      (2L, "the of short doc"),            // word count < 50
+      (3L, ("word " * 60).trim + " the of ### ### ### ### ### ###"),  // symbols
+      (4L, "• a\n• b\n• c\nplain"),        // 3/4 bullet lines (passes ≤0.9), few words
+      (5L, "• a\n• b\n• c\n• d"),          // 100% bullet lines → bullet rule fails
+      (6L, (("99 88 77 66 " * 15).trim + " the of")), // alpha frac 2/62 < 0.8
+      (7L, ("zig zag " * 30).trim))        // 60 words but 0 gopher stops
+    val out = Quality.gopherRules(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(8), "clean long doc must keep")
+    assert(out(1L).getLong(1) == 66L)
+    assert(!out(2L).getBoolean(8) && out(2L).getLong(1) < 50)
+    // doc 3: 18 '#' chars / 62 words ≈ 0.29 > 0.1
+    assert(!out(3L).getBoolean(8))
+    assert(out(3L).getDouble(3) > 0.1, s"symbol ratio ${out(3L).getDouble(3)}")
+    assert(out(5L).getDouble(4) == 1.0) // bullet_line_frac
+    assert(out(6L).getDouble(6) < 0.8, s"alpha frac ${out(6L).getDouble(6)}")
+    assert(out(7L).getLong(7) == 0L)   // n_stop_distinct
+    // ellipsis fraction: 1 of 2 lines ends with ellipsis → 0.5 > 0.3
+    val e = Quality.gopherRules(
+      docsOf((9L, "steady line\nwaiting for more...")), "doc_id", "text")
+      .collect().head
+    assert(e.getDouble(5) == 0.5)
+  }
+
+  test("c4Clean: line keep-rule and page gates replay the C4 heuristics") {
+    val d = docsOf(
+      (1L, "no terminal punct line\nToo few.\nThis line ends properly.\n" +
+        "please enable JavaScript to proceed.\nA second proper sentence stays!"),
+      (2L, "Only one good sentence here.\nshort line"),
+      (3L, "First real sentence works. Second arrives now! Third follows here? " +
+        "Fourth one lands. Fifth closes out.\nlorem ipsum dolor sit amet."),
+      (4L, "Braces spoil pages { see. One two three four! Five six seven? " +
+        "Eight nine ten. Last one here."))
+    val out = Quality.c4Clean(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: 5 lines; kept = "This line ends properly." + "A second proper
+    // sentence stays!" (no-punct, <3-words, javascript all dropped)
+    assert(out(1L).getLong(1) == 5L && out(1L).getLong(2) == 2L)
+    assert(out(1L).getString(6) ==
+      "This line ends properly.\nA second proper sentence stays!")
+    assert(out(1L).getLong(3) == 2L) // n_sentences
+    assert(!out(1L).getBoolean(7))   // keep: < 5 sentences
+    assert(!out(2L).getBoolean(7))
+    // doc 3: 6 sentences in kept text but lorem ipsum → page drop
+    assert(out(3L).getLong(3) >= 5L && out(3L).getBoolean(4) && !out(3L).getBoolean(7))
+    // doc 4: enough sentences but brace → page drop
+    assert(out(4L).getBoolean(5) && !out(4L).getBoolean(7))
+    // a clean page with ≥5 sentences keeps
+    val ok = Quality.c4Clean(docsOf(
+      (5L, "One fine sentence lands. Two more arrive now! Three is here? " +
+        "Four follows along. Five wraps it up.")), "doc_id", "text")
+      .collect().head
+    assert(ok.getBoolean(7), "clean 5-sentence page must keep")
+  }
+
+  test("bpe pairCounts: occurrence-weighted within-word pairs, deterministic cut") {
+    val d = docsOf((1L, "abab abab"), (2L, "ab"), (3L, "x yz"))
+    val out = Bpe.pairCounts(d, "text", k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // abab ×2 → ab:2,ba:1 each; ab ×1 → ab:1; yz → yz:1 ⇒ ab=5, ba=2, yz=1
+    assert(out.toMap == Map("ab" -> 5L, "ba" -> 2L, "yz" -> 1L))
+    // ordering: count desc then pair asc
+    assert(out.map(_._1).toSeq == Seq("ab", "ba", "yz"))
+    // k cuts deterministically on the tie-broken order
+    val top2 = Bpe.pairCounts(d, "text", k = 2).collect().map(_.getString(0)).toSeq
+    assert(top2 == Seq("ab", "ba"))
+  }
 }
