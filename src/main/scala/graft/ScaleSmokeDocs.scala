@@ -120,6 +120,20 @@ object ScaleSmokeDocs {
       Dedup.dedupLines(lined, "doc_id", "text")
         .filter(col("text").contains("shared footer line")).count()
     })
+    // Gopher doc-quality rules (p43): one codegen'd projection — the
+    // per-doc HOFs (token-length fold, line scans) dominate; no shuffle
+    // at all (the synthetic words all carry an alpha char, so the filter
+    // returns the full corpus as its sanity row count)
+    stage("gopher_rules")(Quality.gopherRules(docs, "doc_id", "text")
+      .filter(col("alpha_word_frac") >= 0.8).count())
+    // C4 line/page filters (p44): the same no-shuffle projection shape
+    // (synthetic docs have no terminal punctuation, so every doc keeps
+    // zero lines — the count pins that the rule actually evaluated)
+    stage("c4_filters")(Quality.c4Clean(docs, "doc_id", "text")
+      .filter(col("n_kept") === 0).count())
+    // BPE pair counts (p45): explode words → explode within-word char
+    // pairs → one term-shaped shuffle with map-side partials + top-k
+    stage("bpe_pairs_top200")(Bpe.pairCounts(docs, "text", 200).count())
     // DSIR importance resampling (p39): hashed unigram+bigram counts per
     // (bucket, side) — one term-shaped shuffle folded to 2×1024 rows —
     // then a per-doc log-ratio sum and an exact-quantile cutoff broadcast
