@@ -134,6 +134,26 @@ object ScaleSmokeDocs {
     // BPE pair counts (p45): explode words → explode within-word char
     // pairs → one term-shaped shuffle with map-side partials + top-k
     stage("bpe_pairs_top200")(Bpe.pairCounts(docs, "text", 200).count())
+    // bigram LM (p46): pair-count shuffle + two equality joins + the
+    // one-row vocab attach — the lm_score shape over bigrams
+    stage("bigram_lm")(Quality.lm2Score(docs, "doc_id", "text")
+      .filter(col("lm2_nll").isNotNull).count())
+    // sqrt-temperature language rebalancing (p48) over 20 synthetic
+    // langs: one count aggregate + a per-lang rank window
+    stage("lang_sample_sqrt")({
+      val d = docs.withColumn("lang",
+        concat(lit("l"), pmod(hash(col("doc_id")), lit(20))))
+      Sampling.temperatureSample(d, "doc_id", "lang", budgetFrac = 0.5).count()
+    })
+    // BPE train (driver-local over the ≤5000-word synthetic vocab) +
+    // full-corpus in-plan segmentation (p47); rows = total subwords
+    stage("bpe_train_segment")({
+      val merges = Bpe.trainMerges(docs, "text", nMerges = 100,
+        maxWords = 100000).map(m => (m._2, m._3))
+      docs.select(explode(graft.pipeline.TextOps.tokens(col("text"))).as("w"))
+        .agg(sum(size(graft.functions.BpeSegment(col("w"), merges)))
+          .cast("long")).head().getLong(0)
+    })
     // DSIR importance resampling (p39): hashed unigram+bigram counts per
     // (bucket, side) — one term-shaped shuffle folded to 2×1024 rows —
     // then a per-doc log-ratio sum and an exact-quantile cutoff broadcast

@@ -41,4 +41,71 @@ object Bpe {
       .orderBy(col("n_count").desc, col("pair"))
       .limit(k)
   }
+
+  /** Full BPE merge-table training (Sennrich et al. 2016, learn_bpe):
+    * the corpus contributes ONE word-frequency aggregate (the only
+    * distributed pass — at 100 TB the vocabulary is millions of rows
+    * where the corpus is trillions of tokens); the iterative merge loop
+    * then runs driver-local over that compact dictionary, exactly the
+    * size-gated driver-compute pattern of PQ codebook training
+    * ([[Similarity]]'s sampled Lloyd's — FAISS practice). The dictionary
+    * is capped at the `maxWords` MOST FREQUENT words (count desc, word
+    * asc — deterministic), the standard practice for web-scale corpora
+    * where the hapax tail adds cost but no merges.
+    *
+    * Tie-breaks are pinned so training is reproducible across cluster
+    * sizes: the winning pair each round is (max count, then
+    * lexicographically smallest pair). Returns the learned merges in
+    * order: `(rank, left, right, pair_count)`.
+    */
+  def trainMerges(docs: DataFrame, textCol: String, nMerges: Int,
+      maxWords: Int = 1000000): Seq[(Int, String, String, Long)] = {
+    val vocab: Array[(Array[String], Long)] = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (graft.functions.BpeSegment.codePoints(r.getString(0)),
+        r.getLong(1)))
+    val words = vocab.map(_._1.toBuffer)
+    val freqs = vocab.map(_._2)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < words.length) {
+        val w = words(i)
+        var j = 0
+        while (j < w.length - 1) {
+          val p = (w(j), w(j + 1))
+          counts(p) = counts.getOrElse(p, 0L) + freqs(i)
+          j += 1
+        }
+        i += 1
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (best, bestCnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((rank, best._1, best._2, bestCnt))
+        val joined = best._1 + best._2
+        i = 0
+        while (i < words.length) {
+          val w = words(i)
+          var j = 0
+          while (j < w.length - 1) {
+            if (w(j) == best._1 && w(j + 1) == best._2) {
+              w(j) = joined
+              w.remove(j + 1)
+            } else j += 1
+          }
+          i += 1
+        }
+        rank += 1
+      }
+    }
+    merges.result()
+  }
 }

@@ -111,6 +111,53 @@ object Quality {
         col("lm_nll"))
   }
 
+  /** Bigram extension of [[lmScore]]: mean negative log-probability of
+    * each token given its predecessor under an add-one-smoothed BIGRAM
+    * model trained on the corpus itself — P(w|p) = (c(p,w)+1)/(c(p)+V).
+    * One step closer to CCNet's KenLM n-gram perplexity than the unigram
+    * proxy: degenerate repetition (high-frequency tokens in unusual
+    * ORDER) scores high here while passing the unigram filter.
+    *
+    * Plan shape: bigrams come from the token ARRAY via [[ngrams]] (no
+    * positional self-join), one pair-count aggregate, one equality join
+    * on the pair, one on the predecessor term, vocabulary size attached
+    * as a one-row broadcast. The same integer micro-nat quantization as
+    * [[lmScore]] keeps the per-doc sum exact and order-free on both
+    * engines. Documents with < 2 tokens report `n_bigrams = 0` and a
+    * NULL score.
+    */
+  def lm2Score(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // persisted barrier: the token relation feeds BOTH the pair explode
+    // and the unigram count (the repetitionSignals precedent — without
+    // it each consumer re-tokenizes from raw text, and the ngrams
+    // lambda would re-evaluate an inlined tokenize per element)
+    val withToks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .persist()
+    val pairs = withToks
+      .select(col(idCol), explode(ngrams(col("__toks"), 2)).as("pair"))
+      .withColumn("__prev", split(col("pair"), " ").getItem(0))
+    val cb = pairs.groupBy("pair").agg(count(lit(1)).as("__cb"))
+    val cu = withToks.select(explode(col("__toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("__cu"))
+    val v = cu.agg(count(lit(1)).as("__v"))
+    val scored = pairs
+      .join(cb, Seq("pair"))
+      .join(cu, pairs("__prev") === cu("term"))
+      .crossJoin(broadcast(v))
+      .withColumn("__nllu",
+        round(-log((col("__cb") + lit(1.0)) / (col("__cu") + col("__v")))
+          * lit(1000000.0)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"), sum("__nllu").as("__s"))
+      .withColumn("lm2_nll",
+        round(col("__s") / (col("n_bigrams") * lit(1000000.0)), 6))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("lm2_nll"))
+  }
+
   /** CCNet's head/middle/tail split over the [[lmScore]] signal (Wenzek
     * et al. 2020 §4.3: perplexity TERTILES, with "head" = most fluent):
     * documents are bucketed by where their `lm_nll` falls against the

@@ -60,6 +60,45 @@ object Sampling {
     docs.filter(bucket(col(idCol), salt) < bp)
   }
 
+  /** Temperature-based language rebalancing (the multilingual sampling
+    * step of XLM-R / mT5 / UniMax: upsample low-resource languages by
+    * flattening the size distribution, q_l ∝ p_l^α). α is FIXED at 0.5
+    * so the power is `sqrt` — IEEE-754 requires sqrt to be correctly
+    * rounded, so Spark and the SQL oracle compute bit-identical quotas;
+    * an arbitrary `pow(x, 0.3)` is NOT correctly rounded and could flip
+    * a floor() at a quota boundary between libm implementations.
+    *
+    * Per language: quota k_l = min(c_l, floor(q_l · budget)), members
+    * selected by smallest salted hash (rank window per language — the
+    * p32 domain-mix machinery, so selection is deterministic across
+    * cluster sizes and re-runs). Output: one row per kept doc with its
+    * language, rank and quota.
+    */
+  def temperatureSample(docs: DataFrame, idCol: String, langCol: String,
+      budgetFrac: Double, salt: String = "langsample"): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1,
+      s"budgetFrac must be in (0, 1]: $budgetFrac")
+    val cnt = docs.groupBy(langCol).agg(count(lit(1)).as("__c"))
+    // the total budget comes from the SAME aggregate (sum of per-lang
+    // counts) — no separate count pass over the corpus
+    val tot = cnt.agg(sum(sqrt(col("__c"))).as("__ssq"),
+      sum(col("__c")).as("__n"))
+    val quota = cnt.crossJoin(broadcast(tot))
+      .withColumn("quota",
+        least(col("__c"),
+          floor(sqrt(col("__c")) / col("__ssq") *
+            floor(col("__n") * lit(budgetFrac))).cast("long")))
+      .select(col(langCol), col("quota"))
+    val rnk = row_number().over(Window.partitionBy(langCol)
+      .orderBy(TextOps.hash60(concat(lit(salt + ":"), col(idCol).cast("string"))),
+        col(idCol))).cast("long")
+    docs.select(col(idCol), col(langCol))
+      .withColumn("rnk", rnk)
+      .join(broadcast(quota), Seq(langCol))
+      .filter(col("rnk") <= col("quota"))
+      .select(col(idCol), col(langCol), col("rnk"), col("quota"))
+  }
+
   /** Concatenate-and-chunk sequence packing (the GPT-style pretraining
     * layout): within each `groupCol` shard, documents are laid end to
     * end in `idCol` order and cut into fixed `budget`-token sequences;

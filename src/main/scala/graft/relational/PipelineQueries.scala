@@ -595,7 +595,46 @@ object PipelineQueries {
     // BPE iteration-1 merge candidates: top-50 within-word character
     // pairs by corpus occurrence count, deterministic tie-break
     "p45_bpe_pairs" -> ((s, dir) =>
-      Bpe.pairCounts(docs(s, dir), "text", k = 50))
+      Bpe.pairCounts(docs(s, dir), "text", k = 50)),
+
+    // add-one-smoothed bigram LM scoring (order-sensitive complement of
+    // p36's unigram proxy): micro-nat integer sums keep both engines
+    // bit-equal
+    "p46_bigram_lm" -> ((s, dir) =>
+      Quality.lm2Score(docs(s, dir), "doc_id", "text")),
+
+    // BPE end-to-end: 200 merges trained driver-local on the corpus
+    // vocabulary (the one distributed pass is the word-count aggregate —
+    // the PQ-codebook size-gated driver-compute pattern), then every
+    // token segmented in-plan by the codegen'd BpeSegment expression.
+    // Training is iterative (not SQL-replayable) so the driver check is
+    // rows-only; the query self-certifies instead: the reconstruction
+    // invariant (subwords concatenate back to each token) is asserted
+    // in-plan, so a broken merge table fails the query loudly
+    // temperature-based language rebalancing at α=0.5 (sqrt is the one
+    // IEEE-correctly-rounded power, so quotas are bit-equal on both
+    // engines), budget = half the corpus
+    "p48_lang_sample" -> ((s, dir) =>
+      Sampling.temperatureSample(docs(s, dir), "doc_id", "lang",
+        budgetFrac = 0.5)),
+
+    "p47_bpe_segment" -> ((s, dir) => {
+      val merges = Bpe.trainMerges(docs(s, dir), "text", nMerges = 200,
+        maxWords = 100000).map(m => (m._2, m._3))
+      docs(s, dir).select(col("doc_id"), tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), col("__toks"),
+          transform(col("__toks"),
+            t => graft.functions.BpeSegment(t, merges)).as("__segs"))
+        .select(col("doc_id"),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          aggregate(transform(col("__segs"), a => size(a).cast("long")),
+            lit(0L), (a, x) => a + x).as("n_subwords"),
+          forall(zip_with(col("__toks"), col("__segs"),
+            (t, sg) => concat_ws("", sg) === t), b => b).as("rebuilt_ok"))
+        .filter(assert_true(col("rebuilt_ok"),
+          concat(lit("BPE reconstruction failed for doc "),
+            col("doc_id").cast("string"))).isNull)
+    })
   )
 
   // shared CTE chain producing minhash-LSH candidate pairs `j(doc_a,
@@ -1495,6 +1534,49 @@ object PipelineQueries {
            (n_sentences >= 5 AND NOT has_lorem AND NOT has_brace) AS keep,
            text_clean
          FROM m""",
+
+    // replays the bigram chain: pair counts, predecessor unigram counts,
+    // vocab size, add-one smoothing, micro-nat quantization before the
+    // per-doc mean (the p36 exact-integer-sum discipline)
+    "p46_bigram_lm" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+             pr AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+                      THEN list_transform(generate_series(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i + 1])
+                      ELSE [] END) AS pair FROM d),
+             sp AS (SELECT doc_id, pair, string_split(pair, ' ')[1] AS prev
+                    FROM pr),
+             cb AS (SELECT pair, count(*) AS cb FROM pr GROUP BY 1),
+             w AS (SELECT unnest(toks) AS term FROM d),
+             cu AS (SELECT term, count(*) AS cu FROM w GROUP BY 1),
+             v AS (SELECT count(*) AS v FROM cu),
+             sc AS (SELECT doc_id,
+                      CAST(round(-ln((cb.cb + 1.0) / (cu.cu + v.v))
+                        * 1000000.0) AS BIGINT) AS nllu
+                    FROM sp JOIN cb USING (pair)
+                    JOIN cu ON sp.prev = cu.term CROSS JOIN v),
+             agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                       CAST(sum(nllu) AS BIGINT) AS ssum
+                     FROM sc GROUP BY 1)
+         SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+           round(agg.ssum / (agg.n_bigrams * 1000000.0), 6) AS lm2_nll
+         FROM d LEFT JOIN agg USING (doc_id)""",
+
+    // replays the sqrt-temperature quotas and the salted-hash rank
+    // selection (row_number ties broken by doc_id on both engines)
+    "p48_lang_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+             t AS (SELECT sum(sqrt(c)) AS ssq, sum(c) AS n FROM c),
+             q AS (SELECT lang, least(c, CAST(floor(sqrt(c) / t.ssq
+                     * floor(t.n * 0.5)) AS BIGINT)) AS quota
+                   FROM c, t),
+             r AS (SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY ('0x' || substr(md5('langsample:'
+                         || doc_id::VARCHAR), 1, 15))::BIGINT, doc_id) AS rnk
+                   FROM documents)
+         SELECT r.doc_id, r.lang, CAST(r.rnk AS BIGINT) AS rnk, q.quota
+         FROM r JOIN q USING (lang) WHERE r.rnk <= q.quota""",
 
     // within-word adjacent char pairs weighted by word occurrence;
     // deterministic LIMIT via the (count desc, pair asc) tie-break

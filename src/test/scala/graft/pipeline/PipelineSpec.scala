@@ -1101,6 +1101,86 @@ class PipelineSpec extends SparkSpecBase {
     assert(ok.getBoolean(7), "clean 5-sentence page must keep")
   }
 
+  test("temperatureSample flattens the language distribution deterministically") {
+    val bySize = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = bySize.values.sum
+    val out = Sampling.temperatureSample(docs, "doc_id", "lang", budgetFrac = 0.5)
+    val kept = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // quotas replay exactly: k_l = min(c_l, floor(sqrt(c_l)/Σsqrt · floor(n/2)))
+    val ssq = bySize.values.toSeq.sortBy(identity).map(c => math.sqrt(c.toDouble)).sum
+    bySize.foreach { case (lang, c) =>
+      val expect = math.min(c,
+        math.floor(math.sqrt(c.toDouble) / ssq * math.floor(n * 0.5)).toLong)
+      // summation order of Σsqrt may differ by an ulp from the engine's —
+      // allow the boundary to flip by at most one doc
+      assert(math.abs(kept.getOrElse(lang, 0L) - expect) <= 1,
+        s"$lang kept=${kept.get(lang)} expect≈$expect")
+    }
+    // α=0.5 flattens: the rarest language keeps a LARGER fraction of its
+    // docs than the most common one
+    val big = bySize.maxBy(_._2)._1
+    val small = bySize.minBy(_._2)._1
+    assert(kept(small).toDouble / bySize(small) > kept(big).toDouble / bySize(big))
+    // deterministic across evaluations
+    val a = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureSample(docs, "doc_id", "lang", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("BPE trainMerges learns the textbook example; BpeSegment applies by rank") {
+    // Sennrich et al. 2016 §3.2 word dict: {low:5, lower:2, newest:6,
+    // widest:3} (no end-of-word marker in this formulation). Weighted
+    // pair counts give es=9/st=9 (tie → lexicographic), then est=9,
+    // then lo=7/ow=7 (tie), then low=7.
+    val d = docsOf(
+      (1L, ("low " * 5).trim), (2L, ("lower " * 2).trim),
+      (3L, ("newest " * 6).trim), (4L, ("widest " * 3).trim))
+    val merges = Bpe.trainMerges(d, "text", nMerges = 4)
+    assert(merges == Seq(
+      (0, "e", "s", 9L), (1, "es", "t", 9L), (2, "l", "o", 7L), (3, "lo", "w", 7L)))
+    val pairs = merges.map(m => (m._2, m._3))
+    def segOf(w: String): Seq[String] = spark.range(1)
+      .select(graft.functions.BpeSegment(lit(w), pairs).as("s"))
+      .head().getSeq[String](0)
+    // greedy lowest-rank-first: es → est → lo → low
+    assert(segOf("lowest") == Seq("low", "est"))
+    // unmerged symbols pass through; concatenation invariant holds
+    assert(segOf("widest") == Seq("w", "i", "d", "est"))
+    assert(segOf("widest").mkString == "widest")
+    assert(segOf("") == Seq.empty)
+    // training stops early when no pairs remain
+    val tiny = Bpe.trainMerges(docsOf((1L, "a b c")), "text", nMerges = 5)
+    assert(tiny.isEmpty)
+  }
+
+  test("bigram LM: hand-computed smoothed NLL; unusual order outscores common order") {
+    // docs 1-3 share the unigram profile {a:×, b:×} family but differ in
+    // ORDER: (a b)/(b a) are corpus-common, (a a)/(b b) rare — only the
+    // bigram model separates them
+    val d = docsOf((1L, "a b a b"), (2L, "b a b a"), (3L, "a a b b"), (4L, "x"))
+    val out = Quality.lm2Score(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))).toMap
+    // corpus: cb = {ab:4, ba:3, aa:1, bb:1}, cu = {a:6, b:6, x:1}, V=3
+    def nllu(cb: Long, cu: Long): Long =
+      math.round(-math.log((cb + 1.0) / (cu + 3.0)) * 1e6)
+    def mean(us: Seq[Long]): Double =
+      BigDecimal(us.sum.toDouble / (us.length * 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ab = nllu(4, 6)
+    val ba = nllu(3, 6)
+    val rare = nllu(1, 6)             // (a a) and (b b)
+    assert(out(1L) == ((3L, mean(Seq(ab, ba, ab)))))
+    assert(out(2L) == ((3L, mean(Seq(ba, ab, ba)))))
+    assert(out(3L) == ((3L, mean(Seq(rare, ab, rare)))))
+    assert(out(3L)._2 > out(1L)._2 && out(3L)._2 > out(2L)._2,
+      "rare-order doc must score higher")
+    assert(out(4L)._1 == 0L && out(4L)._2.isNaN) // single token: no bigrams
+  }
+
   test("bpe pairCounts: occurrence-weighted within-word pairs, deterministic cut") {
     val d = docsOf((1L, "abab abab"), (2L, "ab"), (3L, "x yz"))
     val out = Bpe.pairCounts(d, "text", k = 10).collect()

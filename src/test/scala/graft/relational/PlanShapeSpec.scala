@@ -125,10 +125,13 @@ class PlanShapeSpec extends SparkSpecBase {
     // p36 attaches the one-row (n, v) corpus total the same way; p38
     // composes p36 + a one-row tertile-cutoff attach; p39 attaches
     // bucket totals + the selection cutoff (one row each); the recall
-    // certificates (p7/p15/p29) attach their one-row mean_recall
+    // certificates (p7/p15/p29) attach their one-row mean_recall; p46
+    // attaches the one-row vocabulary size (the p36 shape over bigrams)
+    // p48 attaches the one-row (Σsqrt, N) totals to the per-lang counts
     val scalarAttachJoins = Set("p13_text_tfidf", "p32_domain_mix",
       "p36_lm_score", "p38_lm_buckets", "p39_dsir_resample",
-      "p7_ann_lsh", "p15_ann_ivf", "p29_ann_ivfpq")
+      "p7_ann_lsh", "p15_ann_ivf", "p29_ann_ivfpq", "p46_bigram_lm",
+      "p48_lang_sample")
     for ((name, fn) <- graft.SparkEntry.queries
          if !intentionalThetaJoins(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString

@@ -526,4 +526,45 @@ class StreamingSpec extends SparkSpecBase {
       assert(got == expected, s"streaming $got vs batch $expected")
     } finally q.stop()
   }
+
+  test("stateless quality filters (Gopher rules, C4 clean) on streams == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // pure projections need no state: the SAME operator call plans on a
+    // streaming frame — this pins that neither op smuggles in an
+    // aggregate/sort that would break stream support
+    val corpus = Seq(
+      (1L, ("the cat sat of mat and that have with " * 7).trim),
+      (2L, "short one"),
+      (3L, "• a\n• b\nGood sentence here.\nto be continued..."),
+      (4L, "First line lands well. Second one follows! Third? Fourth. Fifth."))
+      .toDF("doc_id", "text")
+    val gExpected = graft.pipeline.Quality.gopherRules(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val cExpected = graft.pipeline.Quality.c4Clean(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    val memG = MemoryStream[(Long, String)]
+    val memC = MemoryStream[(Long, String)]
+    val qG = graft.pipeline.Quality.gopherRules(
+        memG.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    val qC = graft.pipeline.Quality.c4Clean(
+        memC.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("c4_stream")
+      .outputMode("append").start()
+    try {
+      memG.addData(rows.take(2).toIndexedSeq: _*); qG.processAllAvailable()
+      memG.addData(rows.drop(2).toIndexedSeq: _*); qG.processAllAvailable()
+      memC.addData(rows.take(3).toIndexedSeq: _*); qC.processAllAvailable()
+      memC.addData(rows.drop(3).toIndexedSeq: _*); qC.processAllAvailable()
+      val gGot = spark.table("gopher_stream").collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      val cGot = spark.table("c4_stream").collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      assert(gGot == gExpected)
+      assert(cGot == cExpected)
+    } finally { qG.stop(); qC.stop() }
+  }
 }
