@@ -74,4 +74,36 @@ object TextOps {
     */
   def lineKey(line: Column): Column =
     hash60(concat_ws(" ", filter(split(lower(trim(line)), "\\s+"), t => t =!= "")))
+
+  /** HTML → text extraction (the Common Crawl ingest step ahead of every
+    * quality filter; the heuristic core of tools like trafilatura /
+    * jusText restated as a codegen'd regex chain): drop script/style
+    * blocks wholesale, strip remaining tags (replaced by a space so
+    * `</p><p>` never glues words), decode the six common entities,
+    * collapse whitespace. Only regex constructs with identical semantics
+    * in Java regex and RE2 are used (`(?is)` flags, lazy `.*?`,
+    * character classes), so the DuckDB oracle replays it exactly.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'").foldLeft(noTags) {
+      case (c, (ent, ch)) => regexp_replace(c, ent, ch)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** `<title>` contents (first match, empty when absent). */
+  def htmlTitle(html: Column): Column =
+    regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)
+
+  /** Count of anchor tags carrying an href — the link-density signal
+    * boilerplate classifiers key on.
+    */
+  def htmlLinkCount(html: Column): Column =
+    size(regexp_extract_all(html, lit("(?i)<a\\b[^>]*\\shref\\s*="), lit(0)))
+      .cast("long")
 }

@@ -618,6 +618,27 @@ object PipelineQueries {
       Sampling.temperatureSample(docs(s, dir), "doc_id", "lang",
         budgetFrac = 0.5)),
 
+    // HTML → text extraction (the Common Crawl ingest step) over docs
+    // wrapped in planted page chrome: title, style block, anchor, every
+    // 4th doc a script block whose '<'/'&&' must NOT leak into the
+    // text, entity-bearing tail (the oracle mirrors the plant)
+    "p49_html_extract" -> ((s, dir) => {
+      val wrapped = docs(s, dir).select(col("doc_id"),
+        concat(lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><style>p{color:red}</style></head><body><p>"),
+          col("text"),
+          lit("</p><a href=\"http://site/"), col("doc_id").cast("string"),
+          lit("\">more</a>"),
+          when(col("doc_id") % 4 === 0,
+            lit("<script>var x = 1 < 2 && 3 > 0;</script>"))
+            .otherwise(lit("")),
+          lit("&amp; tail &lt;ok&gt;</body></html>")).as("html"))
+      wrapped.select(col("doc_id"),
+        htmlTitle(col("html")).as("title"),
+        htmlLinkCount(col("html")).as("n_links"),
+        htmlToText(col("html")).as("text_clean"))
+    }),
+
     "p47_bpe_segment" -> ((s, dir) => {
       val merges = Bpe.trainMerges(docs(s, dir), "text", nMerges = 200,
         maxWords = 100000).map(m => (m._2, m._3))
@@ -1561,6 +1582,38 @@ object PipelineQueries {
          SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
            round(agg.ssum / (agg.n_bigrams * 1000000.0), 6) AS lm2_nll
          FROM d LEFT JOIN agg USING (doc_id)""",
+
+    // mirrors the p49 plant, then replays the strip/decode/collapse
+    // chain with RE2's 'g' flag standing in for Java's replace-all
+    "p49_html_extract" ->
+      raw"""WITH h AS (SELECT doc_id,
+                '<html><head><title>Doc ' || doc_id::VARCHAR
+                || '</title><style>p{color:red}</style></head><body><p>'
+                || text || '</p><a href="http://site/' || doc_id::VARCHAR
+                || '">more</a>'
+                || CASE WHEN doc_id % 4 = 0
+                     THEN '<script>var x = 1 < 2 && 3 > 0;</script>'
+                     ELSE '' END
+                || '&amp; tail &lt;ok&gt;</body></html>' AS html
+              FROM documents)
+         SELECT doc_id,
+           regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
+           CAST(len(regexp_extract_all(html, '(?i)<a\b[^>]*\shref\s*='))
+             AS BIGINT) AS n_links,
+           trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(html,
+               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+               '&nbsp;', ' ', 'g'),
+               '&amp;', '&', 'g'),
+               '&lt;', '<', 'g'),
+               '&gt;', '>', 'g'),
+               '&quot;', '"', 'g'),
+               '&#39;', '''', 'g'),
+               '\s+', ' ', 'g')) AS text_clean
+         FROM h""",
 
     // replays the sqrt-temperature quotas and the salted-hash rank
     // selection (row_number ties broken by doc_id on both engines)

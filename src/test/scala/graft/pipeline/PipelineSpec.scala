@@ -1101,6 +1101,28 @@ class PipelineSpec extends SparkSpecBase {
     assert(ok.getBoolean(7), "clean 5-sentence page must keep")
   }
 
+  test("htmlToText strips chrome, keeps body text, decodes entities") {
+    val html = "<html><head><title>The Page</title>" +
+      "<style>body { color: red; }</style></head>" +
+      "<body><p>first para</p><p>second</p>" +
+      "<script type=\"text/js\">if (1 < 2 && 3 > 0) { alert(\"x\"); }</script>" +
+      "<a href=\"http://a/1\">one</a> <a class=\"x\" href='http://a/2'>two</a>" +
+      "<a name=\"no-href\">anchor</a>" +
+      " Tom &amp; Jerry &lt;3 &quot;quoted&quot; it&#39;s&nbsp;here</body></html>"
+    val out = spark.range(1).select(
+      TextOps.htmlToText(lit(html)).as("t"),
+      TextOps.htmlTitle(lit(html)).as("title"),
+      TextOps.htmlLinkCount(lit(html)).as("links")).head()
+    assert(out.getString(0) ==
+      "The Page first para second one two anchor " +
+        "Tom & Jerry <3 \"quoted\" it's here")
+    assert(out.getString(1) == "The Page")
+    assert(out.getLong(2) == 2L) // href-less anchor not counted
+    // adjacent tags never glue words; script/style bodies never leak
+    assert(!out.getString(0).contains("alert") &&
+      !out.getString(0).contains("color"))
+  }
+
   test("temperatureSample flattens the language distribution deterministically") {
     val bySize = docs.groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
