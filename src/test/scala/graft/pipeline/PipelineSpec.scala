@@ -1101,6 +1101,68 @@ class PipelineSpec extends SparkSpecBase {
     assert(ok.getBoolean(7), "clean 5-sentence page must keep")
   }
 
+  test("gopher/C4/BPE invariants on random corpora (seeded)") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Seq("the", "word", "99", "x#", "end.", "stop!", "• item",
+      "javascript", "lorem ipsum", "mixed{", "a", "tail...")
+    for (trial <- 1 to 3) {
+      val docs = docsOf((0 until 40).map { i =>
+        val lines = (0 until 1 + rnd.nextInt(4)).map { _ =>
+          (0 until rnd.nextInt(10))
+            .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+        }
+        (i.toLong, lines.mkString("\n"))
+      }: _*)
+      // gopher: line fractions are true fractions; keep == the
+      // conjunction recomputed from the emitted signals
+      Quality.gopherRules(docs, "doc_id", "text").collect().foreach { r =>
+        for (idx <- Seq(4, 5, 6)) {
+          val v = r.getDouble(idx)
+          assert(v >= 0.0 && v <= 1.0, s"trial $trial col $idx: $v")
+        }
+        val keep = r.getLong(1) >= 50 && r.getLong(1) <= 100000 &&
+          r.getDouble(2) >= 3.0 && r.getDouble(2) <= 10.0 &&
+          r.getDouble(3) <= 0.1 && r.getDouble(4) <= 0.9 &&
+          r.getDouble(5) <= 0.3 && r.getDouble(6) >= 0.8 && r.getLong(7) >= 2
+        assert(r.getBoolean(8) == keep, s"trial $trial doc ${r.getLong(0)}")
+      }
+      // c4: every kept line satisfies the line rule verbatim; counts and
+      // the page gate recompute from the cleaned text
+      Quality.c4Clean(docs, "doc_id", "text").collect().foreach { r =>
+        val clean = r.getString(6)
+        val kept = if (clean.isEmpty) Array.empty[String] else clean.split("\n")
+        assert(r.getLong(2) <= r.getLong(1))
+        assert(kept.length == r.getLong(2), s"trial $trial doc ${r.getLong(0)}")
+        kept.foreach { l =>
+          val rt = l.replaceAll("\\s+$", "")
+          assert(rt.nonEmpty && ".!?\"".contains(rt.last.toString), s"'$l'")
+          assert(l.trim.split("\\s+").count(_.nonEmpty) >= 3, s"'$l'")
+          assert(!l.toLowerCase.contains("javascript"), s"'$l'")
+        }
+        assert(r.getLong(3) ==
+          clean.count(ch => ch == '.' || ch == '!' || ch == '?'))
+        assert(r.getBoolean(7) ==
+          (r.getLong(3) >= 5 && !r.getBoolean(4) && !r.getBoolean(5)))
+      }
+      // bpe: merges learned on a random corpus always reconstruct, and
+      // segmentation never exceeds the code-point count
+      val merges = Bpe.trainMerges(docs, "text", nMerges = 10)
+        .map(m => (m._2, m._3))
+      val segs = docs
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .select(col("w"),
+          graft.functions.BpeSegment(col("w"), merges).as("s"))
+        .collect()
+      segs.foreach { r =>
+        val w = r.getString(0)
+        val parts = r.getSeq[String](1)
+        assert(parts.mkString == w, s"trial $trial: $parts != '$w'")
+        assert(parts.length <= w.codePointCount(0, w.length))
+        assert(parts.forall(_.nonEmpty))
+      }
+    }
+  }
+
   test("htmlToText strips chrome, keeps body text, decodes entities") {
     val html = "<html><head><title>The Page</title>" +
       "<style>body { color: red; }</style></head>" +

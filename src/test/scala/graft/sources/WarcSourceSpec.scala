@@ -149,6 +149,32 @@ class WarcSourceSpec extends SparkSpecBase {
     assert(df.filter(col("file").startsWith("crawl-")).count() == 10)
   }
 
+  test("WET conversion records (extracted-text sibling) read as plain payloads") {
+    // a WET file is a WARC whose records are warc_type=conversion with
+    // text/plain blocks — no HTTP framing to parse
+    val dir = tmpDir()
+    val recs = Seq(
+      record("warcinfo", "", "winfo", "2024-05-01T00:00:00Z",
+        "application/warc-fields", "format: WET\r\n".getBytes(ISO_8859_1)),
+      record("conversion", "http://example.org/a", "conv-1",
+        "2024-05-01T00:00:01Z", "text/plain",
+        "extracted page text one".getBytes(ISO_8859_1)),
+      record("conversion", "http://example.org/b", "conv-2",
+        "2024-05-01T00:00:02Z", "text/plain",
+        "extracted page text two".getBytes(ISO_8859_1)))
+    val out = new FileOutputStream(s"$dir/seg.warc")
+    recs.foreach(out.write); out.close()
+    val df = spark.read.format("warc").load(s"$dir/seg.warc")
+      .filter(col("warc_type") === "conversion")
+      .select(col("target_uri"), col("payload").cast("string").as("text"),
+        col("http_status"))
+      .orderBy("target_uri").collect()
+    assert(df.length == 2)
+    assert(df.map(_.getString(1)).toSeq ==
+      Seq("extracted page text one", "extracted page text two"))
+    assert(df.forall(_.isNullAt(2))) // no HTTP message to parse
+  }
+
   test("streaming the archive into html extraction composes end to end") {
     val dir = tmpDir()
     writeGzip(dir, "cc", perRecord = true)
