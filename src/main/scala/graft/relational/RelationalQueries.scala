@@ -176,6 +176,22 @@ object RelationalQueries {
         nth_value(col("o_orderkey"), 2).over(full).as("second_order"))
     }),
 
+    // Forward gap-fill (last-observation-carried-forward) with
+    // IGNORE NULLS over a growing frame — the sensor-data staple; NULLs
+    // planted on every 7th event so the fill is exercised on real rows.
+    // Deliberately a GROWING frame: a shrinking (1, unboundedFollowing)
+    // frame is O(rows²) per partition in Spark (see Interpolate).
+    "q36_gap_fill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val v = when(col("event_id") % 7 === 0, lit(null).cast("double"))
+        .otherwise(col("value"))
+      t(s, dir, "events").select(col("user_id"), col("event_id"),
+        round(v, 6).as("value_gapped"),
+        round(last(v, ignoreNulls = true).over(w), 6).as("value_filled"))
+    }),
+
     // ---- sort / limit ---------------------------------------------------
     "q12_topn" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -633,6 +649,17 @@ object RelationalQueries {
                        ORDER BY o_totalprice DESC, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING
                             AND UNBOUNDED FOLLOWING)""",
+
+    "q36_gap_fill" ->
+      """WITH g AS (SELECT user_id, event_id, ts,
+              CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+            FROM events)
+         SELECT user_id, event_id, round(v, 6) AS value_gapped,
+           round(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS value_filled
+         FROM g""",
 
     "q33_funnel" ->
       """WITH s1 AS (SELECT user_id, event_type, ts,

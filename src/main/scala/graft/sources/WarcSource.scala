@@ -279,8 +279,13 @@ object WarcMini {
         }
         val hs = headers.result()
         val len = hs.getOrElse("content-length",
-          sys.error(s"warc file $path: record without Content-Length")).toInt
-        Some(RawRecord(hs, readFully(in, len, path)))
+          sys.error(s"warc file $path: record without Content-Length")).toLong
+        // readFully buffers one record — a multi-GiB record would need a
+        // chunked payload surface; fail loudly instead of overflowing
+        require(len >= 0 && len <= Int.MaxValue,
+          s"warc file $path: record Content-Length $len outside the " +
+            "2GiB single-record buffer limit")
+        Some(RawRecord(hs, readFully(in, len.toInt, path)))
     }
   }
 

@@ -175,6 +175,28 @@ class WarcSourceSpec extends SparkSpecBase {
     assert(df.forall(_.isNullAt(2))) // no HTTP message to parse
   }
 
+  test("malformed archives fail loudly, naming the file") {
+    val dir = tmpDir()
+    // truncated mid-block: Content-Length promises more bytes than exist
+    val rec = fixtureRecords.head
+    val cut = new FileOutputStream(s"$dir/cut.warc")
+    cut.write(rec, 0, rec.length - 20); cut.close()
+    val e1 = intercept[org.apache.spark.SparkException] {
+      spark.read.format("warc").load(s"$dir/cut.warc").count()
+    }
+    assert(e1.getMessage.contains("truncated") ||
+      Option(e1.getCause).exists(_.getMessage.contains("truncated")))
+    // garbage where a version line should be
+    val bad = new FileOutputStream(s"$dir/bad.warc")
+    bad.write("not a warc at all\r\n".getBytes(ISO_8859_1)); bad.close()
+    val e2 = intercept[org.apache.spark.SparkException] {
+      spark.read.format("warc").load(s"$dir/bad.warc").count()
+    }
+    val msg2 = e2.getMessage +
+      Option(e2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg2.contains("version line"), msg2)
+  }
+
   test("streaming the archive into html extraction composes end to end") {
     val dir = tmpDir()
     writeGzip(dir, "cc", perRecord = true)
