@@ -62,21 +62,21 @@ class WarcSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new WarcTable(
-      WarcMini.resolvePaths(new CaseInsensitiveStringMap(properties)))
+    new WarcTable(WarcMini.rawPaths(new CaseInsensitiveStringMap(properties)))
 }
 
-private[sources] class WarcTable(paths: Seq[String])
+private[sources] class WarcTable(raw: Seq[String])
     extends Table with SupportsRead {
-  override def name(): String = s"warc(${paths.mkString(",")})"
+  override def name(): String = s"warc(${raw.mkString(",")})"
   override def schema(): StructType = WarcMini.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(paths)
+    new WarcScanBuilder(raw)
 }
 
-private[sources] class WarcScanBuilder(paths: Seq[String]) extends ScanBuilder
+private[sources] class WarcScanBuilder(raw: Seq[String]) extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = WarcMini.Schema
@@ -91,18 +91,31 @@ private[sources] class WarcScanBuilder(paths: Seq[String]) extends ScanBuilder
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     pushed
-  override def build(): Scan = new WarcScan(required, paths, pushed)
+  override def build(): Scan = new WarcScan(required, raw, pushed)
 }
 
 private[sources] case class WarcInputPartition(path: String) extends InputPartition
 
-private[sources] class WarcScan(required: StructType, paths: Seq[String],
+/** Micro-batch offset: the count of (sorted) archive files fully
+  * processed. The streaming contract is the crawl-archive convention —
+  * files arrive with lexicographically INCREASING names (Common Crawl
+  * segments are timestamp-named), so the sorted listing only ever grows
+  * at the tail and `[start, end)` slices are stable across relistings.
+  */
+private[sources] case class WarcOffset(n: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
+}
+
+private[sources] class WarcScan(required: StructType, raw: Seq[String],
     pushed: Array[org.apache.spark.sql.sources.Filter])
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    paths.filter(p => WarcMini.keepFile(p, pushed))
+    WarcMini.resolvePaths(raw, allowEmpty = false)
+      .filter(p => WarcMini.keepFile(p, pushed))
       .map(WarcInputPartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
@@ -113,6 +126,25 @@ private[sources] class WarcScan(required: StructType, paths: Seq[String],
   override def description(): String =
     s"warc cols=[${required.fieldNames.mkString(",")}] " +
       s"types=[${WarcMini.wantedTypes(pushed).map(_.mkString(",")).getOrElse("*")}]"
+
+  // ---- continuous ingest: new archive files become micro-batches ------
+  import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    this
+  override def initialOffset(): Offset = WarcOffset(0)
+  override def latestOffset(): Offset =
+    WarcOffset(WarcMini.resolvePaths(raw, allowEmpty = true).size)
+  override def deserializeOffset(json: String): Offset =
+    WarcOffset(json.trim.toInt)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[WarcOffset].n
+    val e = end.asInstanceOf[WarcOffset].n
+    WarcMini.resolvePaths(raw, allowEmpty = true).slice(s, e)
+      .filter(p => WarcMini.keepFile(p, pushed))
+      .map(WarcInputPartition.apply).toArray
+  }
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] class WarcReaderFactory(required: StructType,
@@ -199,10 +231,21 @@ object WarcMini {
     }
   }
 
-  def resolvePaths(options: CaseInsensitiveStringMap): Seq[String] = {
+  /** The raw path option strings (globs/dirs NOT expanded) — streaming
+    * relists them on every `latestOffset`, batch expands once at plan.
+    */
+  def rawPaths(options: CaseInsensitiveStringMap): Seq[String] = {
     val raw = Option(options.get("path")).toSeq ++
       Option(options.get("paths")).toSeq.flatMap(_.split(","))
     require(raw.nonEmpty, "warc source requires a path")
+    raw
+  }
+
+  /** Expand raw paths through the Hadoop filesystem (globs and
+    * directories supported). `allowEmpty` is the streaming mode — an
+    * archive directory legitimately starts empty.
+    */
+  def resolvePaths(raw: Seq[String], allowEmpty: Boolean): Seq[String] = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     raw.flatMap { p =>
       val hp = new Path(p)
@@ -212,10 +255,10 @@ object WarcMini {
           val n = s.getPath.getName
           n.endsWith(".warc") || n.endsWith(".warc.gz")
         }
-        else fs.globStatus(hp).toSeq
-      require(statuses != null && statuses.nonEmpty, s"no warc files at $p")
-      statuses.map(_.getPath.toString).sorted
-    }
+        else Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+      require(allowEmpty || statuses.nonEmpty, s"no warc files at $p")
+      statuses.map(_.getPath.toString)
+    }.sorted
   }
 
   /** Open the (possibly gzipped) record stream. GZIPInputStream handles

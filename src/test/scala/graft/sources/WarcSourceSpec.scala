@@ -197,6 +197,27 @@ class WarcSourceSpec extends SparkSpecBase {
     assert(msg2.contains("version line"), msg2)
   }
 
+  test("micro-batch streaming ingests archive files as they arrive") {
+    val dir = tmpDir()
+    writePlain(dir, "seg-00000") // present before the query starts
+    val q = spark.readStream.format("warc").load(dir)
+      .filter(col("warc_type") === "response")
+      .select("record_id", "target_uri", "http_status")
+      .writeStream.format("memory").queryName("warc_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("warc_stream").count() == 2)
+      // a new file lands (name sorts after — the crawl-segment
+      // convention the offset contract documents) → next micro-batch
+      writePlain(dir, "seg-00001")
+      q.processAllAvailable()
+      val rows = spark.table("warc_stream").collect()
+      assert(rows.length == 4)
+      assert(rows.map(_.getInt(2)).sorted.toSeq == Seq(200, 200, 404, 404))
+    } finally q.stop()
+  }
+
   test("streaming the archive into html extraction composes end to end") {
     val dir = tmpDir()
     writeGzip(dir, "cc", perRecord = true)
