@@ -603,6 +603,24 @@ object PipelineQueries {
     "p46_bigram_lm" -> ((s, dir) =>
       Quality.lm2Score(docs(s, dir), "doc_id", "text")),
 
+    // per-source corpus health report (the dashboard every pipeline
+    // maintains): doc/token totals, language spread, and exact-dup
+    // incidence per source — one hash-window pass + one aggregate
+    "p50_source_report" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val withTok = docs(s, dir).select(col("source"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("nt"),
+        md5(col("text")).as("h"))
+      val dup = count(lit(1)).over(Window.partitionBy("h")) > 1
+      withTok.withColumn("dup", dup)
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("nt").as("total_tokens"),
+          round(avg("nt"), 6).as("avg_tokens"),
+          countDistinct("lang").as("n_langs"),
+          sum(when(col("dup"), lit(1L)).otherwise(lit(0L))).as("n_dup_docs"))
+    }),
+
     // BPE end-to-end: 200 merges trained driver-local on the corpus
     // vocabulary (the one distributed pass is the word-count aggregate —
     // the PQ-codebook size-gated driver-compute pattern), then every
@@ -1582,6 +1600,23 @@ object PipelineQueries {
          SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
            round(agg.ssum / (agg.n_bigrams * 1000000.0), 6) AS lm2_nll
          FROM d LEFT JOIN agg USING (doc_id)""",
+
+    // same hash-window dup flag, same aggregate; sums cast to BIGINT
+    // (DuckDB sum(BIGINT) widens to HUGEINT)
+    "p50_source_report" ->
+      s"""WITH d AS (SELECT source, lang, md5(text) AS h,
+              CAST(len($TOKS) AS BIGINT) AS nt
+            FROM documents),
+             f AS (SELECT source, lang, nt,
+                     count(*) OVER (PARTITION BY h) > 1 AS dup
+                   FROM d)
+         SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           round(avg(nt), 6) AS avg_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+         FROM f GROUP BY source""",
 
     // mirrors the p49 plant, then replays the strip/decode/collapse
     // chain with RE2's 'g' flag standing in for Java's replace-all
