@@ -145,6 +145,15 @@ object ScaleSmokeDocs {
         concat(lit("l"), pmod(hash(col("doc_id")), lit(20))))
       Sampling.temperatureSample(d, "doc_id", "lang", budgetFrac = 0.5).count()
     })
+    // the hot-language worst case for the rank window (90% of the
+    // corpus in one language): the per-lang sort serializes on the hot
+    // key — measured so the hazard is a number, not a guess
+    stage("lang_sample_hot90")({
+      val d = docs.withColumn("lang",
+        when(pmod(hash(col("doc_id")), lit(10)) < 9, lit("en"))
+          .otherwise(concat(lit("l"), pmod(hash(col("doc_id")), lit(10)))))
+      Sampling.temperatureSample(d, "doc_id", "lang", budgetFrac = 0.5).count()
+    })
     // BPE train (driver-local over the ≤5000-word synthetic vocab) +
     // full-corpus in-plan segmentation (p47); rows = total subwords
     stage("bpe_train_segment")({

@@ -73,6 +73,15 @@ object Sampling {
     * p32 domain-mix machinery, so selection is deterministic across
     * cluster sizes and re-runs). Output: one row per kept doc with its
     * language, rank and quota.
+    *
+    * Skew: the rank window sorts each language in one partition, so a
+    * 90%-one-language corpus pays a hot-key sort — measured 1.26× the
+    * uniform cost at 2M docs (BASELINE.md). At cluster scale the
+    * hot-language rank can be restated as a two-phase selection (an
+    * exact per-language hash-percentile cutoff — a partial-aggregated
+    * scan — then a filter, with only boundary ties ranked exactly);
+    * the windowed form is kept here because it is the one the SQL
+    * oracle can replay verbatim.
     */
   def temperatureSample(docs: DataFrame, idCol: String, langCol: String,
       budgetFrac: Double, salt: String = "langsample"): DataFrame = {
