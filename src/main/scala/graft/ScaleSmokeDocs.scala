@@ -154,6 +154,14 @@ object ScaleSmokeDocs {
           .otherwise(concat(lit("l"), pmod(hash(col("doc_id")), lit(10)))))
       Sampling.temperatureSample(d, "doc_id", "lang", budgetFrac = 0.5).count()
     })
+    // the threshold (window-free) form on the same hot corpus — the
+    // cluster-scale restatement the p48 scaladoc names
+    stage("lang_sample_hot90_thr")({
+      val d = docs.withColumn("lang",
+        when(pmod(hash(col("doc_id")), lit(10)) < 9, lit("en"))
+          .otherwise(concat(lit("l"), pmod(hash(col("doc_id")), lit(10)))))
+      Sampling.temperatureSampleApprox(d, "doc_id", "lang", budgetFrac = 0.5).count()
+    })
     // BPE train (driver-local over the ≤5000-word synthetic vocab) +
     // full-corpus in-plan segmentation (p47); rows = total subwords
     stage("bpe_train_segment")({

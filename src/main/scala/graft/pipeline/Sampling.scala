@@ -108,6 +108,48 @@ object Sampling {
       .select(col(idCol), col(langCol), col("rnk"), col("quota"))
   }
 
+  /** The cluster-scale variant of [[temperatureSample]] for hot-language
+    * corpora: instead of ranking each language in one window partition
+    * (whose hot key sorts 90% of the corpus in one task), the quota
+    * becomes a THRESHOLD on the salted hash. The hash is uniform on
+    * [0, 2^60), so the k-th smallest of a language's c draws
+    * concentrates at (k/c)·2^60 — filtering `hash < floor(k/c · 2^60)`
+    * keeps Binomial(c, k/c) ≈ k ± √k members. No sort, no sketch, no
+    * per-key funnel anywhere: one count aggregate, a broadcast of the
+    * per-language cutoffs (structurally bounded), and a pure filter.
+    *
+    * Membership is deterministic and partitioning-independent (same
+    * hashes every run) but only approximately quota-sized (√k relative
+    * error — < 1% beyond k ≈ 10⁴, the only regime where the windowed
+    * form hurts anyway). Not a driver query: the binomial wobble has no
+    * SQL-exact mirror; [[temperatureSample]] stays the exact,
+    * oracle-replayable form. Spec pins the tolerance and the agreement
+    * of the two forms' quotas.
+    */
+  def temperatureSampleApprox(docs: DataFrame, idCol: String, langCol: String,
+      budgetFrac: Double, salt: String = "langsample"): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1,
+      s"budgetFrac must be in (0, 1]: $budgetFrac")
+    val h = TextOps.hash60(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val cnt = docs.groupBy(langCol).agg(count(lit(1)).as("__c"))
+    val tot = cnt.agg(sum(sqrt(col("__c"))).as("__ssq"),
+      sum(col("__c")).as("__n"))
+    val cutoff = cnt.crossJoin(broadcast(tot))
+      .withColumn("quota",
+        least(col("__c"),
+          floor(sqrt(col("__c")) / col("__ssq") *
+            floor(col("__n") * lit(budgetFrac))).cast("long")))
+      // 2^60 as a double is exact; the product stays < 2^60 ≪ 2^63
+      .withColumn("__cut",
+        floor(col("quota") / col("__c") * lit(math.pow(2.0, 60))).cast("long"))
+      .select(col(langCol), col("quota"), col("__cut"))
+    docs.select(col(idCol), col(langCol))
+      .withColumn("__h", h)
+      .join(broadcast(cutoff), Seq(langCol))
+      .filter(col("__h") < col("__cut"))
+      .select(col(idCol), col(langCol), col("quota"))
+  }
+
   /** Concatenate-and-chunk sequence packing (the GPT-style pretraining
     * layout): within each `groupCol` shard, documents are laid end to
     * end in `idCol` order and cut into fixed `budget`-token sequences;

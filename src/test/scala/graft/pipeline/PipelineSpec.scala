@@ -1214,6 +1214,32 @@ class PipelineSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("temperatureSampleApprox: threshold form tracks the exact quotas, no window") {
+    val exact = Sampling.temperatureSample(docs, "doc_id", "lang", 0.5)
+    val approx = Sampling.temperatureSampleApprox(docs, "doc_id", "lang", 0.5)
+    val quotas = exact.select("lang", "quota").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = approx.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // binomial wobble: |kept − k| within 4·√k of the exact quota
+    quotas.foreach { case (lang, k) =>
+      val got = kept.getOrElse(lang, 0L)
+      assert(math.abs(got - k) <= math.max(4, 4 * math.sqrt(k.toDouble)).toLong,
+        s"$lang kept=$got exact quota=$k")
+    }
+    // both forms derive the SAME quota numbers
+    val aq = approx.select("lang", "quota").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(aq == quotas)
+    // deterministic: re-evaluation keeps identical membership
+    val a = approx.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureSampleApprox(docs, "doc_id", "lang", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // the plan carries NO window — the hot-language sort is gone
+    assert(!approx.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("BPE trainMerges learns the textbook example; BpeSegment applies by rank") {
     // Sennrich et al. 2016 §3.2 word dict: {low:5, lower:2, newest:6,
     // widest:3} (no end-of-word marker in this formulation). Weighted
