@@ -57,6 +57,15 @@ object Bpe {
     * sizes: the winning pair each round is (max count, then
     * lexicographically smallest pair). Returns the learned merges in
     * order: `(rank, left, right, pair_count)`.
+    *
+    * Complexity: each round recounts pairs over the whole dictionary —
+    * O(nMerges · dictionary chars) — which is the simple reference
+    * formulation and fine for the few-hundred-merge analytics uses
+    * here. A 32k-merge production tokenizer run wants the classic
+    * indexed variant (pair→count plus pair→wordIds, touching only the
+    * words the winning merge changed); the surrounding plumbing — one
+    * corpus aggregate in, a merge table out — is unchanged by that
+    * swap.
     */
   def trainMerges(docs: DataFrame, textCol: String, nMerges: Int,
       maxWords: Int = 1000000): Seq[(Int, String, String, Long)] = {

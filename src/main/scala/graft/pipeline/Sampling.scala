@@ -26,7 +26,9 @@ object Sampling {
     * (0..9999) and a `split` label from `weights` (name → basis points,
     * must sum to ≤ 10000; any remainder falls into the last split).
     * One projection, no shuffle, no state — membership depends only on
-    * (salt, id).
+    * (salt, id). A NULL id hashes to a NULL bucket, which falls through
+    * every threshold into the LAST split (SQL CASE semantics, mirrored
+    * by the oracle) — filter null ids upstream if that matters.
     */
   def holdoutSplit(docs: DataFrame, idCol: String,
       weights: Seq[(String, Int)] = Seq("train" -> 8000, "val" -> 1000, "test" -> 1000),
@@ -83,20 +85,29 @@ object Sampling {
     * the windowed form is kept here because it is the one the SQL
     * oracle can replay verbatim.
     */
-  def temperatureSample(docs: DataFrame, idCol: String, langCol: String,
-      budgetFrac: Double, salt: String = "langsample"): DataFrame = {
+  /** Per-language counts and sqrt-temperature quotas, shared by the
+    * exact and threshold samplers so the two forms can never diverge:
+    * `(langCol, __c, quota)`. The total budget comes from the SAME
+    * aggregate (sum of per-lang counts) — no separate count pass.
+    */
+  private def temperatureQuotas(docs: DataFrame, langCol: String,
+      budgetFrac: Double): DataFrame = {
     require(budgetFrac > 0 && budgetFrac <= 1,
       s"budgetFrac must be in (0, 1]: $budgetFrac")
     val cnt = docs.groupBy(langCol).agg(count(lit(1)).as("__c"))
-    // the total budget comes from the SAME aggregate (sum of per-lang
-    // counts) — no separate count pass over the corpus
     val tot = cnt.agg(sum(sqrt(col("__c"))).as("__ssq"),
       sum(col("__c")).as("__n"))
-    val quota = cnt.crossJoin(broadcast(tot))
+    cnt.crossJoin(broadcast(tot))
       .withColumn("quota",
         least(col("__c"),
           floor(sqrt(col("__c")) / col("__ssq") *
             floor(col("__n") * lit(budgetFrac))).cast("long")))
+      .select(col(langCol), col("__c"), col("quota"))
+  }
+
+  def temperatureSample(docs: DataFrame, idCol: String, langCol: String,
+      budgetFrac: Double, salt: String = "langsample"): DataFrame = {
+    val quota = temperatureQuotas(docs, langCol, budgetFrac)
       .select(col(langCol), col("quota"))
     val rnk = row_number().over(Window.partitionBy(langCol)
       .orderBy(TextOps.hash60(concat(lit(salt + ":"), col(idCol).cast("string"))),
@@ -128,17 +139,8 @@ object Sampling {
     */
   def temperatureSampleApprox(docs: DataFrame, idCol: String, langCol: String,
       budgetFrac: Double, salt: String = "langsample"): DataFrame = {
-    require(budgetFrac > 0 && budgetFrac <= 1,
-      s"budgetFrac must be in (0, 1]: $budgetFrac")
     val h = TextOps.hash60(concat(lit(salt + ":"), col(idCol).cast("string")))
-    val cnt = docs.groupBy(langCol).agg(count(lit(1)).as("__c"))
-    val tot = cnt.agg(sum(sqrt(col("__c"))).as("__ssq"),
-      sum(col("__c")).as("__n"))
-    val cutoff = cnt.crossJoin(broadcast(tot))
-      .withColumn("quota",
-        least(col("__c"),
-          floor(sqrt(col("__c")) / col("__ssq") *
-            floor(col("__n") * lit(budgetFrac))).cast("long")))
+    val cutoff = temperatureQuotas(docs, langCol, budgetFrac)
       // 2^60 as a double is exact; the product stays < 2^60 ≪ 2^63
       .withColumn("__cut",
         floor(col("quota") / col("__c") * lit(math.pow(2.0, 60))).cast("long"))

@@ -268,9 +268,12 @@ object WarcMini {
     val hp = new Path(path)
     val raw = hp.getFileSystem(conf).open(hp)
     val buffered = new BufferedInputStream(raw, 1 << 16)
-    if (path.endsWith(".gz")) new BufferedInputStream(
-      new GZIPInputStream(buffered, 1 << 16), 1 << 16)
-    else buffered
+    if (!path.endsWith(".gz")) buffered
+    else
+      // a corrupt gzip header throws from the constructor AFTER the
+      // filesystem stream opened — close it or the connection leaks
+      try new BufferedInputStream(new GZIPInputStream(buffered, 1 << 16), 1 << 16)
+      catch { case e: Throwable => buffered.close(); throw e }
   }
 
   /** One CRLF- (or bare-LF-) terminated header line; None at EOF. */
@@ -297,13 +300,33 @@ object WarcMini {
     buf
   }
 
-  private final case class RawRecord(headers: Map[String, String],
-    block: Array[Byte])
-
-  /** Next record off the stream, skipping inter-record blank lines.
-    * Header names are lowercased (WARC headers are case-insensitive).
+  /** `block` is None when the caller asked for the bytes to be SKIPPED
+    * (filtered-out record type, or a projection needing no payload) —
+    * the allocation-free path the class doc promises.
     */
-  private def readRecord(in: InputStream, path: String): Option[RawRecord] = {
+  private final case class RawRecord(headers: Map[String, String],
+    blockLen: Int, block: Option[Array[Byte]])
+
+  private def skipFully(in: InputStream, n: Long, path: String): Unit = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s > 0) left -= s
+      else if (in.read() >= 0) left -= 1 // gzip streams may refuse skip at a boundary
+      else throw new EOFException(
+        s"warc file $path truncated: ${left} block bytes missing")
+    }
+  }
+
+  /** Next record's HEADERS off the stream (skipping inter-record blank
+    * lines), then either buffer or skip the block as `wantBlock`
+    * decides from the parsed headers. Header names are lowercased (WARC
+    * headers are case-insensitive); folded continuation lines (leading
+    * space/tab, legal LWS per the ISO 28500 grammar) append to the
+    * previous field's value.
+    */
+  private def readRecord(in: InputStream, path: String,
+      wantBlock: Map[String, String] => Boolean): Option[RawRecord] = {
     var line = readLine(in)
     while (line.exists(_.isEmpty)) line = readLine(in)
     line match {
@@ -311,16 +334,22 @@ object WarcMini {
       case Some(v) =>
         require(v.startsWith("WARC/"),
           s"warc file $path: expected record version line, got '$v'")
-        val headers = Map.newBuilder[String, String]
+        var fields = Vector.empty[(String, String)]
         var h = readLine(in)
         while (h.exists(_.nonEmpty)) {
           val s = h.get
-          val i = s.indexOf(':')
-          require(i > 0, s"warc file $path: malformed header line '$s'")
-          headers += s.substring(0, i).trim.toLowerCase -> s.substring(i + 1).trim
+          if ((s.charAt(0) == ' ' || s.charAt(0) == '\t') && fields.nonEmpty) {
+            val (k, prev) = fields.last
+            fields = fields.init :+ (k -> (prev + " " + s.trim))
+          } else {
+            val i = s.indexOf(':')
+            require(i > 0, s"warc file $path: malformed header line '$s'")
+            fields = fields :+
+              (s.substring(0, i).trim.toLowerCase -> s.substring(i + 1).trim)
+          }
           h = readLine(in)
         }
-        val hs = headers.result()
+        val hs = fields.toMap
         val len = hs.getOrElse("content-length",
           sys.error(s"warc file $path: record without Content-Length")).toLong
         // readFully buffers one record — a multi-GiB record would need a
@@ -328,7 +357,12 @@ object WarcMini {
         require(len >= 0 && len <= Int.MaxValue,
           s"warc file $path: record Content-Length $len outside the " +
             "2GiB single-record buffer limit")
-        Some(RawRecord(hs, readFully(in, len.toInt, path)))
+        if (wantBlock(hs))
+          Some(RawRecord(hs, len.toInt, Some(readFully(in, len.toInt, path))))
+        else {
+          skipFully(in, len, path)
+          Some(RawRecord(hs, len.toInt, None))
+        }
     }
   }
 
@@ -352,9 +386,11 @@ object WarcMini {
     if (bodyAt < 0) bodyAt = block.length
     val head = new String(block, 0, bodyAt, java.nio.charset.StandardCharsets.ISO_8859_1)
     val lines = head.split("\r?\n")
-    val status = lines.head.split(" ") match {
-      case parts if parts.length >= 2 && parts(1).forall(_.isDigit) =>
-        parts(1).toInt
+    // split on RUNS of spaces — a sloppy 'HTTP/1.1  200 OK' status line
+    // must degrade to -1 or parse, never throw on an empty token
+    val status = lines.head.trim.split(" +") match {
+      case parts if parts.length >= 2 && parts(1).nonEmpty &&
+        parts(1).forall(_.isDigit) && parts(1).length <= 9 => parts(1).toInt
       case _ => -1
     }
     val ctype = lines.tail.collectFirst {
@@ -370,27 +406,31 @@ object WarcMini {
       Long.box(inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
     } catch { case _: Exception => null }
 
-  /** Stream → pruned catalyst rows. `wanted` suppresses row creation
-    * AND HTTP parsing for filtered-out record types (their block bytes
-    * are still consumed to advance the stream).
+  /** Stream → pruned catalyst rows. `wanted` suppresses row creation,
+    * HTTP parsing AND block buffering for filtered-out record types
+    * (their bytes are skipped on the stream, never allocated); when the
+    * projection needs neither payload nor http_* columns, no record's
+    * block is buffered at all — `content_length` comes from the header.
     */
   def records(in: InputStream, path: String, required: StructType,
       wanted: Option[Set[String]]): Iterator[InternalRow] = {
     val fileTag = UTF8String.fromString(fileTagOf(path))
     val needHttp = required.fieldNames.exists(f =>
       f == "http_status" || f == "http_content_type" || f == "payload")
+    val wantBlock: Map[String, String] => Boolean = hs =>
+      needHttp && wanted.forall(_.contains(hs.getOrElse("warc-type", "")))
     new Iterator[InternalRow] {
       private var nextRow: InternalRow = _
       private def advance(): Unit = {
         nextRow = null
-        var rec = readRecord(in, path)
+        var rec = readRecord(in, path, wantBlock)
         while (nextRow == null && rec.isDefined) {
           val r = rec.get
           val wtype = r.headers.getOrElse("warc-type", "")
           if (wanted.forall(_.contains(wtype))) {
             val isHttp = r.headers.getOrElse("content-type", "")
               .startsWith("application/http")
-            val http = if (needHttp && isHttp) parseHttp(r.block) else None
+            val http = r.block.filter(_ => needHttp && isHttp).flatMap(parseHttp)
             val out = new Array[Any](required.fields.length)
             var j = 0
             while (j < required.fields.length) {
@@ -405,18 +445,19 @@ object WarcMini {
                   .map(parseDateMicros).orNull
                 case "content_type" => r.headers.get("content-type")
                   .map(UTF8String.fromString).orNull
-                case "content_length" => Long.box(r.block.length.toLong)
+                case "content_length" => Long.box(r.blockLen.toLong)
                 case "http_status" =>
                   http.map(h => Int.box(h._1)).orNull
                 case "http_content_type" =>
                   http.map(h => UTF8String.fromString(h._2)).orNull
-                case "payload" => http.map(_._3).getOrElse(r.block)
+                case "payload" =>
+                  http.map(_._3).orElse(r.block).orNull
                 case other => sys.error(s"unknown warc column $other")
               }
               j += 1
             }
             nextRow = new GenericInternalRow(out)
-          } else rec = readRecord(in, path)
+          } else rec = readRecord(in, path, wantBlock)
         }
       }
       advance()

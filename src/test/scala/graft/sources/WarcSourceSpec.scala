@@ -175,6 +175,42 @@ class WarcSourceSpec extends SparkSpecBase {
     assert(df.forall(_.isNullAt(2))) // no HTTP message to parse
   }
 
+  test("folded headers (LWS continuation) and sloppy status lines degrade cleanly") {
+    val dir = tmpDir()
+    val http = "HTTP/1.1  200 OK\r\nContent-Type: text/plain\r\n\r\nbody"
+      .getBytes(ISO_8859_1) // double space in the status line
+    val head = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:uuid:fold-1>\r\n" +
+      "WARC-Date: 2024-05-01T00:00:00Z\r\n" +
+      "WARC-Target-URI: http://example.org/very\r\n" +
+      " /long/folded/path\r\n" + // legal LWS continuation line
+      s"Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes(ISO_8859_1)
+    val out = new FileOutputStream(s"$dir/f.warc")
+    out.write(head); out.write(http)
+    out.write("\r\n\r\n".getBytes(ISO_8859_1)); out.close()
+    val r = spark.read.format("warc").load(s"$dir/f.warc").collect().head
+    assert(r.getString(3) == "http://example.org/very /long/folded/path")
+    assert(r.getInt(7) == 200) // run-of-spaces split, not a crash
+  }
+
+  test("metadata-only projections never buffer a block (skip path)") {
+    val dir = tmpDir()
+    writePlain(dir, "s")
+    // all-pruned projection AND a type filter both exercise skipFully;
+    // results stay byte-identical to the buffered path
+    val df = spark.read.format("warc").load(s"$dir/s.warc")
+    val meta = df.select("record_id", "content_length").orderBy("record_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val full = df.select("record_id", "content_length", "payload")
+      .orderBy("record_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(meta.toSeq == full.toSeq)
+    val onlyResp = df.filter(col("warc_type") === "response")
+      .select("record_id", "http_status").collect()
+    assert(onlyResp.length == 2 && onlyResp.forall(!_.isNullAt(1)))
+  }
+
   test("malformed archives fail loudly, naming the file") {
     val dir = tmpDir()
     // truncated mid-block: Content-Length promises more bytes than exist
