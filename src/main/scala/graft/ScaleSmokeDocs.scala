@@ -78,6 +78,7 @@ object ScaleSmokeDocs {
     stage("cluster_keep")(Dedup.keepClusterRepresentatives(docs, "doc_id",
         Dedup.duplicateClusters(lshPairs), quality = length(col("text")))
       .filter(col("kept")).count())
+    lshPairs.unpersist() // decade loop shares one JVM — do not hoard cache
     // corpus-duplicated 5-gram coverage (p41): every planted near-dup
     // pair shares long runs, so ~2 of every 100 docs must show coverage
     stage("dup_ngram_coverage")(Quality.dupNgramCoverage(
@@ -151,7 +152,7 @@ object ScaleSmokeDocs {
     stage("lang_sample_hot90")({
       val d = docs.withColumn("lang",
         when(pmod(hash(col("doc_id")), lit(10)) < 9, lit("en"))
-          .otherwise(concat(lit("l"), pmod(hash(col("doc_id")), lit(10)))))
+          .otherwise(concat(lit("l"), pmod(hash(col("doc_id"), lit(7)), lit(9)))))
       Sampling.temperatureSample(d, "doc_id", "lang", budgetFrac = 0.5).count()
     })
     // the threshold (window-free) form on the same hot corpus — the
@@ -159,7 +160,7 @@ object ScaleSmokeDocs {
     stage("lang_sample_hot90_thr")({
       val d = docs.withColumn("lang",
         when(pmod(hash(col("doc_id")), lit(10)) < 9, lit("en"))
-          .otherwise(concat(lit("l"), pmod(hash(col("doc_id")), lit(10)))))
+          .otherwise(concat(lit("l"), pmod(hash(col("doc_id"), lit(7)), lit(9)))))
       Sampling.temperatureSampleApprox(d, "doc_id", "lang", budgetFrac = 0.5).count()
     })
     // BPE train (driver-local over the ≤5000-word synthetic vocab) +
@@ -219,11 +220,13 @@ object ScaleSmokeDocs {
     // stand in for a benchmark — their near-dup twins (id ≡ 1 mod 100)
     // must be flagged by the broadcast semi-join pass over the corpus
     val benchIds = col("doc_id") % 100 === 0 && col("doc_id") < 10000
+    val benchShingles = Dedup.shingleSets(
+      docs.filter(benchIds), "doc_id", "text", 3).persist()
     stage("decontaminate_100bm")(Dedup.contaminationFlags(
       docs.filter(!benchIds), "doc_id", "text",
-      Dedup.shingleSets(docs.filter(benchIds), "doc_id", "text", 3)
-        .persist().select(explode(col("sh")).as("sh")), n = 3)
+      benchShingles.select(explode(col("sh")).as("sh")), n = 3)
       .filter(col("contaminated")).count())
+    benchShingles.unpersist()
 
     // hot-shingle skew: append a boilerplate sentence to HALF the corpus.
     // Without the document-frequency cutoff the inverted-index self-join
@@ -330,8 +333,11 @@ object ScaleSmokeDocs {
     val tPq = System.nanoTime()
     val (pqCb, pqCodes) = Similarity.pqIndex(vecs, nSub = 8, ksub = 256,
       maxIter = 5)
+    // count INSIDE the timed window so the row covers codebook training
+    // AND the corpus encode scan, comparable with ivfpq_index_build
+    val nPqCodes = pqCodes.count()
     val pqBuildSec = (System.nanoTime() - tPq) / 1e9
-    println(f"[docs-scale] pq_index_build        $pqBuildSec%8.2fs  rows=${pqCodes.count()}")
+    println(f"[docs-scale] pq_index_build        $pqBuildSec%8.2fs  rows=$nPqCodes")
     vstage("ann_pq_100q")(
       Similarity.pqTopK(pqCodes, pqCb, vecs, vecs.filter(col("vec_id") < 100),
         k = 5, mCand = 25).count())

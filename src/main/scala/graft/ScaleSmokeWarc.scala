@@ -34,6 +34,7 @@ object ScaleSmokeWarc {
     val body = "<html><head><title>t</title></head><body>" +
       ("word " * 180) + "</body></html>"
     val perFile = nRecords / nFiles
+    require(perFile > 0, s"nRecords=$nRecords must be >= nFiles=$nFiles")
     for (f <- 0 until nFiles) {
       val out = new FileOutputStream(f"$dir/crawl-$f%05d.warc.gz")
       for (i <- 0 until perFile) {

@@ -375,12 +375,18 @@ object Quality {
     import org.apache.spark.sql.functions.{split => fsplit}
     val words = docs.select(col(idCol),
       filter(fsplit(col(textCol), "\\s+"), t => t =!= "").as("toks"))
+    // persisted: the gram relation feeds BOTH the dup-count aggregate
+    // and the join-back, whose exchange children differ (partial agg vs
+    // plain scan) so ReuseExchange cannot dedupe them — without the
+    // barrier the tokenize + posexplode + per-position md5 runs twice
+    // over the corpus (the repetitionSignals precedent)
     val grams = words
       .filter(size(col("toks")) >= k)
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), size(col("toks")) - k),
         p => hash60(array_join(slice(col("toks"), p + 1, lit(k)), " "))))
         .as(Seq("pos", "gh")))
+      .persist()
     val dupGrams = grams.groupBy("gh")
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > 1)

@@ -88,9 +88,12 @@ object TextOps {
     val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    // `&amp;` decodes LAST (the standard order): amp-first would turn
+    // the escaped literal `&amp;lt;` into `&lt;` and then wrongly into
+    // `<` — double-decoding text the page displays as "&lt;"
     val decoded = Seq(
-      "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'").foldLeft(noTags) {
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&").foldLeft(noTags) {
       case (c, (ent, ch)) => regexp_replace(c, ent, ch)
     }
     trim(regexp_replace(decoded, "\\s+", " "))

@@ -1642,11 +1642,11 @@ object PipelineQueries {
                '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
                '<[^>]+>', ' ', 'g'),
                '&nbsp;', ' ', 'g'),
-               '&amp;', '&', 'g'),
                '&lt;', '<', 'g'),
                '&gt;', '>', 'g'),
                '&quot;', '"', 'g'),
                '&#39;', '''', 'g'),
+               '&amp;', '&', 'g'),
                '\s+', ' ', 'g')) AS text_clean
          FROM h""",
 

@@ -1183,6 +1183,12 @@ class PipelineSpec extends SparkSpecBase {
     // adjacent tags never glue words; script/style bodies never leak
     assert(!out.getString(0).contains("alert") &&
       !out.getString(0).contains("color"))
+    // &amp; decodes LAST: the page displays '&lt;' literally, so the
+    // extracted text must too — amp-first would double-decode it to '<'
+    val esc = spark.range(1).select(
+      TextOps.htmlToText(lit("<p>shows &amp;lt; literally</p>")).as("t"))
+      .head().getString(0)
+    assert(esc == "shows &lt; literally", esc)
   }
 
   test("temperatureSample flattens the language distribution deterministically") {
