@@ -163,6 +163,27 @@ object ScaleSmokeDocs {
           .otherwise(concat(lit("l"), pmod(hash(col("doc_id"), lit(7)), lit(9)))))
       Sampling.temperatureSampleApprox(d, "doc_id", "lang", budgetFrac = 0.5).count()
     })
+    // UniMax water-filling on the same 20-lang split; budget 1.5× the
+    // corpus with a 2-epoch cap → scarce langs replay, hot langs split
+    // the leftover (the quota math runs on the 20-row lang frame; cost
+    // is the rank window + epoch explode)
+    stage("unimax_sample")({
+      val d = docs.withColumn("lang",
+        concat(lit("l"), pmod(hash(col("doc_id")), lit(20))))
+      Sampling.unimaxSample(d, "doc_id", "lang",
+        budgetFrac = 1.5, maxEpochs = 2).count()
+    })
+    // BM25 against a 3-term query: one tokenize pass, tf shuffle only
+    // over matching tokens, top-20 TakeOrdered
+    stage("bm25_topk")(TfIdf.bm25TopK(docs, "doc_id", "text",
+      Seq("w1", "w17", "w4242"), k = 20).count())
+    // token-budget selection: p36 scoring + bucket-histogram waterline
+    stage("budget_select")(Quality.budgetSelect(docs, "doc_id", "text",
+      budgetFrac = 0.4).filter(col("kept")).count())
+    // directed containment with the same hot-shingle cutoff as the
+    // jaccard stage; planted near-dup pairs give both directions
+    stage("containment_maxdf")(Dedup.containmentPairs(docs, "doc_id",
+      "text", n = 3, threshold = 0.7, maxDf = 50).count())
     // BPE train (driver-local over the ≤5000-word synthetic vocab) +
     // full-corpus in-plan segmentation (p47); rows = total subwords
     stage("bpe_train_segment")({

@@ -130,6 +130,57 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** One-sided shingle CONTAINMENT (Broder '97's other resemblance
+    * measure): C(inner ⊆ outer) = |A∩B| / |A_inner| — the doc-in-doc
+    * signal Jaccard structurally misses. A 50-token quote fully inside a
+    * 5 000-token page has J ≈ 0.01 (invisible at any sane threshold) but
+    * containment 1.0; this is how quote/mirror/subset duplication is
+    * actually caught in corpus dedup. Same inverted-index shape as
+    * [[jaccardPairs]] (shingle-keyed equality join, never all-pairs;
+    * same 60-bit hashing, same optional `maxDf` hot-shingle cutoff with
+    * the same lower-bound caveat), but each unordered intersection emits
+    * up to TWO directed rows — (inner, outer) for whichever sides clear
+    * the threshold — so a pair with asymmetric sizes reports the
+    * direction that matters. Ties (equal sets) report both directions.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDf: Int = Int.MaxValue): DataFrame = {
+    val withSh = shingleSets(docs, idCol, textCol, n)
+      .select(col("doc"),
+        array_distinct(transform(col("sh"), s => hash60(s))).as("sh"))
+      .persist()
+    val allShingles = withSh.select(col("doc"), explode(col("sh")).as("s"))
+    val exploded = if (maxDf == Int.MaxValue) allShingles else {
+      val rare = allShingles.groupBy("s").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select("s")
+      allShingles.join(rare, "s")
+    }
+    val sizes = withSh.select(col("doc"), size(col("sh")).as("n_sh"))
+    val inter = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sized = inter
+      .join(sizes.withColumnRenamed("doc", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+    // two directed candidates per unordered pair; explode + filter keeps
+    // the plan a projection (no union re-reading the join)
+    sized
+      .select(explode(array(
+        struct(col("doc_a").as("doc_inner"), col("doc_b").as("doc_outer"),
+          round(col("inter") * lit(1.0) / col("n_a"), 6).as("containment")),
+        struct(col("doc_b").as("doc_inner"), col("doc_a").as("doc_outer"),
+          round(col("inter") * lit(1.0) / col("n_b"), 6).as("containment"))))
+        .as("__d"))
+      .select(col("__d.doc_inner").as("doc_inner"),
+        col("__d.doc_outer").as("doc_outer"),
+        col("__d.containment").as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   // ---- MinHash + LSH ---------------------------------------------------
 
   /** MinHash permutation family: one md5 per shingle reduced mod p, then

@@ -419,4 +419,63 @@ object Quality {
           round(coalesce(col("covered_tokens"), lit(0L)) / col("n_tokens"), 6))
           .as("covered_frac"))
   }
+
+  /** Token-budget data selection: keep the most-fluent documents (by the
+    * [[lmScore]] signal, lower NLL = better) until `budgetFrac` of the
+    * corpus's tokens are spent — the "select the best X% of tokens"
+    * step every budget-constrained pretraining run performs.
+    *
+    * Deliberately NOT a global sort + running sum (one total order into
+    * a single window partition — the ntile anti-pattern lmBuckets also
+    * avoids). Instead the selection threshold is found on a BUCKET
+    * histogram: per-doc mean NLL is quantized to integer micro-nats
+    * (`q_micro`, exact and order-free on both engines) and floored into
+    * `bucketMicro`-wide buckets; the bucket frame (≤ nll-range /
+    * bucketMicro rows by construction — the DSIR bounded-frame
+    * argument) carries a running token sum that locates the waterline
+    * bucket. Buckets wholly under budget are kept outright; the ONE
+    * boundary bucket spends its remainder doc-by-doc (ranked q_micro
+    * then id, running sum ≤ remainder); everything past it is dropped.
+    * The per-bucket window is partitioned by bucket — parallelism is
+    * the bucket count, and `bucketMicro` is the knob trading waterline
+    * granularity against the boundary partition's size. Token-less
+    * docs (NULL score) are never kept.
+    *
+    * Output: every doc with (n_tokens, q_micro, kept) — an audit
+    * relation, filter `kept` downstream.
+    */
+  def budgetSelect(docs: DataFrame, idCol: String, textCol: String,
+      budgetFrac: Double, bucketMicro: Long = 100000L): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1,
+      s"budgetFrac must be in (0, 1]: $budgetFrac")
+    require(bucketMicro > 0, s"bucketMicro must be positive: $bucketMicro")
+    val scored = lmScore(docs, idCol, textCol)
+      // round(x,6)·1e6 is within an ulp of an integer; round() lands the
+      // same integer on both engines
+      .withColumn("q_micro", round(col("lm_nll") * lit(1000000.0)).cast("long"))
+      .withColumn("__bkt", expr(s"q_micro div $bucketMicro"))
+    val tot = scored.agg(sum("n_tokens").as("__T"))
+    val bw = org.apache.spark.sql.expressions.Window.orderBy("__bkt")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val buckets = scored.filter(col("__bkt").isNotNull)
+      .groupBy("__bkt").agg(sum("n_tokens").as("__btok"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__B", floor(col("__T") * lit(budgetFrac)).cast("long"))
+      .withColumn("__cum", sum("__btok").over(bw))
+      .withColumn("__st",
+        when(col("__cum") <= col("__B"), lit("full"))
+          .when(col("__cum") - col("__btok") < col("__B"), lit("boundary"))
+          .otherwise(lit("drop")))
+      .withColumn("__R", col("__B") - (col("__cum") - col("__btok")))
+      .select("__bkt", "__st", "__R")
+    val wdoc = org.apache.spark.sql.expressions.Window.partitionBy("__bkt")
+      .orderBy(col("q_micro"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    scored.join(broadcast(buckets), Seq("__bkt"), "left")
+      .withColumn("__cumtok", sum("n_tokens").over(wdoc))
+      .select(col(idCol), col("n_tokens"), col("q_micro"),
+        coalesce(col("__st") === "full" ||
+          (col("__st") === "boundary" && col("__cumtok") <= col("__R")),
+          lit(false)).as("kept"))
+  }
 }

@@ -152,6 +152,81 @@ object Sampling {
       .select(col(idCol), col(langCol), col("quota"))
   }
 
+  /** UniMax language rebalancing (Chung et al. '23): every language is
+    * replayed for at most `maxEpochs` epochs, and the document budget
+    * left after capping the scarce languages is split EQUALLY among the
+    * rest — the closed-form water-filling allocation. Complements
+    * [[temperatureSample]] (power-law quotas, ≤ 1 epoch): UniMax is the
+    * form that upweights tail languages by REPEATING them, so the output
+    * carries an `epoch` column and a document can appear `ceil(quota/c)`
+    * times.
+    *
+    * Quota math runs entirely on the per-language count frame (bounded
+    * by distinct languages — the DSIR literal-table argument), sorted
+    * ascending by cap: a language is capped iff granting its full cap
+    * and reserving that much for everyone after it still fits the
+    * budget; the capped set is a prefix of the ascending order, so one
+    * running sum + one max locates the waterline. All quota arithmetic
+    * is integer (caps, cumulative caps, floored equal share via `div`),
+    * so the allocation is bit-equal on any engine — no float order
+    * sensitivity anywhere.
+    *
+    * Selection and replay are hash-deterministic: within a language,
+    * docs are ranked by salted md5 (the [[temperatureSample]] window —
+    * same hot-key caveat, same threshold escape hatch if a language
+    * dominates); a quota of `q = e·c + r` replays every doc `e` times
+    * and the `r` smallest-hash docs once more, via an epoch-sequence
+    * explode. Budget is `floor(N · budgetFrac)` documents with
+    * `budgetFrac ∈ (0, maxEpochs]` — fractions above 1 are the UniMax
+    * regime (token budget exceeds the corpus, scarce data repeats).
+    */
+  def unimaxSample(docs: DataFrame, idCol: String, langCol: String,
+      budgetFrac: Double, maxEpochs: Int, salt: String = "unimax"): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1: $maxEpochs")
+    require(budgetFrac > 0 && budgetFrac <= maxEpochs,
+      s"budgetFrac must be in (0, maxEpochs]: $budgetFrac")
+    val cnt = docs.groupBy(langCol).agg(count(lit(1)).as("__c"))
+    val tot = cnt.agg(sum("__c").as("__n"), count(lit(1)).as("__L"))
+    // per-language frame: ≤ distinct-language rows by construction, so
+    // the unpartitioned window is a bounded single-partition sort (the
+    // same shape as p48's quota frame), not a fact-scale hazard
+    val w = Window.orderBy(col("__cap"), col(langCol))
+    val idx = cnt.crossJoin(broadcast(tot))
+      .withColumn("__cap", col("__c") * lit(maxEpochs.toLong))
+      .withColumn("__B", floor(col("__n") * lit(budgetFrac)).cast("long"))
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__cumprev",
+        coalesce(sum("__cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("__iscap",
+        col("__cap") * (col("__L") - col("__i") + 1) + col("__cumprev")
+          <= col("__B"))
+    val water = idx.agg(
+      coalesce(max(when(col("__iscap"), col("__i"))), lit(0L)).as("__k"),
+      coalesce(sum(when(col("__iscap"), col("__cap"))), lit(0L)).as("__capsum"))
+    val quota = idx.crossJoin(broadcast(water))
+      .withColumn("quota",
+        when(col("__iscap"), col("__cap")).otherwise(
+          expr("(__B - __capsum) div (__L - __k)")))
+      .select(col(langCol), col("__c"), col("quota"))
+    val rnk = row_number().over(Window.partitionBy(langCol)
+      .orderBy(TextOps.hash60(concat(lit(salt + ":"), col(idCol).cast("string"))),
+        col(idCol))).cast("long")
+    docs.select(col(idCol), col(langCol))
+      .withColumn("rnk", rnk)
+      .join(broadcast(quota), Seq(langCol))
+      .withColumn("__full", expr("quota div __c"))
+      .withColumn("__part", col("quota") % col("__c"))
+      .withColumn("__ne",
+        col("__full") + when(col("rnk") <= col("__part"), 1L).otherwise(0L))
+      // Spark's sequence(1, 0) DESCENDS to [1, 0] instead of returning
+      // empty (DuckDB's generate_series is empty) — docs with no epochs
+      // must be filtered out before the explode, not after
+      .filter(col("__ne") >= 1)
+      .withColumn("epoch", explode(sequence(lit(1L), col("__ne"))))
+      .select(col(idCol), col(langCol), col("rnk"), col("quota"), col("epoch"))
+  }
+
   /** Concatenate-and-chunk sequence packing (the GPT-style pretraining
     * layout): within each `groupCol` shard, documents are laid end to
     * end in `idCol` order and cut into fixed `budget`-token sequences;

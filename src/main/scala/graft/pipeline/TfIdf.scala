@@ -31,4 +31,57 @@ object TfIdf {
       .filter(col("rnk") <= k)
       .select("doc_id", "term", "score", "rnk")
   }
+
+  /** BM25 top-k retrieval (Robertson/Lucene formulation) for a fixed
+    * query-term set — the retrieval-based data-selection primitive
+    * (score a corpus against a target task's query and keep the best
+    * matches). The doc-length normalization is what [[topTerms]]'s raw
+    * TF-IDF lacks: a term occurring twice in a tweet outranks it
+    * occurring twice in a book.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+    * with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Determinism across engines: idf and avgdl are rounded to 6 dp
+    * (libm `ln` / mean division ulps can't leak), each term's
+    * contribution is quantized to integer micro-points before the
+    * per-doc sum (the lmScore pattern — integer addition is order-free
+    * where float addition is not), and the final ranking ties break on
+    * doc_id. Plan shape: one tokenize pass feeds both the per-doc
+    * length and the query-term tf (the filter on `queryTerms` lands
+    * BEFORE the tf shuffle, so the aggregate moves only matching
+    * tokens); df/idf live on a ≤|queryTerms|-row broadcast frame;
+    * the result is a TakeOrderedAndProject top-k, never a global sort.
+    * Docs containing no query term score 0 and are absent.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, s"k must be positive: $k")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    // one count pass serves N, avgdl and per-doc length
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nd"),
+      round(avg("dl"), 6).as("avgdl"))
+    val qtf = tok.filter(col("term").isInCollection(queryTerms))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = qtf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = df.crossJoin(broadcast(stats))
+      .withColumn("idf", round(log(lit(1.0) +
+        (col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6))
+      .select("term", "idf")
+    val norm = lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")
+    qtf.join(dl, "doc_id")
+      .crossJoin(broadcast(stats.select("avgdl")))
+      .join(broadcast(idf), "term")
+      .withColumn("__pts", round(col("idf") *
+        (col("tf") * lit(k1 + 1.0)) / (col("tf") + lit(k1) * norm)
+        * lit(1000000.0)).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("__pts").as("bm25_micro"), max("dl").as("n_tokens"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(k)
+  }
 }

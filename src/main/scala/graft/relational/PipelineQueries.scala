@@ -673,7 +673,36 @@ object PipelineQueries {
         .filter(assert_true(col("rebuilt_ok"),
           concat(lit("BPE reconstruction failed for doc "),
             col("doc_id").cast("string"))).isNull)
-    })
+    }),
+
+    // UniMax epoch-capped language rebalancing (complement of p48's
+    // temperature quotas): budgetFrac > 1 is the regime the paper is
+    // about — scarce languages replay up to maxEpochs, the leftover is
+    // split equally, and a doc can appear once per epoch
+    "p51_unimax_sample" -> ((s, dir) =>
+      Sampling.unimaxSample(docs(s, dir), "doc_id", "lang",
+        budgetFrac = 1.6, maxEpochs = 2)),
+
+    // BM25 top-k retrieval against a fixed query — the retrieval-based
+    // data-selection primitive; doc-length normalization is the delta
+    // over p13's raw TF-IDF
+    "p52_bm25_topk" -> ((s, dir) =>
+      TfIdf.bm25TopK(docs(s, dir), "doc_id", "text",
+        queryTerms = Seq("query", "window", "hash"), k = 20)),
+
+    // token-budget selection on the p36 fluency signal: keep the
+    // best-scoring docs until 40% of corpus tokens are spent, waterline
+    // found on a bucket histogram (never a global sort)
+    "p53_budget_select" -> ((s, dir) =>
+      Quality.budgetSelect(docs(s, dir), "doc_id", "text",
+        budgetFrac = 0.4)),
+
+    // one-sided shingle containment (doc-in-doc): directed pairs where
+    // ≥ 80% of the inner doc's 3-shingles appear in the outer doc —
+    // the quote/subset duplication Jaccard structurally misses
+    "p54_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.8))
   )
 
   // shared CTE chain producing minhash-LSH candidate pairs `j(doc_a,
@@ -1678,6 +1707,147 @@ object PipelineQueries {
                      ELSE [] END) AS pair
                    FROM w)
          SELECT pair, count(*) AS n_count FROM p
-         GROUP BY 1 ORDER BY n_count DESC, pair LIMIT 50"""
+         GROUP BY 1 ORDER BY n_count DESC, pair LIMIT 50""",
+
+    // UniMax water-filling replayed in pure integer arithmetic: capped
+    // set = ascending-cap prefix, leftover split by integer division,
+    // epochs = quota div c full passes + hash-ranked partial pass
+    "p51_unimax_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+             t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                          CAST(count(*) AS BIGINT) AS L FROM c),
+             x AS (SELECT lang, c, CAST(c * 2 AS BIGINT) AS cap,
+                     CAST(row_number() OVER (ORDER BY c * 2, lang) AS BIGINT) AS i,
+                     CAST(coalesce(sum(c * 2) OVER (ORDER BY c * 2, lang
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS cumprev
+                   FROM c),
+             y AS (SELECT x.*, t.L, CAST(floor(t.n * 1.6) AS BIGINT) AS B
+                   FROM x, t),
+             y2 AS (SELECT *, (cap * (L - i + 1) + cumprev <= B) AS iscap
+                    FROM y),
+             k AS (SELECT CAST(coalesce(max(CASE WHEN iscap THEN i END), 0)
+                     AS BIGINT) AS k,
+                     CAST(coalesce(sum(CASE WHEN iscap THEN cap END), 0)
+                       AS BIGINT) AS capsum FROM y2),
+             q AS (SELECT y2.lang, y2.c,
+                     CASE WHEN y2.iscap THEN y2.cap
+                          ELSE (y2.B - k.capsum) // (y2.L - k.k) END AS quota
+                   FROM y2, k),
+             r AS (SELECT doc_id, lang,
+                     CAST(row_number() OVER (PARTITION BY lang ORDER BY
+                       ('0x' || substr(md5('unimax:' || doc_id::VARCHAR), 1,
+                         15))::BIGINT, doc_id) AS BIGINT) AS rnk
+                   FROM documents),
+             s AS (SELECT r.doc_id, r.lang, r.rnk, q.quota,
+                     q.quota // q.c AS fullep, q.quota % q.c AS part
+                   FROM r JOIN q USING (lang))
+         SELECT doc_id, lang, rnk, quota,
+           CAST(unnest(generate_series(1, CAST(fullep +
+             CASE WHEN rnk <= part THEN 1 ELSE 0 END AS BIGINT)))
+             AS BIGINT) AS epoch
+         FROM s""",
+
+    // BM25 with 6-dp idf/avgdl rounding and integer micro-point sums;
+    // identical operator order to the Column expression so every IEEE
+    // multiply/divide lands the same bits
+    "p52_bm25_topk" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+             tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+             dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                    FROM tok GROUP BY 1),
+             st AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                      round(avg(dl), 6) AS avgdl FROM dl),
+             qtf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                     FROM tok WHERE term IN ('query', 'window', 'hash')
+                     GROUP BY 1, 2),
+             dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                     FROM qtf GROUP BY 1),
+             idf AS (SELECT term,
+                       round(ln(1.0 + (nd - df + 0.5) / (df + 0.5)), 6) AS idf
+                     FROM dfr, st),
+             sc AS (SELECT q.doc_id,
+                      CAST(round(idf * (tf * 2.2) / (tf + 1.2 *
+                        (0.25 + 0.75 * dl / avgdl)) * 1000000) AS BIGINT)
+                        AS pts,
+                      dl
+                    FROM qtf q JOIN dl USING (doc_id)
+                         JOIN idf USING (term), st)
+         SELECT doc_id, CAST(sum(pts) AS BIGINT) AS bm25_micro,
+           max(dl) AS n_tokens
+         FROM sc GROUP BY 1 ORDER BY bm25_micro DESC, doc_id LIMIT 20""",
+
+    // p36's micro-nat chain feeding a bucket-histogram waterline; the
+    // only ordered windows run over the bounded bucket frame and within
+    // single buckets
+    "p53_budget_select" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+             tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+             c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+             t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                          CAST(count(*) AS BIGINT) AS v FROM c),
+             s AS (SELECT doc_id,
+                     CAST(round(-ln((cnt + 1.0) / (n + v)) * 1000000)
+                       AS BIGINT) AS nllu
+                   FROM tok JOIN c USING (term), t),
+             g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     round(CAST(sum(nllu) AS BIGINT)
+                       / (count(*) * 1000000.0), 6) AS lm_nll
+                   FROM s GROUP BY 1),
+             sc AS (SELECT doc_id,
+                      coalesce(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+                      CAST(round(lm_nll * 1000000) AS BIGINT) AS q_micro,
+                      CAST(round(lm_nll * 1000000) AS BIGINT) // 100000 AS bkt
+                    FROM documents LEFT JOIN g USING (doc_id)),
+             tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS T FROM sc),
+             bk AS (SELECT bkt, CAST(sum(n_tokens) AS BIGINT) AS btok
+                    FROM sc WHERE bkt IS NOT NULL GROUP BY 1),
+             bs AS (SELECT bkt, btok, CAST(floor(T * 0.4) AS BIGINT) AS B,
+                      CAST(sum(btok) OVER (ORDER BY bkt
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum
+                    FROM bk, tt),
+             bst AS (SELECT bkt,
+                       CASE WHEN cum <= B THEN 'full'
+                            WHEN cum - btok < B THEN 'boundary'
+                            ELSE 'drop' END AS st,
+                       B - (cum - btok) AS R
+                     FROM bs),
+             w AS (SELECT sc.*, bst.st, bst.R,
+                     CAST(sum(n_tokens) OVER (PARTITION BY sc.bkt
+                       ORDER BY q_micro, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cumtok
+                   FROM sc LEFT JOIN bst USING (bkt))
+         SELECT doc_id, n_tokens, q_micro,
+           coalesce(st = 'full' OR (st = 'boundary' AND cumtok <= R), false)
+             AS kept
+         FROM w""",
+
+    // p2's intersection chain, then each unordered pair emits both
+    // directed containments and the threshold filters
+    "p54_containment" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+             s0 AS (SELECT doc_id, $SHINGLES3 AS sh0 FROM d),
+             s AS (SELECT doc_id, list_distinct(list_transform(sh0, sg ->
+                     ('0x' || substr(md5(sg), 1, 15))::BIGINT)) AS sh
+                   FROM s0),
+             ex AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+             sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+             inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         count(*) AS inter
+                       FROM ex a JOIN ex b
+                         ON a.sg = b.sg AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2),
+             c AS (SELECT doc_a, doc_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+                   FROM inter JOIN sz sa ON doc_a = sa.doc_id
+                        JOIN sz sb ON doc_b = sb.doc_id),
+             dir AS (SELECT doc_a AS doc_inner, doc_b AS doc_outer,
+                       round(inter * 1.0 / n_a, 6) AS containment FROM c
+                     UNION ALL
+                     SELECT doc_b AS doc_inner, doc_a AS doc_outer,
+                       round(inter * 1.0 / n_b, 6) AS containment FROM c)
+         SELECT doc_inner, doc_outer, containment FROM dir
+         WHERE containment >= 0.8"""
   )
 }

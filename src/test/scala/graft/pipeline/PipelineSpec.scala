@@ -1246,6 +1246,106 @@ class PipelineSpec extends SparkSpecBase {
     assert(!approx.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("unimaxSample replays the hand-computed water-filling allocation") {
+    // langs: a=2 docs, b=10 docs; E=3, budget=floor(12·1.5)=18.
+    // caps asc: a=6 (6·2+0=12 ≤ 18 → capped), b=30 (30·1+6=36 > 18 →
+    // share = (18−6) div 1 = 12 > c=10 → 1 full epoch + 2 partial).
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType)))
+    val rows = (1L to 2L).map(i => Row(i, "a")) ++
+      (11L to 20L).map(i => Row(i, "b"))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val out = Sampling.unimaxSample(d, "doc_id", "lang",
+      budgetFrac = 1.5, maxEpochs = 3).collect()
+    assert(out.length == 18) // integer water-filling spends the budget exactly
+    val byLang = out.groupBy(_.getString(1))
+    // a: both docs replay all 3 epochs (capped at maxEpochs)
+    val a = byLang("a")
+    assert(a.length == 6)
+    assert(a.groupBy(_.getLong(0)).values.forall(
+      _.map(_.getLong(4)).sorted.toSeq == Seq(1L, 2L, 3L)))
+    assert(a.forall(_.getLong(3) == 6L)) // quota column = cap
+    // b: every doc gets epoch 1; exactly the 2 smallest-hash docs (rnk
+    // ≤ 2) also get epoch 2; epochs per doc are contiguous from 1
+    val b = byLang("b")
+    assert(b.length == 12)
+    assert(b.count(_.getLong(4) == 1L) == 10)
+    assert(b.filter(_.getLong(4) == 2L).map(_.getLong(2)).sorted.toSeq ==
+      Seq(1L, 2L))
+    // deterministic across evaluations
+    val again = Sampling.unimaxSample(d, "doc_id", "lang", 1.5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toSet
+    assert(again == out.map(r => (r.getLong(0), r.getLong(4))).toSet)
+  }
+
+  test("bm25TopK: doc-length normalization and tf saturation behave") {
+    val d = docsOf(
+      (1L, "spark query"), // short doc, one hit
+      (2L, "spark query " + ("filler words only here " * 10).trim), // long, one hit
+      (3L, ("query " * 10).trim + " spark"), // tf=10
+      (4L, "no relevant terms at all"))
+    val out = TfIdf.bm25TopK(d, "doc_id", "text", Seq("query"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 4 has no query term → absent
+    assert(!out.contains(4L))
+    // same tf, shorter doc wins (length normalization)
+    assert(out(1L) > out(2L))
+    // tf saturates: 10 occurrences score < 10× one occurrence
+    assert(out(3L) > out(1L) && out(3L) < 10L * out(1L))
+    // k truncates deterministically
+    assert(TfIdf.bm25TopK(d, "doc_id", "text", Seq("query"), k = 2)
+      .collect().map(_.getLong(0)).toSeq ==
+      out.toSeq.sortBy(kv => (-kv._2, kv._1)).take(2).map(_._1))
+  }
+
+  test("budgetSelect keeps an exact fluency-prefix within the token budget") {
+    val out = Quality.budgetSelect(docs, "doc_id", "text", budgetFrac = 0.4)
+      .collect()
+    val total = out.map(_.getLong(1)).sum
+    val budget = math.floor(total * 0.4).toLong
+    val keptRows = out.filter(_.getBoolean(3))
+    val keptTok = keptRows.map(_.getLong(1)).sum
+    assert(keptTok <= budget, s"kept $keptTok > budget $budget")
+    // kept set is a PREFIX of the (q_micro, doc_id) total order: no
+    // dropped doc sorts strictly before a kept doc
+    def key(r: Row) = (if (r.isNullAt(2)) Long.MaxValue else r.getLong(2),
+      r.getLong(0))
+    val ord = implicitly[Ordering[(Long, Long)]]
+    val worstKept = keptRows.map(key).max
+    val sortedDropped = out.filter(r => !r.getBoolean(3)).map(key).sorted
+    assert(sortedDropped.forall(k => ord.gt(k, worstKept)))
+    // budget tightness: the next doc in line would overflow it
+    val nextTok = out.filter(r => !r.getBoolean(3) && !r.isNullAt(2))
+      .sortBy(key).headOption.map(_.getLong(1))
+    nextTok.foreach(t => assert(keptTok + t > budget,
+      s"left $t-token doc on the table with ${budget - keptTok} unspent"))
+    // token-less docs are never kept
+    assert(out.filter(_.getLong(1) == 0L).forall(!_.getBoolean(3)))
+  }
+
+  test("containmentPairs reports the doc-in-doc direction Jaccard misses") {
+    val inner = "alpha beta gamma delta epsilon zeta"
+    val outer = inner + " " + (1 to 40).map(i => s"pad$i").mkString(" ")
+    val d = docsOf((1L, inner), (2L, outer),
+      (3L, "totally unrelated content with many different words"),
+      (4L, inner)) // exact dup of 1
+    val got = Dedup.containmentPairs(d, "doc_id", "text", n = 3,
+      threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // 1 ⊆ 2 at containment 1.0; the reverse direction is far below 0.8
+    assert(got((1L, 2L)) == 1.0)
+    assert(!got.contains((2L, 1L)))
+    // exact dups contain each other: both directions at 1.0
+    assert(got((1L, 4L)) == 1.0 && got((4L, 1L)) == 1.0)
+    // unrelated doc appears in no pair
+    assert(got.keys.forall(k => k._1 != 3L && k._2 != 3L))
+    // jaccard at the same threshold indeed misses the (1,2) pair
+    val j = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!j.contains((1L, 2L)) && !j.contains((2L, 1L)))
+  }
+
   test("BPE trainMerges learns the textbook example; BpeSegment applies by rank") {
     // Sennrich et al. 2016 §3.2 word dict: {low:5, lower:2, newest:6,
     // widest:3} (no end-of-word marker in this formulation). Weighted

@@ -128,10 +128,16 @@ class PlanShapeSpec extends SparkSpecBase {
     // certificates (p7/p15/p29) attach their one-row mean_recall; p46
     // attaches the one-row vocabulary size (the p36 shape over bigrams)
     // p48 attaches the one-row (Σsqrt, N) totals to the per-lang counts
+    // p51 attaches one-row (N, L) totals + the one-row waterline (k,
+    // capsum) to the per-lang count frame; p52 attaches the one-row
+    // (N, avgdl) corpus stats to the ≤|queryTerms| idf frame and the
+    // per-doc tf frame; p53 attaches the one-row corpus token total to
+    // the bounded bucket histogram (all the p36 shape)
     val scalarAttachJoins = Set("p13_text_tfidf", "p32_domain_mix",
       "p36_lm_score", "p38_lm_buckets", "p39_dsir_resample",
       "p7_ann_lsh", "p15_ann_ivf", "p29_ann_ivfpq", "p46_bigram_lm",
-      "p48_lang_sample")
+      "p48_lang_sample", "p51_unimax_sample", "p52_bm25_topk",
+      "p53_budget_select")
     for ((name, fn) <- graft.SparkEntry.queries
          if !intentionalThetaJoins(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
