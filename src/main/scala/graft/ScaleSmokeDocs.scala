@@ -177,9 +177,18 @@ object ScaleSmokeDocs {
     // over matching tokens, top-20 TakeOrdered
     stage("bm25_topk")(TfIdf.bm25TopK(docs, "doc_id", "text",
       Seq("w1", "w17", "w4242"), k = 20).count())
-    // token-budget selection: p36 scoring + bucket-histogram waterline
+    // token-budget selection: p36 scoring + bucket-histogram waterline.
+    // This synthetic corpus is the knob's worst case: hash-uniform
+    // vocab → per-doc mean NLL spread of only ~±0.02 nats, so the
+    // default 0.1-nat buckets put the WHOLE corpus into one boundary
+    // bucket and its doc-by-doc window sorts everything in one
+    // partition. The fine-bucket variant (0.001 nat) is the knob
+    // answer — measured side by side so the hazard and its fix are
+    // both numbers
     stage("budget_select")(Quality.budgetSelect(docs, "doc_id", "text",
       budgetFrac = 0.4).filter(col("kept")).count())
+    stage("budget_select_fine")(Quality.budgetSelect(docs, "doc_id", "text",
+      budgetFrac = 0.4, bucketMicro = 1000L).filter(col("kept")).count())
     // directed containment with the same hot-shingle cutoff as the
     // jaccard stage; planted near-dup pairs give both directions
     stage("containment_maxdf")(Dedup.containmentPairs(docs, "doc_id",

@@ -57,8 +57,20 @@ object TfIdf {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k > 0, s"k must be positive: $k")
+    bm25Scores(docs, idCol, textCol, queryTerms, k1, b)
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The scoring relation under [[bm25TopK]]: every doc containing ≥1
+    * query term with its integer micro-point score — also the batch
+    * reference for the streaming frozen-stats scorer
+    * ([[graft.streaming.StreamingBm25]]).
+    */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("term"))
     // one count pass serves N, avgdl and per-doc length
@@ -81,7 +93,32 @@ object TfIdf {
         * lit(1000000.0)).cast("long"))
       .groupBy("doc_id")
       .agg(sum("__pts").as("bm25_micro"), max("dl").as("n_tokens"))
-      .orderBy(col("bm25_micro").desc, col("doc_id"))
-      .limit(k)
+  }
+
+  /** Freeze the corpus-side BM25 statistics for serving: per-query-term
+    * 6-dp idf plus the 6-dp average doc length. The collect is bounded
+    * by |queryTerms| + 1 rows — the PQ-codebook argument — and the
+    * values are EXACTLY the ones [[bm25Scores]] plans internally, so a
+    * scorer that replays the formula over them reproduces batch scores
+    * bit-for-bit on the same corpus.
+    */
+  def bm25FrozenStats(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String]): (Map[String, Double], Double) = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nd"),
+      round(avg("dl"), 6).as("avgdl"))
+    val df = tok.filter(col("term").isInCollection(queryTerms))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = df.crossJoin(broadcast(stats))
+      .withColumn("idf", round(log(lit(1.0) +
+        (col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6))
+      .select("term", "idf")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val avgdl = stats.select("avgdl").head().getDouble(0)
+    (idf, avgdl)
   }
 }

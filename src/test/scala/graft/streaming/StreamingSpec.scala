@@ -527,6 +527,52 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("bm25ServeStream over frozen stats == batch bm25Scores, across batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "spark query engine"),
+      (2L, "query " + ("filler padding words here " * 8).trim),
+      (3L, ("query " * 5).trim + " spark spark"),
+      (4L, "nothing relevant at all"),
+      (5L, "")).toDF("doc_id", "text")
+    val terms = Seq("query", "spark")
+    val expected = graft.pipeline.TfIdf
+      .bm25Scores(corpus, "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val (idf, avgdl) = graft.pipeline.TfIdf
+      .bm25FrozenStats(corpus, "doc_id", "text", terms)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingBm25.bm25ServeStream(
+        mem.toDF().toDF("doc_id", "text"), idf, avgdl)
+      .writeStream.format("memory").queryName("bm25_serve")
+      .outputMode("append").start()
+    try {
+      val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+      mem.addData(rows.take(2).toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(rows.drop(2).toIndexedSeq: _*); q.processAllAvailable()
+      val got = spark.table("bm25_serve").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // no-hit and token-less docs (4, 5) are absent on both sides;
+      // scores are integer micro-points so equality is exact
+      assert(got == expected, s"streaming $got vs batch $expected")
+      // unseen query term at serve time: no crash, scores only the known
+      val mem2 = MemoryStream[(Long, String)]
+      val q2 = StreamingBm25.bm25ServeStream(
+          mem2.toDF().toDF("doc_id", "text"), idf, avgdl)
+        .writeStream.format("memory").queryName("bm25_serve2")
+        .outputMode("append").start()
+      try {
+        mem2.addData((9L, "query unseen fresh words"))
+        q2.processAllAvailable()
+        val fresh = spark.table("bm25_serve2").collect()
+        assert(fresh.length == 1 && fresh.head.getLong(0) == 9L &&
+          fresh.head.getLong(2) == 4L)
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("stateless quality filters (Gopher rules, C4 clean) on streams == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
