@@ -454,6 +454,11 @@ object Quality {
       // same integer on both engines
       .withColumn("q_micro", round(col("lm_nll") * lit(1000000.0)).cast("long"))
       .withColumn("__bkt", expr(s"q_micro div $bucketMicro"))
+      // persisted barrier (the jaccardPairs precedent): the scored frame
+      // feeds the token total, the bucket histogram AND the final join —
+      // without it each consumer replays the whole two-shuffle lmScore
+      // chain (measured 3.3× the chain's lone cost at 2M docs)
+      .persist()
     val tot = scored.agg(sum("n_tokens").as("__T"))
     val bw = org.apache.spark.sql.expressions.Window.orderBy("__bkt")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
