@@ -193,6 +193,19 @@ object ScaleSmokeDocs {
     // jaccard stage; planted near-dup pairs give both directions
     stage("containment_maxdf")(Dedup.containmentPairs(docs, "doc_id",
       "text", n = 3, threshold = 0.7, maxDf = 50).count())
+    // integer PageRank, 10 iterations over an n/20-node hash graph
+    // (one edge per doc) — per-iteration cost is two keyed joins + one
+    // sum shuffle, ranks persisted per iteration
+    stage("pagerank_10it")({
+      val nodes = math.max(totalDocs / 20, 100L)
+      val e = docs.select(
+        pmod(hash(col("doc_id")), lit(nodes)).cast("long").as("src"),
+        pmod(hash(col("doc_id"), lit(7)), lit(nodes)).cast("long").as("dst"))
+      GraphOps.pageRank(e, "src", "dst", iterations = 10).count()
+    })
+    // ±3 skip-gram PMI top-200: slice projection + two count shuffles
+    stage("pmi_pairs")(Cooccur.pmiPairs(docs, "doc_id", "text",
+      window = 3, k = 200).count())
     // BPE train (driver-local over the ≤5000-word synthetic vocab) +
     // full-corpus in-plan segmentation (p47); rows = total subwords
     stage("bpe_train_segment")({

@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for crawl pipelines (the host-graph step:
+  * Common Crawl publishes exactly this — host-level centrality used to
+  * prioritize crawl frontiers and weight sources). Complements the
+  * connected components in [[Dedup.duplicateClusters]] (pointer
+  * jumping) with an iterative-propagation operator.
+  *
+  * PageRank here is restated in INTEGER micro-rank arithmetic so every
+  * engine computes identical bits: float PageRank sums per-target
+  * contributions in shuffle order (last-ulp nondeterminism), while
+  * integer sums are order-free — the [[Quality.lmScore]] micro-nat
+  * argument applied to graph propagation. The price is documented mass
+  * leak at each integer division (damping scale, per-edge split); ranks
+  * remain a deterministic total order, which is what a frontier
+  * prioritizer consumes.
+  */
+object GraphOps {
+
+  /** Deterministic PageRank over `edges(src, dst)` (BIGINT node ids).
+    *
+    * Semantics, all in 64-bit integer micro-units (1e6 = rank 1.0):
+    *   - r₀(v) = 1 000 000 for every vertex (vertices = distinct
+    *     src ∪ dst);
+    *   - each iteration: t(u) = (r(u) · dampingMicro) div 1e6, split
+    *     per out-edge c(u) = t(u) div outdeg(u);
+    *     r'(v) = (1e6 − dampingMicro) + Σ_{u→v} c(u).
+    *   - dangling vertices (outdeg 0) leak their damped mass — the
+    *     standard simplification; integer `div` leaks < outdeg(u)
+    *     micro-units per split. Neither affects determinism.
+    *
+    * Plan shape per iteration: one join ranks⋈outdeg on src (both
+    * keyed by src), one edges⋈contrib join on src, one sum shuffle on
+    * dst, one left join back to the vertex frame — the classic
+    * iterative-Spark loop. Ranks are persisted each iteration to cut
+    * lineage (without it iteration k replans k-deep); at cluster scale
+    * this is where you would checkpoint instead. Overflow bound:
+    * Σr ≤ |V|·1e6, so r·dampingMicro stays under 2^63 for graphs up to
+    * ~10^7 vertices per connected sink — `require`d.
+    *
+    * Returns (node, rank_micro).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, dampingMicro: Long = 850000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(dampingMicro >= 0 && dampingMicro <= 1000000L,
+      s"dampingMicro must be in [0, 1e6]: $dampingMicro")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).persist()
+    val vertices = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("__deg")).persist()
+    val base = 1000000L - dampingMicro
+    var ranks = vertices.withColumn("rank_micro", lit(1000000L))
+    for (_ <- 1 to iterations) {
+      val contrib = ranks
+        .join(outdeg, col("node") === col("src"))
+        .select(col("src"),
+          expr(s"((rank_micro * $dampingMicro) div 1000000) div __deg")
+            .as("__c"))
+        .join(e, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum("__c").as("__in"))
+      val next = vertices
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("__in"), lit(0L))).as("rank_micro"))
+        .persist()
+      // materialize before dropping the previous barrier so iteration
+      // k never replans k-deep lineage
+      next.count()
+      ranks.unpersist()
+      ranks = next
+    }
+    ranks
+  }
+}

@@ -702,7 +702,27 @@ object PipelineQueries {
     // the quote/subset duplication Jaccard structurally misses
     "p54_containment" -> ((s, dir) =>
       Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.8))
+        n = 3, threshold = 0.8)),
+
+    // integer-arithmetic PageRank over a hash-derived 500-node link
+    // graph (the crawl-frontier host-centrality step); 10 iterations,
+    // every operation an integer div/sum so both engines land the same
+    // bits regardless of shuffle order
+    "p55_pagerank" -> ((s, dir) => {
+      val e = docs(s, dir).select(
+        (hash60(concat(lit("pre:"), col("doc_id").cast("string"))) % 500)
+          .as("src"),
+        (hash60(concat(lit("prd:"), col("doc_id").cast("string"))) % 500)
+          .as("dst"))
+      GraphOps.pageRank(e, "src", "dst", iterations = 10)
+    }),
+
+    // word2vec-style ±3 skip-gram co-occurrence with PMI collocation
+    // scores — top-200 pairs; pair extraction is array slices (no
+    // positional self-join anywhere)
+    "p56_pmi_pairs" -> ((s, dir) =>
+      Cooccur.pmiPairs(docs(s, dir), "doc_id", "text",
+        window = 3, k = 200))
   )
 
   // shared CTE chain producing minhash-LSH candidate pairs `j(doc_a,
@@ -1848,6 +1868,67 @@ object PipelineQueries {
                      SELECT doc_b AS doc_inner, doc_a AS doc_outer,
                        round(inter * 1.0 / n_b, 6) AS containment FROM c)
          SELECT doc_inner, doc_outer, containment FROM dir
-         WHERE containment >= 0.8"""
+         WHERE containment >= 0.8""",
+
+    // the 10 iterations unrolled mechanically (DuckDB's recursive CTEs
+    // forbid aggregation in the recursive term); each stage is the
+    // engine's integer formula verbatim
+    "p55_pagerank" -> {
+      val iters = (1 to 10).map { i =>
+        s"""r$i AS (SELECT v.node,
+               CAST(150000 + coalesce(sum(c.c), 0) AS BIGINT) AS r
+             FROM v LEFT JOIN (
+               SELECT e.dst, ((p.r * 850000) // 1000000) // d.deg AS c
+               FROM e JOIN r${i - 1} p ON e.src = p.node
+                    JOIN d ON e.src = d.src) c
+             ON c.dst = v.node GROUP BY v.node)"""
+      }.mkString(",\n             ")
+      s"""WITH e AS (SELECT
+               ('0x' || substr(md5('pre:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                 % 500 AS src,
+               ('0x' || substr(md5('prd:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                 % 500 AS dst
+             FROM documents),
+             v AS (SELECT DISTINCT node FROM
+               (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+             d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                   FROM e GROUP BY 1),
+             r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM v),
+             $iters
+         SELECT node, r AS rank_micro FROM r10"""
+    },
+
+    // canonical unordered pairs as 'a b' string keys (tokens are
+    // whitespace-split so ' ' can't occur inside one); identical
+    // division order to the Column expression before the single
+    // 6-dp-rounded ln
+    "p56_pmi_pairs" -> {
+      val perD = (1 to 3).map { d =>
+        s"""CASE WHEN len(toks) > $d THEN list_transform(
+               generate_series(1, len(toks) - $d),
+               i -> CASE WHEN toks[i] <= toks[i+$d]
+                         THEN toks[i] || ' ' || toks[i+$d]
+                         ELSE toks[i+$d] || ' ' || toks[i] END)
+             ELSE [] END"""
+      }.mkString(",\n             ")
+      s"""WITH f AS (SELECT toks FROM (SELECT $TOKS AS toks FROM documents)
+                     WHERE len(toks) >= 2),
+             p AS (SELECT unnest(flatten([$perD])) AS key FROM f),
+             cooc AS (SELECT split_part(key, ' ', 1) AS t1,
+                        split_part(key, ' ', 2) AS t2,
+                        CAST(count(*) AS BIGINT) AS n_cooc
+                      FROM p GROUP BY 1, 2),
+             uni AS (SELECT unnest(toks) AS term FROM f),
+             uc AS (SELECT term, CAST(count(*) AS BIGINT) AS cu
+                    FROM uni GROUP BY 1),
+             nt AS (SELECT CAST(sum(cu) AS BIGINT) AS nt FROM uc),
+             np AS (SELECT CAST(sum(n_cooc) AS BIGINT) AS np FROM cooc)
+         SELECT t1, t2, n_cooc,
+           round(ln(n_cooc / np.np * nt.nt / c1.cu * nt.nt / c2.cu), 6)
+             AS pmi
+         FROM cooc JOIN uc c1 ON cooc.t1 = c1.term
+              JOIN uc c2 ON cooc.t2 = c2.term, nt, np
+         ORDER BY n_cooc DESC, t1, t2 LIMIT 200"""
+    }
   )
 }

@@ -1346,6 +1346,58 @@ class PipelineSpec extends SparkSpecBase {
     assert(!j.contains((1L, 2L)) && !j.contains((2L, 1L)))
   }
 
+  test("pmiPairs counts ±window co-occurrences and scores collocations") {
+    // doc "a b a c": window 2 position pairs (1,2)(2,3)(3,4)(1,3)(2,4)
+    // → canonical (a,b),(a,b),(a,c),(a,a),(b,c); doc "x y": (x,y)
+    val d = docsOf((1L, "a b a c"), (2L, "x y"), (3L, "solo"))
+    val out = Cooccur.pmiPairs(d, "doc_id", "text", window = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.view.mapValues(_._1).toMap == Map(
+      ("a", "b") -> 2L, ("a", "a") -> 1L, ("a", "c") -> 1L,
+      ("b", "c") -> 1L, ("x", "y") -> 1L))
+    // doc 3 ("solo", 1 token) contributes nothing — not even to the
+    // unigram totals (the pair universe is docs with >= 2 tokens)
+    // PMI sanity: Nt=6, Np=6; pmi(a,b) = ln(2/6*6/2*6/1) = ln(6);
+    // pmi(x,y) = ln(1/6*6/1*6/1) = ln(6); pmi(a,a) = ln(1/6*6/2*6/2) = ln(1.5)
+    assert(math.abs(out(("a", "b"))._2 - math.log(6.0)) < 1e-5)
+    assert(math.abs(out(("x", "y"))._2 - math.log(6.0)) < 1e-5)
+    assert(math.abs(out(("a", "a"))._2 - math.log(1.5)) < 1e-5)
+    // rarer-in-context pair outranks frequent-word pair on PMI even
+    // though counts tie
+    assert(out(("x", "y"))._2 > out(("a", "c"))._2)
+    // no positional self-join: the plan has exactly the two count
+    // shuffles + the scalar attaches — no SortMergeJoin on a range
+    val plan = Cooccur.pmiPairs(d, "doc_id", "text", 2, 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("pageRank replays the hand-computed integer propagation") {
+    // graph 1→2, 2→1, 3→1 (all outdeg 1), damping 0.85, base 150000:
+    // iter1: every c = 850000 → r=(1850000, 1000000, 150000)
+    // iter2: t=(1572500, 850000, 127500) → r=(1127500, 1722500, 150000)
+    val schema = StructType(Seq(
+      StructField("src", LongType), StructField("dst", LongType)))
+    val e = spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq(Row(1L, 2L), Row(2L, 1L), Row(3L, 1L)), 2), schema)
+    val r2 = GraphOps.pageRank(e, "src", "dst", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 1127500L, 2L -> 1722500L, 3L -> 150000L))
+    // a sink (no out-edges) still accumulates rank: 1→4 only
+    val e2 = spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq(Row(1L, 4L)), 2), schema)
+    val s1 = GraphOps.pageRank(e2, "src", "dst", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s1 == Map(1L -> 150000L, 4L -> 1000000L))
+    // deterministic across evaluations and partitionings
+    val a = GraphOps.pageRank(e, "src", "dst", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = GraphOps.pageRank(e.repartition(7), "src", "dst", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("BPE trainMerges learns the textbook example; BpeSegment applies by rank") {
     // Sennrich et al. 2016 §3.2 word dict: {low:5, lower:2, newest:6,
     // widest:3} (no end-of-word marker in this formulation). Weighted

@@ -133,11 +133,13 @@ class PlanShapeSpec extends SparkSpecBase {
     // (N, avgdl) corpus stats to the ≤|queryTerms| idf frame and the
     // per-doc tf frame; p53 attaches the one-row corpus token total to
     // the bounded bucket histogram (all the p36 shape)
+    // p56 attaches the one-row token and pair totals to the pair-count
+    // frame before the PMI projection
     val scalarAttachJoins = Set("p13_text_tfidf", "p32_domain_mix",
       "p36_lm_score", "p38_lm_buckets", "p39_dsir_resample",
       "p7_ann_lsh", "p15_ann_ivf", "p29_ann_ivfpq", "p46_bigram_lm",
       "p48_lang_sample", "p51_unimax_sample", "p52_bm25_topk",
-      "p53_budget_select")
+      "p53_budget_select", "p56_pmi_pairs")
     for ((name, fn) <- graft.SparkEntry.queries
          if !intentionalThetaJoins(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
