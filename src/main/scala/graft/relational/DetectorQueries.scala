@@ -111,6 +111,13 @@ object DetectorQueries {
     "det_ewma" -> ((s, dir) =>
       out(EwmaDetector(alpha = 0.3, threshold = 60.0).detect(ev(s, dir), spec))),
 
+    // Holt level+trend forecast deviation (the trend-aware EWMA
+    // sibling); the oracle folds the coupled (s, b) recursion via
+    // list_reduce over [x, 0] pairs, same op order, bit-identical flags
+    "det_holt" -> ((s, dir) =>
+      out(HoltDetector(alpha = 0.5, beta = 0.3, threshold = 60.0)
+        .detect(ev(s, dir), spec))),
+
     // two-sided CUSUM changepoint detection (Page 1954): sustained drift
     // above/below the target accumulates until it trips — level shifts
     // no single-point rule catches. Same mapPartitions recursion shape
@@ -282,6 +289,28 @@ object DetectorQueries {
                    (acc, x) -> 0.3 * x + 0.7 * acc)) > 60.0
             END AS is_anomaly
           FROM e""",
+
+    // the [x, 0] pair transform makes list_reduce's first-element init
+    // equal the scan's seed (s = x0, b = 0); s1 is inlined twice in the
+    // lambda (no local bindings in SQL lambdas) with the scan's exact
+    // operand order
+    "det_holt" ->
+      s"""WITH s AS (SELECT user_id, event_id, value,
+                list_filter(list(value) OVER ($W
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  x -> x IS NOT NULL) AS pv
+              FROM events),
+              h AS (SELECT user_id, event_id, value,
+                CASE WHEN len(pv) = 0 THEN NULL
+                     ELSE list_reduce(list_transform(pv, x -> [x, 0.0]),
+                       (acc, el) -> [0.5 * el[1] + 0.5 * (acc[1] + acc[2]),
+                         0.3 * ((0.5 * el[1] + 0.5 * (acc[1] + acc[2]))
+                           - acc[1]) + 0.7 * acc[2]])
+                END AS st
+              FROM s)
+          SELECT user_id, event_id, value,
+            coalesce(abs(value - (st[1] + st[2])) > 60.0, false) AS is_anomaly
+          FROM h""",
 
     "det_range" ->
       s"""SELECT user_id, event_id, value,

@@ -168,6 +168,43 @@ object StreamingDetectors {
       }
   }
 
+  final case class HoltState(s: Double, b: Double)
+
+  /** Holt (level+trend) forecast deviation on a stream — the batch
+    * [[graft.ts.HoltDetector]] recursion with O(1) state per series
+    * (two doubles: level, trend). Identical arithmetic ordering to the
+    * batch scan, so flags are batch-identical.
+    */
+  def holtStream(points: Dataset[Point], alpha: Double, beta: Double,
+      threshold: Double): Dataset[FlaggedPoint] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.series_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Point], state: GroupState[HoltState]) =>
+          val sorted = rows.toVector.sortBy(p => micros(p.ts))
+          var seeded = state.exists
+          var s = state.getOption.map(_.s).getOrElse(0.0)
+          var b = state.getOption.map(_.b).getOrElse(0.0)
+          val out = sorted.map { p =>
+            val v: java.lang.Double =
+              if (p.value != null && p.value.isNaN) null else p.value
+            val anomaly = v != null && seeded &&
+              math.abs(v.doubleValue() - (s + b)) > threshold
+            if (v != null) {
+              if (!seeded) { s = v.doubleValue(); b = 0.0; seeded = true }
+              else {
+                val s1 = alpha * v.doubleValue() + (1 - alpha) * (s + b)
+                b = beta * (s1 - s) + (1 - beta) * b
+                s = s1
+              }
+            }
+            FlaggedPoint(key, p.ts, p.value, anomaly)
+          }
+          if (seeded) state.update(HoltState(s, b))
+          out.iterator
+      }
+  }
+
   final case class CusumState(sHi: Double, sLo: Double)
 
   /** Two-sided CUSUM changepoint detection on a stream — the batch

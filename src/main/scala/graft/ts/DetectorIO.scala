@@ -29,6 +29,7 @@ object DetectorIO {
     case "ConstantGradientDetector" => ConstantGradientDetector.fromJson(j)
     case "HampelDetector" => HampelDetector.fromJson(j)
     case "EwmaDetector" => EwmaDetector.fromJson(j)
+    case "HoltDetector" => HoltDetector.fromJson(j)
     case "CusumDetector" => CusumDetector.fromJson(j)
     case "CombinedDetector" => CombinedDetector.fromJson(j)
     case other => throw new TsodSparkException(s"Unknown detector type: $other")

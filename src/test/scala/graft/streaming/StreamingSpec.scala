@@ -104,6 +104,17 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("holtStream matches batch HoltDetector across micro-batch boundaries") {
+    // a ramp whose trend state must survive the batch split, plus a
+    // spike and a null
+    val pts = (0 until 14).map(i => Point("a", ts(i),
+      if (i == 9) 200.0 else if (i == 11) null else 10.0 * i)) ++ seriesB
+    val want = batchMask(graft.ts.HoltDetector(0.3, 0.3, 50.0), pts)
+    val got = runStream(pts, splitAt = 8)(ds => holtStream(ds, 0.3, 0.3, 50.0))
+    assert(got == want)
+    assert(want.exists(_._2), "expected the spike to flag")
+  }
+
   test("cusumStream matches batch CusumDetector across micro-batch boundaries") {
     // a sustained high run that trips S+ only after accumulating past
     // the split point — the cross-batch state is what's under test
