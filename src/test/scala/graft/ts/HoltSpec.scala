@@ -61,4 +61,40 @@ class HoltSpec extends SparkSpecBase {
     val d = HoltDetector(0.25, 0.15, 4.5)
     assert(DetectorIO.fromJsonString(DetectorIO.toJsonString(d)) == d)
   }
+
+  test("segmented-scan detectChunked matches the sequential scan") {
+    val g = loadGolden("walk")
+    val df = seriesDf(g)
+    val det = HoltDetector(0.3, 0.2, 5.0)
+    val want = maskOf(det.detect(df))
+    for (bucketHours <- Seq(5, 24, 1000)) {
+      val got = maskOf(det.detectChunked(df, SeriesSpec(), bucketHours * 3600L))
+      assert(got == want, s"chunked Holt diverged at bucket ${bucketHours}h")
+    }
+    // multi-series isolation survives chunking
+    val stacked = stackedDf(Seq(loadGolden("range_normal"), loadGolden("walk")))
+    val spec = SeriesSpec(seriesId = Seq("sid"))
+    val outC = det.detectChunked(stacked, spec, 24 * 3600L)
+    for (n <- Seq("range_normal", "walk")) {
+      val single = maskOf(det.detect(stacked.filter(col("sid") === n), spec))
+      assert(maskOf(outC.filter(col("sid") === n)) == single, n)
+    }
+    // a 50k-row trending series crossing ~20 chunk boundaries with
+    // nulls and spikes: flag sets must agree (entry states may drift by
+    // ulps — the documented contract — these thresholds sit far from
+    // any |x − forecast| value)
+    import spark.implicits._
+    val big = (0 until 50000).map { i =>
+      val v: java.lang.Double =
+        if (i % 997 == 0) null
+        else if (i % 500 == 13) 2.0 * i + 300.0
+        else 2.0 * i + (i % 7) * 0.5
+      (new java.sql.Timestamp(1577836800000L + i * 60000L), v)
+    }.toDF("ts", "value")
+    val wantBig = maskOf(det.copy(threshold = 150.0).detect(big))
+    val gotBig = maskOf(det.copy(threshold = 150.0)
+      .detectChunked(big, SeriesSpec(), 40 * 3600L))
+    assert(wantBig.count(identity) == 100, s"${wantBig.count(identity)}")
+    assert(gotBig == wantBig)
+  }
 }
