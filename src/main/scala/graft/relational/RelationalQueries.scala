@@ -236,10 +236,21 @@ object RelationalQueries {
 
     // Approx-distinct sketch (HyperLogLog++): implementation-specific
     // values, so no SQL oracle — driver records a rows-only check.
+    // HLL sketch with a self-certifying bound (the ANN recall-
+    // certificate pattern): the sketch estimate is implementation-
+    // specific so it cannot be in the hashed output, but the in-plan
+    // assert pins it within 10% of exact (default rsd 5%) — a sketch
+    // regression fails the query; the oracle checks the exact column
     "q16_approx_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag").agg(
-        approx_count_distinct("l_partkey").as("approx_parts"),
-        countDistinct("l_partkey").as("exact_parts"))),
+        approx_count_distinct("l_partkey").as("__approx"),
+        countDistinct("l_partkey").as("exact_parts"))
+        .filter(assert_true(
+          abs(col("__approx") - col("exact_parts")) <=
+            col("exact_parts") * lit(0.1),
+          concat(lit("HLL estimate out of bound for flag "),
+            col("l_returnflag"))).isNull)
+        .select("l_returnflag", "exact_parts")),
 
     // ---- scalar functions ----------------------------------------------
     "q17_scalar_fns" -> ((s, dir) =>
@@ -575,6 +586,13 @@ object RelationalQueries {
          round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
          min(l_quantity) AS min_qty,
          max(l_quantity) AS max_qty
+         FROM lineitem GROUP BY l_returnflag""",
+
+    // the sketch estimate stays out of the output (engine-specific);
+    // the in-plan assert certifies it against this exact column
+    "q16_approx_distinct" ->
+      """SELECT l_returnflag,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts
          FROM lineitem GROUP BY l_returnflag""",
 
     "q17_scalar_fns" ->
