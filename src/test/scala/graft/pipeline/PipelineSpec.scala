@@ -1346,6 +1346,70 @@ class PipelineSpec extends SparkSpecBase {
     assert(!j.contains((1L, 2L)) && !j.contains((2L, 1L)))
   }
 
+  test("round-6 op invariants on random inputs (seeded)") {
+    val rnd = new scala.util.Random(1106)
+    for (trial <- 1 to 3) {
+      // --- unimax: budget spent exactly, caps respected -------------
+      val langs = (0 until 40).map { i =>
+        (i.toLong, s"l${rnd.nextInt(2 + rnd.nextInt(6))}")
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType)))
+      val ld = spark.createDataFrame(spark.sparkContext.parallelize(
+        langs.map(t => Row(t._1, t._2)), 3), schema)
+      val e = 1 + rnd.nextInt(3)
+      val frac = 0.3 + rnd.nextDouble() * (e - 0.3)
+      val u = Sampling.unimaxSample(ld, "doc_id", "lang", frac, e).collect()
+      val counts = langs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val budget = math.floor(langs.size * frac).toLong
+      val byLang = u.groupBy(_.getString(1))
+      byLang.foreach { case (l, rows) =>
+        val quota = rows.head.getLong(3)
+        assert(rows.length == quota, s"trial $trial $l emitted ${rows.length} != quota $quota")
+        assert(quota <= e * counts(l), s"trial $trial $l quota $quota > cap")
+        // epochs per doc contiguous from 1
+        rows.groupBy(_.getLong(0)).values.foreach { dr =>
+          val eps = dr.map(_.getLong(4)).sorted.toSeq
+          assert(eps == (1L to eps.length).toSeq, s"trial $trial epochs $eps")
+        }
+      }
+      assert(u.length <= budget, s"trial $trial total ${u.length} > budget $budget")
+      // leftover smaller than the number of uncapped languages (floor loss)
+      val uncapped = byLang.count { case (l, rows) =>
+        rows.head.getLong(3) < e * counts(l) }
+      assert(budget - u.length <= math.max(uncapped, 1),
+        s"trial $trial unspent ${budget - u.length} with $uncapped uncapped langs")
+
+      // --- pageRank: base floor, mass ceiling, determinism ----------
+      val edges = (0 until 60).map(_ => (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      val es = spark.createDataFrame(spark.sparkContext.parallelize(
+        edges.map(t => Row(t._1, t._2)), 3),
+        StructType(Seq(StructField("src", LongType), StructField("dst", LongType))))
+      val pr = GraphOps.pageRank(es, "src", "dst", 1 + rnd.nextInt(4)).collect()
+      val nv = edges.flatMap(t => Seq(t._1, t._2)).distinct.size
+      assert(pr.length == nv)
+      pr.foreach(r => assert(r.getLong(1) >= 150000L, s"rank below base: $r"))
+      // total mass never exceeds the initial |V| (integer leaks only shrink it)
+      assert(pr.map(_.getLong(1)).sum <= nv * 1000000L)
+
+      // --- containment: range, symmetry-on-dups, jaccard lower bound -
+      val cd = docsOf((0 until 16).map { i =>
+        (i.toLong, (0 until (4 + rnd.nextInt(10)))
+          .map(_ => s"c${rnd.nextInt(5)}").mkString(" "))
+      }: _*)
+      val cp = Dedup.containmentPairs(cd, "doc_id", "text", 3, 0.1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      cp.values.foreach(c => assert(c > 0 && c <= 1.0))
+      val jp = Dedup.jaccardPairs(cd, "doc_id", "text", 3, 0.1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // containment(inner→outer) >= jaccard for every surviving pair
+      jp.foreach { case ((a, b), j) =>
+        val c = math.max(cp.getOrElse((a, b), 0.0), cp.getOrElse((b, a), 0.0))
+        assert(c >= j - 1e-9, s"trial $trial pair ($a,$b): containment $c < jaccard $j")
+      }
+    }
+  }
+
   test("pmiPairs counts ±window co-occurrences and scores collocations") {
     // doc "a b a c": window 2 position pairs (1,2)(2,3)(3,4)(1,3)(2,4)
     // → canonical (a,b),(a,b),(a,c),(a,a),(b,c); doc "x y": (x,y)
