@@ -71,6 +71,36 @@ object Multimodal {
       .toDF()
   }
 
+  final case class AudioSpectrum(
+      doc_id: Long, n_bytes: Long, sample_rate: Long, fft_size: Long,
+      dominant_freq_hz: Double, spectral_centroid_hz: Double,
+      decoded_real: Boolean)
+
+  /** Batched spectral feature extraction: Hann-windowed radix-2 FFT
+    * over the first `fftSize` mono-mixed PCM frames of each decodable
+    * clip (zero-padded when shorter) → dominant-bin frequency and
+    * spectral centroid in Hz — the two features a pretraining-data
+    * audio triage actually filters on (tones/DTMF/silence vs speech-
+    * or music-shaped spectra). Pure-JVM FFT (iterative Cooley–Tukey,
+    * no dependencies), one O(fftSize·log fftSize) pass per clip inside
+    * the partition-batched decoder; non-audio blobs fall back to
+    * md5-deterministic fakes with `decoded_real = false`, the
+    * [[decodeAudioFeatures]] dispatch contract.
+    */
+  def decodeAudioSpectrum(media: DataFrame, fftSize: Int = 4096): DataFrame = {
+    require(fftSize >= 8 && (fftSize & (fftSize - 1)) == 0,
+      s"fftSize must be a power of two >= 8: $fftSize")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decoder = new AudioDecoder
+        rows.map { case (id, blob) => decoder.decodeSpectrum(id, blob, fftSize) }
+      }
+      .toDF()
+  }
+
   /** Aspect-preserving resize metadata. */
   def resizePlan(decoded: DataFrame, maxSide: Int): DataFrame =
     decoded
@@ -181,6 +211,159 @@ final class AudioDecoder extends Serializable {
       } finally in.close()
     } catch {
       case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Mono-mixed normalized PCM of the first `maxFrames` frames, under
+    * the same format guards as [[realDecode]] (linear PCM only, bounded
+    * buffer). Multi-channel frames average their channels.
+    */
+  private def pcmMono(blob: Array[Byte],
+      maxFrames: Int): Option[(Long, Array[Double])] = {
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      try {
+        val fmt = in.getFormat
+        val nFrames = in.getFrameLength
+        val rate = fmt.getSampleRate.toDouble
+        val channels = fmt.getChannels
+        val bits = fmt.getSampleSizeInBits
+        import javax.sound.sampled.AudioFormat.Encoding
+        val enc = fmt.getEncoding
+        val linearOk =
+          (bits == 16 && enc == Encoding.PCM_SIGNED) ||
+          (bits == 8 && (enc == Encoding.PCM_SIGNED || enc == Encoding.PCM_UNSIGNED))
+        if (nFrames <= 0 || rate <= 0 || channels <= 0 || !linearOk) return None
+        val sampleBytes = bits / 8
+        val frameBytes = sampleBytes * channels
+        val wantFrames = math.min(nFrames, maxFrames.toLong).toInt
+        val buf = new Array[Byte](wantFrames * frameBytes)
+        var off = 0
+        var read = 0
+        while (off < buf.length && read >= 0) {
+          read = in.read(buf, off, buf.length - off)
+          if (read > 0) off += read
+        }
+        val gotFrames = off / frameBytes
+        val big = fmt.isBigEndian
+        val signed = enc == Encoding.PCM_SIGNED
+        val out = new Array[Double](gotFrames)
+        var f = 0
+        while (f < gotFrames) {
+          var acc = 0.0
+          var c = 0
+          while (c < channels) {
+            val i = f * frameBytes + c * sampleBytes
+            acc +=
+              (if (bits == 8) {
+                val raw = buf(i) & 0xFF
+                (if (signed) buf(i).toDouble else (raw - 128).toDouble) / 128.0
+              } else {
+                val (lo, hi) =
+                  if (big) (buf(i + 1) & 0xFF, buf(i)) else (buf(i) & 0xFF, buf(i + 1))
+                ((hi.toInt << 8) | lo).toShort.toDouble / 32768.0
+              })
+            c += 1
+          }
+          out(f) = acc / channels
+          f += 1
+        }
+        Some((rate.toLong, out))
+      } finally in.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** In-place iterative radix-2 Cooley–Tukey; re/im length must be a
+    * power of two.
+    */
+  private def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    // bit-reversal permutation
+    var i = 1
+    var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang)
+      val wi = math.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ar = re(base + k); val ai = im(base + k)
+          val br = re(base + k + len / 2); val bi = im(base + k + len / 2)
+          val tr = br * cr - bi * ci
+          val ti = br * ci + bi * cr
+          re(base + k) = ar + tr; im(base + k) = ai + ti
+          re(base + k + len / 2) = ar - tr; im(base + k + len / 2) = ai - ti
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr
+          cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
+  def decodeSpectrum(id: Long, blob: Array[Byte],
+      fftSize: Int): Multimodal.AudioSpectrum = {
+    val pcm = if (looksLikeAudio(blob)) pcmMono(blob, fftSize) else None
+    pcm match {
+      case Some((rate, samples)) if samples.nonEmpty =>
+        val re = new Array[Double](fftSize)
+        val im = new Array[Double](fftSize)
+        var i = 0
+        while (i < samples.length) {
+          // Hann window over the full frame (zero-padding tail stays 0)
+          val w = 0.5 * (1 - math.cos(2.0 * math.Pi * i / (fftSize - 1)))
+          re(i) = samples(i) * w
+          i += 1
+        }
+        fft(re, im)
+        // bins 1..n/2 (skip DC); magnitude-weighted centroid + argmax
+        var best = 1
+        var bestMag = -1.0
+        var sumMag = 0.0
+        var sumFMag = 0.0
+        var k = 1
+        while (k <= fftSize / 2) {
+          val mag = math.sqrt(re(k) * re(k) + im(k) * im(k))
+          val f = k.toDouble * rate / fftSize
+          if (mag > bestMag) { bestMag = mag; best = k }
+          sumMag += mag
+          sumFMag += f * mag
+          k += 1
+        }
+        val centroid = if (sumMag > 0) sumFMag / sumMag else 0.0
+        Multimodal.AudioSpectrum(id, blob.length.toLong, rate, fftSize.toLong,
+          best.toDouble * rate / fftSize, centroid, decoded_real = true)
+      case _ =>
+        val hex = mdig.digest(blob).map("%02x".format(_)).mkString
+        Multimodal.AudioSpectrum(
+          doc_id = id,
+          n_bytes = blob.length.toLong,
+          sample_rate = Seq(8000L, 16000L, 22050L, 44100L)(
+            (hexSlice(hex, 0, 12) % 4).toInt),
+          fft_size = fftSize.toLong,
+          dominant_freq_hz = (hexSlice(hex, 12, 12) % 4000000L) / 1000.0,
+          spectral_centroid_hz = (hexSlice(hex, 20, 12) % 4000000L) / 1000.0,
+          decoded_real = false)
     }
   }
 

@@ -203,6 +203,58 @@ class MultimodalDecodeSpec extends SparkSpecBase {
     assert(rms2 == 0.0)
   }
 
+  test("audio spectrum: FFT finds the tone, centroid separates timbres") {
+    def spectrumAll(blobs: Seq[(Long, Array[Byte])]) = {
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("media", BinaryType)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(blobs.map(b => Row(b._1, b._2)), 2), schema)
+      Multimodal.decodeAudioSpectrum(df, fftSize = 4096).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(2), r.getDouble(4), r.getDouble(5), r.getBoolean(6))))
+        .toMap
+    }
+    val binHz = 8000.0 / 4096
+    val sine = Array.tabulate[Short](8000)(i =>
+      math.round(0.8 * 32767 * math.sin(2 * math.Pi * 440 * i / 8000.0)).toShort)
+    // 250 Hz square: period 32 samples at 8000 Hz — odd harmonics at
+    // 250·(2k−1) with 1/(2k−1) amplitudes pull the centroid far above
+    // the fundamental (predicted ≈ 990 Hz; the sine's stays at 440)
+    val square = Array.tabulate[Short](8000)(i =>
+      if ((i / 16) % 2 == 0) 16384 else -16384)
+    val out = spectrumAll(Seq(
+      1L -> wavBytes(sine, 8000f), 2L -> wavBytes(square, 8000f)))
+    val (rate1, dom1, cen1, real1) = out(1L)
+    assert(real1 && rate1 == 8000L)
+    assert(math.abs(dom1 - 440.0) <= 2 * binHz, s"sine dominant $dom1")
+    assert(math.abs(cen1 - 440.0) <= 30.0, s"sine centroid $cen1")
+    val (_, dom2, cen2, real2) = out(2L)
+    assert(real2)
+    assert(math.abs(dom2 - 250.0) <= 2 * binHz, s"square dominant $dom2")
+    assert(cen2 > 600.0 && cen2 > cen1 + 300.0, s"square centroid $cen2")
+
+    // stereo mono-mix: L = sine, R = silence → same dominant tone
+    val stereoPcm = new Array[Byte](sine.length * 4)
+    sine.zipWithIndex.foreach { case (s, i) =>
+      stereoPcm(4 * i) = (s & 0xFF).toByte
+      stereoPcm(4 * i + 1) = ((s >> 8) & 0xFF).toByte
+      // right channel stays zero
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(stereoPcm), fmt, sine.length.toLong)
+    val so = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, so)
+    val sOut = spectrumAll(Seq(3L -> so.toByteArray))
+    assert(sOut(3L)._4 && math.abs(sOut(3L)._2 - 440.0) <= 2 * binHz)
+
+    // non-audio falls back deterministically
+    val text = "not audio".getBytes("UTF-8")
+    val f1 = spectrumAll(Seq(9L -> text))
+    assert(!f1(9L)._4 && f1 == spectrumAll(Seq(9L -> text)))
+  }
+
   test("non-audio and truncated blobs fall back to the audio fake deterministically") {
     val wav = wavBytes(Array.fill[Short](100)(1000), 8000f)
     val truncated = wav.take(16) // RIFF magic, unreadable body
