@@ -420,6 +420,42 @@ object Quality {
           .as("covered_frac"))
   }
 
+  /** Unicode-script composition per document — the language-ID
+    * prefilter real crawl pipelines run before n-gram langid (CLD/
+    * fastText practice): a page claiming to be English whose chars are
+    * 40% Cyrillic is mixed-script spam or mislabeled, and langid
+    * models are unreliable on it. Counts are EXACT integers (no ratio
+    * rounding to negotiate): non-whitespace chars and per-script char
+    * counts via codegen'd regexp_replace length differences — Latin /
+    * Cyrillic / Han / Arabic cover the high-volume scripts, digits are
+    * script-Common and counted separately, everything else (punct,
+    * other scripts) lands in `n_other`. `dominant_script` breaks ties
+    * by the fixed latin → cyrillic → han → arabic → other order,
+    * mirrored exactly by the SQL CASE chain. One projection — no
+    * shuffle, no UDF.
+    */
+  def scriptProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(re: String): Column =
+      (length(t) - length(regexp_replace(t, re, ""))).cast("long")
+    val ws = cnt("\\s")
+    val latin = cnt("\\p{IsLatin}")
+    val cyr = cnt("\\p{IsCyrillic}")
+    val han = cnt("\\p{IsHan}")
+    val arabic = cnt("\\p{IsArabic}")
+    val digit = cnt("[0-9]")
+    docs.select(col(idCol),
+      (length(t) - ws).as("n_nonspace"),
+      latin.as("n_latin"), cyr.as("n_cyrillic"), han.as("n_han"),
+      arabic.as("n_arabic"), digit.as("n_digit"),
+      (length(t) - ws - latin - cyr - han - arabic - digit)
+        .as("n_other"),
+      when(latin >= greatest(cyr, han, arabic), lit("latin"))
+        .when(cyr >= greatest(han, arabic), lit("cyrillic"))
+        .when(han >= arabic, lit("han"))
+        .otherwise(lit("arabic")).as("dominant_script"))
+  }
+
   /** Token-budget data selection: keep the most-fluent documents (by the
     * [[lmScore]] signal, lower NLL = better) until `budgetFrac` of the
     * corpus's tokens are spent — the "select the best X% of tokens"

@@ -722,7 +722,12 @@ object PipelineQueries {
     // positional self-join anywhere)
     "p56_pmi_pairs" -> ((s, dir) =>
       Cooccur.pmiPairs(docs(s, dir), "doc_id", "text",
-        window = 3, k = 200))
+        window = 3, k = 200)),
+
+    // Unicode-script composition (the langid prefilter): exact integer
+    // char counts per script class — one codegen'd projection
+    "p57_script_profile" -> ((s, dir) =>
+      Quality.scriptProfile(docs(s, dir), "doc_id", "text"))
   )
 
   // shared CTE chain producing minhash-LSH candidate pairs `j(doc_a,
@@ -1929,6 +1934,33 @@ object PipelineQueries {
          FROM cooc JOIN uc c1 ON cooc.t1 = c1.term
               JOIN uc c2 ON cooc.t2 = c2.term, nt, np
          ORDER BY n_cooc DESC, t1, t2 LIMIT 200"""
-    }
+    },
+
+    // RE2 spells script classes \p{Latin} where Java needs \p{IsLatin};
+    // both count the same code points. regexp_replace needs the 'g'
+    // flag here (DuckDB default replaces first match only)
+    "p57_script_profile" ->
+      raw"""WITH c AS (SELECT doc_id, text,
+               length(text) AS n,
+               length(text) - length(regexp_replace(text, '\s', '', 'g')) AS ws,
+               length(text) - length(regexp_replace(text, '\p{Latin}', '', 'g')) AS lat,
+               length(text) - length(regexp_replace(text, '\p{Cyrillic}', '', 'g')) AS cyr,
+               length(text) - length(regexp_replace(text, '\p{Han}', '', 'g')) AS han,
+               length(text) - length(regexp_replace(text, '\p{Arabic}', '', 'g')) AS ar,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS dig
+             FROM documents)
+         SELECT doc_id,
+           CAST(n - ws AS BIGINT) AS n_nonspace,
+           CAST(lat AS BIGINT) AS n_latin,
+           CAST(cyr AS BIGINT) AS n_cyrillic,
+           CAST(han AS BIGINT) AS n_han,
+           CAST(ar AS BIGINT) AS n_arabic,
+           CAST(dig AS BIGINT) AS n_digit,
+           CAST(n - ws - lat - cyr - han - ar - dig AS BIGINT) AS n_other,
+           CASE WHEN lat >= greatest(cyr, han, ar) THEN 'latin'
+                WHEN cyr >= greatest(han, ar) THEN 'cyrillic'
+                WHEN han >= ar THEN 'han'
+                ELSE 'arabic' END AS dominant_script
+         FROM c"""
   )
 }

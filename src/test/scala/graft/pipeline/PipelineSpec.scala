@@ -1410,6 +1410,24 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("scriptProfile counts Unicode scripts exactly and picks the dominant") {
+    val d = docsOf(
+      (1L, "Hello Привет 你好 مرحبا 123!"),
+      (2L, "Все слова тут кириллица"),
+      (3L, "только 中文 里面 多数 汉字"),
+      (4L, ""))
+    val out = Quality.scriptProfile(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getString(8)))).toMap
+    // doc 1: 22 non-space = 5 latin + 6 cyr + 2 han + 5 arabic + 3 digit + 1 other
+    assert(out(1L) == ((22L, 5L, 6L, 2L, 5L, 3L, 1L, "cyrillic")))
+    assert(out(2L)._8 == "cyrillic" && out(2L)._2 == 0L)
+    assert(out(3L)._8 == "han" && out(3L)._4 == 8L)
+    // empty doc: all zeros, tie chain lands on latin deterministically
+    assert(out(4L) == ((0L, 0L, 0L, 0L, 0L, 0L, 0L, "latin")))
+  }
+
   test("pmiPairs counts ±window co-occurrences and scores collocations") {
     // doc "a b a c": window 2 position pairs (1,2)(2,3)(3,4)(1,3)(2,4)
     // → canonical (a,b),(a,b),(a,c),(a,a),(b,c); doc "x y": (x,y)
