@@ -36,6 +36,32 @@ object TextOps {
   def hash48(s: Column): Column =
     conv(substring(md5(s), 1, 12), 16, 10).cast("long")
 
+  /** Unicode cleanup normalization — the preprocessing step crawl
+    * pipelines run BEFORE dedup/fingerprinting so cosmetic encoding
+    * variants (curly vs straight quotes, NBSP vs space, zero-width
+    * junk) don't defeat exact matching:
+    *
+    *   - zero-width chars (ZWSP/ZWNJ/ZWJ/BOM) stripped;
+    *   - unicode spaces (NBSP, en/em/thin spaces, ideographic space)
+    *     → ASCII space;
+    *   - curly quotes → straight, en/em dash → '-', ellipsis → '...';
+    *   - whitespace runs collapsed, ends trimmed.
+    *
+    * Deliberately NOT full NFKC (the JVM could via Normalizer, but no
+    * SQL engine replays it — this subset is exactly expressible on
+    * both, so normalized text stays oracle-hashable). One codegen'd
+    * regexp_replace chain, no shuffle.
+    */
+  def normalizeText(t: Column): Column = {
+    val t1 = regexp_replace(t, "[\\u200B\\u200C\\u200D\\uFEFF]", "")
+    val t2 = regexp_replace(t1, "[\\u00A0\\u2000-\\u200A\\u202F\\u3000]", " ")
+    val t3 = regexp_replace(t2, "[\\u2018\\u2019]", "'")
+    val t4 = regexp_replace(t3, "[\\u201C\\u201D]", "\"")
+    val t5 = regexp_replace(t4, "[\\u2013\\u2014]", "-")
+    val t6 = regexp_replace(t5, "\\u2026", "...")
+    trim(regexp_replace(t6, "\\s+", " "))
+  }
+
   /** Polynomial rolling hash (Rabin–Karp) over the code points of the
     * whitespace-normalized document: acc = (acc*31 + code) mod p. One
     * codegen'd pass over the UTF-8 bytes ([[graft.functions.RollingHash]]),

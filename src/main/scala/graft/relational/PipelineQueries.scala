@@ -728,6 +728,23 @@ object PipelineQueries {
     // char counts per script class — one codegen'd projection
     "p57_script_profile" -> ((s, dir) =>
       Quality.scriptProfile(docs(s, dir), "doc_id", "text"))
+
+    ,
+    // unicode cleanup normalization over docs wrapped in planted
+    // encoding junk (curly quotes, NBSP, ZWSP, em-dash, ellipsis — the
+    // p49 planted-chrome pattern); normalized text is oracle-hashed
+    "p58_text_normalize" -> ((s, dir) => {
+      // plant: curly-quoted prefix + NBSP, and on every 3rd doc an
+      // ellipsis + ZWSP + em-dash tail (unicode escapes, not literal
+      // invisible chars)
+      val wrapped = concat(lit("\u201Cq\u201D\u00A0"), col("text"),
+        when(col("doc_id") % 3 === 0, lit("\u2026\u200B end\u2014x"))
+          .otherwise(lit(" plain")))
+      docs(s, dir).select(col("doc_id"),
+        TextOps.normalizeText(wrapped).as("text_norm"),
+        length(wrapped).cast("long").as("n_raw"),
+        length(TextOps.normalizeText(wrapped)).cast("long").as("n_norm"))
+    })
   )
 
   // shared CTE chain producing minhash-LSH candidate pairs `j(doc_a,
@@ -1961,6 +1978,36 @@ object PipelineQueries {
                 WHEN cyr >= greatest(han, ar) THEN 'cyrillic'
                 WHEN han >= ar THEN 'han'
                 ELSE 'arabic' END AS dominant_script
-         FROM c"""
+         FROM c""",
+
+    // plant rebuilt from chr() codes (8220/8221 curly quotes, 160
+    // NBSP, 8230 ellipsis, 8203 ZWSP, 8212 em-dash); the normalize
+    // chain mirrors TextOps.normalizeText with RE2's \x{...} spellings
+    "p58_text_normalize" ->
+      raw"""WITH w AS (SELECT doc_id,
+               chr(8220) || 'q' || chr(8221) || chr(160) || text ||
+                 CASE WHEN doc_id % 3 = 0
+                      THEN chr(8230) || chr(8203) || ' end' || chr(8212) || 'x'
+                      ELSE ' plain' END AS t
+             FROM documents),
+             n AS (SELECT doc_id, t, trim(regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(t,
+                 '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+                 '[\x{00A0}\x{2000}-\x{200A}\x{202F}\x{3000}]', ' ', 'g'),
+                 '[\x{2018}\x{2019}]', '''', 'g'),
+                 '[\x{201C}\x{201D}]', '"', 'g'),
+                 '[\x{2013}\x{2014}]', '-', 'g'),
+                 '\x{2026}', '...', 'g'),
+                 '\s+', ' ', 'g')) AS tn
+             FROM w)
+         SELECT doc_id, tn AS text_norm,
+           CAST(length(t) AS BIGINT) AS n_raw,
+           CAST(length(tn) AS BIGINT) AS n_norm
+         FROM n"""
   )
 }

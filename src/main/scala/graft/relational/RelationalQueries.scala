@@ -192,6 +192,25 @@ object RelationalQueries {
         round(last(v, ignoreNulls = true).over(w), 6).as("value_filled"))
     }),
 
+    // Trailing-7-day distinct active users per day — COUNT(DISTINCT)
+    // over a window, which Spark's window functions cannot express
+    // (and a per-day rescan would be O(days·corpus)). The scale-correct
+    // restatement: distinct (day, user) pairs each EXPLODE into the ≤7
+    // window-end days they're visible from, dedup again, count — total
+    // shuffle volume is 7× the distinct-pair count, independent of the
+    // window being "distinct". Output restricted to days that exist.
+    "q37_rolling_distinct" -> ((s, dir) => {
+      val du = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val present = du.select(col("day")).distinct()
+      du.select(explode(sequence(col("day"), date_add(col("day"), 6)))
+          .as("day"), col("user_id"))
+        .distinct()
+        .join(present, "day")
+        .groupBy("day")
+        .agg(count(lit(1)).as("active_7d"))
+    }),
+
     // ---- sort / limit ---------------------------------------------------
     "q12_topn" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -678,6 +697,19 @@ object RelationalQueries {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
              AS value_filled
          FROM g""",
+
+    // deliberately a DIFFERENT algorithm than the engine: DuckDB can
+    // evaluate COUNT(DISTINCT) directly over a RANGE window, so the
+    // oracle cross-checks the explode-dedup restatement against the
+    // native windowed form
+    "q37_rolling_distinct" ->
+      """WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                    FROM events),
+            r AS (SELECT day, CAST(count(DISTINCT user_id) OVER (
+                    ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS active_7d
+                  FROM d)
+         SELECT DISTINCT day, active_7d FROM r""",
 
     "q33_funnel" ->
       """WITH s1 AS (SELECT user_id, event_type, ts,

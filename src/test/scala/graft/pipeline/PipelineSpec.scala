@@ -1410,6 +1410,23 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("normalizeText folds encoding variants; idempotent; dedup-relevant") {
+    def norm(s: String): String = {
+      val d = docsOf((1L, s))
+      d.select(TextOps.normalizeText(col("text"))).head().getString(0)
+    }
+    // curly quotes, NBSP, em-dash, ellipsis, ZWSP, space runs
+    assert(norm("\u201Chi\u201D\u00A0there\u2014now\u2026\u200B  ok") ==
+      "\"hi\" there-now... ok")
+    assert(norm("\u2018a\u2019 \u2013 b") == "'a' - b")
+    // idempotent: normalizing twice changes nothing
+    val once = norm("\u201Cx\u201D\u3000y\uFEFF")
+    assert(norm(once) == once && once == "\"x\" y")
+    // the dedup motivation: cosmetic variants land on the SAME string
+    assert(norm("He said \u201Cyes\u201D now") ==
+      norm("He said \"yes\"  now"))
+  }
+
   test("scriptProfile counts Unicode scripts exactly and picks the dominant") {
     val d = docsOf(
       (1L, "Hello Привет 你好 مرحبا 123!"),
