@@ -744,6 +744,64 @@ object PipelineQueries {
         TextOps.normalizeText(wrapped).as("text_norm"),
         length(wrapped).cast("long").as("n_raw"),
         length(TextOps.normalizeText(wrapped)).cast("long").as("n_norm"))
+    }),
+
+    // crawl-to-crawl corpus delta (dataset versioning: what did the new
+    // snapshot add/remove/change?). Snapshot B is derived
+    // deterministically in-query (1/7 removed, 1/7 edited, 1/7 cloned
+    // as new ids); the diff itself is the scale-right shape — compare
+    // FINGERPRINTS through the full-outer join, so the shuffle moves
+    // 16 bytes per doc, never the text
+    "p59_snapshot_diff" -> ((s, dir) => {
+      val a = docs(s, dir).select(col("doc_id"), col("text"))
+      val h = hash60(concat(lit("snap:"), col("doc_id").cast("string"))) % 7
+      val withH = a.withColumn("__h", h)
+      val b = withH.filter(col("__h") =!= 0 && col("__h") =!= 1)
+        .select(col("doc_id"), col("text"))
+        .unionByName(withH.filter(col("__h") === 1)
+          .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text")))
+        .unionByName(withH.filter(col("__h") === 2)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" new")).as("text")))
+      val fa = a.select(col("doc_id"), fingerprint(col("text")).as("fp_a"))
+      val fb = b.select(col("doc_id"), fingerprint(col("text")).as("fp_b"))
+      fa.join(fb, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("fp_b").isNull, lit("removed"))
+            .when(col("fp_a").isNull, lit("added"))
+            .when(col("fp_a") =!= col("fp_b"), lit("changed"))
+            .otherwise(lit("unchanged")).as("status"))
+    }),
+
+    // embedding-space source QA (CCMatrix-style class hygiene): per-
+    // label centroid, per-vector distance to its OWN centroid, outliers
+    // past the label's exact p95. Centroid sums are integer-quantized
+    // micro-units (order-free — a float mean flips its 6th decimal with
+    // shuffle order); distances go through the codegen'd sequential
+    // DotProductDouble that DuckDB's list_dot_product mirrors bit-
+    // for-bit; the centroid frame is label-count-bounded and broadcast
+    "p60_source_outliers" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val comp = e.select(col("label"), posexplode(col("v")))
+        .withColumn("qx", round(col("col") * lit(1000000.0)).cast("long"))
+        .groupBy("label", "pos")
+        .agg(sum("qx").as("sq"), count(lit(1)).as("n"))
+      val cent = comp
+        .withColumn("c", round(col("sq") / (col("n") * lit(1000000.0)), 6))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c")).as("centroid"))
+      val dist = e.join(broadcast(cent), "label")
+        .withColumn("__d", zip_with(col("v"), col("centroid"), (x, c) => x - c))
+        .select(col("vec_id"), col("label"),
+          round(sqrt(Similarity.dot(col("__d"), col("__d"))), 6).as("dist"))
+        .persist()
+      val cut = dist.groupBy("label")
+        .agg(round(percentile(col("dist"), lit(0.95)), 6).as("__cut"))
+      dist.join(broadcast(cut), "label")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("dist"), (col("dist") > col("__cut")).as("is_outlier"))
     })
   )
 
@@ -2008,6 +2066,63 @@ object PipelineQueries {
          SELECT doc_id, tn AS text_norm,
            CAST(length(t) AS BIGINT) AS n_raw,
            CAST(length(tn) AS BIGINT) AS n_norm
-         FROM n"""
+         FROM n""",
+
+    // snapshot B rebuilt with the same salted hash; the p11 rolling-
+    // hash replay fingerprints both sides
+    "p59_snapshot_diff" -> {
+      def fp(rel: String) =
+        s"""SELECT doc_id, list_reduce(
+              list_prepend(0::BIGINT,
+                list_transform(regexp_extract_all(
+                  array_to_string($TOKS, ' '), '.'), c -> ord(c)::BIGINT)),
+              (a, b) -> (a * 31 + b) % 1000000007) AS fp
+            FROM $rel"""
+      s"""WITH a AS (SELECT doc_id, text FROM documents),
+             h AS (SELECT doc_id, text,
+                     ('0x' || substr(md5('snap:' || doc_id::VARCHAR), 1,
+                       15))::BIGINT % 7 AS hh
+                   FROM a),
+             b AS (SELECT doc_id, text FROM h WHERE hh NOT IN (0, 1)
+                   UNION ALL
+                   SELECT doc_id, text || ' v2' AS text FROM h WHERE hh = 1
+                   UNION ALL
+                   SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text
+                   FROM h WHERE hh = 2),
+             fa AS (${fp("a")}),
+             fb AS (${fp("b")})
+         SELECT coalesce(fa.doc_id, fb.doc_id) AS doc_id,
+           CASE WHEN fb.doc_id IS NULL THEN 'removed'
+                WHEN fa.doc_id IS NULL THEN 'added'
+                WHEN fa.fp != fb.fp THEN 'changed'
+                ELSE 'unchanged' END AS status
+         FROM fa FULL OUTER JOIN fb ON fa.doc_id = fb.doc_id"""
+    },
+
+    // integer-quantized centroid sums (order-free), sequential
+    // list_dot_product distances, exact per-label p95 cutoff — the
+    // q15/quantile and p6/dot-product parity precedents combined
+    "p60_source_outliers" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+             comp AS (SELECT label, u.i AS pos,
+                        CAST(round(v[u.i] * 1000000) AS BIGINT) AS qx
+                      FROM e, (SELECT unnest(generate_series(1, 64)) AS i) u),
+             cent AS (SELECT label, pos,
+                        round(sum(qx) / (count(*) * 1000000.0), 6) AS c
+                      FROM comp GROUP BY 1, 2),
+             ca AS (SELECT label, list(c ORDER BY pos) AS centroid
+                    FROM cent GROUP BY 1),
+             d AS (SELECT vec_id, e.label, round(sqrt(list_dot_product(
+                     list_transform(generate_series(1, 64),
+                       i -> v[i] - centroid[i]),
+                     list_transform(generate_series(1, 64),
+                       i -> v[i] - centroid[i]))), 6) AS dist
+                   FROM e JOIN ca ON e.label = ca.label),
+             cut AS (SELECT label, round(quantile_cont(dist, 0.95), 6) AS cut
+                     FROM d GROUP BY 1)
+         SELECT vec_id, CAST(d.label AS BIGINT) AS label, dist,
+           dist > cut.cut AS is_outlier
+         FROM d JOIN cut ON d.label = cut.label"""
   )
 }

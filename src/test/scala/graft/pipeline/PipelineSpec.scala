@@ -1410,6 +1410,63 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("snapshot diff partitions ids into the planted delta classes") {
+    val out = graft.relational.PipelineQueries
+      .queries("p59_snapshot_diff")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def h(id: Long): Long =
+      BigInt(java.security.MessageDigest.getInstance("MD5")
+        .digest(s"snap:$id".getBytes("UTF-8")).take(8).map("%02x".format(_))
+        .mkString.take(15), 16).toLong % 7
+    out.foreach { case (id, st) =>
+      if (id >= 1000000L) assert(st == "added", s"$id $st")
+      else st match {
+        case "removed" => assert(h(id) == 0, s"$id")
+        case "changed" => assert(h(id) == 1, s"$id")
+        case "unchanged" => assert(h(id) >= 2, s"$id")
+        case other => fail(s"$id unexpected $other")
+      }
+    }
+    // every original id accounted for; every clone present
+    val orig = out.keys.filter(_ < 1000000L).toSet
+    assert(orig.size == 500)
+    assert(out.keys.count(_ >= 1000000L) ==
+      orig.count(id => h(id) == 2))
+  }
+
+  test("source outliers: zero-variance label has dist 0 and no outliers") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val flat = Array.fill(64)(0.5f)
+    val rows = (0 until 20).map { i =>
+      val v = if (i < 10) flat
+        else Array.tabulate(64)(j => (math.sin(i * 64 + j) * 0.1 + 0.3).toFloat)
+      Row(i.toLong, v.toSeq, if (i < 10) 1 else 2)
+    }
+    val e = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+    // run the p60 body against this frame via a temp dir? — the query
+    // reads from a dir, so replicate the composition inline instead
+    val byDir = new java.io.File("/tmp/p60_fixture")
+    byDir.mkdirs()
+    e.coalesce(1).write.mode("overwrite").parquet("/tmp/p60_fixture/embeddings.parquet")
+    // documents table must exist for Tables.load? only embeddings is read
+    val out = graft.relational.PipelineQueries
+      .queries("p60_source_outliers")(spark, "/tmp/p60_fixture")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // label 1 is ten identical vectors: centroid == vector, dist 0, no flags
+    (0 until 10).foreach { i =>
+      val (l, d, o) = out(i.toLong)
+      assert(l == 1L && d == 0.0 && !o, s"$i -> ($l, $d, $o)")
+    }
+    // label 2 has spread: distances positive, at most ~5% + ties flagged
+    val l2 = (10 until 20).map(i => out(i.toLong))
+    assert(l2.forall(_._2 >= 0.0))
+    assert(l2.count(_._3) <= 2)
+  }
+
   test("normalizeText folds encoding variants; idempotent; dedup-relevant") {
     def norm(s: String): String = {
       val d = docsOf((1L, s))
