@@ -308,12 +308,33 @@ object ScaleSmokeDocs {
       .filter(col("text").contains(boiler.trim)).count())
     skewed.unpersist()
 
+    // p59 snapshot diff: fingerprint both snapshots + one fp-only
+    // full-outer join (B = corpus with 1/7 removed, 1/7 edited, 1/7
+    // cloned, same derivation as the driver query)
+    stage("snapshot_diff")({
+      val h = pmod(hash(col("doc_id"), lit(59)), lit(7))
+      val withH = docs.withColumn("__h", h)
+      val b = withH.filter(col("__h") =!= 0 && col("__h") =!= 1)
+        .select(col("doc_id"), col("text"))
+        .unionByName(withH.filter(col("__h") === 1)
+          .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text")))
+        .unionByName(withH.filter(col("__h") === 2)
+          .select((col("doc_id") + 100000000L).as("doc_id"),
+            concat(col("text"), lit(" new")).as("text")))
+      val fa = docs.select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fa"))
+      val fb = b.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fb"))
+      fa.join(fb, Seq("doc_id"), "full_outer")
+        .filter(col("fa").isNull || col("fb").isNull || col("fa") =!= col("fb"))
+        .count()
+    })
+
     // ANN over synthetic embeddings: half the doc count, 64 dims, with
     // planted near-dups (id ≡ 1 mod 100 = predecessor with coordinate 0
     // nudged → cosine ≈ 0.999) so banded-pair recall is checkable.
     // The block's gate name carries every stage prefix it prints, so a
     // stage filter like "ann" or "pq" keeps it and "lm,dsir" skips it.
-    if (!wanted("ann_cosine_pairs_banded_embedding_clusters_pq_ivfpq")) {
+    if (!wanted("ann_cosine_pairs_banded_embedding_clusters_pq_ivfpq_source_outliers")) {
       docs.unpersist(); return
     }
     val nVec = math.max(10000L, totalDocs / 2)
@@ -395,6 +416,30 @@ object ScaleSmokeDocs {
     vstage("ann_ivfpq_100q")(
       Similarity.ivfPqTopK(ipCodes, ipCents, ipCb, vecs,
         vecs.filter(col("vec_id") < 100), k = 5, mCand = 25, nProbe = 8).count())
+    // p60 shape: per-label quantized centroid + distance + exact p95
+    // flag over the synthetic vectors (10 hash labels)
+    vstage("source_outliers")({
+      val e = vecs.select(col("vec_id"),
+        pmod(hash(col("vec_id"), lit(60)), lit(10)).as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val comp = e.select(col("label"), posexplode(col("v")))
+        .withColumn("qx", round(col("col") * lit(1000000.0)).cast("long"))
+        .groupBy("label", "pos").agg(sum("qx").as("sq"), count(lit(1)).as("n"))
+      val cent = comp
+        .withColumn("c", round(col("sq") / (col("n") * lit(1000000.0)), 6))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c")).as("centroid"))
+      val dist = e.join(broadcast(cent), "label")
+        .withColumn("__d", zip_with(col("v"), col("centroid"), (x, c) => x - c))
+        .select(col("vec_id"), col("label"),
+          round(sqrt(Similarity.dot(col("__d"), col("__d"))), 6).as("dist"))
+        .persist()
+      val cut = dist.groupBy("label")
+        .agg(round(percentile(col("dist"), lit(0.95)), 6).as("cut"))
+      dist.join(broadcast(cut), "label")
+        .filter(col("dist") > col("cut")).count()
+    })
     vecs.unpersist()
     docs.unpersist()
   }
