@@ -84,8 +84,19 @@ object Bench {
     val buildsJson = indexBuilds
       .map(_.toSeq.sorted.map(k => s""""$k"""").mkString("[", ",", "]"))
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best)},"sf":"$sfDir","runs":$runsJson,"run_totals":$runTotals,"index_builds_per_run":$buildsJson,"errors":$errJson}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best)},"sf":"$sfDir","runs":$runsJson,"run_totals":$runTotals,"index_builds_per_run":$buildsJson,"errors":$errJson}"""
+    // The driver parses the LAST stdout line as JSON; two rounds of
+    // BENCH_r{N}.json came back `parsed: null` because sbt/Spark banner
+    // noise (or tail truncation of a 124-entry line) landed after it.
+    // Belt and braces: (a) persist the full JSON to a file the driver
+    // (or a human) can always read, (b) print it AFTER spark.stop() so
+    // no executor-shutdown chatter can trail it.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    println(json)
     if (errors.nonEmpty) {
       System.err.println(s"BENCH FAILED: ${errors.size} queries errored: ${errors.map(_._1).mkString(", ")}")
       sys.exit(1)

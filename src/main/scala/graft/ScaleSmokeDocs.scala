@@ -215,6 +215,25 @@ object ScaleSmokeDocs {
         .agg(sum(size(graft.functions.BpeSegment(col("w"), merges)))
           .cast("long")).head().getLong(0)
     })
+    // production-regime tokenizer train (round-7): 32k merges — the GPT-2
+    // vocabulary size — over a letterized corpus (26-letter alphabet,
+    // hash-random words of 6-10 chars → the dict cap's full 100k words,
+    // ~800k symbols). The naive per-round rescan is infeasible here
+    // (32k rounds × 800k-char rescans ≈ 2.6e10 symbol visits); the
+    // indexed trainer touches only words containing each winning pair.
+    // rows = merges actually learned before pair exhaustion.
+    stage("bpe_train_32k")({
+      val alpha = lit("abcdefghijklmnopqrstuvwxyz")
+      val lettered = docs.select(concat_ws(" ",
+        transform(sequence(lit(0), lit(29)), i => {
+          val len = pmod(hash(col("doc_id"), i, lit(1)), lit(5)) + lit(6)
+          concat_ws("", transform(sequence(lit(1), len), j =>
+            alpha.substr((pmod(hash(col("doc_id"), i, j), lit(26)) + 1)
+              .cast("int"), lit(1))))
+        })).as("text"))
+      Bpe.trainMerges(lettered, "text", nMerges = 32000,
+        maxWords = 100000).length.toLong
+    })
     // DSIR importance resampling (p39): hashed unigram+bigram counts per
     // (bucket, side) — one term-shaped shuffle folded to 2×1024 rows —
     // then a per-doc log-ratio sum and an exact-quantile cutoff broadcast

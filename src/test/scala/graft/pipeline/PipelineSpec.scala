@@ -1580,6 +1580,29 @@ class PipelineSpec extends SparkSpecBase {
     assert(tiny.isEmpty)
   }
 
+  test("BPE indexed trainer reproduces the naive rescan merge-for-merge") {
+    // adversarial dict: overlap runs (aaaa), re-creatable pair strings
+    // ((a,bc) vs (ab,c) both yield symbol "abc"), count ties resolved
+    // lexicographically, and a hapax tail — exercises every branch of
+    // the incremental update (per-word recount, lazy-heap staleness,
+    // pair re-creation after a zero count)
+    def dict(ws: (String, Long)*): Array[(Array[String], Long)] =
+      ws.toArray.map { case (w, f) =>
+        (graft.functions.BpeSegment.codePoints(w), f) }
+    val d1 = dict("aaaa" -> 7L, "aab" -> 5L, "abc" -> 5L, "bca" -> 4L,
+      "cab" -> 3L, "abcabc" -> 2L, "zq" -> 1L, "a" -> 9L)
+    assert(Bpe.trainMergesLocal(d1, 20) == Bpe.trainMergesNaiveLocal(d1, 20))
+    // pseudo-random 60-word dict, deep merge run (drains most pairs)
+    val rng = new scala.util.Random(42)
+    val d2 = dict((1 to 60).map(i =>
+      (1 to (2 + rng.nextInt(8))).map(_ => ('a' + rng.nextInt(4)).toChar)
+        .mkString -> (1L + rng.nextInt(9))): _*)
+    assert(Bpe.trainMergesLocal(d2, 200) == Bpe.trainMergesNaiveLocal(d2, 200))
+    // exhaustion parity: both stop at the same rank
+    val d3 = dict("ab" -> 2L, "cd" -> 1L)
+    assert(Bpe.trainMergesLocal(d3, 50) == Bpe.trainMergesNaiveLocal(d3, 50))
+  }
+
   test("bigram LM: hand-computed smoothed NLL; unusual order outscores common order") {
     // docs 1-3 share the unigram profile {a:×, b:×} family but differ in
     // ORDER: (a b)/(b a) are corpus-common, (a a)/(b b) rare — only the
