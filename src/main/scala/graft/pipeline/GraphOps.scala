@@ -39,7 +39,12 @@ object GraphOps {
     * lineage (without it iteration k replans k-deep); at cluster scale
     * this is where you would checkpoint instead. Overflow bound:
     * Σr ≤ |V|·1e6, so r·dampingMicro stays under 2^63 for graphs up to
-    * ~10^7 vertices per connected sink — `require`d.
+    * ~10^7 vertices per connected sink. That bound is the CALLER's
+    * contract, not `require`d here — checking it would cost a
+    * distributed vertex count per call, and the per-sink bound (the
+    * one that matters) is not cheaply computable at all; past it,
+    * widen the unit (drop dampingMicro to 1e3-scale) before trusting
+    * ranks.
     *
     * Returns (node, rank_micro).
     */

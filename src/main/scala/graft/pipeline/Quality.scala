@@ -429,28 +429,35 @@ object Quality {
     * counts via codegen'd regexp_replace length differences — Latin /
     * Cyrillic / Han / Arabic cover the high-volume scripts, digits are
     * script-Common and counted separately, everything else (punct,
-    * other scripts) lands in `n_other`. `dominant_script` breaks ties
-    * by the fixed latin → cyrillic → han → arabic → other order,
-    * mirrored exactly by the SQL CASE chain. One projection — no
+    * other scripts) lands in `n_other`. `dominant_script` is 'other'
+    * when the uncovered-script bucket strictly exceeds every named
+    * script (a wholly-Greek/Hangul/Thai page must NOT be labeled
+    * latin), with ties among the named scripts broken by the fixed
+    * latin → cyrillic → han → arabic order, mirrored exactly by the
+    * SQL CASE chain. Whitespace is the explicit [ \t\n\f\r] class —
+    * spelled identically in both engines — because Java's \s includes
+    * vertical tab \x0B while RE2's does not (a latent n_nonspace
+    * mismatch on corpora containing one). One projection — no
     * shuffle, no UDF.
     */
   def scriptProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     def cnt(re: String): Column =
       (length(t) - length(regexp_replace(t, re, ""))).cast("long")
-    val ws = cnt("\\s")
+    val ws = cnt("[ \\t\\n\\f\\r]")
     val latin = cnt("\\p{IsLatin}")
     val cyr = cnt("\\p{IsCyrillic}")
     val han = cnt("\\p{IsHan}")
     val arabic = cnt("\\p{IsArabic}")
     val digit = cnt("[0-9]")
+    val other = length(t) - ws - latin - cyr - han - arabic - digit
     docs.select(col(idCol),
       (length(t) - ws).as("n_nonspace"),
       latin.as("n_latin"), cyr.as("n_cyrillic"), han.as("n_han"),
       arabic.as("n_arabic"), digit.as("n_digit"),
-      (length(t) - ws - latin - cyr - han - arabic - digit)
-        .as("n_other"),
-      when(latin >= greatest(cyr, han, arabic), lit("latin"))
+      other.as("n_other"),
+      when(other > greatest(latin, cyr, han, arabic), lit("other"))
+        .when(latin >= greatest(cyr, han, arabic), lit("latin"))
         .when(cyr >= greatest(han, arabic), lit("cyrillic"))
         .when(han >= arabic, lit("han"))
         .otherwise(lit("arabic")).as("dominant_script"))

@@ -59,7 +59,9 @@ object TextOps {
     val t4 = regexp_replace(t3, "[\\u201C\\u201D]", "\"")
     val t5 = regexp_replace(t4, "[\\u2013\\u2014]", "-")
     val t6 = regexp_replace(t5, "\\u2026", "...")
-    trim(regexp_replace(t6, "\\s+", " "))
+    // explicit class, not \s: Java's \s includes vertical tab \x0B,
+    // RE2's (the DuckDB oracle) does not — spell it identically
+    trim(regexp_replace(t6, "[ \\t\\n\\f\\r]+", " "))
   }
 
   /** Polynomial rolling hash (Rabin–Karp) over the code points of the
@@ -122,7 +124,7 @@ object TextOps {
       "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&").foldLeft(noTags) {
       case (c, (ent, ch)) => regexp_replace(c, ent, ch)
     }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    trim(regexp_replace(decoded, "[ \\t\\n\\f\\r]+", " "))
   }
 
   /** `<title>` contents (first match, empty when absent). */

@@ -761,7 +761,11 @@ object PipelineQueries {
         .unionByName(withH.filter(col("__h") === 1)
           .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text")))
         .unionByName(withH.filter(col("__h") === 2)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
+          // clone offset must clear any plausible corpus id range: at
+          // +1e6 a 1M-doc corpus would collide clone ids with real ids
+          // (duplicate keys in B → full-outer fanout); 1e8 matches the
+          // ScaleSmokeDocs variant
+          .select((col("doc_id") + 100000000L).as("doc_id"),
             concat(col("text"), lit(" new")).as("text")))
       val fa = a.select(col("doc_id"), fingerprint(col("text")).as("fp_a"))
       val fb = b.select(col("doc_id"), fingerprint(col("text")).as("fp_b"))
@@ -1776,7 +1780,7 @@ object PipelineQueries {
                '&quot;', '"', 'g'),
                '&#39;', '''', 'g'),
                '&amp;', '&', 'g'),
-               '\s+', ' ', 'g')) AS text_clean
+               '[ \t\n\f\r]+', ' ', 'g')) AS text_clean
          FROM h""",
 
     // replays the sqrt-temperature quotas and the salted-hash rank
@@ -2017,7 +2021,7 @@ object PipelineQueries {
     "p57_script_profile" ->
       raw"""WITH c AS (SELECT doc_id, text,
                length(text) AS n,
-               length(text) - length(regexp_replace(text, '\s', '', 'g')) AS ws,
+               length(text) - length(regexp_replace(text, '[ \t\n\f\r]', '', 'g')) AS ws,
                length(text) - length(regexp_replace(text, '\p{Latin}', '', 'g')) AS lat,
                length(text) - length(regexp_replace(text, '\p{Cyrillic}', '', 'g')) AS cyr,
                length(text) - length(regexp_replace(text, '\p{Han}', '', 'g')) AS han,
@@ -2032,7 +2036,9 @@ object PipelineQueries {
            CAST(ar AS BIGINT) AS n_arabic,
            CAST(dig AS BIGINT) AS n_digit,
            CAST(n - ws - lat - cyr - han - ar - dig AS BIGINT) AS n_other,
-           CASE WHEN lat >= greatest(cyr, han, ar) THEN 'latin'
+           CASE WHEN n - ws - lat - cyr - han - ar - dig >
+                     greatest(lat, cyr, han, ar) THEN 'other'
+                WHEN lat >= greatest(cyr, han, ar) THEN 'latin'
                 WHEN cyr >= greatest(han, ar) THEN 'cyrillic'
                 WHEN han >= ar THEN 'han'
                 ELSE 'arabic' END AS dominant_script
@@ -2061,7 +2067,7 @@ object PipelineQueries {
                  '[\x{201C}\x{201D}]', '"', 'g'),
                  '[\x{2013}\x{2014}]', '-', 'g'),
                  '\x{2026}', '...', 'g'),
-                 '\s+', ' ', 'g')) AS tn
+                 '[ \t\n\f\r]+', ' ', 'g')) AS tn
              FROM w)
          SELECT doc_id, tn AS text_norm,
            CAST(length(t) AS BIGINT) AS n_raw,
@@ -2087,7 +2093,7 @@ object PipelineQueries {
                    UNION ALL
                    SELECT doc_id, text || ' v2' AS text FROM h WHERE hh = 1
                    UNION ALL
-                   SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text
+                   SELECT doc_id + 100000000 AS doc_id, text || ' new' AS text
                    FROM h WHERE hh = 2),
              fa AS (${fp("a")}),
              fb AS (${fp("b")})

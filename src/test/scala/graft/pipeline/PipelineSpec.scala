@@ -1489,7 +1489,8 @@ class PipelineSpec extends SparkSpecBase {
       (1L, "Hello Привет 你好 مرحبا 123!"),
       (2L, "Все слова тут кириллица"),
       (3L, "только 中文 里面 多数 汉字"),
-      (4L, ""))
+      (4L, ""),
+      (5L, "αβγ δε ok"))
     val out = Quality.scriptProfile(d, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
@@ -1500,6 +1501,9 @@ class PipelineSpec extends SparkSpecBase {
     assert(out(3L)._8 == "han" && out(3L)._4 == 8L)
     // empty doc: all zeros, tie chain lands on latin deterministically
     assert(out(4L) == ((0L, 0L, 0L, 0L, 0L, 0L, 0L, "latin")))
+    // wholly-uncovered script (Greek) + a latin token: other strictly
+    // dominates → 'other', never 'latin' (the langid-prefilter fix)
+    assert(out(5L) == ((7L, 2L, 0L, 0L, 0L, 0L, 5L, "other")))
   }
 
   test("pmiPairs counts ±window co-occurrences and scores collocations") {
