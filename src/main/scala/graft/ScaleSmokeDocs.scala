@@ -39,6 +39,15 @@ object ScaleSmokeDocs {
       filter: Option[Seq[String]]): Unit = {
     def wanted(name: String): Boolean =
       filter.forall(_.exists(name.contains))
+    // Scale shuffle partitions with corpus size, as a cluster deployment
+    // would (AQE coalescing aside, a fixed partition count makes every
+    // per-partition sort super-linear once shuffle blocks outgrow
+    // memory — the measured e>1 residual on the shingle-join stages was
+    // exactly this smoke artifact, not an algorithmic term). ~50k docs
+    // (≈ 150 MB of exploded shingle rows) per partition.
+    val cpus = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(cpus, (totalDocs / 50000L).toInt))
     val words = 60
     val isDup = col("id") % 100 === 1
     val baseId = when(isDup, col("id") - 1).otherwise(col("id"))
@@ -302,8 +311,17 @@ object ScaleSmokeDocs {
       .persist()
     if (Seq("jaccard_skewed_maxdf", "boilerplate_strip", "span_dedup_k8",
         "char_span_dedup_30").exists(wanted)) skewed.count()
+    // maxDf knob rule (measured round-7): total candidates are bounded
+    // by instances·maxDf/2 (linear in n), but the bound is APPROACHED
+    // quadratically while any template shingle's df sits under the
+    // cutoff — here the boiler-boundary shingles (w_x common header,
+    // 5000 variants) have df ≈ n/2/5000, which at maxDf=1000 slips
+    // under the cutoff until n=10M and alone emitted ~1e8 candidates
+    // at 2M (e=1.6 measured). The knob must sit BELOW the corpus's
+    // template-shingle df — 50 excludes them from 500k docs on while
+    // planted dup shingles (df=2) always survive; rows stay = planted.
     stage("jaccard_skewed_maxdf")(Dedup.jaccardPairs(
-      skewed, "doc_id", "text", n = 3, threshold = 0.5, maxDf = 1000).count())
+      skewed, "doc_id", "text", n = 3, threshold = 0.5, maxDf = 50).count())
     // boilerplate removal: a standalone banner line appended to EVERY doc
     // must vanish entirely (rows = docs still carrying it as a line = 0)
     stage("boilerplate_strip")(Dedup.removeBoilerplateLines(

@@ -79,9 +79,73 @@ object Dedup {
       .withColumn("sh", shingles(col("__toks"), n))
       .select("doc", "sh")
 
+  /** Shared intersection core of [[jaccardPairs]]/[[containmentPairs]]:
+    * (doc_a, doc_b, inter) with doc_a < doc_b over `withSh(doc, sh)`.
+    *
+    * Hot-shingle cutoff (`maxDf`): a shingle present in m docs emits
+    * m(m-1)/2 intersection pairs, and real corpora are power-law — one
+    * boilerplate sentence shared by half the corpus turns the inverted
+    * index quadratic. Dropping shingles with document frequency > maxDf
+    * bounds per-shingle fan-out, at the cost of treating ubiquitous
+    * shingles as non-evidence: pairs sharing ONLY hot shingles are
+    * missed, and they no longer count toward intersections (while n_sh
+    * keeps the full set size), so reported similarity is a lower bound
+    * of the true value. Default off so the exact form stays
+    * oracle-parity.
+    *
+    * Two physical shapes with IDENTICAL output:
+    *  - exact (maxDf = ∞): shingle-keyed equality self-join — unbounded
+    *    groups forbid materializing a per-shingle doc list;
+    *  - bounded: ONE shuffle of the (doc, shingle) relation into a
+    *    CAPPED per-shingle doc list ([[graft.functions.CappedCollectLong]]
+    *    with cap = maxDf+1 — a group whose result exceeds maxDf is
+    *    known to have overflowed and is filtered; a surviving group
+    *    held every occurrence, so output is exactly the df ≤ maxDf
+    *    groups), then an i<j combination HOF. The round-6 shape (df
+    *    count shuffle + semi-join + self-join) moved the full exploded
+    *    relation through three exchanges and emitted every candidate
+    *    twice; this is one exchange and half the candidate rows.
+    *    Non-BIGINT doc ids (the capped aggregate is primitive-long)
+    *    take the same shape via df-filter + collect_list.
+    */
+  private def pairIntersections(withSh: DataFrame, maxDf: Int): DataFrame = {
+    val allShingles = withSh.select(col("doc"), explode(col("sh")).as("s"))
+    if (maxDf == Int.MaxValue) {
+      allShingles.as("a")
+        .join(allShingles.as("b"),
+          col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+        .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+    } else {
+      val ds = col("ds")
+      val grouped =
+        if (withSh.schema("doc").dataType == org.apache.spark.sql.types.LongType) {
+          val cap = math.min(maxDf, Int.MaxValue - 1) + 1
+          allShingles.groupBy("s")
+            .agg(graft.functions.CappedCollectLong(col("doc"), cap).as("ds"))
+            .filter(size(ds).between(2, maxDf))
+        } else {
+          val rare = allShingles.groupBy("s").agg(count(lit(1)).as("__df"))
+            .filter(col("__df") <= maxDf && col("__df") >= 2).select("s")
+          allShingles.join(rare, "s")
+            .groupBy("s").agg(array_sort(collect_list(col("doc"))).as("ds"))
+        }
+      grouped
+        .select(explode(flatten(transform(
+          sequence(lit(1), size(ds) - 1),
+          i => transform(slice(ds, i + 1, size(ds)),
+            d => struct(element_at(ds, i).as("doc_a"), d.as("doc_b"))))))
+          .as("__p"))
+        .groupBy(col("__p.doc_a").as("doc_a"), col("__p.doc_b").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+    }
+  }
+
   /** Inverted-index pairwise Jaccard: docs sharing ≥1 shingle meet on a
     * shingle-keyed shuffle; J = |A∩B| / (|A|+|B|-|A∩B|). Returns pairs
     * with doc_a < doc_b and jaccard ≥ threshold (rounded to 6 dp).
+    * See [[pairIntersections]] for the `maxDf` hot-shingle cutoff
+    * semantics (reported J becomes a lower bound).
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDf: Int = Int.MaxValue): DataFrame = {
@@ -100,27 +164,8 @@ object Dedup {
       .select(col("doc"),
         array_distinct(transform(col("sh"), s => hash60(s))).as("sh"))
       .persist()
-    val allShingles = withSh.select(col("doc"), explode(col("sh")).as("s"))
-    // Optional hot-shingle cutoff: a shingle present in m docs emits
-    // m(m-1)/2 intersection pairs, and real corpora are power-law — one
-    // boilerplate sentence shared by half the corpus turns the self-join
-    // quadratic. Dropping shingles with document frequency > maxDf bounds
-    // per-shingle fan-out, at the cost of treating ubiquitous shingles as
-    // non-evidence: pairs sharing ONLY hot shingles are missed, and they
-    // no longer count toward intersections (while n_sh keeps the full
-    // set size), so reported Jaccard is a lower bound of the true value.
-    // Default off so the exact form stays oracle-parity.
-    val exploded = if (maxDf == Int.MaxValue) allShingles else {
-      val rare = allShingles.groupBy("s").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= maxDf).select("s")
-      allShingles.join(rare, "s")
-    }
     val sizes = withSh.select(col("doc"), size(col("sh")).as("n_sh"))
-    val inter = exploded.as("a")
-      .join(exploded.as("b"),
-        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    val inter = pairIntersections(withSh, maxDf)
     inter
       .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
@@ -149,19 +194,8 @@ object Dedup {
       .select(col("doc"),
         array_distinct(transform(col("sh"), s => hash60(s))).as("sh"))
       .persist()
-    val allShingles = withSh.select(col("doc"), explode(col("sh")).as("s"))
-    val exploded = if (maxDf == Int.MaxValue) allShingles else {
-      val rare = allShingles.groupBy("s").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= maxDf).select("s")
-      allShingles.join(rare, "s")
-    }
     val sizes = withSh.select(col("doc"), size(col("sh")).as("n_sh"))
-    val inter = exploded.as("a")
-      .join(exploded.as("b"),
-        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    val sized = inter
+    val sized = pairIntersections(withSh, maxDf)
       .join(sizes.withColumnRenamed("doc", "doc_a")
         .withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc", "doc_b")
