@@ -1,0 +1,202 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** fastText-style language identification (Joulin et al. 2016, "Bag of
+  * Tricks for Efficient Text Classification" — the architecture behind
+  * the langid gate of every multilingual corpus pipeline, CCNet §3):
+  * a LINEAR classifier over HASHED character n-gram features. This
+  * restatement keeps the three load-bearing ideas — char n-grams (robust
+  * to tokenization and diacritics), feature hashing into a fixed bucket
+  * table (memory-bounded vocabulary), linear per-class scores (one
+  * dot product per language) — and drops the embedding layer, which at
+  * corpus-scale serving is a lookup+sum exactly like the hashed linear
+  * form.
+  *
+  * Everything is INTEGER end-to-end so the DuckDB oracle replays the
+  * scores bit-for-bit regardless of evaluation order:
+  *
+  *  - features: char 3-grams of the input, bucketed by the engine's
+  *    md5-based [[TextOps.hash60]] mod `B` (the oracle's
+  *    `('0x'||substr(md5(g),1,15))::BIGINT` mirror is already proven by
+  *    the dedup operators);
+  *  - weights: trained by a deterministic multiclass perceptron
+  *    (integer updates, fixed epoch/sentence order — no floats, no RNG)
+  *    over an EMBEDDED public-domain-style fixture corpus, at object
+  *    init on the driver. Training is corpus-independent, so the
+  *    weights are constants shared verbatim by the Spark plan (array
+  *    literals in a codegen HOF) and the oracle SQL (list literals) —
+  *    the PQ-codebook driver-local-training pattern with a fully
+  *    replayable serve path;
+  *  - scores: `Σ_g w[lang][bucket(g)]` per language; prediction is the
+  *    max score with ties broken in fixed `Langs` order.
+  *
+  * Serving is ONE projection — no shuffle, no UDF, no join; per-doc
+  * cost is one md5 per 3-gram. At 100 TB this is embarrassingly
+  * parallel map work, the same shape as the reference pipelines' C++
+  * fastText scoring pass.
+  */
+object LangId {
+
+  /** Hash buckets. 2^10 keeps the weight tables small enough to inline
+    * in both the Spark plan and the oracle SQL while holding the
+    * fixture's ~3k distinct grams at ~3 per bucket — collisions are
+    * part of the hashing-trick contract, not an error.
+    */
+  val B = 1024
+
+  /** Class order = tie-break order, everywhere. */
+  val Langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")
+
+  /** Per-language function words for header PLANTING in demo queries
+    * (en/de/es/fr reuse [[TextOps.LangMarkers]]; zh is romanized pinyin
+    * function words so every engine-side string stays ASCII).
+    */
+  val Lexicons: Map[String, Seq[String]] =
+    TextOps.LangMarkers.toMap + ("zh" -> Seq(
+      "de", "le", "shi", "bu", "wo", "ni", "men", "zhe", "na", "you"))
+
+  /** Embedded training fixture: natural-ish sentences per language
+    * (function-word-dense, as real training text is) plus the lexicon
+    * itself as one document per language (the wordlist-prior trick).
+    * ASCII only; training happens JVM-side only, so this is a
+    * determinism convenience, not a correctness requirement.
+    */
+  val TrainFixture: Seq[(String, String)] = Seq(
+    "en" -> "the quick brown fox jumps over the lazy dog",
+    "en" -> "it is a truth universally acknowledged that a single man may want for nothing",
+    "en" -> "we hold these truths to be self evident that all men are created equal",
+    "en" -> "to be or not to be that is the question for it is the mind that makes it so",
+    "en" -> "in the beginning there was the word and the word was with us on the water",
+    "en" -> "she sells sea shells on the sea shore and the shells that she sells are sea shells",
+    "de" -> "der schnelle braune fuchs springt ueber den faulen hund und ist nicht muede",
+    "de" -> "es ist eine allgemein anerkannte wahrheit dass ein mann mit vermoegen eine frau sucht",
+    "de" -> "am anfang war das wort und das wort war bei uns und wir waren mit dem wasser",
+    "de" -> "sein oder nicht sein das ist hier die frage die der geist sich stellt",
+    "de" -> "die wuerde des menschen ist unantastbar und das recht steht ueber der macht",
+    "de" -> "ich weiss nicht was soll es bedeuten dass ich so traurig bin",
+    "es" -> "el rapido zorro marron salta sobre el perro perezoso y no esta cansado",
+    "es" -> "es una verdad universalmente reconocida que un hombre soltero necesita una esposa",
+    "es" -> "en un lugar de la mancha de cuyo nombre no quiero acordarme vivia un hidalgo",
+    "es" -> "ser o no ser esa es la cuestion que la mente se hace en el agua",
+    "es" -> "todos los seres humanos nacen libres e iguales en dignidad y en derechos",
+    "es" -> "la vida no es la que uno vivio sino la que uno recuerda y como la recuerda",
+    "fr" -> "le renard brun et rapide saute par dessus le chien paresseux dans le jardin",
+    "fr" -> "c est une verite universellement reconnue qu un homme fortune cherche une femme",
+    "fr" -> "longtemps je me suis couche de bonne heure et je pensais dans la nuit",
+    "fr" -> "etre ou ne pas etre voila la question que l esprit se pose pour l eau",
+    "fr" -> "tous les etres humains naissent libres et egaux en dignite et en droits",
+    "fr" -> "il etait une fois dans une petite ville un homme qui ne dormait pas",
+    "zh" -> "wo men de peng you shi bu shi zai zhe li ni men you mei you kan dao",
+    "zh" -> "zhe shi yi ge hen hao de di fang wo men dou xi huan zai zhe li",
+    "zh" -> "ni hao ma wo hen hao xie xie ni ne ni ye hao ma",
+    "zh" -> "ta men shuo de hua wo bu dong ni neng bu neng zai shuo yi bian",
+    "zh" -> "na ge ren shi shei wo bu zhi dao ta shi na li de ren",
+    "zh" -> "jin tian tian qi hen hao wo men qu wai mian zou yi zou ba") ++
+    Lexicons.toSeq.sortBy(_._1).map { case (l, ws) => l -> ws.mkString(" ") }
+
+  /** JVM-side mirror of [[TextOps.hash60]]: first 15 hex chars of md5
+    * parsed base-16 (60 bits, always non-negative).
+    */
+  def hash60Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  private def grams3(s: String): Seq[String] =
+    if (s.length < 3) Seq.empty
+    else (0 to s.length - 3).map(i => s.substring(i, i + 3))
+
+  private def bucketsOf(s: String): Map[Int, Long] =
+    grams3(s).groupBy(g => (hash60Local(g) % B).toInt)
+      .map { case (b, gs) => b -> gs.size.toLong }
+
+  /** Trained weight table, `Langs.indices x B`, integer. Multiclass
+    * perceptron, 10 epochs, fixture order fixed — bit-deterministic.
+    * (Averaging is skipped: with a linearly separable fixture the
+    * final weights converge and stay integer.)
+    */
+  val Weights: IndexedSeq[IndexedSeq[Long]] = {
+    val w = Array.fill(Langs.length, B)(0L)
+    val feats = TrainFixture.map { case (l, s) =>
+      (Langs.indexOf(l), bucketsOf(s.toLowerCase)) }
+    for (_ <- 1 to 10; (y, f) <- feats) {
+      val scores = w.map(wl => f.iterator.map { case (b, c) => wl(b) * c }.sum)
+      val pred = scores.indices.maxBy(i => (scores(i), -i))
+      if (pred != y) f.foreach { case (b, c) =>
+        w(y)(b) += c
+        w(pred)(b) -= c
+      }
+    }
+    w.map(_.toIndexedSeq).toIndexedSeq
+  }
+
+  /** Per-language integer scores + argmax prediction over `textCol`.
+    * One codegen projection: grams → buckets are materialized ONCE into
+    * an intermediate array column (HOF lambdas re-evaluate their
+    * argument per element — without the barrier each language's sum
+    * would re-run every md5), then each language is one
+    * `aggregate(...)` fold over the bucket array against its inlined
+    * weight literal.
+    */
+  private def gmax(cs: Seq[Column]): Column =
+    if (cs.size == 1) cs.head else greatest(cs: _*)
+
+  def classify(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    // sequence(1, 0) DESCENDS in Spark — guard short strings explicitly
+    val grams = when(length(t) >= 3,
+      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    val buckets = transform(grams, g => TextOps.hash60(g) % B)
+    // __bk is referenced once per language below; the multi-reference
+    // keeps CollapseProject from inlining the md5 chain into each fold
+    val scored = docs.select(col(idCol), buckets.as("__bk"))
+    val withScores = scored.select(
+      col(idCol) +: Langs.zipWithIndex.map { case (l, li) =>
+        aggregate(col("__bk"), lit(0L),
+          (acc, b) => acc + element_at(typedLit(Weights(li).toArray),
+            b.cast("int") + 1)).as(s"score_$l")
+      }: _*)
+    val s: String => Column = l => col(s"score_$l")
+    withScores.select(
+      col(idCol) +: Langs.map(l => s(l).as(s"score_$l")) :+
+        Langs.init.foldRight(lit(Langs.last): Column) { (l, rest) =>
+          when(s(l) >= gmax(Langs.dropWhile(_ != l).tail.map(s)), lit(l))
+            .otherwise(rest)
+        }.as("lang_pred"): _*)
+  }
+
+  /** The same scoring as [[classify]] as a complete DuckDB query,
+    * generated from the same weight constants. `srcCte` must be a
+    * query producing (doc_id, __t) with __t already lowercased.
+    */
+  def scoreSqlFrom(srcCte: String): String = {
+    val scores = Langs.zipWithIndex.map { case (l, li) =>
+      s"""CAST(coalesce(list_sum(list_transform(bk,
+         |             b -> (list_value(${Weights(li).mkString(",")}))[(b)::INT + 1])), 0)
+         |           AS BIGINT) AS score_$l""".stripMargin
+    }.mkString(",\n           ")
+    val pred = Langs.init.reverse.foldLeft(s"'${Langs.last}'") { (rest, l) =>
+      val others = Langs.dropWhile(_ != l).tail
+        .map(o => s"score_$o").mkString(", ")
+      s"CASE WHEN score_$l >= greatest($others) THEN '$l' ELSE $rest END"
+    }
+    s"""WITH src AS ($srcCte),
+         g AS (SELECT doc_id,
+             list_transform(
+               list_transform(generate_series(1, greatest(len(__t) - 2, 0)),
+                 i -> substr(__t, i::INT, 3)),
+               gr -> ('0x' || substr(md5(gr), 1, 15))::BIGINT % $B) AS bk
+           FROM src),
+         sc AS (SELECT doc_id,
+           $scores
+           FROM g)
+         SELECT doc_id, ${Langs.map(l => s"score_$l").mkString(", ")},
+           $pred AS lang_pred
+         FROM sc"""
+  }
+}

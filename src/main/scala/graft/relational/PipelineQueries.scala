@@ -806,6 +806,26 @@ object PipelineQueries {
       dist.join(broadcast(cut), "label")
         .select(col("vec_id"), col("label").cast("long").as("label"),
           col("dist"), (col("dist") > col("__cut")).as("is_outlier"))
+    }),
+
+    // fastText-style langid (hashed char-3-gram linear classifier,
+    // integer scores): each doc gets a HEADER planted in its label
+    // language (10 function words picked by pure modular arithmetic —
+    // the synthetic corpus's body text carries no language signal, the
+    // lang column does), and the classifier must recover the label
+    // from the text alone. One codegen projection, no shuffle.
+    "p61_langid_classifier" -> ((s, dir) => {
+      val header = LangId.Langs.foldRight(lit(null).cast("string")) {
+        (l, rest) =>
+          when(col("lang") === l,
+            concat_ws(" ", (0 until 10).map(k =>
+              element_at(typedLit(LangId.Lexicons(l).toArray),
+                (pmod(col("doc_id") * 7 + k * 3, lit(10)) + 1).cast("int"))): _*))
+            .otherwise(rest)
+      }
+      LangId.classify(
+        docs(s, dir).select(col("doc_id"), header.as("hdr")),
+        "doc_id", "hdr")
     })
   )
 
@@ -2129,6 +2149,24 @@ object PipelineQueries {
                      FROM d GROUP BY 1)
          SELECT vec_id, CAST(d.label AS BIGINT) AS label, dist,
            dist > cut.cut AS is_outlier
-         FROM d JOIN cut ON d.label = cut.label"""
+         FROM d JOIN cut ON d.label = cut.label""",
+
+    // the header plant (pure modular word picks per label lang) and
+    // the full hashed-char-3-gram linear scoring are both generated
+    // from LangId's OWN constants — lexicons and trained weights are
+    // shared verbatim with the Spark plan, so the oracle replays the
+    // classifier bit-for-bit
+    "p61_langid_classifier" -> {
+      val hdr = graft.pipeline.LangId.Langs.map { l =>
+        val lex = s"list_value(${graft.pipeline.LangId.Lexicons(l)
+          .map(w => s"'$w'").mkString(",")})"
+        val words = (0 until 10).map(k =>
+          s"($lex)[((doc_id*7 + ${k * 3}) % 10)::INT + 1]")
+          .mkString(" || ' ' || ")
+        s"WHEN lang = '$l' THEN $words"
+      }.mkString(" ")
+      graft.pipeline.LangId.scoreSqlFrom(
+        s"SELECT doc_id, lower(CASE $hdr END) AS __t FROM documents")
+    }
   )
 }

@@ -1506,6 +1506,43 @@ class PipelineSpec extends SparkSpecBase {
     assert(out(5L) == ((7L, 2L, 0L, 0L, 0L, 0L, 5L, "other")))
   }
 
+  test("langid classifier: held-out sentences, fixture consistency, edges") {
+    // training is deterministic — weights must be stable across calls
+    // (object init) and nonzero for every language row
+    assert(LangId.Weights.length == LangId.Langs.length)
+    assert(LangId.Weights.forall(_.exists(_ != 0L)))
+    // the fixture itself must be fully separated (perceptron converged)
+    val fixPred = LangId.classify(
+      docsOf(LangId.TrainFixture.zipWithIndex.map {
+        case ((_, s), i) => (i.toLong, s) }: _*), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(6)).toMap
+    val fixAcc = LangId.TrainFixture.zipWithIndex.count {
+      case ((l, _), i) => fixPred(i.toLong) == l }
+    assert(fixAcc == LangId.TrainFixture.length,
+      s"fixture self-accuracy $fixAcc/${LangId.TrainFixture.length}")
+    // HELD-OUT sentences (none in the fixture): the generalization check
+    val held = Seq(
+      "en" -> "this is the house that we built for it and for the dog",
+      "de" -> "das haus und der garten sind nicht mit dem wasser zu sehen",
+      "es" -> "la casa de los amigos es un lugar que no quiero dejar",
+      "fr" -> "la maison et le jardin ne sont pas dans une petite ville",
+      "zh" -> "wo men zai zhe li you yi ge hao peng you ni lai ba")
+    val out = LangId.classify(
+      docsOf(held.zipWithIndex.map { case ((_, s), i) => (i.toLong, s) }: _*),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(6)).toMap
+    held.zipWithIndex.foreach { case ((l, s), i) =>
+      assert(out(i.toLong) == l, s"'$s' → ${out(i.toLong)}, wanted $l") }
+    // short/empty text: no grams → all-zero scores → deterministic 'en'
+    // (first in tie order); never an error under ANSI
+    val short = LangId.classify(
+      docsOf((1L, ""), (2L, "ab"), (3L, null.asInstanceOf[String])),
+      "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(6)))).toMap
+    assert(short(1L) == ((0L, "en")) && short(2L) == ((0L, "en")) &&
+      short(3L) == ((0L, "en")))
+  }
+
   test("pmiPairs counts ±window co-occurrences and scores collocations") {
     // doc "a b a c": window 2 position pairs (1,2)(2,3)(3,4)(1,3)(2,4)
     // → canonical (a,b),(a,b),(a,c),(a,a),(b,c); doc "x y": (x,y)
