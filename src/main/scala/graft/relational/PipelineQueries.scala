@@ -675,6 +675,34 @@ object PipelineQueries {
             col("doc_id").cast("string"))).isNull)
     }),
 
+    // unigram-LM (SentencePiece) tokenizer: soft-EM training over the
+    // capped word dict (driver-local, the p47/BPE shape), Viterbi
+    // segmentation as a codegen projection. Rows-only like p47 —
+    // training runs in doubles so no SQL oracle replays it — but the
+    // in-plan assert pins the segmentation invariant (pieces
+    // concatenate back to every token) over the whole corpus
+    "p62_unigram_lm" -> ((s, dir) => {
+      // maxPieceLen 3 < the corpus's max word length forces genuine
+      // SUBWORD segmentation on the 31-word synthetic vocab (at the
+      // default 8 every frequent word becomes one piece — correct
+      // unigram behavior, but then the query demonstrates nothing)
+      val m = Unigram.trainModel(docs(s, dir), "text", vocabSize = 120,
+        maxWords = 100000, maxPieceLen = 3)
+      docs(s, dir).select(col("doc_id"), tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), col("__toks"),
+          transform(col("__toks"), t => graft.functions.UnigramSegment(
+            t, m.pieces, m.unkCostMicro, m.maxPieceLen)).as("__segs"))
+        .select(col("doc_id"),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          aggregate(transform(col("__segs"), a => size(a).cast("long")),
+            lit(0L), (a, x) => a + x).as("n_pieces"),
+          forall(zip_with(col("__toks"), col("__segs"),
+            (t, sg) => concat_ws("", sg) === t), b => b).as("rebuilt_ok"))
+        .filter(assert_true(col("rebuilt_ok"),
+          concat(lit("unigram reconstruction failed for doc "),
+            col("doc_id").cast("string"))).isNull)
+    }),
+
     // UniMax epoch-capped language rebalancing (complement of p48's
     // temperature quotas): budgetFrac > 1 is the regime the paper is
     // about — scarce languages replay up to maxEpochs, the leftover is

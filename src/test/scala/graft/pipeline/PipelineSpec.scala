@@ -1506,6 +1506,52 @@ class PipelineSpec extends SparkSpecBase {
     assert(out(5L) == ((7L, 2L, 0L, 0L, 0L, 0L, 5L, "other")))
   }
 
+  test("unigram LM: hand-computed EM step; Viterbi segmentation; training") {
+    // ---- one soft-EM step on dict {ab:2, b:1}, pieces {a,b,ab} with
+    // p = (2/7, 3/7, 2/7) (the seed counts): word "ab" has two paths,
+    // [ab] (p=2/7) and [a][b] (p=6/49); Z = 20/49. Marginals: ab
+    // -> (2/7)/(20/49) = 0.7, a -> 0.3, b -> 0.3 (each x freq 2);
+    // word "b" adds 1 to b. Totals {a:0.6, b:1.6, ab:1.4}/3.6.
+    val words = Array(
+      (Array("a", "b"), 2L), (Array("b"), 1L))
+    val probs = Unigram.emOnce(words, Array("a", "ab", "b"),
+      Array(2.0 / 7, 2.0 / 7, 3.0 / 7), maxPieceLen = 2)
+    assert(math.abs(probs(0) - 0.6 / 3.6) < 1e-12)   // a
+    assert(math.abs(probs(1) - 1.4 / 3.6) < 1e-12)   // ab
+    assert(math.abs(probs(2) - 1.6 / 3.6) < 1e-12)   // b
+    // ---- Viterbi: cheap merged piece wins over char path; unk chars
+    // fall back to single-cp pieces; reconstruction invariant
+    val model = Seq("a" -> 1700000L, "b" -> 900000L, "ab" -> 1000000L)
+    def seg(w: String): Seq[String] = spark.range(1)
+      .select(graft.functions.UnigramSegment(lit(w), model, 20000000L, 2).as("s"))
+      .head().getSeq[String](0)
+    assert(seg("ab") == Seq("ab"))          // 1.0 < 1.7+0.9
+    assert(seg("abb") == Seq("ab", "b"))
+    assert(seg("axb") == Seq("a", "x", "b")) // x unked at len 1
+    assert(seg("") == Seq.empty)
+    assert(seg("abab").mkString == "abab")
+    // equal-cost tie prefers the longer piece (fewer pieces)
+    val tie = Seq("c" -> 500000L, "cc" -> 1000000L)
+    assert(spark.range(1).select(graft.functions.UnigramSegment(
+      lit("cc"), tie, 20000000L, 2).as("s")).head().getSeq[String](0) ==
+      Seq("cc"))
+    // ---- end-to-end training on a skewed mini-corpus: the dominant
+    // collocation becomes a piece and wins the segmentation
+    val d = docsOf(
+      (1L, ("ingest " * 8).trim), (2L, ("ingest " * 8).trim),
+      (3L, "in gest ing est"), (4L, "zq"))
+    val m = Unigram.trainModel(d, "text", vocabSize = 30)
+    assert(m.pieces.nonEmpty && m.pieces.forall(_._2 >= 0))
+    val ingSeg = spark.range(1).select(graft.functions.UnigramSegment(
+      lit("ingest"), m.pieces, m.unkCostMicro, m.maxPieceLen).as("s"))
+      .head().getSeq[String](0)
+    assert(ingSeg.mkString == "ingest")
+    assert(ingSeg.length <= 2, s"dominant word over-fragmented: $ingSeg")
+    // deterministic across re-training
+    val m2 = Unigram.trainModel(d, "text", vocabSize = 30)
+    assert(m.pieces == m2.pieces && m.unkCostMicro == m2.unkCostMicro)
+  }
+
   test("langid classifier: held-out sentences, fixture consistency, edges") {
     // training is deterministic — weights must be stable across calls
     // (object init) and nonzero for every language row
