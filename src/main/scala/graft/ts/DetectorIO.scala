@@ -35,8 +35,14 @@ object DetectorIO {
     case other => throw new TsodSparkException(s"Unknown detector type: $other")
   }
 
+  /** `.joblib` paths save in the REFERENCE's own pickle format (so a
+    * model fitted here goes straight back into tsod — [[JoblibIO]]
+    * write parity); anything else saves the engine's JSON document.
+    */
   def save(d: Detector, path: String): Unit =
-    Files.write(Paths.get(path), toJsonString(d).getBytes(StandardCharsets.UTF_8))
+    if (path.endsWith(".joblib")) JoblibIO.save(d, path)
+    else Files.write(Paths.get(path),
+      toJsonString(d).getBytes(StandardCharsets.UTF_8))
 
   /** Loads either format, like `tsod.load`: the engine's JSON documents,
     * or the reference's joblib pickle files (sniffed by the pickle PROTO

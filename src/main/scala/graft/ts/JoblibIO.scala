@@ -171,6 +171,127 @@ object JoblibIO {
   def load(path: String): Detector =
     fromBytes(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
 
+  // ---- WRITE parity --------------------------------------------------
+
+  /** Serialize an engine detector as a pickle-protocol-2 stream the
+    * REFERENCE itself loads (`tsod.load` → `joblib.load`; an
+    * uncompressed `joblib.dump` file IS a plain pickle stream, so the
+    * inverse direction of [[load]] closes the §2.3 round-trip: a model
+    * fitted here can go back into the reference). Emission mirrors what
+    * CPython pickles for these plain-attribute classes: `GLOBAL
+    * module.Class`, `NEWOBJ` with empty args, then the instance
+    * `__dict__` via `SETITEMS` + `BUILD` — every opcode is documented
+    * in `Lib/pickletools.py`, and [[PickleMini]] replays the stream, so
+    * the round trip is testable JVM-side as well. No memoization is
+    * emitted (detector graphs are tiny trees, never self-referential).
+    */
+  def toBytes(d: Detector): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x80); out.write(2) // PROTO 2
+    wDetector(out, d)
+    out.write('.')
+    out.toByteArray
+  }
+
+  def save(d: Detector, path: String): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), toBytes(d))
+
+  private def wLine(o: java.io.ByteArrayOutputStream, s: String): Unit = {
+    o.write(s.getBytes("UTF-8")); o.write('\n')
+  }
+  private def wFloat(o: java.io.ByteArrayOutputStream, v: Double): Unit = {
+    o.write('G') // BINFLOAT: the one big-endian number in the format
+    val bits = java.lang.Double.doubleToLongBits(v)
+    var k = 7
+    while (k >= 0) { o.write(((bits >>> (8 * k)) & 0xFF).toInt); k -= 1 }
+  }
+  private def wInt(o: java.io.ByteArrayOutputStream, v: Long): Unit =
+    if (v >= 0 && v < 256) { o.write('K'); o.write(v.toInt) }
+    else if (v >= Int.MinValue && v <= Int.MaxValue) {
+      o.write('J')
+      var k = 0
+      while (k < 4) { o.write(((v >>> (8 * k)) & 0xFF).toInt); k += 1 }
+    } else {
+      o.write(0x8a); o.write(8) // LONG1, 8-byte two's-complement LE
+      var k = 0
+      while (k < 8) { o.write(((v >>> (8 * k)) & 0xFF).toInt); k += 1 }
+    }
+  private def wStr(o: java.io.ByteArrayOutputStream, s: String): Unit = {
+    val b = s.getBytes("UTF-8")
+    if (b.length < 256) { o.write(0x8c); o.write(b.length) } // SHORT_BINUNICODE
+    else {
+      o.write('X') // BINUNICODE
+      var k = 0
+      while (k < 4) { o.write((b.length >>> (8 * k)) & 0xFF); k += 1 }
+    }
+    o.write(b)
+  }
+  private def wBool(o: java.io.ByteArrayOutputStream, v: Boolean): Unit =
+    o.write(if (v) 0x88 else 0x89)
+
+  private def wState(o: java.io.ByteArrayOutputStream, module: String,
+      cls: String)(writeItems: => Unit): Unit = {
+    o.write('c'); wLine(o, module); wLine(o, cls) // GLOBAL
+    o.write(')'); o.write(0x81) // EMPTY_TUPLE, NEWOBJ → Class.__new__
+    o.write('}'); o.write('(') // EMPTY_DICT, MARK
+    writeItems
+    o.write('u'); o.write('b') // SETITEMS, BUILD → instance __dict__
+  }
+
+  private def wDetector(o: java.io.ByteArrayOutputStream, d: Detector): Unit = {
+    def kv(k: String)(v: => Unit): Unit = { wStr(o, k); v }
+    d match {
+      case RangeDetector(mn, mx, (q1, q2)) =>
+        wState(o, "tsod.detectors", "RangeDetector") {
+          kv("_min")(wFloat(o, mn)); kv("_max")(wFloat(o, mx))
+          kv("_quantiles") {
+            o.write(']'); o.write('(')
+            wFloat(o, q1); wFloat(o, q2)
+            o.write('e')
+          }
+        }
+      case DiffDetector(md, dir) =>
+        wState(o, "tsod.detectors", "DiffDetector") {
+          kv("_max_diff")(wFloat(o, md)); kv("_direction")(wStr(o, dir))
+        }
+      case GradientDetector(mg, dir) =>
+        wState(o, "tsod.detectors", "GradientDetector") {
+          kv("_max_gradient")(wFloat(o, mg)); kv("_direction")(wStr(o, dir))
+        }
+      case RollingStdDevDetector(ws, ms, center) =>
+        wState(o, "tsod.detectors", "RollingStandardDeviationDetector") {
+          kv("_window_size")(wInt(o, ws)); kv("_max_std")(wFloat(o, ms))
+          kv("_center")(wBool(o, center))
+        }
+      case ConstantValueDetector(ws, th) =>
+        wState(o, "tsod.detectors", "ConstantValueDetector") {
+          kv("_threshold")(wFloat(o, th)); kv("_window_size")(wInt(o, ws))
+        }
+      case ConstantGradientDetector(ws) =>
+        wState(o, "tsod.detectors", "ConstantGradientDetector") {
+          // the reference subclass carries ConstantValueDetector's
+          // threshold in its state; the engine hard-wires its 1e-7
+          kv("_threshold")(wFloat(o, 1e-7)); kv("_window_size")(wInt(o, ws))
+        }
+      case h: HampelDetector =>
+        wState(o, "tsod.hampel", "HampelDetector") {
+          kv("_threshold")(wFloat(o, h.threshold))
+          kv("_window_size")(wInt(o, h.windowSize))
+        }
+      case CombinedDetector(ds) =>
+        wState(o, "tsod.detectors", "CombinedDetector") {
+          kv("_detectors") {
+            o.write(']'); o.write('(')
+            ds.foreach(wDetector(o, _))
+            o.write('e')
+          }
+        }
+      case other =>
+        throw new TsodSparkException(
+          s"joblib save: no reference counterpart for ${other.getClass.getSimpleName}")
+    }
+  }
+
   private def stateOf(o: PObj): Map[String, PValue] = o.state match {
     case PDict(m) =>
       m.collect { case (PStr(k), v) => k -> v }.toMap
