@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming exact deduplication for continuous document ingestion: emit
   * only the first arrival of each content hash. Built on Structured
@@ -33,4 +34,87 @@ object StreamingDedup {
   def dedupExactStreamUnbounded(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("content_hash", md5(col(textCol)))
       .dropDuplicates("content_hash")
+
+  /** One surviving line of a streamed document (see
+    * [[dedupLinesStream]]); dropped lines are simply absent.
+    */
+  final case class DedupLineRow(doc_id: Long, pos: Int, line: String)
+
+  /** Streaming LINE dedup — the streaming complement of
+    * [[graft.pipeline.Dedup.dedupLines]] (p37): every non-empty line's
+    * FIRST-ever occurrence across the stream survives; later
+    * occurrences — in later micro-batches, later docs of the same
+    * batch, or later positions of the same doc — are dropped.
+    * Whitespace-only lines always pass through (layout, not content —
+    * the batch contract). Since an emitted line cannot be retracted,
+    * "first occurrence" is arrival order, which equals the batch
+    * operator's (doc id, pos) order whenever docs arrive in id order —
+    * the equivalence the spec pins across micro-batch splits.
+    *
+    * Shape: explode is stateless; the ONLY state is one boolean per
+    * line key (the 60-bit [[graft.pipeline.TextOps.lineKey]]), keyed
+    * exactly like the batch operator's shuffle. Whitespace rows share
+    * the operator (grouped under (key, isContent=false)) but never
+    * read or write state. `stateTtlMs > 0` bounds state to the
+    * duplicate horizon via processing-time timeout — the
+    * [[dedupExactStream]] eviction argument; 0 keeps all history
+    * (bounded backfills).
+    *
+    * Output is line-granular (doc_id, pos, line) in append mode — the
+    * natural sink shape for ingestion (line survivors written as they
+    * resolve); rebuild full documents at the sink with
+    * [[reassembleLines]].
+    */
+  def dedupLinesStream(docs: DataFrame, idCol: String, textCol: String,
+      stateTtlMs: Long = 0L): Dataset[DedupLineRow] = {
+    import docs.sparkSession.implicits._
+    // a pos = -1 sentinel per doc rides the stateless branch so a doc
+    // whose EVERY line is dropped still appears in the output (and
+    // reassembles to "", the batch behavior)
+    val lines = docs.select(col(idCol).cast("long").as("doc"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .unionByName(docs.select(col(idCol).cast("long").as("doc"),
+        lit(-1).as("pos"), lit("").as("line")))
+      .withColumn("ct", col("pos") >= 0 && col("line").rlike("\\S"))
+      .withColumn("lk", graft.pipeline.TextOps.lineKey(col("line")))
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    lines.select(col("lk"), col("ct"), col("doc"), col("pos"), col("line"))
+      .as[(Long, Boolean, Long, Int, String)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append(), timeout) {
+        (key: (Long, Boolean),
+            rows: Iterator[(Long, Boolean, Long, Int, String)],
+            state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (!key._2) rows.map(r => DedupLineRow(r._3, r._4, r._5))
+          else {
+            var seen = state.getOption.getOrElse(false)
+            // deterministic within a micro-batch: (doc, pos) order —
+            // the batch operator's min(struct) rule
+            val out = rows.toVector.sortBy(r => (r._3, r._4)).flatMap { r =>
+              if (seen) None else { seen = true; Some(DedupLineRow(r._3, r._4, r._5)) }
+            }
+            state.update(true)
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            out.iterator
+          }
+      }
+  }
+
+  /** Batch helper rebuilding document texts from [[dedupLinesStream]]
+    * survivors (run it in the sink / over the stored line relation):
+    * group by doc, order by position, rejoin with newlines. A doc whose
+    * every content line was dropped rebuilds to its remaining
+    * whitespace skeleton — same as the batch operator.
+    */
+  def reassembleLines(lineRows: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    lineRows.groupBy(col("doc_id").as(idCol))
+      .agg(array_join(
+        transform(filter(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("pos") >= 0),
+          x => x.getField("line")), "\n").as(textCol))
 }
