@@ -248,14 +248,17 @@ class PipelineSpec extends SparkSpecBase {
     val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 50), 3)
       .filter(col("rnk") === 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val lsh = Similarity.lshBucketedTopK(emb, emb.filter(col("vec_id") < 50), 3, 4, 64)
+    // probes=2 (the p7 configuration): every hamming-1 bucket probed
+    val lsh = Similarity.lshBucketedTopK(emb, emb.filter(col("vec_id") < 50),
+        3, 4, 64, probes = 2)
       .filter(col("rnk") === 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // every query must get SOME neighbor (buckets are non-trivial with 4 planes
-    // over 500 vectors) and a recall floor vs brute force
+    // over 500 vectors) and a recall floor vs brute force (measured
+    // rank-1 recall ~0.5 with multiprobe; 0.25 = regression alarm)
     assert(lsh.nonEmpty)
     val hits = lsh.count { case (q, n) => brute.get(q).contains(n) }
-    assert(hits * 1.0 / lsh.size > 0.03, s"rank-1 recall ${hits}/${lsh.size}")
+    assert(hits * 1.0 / lsh.size > 0.25, s"rank-1 recall ${hits}/${lsh.size}")
   }
 
   test("incremental minhash == full pairs restricted to pairs touching new docs") {
