@@ -142,6 +142,29 @@ object Multimodal {
       }
       .toDF()
   }
+
+  final case class MediaContainer(doc_id: Long, container: String, n_bytes: Long)
+
+  /** Container detection over a media-blob relation — the format-census
+    * pass a multimodal ingest runs before routing blobs to the right
+    * decoder pool (image vs animation vs audio executors). Pure
+    * magic-byte/chunk-walk sniffing ([[MediaDecoder.containerOf]]):
+    * image formats, raw Motion-JPEG (≥2 SOIs, second past the first
+    * EOI), WebP incl. the animated VP8X/ANMF form, WAV/AIFF/AU. One
+    * `mapPartitions` projection, no decode, no shuffle.
+    */
+  def detectContainers(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decoder = new MediaDecoder
+        rows.map { case (id, blob) =>
+          MediaContainer(id, decoder.containerOf(blob), blob.length.toLong) }
+      }
+      .toDF()
+  }
 }
 
 /** Per-partition audio decoder: javax.sound.sampled for WAV/AIFF/AU
@@ -491,20 +514,136 @@ final class MediaDecoder extends Serializable {
     } finally iis.close()
   }
 
-  /** Per-frame rows for [[Multimodal.decodeFrameFeatures]]; the fake
-    * path reuses decode's fake n_frames and derives a per-frame luma
-    * from the same md5 (deterministic, frame-index-sensitive).
+  // ---- container detection (round 7) ---------------------------------
+
+  private def at(b: Array[Byte], i: Int, s: String): Boolean =
+    i + s.length <= b.length && s.indices.forall(k => b(i + k) == s.charAt(k).toByte)
+
+  private def indexOfSoi(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 2 < b.length) {
+      if (b(i) == 0xFF.toByte && b(i + 1) == 0xD8.toByte && b(i + 2) == 0xFF.toByte)
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  private def indexOfEoi(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 1 < b.length) {
+      if (b(i) == 0xFF.toByte && b(i + 1) == 0xD9.toByte) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** RIFF/WEBP chunk walk: Some((hasVp8x, anmfCount, w, h)) for WEBP
+    * containers (w/h from VP8X's 24-bit minus-one fields, 0 if absent).
+    */
+  private def parseWebp(b: Array[Byte]): Option[(Boolean, Int, Long, Long)] = {
+    if (!(at(b, 0, "RIFF") && at(b, 8, "WEBP"))) return None
+    var i = 12
+    var vp8x = false
+    var anmf = 0
+    var w = 0L
+    var h = 0L
+    while (i + 8 <= b.length) {
+      val size = (b(i + 4) & 0xFFL) | ((b(i + 5) & 0xFFL) << 8) |
+        ((b(i + 6) & 0xFFL) << 16) | ((b(i + 7) & 0xFFL) << 24)
+      if (at(b, i, "VP8X") && i + 8 + 10 <= b.length) {
+        vp8x = true
+        w = 1L + ((b(i + 12) & 0xFFL) | ((b(i + 13) & 0xFFL) << 8) |
+          ((b(i + 14) & 0xFFL) << 16))
+        h = 1L + ((b(i + 15) & 0xFFL) | ((b(i + 16) & 0xFFL) << 8) |
+          ((b(i + 17) & 0xFFL) << 16))
+      }
+      if (at(b, i, "ANMF")) anmf += 1
+      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+      if (size < 0 || size > b.length) return Some((vp8x, anmf, w, h))
+    }
+    Some((vp8x, anmf, w, h))
+  }
+
+  /** Magic-byte container sniff. `mjpeg` = a JPEG stream holding a
+    * SECOND SOI after the first EOI — concatenated frames, the raw
+    * Motion-JPEG shape; an EXIF thumbnail's embedded SOI sits BEFORE
+    * the main image's EOI and correctly stays `jpeg`. `webp-anim` = a
+    * WEBP container with ANMF frame chunks.
+    */
+  def containerOf(b: Array[Byte]): String =
+    if (b.length < 4) "unknown"
+    else if (b(0) == 0x89.toByte && at(b, 1, "PNG")) "png"
+    else if (at(b, 0, "GIF8")) "gif"
+    else if (b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) {
+      val eoi = indexOfEoi(b, 2)
+      if (eoi >= 0 && indexOfSoi(b, eoi + 2) >= 0) "mjpeg" else "jpeg"
+    }
+    else if (at(b, 0, "RIFF") && at(b, 8, "WEBP"))
+      parseWebp(b) match {
+        case Some((_, anmf, _, _)) if anmf > 0 => "webp-anim"
+        case _ => "webp"
+      }
+    else if (at(b, 0, "RIFF") && at(b, 8, "WAVE")) "wav"
+    else if (at(b, 0, "FORM")) "aiff"
+    else if (at(b, 0, ".snd")) "au"
+    else "unknown"
+
+  /** Raw MJPEG: frame k starts at the k-th SOI; each segment is a
+    * complete JPEG ImageIO decodes independently. Only the SAMPLED
+    * frames are decoded (a 10k-frame clip at maxFrames=8 reads 8).
+    */
+  private def mjpegFrames(blob: Array[Byte],
+      maxFrames: Int): Option[Seq[(Long, Double)]] = {
+    val sois = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = indexOfSoi(blob, 0)
+    while (i >= 0) { sois += i; i = indexOfSoi(blob, i + 3) }
+    if (sois.length < 2) return None
+    val n = sois.length
+    try {
+      Some(sampleOffsets(n.toLong, maxFrames).map { f =>
+        val from = sois(f.toInt)
+        val until = if (f.toInt + 1 < n) sois(f.toInt + 1) else blob.length
+        val seg = java.util.Arrays.copyOfRange(blob, from, until)
+        val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(seg))
+        if (img == null) return None
+        if (img.getWidth.toLong * img.getHeight > 64L * 1024 * 1024) return None
+        (f, lumaOf(img))
+      })
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Per-frame rows for [[Multimodal.decodeFrameFeatures]]. Dispatch by
+    * container: ImageIO formats (incl. animated GIF) and raw MJPEG
+    * decode REAL lumas; animated WebP has no JVM pixel decoder, so its
+    * rows carry the REAL frame count/offsets from the ANMF container
+    * walk with the md5-fake luma (decoded_real=false); everything else
+    * reuses decode's fake n_frames and derives a per-frame luma from
+    * the same md5 (deterministic, frame-index-sensitive).
     */
   def decodeFrames(id: Long, blob: Array[Byte],
       maxFrames: Int): Seq[Multimodal.FrameFeature] = {
-    val real = if (looksLikeImage(blob)) realFrames(blob, maxFrames) else None
+    val container = containerOf(blob)
+    val real = container match {
+      case "mjpeg" => mjpegFrames(blob, maxFrames)
+      case "png" | "jpeg" | "gif" | "bmp" => realFrames(blob, maxFrames)
+      case _ => None
+    }
     real match {
       case Some(fs) =>
         fs.map { case (f, l) =>
           Multimodal.FrameFeature(id, f, l, decoded_real = true) }
       case None =>
         val hex = mdig.digest(blob).map("%02x".format(_)).mkString
-        val nFrames = 1L + hexSlice(hex, 16, 12) % 32 // decode's fake count
+        val nFrames = container match {
+          case "webp-anim" =>
+            parseWebp(blob).map(_._2.toLong).filter(_ > 0)
+              .getOrElse(1L + hexSlice(hex, 16, 12) % 32)
+          case _ => 1L + hexSlice(hex, 16, 12) % 32 // decode's fake count
+        }
         sampleOffsets(nFrames, maxFrames).map(f =>
           Multimodal.FrameFeature(id, f,
             ((hexSlice(hex, 20, 12) + f * 2654435761L) % 1000000L) / 1000000.0,

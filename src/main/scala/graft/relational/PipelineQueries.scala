@@ -842,6 +842,29 @@ object PipelineQueries {
           col("dist"), (col("dist") > col("__cut")).as("is_outlier"))
     }),
 
+    // media-container census (the format-routing pass of a multimodal
+    // ingest): magic prefixes planted per doc_id class — PNG, single
+    // JPEG, raw MJPEG (two SOIs, second past the first EOI), GIF, WAV —
+    // over the text payload (ASCII, so no accidental magics); the
+    // oracle replays the same byte tests on the same rebuilt blobs
+    "p63_media_containers" -> ((s, dir) => {
+      def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+      val payload = col("text").cast("binary")
+      val cls = pmod(col("doc_id"), lit(6))
+      val blob = when(cls === 0, concat(lit(b(0x89, 'P', 'N', 'G')), payload))
+        .when(cls === 1,
+          concat(lit(b(0xFF, 0xD8, 0xFF)), payload, lit(b(0xFF, 0xD9))))
+        .when(cls === 2,
+          concat(lit(b(0xFF, 0xD8, 0xFF)), payload, lit(b(0xFF, 0xD9)),
+            lit(b(0xFF, 0xD8, 0xFF)), payload, lit(b(0xFF, 0xD9))))
+        .when(cls === 3, concat(lit("GIF8".getBytes("UTF-8")), payload))
+        .when(cls === 4, concat(lit("RIFF".getBytes("UTF-8")), lit(b(0, 0, 0, 0)),
+          lit("WAVE".getBytes("UTF-8")), payload))
+        .otherwise(payload)
+      Multimodal.detectContainers(
+        docs(s, dir).select(col("doc_id"), blob.as("media")))
+    }),
+
     // fastText-style langid (hashed char-3-gram linear classifier,
     // integer scores): each doc gets a HEADER planted in its label
     // language (10 function words picked by pure modular arithmetic —
@@ -2190,6 +2213,37 @@ object PipelineQueries {
     // from LangId's OWN constants — lexicons and trained weights are
     // shared verbatim with the Spark plan, so the oracle replays the
     // classifier bit-for-bit
+    // the same magic-byte sniff over the same rebuilt blobs, replayed
+    // on hex(blob) (this DuckDB has no BLOB substr/position): every
+    // byte test becomes an aligned hex-text test — alignment is safe
+    // because the payload is ASCII (first hex digit 2-7), so 'FFD8FF'
+    // etc. can only match at the planted markers
+    "p63_media_containers" ->
+      raw"""WITH b AS (SELECT doc_id,
+               CASE doc_id % 6
+                 WHEN 0 THEN '\x89PNG'::BLOB || text::BLOB
+                 WHEN 1 THEN '\xFF\xD8\xFF'::BLOB || text::BLOB || '\xFF\xD9'::BLOB
+                 WHEN 2 THEN '\xFF\xD8\xFF'::BLOB || text::BLOB || '\xFF\xD9'::BLOB ||
+                             '\xFF\xD8\xFF'::BLOB || text::BLOB || '\xFF\xD9'::BLOB
+                 WHEN 3 THEN 'GIF8'::BLOB || text::BLOB
+                 WHEN 4 THEN 'RIFF'::BLOB || '\x00\x00\x00\x00'::BLOB ||
+                             'WAVE'::BLOB || text::BLOB
+                 ELSE text::BLOB END AS blob
+             FROM documents),
+           h AS (SELECT doc_id, blob, hex(blob) AS hx FROM b)
+         SELECT doc_id,
+           CASE WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
+                WHEN substr(hx, 1, 8) = hex('GIF8'::BLOB) THEN 'gif'
+                WHEN substr(hx, 1, 6) = 'FFD8FF' THEN
+                  CASE WHEN position('FFD8FF' IN
+                         substr(hx, position('FFD9' IN hx) + 4)) > 0
+                       THEN 'mjpeg' ELSE 'jpeg' END
+                WHEN substr(hx, 1, 8) = hex('RIFF'::BLOB)
+                     AND substr(hx, 17, 8) = hex('WAVE'::BLOB) THEN 'wav'
+                ELSE 'unknown' END AS container,
+           CAST(octet_length(blob) AS BIGINT) AS n_bytes
+         FROM h""",
+
     "p61_langid_classifier" -> {
       val hdr = graft.pipeline.LangId.Langs.map { l =>
         val lex = s"list_value(${graft.pipeline.LangId.Lexicons(l)

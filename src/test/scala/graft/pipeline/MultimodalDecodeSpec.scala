@@ -127,6 +127,91 @@ class MultimodalDecodeSpec extends SparkSpecBase {
       .map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
   }
 
+  // ---- round-7 containers: raw MJPEG + animated WebP -----------------
+
+  private def le(v: Int, n: Int): Array[Byte] =
+    (0 until n).map(k => ((v >> (8 * k)) & 0xFF).toByte).toArray
+
+  private def riffChunk(fourcc: String, payload: Array[Byte]): Array[Byte] =
+    fourcc.getBytes("UTF-8") ++ le(payload.length, 4) ++ payload ++
+      (if (payload.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+
+  /** Minimal animated-WebP container: VP8X (anim flag, canvas w×h) +
+    * one ANMF chunk per frame (payloads are opaque to the chunk walk).
+    */
+  private def webpAnim(nFrames: Int, w: Int, h: Int): Array[Byte] = {
+    val vp8x = Array[Byte](0x02, 0, 0, 0) ++ le(w - 1, 3) ++ le(h - 1, 3)
+    val inner = riffChunk("VP8X", vp8x) ++
+      (0 until nFrames).flatMap(_ => riffChunk("ANMF", Array.fill[Byte](16)(0)))
+    "RIFF".getBytes("UTF-8") ++ le(4 + inner.length, 4) ++
+      "WEBP".getBytes("UTF-8") ++ inner
+  }
+
+  test("container sniff: png/jpeg/mjpeg/webp/webp-anim/wav classified; EXIF-like inner SOI stays jpeg") {
+    val dec = new MediaDecoder
+    val png = bytes(paint(4, 4)((_, _) => 0x808080), "png")
+    val jpg = bytes(paint(4, 4)((_, _) => 0x808080), "jpg")
+    assert(dec.containerOf(png) == "png")
+    assert(dec.containerOf(jpg) == "jpeg")
+    assert(dec.containerOf(jpg ++ jpg) == "mjpeg")
+    // an embedded SOI BEFORE the main EOI (the EXIF-thumbnail shape)
+    // must NOT flip classification to mjpeg
+    val exifLike = jpg.dropRight(2) ++ Array[Byte](0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xD9.toByte) ++ jpg.takeRight(2)
+    assert(dec.containerOf(exifLike) == "jpeg")
+    assert(dec.containerOf(webpAnim(3, 16, 9)) == "webp-anim")
+    val stillWebp = "RIFF".getBytes("UTF-8") ++ le(12, 4) ++
+      "WEBP".getBytes("UTF-8") ++ riffChunk("VP8 ", Array.fill[Byte](4)(1))
+    assert(dec.containerOf(stillWebp) == "webp")
+    assert(dec.containerOf("RIFF1234WAVEdata".getBytes("UTF-8")) == "wav")
+    assert(dec.containerOf("plain text".getBytes("UTF-8")) == "unknown")
+    assert(dec.containerOf(Array[Byte](1, 2)) == "unknown")
+  }
+
+  test("raw MJPEG: real per-frame decode pins frame order and stride") {
+    // four concatenated JPEGs of increasing gray — lossy, so lumas are
+    // approximate, but ORDER must be strictly increasing and close
+    val grays = Seq(20, 90, 160, 230)
+    val frames = grays.map(g => paint(8, 6)((_, _) => (g << 16) | (g << 8) | g))
+    val blob = frames.map(f => bytes(f, "jpg")).reduce(_ ++ _)
+    val all = frameRows(blob, maxFrames = 8)
+    assert(all.map(_._1) == (0L until 4L).toSeq, s"order: ${all.map(_._1)}")
+    assert(all.forall(_._3), "mjpeg must take the real path")
+    all.zip(grays).foreach { case ((_, luma, _), g) =>
+      assert(math.abs(luma - g / 255.0) < 0.05, s"gray $g luma $luma") }
+    assert(all.map(_._2) == all.map(_._2).sorted, "lumas must ascend with frames")
+    // stride: maxFrames=2 over 4 frames → offsets 0 and 2
+    val sampled = frameRows(blob, maxFrames = 2)
+    assert(sampled.map(_._1) == Seq(0L, 2L))
+    assert(math.abs(sampled(1)._2 - grays(2) / 255.0) < 0.05,
+      "stride must decode frame 2, not frame 1")
+  }
+
+  test("animated WebP: real frame count from the ANMF walk, fake luma, detectContainers") {
+    val blob = webpAnim(6, 32, 8)
+    val all = frameRows(blob, maxFrames = 8)
+    // container walk yields the REAL 6 frames even though VP8 pixels
+    // are undecodable on the JVM (fake luma, decoded_real = false)
+    assert(all.map(_._1) == (0L until 6L).toSeq, s"offsets: ${all.map(_._1)}")
+    assert(all.forall(!_._3))
+    assert(all == frameRows(blob, maxFrames = 8), "fake luma must be deterministic")
+    val sampled = frameRows(blob, maxFrames = 3)
+    assert(sampled.map(_._1) == Seq(0L, 2L, 4L))
+    // the DataFrame census API
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("media", BinaryType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, blob),
+        Row(2L, bytes(paint(4, 4)((_, _) => 0x112233), "png")),
+        Row(3L, "nope".getBytes("UTF-8"))), 2), schema)
+    val got = Multimodal.detectContainers(df).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L)._1 == "webp-anim" && got(1L)._2 == blob.length.toLong)
+    assert(got(2L)._1 == "png")
+    assert(got(3L)._1 == "unknown")
+  }
+
   test("multi-frame GIF: per-frame luma pins frame ORDER and sampling STRIDE") {
     // six frames of distinct solid grays — per-frame expected luma comes
     // from the paint loop, so a reordered or mis-strided read cannot pass
