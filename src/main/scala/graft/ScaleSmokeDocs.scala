@@ -224,6 +224,40 @@ object ScaleSmokeDocs {
         .agg(sum(size(graft.functions.BpeSegment(col("w"), merges)))
           .cast("long")).head().getLong(0)
     })
+    // END-TO-END ingest (round-7): the README composition html →
+    // C4 → Gopher → exact dedup → pack, over an HTML wrap of the
+    // synthetic corpus built to PASS the gates (6 sentence-lines of 10
+    // vocab words each: terminal punctuation per line, ≥5 sentences,
+    // ≥50 words, stopwords present, every word alpha-bearing) — so the
+    // row measures the full pipeline's cost, not an early empty
+    // filter. Exact dedup finds no verbatim pages here (planted dups
+    // are NEAR-dups), so survivors = corpus and the dedup stage still
+    // pays its whole hash-groupBy shuffle. rows = packed sequences.
+    // The WARC byte layer is measured separately (ScaleSmokeWarc's
+    // composed-ingest stage) — disk synthesis at 2M records would
+    // dominate this row with generator time, not engine time.
+    stage("e2e_ingest")({
+      val ws = split(col("text"), " ")
+      val body = concat_ws("\n", transform(sequence(lit(0), lit(5)), i =>
+        concat(lit("The "), concat_ws(" ", slice(ws, i * 10 + 1, lit(10))),
+          lit(" have all of that done."))))
+      val html = docs.select(col("doc_id"),
+        concat(lit("<html><head><title>t</title></head><body><p>"),
+          body, lit("</p></body></html>")).as("html"))
+      val pages = html.select(col("doc_id"),
+        graft.pipeline.TextOps.htmlToText(col("html")).as("text"))
+      val c4 = Quality.c4Clean(pages, "doc_id", "text")
+        .filter(col("keep"))
+        .select(col("doc_id"), col("text_clean").as("text"))
+      val gophered = c4.join(
+        Quality.gopherRules(c4, "doc_id", "text")
+          .filter(col("keep")).select("doc_id"), Seq("doc_id"))
+      val deduped = Dedup.dropExactDuplicates(gophered, "doc_id", "text")
+      Sampling.packSequences(
+        deduped.withColumn("shard",
+          concat(lit("s"), pmod(hash(col("doc_id"), lit(3)), lit(8)))),
+        "doc_id", "text", "shard", 2048).count()
+    })
     // production-regime tokenizer train (round-7): 32k merges — the GPT-2
     // vocabulary size — over a letterized corpus (26-letter alphabet,
     // hash-random words of 6-10 chars → the dict cap's full 100k words,
