@@ -371,6 +371,67 @@ object Similarity {
           col("mean_recall").cast("string"))).isNull)
   }
 
+  /** Semantic deduplication (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): cluster the
+    * embedding space, find within-cluster pairs whose cosine clears
+    * `tau`, and keep ONE representative per duplicate group — the
+    * embedding-space generalization of exact/minhash dedup that removes
+    * paraphrases and re-renderings sharing no n-grams.
+    *
+    * Faithful pieces: cluster-then-pair (never corpus-wide all-pairs —
+    * candidate volume is Σ cluster_size² ≈ n²/k, so k chosen ∝ n holds
+    * the join linear, the paper's own complexity argument); duplicate
+    * groups = connected components of the tau-graph; the kept exemplar
+    * is the group member LEAST similar to its centroid (the paper's
+    * choice — it preserves the most informative example), ties by min
+    * id. Restated piece: clusters come from k SEED EXEMPLARS (the
+    * first k vectors by id, nearest-cosine assignment) instead of
+    * trained k-means — deterministic, relation-expressible (so the
+    * DuckDB oracle replays the whole operator bit-for-bit), and at
+    * production scale the trained-centroid variant drops in via
+    * [[ivfIndex]]'s Lloyd's without changing any downstream shape.
+    *
+    * All cosines are 6-dp rounded BEFORE any comparison (the p60
+    * argument: [[dot]] is sequential and mirrored bit-for-bit by
+    * DuckDB's list_dot_product, and rounding pins the tau boundary).
+    * Returns (vec_id, cluster_id, cos_centroid, kept).
+    */
+  def semanticDedup(vecs: DataFrame, k: Int, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val e = vecs.select(col(idCol).cast("long").as("vec_id"),
+      asDouble(col(vecCol)).as("v"))
+    val seeds = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    def cos(a: Column, b: Column): Column =
+      round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
+    // nearest seed by cosine (k is small — broadcast + one window rank)
+    val assigned = e.crossJoin(broadcast(seeds))
+      .withColumn("cos_centroid", cos(col("v"), col("cv")))
+      .withColumn("__rn", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("cos_centroid").desc, col("cid"))))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"), col("cos_centroid"))
+      .persist()
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cos(col("a.v"), col("b.v")) >= tau)
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+    val groups = graft.pipeline.Dedup.duplicateClusters(pairs)
+      .select(col("doc").as("vec_id"), col("cluster_id").as("__grp"))
+    val reps = assigned.join(groups, "vec_id")
+      .groupBy("__grp")
+      .agg(min(struct(col("cos_centroid"), col("vec_id"))).as("__r"))
+      .select(col("__grp"), col("__r.vec_id").as("__rep"))
+    assigned
+      .join(groups, Seq("vec_id"), "left")
+      .join(reps, Seq("__grp"), "left")
+      .select(col("vec_id"), col("cid").as("cluster_id"), col("cos_centroid"),
+        (col("__grp").isNull || col("vec_id") === col("__rep")).as("kept"))
+  }
+
   /** Deterministic driver-local Lloyd's k-means for PQ codebook
     * training. Init = k evenly spaced rows of the (already
     * deterministically ordered) sample; assignment ties break to the

@@ -865,6 +865,13 @@ object PipelineQueries {
         docs(s, dir).select(col("doc_id"), blob.as("media")))
     }),
 
+    // SemDeDup (Abbas '23): embedding-space dedup — exemplar-seeded
+    // clusters, within-cluster cosine tau-graph, keep the group member
+    // LEAST similar to its centroid. Candidate volume n²/k by
+    // construction (never corpus-wide all-pairs)
+    "p64_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(emb(s, dir), k = 16, tau = 0.98)),
+
     // fastText-style langid (hashed char-3-gram linear classifier,
     // integer scores): each doc gets a HEADER planted in its label
     // language (10 function words picked by pure modular arithmetic —
@@ -2207,6 +2214,48 @@ object PipelineQueries {
          SELECT vec_id, CAST(d.label AS BIGINT) AS label, dist,
            dist > cut.cut AS is_outlier
          FROM d JOIN cut ON d.label = cut.label""",
+
+    // the full SemDeDup chain replayed relationally: seed assignment
+    // (cosines via the sequential list_dot_product that mirrors the
+    // engine's dot bit-for-bit, 6-dp rounded before every compare),
+    // tau-pairs, recursive-CTE connected components (the p14 walk),
+    // least-centroid-similar representative per group
+    "p64_semantic_dedup" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+             seeds AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+             asg0 AS (SELECT e.vec_id, e.v, s.cid,
+                        round(list_dot_product(e.v, s.cv) /
+                          (sqrt(list_dot_product(e.v, e.v)) *
+                           sqrt(list_dot_product(s.cv, s.cv))), 6) AS cosc
+                      FROM e CROSS JOIN seeds s),
+             asg AS (SELECT vec_id, v, cid, cosc FROM (
+                      SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cosc DESC, cid) AS rn FROM asg0) t
+                     WHERE rn = 1),
+             pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+                       FROM asg a JOIN asg b
+                         ON a.cid = b.cid AND a.vec_id < b.vec_id
+                       WHERE round(list_dot_product(a.v, b.v) /
+                           (sqrt(list_dot_product(a.v, a.v)) *
+                            sqrt(list_dot_product(b.v, b.v))), 6) >= 0.98),
+             edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                       UNION SELECT doc_b, doc_a FROM pairs),
+             nodes AS (SELECT DISTINCT src AS doc FROM edges),
+             walk AS (SELECT doc, doc AS label FROM nodes
+                      UNION
+                      SELECT e2.src AS doc, w.label
+                      FROM edges e2 JOIN walk w ON e2.dst = w.doc),
+             comp AS (SELECT doc AS vec_id, min(label) AS grp
+                      FROM walk GROUP BY doc),
+             reps AS (SELECT grp, vec_id AS rep FROM (
+                       SELECT c.grp, a.vec_id, row_number() OVER (
+                         PARTITION BY c.grp ORDER BY a.cosc, a.vec_id) AS rn
+                       FROM comp c JOIN asg a USING (vec_id)) t WHERE rn = 1)
+         SELECT a.vec_id, a.cid AS cluster_id, a.cosc AS cos_centroid,
+           (c.grp IS NULL OR a.vec_id = r.rep) AS kept
+         FROM asg a LEFT JOIN comp c USING (vec_id)
+              LEFT JOIN reps r ON c.grp = r.grp""",
 
     // the header plant (pure modular word picks per label lang) and
     // the full hashed-char-3-gram linear scoring are both generated

@@ -1509,6 +1509,44 @@ class PipelineSpec extends SparkSpecBase {
     assert(out(5L) == ((7L, 2L, 0L, 0L, 0L, 0L, 5L, "other")))
   }
 
+  test("semanticDedup: cluster assignment, tau groups, least-central representative") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val vecs = Seq(
+      0L -> Array(1.0, 0.0),      // seed A (and a corpus member)
+      1L -> Array(0.0, 1.0),      // seed B
+      2L -> Array(1.0, 0.01),     // ~dup of seed A direction
+      3L -> Array(0.99, 0.012),   // ~dup of 2
+      4L -> Array(0.8, 0.25),     // cluster A but BELOW tau vs the group
+      5L -> Array(0.1, 1.0),      // cluster B, sub-tau vs seed B (cos≈0.995)
+      6L -> Array(1.0, 0.01))     // exact dup of 2
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        vecs.map(v => Row(v._1, v._2.toSeq)), 2), schema)
+    val out = Similarity.semanticDedup(df, k = 2, tau = 0.999)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // cluster assignment: A = {0,2,3,4,6}, B = {1,5}
+    assert(Seq(0L, 2L, 3L, 4L, 6L).forall(out(_)._1 == 0L))
+    assert(Seq(1L, 5L).forall(out(_)._1 == 1L))
+    // duplicate group = {0,2,3,6} (4 is same-cluster but sub-tau);
+    // exactly ONE kept, and it is the least-centroid-similar member
+    val grp = Seq(0L, 2L, 3L, 6L)
+    val keptIn = grp.filter(out(_)._3)
+    assert(keptIn.size == 1, s"group kept: $keptIn")
+    val expectedRep = grp.minBy(id => (out(id)._2, id))
+    assert(keptIn.head == expectedRep,
+      s"rep ${keptIn.head}, expected least-central $expectedRep")
+    // non-duplicates all kept
+    assert(Seq(1L, 4L, 5L).forall(out(_)._3))
+    // deterministic across evaluations and partitionings
+    val again = Similarity.semanticDedup(df.repartition(5), k = 2, tau = 0.999)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(again == out)
+  }
+
   test("unigram LM: hand-computed EM step; Viterbi segmentation; training") {
     // ---- one soft-EM step on dict {ab:2, b:1}, pieces {a,b,ab} with
     // p = (2/7, 3/7, 2/7) (the seed counts): word "ab" has two paths,
