@@ -136,6 +136,13 @@ object GraftFunctions {
         // the analyzer wraps a bare AggregateFunction in an
         // AggregateExpression, same as the built-in registry entries
         HampelStats(args.head)
+      }),
+    ("capped_collect",
+      info("capped_collect",
+        "capped_collect(x, cap) - BIGINT collect_list with a hard buffer cap; a group whose result size exceeds your df bound is known to have overflowed"),
+      args => {
+        arity("capped_collect", args, 2)
+        CappedCollectLong(args.head, intArg("capped_collect", args, 1))
       })
   )
 

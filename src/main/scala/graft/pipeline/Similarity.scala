@@ -395,6 +395,14 @@ object Similarity {
     * argument: [[dot]] is sequential and mirrored bit-for-bit by
     * DuckDB's list_dot_product, and rounding pins the tau boundary).
     * Returns (vec_id, cluster_id, cos_centroid, kept).
+    *
+    * 100-TB note: the seed-assignment crossJoin is O(n·k), so k cannot
+    * grow ∝ n in THIS form — at billion-vector scale the tau-graph
+    * source swaps to the banded-LSH pair generator
+    * ([[cosineNearDupPairs]], whose log2(n) plane growth is measured in
+    * BASELINE.md) or IVF-probed assignment, and everything downstream
+    * (components, representative rule) is unchanged — the pair source
+    * is the only scale-sensitive stage.
     */
   def semanticDedup(vecs: DataFrame, k: Int, tau: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

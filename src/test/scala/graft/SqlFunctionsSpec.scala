@@ -73,6 +73,18 @@ class SqlFunctionsSpec extends SparkSpecBase {
     assert(got == api && got.size == 2)
   }
 
+  test("capped_collect caps hot groups; small groups collect fully and sorted") {
+    import spark.implicits._
+    (Seq.fill(10)("hot" -> 7L) ++ Seq("cold" -> 3L, "cold" -> 1L))
+      .toDF("k", "v").createOrReplaceTempView("t_sql_cc")
+    val got = spark.sql(
+      "SELECT k, capped_collect(v, 4) AS vs FROM t_sql_cc GROUP BY k ORDER BY k")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got("cold") == Seq(1L, 3L))          // full, sorted
+    assert(got("hot").length == 4)              // hard-capped, never 10
+    assert(got("hot").forall(_ == 7L))
+  }
+
   test("non-literal static parameters fail analysis loudly") {
     import spark.implicits._
     Seq((1, 2)).toDF("a", "b").createOrReplaceTempView("t_sql_bad")

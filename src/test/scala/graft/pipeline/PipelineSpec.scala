@@ -1593,6 +1593,33 @@ class PipelineSpec extends SparkSpecBase {
     assert(m.pieces == m2.pieces && m.unkCostMicro == m2.unkCostMicro)
   }
 
+  test("tokenizer persistence: BPE + unigram round-trip parquet; corrupt artifacts fail") {
+    val d = docsOf((1L, "low lower lowest newest widest " * 3))
+    val tmp = java.nio.file.Files.createTempDirectory("tok_io").toString
+    // BPE: model = the merge table; segmentation must be identical
+    val merges = Bpe.trainMerges(d, "text", nMerges = 8)
+    TokenizerIO.saveBpe(merges, spark, s"$tmp/bpe")
+    val merges2 = TokenizerIO.loadBpe(spark, s"$tmp/bpe")
+    assert(merges2 == merges)
+    // unigram: full model round-trip, then equal Viterbi segmentation
+    val m = Unigram.trainModel(d, "text", vocabSize = 20, maxPieceLen = 3)
+    TokenizerIO.saveUnigram(m, spark, s"$tmp/uni")
+    val m2 = TokenizerIO.loadUnigram(spark, s"$tmp/uni")
+    assert(m2 == m)
+    val seg = (mm: Unigram.Model) => spark.range(1)
+      .select(graft.functions.UnigramSegment(lit("lowest"), mm.pieces,
+        mm.unkCostMicro, mm.maxPieceLen).as("s")).head().getSeq[String](0)
+    assert(seg(m2) == seg(m))
+    // a corrupt merge table (non-dense ranks) must fail loudly
+    import spark.implicits._
+    Seq((0, "a", "b", 3L), (2, "c", "d", 2L))
+      .toDF("rank", "left", "right", "pair_count")
+      .write.mode("overwrite").parquet(s"$tmp/bad/merges")
+    val err = intercept[IllegalArgumentException] {
+      TokenizerIO.loadBpe(spark, s"$tmp/bad") }
+    assert(err.getMessage.contains("dense"))
+  }
+
   test("langid classifier: held-out sentences, fixture consistency, edges") {
     // training is deterministic — weights must be stable across calls
     // (object init) and nonzero for every language row
