@@ -158,6 +158,77 @@ object Quality {
         col("lm2_nll"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999 §3 — the smoothing inside KenLM, whose perplexity IS
+    * CCNet's quality signal; [[lm2Score]]'s add-one is the textbook
+    * proxy, this is the production formula):
+    *
+    *   P(w|v) = max(c(vw) − D, 0)/c(v) + D·N1+(v·)/c(v) · Pcont(w),
+    *   Pcont(w) = N1+(·w) / N1+(··),  D = 0.75 (the standard discount)
+    *
+    * — the continuation probability ranks words by how many CONTEXTS
+    * they follow, not raw frequency, so "Francisco" (frequent but only
+    * after "San") stops inflating unseen-context estimates, the failure
+    * mode add-one smoothing cannot see.
+    *
+    * Every statistic derives from the ONE bigram-type relation: c(v) and
+    * N1+(v·) by prev-aggregation, N1+(·w) by word-aggregation, N1+(··)
+    * as a one-row broadcast — same plan family as [[lm2Score]] (no
+    * positional self-join, token array materialized once). Self-scoring
+    * the corpus keeps every term positive; for held-out use, unseen
+    * pairs back off to the continuation term and unseen words floor at
+    * 1/(2·N1+(··)). Micro-nat integer quantization per position keeps
+    * the per-doc sum exact and order-free on both engines. Documents
+    * with < 2 tokens report `n_bigrams = 0` and a NULL score.
+    */
+  def knBigramScore(docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1): $discount")
+    val withToks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .persist()
+    val pairs = withToks
+      .select(col(idCol), explode(ngrams(col("__toks"), 2)).as("pair"))
+      .withColumn("__prev", split(col("pair"), " ").getItem(0))
+      .withColumn("__w", split(col("pair"), " ").getItem(1))
+    val cb = pairs.groupBy("pair").agg(count(lit(1)).as("__cb")).persist()
+    val ctx = cb
+      .withColumn("__p", split(col("pair"), " ").getItem(0))
+      .groupBy(col("__p"))
+      .agg(sum("__cb").as("__cv"), count(lit(1)).as("__n1f"))
+    val cont = cb
+      .withColumn("__ww", split(col("pair"), " ").getItem(1))
+      .groupBy(col("__ww"))
+      .agg(count(lit(1)).as("__n1b"))
+    val nTypes = cb.agg(count(lit(1)).as("__nt"))
+    val d = lit(discount)
+    val scored = pairs
+      .join(cb, Seq("pair"), "left")
+      .join(ctx, pairs("__prev") === ctx("__p"), "left")
+      .join(cont, pairs("__w") === cont("__ww"), "left")
+      .crossJoin(broadcast(nTypes))
+      .withColumn("__pcont",
+        coalesce(col("__n1b"), lit(0L)) / col("__nt"))
+      .withColumn("__prob",
+        when(coalesce(col("__cv"), lit(0L)) > 0,
+          greatest(coalesce(col("__cb"), lit(0L)) - d, lit(0.0)) / col("__cv") +
+            d * col("__n1f") / col("__cv") * col("__pcont"))
+          .otherwise(col("__pcont")))
+      .withColumn("__prob2",
+        when(col("__prob") > 0, col("__prob"))
+          .otherwise(lit(0.5) / col("__nt")))
+      .withColumn("__nllu",
+        round(-log(col("__prob2")) * lit(1000000.0)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"), sum("__nllu").as("__s"))
+      .withColumn("kn_nll",
+        round(col("__s") / (col("n_bigrams") * lit(1000000.0)), 6))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("kn_nll"))
+  }
+
   /** CCNet's head/middle/tail split over the [[lmScore]] signal (Wenzek
     * et al. 2020 §4.3: perplexity TERTILES, with "head" = most fluent):
     * documents are bucketed by where their `lm_nll` falls against the

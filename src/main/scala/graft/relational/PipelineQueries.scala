@@ -865,6 +865,13 @@ object PipelineQueries {
         docs(s, dir).select(col("doc_id"), blob.as("media")))
     }),
 
+    // interpolated Kneser-Ney bigram scoring (the KenLM smoothing
+    // behind CCNet's perplexity filter; p46's add-one is the textbook
+    // proxy, this is the production formula — continuation
+    // probabilities from the bigram-TYPE relation)
+    "p65_kn_bigram" -> ((s, dir) =>
+      Quality.knBigramScore(docs(s, dir), "doc_id", "text")),
+
     // SemDeDup (Abbas '23): embedding-space dedup — exemplar-seeded
     // clusters, within-cluster cosine tau-graph, keep the group member
     // LEAST similar to its centroid. Candidate volume n²/k by
@@ -2214,6 +2221,44 @@ object PipelineQueries {
          SELECT vec_id, CAST(d.label AS BIGINT) AS label, dist,
            dist > cut.cut AS is_outlier
          FROM d JOIN cut ON d.label = cut.label""",
+
+    // p46's count CTEs plus the KN statistics, all from the one
+    // bigram-TYPE relation: c(v), N1+(v·) by prev, N1+(·w) by word,
+    // N1+(··) broadcast; formula operand order mirrors the engine so
+    // IEEE products land the same bits before the micro-nat round
+    "p65_kn_bigram" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+             pr AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+                      THEN list_transform(generate_series(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i + 1])
+                      ELSE [] END) AS pair FROM d),
+             sp AS (SELECT doc_id, pair,
+                      string_split(pair, ' ')[1] AS prev,
+                      string_split(pair, ' ')[2] AS w
+                    FROM pr),
+             cb AS (SELECT pair, count(*) AS cb FROM pr GROUP BY 1),
+             ctx AS (SELECT string_split(pair, ' ')[1] AS p,
+                       CAST(sum(cb) AS BIGINT) AS cv, count(*) AS n1f
+                     FROM cb GROUP BY 1),
+             cont AS (SELECT string_split(pair, ' ')[2] AS ww,
+                        count(*) AS n1b
+                      FROM cb GROUP BY 1),
+             nt AS (SELECT count(*) AS nt FROM cb),
+             sc AS (SELECT doc_id,
+                      CAST(round(-ln(
+                        greatest(cb.cb - 0.75, 0.0) / ctx.cv +
+                          0.75 * ctx.n1f / ctx.cv * (cont.n1b / nt.nt))
+                        * 1000000.0) AS BIGINT) AS nllu
+                    FROM sp JOIN cb USING (pair)
+                    JOIN ctx ON sp.prev = ctx.p
+                    JOIN cont ON sp.w = cont.ww
+                    CROSS JOIN nt),
+             agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                       CAST(sum(nllu) AS BIGINT) AS ssum
+                     FROM sc GROUP BY 1)
+         SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+           round(agg.ssum / (agg.n_bigrams * 1000000.0), 6) AS kn_nll
+         FROM d LEFT JOIN agg USING (doc_id)""",
 
     // the full SemDeDup chain replayed relationally: seed assignment
     // (cosines via the sequential list_dot_product that mirrors the

@@ -1509,6 +1509,32 @@ class PipelineSpec extends SparkSpecBase {
     assert(out(5L) == ((7L, 2L, 0L, 0L, 0L, 0L, 5L, "other")))
   }
 
+  test("KN bigram: hand-computed discount/continuation; degenerate docs") {
+    // corpus: d1 "a b a b" → pairs {ab, ba, ab}; d2 "b a x" → {ba, ax}
+    // cb: ab=2, ba=2, ax=1 → N1+(··)=3
+    // ctx: a → cv=3, N1+(a·)=2 ; b → cv=2, N1+(b·)=1
+    // cont: every word follows exactly 1 distinct context → Pcont = 1/3
+    // P(b|a) = 1.25/3 + .75·2/3·(1/3) ; P(a|b) = 1.25/2 + .75·1/2·(1/3)
+    // P(x|a) = 0.25/3 + .75·2/3·(1/3)
+    val d = docsOf((1L, "a b a b"), (2L, "b a x"), (3L, "solo"))
+    val out = Quality.knBigramScore(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))).toMap
+    def nllu(p: Double): Long = math.round(-math.log(p) * 1e6)
+    val pAB = math.max(2 - 0.75, 0.0) / 3 + 0.75 * 2 / 3 * (1.0 / 3)
+    val pBA = math.max(2 - 0.75, 0.0) / 2 + 0.75 * 1 / 2 * (1.0 / 3)
+    val pAX = math.max(1 - 0.75, 0.0) / 3 + 0.75 * 2 / 3 * (1.0 / 3)
+    def mean(us: Seq[Long]): Double =
+      BigDecimal(us.sum.toDouble / (us.length * 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((3L, mean(Seq(nllu(pAB), nllu(pBA), nllu(pAB))))))
+    assert(out(2L) == ((2L, mean(Seq(nllu(pBA), nllu(pAX))))))
+    // the discounted rare pair scores strictly worse than the common one
+    assert(pAX < pAB)
+    // single-token doc: no bigrams, NULL score
+    assert(out(3L)._1 == 0L && out(3L)._2.isNaN)
+  }
+
   test("semanticDedup: cluster assignment, tau groups, least-central representative") {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     val vecs = Seq(
