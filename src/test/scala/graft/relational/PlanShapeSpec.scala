@@ -135,11 +135,17 @@ class PlanShapeSpec extends SparkSpecBase {
     // the bounded bucket histogram (all the p36 shape)
     // p56 attaches the one-row token and pair totals to the pair-count
     // frame before the PMI projection
+    // p65 attaches the one-row N1+(··) bigram-type total (p46's shape)
+    // p64 is the ONE non-scalar exemption: SemDeDup's seed assignment
+    // broadcasts the k=16-row exemplar frame against the corpus —
+    // O(n·k) with bounded k by construction (the scaladoc documents
+    // the banded-LSH/IVF swap once k must grow)
     val scalarAttachJoins = Set("p13_text_tfidf", "p32_domain_mix",
       "p36_lm_score", "p38_lm_buckets", "p39_dsir_resample",
       "p7_ann_lsh", "p15_ann_ivf", "p29_ann_ivfpq", "p46_bigram_lm",
       "p48_lang_sample", "p51_unimax_sample", "p52_bm25_topk",
-      "p53_budget_select", "p56_pmi_pairs")
+      "p53_budget_select", "p56_pmi_pairs", "p64_semantic_dedup",
+      "p65_kn_bigram")
     for ((name, fn) <- graft.SparkEntry.queries
          if !intentionalThetaJoins(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
