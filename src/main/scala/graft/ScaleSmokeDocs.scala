@@ -224,6 +224,20 @@ object ScaleSmokeDocs {
         .agg(sum(size(graft.functions.BpeSegment(col("w"), merges)))
           .cast("long")).head().getLong(0)
     })
+    // langid classifier (p61) straight over the corpus text: one
+    // codegen projection, ~1 md5 per char-3-gram — the embarrassingly
+    // parallel map shape. The action GROUPS on the prediction (an
+    // isNotNull filter on the non-nullable pred folds away and prices
+    // nothing); rows = distinct labels
+    stage("langid_classify")(graft.pipeline.LangId.classify(
+      docs, "doc_id", "text").groupBy("lang_pred").count().count())
+    // the rolling-ring fast path: identical architecture, no md5
+    stage("langid_classify_fast")(graft.pipeline.LangId.classifyFast(
+      docs, "doc_id", "text").groupBy("lang_pred").count().count())
+    // Kneser-Ney bigram scoring (p65): one pair-type aggregate + three
+    // equality joins + the one-row type-total attach (the lm2 family)
+    stage("kn_bigram")(Quality.knBigramScore(docs, "doc_id", "text")
+      .filter(col("kn_nll").isNotNull).count())
     // END-TO-END ingest (round-7): the README composition html →
     // C4 → Gopher → exact dedup → pack, over an HTML wrap of the
     // synthetic corpus built to PASS the gates (6 sentence-lines of 10

@@ -114,15 +114,38 @@ object LangId {
     grams3(s).groupBy(g => (hash60Local(g) % B).toInt)
       .map { case (b, gs) => b -> gs.size.toLong }
 
+  /** JVM mirror of [[graft.functions.CharWindowHashes]] (base-31
+    * polynomial over code points in Z/2^64) bucketed mod B — the FAST
+    * serving hash; must stay bit-identical to the expression.
+    */
+  private def bucketsFastOf(s: String): Map[Int, Long] = {
+    val cps = s.codePoints().toArray
+    if (cps.length < 3) Map.empty
+    else (0 to cps.length - 3)
+      .map { i =>
+        val h = (cps(i).toLong * 31 + cps(i + 1)) * 31 + cps(i + 2)
+        (((h % B) + B) % B).toInt
+      }
+      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+  }
+
   /** Trained weight table, `Langs.indices x B`, integer. Multiclass
     * perceptron, 10 epochs, fixture order fixed — bit-deterministic.
     * (Averaging is skipped: with a linearly separable fixture the
     * final weights converge and stay integer.)
     */
-  val Weights: IndexedSeq[IndexedSeq[Long]] = {
+  val Weights: IndexedSeq[IndexedSeq[Long]] = trainWeights(bucketsOf)
+
+  /** The same training under the rolling-ring bucket function — the
+    * weights [[classifyFast]] serves with.
+    */
+  lazy val WeightsFast: IndexedSeq[IndexedSeq[Long]] = trainWeights(bucketsFastOf)
+
+  private def trainWeights(
+      feat: String => Map[Int, Long]): IndexedSeq[IndexedSeq[Long]] = {
     val w = Array.fill(Langs.length, B)(0L)
     val feats = TrainFixture.map { case (l, s) =>
-      (Langs.indexOf(l), bucketsOf(s.toLowerCase)) }
+      (Langs.indexOf(l), feat(s.toLowerCase)) }
     for (_ <- 1 to 10; (y, f) <- feats) {
       val scores = w.map(wl => f.iterator.map { case (b, c) => wl(b) * c }.sum)
       val pred = scores.indices.maxBy(i => (scores(i), -i))
@@ -151,14 +174,32 @@ object LangId {
     val grams = when(length(t) >= 3,
       transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
       .otherwise(array().cast("array<string>"))
-    val buckets = transform(grams, g => TextOps.hash60(g) % B)
+    classifyWith(docs, idCol,
+      transform(grams, g => TextOps.hash60(g) % B), Weights)
+  }
+
+  /** Same architecture, ~10× cheaper serving: buckets come from the
+    * one-pass codegen'd rolling ring hash
+    * ([[graft.functions.CharWindowHashes]] — no md5 per gram) with
+    * weights retrained under that hash. NOT oracle-replayable (the
+    * 64-bit ring has no SQL mirror) — the spec pins prediction
+    * agreement with [[classify]] instead; prefer this path at corpus
+    * scale, the md5 path where cross-engine replay matters.
+    */
+  def classifyFast(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    classifyWith(docs, idCol,
+      transform(graft.functions.CharWindowHashes(lower(col(textCol)), 3),
+        h => pmod(h, lit(B.toLong))), WeightsFast)
+
+  private def classifyWith(docs: DataFrame, idCol: String, buckets: Column,
+      weights: IndexedSeq[IndexedSeq[Long]]): DataFrame = {
     // __bk is referenced once per language below; the multi-reference
-    // keeps CollapseProject from inlining the md5 chain into each fold
+    // keeps CollapseProject from inlining the hash chain into each fold
     val scored = docs.select(col(idCol), buckets.as("__bk"))
     val withScores = scored.select(
       col(idCol) +: Langs.zipWithIndex.map { case (l, li) =>
         aggregate(col("__bk"), lit(0L),
-          (acc, b) => acc + element_at(typedLit(Weights(li).toArray),
+          (acc, b) => acc + element_at(typedLit(weights(li).toArray),
             b.cast("int") + 1)).as(s"score_$l")
       }: _*)
     val s: String => Column = l => col(s"score_$l")

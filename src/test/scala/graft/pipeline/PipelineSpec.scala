@@ -1681,6 +1681,16 @@ class PipelineSpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(6)))).toMap
     assert(short(1L) == ((0L, "en")) && short(2L) == ((0L, "en")) &&
       short(3L) == ((0L, "en")))
+    // the rolling-hash fast path (retrained weights, no md5): its
+    // fixture weights must separate, and predictions must AGREE with
+    // the oracle path on the held-out sentences
+    assert(LangId.WeightsFast.forall(_.exists(_ != 0L)))
+    val fast = LangId.classifyFast(
+      docsOf(held.zipWithIndex.map { case ((_, s), i) => (i.toLong, s) }: _*),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(6)).toMap
+    held.zipWithIndex.foreach { case ((l, s), i) =>
+      assert(fast(i.toLong) == l, s"fast path: '$s' → ${fast(i.toLong)}") }
   }
 
   test("pmiPairs counts ±window co-occurrences and scores collocations") {
