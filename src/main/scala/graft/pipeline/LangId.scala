@@ -203,12 +203,22 @@ object LangId {
             b.cast("int") + 1)).as(s"score_$l")
       }: _*)
     val s: String => Column = l => col(s"score_$l")
+    def others(l: String) = Langs.filterNot(_ == l).map(s)
+    // margin = score(pred) − best other score: the fastText confidence
+    // signal — threshold it to emit 'und' for unidentifiable text
+    // (all-zero short docs score margin 0)
+    val lastL = Langs.last
     withScores.select(
       col(idCol) +: Langs.map(l => s(l).as(s"score_$l")) :+
-        Langs.init.foldRight(lit(Langs.last): Column) { (l, rest) =>
+        Langs.init.foldRight(lit(lastL): Column) { (l, rest) =>
           when(s(l) >= gmax(Langs.dropWhile(_ != l).tail.map(s)), lit(l))
             .otherwise(rest)
-        }.as("lang_pred"): _*)
+        }.as("lang_pred") :+
+        Langs.init.foldRight(s(lastL) - gmax(others(lastL))) { (l, rest) =>
+          when(s(l) >= gmax(Langs.dropWhile(_ != l).tail.map(s)),
+            s(l) - gmax(others(l)))
+            .otherwise(rest)
+        }.as("margin"): _*)
   }
 
   /** The same scoring as [[classify]] as a complete DuckDB query,
@@ -226,6 +236,15 @@ object LangId {
         .map(o => s"score_$o").mkString(", ")
       s"CASE WHEN score_$l >= greatest($others) THEN '$l' ELSE $rest END"
     }
+    def gOthers(l: String) =
+      Langs.filterNot(_ == l).map(o => s"score_$o").mkString(", ")
+    val margin = Langs.init.reverse.foldLeft(
+      s"score_${Langs.last} - greatest(${gOthers(Langs.last)})") { (rest, l) =>
+      val later = Langs.dropWhile(_ != l).tail
+        .map(o => s"score_$o").mkString(", ")
+      s"CASE WHEN score_$l >= greatest($later) " +
+        s"THEN score_$l - greatest(${gOthers(l)}) ELSE $rest END"
+    }
     s"""WITH src AS ($srcCte),
          g AS (SELECT doc_id,
              list_transform(
@@ -237,7 +256,8 @@ object LangId {
            $scores
            FROM g)
          SELECT doc_id, ${Langs.map(l => s"score_$l").mkString(", ")},
-           $pred AS lang_pred
+           $pred AS lang_pred,
+           CAST($margin AS BIGINT) AS margin
          FROM sc"""
   }
 }

@@ -1673,14 +1673,27 @@ class PipelineSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getString(6)).toMap
     held.zipWithIndex.foreach { case ((l, s), i) =>
       assert(out(i.toLong) == l, s"'$s' → ${out(i.toLong)}, wanted $l") }
+    // confidence margin (the fastText 'und' signal): strictly positive
+    // on every held-out sentence, and score(pred) − best other exactly
+    val margins = LangId.classify(
+      docsOf(held.zipWithIndex.map { case ((_, s), i) => (i.toLong, s) }: _*),
+      "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (((1 to 5).map(r.getLong), r.getString(6), r.getLong(7)))).toMap
+    margins.values.foreach { case (scores, pred, m) =>
+      val pi = LangId.Langs.indexOf(pred)
+      assert(m == scores(pi) - scores.zipWithIndex
+        .filter(_._2 != pi).map(_._1).max)
+      assert(m > 0, s"held-out margin must be positive: $m")
+    }
     // short/empty text: no grams → all-zero scores → deterministic 'en'
-    // (first in tie order); never an error under ANSI
+    // with margin 0 (threshold to 'und'); never an error under ANSI
     val short = LangId.classify(
       docsOf((1L, ""), (2L, "ab"), (3L, null.asInstanceOf[String])),
       "doc_id", "text").collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(6)))).toMap
-    assert(short(1L) == ((0L, "en")) && short(2L) == ((0L, "en")) &&
-      short(3L) == ((0L, "en")))
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(6), r.getLong(7)))).toMap
+    assert(short(1L) == ((0L, "en", 0L)) && short(2L) == ((0L, "en", 0L)) &&
+      short(3L) == ((0L, "en", 0L)))
     // the rolling-hash fast path (retrained weights, no md5): its
     // fixture weights must separate, and predictions must AGREE with
     // the oracle path on the held-out sentences
