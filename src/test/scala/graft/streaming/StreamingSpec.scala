@@ -572,6 +572,51 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("knServeStream over the frozen bigram model == batch knBigramScore; unseen backoff") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "a b a b"), (2L, "b a x"), (3L, "solo"),
+      (4L, "")).toDF("doc_id", "text")
+    val expected = graft.pipeline.Quality.knBigramScore(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    // freeze the bigram-type model exactly as knBigramScore builds it
+    val cb = corpus
+      .select(explode(graft.pipeline.Quality.ngrams(
+        graft.pipeline.TextOps.tokens(col("text")), 2)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cb"))
+    val nTypes = cb.count()
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingQuality.knServeStream(
+        mem.toDF().toDF("doc_id", "text"), cb, nTypes)
+      .writeStream.format("memory").queryName("kn_serve")
+      .outputMode("append").start()
+    try {
+      val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+      mem.addData(rows.take(2).toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(rows.drop(2).toIndexedSeq: _*); q.processAllAvailable()
+      // held-out doc: seen context + unseen pair (a a) backs off to the
+      // continuation term; unseen word (qq) floors at 1/(2·N)
+      mem.addData((9L, "a a qq")); q.processAllAvailable()
+      val got = spark.table("kn_serve").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+        .toMap
+      assert(got.view.filterKeys(_ != 9L).toMap == expected,
+        s"streaming $got vs batch $expected")
+      // hand-check the backoff doc: P(a|a) = .75·2/3·(1/3) (cb=0, cv=3,
+      // n1f=2, Pcont(a)=1/3); P(qq|a) floors via pcont=0 → 1/(2·3)
+      val pAA = 0.75 * 2 / 3 * (1.0 / 3)
+      val pAQ = 0.5 / 3
+      def nllu(p: Double): Long = math.round(-math.log(p) * 1e6)
+      val exp9 = BigDecimal((nllu(pAA) + nllu(pAQ)).toDouble / (2 * 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(9L) == ((2L, Some(exp9))), s"backoff doc: ${got(9L)}")
+    } finally q.stop()
+  }
+
   test("bm25ServeStream over frozen stats == batch bm25Scores, across batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
