@@ -96,87 +96,25 @@ object LangId {
     "zh" -> "jin tian tian qi hen hao wo men qu wai mian zou yi zou ba") ++
     Lexicons.toSeq.sortBy(_._1).map { case (l, ws) => l -> ws.mkString(" ") }
 
-  /** JVM-side mirror of [[TextOps.hash60]]: first 15 hex chars of md5
-    * parsed base-16 (60 bits, always non-negative).
+  /** Oracle-path weights (md5 buckets) — see [[TextClassifier]] for
+    * the shared training/serving core.
     */
-  def hash60Local(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val hex = d.map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
-  }
+  val Weights: IndexedSeq[IndexedSeq[Long]] =
+    TextClassifier.train(TrainFixture, Langs, B,
+      TextClassifier.bucketsMd5(_, B))
 
-  private def grams3(s: String): Seq[String] =
-    if (s.length < 3) Seq.empty
-    else (0 to s.length - 3).map(i => s.substring(i, i + 3))
+  /** Fast-path weights (rolling ring buckets — [[classifyFast]]). */
+  lazy val WeightsFast: IndexedSeq[IndexedSeq[Long]] =
+    TextClassifier.train(TrainFixture, Langs, B,
+      TextClassifier.bucketsRing(_, B))
 
-  private def bucketsOf(s: String): Map[Int, Long] =
-    grams3(s).groupBy(g => (hash60Local(g) % B).toInt)
-      .map { case (b, gs) => b -> gs.size.toLong }
-
-  /** JVM mirror of [[graft.functions.CharWindowHashes]] (base-31
-    * polynomial over code points in Z/2^64) bucketed mod B — the FAST
-    * serving hash; must stay bit-identical to the expression.
+  /** (doc_id, score_<lang>..., lang_pred, margin) — one codegen
+    * projection; margin = score(pred) − best other (the fastText
+    * confidence signal; threshold to emit 'und').
     */
-  private def bucketsFastOf(s: String): Map[Int, Long] = {
-    val cps = s.codePoints().toArray
-    if (cps.length < 3) Map.empty
-    else (0 to cps.length - 3)
-      .map { i =>
-        val h = (cps(i).toLong * 31 + cps(i + 1)) * 31 + cps(i + 2)
-        (((h % B) + B) % B).toInt
-      }
-      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
-  }
-
-  /** Trained weight table, `Langs.indices x B`, integer. Multiclass
-    * perceptron, 10 epochs, fixture order fixed — bit-deterministic.
-    * (Averaging is skipped: with a linearly separable fixture the
-    * final weights converge and stay integer.)
-    */
-  val Weights: IndexedSeq[IndexedSeq[Long]] = trainWeights(bucketsOf)
-
-  /** The same training under the rolling-ring bucket function — the
-    * weights [[classifyFast]] serves with.
-    */
-  lazy val WeightsFast: IndexedSeq[IndexedSeq[Long]] = trainWeights(bucketsFastOf)
-
-  private def trainWeights(
-      feat: String => Map[Int, Long]): IndexedSeq[IndexedSeq[Long]] = {
-    val w = Array.fill(Langs.length, B)(0L)
-    val feats = TrainFixture.map { case (l, s) =>
-      (Langs.indexOf(l), feat(s.toLowerCase)) }
-    for (_ <- 1 to 10; (y, f) <- feats) {
-      val scores = w.map(wl => f.iterator.map { case (b, c) => wl(b) * c }.sum)
-      val pred = scores.indices.maxBy(i => (scores(i), -i))
-      if (pred != y) f.foreach { case (b, c) =>
-        w(y)(b) += c
-        w(pred)(b) -= c
-      }
-    }
-    w.map(_.toIndexedSeq).toIndexedSeq
-  }
-
-  /** Per-language integer scores + argmax prediction over `textCol`.
-    * One codegen projection: grams → buckets are materialized ONCE into
-    * an intermediate array column (HOF lambdas re-evaluate their
-    * argument per element — without the barrier each language's sum
-    * would re-run every md5), then each language is one
-    * `aggregate(...)` fold over the bucket array against its inlined
-    * weight literal.
-    */
-  private def gmax(cs: Seq[Column]): Column =
-    if (cs.size == 1) cs.head else greatest(cs: _*)
-
-  def classify(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = lower(col(textCol))
-    // sequence(1, 0) DESCENDS in Spark — guard short strings explicitly
-    val grams = when(length(t) >= 3,
-      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
-      .otherwise(array().cast("array<string>"))
-    classifyWith(docs, idCol,
-      transform(grams, g => TextOps.hash60(g) % B), Weights)
-  }
+  def classify(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextClassifier.classifyWith(docs, idCol,
+      TextClassifier.md5Buckets(textCol, B), Langs, Weights, "lang_pred")
 
   /** Same architecture, ~10× cheaper serving: buckets come from the
     * one-pass codegen'd rolling ring hash
@@ -187,77 +125,13 @@ object LangId {
     * scale, the md5 path where cross-engine replay matters.
     */
   def classifyFast(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    classifyWith(docs, idCol,
-      transform(graft.functions.CharWindowHashes(lower(col(textCol)), 3),
-        h => pmod(h, lit(B.toLong))), WeightsFast)
-
-  private def classifyWith(docs: DataFrame, idCol: String, buckets: Column,
-      weights: IndexedSeq[IndexedSeq[Long]]): DataFrame = {
-    // __bk is referenced once per language below; the multi-reference
-    // keeps CollapseProject from inlining the hash chain into each fold
-    val scored = docs.select(col(idCol), buckets.as("__bk"))
-    val withScores = scored.select(
-      col(idCol) +: Langs.zipWithIndex.map { case (l, li) =>
-        aggregate(col("__bk"), lit(0L),
-          (acc, b) => acc + element_at(typedLit(weights(li).toArray),
-            b.cast("int") + 1)).as(s"score_$l")
-      }: _*)
-    val s: String => Column = l => col(s"score_$l")
-    def others(l: String) = Langs.filterNot(_ == l).map(s)
-    // margin = score(pred) − best other score: the fastText confidence
-    // signal — threshold it to emit 'und' for unidentifiable text
-    // (all-zero short docs score margin 0)
-    val lastL = Langs.last
-    withScores.select(
-      col(idCol) +: Langs.map(l => s(l).as(s"score_$l")) :+
-        Langs.init.foldRight(lit(lastL): Column) { (l, rest) =>
-          when(s(l) >= gmax(Langs.dropWhile(_ != l).tail.map(s)), lit(l))
-            .otherwise(rest)
-        }.as("lang_pred") :+
-        Langs.init.foldRight(s(lastL) - gmax(others(lastL))) { (l, rest) =>
-          when(s(l) >= gmax(Langs.dropWhile(_ != l).tail.map(s)),
-            s(l) - gmax(others(l)))
-            .otherwise(rest)
-        }.as("margin"): _*)
-  }
+    TextClassifier.classifyWith(docs, idCol,
+      TextClassifier.ringBuckets(textCol, B), Langs, WeightsFast, "lang_pred")
 
   /** The same scoring as [[classify]] as a complete DuckDB query,
     * generated from the same weight constants. `srcCte` must be a
     * query producing (doc_id, __t) with __t already lowercased.
     */
-  def scoreSqlFrom(srcCte: String): String = {
-    val scores = Langs.zipWithIndex.map { case (l, li) =>
-      s"""CAST(coalesce(list_sum(list_transform(bk,
-         |             b -> (list_value(${Weights(li).mkString(",")}))[(b)::INT + 1])), 0)
-         |           AS BIGINT) AS score_$l""".stripMargin
-    }.mkString(",\n           ")
-    val pred = Langs.init.reverse.foldLeft(s"'${Langs.last}'") { (rest, l) =>
-      val others = Langs.dropWhile(_ != l).tail
-        .map(o => s"score_$o").mkString(", ")
-      s"CASE WHEN score_$l >= greatest($others) THEN '$l' ELSE $rest END"
-    }
-    def gOthers(l: String) =
-      Langs.filterNot(_ == l).map(o => s"score_$o").mkString(", ")
-    val margin = Langs.init.reverse.foldLeft(
-      s"score_${Langs.last} - greatest(${gOthers(Langs.last)})") { (rest, l) =>
-      val later = Langs.dropWhile(_ != l).tail
-        .map(o => s"score_$o").mkString(", ")
-      s"CASE WHEN score_$l >= greatest($later) " +
-        s"THEN score_$l - greatest(${gOthers(l)}) ELSE $rest END"
-    }
-    s"""WITH src AS ($srcCte),
-         g AS (SELECT doc_id,
-             list_transform(
-               list_transform(generate_series(1, greatest(len(__t) - 2, 0)),
-                 i -> substr(__t, i::INT, 3)),
-               gr -> ('0x' || substr(md5(gr), 1, 15))::BIGINT % $B) AS bk
-           FROM src),
-         sc AS (SELECT doc_id,
-           $scores
-           FROM g)
-         SELECT doc_id, ${Langs.map(l => s"score_$l").mkString(", ")},
-           $pred AS lang_pred,
-           CAST($margin AS BIGINT) AS margin
-         FROM sc"""
-  }
+  def scoreSqlFrom(srcCte: String): String =
+    TextClassifier.scoreSqlFrom(srcCte, Langs, B, Weights, "lang_pred")
 }

@@ -865,6 +865,25 @@ object PipelineQueries {
         docs(s, dir).select(col("doc_id"), blob.as("media")))
     }),
 
+    // model-based quality filtering (the DCLM/FineWeb-Edu gate): the
+    // shared hashed-3-gram linear classifier with a keep/toss head —
+    // docs get a planted header (clean prose vs spam keyword-stuffing,
+    // by doc_id parity) and the classifier must separate them; scores/
+    // margin integer, oracle replays bit-for-bit
+    "p66_quality_classifier" -> ((s, dir) => {
+      val hdr = when(col("doc_id") % 2 === 0,
+        lit("the report explains the method and the evidence in detail. "))
+        .otherwise(
+          lit("click here buy now free offer best price casino bonus. "))
+      // classify header + an 80-char body prefix — the truncated-prefix
+      // serving shape production gates use (bounded per-doc cost, and
+      // the neutral synthetic body otherwise drowns the signal: 93.6%
+      // full-text vs >99% prefix, measured)
+      QualityClassifier.classify(
+        docs(s, dir).select(col("doc_id"),
+          concat(hdr, substring(col("text"), 1, 80)).as("t")), "doc_id", "t")
+    }),
+
     // interpolated Kneser-Ney bigram scoring (the KenLM smoothing
     // behind CCNet's perplexity filter; p46's add-one is the textbook
     // proxy, this is the production formula — continuation
@@ -2221,6 +2240,17 @@ object PipelineQueries {
          SELECT vec_id, CAST(d.label AS BIGINT) AS label, dist,
            dist > cut.cut AS is_outlier
          FROM d JOIN cut ON d.label = cut.label""",
+
+    // the generated two-class scoring over the same planted headers
+    "p66_quality_classifier" -> {
+      graft.pipeline.QualityClassifier.scoreSqlFrom(
+        """SELECT doc_id, lower(
+             CASE WHEN doc_id % 2 = 0
+               THEN 'the report explains the method and the evidence in detail. '
+               ELSE 'click here buy now free offer best price casino bonus. '
+             END || substr(text, 1, 80)) AS __t
+           FROM documents""")
+    },
 
     // p46's count CTEs plus the KN statistics, all from the one
     // bigram-TYPE relation: c(v), N1+(v·) by prev, N1+(·w) by word,

@@ -1646,6 +1646,33 @@ class PipelineSpec extends SparkSpecBase {
     assert(err.getMessage.contains("dense"))
   }
 
+  test("quality classifier: held-out prose vs spam; fast path agrees") {
+    // none of these appear in the fixture
+    val held = Seq(
+      "keep" -> "the author describes the experiment and explains why the results matter",
+      "keep" -> "farmers in the region rotate their crops to keep the soil healthy over many seasons",
+      "keep" -> "the council voted to repair the bridge after engineers inspected the damage",
+      "toss" -> "free free free click now best cheap offer buy discount click subscribe",
+      "toss" -> "casino bonus jackpot slots win money fast click here no prescription pills",
+      "toss" -> "xkcd qwop zzzz qwop xkcd zzzz qwop xkcd zzzz qwop wwww qqqq")
+    val df = docsOf(held.zipWithIndex.map { case ((_, s), i) => (i.toLong, s) }: _*)
+    val out = QualityClassifier.classify(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(3), r.getLong(4)))).toMap
+    held.zipWithIndex.foreach { case ((l, s), i) =>
+      assert(out(i.toLong)._1 == l, s"'${s.take(40)}…' → ${out(i.toLong)}")
+      assert(out(i.toLong)._2 > 0) }
+    // rolling-ring fast path: retrained weights, same predictions
+    val fast = QualityClassifier.classifyFast(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    held.zipWithIndex.foreach { case ((l, _), i) =>
+      assert(fast(i.toLong) == l, s"fast path disagreed on doc $i") }
+    // gram-less text: zero scores, first class ('keep') with margin 0 —
+    // threshold margins before trusting predictions
+    val short = QualityClassifier.classify(
+      docsOf((1L, "")), "doc_id", "text").head()
+    assert(short.getString(3) == "keep" && short.getLong(4) == 0L)
+  }
+
   test("langid classifier: held-out sentences, fixture consistency, edges") {
     // training is deterministic — weights must be stable across calls
     // (object init) and nonzero for every language row
