@@ -572,6 +572,38 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("langid + quality classifiers serve on streams unchanged (stateless projections)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "the quick brown fox and the lazy dog went to the market"),
+      (2L, "der hund und die katze sind nicht mit dem mann im haus"),
+      (3L, "click here buy now free casino bonus best cheap offer"))
+    val batchDf = rows.toDF("doc_id", "text")
+    val expectedLang = graft.pipeline.LangId.classifyFast(batchDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(6)).toMap
+    val expectedQ = graft.pipeline.QualityClassifier.classifyFast(batchDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    // the SAME plan functions apply to a streaming frame — no serve
+    // variant needed; this is the whole point of the stateless shape
+    val q1 = graft.pipeline.LangId.classifyFast(stream, "doc_id", "text")
+      .writeStream.format("memory").queryName("lang_stream")
+      .outputMode("append").start()
+    val q2 = graft.pipeline.QualityClassifier.classifyFast(stream, "doc_id", "text")
+      .writeStream.format("memory").queryName("q_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(1): _*); q1.processAllAvailable(); q2.processAllAvailable()
+      mem.addData(rows.drop(1): _*); q1.processAllAvailable(); q2.processAllAvailable()
+      assert(spark.table("lang_stream").collect()
+        .map(r => r.getLong(0) -> r.getString(6)).toMap == expectedLang)
+      assert(spark.table("q_stream").collect()
+        .map(r => r.getLong(0) -> r.getString(3)).toMap == expectedQ)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("knServeStream over the frozen bigram model == batch knBigramScore; unseen backoff") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
