@@ -279,18 +279,29 @@ object ScaleSmokeDocs {
     // (32k rounds × 800k-char rescans ≈ 2.6e10 symbol visits); the
     // indexed trainer touches only words containing each winning pair.
     // rows = merges actually learned before pair exhaustion.
-    stage("bpe_train_32k")({
+    // letterized corpus for tokenizer-training stages: 26-letter
+    // alphabet, hash-random words of 6-10 chars → the dict cap's full
+    // 100k words (~800k symbols)
+    def lettered = {
       val alpha = lit("abcdefghijklmnopqrstuvwxyz")
-      val lettered = docs.select(concat_ws(" ",
+      docs.select(concat_ws(" ",
         transform(sequence(lit(0), lit(29)), i => {
           val len = pmod(hash(col("doc_id"), i, lit(1)), lit(5)) + lit(6)
           concat_ws("", transform(sequence(lit(1), len), j =>
             alpha.substr((pmod(hash(col("doc_id"), i, j), lit(26)) + 1)
               .cast("int"), lit(1))))
         })).as("text"))
+    }
+    stage("bpe_train_32k")(
       Bpe.trainMerges(lettered, "text", nMerges = 32000,
-        maxWords = 100000).length.toLong
-    })
+        maxWords = 100000).length.toLong)
+    // production-regime unigram-LM train (round-7): 2k-piece vocab via
+    // soft-EM over the same 100k-word dict — each E pass is a
+    // forward-backward over ~800k symbols × maxPieceLen lattice cells,
+    // ~20 passes to shrink the seed to target; rows = final pieces
+    stage("unigram_train_2k")(
+      Unigram.trainModel(lettered, "text", vocabSize = 2000,
+        maxWords = 100000).pieces.length.toLong)
     // DSIR importance resampling (p39): hashed unigram+bigram counts per
     // (bucket, side) — one term-shaped shuffle folded to 2×1024 rows —
     // then a per-doc log-ratio sum and an exact-quantile cutoff broadcast
