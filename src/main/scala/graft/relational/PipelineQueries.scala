@@ -865,6 +865,30 @@ object PipelineQueries {
         docs(s, dir).select(col("doc_id"), blob.as("media")))
     }),
 
+    // corpus dedup report (the first table of every dedup paper:
+    // FineWeb/Gopher report duplication rate + cluster-size
+    // distribution before/after): minhash near-dup clusters folded to
+    // one row per CLUSTER SIZE — n_clusters, n_docs, removable docs
+    // (size-1 per cluster), and each as a 6-dp corpus fraction. The
+    // histogram frame is ≤ max-cluster-size rows; the one-row corpus
+    // total attaches broadcast (the p36 shape)
+    "p67_dedup_report" -> ((s, dir) => {
+      val clusters = Dedup.duplicateClusters(
+        Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+          n = 3, k = 32, bands = 8, threshold = 0.4))
+      val total = docs(s, dir).agg(count(lit(1)).as("__n"))
+      clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+        .withColumn("n_removable", (col("cluster_size") - 1) * col("n_clusters"))
+        .crossJoin(broadcast(total))
+        .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+          col("n_removable"),
+          round(col("n_docs") / col("__n"), 6).as("frac_docs"),
+          round(col("n_removable") / col("__n"), 6).as("frac_removable"))
+    }),
+
     // model-based quality filtering (the DCLM/FineWeb-Edu gate): the
     // shared hashed-3-gram linear classifier with a keep/toss head —
     // docs get a planted header (clean prose vs spam keyword-stuffing,
@@ -2240,6 +2264,34 @@ object PipelineQueries {
          SELECT vec_id, CAST(d.label AS BIGINT) AS label, dist,
            dist > cut.cut AS is_outlier
          FROM d JOIN cut ON d.label = cut.label""",
+
+    // p14's recursive component walk folded to the size histogram
+    "p67_dedup_report" ->
+      s"""WITH RECURSIVE ${minhashPairsCtes("documents")},
+             pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.4),
+             edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                       UNION SELECT doc_b, doc_a FROM pairs),
+             nodes AS (SELECT DISTINCT src AS doc FROM edges),
+             walk AS (SELECT doc, doc AS label FROM nodes
+                      UNION
+                      SELECT e.src AS doc, w.label
+                      FROM edges e JOIN walk w ON e.dst = w.doc),
+             comp AS (SELECT doc, min(label) AS cluster_id
+                      FROM walk GROUP BY doc),
+             sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+                         AS cluster_size
+                       FROM comp GROUP BY 1),
+             hist AS (SELECT cluster_size,
+                        CAST(count(*) AS BIGINT) AS n_clusters
+                      FROM sizes GROUP BY 1),
+             tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+         SELECT cluster_size, n_clusters,
+           cluster_size * n_clusters AS n_docs,
+           (cluster_size - 1) * n_clusters AS n_removable,
+           round(cluster_size * n_clusters / (tot.n * 1.0), 6) AS frac_docs,
+           round((cluster_size - 1) * n_clusters / (tot.n * 1.0), 6)
+             AS frac_removable
+         FROM hist, tot""",
 
     // the generated two-class scoring over the same planted headers
     "p66_quality_classifier" -> {

@@ -1646,6 +1646,33 @@ class PipelineSpec extends SparkSpecBase {
     assert(err.getMessage.contains("dense"))
   }
 
+  test("dedup report: cluster-size histogram and removable fractions") {
+    // 10 docs: one verbatim pair (1,2), one triple (4,5,6), rest unique
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = docsOf(
+      (1L, base), (2L, base), (3L, "three unique words here now ok yes no"),
+      (4L, base + " tail"), (5L, base + " tail"), (6L, base + " tail"),
+      (7L, "seven distinct tokens living in this doc fine"),
+      (8L, "eight other tokens living around this doc fine"),
+      (9L, "nine third tokens resting inside this doc fine"),
+      (10L, "ten final tokens sitting beside this doc fine"))
+    val clusters = Dedup.duplicateClusters(
+      Dedup.minhashLshPairs(d, "doc_id", "text", 3, 32, 8, 0.9))
+    val total = d.agg(count(lit(1)).as("__n"))
+    val rep = clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .withColumn("n_removable", (col("cluster_size") - 1) * col("n_clusters"))
+      .crossJoin(broadcast(total))
+      .select(col("cluster_size"), col("n_clusters"), col("n_removable"),
+        round(col("n_removable") / col("__n"), 6).as("frac_removable"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rep == Map(
+      2L -> ((1L, 1L, 0.1)),   // the pair: 1 removable of 10 docs
+      3L -> ((1L, 2L, 0.2))))  // the triple: 2 removable
+  }
+
   test("quality classifier: held-out prose vs spam; fast path agrees") {
     // none of these appear in the fixture
     val held = Seq(

@@ -145,7 +145,9 @@ class PlanShapeSpec extends SparkSpecBase {
       "p7_ann_lsh", "p15_ann_ivf", "p29_ann_ivfpq", "p46_bigram_lm",
       "p48_lang_sample", "p51_unimax_sample", "p52_bm25_topk",
       "p53_budget_select", "p56_pmi_pairs", "p64_semantic_dedup",
-      "p65_kn_bigram")
+      // p67 attaches the one-row corpus total to the ≤max-cluster-size
+      // histogram frame (the p36 shape)
+      "p65_kn_bigram", "p67_dedup_report")
     for ((name, fn) <- graft.SparkEntry.queries
          if !intentionalThetaJoins(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
