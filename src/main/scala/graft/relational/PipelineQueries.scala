@@ -865,6 +865,27 @@ object PipelineQueries {
         docs(s, dir).select(col("doc_id"), blob.as("media")))
     }),
 
+    // split-leakage audit (train/test contamination INSIDE the corpus:
+    // a near-dup pair straddling the train/holdout boundary leaks
+    // evaluation data into training — the self-inflicted variant of
+    // p42's benchmark decontamination, the check Lee et al. '22 §6
+    // runs on C4's own splits): minhash near-dup pairs joined to the
+    // deterministic split labels, keep pairs whose sides land in
+    // DIFFERENT splits
+    "p68_split_leakage" -> ((s, dir) => {
+      val split = Sampling.holdoutSplit(docs(s, dir), "doc_id")
+        .select(col("doc_id"), col("split"))
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+          n = 3, k = 32, bands = 8, threshold = 0.4)
+        .join(split.select(col("doc_id").as("doc_a"),
+          col("split").as("split_a")), "doc_a")
+        .join(split.select(col("doc_id").as("doc_b"),
+          col("split").as("split_b")), "doc_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("doc_a"), col("doc_b"),
+          col("split_a"), col("split_b"), col("jaccard"))
+    }),
+
     // corpus dedup report (the first table of every dedup paper:
     // FineWeb/Gopher report duplication rate + cluster-size
     // distribution before/after): minhash near-dup clusters folded to
@@ -2264,6 +2285,26 @@ object PipelineQueries {
          SELECT vec_id, CAST(d.label AS BIGINT) AS label, dist,
            dist > cut.cut AS is_outlier
          FROM d JOIN cut ON d.label = cut.label""",
+
+    // p3's pair CTE joined to p24's split labels
+    "p68_split_leakage" ->
+      s"""WITH ${minhashPairsCtes("documents")},
+             pairs AS (SELECT doc_a, doc_b, jaccard FROM j
+                       WHERE jaccard >= 0.4),
+             sp AS (SELECT doc_id,
+                      CASE WHEN ('0x' || substr(md5('split:' ||
+                               doc_id::VARCHAR), 1, 15))::BIGINT
+                             % 10000 < 8000 THEN 'train'
+                           WHEN ('0x' || substr(md5('split:' ||
+                               doc_id::VARCHAR), 1, 15))::BIGINT
+                             % 10000 < 9000 THEN 'val'
+                           ELSE 'test' END AS split
+                    FROM documents)
+         SELECT doc_a, doc_b, sa.split AS split_a, sb.split AS split_b,
+           jaccard
+         FROM pairs JOIN sp sa ON doc_a = sa.doc_id
+              JOIN sp sb ON doc_b = sb.doc_id
+         WHERE sa.split != sb.split""",
 
     // p14's recursive component walk folded to the size histogram
     "p67_dedup_report" ->

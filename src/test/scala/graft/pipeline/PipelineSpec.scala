@@ -1646,6 +1646,33 @@ class PipelineSpec extends SparkSpecBase {
     assert(err.getMessage.contains("dense"))
   }
 
+  test("split leakage: near-dup pairs straddling the holdout boundary, exactly") {
+    // near-identical docs 0..39 in pairs (2k, 2k+1) — enough ids that
+    // the hash split puts SOME pairs across boundaries; leakage must
+    // equal the full pair set filtered by differing split labels
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d = docsOf((0L until 40L).map(i =>
+      i -> (base + " tail" + (i / 2))): _*)
+    val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", 3, 32, 8, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val split = Sampling.holdoutSplit(d, "doc_id")
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = pairs.filter { case (a, b) => split(a) != split(b) }
+    assert(expected.nonEmpty, "fixture must produce cross-split pairs")
+    assert(pairs.exists { case (a, b) => split(a) == split(b) },
+      "fixture must also have same-split pairs (the filter must matter)")
+    val leaked = Dedup.minhashLshPairs(d, "doc_id", "text", 3, 32, 8, 0.9)
+      .join(Sampling.holdoutSplit(d, "doc_id")
+        .select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(Sampling.holdoutSplit(d, "doc_id")
+        .select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select("doc_a", "doc_b") // joins move their key columns first
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(leaked == expected)
+  }
+
   test("dedup report: cluster-size histogram and removable fractions") {
     // 10 docs: one verbatim pair (1,2), one triple (4,5,6), rest unique
     val base = "alpha beta gamma delta epsilon zeta eta theta"
