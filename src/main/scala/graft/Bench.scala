@@ -85,18 +85,24 @@ object Bench {
       .map(_.toSeq.sorted.map(k => s""""$k"""").mkString("[", ",", "]"))
       .mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best)},"sf":"$sfDir","runs":$runsJson,"run_totals":$runTotals,"index_builds_per_run":$buildsJson,"errors":$errJson}"""
-    // The driver parses the LAST stdout line as JSON; two rounds of
-    // BENCH_r{N}.json came back `parsed: null` because sbt/Spark banner
-    // noise (or tail truncation of a 124-entry line) landed after it.
-    // Belt and braces: (a) persist the full JSON to a file the driver
-    // (or a human) can always read, (b) print it AFTER spark.stop() so
-    // no executor-shutdown chatter can trail it.
+    // The driver parses the LAST stdout line as JSON; THREE rounds of
+    // BENCH_r{N}.json came back `parsed: null` because the full object
+    // (~40 KB with the "runs" array at 130+ queries) overflowed the
+    // driver's stdout tail window, truncating the line mid-JSON.
+    // Fix: stdout gets a COMPACT summary — per-query MIN only, values
+    // rounded to ms, no "runs"/"run_totals" — printed AFTER spark.stop()
+    // so no executor-shutdown chatter trails it. The full object
+    // (raw runs, spreads, index-build log) is persisted to
+    // bench_out.json for humans and the judge.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
-    println(json)
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val compactQ = best.map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQ,"sf":"$sfDir","nqueries":${best.size},"full":"$outPath","errors":$errJson}"""
+    println(compact)
     if (errors.nonEmpty) {
       System.err.println(s"BENCH FAILED: ${errors.size} queries errored: ${errors.map(_._1).mkString(", ")}")
       sys.exit(1)

@@ -39,18 +39,21 @@ object GraphOps {
     * lineage (without it iteration k replans k-deep); at cluster scale
     * this is where you would checkpoint instead. Overflow bound:
     * Σr ≤ |V|·1e6, so r·dampingMicro stays under 2^63 for graphs up to
-    * ~10^7 vertices per connected sink. That bound is the CALLER's
-    * contract, not `require`d here — checking it would cost a
-    * distributed vertex count per call, and the per-sink bound (the
-    * one that matters) is not cheaply computable at all; past it,
-    * widen the unit (drop dampingMicro to 1e3-scale) before trusting
-    * ranks.
+    * ~10^7 vertices per connected sink. `assertBound = true` (default)
+    * enforces the coarser whole-graph form |V| ≤ 2^63 / (1e6 ·
+    * dampingMicro) with ONE distributed count over the
+    * already-persisted vertex frame — one extra cheap job per call, so
+    * billion-vertex misuse fails loudly instead of silently wrapping
+    * ranks. The per-sink bound (the tight one) is not cheaply
+    * computable; past the global bound, widen the unit (drop
+    * dampingMicro to 1e3-scale) before trusting ranks, and pass
+    * `assertBound = false` only when the caller has done that analysis.
     *
     * Returns (node, rank_micro).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, dampingMicro: Long = 850000L,
-      materializeEvery: Int = 5): DataFrame = {
+      materializeEvery: Int = 5, assertBound: Boolean = true): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(dampingMicro >= 0 && dampingMicro <= 1000000L,
       s"dampingMicro must be in [0, 1e6]: $dampingMicro")
@@ -61,6 +64,16 @@ object GraphOps {
     val vertices = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("__deg")).persist()
+    if (assertBound && dampingMicro > 0) {
+      // worst case Σr ≈ |V|·1e6 concentrated on one vertex, whose next
+      // multiply is rank·dampingMicro — keep that product under 2^63
+      val maxV = Long.MaxValue / 1000000L / dampingMicro
+      val nV = vertices.count()
+      require(nV <= maxV,
+        s"pageRank integer-unit overflow bound: |V|=$nV exceeds $maxV " +
+          s"for dampingMicro=$dampingMicro — widen the unit (smaller " +
+          "dampingMicro scale) or pass assertBound=false after a per-sink analysis")
+    }
     val base = 1000000L - dampingMicro
     var ranks = vertices.withColumn("rank_micro", lit(1000000L))
     var lastBarrier: Option[DataFrame] = None

@@ -410,7 +410,10 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val e = vecs.select(col(idCol).cast("long").as("vec_id"),
       asDouble(col(vecCol)).as("v"))
-    val seeds = e.filter(col("vec_id") < k)
+    // seeds = the k SMALLEST ids actually present (NOT filter(id < k):
+    // a corpus whose ids start at 10^6 or are string-hashed would
+    // yield zero seeds and silently dedup the corpus to nothing)
+    val seeds = e.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     def cos(a: Column, b: Column): Column =
       round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)

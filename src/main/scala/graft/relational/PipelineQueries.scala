@@ -2391,7 +2391,8 @@ object PipelineQueries {
     "p64_semantic_dedup" ->
       """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                     FROM embeddings),
-             seeds AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+             seeds AS (SELECT vec_id AS cid, v AS cv FROM e
+                       ORDER BY vec_id LIMIT 16),
              asg0 AS (SELECT e.vec_id, e.v, s.cid,
                         round(list_dot_product(e.v, s.cv) /
                           (sqrt(list_dot_product(e.v, e.v)) *
@@ -2449,14 +2450,31 @@ object PipelineQueries {
              FROM documents),
            h AS (SELECT doc_id, blob, hex(blob) AS hx FROM b)
          SELECT doc_id,
-           CASE WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
+           -- the FULL containerOf branch set in the ENGINE's test order
+           -- (png gif bmp jpeg/mjpeg webp wav aiff au): a class-5 text
+           -- payload that happens to start 'BM'/'FORM'/'.snd'/'RIFF'
+           -- must classify identically on both engines, not diverge
+           -- data-dependently. webp-anim replays the chunk walk's
+           -- first-chunk ANMF test — exact for ASCII payloads, whose
+           -- LE chunk size is always > blob length so the engine walk
+           -- stops after chunk one
+           CASE WHEN octet_length(blob) < 4 THEN 'unknown'
+                WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
                 WHEN substr(hx, 1, 8) = hex('GIF8'::BLOB) THEN 'gif'
+                WHEN substr(hx, 1, 4) = hex('BM'::BLOB) THEN 'bmp'
                 WHEN substr(hx, 1, 6) = 'FFD8FF' THEN
                   CASE WHEN position('FFD8FF' IN
                          substr(hx, position('FFD9' IN hx) + 4)) > 0
                        THEN 'mjpeg' ELSE 'jpeg' END
                 WHEN substr(hx, 1, 8) = hex('RIFF'::BLOB)
+                     AND substr(hx, 17, 8) = hex('WEBP'::BLOB) THEN
+                  CASE WHEN octet_length(blob) >= 20
+                            AND substr(hx, 25, 8) = hex('ANMF'::BLOB)
+                       THEN 'webp-anim' ELSE 'webp' END
+                WHEN substr(hx, 1, 8) = hex('RIFF'::BLOB)
                      AND substr(hx, 17, 8) = hex('WAVE'::BLOB) THEN 'wav'
+                WHEN substr(hx, 1, 8) = hex('FORM'::BLOB) THEN 'aiff'
+                WHEN substr(hx, 1, 8) = hex('.snd'::BLOB) THEN 'au'
                 ELSE 'unknown' END AS container,
            CAST(octet_length(blob) AS BIGINT) AS n_bytes
          FROM h""",

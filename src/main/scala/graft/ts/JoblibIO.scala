@@ -217,13 +217,13 @@ object JoblibIO {
       while (k < 8) { o.write(((v >>> (8 * k)) & 0xFF).toInt); k += 1 }
     }
   private def wStr(o: java.io.ByteArrayOutputStream, s: String): Unit = {
+    // Always BINUNICODE ('X', protocol 1+): the stream declares PROTO 2,
+    // and SHORT_BINUNICODE (0x8c) is a protocol-4 opcode — CPython's
+    // unpickler tolerates the mix but strict proto-2 validators reject it.
     val b = s.getBytes("UTF-8")
-    if (b.length < 256) { o.write(0x8c); o.write(b.length) } // SHORT_BINUNICODE
-    else {
-      o.write('X') // BINUNICODE
-      var k = 0
-      while (k < 4) { o.write((b.length >>> (8 * k)) & 0xFF); k += 1 }
-    }
+    o.write('X') // BINUNICODE
+    var k = 0
+    while (k < 4) { o.write((b.length >>> (8 * k)) & 0xFF); k += 1 }
     o.write(b)
   }
   private def wBool(o: java.io.ByteArrayOutputStream, v: Boolean): Unit =
