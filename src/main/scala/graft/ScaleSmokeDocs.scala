@@ -430,7 +430,7 @@ object ScaleSmokeDocs {
     // nudged → cosine ≈ 0.999) so banded-pair recall is checkable.
     // The block's gate name carries every stage prefix it prints, so a
     // stage filter like "ann" or "pq" keeps it and "lm,dsir" skips it.
-    if (!wanted("ann_cosine_pairs_banded_embedding_clusters_pq_ivfpq_source_outliers")) {
+    if (!wanted("ann_cosine_pairs_banded_embedding_clusters_semantic_dedup_lsh_pq_ivfpq_source_outliers")) {
       docs.unpersist(); return
     }
     val nVec = math.max(10000L, totalDocs / 2)
@@ -445,6 +445,7 @@ object ScaleSmokeDocs {
       .persist()
     vecs.count()
     def vstage(name: String)(rows: => Long): Unit = {
+      if (!wanted(name)) return
       val t0 = System.nanoTime()
       val r = rows
       val sec = (System.nanoTime() - t0) / 1e9
@@ -464,23 +465,38 @@ object ScaleSmokeDocs {
     // 0.7 at n=1M ⇒ 1-(1-0.7)^8 ≈ 0.9997).
     val planesB = math.max(16,
       (math.log(nVec.toDouble) / math.log(2.0)).ceil.toInt + 4)
-    val t0 = System.nanoTime()
-    val cosFound = Similarity.cosineNearDupPairs(vecs, threshold = 0.98,
-      tables = 8, planesPerTable = planesB).count()
-    val cosSec = (System.nanoTime() - t0) / 1e9
     val plantedV = (nVec + 98) / 100
-    println(f"[docs-scale] cosine_pairs_banded   $cosSec%8.2fs  rows=$cosFound " +
-      f"recall=${cosFound * 100.0 / plantedV}%.1f%% of $plantedV planted")
+    if (wanted("cosine_pairs_banded")) {
+      val t0 = System.nanoTime()
+      val cosFound = Similarity.cosineNearDupPairs(vecs, threshold = 0.98,
+        tables = 8, planesPerTable = planesB).count()
+      val cosSec = (System.nanoTime() - t0) / 1e9
+      println(f"[docs-scale] cosine_pairs_banded   $cosSec%8.2fs  rows=$cosFound " +
+        f"recall=${cosFound * 100.0 / plantedV}%.1f%% of $plantedV planted")
+    }
     // pairs → duplicate clusters (the p30 composition): connected
     // components over the banded-LSH near-dup graph
-    val t0c = System.nanoTime()
-    val nClusters = Dedup.duplicateClusters(
-        Similarity.cosineNearDupPairs(vecs, threshold = 0.98,
-          tables = 8, planesPerTable = planesB)
-          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
-      .select("cluster_id").distinct().count()
-    println(f"[docs-scale] embedding_clusters    ${(System.nanoTime() - t0c) / 1e9}%8.2fs  " +
-      f"clusters=$nClusters (planted pair groups ≈ $plantedV)")
+    if (wanted("embedding_clusters")) {
+      val t0c = System.nanoTime()
+      val nClusters = Dedup.duplicateClusters(
+          Similarity.cosineNearDupPairs(vecs, threshold = 0.98,
+            tables = 8, planesPerTable = planesB)
+            .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .select("cluster_id").distinct().count()
+      println(f"[docs-scale] embedding_clusters    ${(System.nanoTime() - t0c) / 1e9}%8.2fs  " +
+        f"clusters=$nClusters (planted pair groups ≈ $plantedV)")
+    }
+    // full SemDeDup, scale-safe form: banded-LSH tau-pairs (same
+    // log2(n) plane rule) + star cap + seed assignment + components +
+    // representative pick, priced end to end; removed = planted dups
+    if (wanted("semantic_dedup_lsh")) {
+      val t0sd = System.nanoTime()
+      val sdRemoved = Similarity.semanticDedupLsh(vecs, k = 64, tau = 0.98,
+          tables = 8, planesPerTable = planesB, starCapBucket = 1000)
+        .filter(!col("kept")).count()
+      println(f"[docs-scale] semantic_dedup_lsh    ${(System.nanoTime() - t0sd) / 1e9}%8.2fs  " +
+        f"removed=$sdRemoved (planted ≈ $plantedV)")
+    }
     // int8-quantized candidate scan + exact rescore vs the double
     // brute force above — same 100 queries; the quantized kernel
     // (DotProductBytes over array<tinyint>) reads 8× less per pair
@@ -490,28 +506,32 @@ object ScaleSmokeDocs {
     // PQ: train 8×256 codebooks, encode the corpus to 8-byte codes (32×
     // smaller scan set than the double vectors), ADC scan + rescore the
     // same 100 queries — the memory-bandwidth scale path
-    val tPq = System.nanoTime()
-    val (pqCb, pqCodes) = Similarity.pqIndex(vecs, nSub = 8, ksub = 256,
-      maxIter = 5)
-    // count INSIDE the timed window so the row covers codebook training
-    // AND the corpus encode scan, comparable with ivfpq_index_build
-    val nPqCodes = pqCodes.count()
-    val pqBuildSec = (System.nanoTime() - tPq) / 1e9
-    println(f"[docs-scale] pq_index_build        $pqBuildSec%8.2fs  rows=$nPqCodes")
-    vstage("ann_pq_100q")(
-      Similarity.pqTopK(pqCodes, pqCb, vecs, vecs.filter(col("vec_id") < 100),
-        k = 5, mCand = 25).count())
+    if (wanted("pq_index_build") || wanted("ann_pq_100q")) {
+      val tPq = System.nanoTime()
+      val (pqCb, pqCodes) = Similarity.pqIndex(vecs, nSub = 8, ksub = 256,
+        maxIter = 5)
+      // count INSIDE the timed window so the row covers codebook training
+      // AND the corpus encode scan, comparable with ivfpq_index_build
+      val nPqCodes = pqCodes.count()
+      val pqBuildSec = (System.nanoTime() - tPq) / 1e9
+      println(f"[docs-scale] pq_index_build        $pqBuildSec%8.2fs  rows=$nPqCodes")
+      vstage("ann_pq_100q")(
+        Similarity.pqTopK(pqCodes, pqCb, vecs, vecs.filter(col("vec_id") < 100),
+          k = 5, mCand = 25).count())
+    }
     // IVF-PQ: the probe-pruned variant of the same scan — 8 of 64
     // lists per query, so the ADC stage reads ~1/8 of the codes and
     // the join is pure equality (no per-query full scan at all)
-    val tIvfPq = System.nanoTime()
-    val (ipCents, ipCb, ipCodes) = Similarity.ivfPqIndex(vecs,
-      nLists = 64, nSub = 8, ksub = 256, maxIter = 5)
-    ipCodes.count()
-    println(f"[docs-scale] ivfpq_index_build     ${(System.nanoTime() - tIvfPq) / 1e9}%8.2fs  rows=${ipCodes.count()}")
-    vstage("ann_ivfpq_100q")(
-      Similarity.ivfPqTopK(ipCodes, ipCents, ipCb, vecs,
-        vecs.filter(col("vec_id") < 100), k = 5, mCand = 25, nProbe = 8).count())
+    if (wanted("ivfpq_index_build") || wanted("ann_ivfpq_100q")) {
+      val tIvfPq = System.nanoTime()
+      val (ipCents, ipCb, ipCodes) = Similarity.ivfPqIndex(vecs,
+        nLists = 64, nSub = 8, ksub = 256, maxIter = 5)
+      ipCodes.count()
+      println(f"[docs-scale] ivfpq_index_build     ${(System.nanoTime() - tIvfPq) / 1e9}%8.2fs  rows=${ipCodes.count()}")
+      vstage("ann_ivfpq_100q")(
+        Similarity.ivfPqTopK(ipCodes, ipCents, ipCb, vecs,
+          vecs.filter(col("vec_id") < 100), k = 5, mCand = 25, nProbe = 8).count())
+    }
     // p60 shape: per-label quantized centroid + distance + exact p95
     // flag over the synthetic vectors (10 hash labels)
     vstage("source_outliers")({

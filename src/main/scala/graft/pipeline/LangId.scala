@@ -134,4 +134,23 @@ object LangId {
     */
   def scoreSqlFrom(srcCte: String): String =
     TextClassifier.scoreSqlFrom(srcCte, Langs, B, Weights, "lang_pred")
+
+  /** Fit language-id weights on YOUR labeled relation (md5 buckets, so
+    * the result serves on the oracle-replayable path) — the embedded
+    * fixture is a demo stand-in; real corpora carry their own label
+    * column. `classes` defaults to [[Langs]] but accepts any label set
+    * (its order = tie-break order). Serve via [[classifyWith]].
+    */
+  def trainFromDF(labeled: DataFrame, idCol: String, labelCol: String,
+      textCol: String, classes: Seq[String] = Langs,
+      maxSamples: Int = 100000): IndexedSeq[IndexedSeq[Long]] =
+    TextClassifier.trainFromDF(labeled, idCol, labelCol, textCol, classes,
+      B, TextClassifier.bucketsMd5(_, B), maxSamples)
+
+  /** Serve with corpus-trained weights (from [[trainFromDF]]). */
+  def classifyWith(docs: DataFrame, idCol: String, textCol: String,
+      weights: IndexedSeq[IndexedSeq[Long]],
+      classes: Seq[String] = Langs): DataFrame =
+    TextClassifier.classifyWith(docs, idCol,
+      TextClassifier.md5Buckets(textCol, B), classes, weights, "lang_pred")
 }

@@ -396,40 +396,103 @@ object Similarity {
     * DuckDB's list_dot_product, and rounding pins the tau boundary).
     * Returns (vec_id, cluster_id, cos_centroid, kept).
     *
-    * 100-TB note: the seed-assignment crossJoin is O(n·k), so k cannot
-    * grow ∝ n in THIS form — at billion-vector scale the tau-graph
-    * source swaps to the banded-LSH pair generator
-    * ([[cosineNearDupPairs]], whose log2(n) plane growth is measured in
-    * BASELINE.md) or IVF-probed assignment, and everything downstream
-    * (components, representative rule) is unchanged — the pair source
-    * is the only scale-sensitive stage.
+    * 100-TB note: seed assignment is ONE codegen projection over the
+    * collected seed constants ([[assignSeeds]] — no n·k row explosion,
+    * no window shuffle), so k scales to plan-literal limits (~thousands
+    * at dim 64). The remaining scale-sensitive stage is the
+    * within-cluster self-join: Σ cluster² ≈ n²/k candidate rows at
+    * FIXED k, and one hot cluster is an unbounded straggler. At
+    * billion-vector scale use [[semanticDedupLsh]] — identical
+    * assignment/components/representative stages, but tau-pairs come
+    * from the banded-LSH generator ([[cosineNearDupPairs]], log2(n)
+    * plane growth measured in BASELINE.md) with a per-bucket star cap,
+    * so no stage is quadratic and no key is unbounded.
     */
   def semanticDedup(vecs: DataFrame, k: Int, tau: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    import org.apache.spark.sql.expressions.Window
     val e = vecs.select(col(idCol).cast("long").as("vec_id"),
       asDouble(col(vecCol)).as("v"))
-    // seeds = the k SMALLEST ids actually present (NOT filter(id < k):
-    // a corpus whose ids start at 10^6 or are string-hashed would
-    // yield zero seeds and silently dedup the corpus to nothing)
-    val seeds = e.orderBy("vec_id").limit(k)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val assigned = assignSeeds(e, k).persist()
     def cos(a: Column, b: Column): Column =
       round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
-    // nearest seed by cosine (k is small — broadcast + one window rank)
-    val assigned = e.crossJoin(broadcast(seeds))
-      .withColumn("cos_centroid", cos(col("v"), col("cv")))
-      .withColumn("__rn", row_number().over(Window.partitionBy("vec_id")
-        .orderBy(col("cos_centroid").desc, col("cid"))))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("v"), col("cid"), col("cos_centroid"))
-      .persist()
     val pairs = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
       .filter(cos(col("a.v"), col("b.v")) >= tau)
       .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+    semanticKeep(assigned, pairs)
+  }
+
+  /** SemDeDup with the scale-safe tau-pair source: same seed
+    * assignment, connected components, and least-central-representative
+    * rule as [[semanticDedup]], but within-cluster all-pairs is
+    * replaced by the banded hyperplane-LSH pair generator
+    * ([[cosineNearDupPairs]]) — candidates are bucket collisions
+    * verified with the exact cosine, an equality shuffle on
+    * (band, bucket), never Σ cluster². `starCapBucket` bounds the one
+    * remaining hot spot (a bucket of near-identical vectors would be
+    * quadratic in ITS size): oversized buckets emit star edges to
+    * their minimum-id member instead of all pairs, which preserves the
+    * connected component whenever the bucket really is one duplicate
+    * group (the regime that produces oversized buckets) at O(size)
+    * cost. Cluster ids/centroid cosines stay purely descriptive
+    * — the tau-graph no longer depends on them, so k is a reporting
+    * knob, not a recall knob.
+    *
+    * The hyperplanes are the md5-derived constants DuckDB mirrors
+    * (p5/p30), so THIS form is oracle-replayable too — approximate in
+    * recall (a tau-pair missed by every band is missed by both
+    * engines identically), exact in comparison.
+    */
+  def semanticDedupLsh(vecs: DataFrame, k: Int, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      tables: Int = 16, planesPerTable: Int = 8, dim: Int = -1,
+      starCapBucket: Int = Int.MaxValue): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val e = vecs.select(col(idCol).cast("long").as("vec_id"),
+      asDouble(col(vecCol)).as("v"))
+    val assigned = assignSeeds(e, k).persist()
+    val pairs = cosineNearDupPairs(vecs, tau, idCol, vecCol,
+        tables, planesPerTable, dim, starCapBucket)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    semanticKeep(assigned, pairs)
+  }
+
+  /** Nearest-seed assignment as ONE codegen projection: the k seed
+    * exemplars (the k smallest ids present — NOT `filter(id < k)`,
+    * which silently yields zero seeds on non-contiguous id spaces) are
+    * collected to the driver (bounded: exactly ≤ k rows) and unrolled
+    * into a literal struct array; argmax-cosine/tie-lowest-id is
+    * `array_sort` over (−cos, cid). Replaces the previous
+    * crossJoin(broadcast)+window form: same result, but n rows stay n
+    * rows — no O(n·k) explosion and no window shuffle. Seed norms are
+    * driver-computed with the same left-to-right summation as [[dot]],
+    * so cosines stay bit-identical to the oracle's
+    * sqrt(list_dot_product(cv, cv)).
+    * Returns (vec_id, v, cid, cos_centroid).
+    */
+  private def assignSeeds(e: DataFrame, k: Int): DataFrame = {
+    val seeds: Array[(Long, Array[Double])] = e.orderBy("vec_id").limit(k)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(seeds.nonEmpty, "semanticDedup: no vectors to derive seed exemplars from")
+    val cand = array(seeds.map { case (cid, cv) =>
+      val cvNorm = math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x))
+      struct(
+        (-round(dot(col("v"), array(cv.map(lit).toIndexedSeq: _*)) /
+          (sqrt(dot(col("v"), col("v"))) * lit(cvNorm)), 6)).as("negCos"),
+        lit(cid).as("cid"))
+    }.toIndexedSeq: _*)
+    e.withColumn("__best", element_at(array_sort(cand), 1))
+      .select(col("vec_id"), col("v"), col("__best.cid").as("cid"),
+        (-col("__best.negCos")).as("cos_centroid"))
+  }
+
+  /** Shared SemDeDup tail: tau-graph connected components, then keep
+    * the group member LEAST similar to its centroid (ties by min id);
+    * singletons (no tau-pair) are kept by definition.
+    */
+  private def semanticKeep(assigned: DataFrame, pairs: DataFrame): DataFrame = {
     val groups = graft.pipeline.Dedup.duplicateClusters(pairs)
       .select(col("doc").as("vec_id"), col("cluster_id").as("__grp"))
     val reps = assigned.join(groups, "vec_id")
@@ -761,10 +824,25 @@ object Similarity {
     * guarantee. Rows whose embedding is NULL are excluded from pairing
     * entirely (a missing vector can be a near-duplicate of nothing);
     * an all-null or empty corpus yields the empty pair frame.
+    *
+    * `starCapBucket` (default unlimited = plan unchanged): a (band,
+    * bucket) cell holding b members generates b·(b−1)/2 candidates — a
+    * corpus with a million near-identical vectors puts them all in the
+    * SAME cell of every band, a quadratic straggler no banding fixes.
+    * Cells larger than the cap emit STAR candidates (every member
+    * paired with the cell's minimum id) instead of all pairs: O(size)
+    * cost, and since oversized cells arise precisely from
+    * near-identical pile-ups, the star's verified edges keep the
+    * duplicate group connected; two vectors that clear `threshold`
+    * with each other but not with the cell minimum can lose their
+    * direct edge — acceptable for component-forming callers
+    * ([[semanticDedupLsh]]), wrong for callers needing the full pair
+    * list, which should leave the cap unlimited.
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      tables: Int = 16, planesPerTable: Int = 8, dim: Int = -1): DataFrame = {
+      tables: Int = 16, planesPerTable: Int = 8, dim: Int = -1,
+      starCapBucket: Int = Int.MaxValue): DataFrame = {
     val nonNull = corpus.filter(col(vecCol).isNotNull)
     val d =
       if (dim > 0) dim
@@ -780,11 +858,31 @@ object Similarity {
     val banded = v.select(col("id"),
       explode(hyperplaneBands(col("v"), tables, planesPerTable, d)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
-    val candidates = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val candidates = (if (starCapBucket == Int.MaxValue) {
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    } else {
+      // cell size + min id in one window pass — the SAME (band, bucket)
+      // key the candidate join shuffles on, so the cap costs no extra
+      // partitioning, only the sort within each cell
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("band", "bucket")
+      val cells = banded
+        .withColumn("__bsz", count(lit(1)).over(w))
+        .withColumn("__bmin", min("id").over(w))
+      val small = cells.filter(col("__bsz") <= starCapBucket)
+        .select(col("id"), col("band"), col("bucket"))
+      val smallPairs = small.as("a").join(small.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      val starPairs = cells
+        .filter(col("__bsz") > starCapBucket && col("id") > col("__bmin"))
+        .select(col("__bmin").as("id_a"), col("id").as("id_b"))
+      smallPairs.union(starPairs)
+    }).distinct()
     candidates
       .join(v.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
       .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")

@@ -81,6 +81,42 @@ object TextClassifier {
     w.map(_.toIndexedSeq).toIndexedSeq
   }
 
+  /** Fit the perceptron on a LABELED RELATION — the "train on your own
+    * corpus" path a DCLM/FineWeb-Edu-style run needs (the embedded
+    * fixtures in [[LangId]]/[[QualityClassifier]] are stand-ins that
+    * double as oracle constants; production gates are fit on
+    * corpus-derived labels). The training set is the hash-gated
+    * lowest-`maxSamples` sample (the [[Similarity.ivfIndex]] /
+    * PQ-codebook pattern): membership is a pure function of the row id
+    * — independent of partitioning, stable under corpus append-growth
+    * in distribution — and the collected rows are re-sorted by id so
+    * the perceptron's update ORDER is deterministic too (perceptrons
+    * are order-sensitive; an unordered collect would give
+    * partitioning-dependent weights). Driver memory is bounded by
+    * maxSamples · avg-text-size, the same contract as the k-means
+    * samplers. Rows with labels outside `classes` or NULL text are
+    * excluded. Returns the weight table to pass to [[classifyWith]].
+    */
+  def trainFromDF(labeled: DataFrame, idCol: String, labelCol: String,
+      textCol: String, classes: Seq[String], b: Int,
+      feat: String => Map[Int, Long], maxSamples: Int = 100000)
+      : IndexedSeq[IndexedSeq[Long]] = {
+    require(classes.nonEmpty && maxSamples >= 1)
+    val sample = labeled
+      .select(col(idCol).cast("long").as("__id"),
+        col(labelCol).cast("string").as("__l"),
+        col(textCol).cast("string").as("__t"))
+      .filter(col("__l").isin(classes: _*) && col("__t").isNotNull)
+      .orderBy(TextOps.hash60(concat(lit("clftrain:"),
+        col("__id").cast("string"))), col("__id"))
+      .limit(maxSamples)
+      .orderBy("__id")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    require(sample.nonEmpty,
+      s"trainFromDF: no rows with a label in ${classes.mkString("/")} and non-null $textCol")
+    train(sample, classes, b, feat)
+  }
+
   private def gmax(cs: Seq[Column]): Column =
     if (cs.size == 1) cs.head else greatest(cs: _*)
 
@@ -230,4 +266,21 @@ object QualityClassifier {
 
   def scoreSqlFrom(srcCte: String): String =
     TextClassifier.scoreSqlFrom(srcCte, Classes, B, Weights, "quality_pred")
+
+  /** Fit the keep/toss gate on YOUR labeled relation (the DCLM recipe:
+    * label a sample — e.g. instruction-quality positives vs random
+    * negatives — then train the fastText-style gate on it). md5
+    * buckets, so the trained gate serves on the oracle-replayable
+    * path. Serve via [[classifyWith]].
+    */
+  def trainFromDF(labeled: DataFrame, idCol: String, labelCol: String,
+      textCol: String, maxSamples: Int = 100000): IndexedSeq[IndexedSeq[Long]] =
+    TextClassifier.trainFromDF(labeled, idCol, labelCol, textCol, Classes,
+      B, TextClassifier.bucketsMd5(_, B), maxSamples)
+
+  /** Serve with corpus-trained weights (from [[trainFromDF]]). */
+  def classifyWith(docs: DataFrame, idCol: String, textCol: String,
+      weights: IndexedSeq[IndexedSeq[Long]]): DataFrame =
+    TextClassifier.classifyWith(docs, idCol,
+      TextClassifier.md5Buckets(textCol, B), Classes, weights, "quality_pred")
 }

@@ -943,6 +943,17 @@ object PipelineQueries {
     "p64_semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(emb(s, dir), k = 16, tau = 0.98)),
 
+    // SemDeDup with the SCALE-SAFE pair source: same assignment /
+    // components / representative rule as p64, but tau-pairs come from
+    // the banded hyperplane LSH (p5's md5-mirrored planes — an
+    // equality shuffle, never Σ cluster²) with a per-bucket star cap
+    // so a pile-up of near-identical vectors cannot straggle. The
+    // oracle replays planes, cap, and walk bit-for-bit — the 100-TB
+    // form is itself hash-pinned, not just spec'd
+    "p69_semantic_dedup_lsh" -> ((s, dir) =>
+      Similarity.semanticDedupLsh(emb(s, dir), k = 16, tau = 0.35,
+        tables = 16, planesPerTable = 8, dim = 64, starCapBucket = 24)),
+
     // fastText-style langid (hashed char-3-gram linear classifier,
     // integer scores): each doc gets a HEADER planted in its label
     // language (10 function words picked by pure modular arithmetic —
@@ -2408,6 +2419,72 @@ object PipelineQueries {
                        WHERE round(list_dot_product(a.v, b.v) /
                            (sqrt(list_dot_product(a.v, a.v)) *
                             sqrt(list_dot_product(b.v, b.v))), 6) >= 0.98),
+             edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                       UNION SELECT doc_b, doc_a FROM pairs),
+             nodes AS (SELECT DISTINCT src AS doc FROM edges),
+             walk AS (SELECT doc, doc AS label FROM nodes
+                      UNION
+                      SELECT e2.src AS doc, w.label
+                      FROM edges e2 JOIN walk w ON e2.dst = w.doc),
+             comp AS (SELECT doc AS vec_id, min(label) AS grp
+                      FROM walk GROUP BY doc),
+             reps AS (SELECT grp, vec_id AS rep FROM (
+                       SELECT c.grp, a.vec_id, row_number() OVER (
+                         PARTITION BY c.grp ORDER BY a.cosc, a.vec_id) AS rn
+                       FROM comp c JOIN asg a USING (vec_id)) t WHERE rn = 1)
+         SELECT a.vec_id, a.cid AS cluster_id, a.cosc AS cos_centroid,
+           (c.grp IS NULL OR a.vec_id = r.rep) AS kept
+         FROM asg a LEFT JOIN comp c USING (vec_id)
+              LEFT JOIN reps r ON c.grp = r.grp""",
+
+    // p64's seed-assignment + walk + representative CTEs, with the
+    // pair source swapped to p5's md5-mirrored banded LSH plus the
+    // star cap: cells over 24 members contribute star edges to their
+    // minimum id instead of all pairs — replayed with the same window
+    // count/min, so the scale form is hash-exact end to end
+    "p69_semantic_dedup_lsh" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+             seeds AS (SELECT vec_id AS cid, v AS cv FROM e
+                       ORDER BY vec_id LIMIT 16),
+             asg0 AS (SELECT e.vec_id, e.v, s.cid,
+                        round(list_dot_product(e.v, s.cv) /
+                          (sqrt(list_dot_product(e.v, e.v)) *
+                           sqrt(list_dot_product(s.cv, s.cv))), 6) AS cosc
+                      FROM e CROSS JOIN seeds s),
+             asg AS (SELECT vec_id, v, cid, cosc FROM (
+                      SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cosc DESC, cid) AS rn FROM asg0) t
+                     WHERE rn = 1),
+             pl AS (SELECT p, list_transform(generate_series(0, 63), d ->
+                      ((('0x' || substr(md5('plane:' || p || ':' || d), 1, 12))::BIGINT
+                        % 2001) - 1000) / 1000.0) AS pv
+                    FROM unnest(generate_series(0, 127)) t(p)),
+             bits AS (SELECT vec_id, p // 8 AS band, 1 << (p % 8) AS w,
+                        CASE WHEN list_dot_product(v, pv) >= 0 THEN 1 ELSE 0 END AS bit
+                      FROM e, pl),
+             bk AS (SELECT vec_id, band, sum(bit * w) AS bucket
+                    FROM bits GROUP BY 1, 2),
+             cells AS (SELECT vec_id, band, bucket,
+                         count(*) OVER (PARTITION BY band, bucket) AS bsz,
+                         min(vec_id) OVER (PARTITION BY band, bucket) AS bmin
+                       FROM bk),
+             cand AS (SELECT DISTINCT vec_a, vec_b FROM (
+                        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+                        FROM cells a JOIN cells b ON a.band = b.band
+                          AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+                        WHERE a.bsz <= 24 AND b.bsz <= 24
+                        UNION ALL
+                        SELECT bmin, vec_id FROM cells
+                        WHERE bsz > 24 AND vec_id > bmin) u),
+             pr AS (SELECT vec_a, vec_b,
+                      round(list_dot_product(ea.v, eb.v) /
+                        (sqrt(list_dot_product(ea.v, ea.v)) *
+                         sqrt(list_dot_product(eb.v, eb.v))), 6) AS sim
+                    FROM cand JOIN e ea ON vec_a = ea.vec_id
+                              JOIN e eb ON vec_b = eb.vec_id),
+             pairs AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM pr
+                       WHERE sim >= 0.35),
              edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                        UNION SELECT doc_b, doc_a FROM pairs),
              nodes AS (SELECT DISTINCT src AS doc FROM edges),

@@ -1573,6 +1573,93 @@ class PipelineSpec extends SparkSpecBase {
     assert(again == out)
   }
 
+  test("semanticDedupLsh: matches exact-pair groups on planted dups; non-contiguous ids") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // 80 vectors at dim 64, ids deliberately NON-contiguous starting at
+    // 10^6 (regression for the seed-derivation fix: filter(id < k)
+    // would find zero seeds and silently return an empty frame);
+    // i % 10 == 1 plants a near-copy of its predecessor (cos ≈ 0.99998)
+    val rnd = new scala.util.Random(7)
+    val raw = Array.fill(80)(Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    val base = raw.zipWithIndex.map { case (v, i) =>
+      if (i % 10 == 1) { val c = raw(i - 1).clone(); c(0) += 0.01; c } else v
+    }
+    val ids = (0 until 80).map(i => 1000000L + i * 3)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ids.zip(base).map { case (id, v) => Row(id, v.toSeq) }, 3), schema)
+    val out = Similarity.semanticDedupLsh(df, k = 4, tau = 0.98,
+        tables = 8, planesPerTable = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out.size == 80 && ids.forall(out.contains), "all vectors present")
+    // independent driver-side reference: exact all-pairs tau graph
+    // (same left-to-right dot, same 6-dp rounding), union-find
+    // components, representative = min (cos_centroid, id)
+    def d6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dotl(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      d6(dotl(a, b) / (math.sqrt(dotl(a, a)) * math.sqrt(dotl(b, b))))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (i <- 0 until 80; j <- i + 1 until 80
+         if cos(base(i), base(j)) >= 0.98)
+      parent(find(ids(i))) = find(ids(j))
+    val groups = ids.groupBy(find).values.filter(_.size > 1).toSeq
+    assert(groups.nonEmpty && groups.map(_.size).sum >= 8, "planted dups formed groups")
+    for (g <- groups) {
+      val rep = g.minBy(id => (out(id)._2, id))
+      assert(g.forall(id => out(id)._3 == (id == rep)),
+        s"group $g: expected sole rep $rep, got kept=${g.filter(out(_)._3)}")
+    }
+    val inGroup = groups.flatten.toSet
+    assert(ids.filterNot(inGroup).forall(out(_)._3), "singletons all kept")
+    // deterministic across partitionings
+    val again = Similarity.semanticDedupLsh(df.repartition(7), k = 4,
+        tau = 0.98, tables = 8, planesPerTable = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(again == out)
+  }
+
+  test("cosineNearDupPairs star cap bounds a hot cell; component survives") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // 40 IDENTICAL vectors — the pathological pile-up: same cell in
+    // EVERY band, 780 all-pairs without the cap — plus 5 random ones
+    val rnd = new scala.util.Random(11)
+    val hot = Array.tabulate(64)(i => if (i == 0) 1.0 else 0.1)
+    val vecs = (0 until 40).map(i => i.toLong -> hot) ++
+      (0 until 5).map(i => (100L + i) -> Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        vecs.map { case (id, v) => Row(id, v.toSeq) }, 3), schema)
+    val pairs = Similarity.cosineNearDupPairs(df, threshold = 0.99,
+        tables = 8, planesPerTable = 8, starCapBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hotPairs = pairs.filter { case (a, b) => a < 100 && b < 100 }
+    // star edges only: every hot pair anchors at the cell minimum (id 0)
+    assert(hotPairs.nonEmpty && hotPairs.forall(_._1 == 0L),
+      s"hot cell should emit star edges to id 0, got ${hotPairs.take(5).toSeq}")
+    assert(hotPairs.length == 39, s"expected 39 star edges, got ${hotPairs.length}")
+    // the duplicate group is still ONE component with one representative
+    val out = Similarity.semanticDedupLsh(df, k = 3, tau = 0.99,
+        tables = 8, planesPerTable = 8, starCapBucket = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert((0 until 40).count(i => out(i.toLong)) == 1,
+      "exactly one representative kept from the identical pile-up")
+    // uncapped call on the same data still returns ALL pairs (default path)
+    val full = Similarity.cosineNearDupPairs(df, threshold = 0.99,
+      tables = 8, planesPerTable = 8).count()
+    assert(full >= 780, s"uncapped should keep all-pairs, got $full")
+  }
+
   test("unigram LM: hand-computed EM step; Viterbi segmentation; training") {
     // ---- one soft-EM step on dict {ab:2, b:1}, pieces {a,b,ab} with
     // p = (2/7, 3/7, 2/7) (the seed counts): word "ab" has two paths,
@@ -1725,6 +1812,74 @@ class PipelineSpec extends SparkSpecBase {
     val short = QualityClassifier.classify(
       docsOf((1L, "")), "doc_id", "text").head()
     assert(short.getString(3) == "keep" && short.getLong(4) == 0L)
+  }
+
+  test("trainFromDF: corpus-fit gate separates held-out docs; deterministic across partitionings") {
+    // a labeled RELATION (not the embedded fixture): 120 docs, ids
+    // non-contiguous, label decides a planted style; some rows carry
+    // an out-of-class label or null text and must be excluded
+    val keepW = Seq("committee", "evidence", "method", "report", "analysis",
+      "measured", "reviewed", "published", "detailed", "findings")
+    val tossW = Seq("click", "free", "cheap", "casino", "bonus", "offer",
+      "jackpot", "subscribe", "discount", "pills")
+    def sentence(ws: Seq[String], seed: Int): String =
+      (0 until 12).map(j => ws((seed * 7 + j * 3) % ws.size)).mkString(" ")
+    val rows = (0 until 120).map { i =>
+      val id = 5000L + i * 11
+      if (i % 20 == 19) Row(id, "other", "une phrase dans une autre classe")
+      else if (i % 2 == 0) Row(id, "keep", sentence(keepW, i))
+      else Row(id, "toss", sentence(tossW, i))
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("label", StringType), StructField("text", StringType)))
+    val labeled = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val w = QualityClassifier.trainFromDF(labeled, "doc_id", "label", "text")
+    // perceptron updates are order-sensitive — the hash-gated sample +
+    // id re-sort must make weights a pure function of the DATA
+    val w2 = QualityClassifier.trainFromDF(labeled.repartition(13),
+      "doc_id", "label", "text")
+    assert(w == w2, "weights changed under repartitioning")
+    // held-out docs in the same planted styles, words recombined
+    val held = Seq(
+      "keep" -> "the findings were measured and reviewed before the committee published the analysis",
+      "keep" -> "a detailed report of the evidence supported the method",
+      "toss" -> "click the offer free bonus casino jackpot subscribe now cheap pills",
+      "toss" -> "discount offer click free subscribe casino bonus jackpot")
+    val df = docsOf(held.zipWithIndex.map { case ((_, s), i) => (i.toLong, s) }: _*)
+    val out = QualityClassifier.classifyWith(df, "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    held.zipWithIndex.foreach { case ((l, s), i) =>
+      assert(out(i.toLong) == l, s"'${s.take(40)}' → ${out(i.toLong)}") }
+    // maxSamples gates the collect (14 keep + 14 toss of the 108
+    // in-class rows); a smaller deterministic sample still separates
+    val wSmall = QualityClassifier.trainFromDF(labeled, "doc_id", "label",
+      "text", maxSamples = 28)
+    val outSmall = QualityClassifier.classifyWith(df, "doc_id", "text", wSmall)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    held.zipWithIndex.foreach { case ((l, _), i) =>
+      assert(outSmall(i.toLong) == l) }
+    // LangId variant: custom class set fit on the same machinery
+    val langRows = (0 until 60).map { i =>
+      val id = 100L + i * 7
+      if (i % 2 == 0) Row(id, "en", "the house and the garden were quiet that morning and the road was empty")
+      else Row(id, "de", "das haus und der garten waren ruhig und die strasse war leer am morgen")
+    }
+    val ldf = spark.createDataFrame(
+      spark.sparkContext.parallelize(langRows, 3), schema)
+    val lw = LangId.trainFromDF(ldf, "doc_id", "label", "text",
+      classes = Seq("en", "de"))
+    val lout = LangId.classifyWith(
+      docsOf((0L, "the garden near the road was quiet"),
+        (1L, "der garten an der strasse war ruhig")),
+      "doc_id", "text", lw, classes = Seq("en", "de"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(lout(0L) == "en" && lout(1L) == "de")
+    // fixture-derived oracle constants are untouched by the corpus path
+    assert(QualityClassifier.Weights ==
+      TextClassifier.train(QualityClassifier.TrainFixture,
+        QualityClassifier.Classes, QualityClassifier.B,
+        TextClassifier.bucketsMd5(_, QualityClassifier.B)))
   }
 
   test("langid classifier: held-out sentences, fixture consistency, edges") {

@@ -53,6 +53,27 @@ class PlanShapeSpec extends SparkSpecBase {
       s"no dynamic partition pruning on the IVF-PQ serve scan:\n$plan")
   }
 
+  test("p69 tau-pair stage is an equality join on (band, bucket) — no theta join") {
+    // the scale claim of semanticDedupLsh: the pair source shuffles on
+    // the (band, bucket) key instead of self-joining clusters — this
+    // pins the physical join kind AND its keys (the final p69 plan may
+    // hide the stage behind duplicateClusters' gated driver fast path,
+    // so the pair stage is asserted directly)
+    val embDf = graft.Tables.load(spark, sfDir, "embeddings")
+    val pairs = graft.pipeline.Similarity.cosineNearDupPairs(embDf,
+      threshold = 0.35, tables = 16, planesPerTable = 8, dim = 64,
+      starCapBucket = 24)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"p69 pair stage degenerated to a theta join:\n$plan")
+    val eqJoinOnBand =
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\\n]{0,60}band#"
+        .r.findFirstIn(plan)
+    assert(eqJoinOnBand.isDefined,
+      s"no equality join keyed on band/bucket in the pair stage:\n$plan")
+  }
+
   test("no forced broadcast hint on a fact-scale frame (hint allowlist sweep)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, ResolvedHint}
     // Tables that grow linearly with SF — a broadcast() hint whose subtree
@@ -136,15 +157,14 @@ class PlanShapeSpec extends SparkSpecBase {
     // p56 attaches the one-row token and pair totals to the pair-count
     // frame before the PMI projection
     // p65 attaches the one-row N1+(··) bigram-type total (p46's shape)
-    // p64 is the ONE non-scalar exemption: SemDeDup's seed assignment
-    // broadcasts the k=16-row exemplar frame against the corpus —
-    // O(n·k) with bounded k by construction (the scaladoc documents
-    // the banded-LSH/IVF swap once k must grow)
+    // (p64 used to be a non-scalar exemption for its k-row seed
+    // crossJoin; assignSeeds now unrolls the collected seeds into one
+    // codegen projection, so p64/p69 carry no BNLJ at all)
     val scalarAttachJoins = Set("p13_text_tfidf", "p32_domain_mix",
       "p36_lm_score", "p38_lm_buckets", "p39_dsir_resample",
       "p7_ann_lsh", "p15_ann_ivf", "p29_ann_ivfpq", "p46_bigram_lm",
       "p48_lang_sample", "p51_unimax_sample", "p52_bm25_topk",
-      "p53_budget_select", "p56_pmi_pairs", "p64_semantic_dedup",
+      "p53_budget_select", "p56_pmi_pairs",
       // p67 attaches the one-row corpus total to the ≤max-cluster-size
       // histogram frame (the p36 shape)
       "p65_kn_bigram", "p67_dedup_report")
