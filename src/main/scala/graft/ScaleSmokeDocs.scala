@@ -425,6 +425,39 @@ object ScaleSmokeDocs {
         .count()
     })
 
+    // incremental cross-snapshot near-dup: persist the corpus minhash
+    // index ONCE (mh_index_build — linear, the crawl-N cost), then
+    // screen a FIXED 20k-doc batch against it (incremental_screen_20k
+    // — the crawl-N+1 serving cost, which must track the BATCH, not
+    // the corpus: the decade claim is a ~flat row while the corpus
+    // grows 10×). Every 10th batch doc is a 3-word-perturbed near-copy
+    // of a corpus doc, so found-pair recall audits the screen.
+    if (Seq("mh_index_build", "incremental_screen_20k").exists(wanted)) {
+      val batchN = 20000L
+      val bIsDup = col("id") % 10 === 1
+      val srcId = pmod(col("id") * 97, lit(totalDocs))
+      val batch = spark.range(batchN).select(
+        (col("id") + totalDocs).as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(words - 1)), i => {
+          val h = when(bIsDup,
+              when(i < 3, hash(col("id"), i, lit("y")))
+                .otherwise(hash(srcId, i)))
+            .otherwise(hash(col("id") + totalDocs, i, lit("z")))
+          concat(lit("w"), pmod(h, lit(5000)))
+        })).as("text")).persist()
+      batch.count()
+      val idxDir = s"/tmp/graft_mh_idx_$totalDocs"
+      stage("mh_index_build")({
+        Dedup.saveMinhashIndex(
+          Dedup.minhashIndex(docs, "doc_id", "text", 3, 32, 8), idxDir, 3)
+        spark.read.parquet(s"$idxDir/index").count()
+      })
+      stage("incremental_screen_20k")(
+        Dedup.nearDupAgainstIndex(batch, idxDir, "doc_id", "text", 0.4)
+          .count())
+      batch.unpersist()
+    }
+
     // ANN over synthetic embeddings: half the doc count, 64 dims, with
     // planted near-dups (id ≡ 1 mod 100 = predecessor with coordinate 0
     // nudged → cosine ≈ 0.999) so banded-pair recall is checkable.

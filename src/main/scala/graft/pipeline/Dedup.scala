@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import TextOps._
 
@@ -388,6 +388,65 @@ object Dedup {
     newIdx.unpersist()
     sh.unpersist()
     out
+  }
+
+  /** Persist a [[minhashIndex]] as plain parquet (the AnnIO no-pickle
+    * philosophy): the index rows plus a one-row meta relation pinning
+    * the build parameters — a later batch joined against an index
+    * built with different n/k/bands would emit silently-wrong
+    * candidates, so the loader validates instead of trusting. At
+    * cluster scale this table is what crawl N leaves behind for crawl
+    * N+1 (partition the exploded band frame by `band` if the serve
+    * join should prune files; the row form here keeps `sh` adjacent
+    * for the verify join).
+    */
+  def saveMinhashIndex(index: DataFrame, path: String, n: Int): Unit = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val need = Seq("doc", "sh", "sig", "bb")
+    require(need.forall(index.columns.contains),
+      s"saveMinhashIndex: expected columns ${need.mkString(",")}, " +
+        s"got ${index.columns.mkString(",")}")
+    val head = index.select(size(col("sig")), size(col("bb"))).head()
+    Seq((n, head.getInt(0), head.getInt(1)))
+      .toDF("n", "k", "bands")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    index.select(need.map(col): _*)
+      .write.mode("overwrite").parquet(s"$path/index")
+  }
+
+  /** (n, k, bands, index) back from [[saveMinhashIndex]]; every stored
+    * row must agree with the meta row's k/bands — a truncated or
+    * foreign-engine write fails loudly, not as missed duplicates.
+    */
+  def loadMinhashIndex(spark: SparkSession, path: String)
+      : (Int, Int, Int, DataFrame) = {
+    val meta = spark.read.parquet(s"$path/meta")
+      .select(col("n").cast("int"), col("k").cast("int"),
+        col("bands").cast("int")).collect()
+    require(meta.length == 1, s"loadMinhashIndex: expected ONE meta row at " +
+      s"$path/meta, got ${meta.length}")
+    val (n, k, bands) = (meta(0).getInt(0), meta(0).getInt(1), meta(0).getInt(2))
+    val idx = spark.read.parquet(s"$path/index")
+    val need = Seq("doc", "sh", "sig", "bb")
+    require(need.forall(idx.columns.contains),
+      s"loadMinhashIndex: not a minhash index at $path: ${idx.columns.mkString(",")}")
+    val bad = idx.filter(size(col("sig")) =!= k || size(col("bb")) =!= bands).count()
+    require(bad == 0,
+      s"loadMinhashIndex: $bad rows disagree with meta (k=$k, bands=$bands) at $path")
+    (n, k, bands, idx)
+  }
+
+  /** The cross-snapshot serving shape: near-dup crawl N+1 against the
+    * STORED index of crawl N ([[saveMinhashIndex]]) — per-batch cost is
+    * the batch's own prep plus the band join; the historical corpus is
+    * touched only through its persisted index, never re-shingled and
+    * never re-paired with itself.
+    */
+  def nearDupAgainstIndex(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val (n, k, bands, idx) = loadMinhashIndex(newDocs.sparkSession, indexPath)
+    incrementalMinhashPairs(newDocs, idx, idCol, textCol, n, k, bands, threshold)
   }
 
   // ---- boilerplate line removal ---------------------------------------

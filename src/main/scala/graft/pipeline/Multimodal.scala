@@ -165,6 +165,32 @@ object Multimodal {
       }
       .toDF()
   }
+
+  final case class VideoMeta(doc_id: Long, container: String,
+    video_codec: String, n_tracks: Long, n_samples: Long, duration_ms: Long)
+
+  /** Video-container metadata walk — the pass a crawl ingest runs over
+    * the mp4/WebM blobs that dominate real media corpora: codec id,
+    * track count, sample/frame count, duration, all from pure
+    * box (ISO-BMFF 14496-12) and EBML/Matroska structure walking — NO
+    * pixel decode (no VP9/H.264 decoder exists on the JVM; none is
+    * needed for routing/budgeting, the same argument as the
+    * animated-WebP ANMF walk). Non-video blobs and truncated/malformed
+    * structures degrade to zeros with the sniffed container label, so
+    * the census never throws on crawl garbage. One `mapPartitions`
+    * projection, no shuffle.
+    */
+  def videoMetadata(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decoder = new MediaDecoder
+        rows.map { case (id, blob) => decoder.videoMetaOf(id, blob) }
+      }
+      .toDF()
+  }
 }
 
 /** Per-partition audio decoder: javax.sound.sampled for WAV/AIFF/AU
@@ -588,7 +614,215 @@ final class MediaDecoder extends Serializable {
     else if (at(b, 0, "RIFF") && at(b, 8, "WAVE")) "wav"
     else if (at(b, 0, "FORM")) "aiff"
     else if (at(b, 0, ".snd")) "au"
+    else if (b.length >= 12 && at(b, 4, "ftyp")) "mp4"
+    else if (b.length >= 4 && b(0) == 0x1A.toByte && b(1) == 0x45.toByte &&
+      b(2) == 0xDF.toByte && b(3) == 0xA3.toByte)
+      (if (mkvDocType(b) == "webm") "webm" else "mkv")
     else "unknown"
+
+  // ---- ISO-BMFF (mp4/mov) box walk — ISO 14496-12 structure only ----
+
+  private def u32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+      ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+
+  private def u64(b: Array[Byte], i: Int): Long =
+    (u32(b, i) << 32) | u32(b, i + 4)
+
+  /** Children of the byte range [from, to): (boxType, payloadStart,
+    * payloadEnd). size==1 → 64-bit largesize header; size==0 → box
+    * extends to the end of the range. A malformed/truncated header
+    * stops the walk (crawl data is hostile; never throw).
+    */
+  private def mp4Boxes(b: Array[Byte], from: Int, to: Int): Seq[(String, Int, Int)] = {
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var i = from
+    while (i + 8 <= to) {
+      var size = u32(b, i)
+      var hdr = 8
+      if (size == 1 && i + 16 <= to) { size = u64(b, i + 8); hdr = 16 }
+      else if (size == 0) size = (to - i).toLong
+      if (size < hdr || size > to - i) return out.result()
+      val typ = new String(b, i + 4, 4, "ISO-8859-1")
+      out += ((typ, i + hdr, i + size.toInt))
+      i += size.toInt
+    }
+    out.result()
+  }
+
+  private def mp4Child(b: Array[Byte], box: (String, Int, Int),
+      typ: String): Option[(String, Int, Int)] =
+    mp4Boxes(b, box._2, box._3).find(_._1 == typ)
+
+  /** (container, videoCodec, nTracks, nSamples, durationMs) from the
+    * moov structure: per trak, mdhd gives timescale/duration (v0 32-bit
+    * and v1 64-bit forms), hdlr the handler class, stbl/stsd the first
+    * sample-entry fourcc, stbl/stsz the sample count. The VIDEO track's
+    * values win; a moov-less or trak-less file reports zeros.
+    */
+  private def parseMp4(b: Array[Byte]): Option[(String, Long, Long, Long)] = {
+    if (b.length < 12 || !at(b, 4, "ftyp")) return None
+    val top = mp4Boxes(b, 0, b.length)
+    val moov = top.find(_._1 == "moov").getOrElse(return Some(("", 0L, 0L, 0L)))
+    val traks = mp4Boxes(b, moov._2, moov._3).filter(_._1 == "trak")
+    var best: Option[(String, Long, Long)] = None // codec, samples, durMs
+    var firstTrack: Option[(String, Long, Long)] = None
+    for (t <- traks; mdia <- mp4Child(b, t, "mdia")) {
+      val p = mdia._2
+      val handler = mp4Child(b, mdia, "hdlr") match {
+        case Some((_, hp, he)) if hp + 12 <= he =>
+          new String(b, hp + 8, 4, "ISO-8859-1")
+        case _ => ""
+      }
+      val (timescale, duration) = mp4Child(b, mdia, "mdhd") match {
+        case Some((_, mp, me)) if mp < me =>
+          val v = b(mp) & 0xFF
+          if (v == 1 && mp + 32 <= me) (u32(b, mp + 20), u64(b, mp + 24))
+          else if (v == 0 && mp + 20 <= me) (u32(b, mp + 12), u32(b, mp + 16))
+          else (0L, 0L)
+        case _ => (0L, 0L)
+      }
+      val stbl = mp4Child(b, mdia, "minf").flatMap(m => mp4Child(b, m, "stbl"))
+      val codec = stbl.flatMap(s => mp4Child(b, s, "stsd")) match {
+        case Some((_, sp, se)) if sp + 16 <= se && u32(b, sp + 4) >= 1 =>
+          new String(b, sp + 12, 4, "ISO-8859-1")
+        case _ => ""
+      }
+      val nSamples = stbl.flatMap(s => mp4Child(b, s, "stsz")) match {
+        case Some((_, sp, se)) if sp + 12 <= se => u32(b, sp + 8)
+        case _ => 0L
+      }
+      val durMs = if (timescale > 0) duration * 1000L / timescale else 0L
+      val row = (codec, nSamples, durMs)
+      if (firstTrack.isEmpty) firstTrack = Some(row)
+      if (handler == "vide" && best.isEmpty) best = Some(row)
+    }
+    val (codec, samples, durMs) = best.orElse(firstTrack).getOrElse(("", 0L, 0L))
+    Some((codec, traks.size.toLong, samples, durMs))
+  }
+
+  // ---- EBML / Matroska / WebM walk — structure only, no block decode ----
+
+  private def vintLen(first: Int): Int = {
+    var mask = 0x80
+    var len = 1
+    while (len <= 8 && (first & mask) == 0) { mask >>= 1; len += 1 }
+    len
+  }
+
+  /** Children of the byte range [from, to): (elementId, payloadStart,
+    * payloadEnd). IDs keep their marker bits (the class values, e.g.
+    * 0x1A45DFA3); sizes strip theirs; an all-ones size vint means
+    * "unknown — extends to the end of the parent" (streaming Segment).
+    * Malformed input stops the walk.
+    */
+  private def ebmlChildren(b: Array[Byte], from: Int, to: Int): Seq[(Long, Int, Int)] = {
+    val out = Seq.newBuilder[(Long, Int, Int)]
+    var i = from
+    while (i < to) {
+      val il = vintLen(b(i) & 0xFF)
+      if (il > 4 || i + il > to) return out.result()
+      var id = 0L
+      for (k <- 0 until il) id = (id << 8) | (b(i + k) & 0xFF)
+      val sp = i + il
+      if (sp >= to) return out.result()
+      val sl = vintLen(b(sp) & 0xFF)
+      if (sl > 8 || sp + sl > to) return out.result()
+      var sz = (b(sp) & 0xFF).toLong & ((1L << (8 - sl)) - 1)
+      var allOnes = sz == (1L << (8 - sl)) - 1
+      for (k <- 1 until sl) {
+        sz = (sz << 8) | (b(sp + k) & 0xFF)
+        allOnes &&= (b(sp + k) & 0xFF) == 0xFF
+      }
+      val ps = sp + sl
+      val pe = if (allOnes) to else ps + sz.toInt
+      if (pe > to || pe < ps) return out.result()
+      out += ((id, ps, pe))
+      i = pe
+    }
+    out.result()
+  }
+
+  private def ebmlUint(b: Array[Byte], ps: Int, pe: Int): Long = {
+    var v = 0L
+    for (k <- ps until math.min(pe, ps + 8)) v = (v << 8) | (b(k) & 0xFF)
+    v
+  }
+
+  private def ebmlFloat(b: Array[Byte], ps: Int, pe: Int): Double =
+    if (pe - ps == 4) java.lang.Float.intBitsToFloat(u32(b, ps).toInt).toDouble
+    else if (pe - ps == 8) java.lang.Double.longBitsToDouble(u64(b, ps))
+    else 0.0
+
+  /** DocType from the EBML header — "webm" vs "matroska" is the only
+    * difference the container census needs.
+    */
+  private def mkvDocType(b: Array[Byte]): String =
+    ebmlChildren(b, 0, b.length).find(_._1 == 0x1A45DFA3L) match {
+      case Some((_, hs, he)) =>
+        ebmlChildren(b, hs, he).find(_._1 == 0x4282L)
+          .map { case (_, ps, pe) => new String(b, ps, pe - ps, "ISO-8859-1") }
+          .getOrElse("matroska")
+      case None => "matroska"
+    }
+
+  /** (videoCodec, nTracks, nBlocks, durationMs) from the Segment walk:
+    * Info gives TimestampScale (ns per tick, default 10^6) and the
+    * float Duration (ticks); Tracks gives TrackEntry count and the
+    * video (TrackType 1) CodecID; frame count = SimpleBlocks summed
+    * over ALL Clusters.
+    */
+  private def parseMkv(b: Array[Byte]): Option[(String, Long, Long, Long)] = {
+    if (b.length < 4 || b(0) != 0x1A.toByte || b(1) != 0x45.toByte ||
+      b(2) != 0xDF.toByte || b(3) != 0xA3.toByte) return None
+    val segment = ebmlChildren(b, 0, b.length).find(_._1 == 0x18538067L)
+      .getOrElse(return Some(("", 0L, 0L, 0L)))
+    var timescale = 1000000L
+    var durTicks = 0.0
+    var codec = ""
+    var firstCodec = ""
+    var nTracks = 0L
+    var nBlocks = 0L
+    for ((id, ps, pe) <- ebmlChildren(b, segment._2, segment._3)) id match {
+      case 0x1549A966L => // Info
+        for ((iid, ips, ipe) <- ebmlChildren(b, ps, pe)) iid match {
+          case 0x2AD7B1L => timescale = ebmlUint(b, ips, ipe)
+          case 0x4489L => durTicks = ebmlFloat(b, ips, ipe)
+          case _ =>
+        }
+      case 0x1654AE6BL => // Tracks
+        for ((tid, tps, tpe) <- ebmlChildren(b, ps, pe) if tid == 0xAEL) {
+          nTracks += 1
+          var ttype = 0L
+          var tcodec = ""
+          for ((eid, eps, epe) <- ebmlChildren(b, tps, tpe)) eid match {
+            case 0x83L => ttype = ebmlUint(b, eps, epe)
+            case 0x86L => tcodec = new String(b, eps, epe - eps, "ISO-8859-1")
+            case _ =>
+          }
+          if (firstCodec.isEmpty) firstCodec = tcodec
+          if (ttype == 1L && codec.isEmpty) codec = tcodec
+        }
+      case 0x1F43B675L => // Cluster
+        nBlocks += ebmlChildren(b, ps, pe).count(_._1 == 0xA3L)
+      case _ =>
+    }
+    val durMs = math.rint(durTicks * timescale / 1e6).toLong
+    Some((if (codec.nonEmpty) codec else firstCodec, nTracks, nBlocks, durMs))
+  }
+
+  /** The [[Multimodal.videoMetadata]] row: container sniff + the
+    * matching metadata walk; non-video containers report zeros.
+    */
+  def videoMetaOf(id: Long, blob: Array[Byte]): Multimodal.VideoMeta = {
+    val container = containerOf(blob)
+    val (codec, tracks, samples, durMs) = container match {
+      case "mp4" => parseMp4(blob).getOrElse(("", 0L, 0L, 0L))
+      case "webm" | "mkv" => parseMkv(blob).getOrElse(("", 0L, 0L, 0L))
+      case _ => ("", 0L, 0L, 0L)
+    }
+    Multimodal.VideoMeta(id, container, codec, tracks, samples, durMs)
+  }
 
   /** Raw MJPEG: frame k starts at the k-th SOI; each segment is a
     * complete JPEG ImageIO decodes independently. Only the SAMPLED
@@ -670,5 +904,96 @@ final class MediaDecoder extends Serializable {
           brightness = (hexSlice(hex, 20, 12) % 1000000L) / 1000000.0,
           decoded_real = false)
     }
+  }
+}
+
+/** Deterministic minimal-but-valid mp4 / WebM byte builders for the
+  * p70 plant and the parser fixtures: the oracle states the planted
+  * parameters in closed form, so a correct [[MediaDecoder]] walk must
+  * INVERT these builders exactly — a mis-read offset or vint shows up
+  * as an oracle hash mismatch, not a silent pass.
+  */
+private[graft] object VideoFixtures {
+
+  def be32(v: Long): Array[Byte] = Array(
+    ((v >>> 24) & 0xFF).toByte, ((v >>> 16) & 0xFF).toByte,
+    ((v >>> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+  def box(typ: String, payloads: Array[Byte]*): Array[Byte] = {
+    val total = 8 + payloads.map(_.length).sum
+    be32(total.toLong) ++ typ.getBytes("ISO-8859-1") ++
+      payloads.toArray.flatten
+  }
+
+  private def trak(handler: String, codec: String, nSamples: Long,
+      durTicks: Long, timescale: Long): Array[Byte] = {
+    val vflags = new Array[Byte](4)
+    val mdhd = box("mdhd", vflags, be32(0), be32(0),
+      be32(timescale), be32(durTicks))
+    val hdlr = box("hdlr", vflags, be32(0),
+      handler.getBytes("ISO-8859-1"), new Array[Byte](13))
+    val stsd = box("stsd", vflags, be32(1),
+      be32(16), codec.getBytes("ISO-8859-1"), new Array[Byte](8))
+    val stsz = box("stsz", vflags, be32(100), be32(nSamples))
+    box("trak", box("mdia", mdhd, hdlr,
+      box("minf", box("stbl", stsd, stsz))))
+  }
+
+  /** 1 video track (`codec`) + optionally 1 audio track (mp4a, 2×
+    * samples — the walk must pick the VIDEO track's numbers).
+    * mdhd timescale is 1000, so duration ticks = milliseconds.
+    */
+  def mp4(tracks: Int, nSamples: Long, durationMs: Long,
+      codec: String): Array[Byte] = {
+    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1"), be32(512),
+      "isommp42".getBytes("ISO-8859-1"))
+    val trs = trak("vide", codec, nSamples, durationMs, 1000L) ++
+      (if (tracks >= 2) trak("soun", "mp4a", nSamples * 2, durationMs, 1000L)
+       else Array.empty[Byte])
+    ftyp ++ box("moov", trs) ++ box("mdat", Array[Byte](1, 2, 3, 4))
+  }
+
+  def id(bytes: Int*): Array[Byte] = bytes.map(_.toByte).toArray
+
+  /** 2-byte size vints throughout — sidesteps the 0x7F/0xFF
+    * "unknown size" encodings a 1-byte form can collide with.
+    */
+  def vsize(n: Int): Array[Byte] = {
+    require(n >= 0 && n < 0x3FFF, s"fixture element too large: $n")
+    Array((0x40 | (n >> 8)).toByte, (n & 0xFF).toByte)
+  }
+
+  def el(idBytes: Array[Byte], payloads: Array[Byte]*): Array[Byte] = {
+    val body = payloads.toArray.flatten
+    idBytes ++ vsize(body.length) ++ body
+  }
+
+  private def be64d(v: Double): Array[Byte] = {
+    val bits = java.lang.Double.doubleToLongBits(v)
+    (7 to 0 by -1).map(k => ((bits >>> (8 * k)) & 0xFF).toByte).toArray
+  }
+
+  def cluster(nBlocks: Int): Array[Byte] =
+    el(id(0x1F, 0x43, 0xB6, 0x75),
+      (el(id(0xE7), Array(0.toByte)) +:
+        Seq.fill(nBlocks)(el(id(0xA3),
+          Array(0x81.toByte, 0.toByte, 0.toByte, 0.toByte)))): _*)
+
+  /** TimestampScale 10^6 ns (1 ms per tick), Duration = durationMs as a
+    * float64 — so the walked duration_ms equals the parameter exactly.
+    */
+  def webm(nBlocks: Int, durationMs: Long, codec: String,
+      docType: String = "webm"): Array[Byte] = {
+    val header = el(id(0x1A, 0x45, 0xDF, 0xA3),
+      el(id(0x42, 0x82), docType.getBytes("ISO-8859-1")))
+    val info = el(id(0x15, 0x49, 0xA9, 0x66),
+      el(id(0x2A, 0xD7, 0xB1),
+        Array(0x0F.toByte, 0x42.toByte, 0x40.toByte)),
+      el(id(0x44, 0x89), be64d(durationMs.toDouble)))
+    val tracks = el(id(0x16, 0x54, 0xAE, 0x6B),
+      el(id(0xAE),
+        el(id(0x83), Array(1.toByte)),
+        el(id(0x86), codec.getBytes("ISO-8859-1"))))
+    header ++ el(id(0x18, 0x53, 0x80, 0x67), info, tracks, cluster(nBlocks))
   }
 }

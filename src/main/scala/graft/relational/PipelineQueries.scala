@@ -850,7 +850,7 @@ object PipelineQueries {
     "p63_media_containers" -> ((s, dir) => {
       def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
       val payload = col("text").cast("binary")
-      val cls = pmod(col("doc_id"), lit(6))
+      val cls = pmod(col("doc_id"), lit(8))
       val blob = when(cls === 0, concat(lit(b(0x89, 'P', 'N', 'G')), payload))
         .when(cls === 1,
           concat(lit(b(0xFF, 0xD8, 0xFF)), payload, lit(b(0xFF, 0xD9))))
@@ -860,6 +860,12 @@ object PipelineQueries {
         .when(cls === 3, concat(lit("GIF8".getBytes("UTF-8")), payload))
         .when(cls === 4, concat(lit("RIFF".getBytes("UTF-8")), lit(b(0, 0, 0, 0)),
           lit("WAVE".getBytes("UTF-8")), payload))
+        // minimal ftyp box then payload — bytes 4-7 'ftyp' is the sniff
+        .when(cls === 5, concat(lit(b(0, 0, 0, 0x10) ++
+          "ftypisom".getBytes("UTF-8") ++ b(0, 0, 0, 0)), payload))
+        // EBML magic + 7-byte header holding DocType 'webm'
+        .when(cls === 6, concat(lit(b(0x1A, 0x45, 0xDF, 0xA3, 0x87,
+          0x42, 0x82, 0x84) ++ "webm".getBytes("UTF-8")), payload))
         .otherwise(payload)
       Multimodal.detectContainers(
         docs(s, dir).select(col("doc_id"), blob.as("media")))
@@ -953,6 +959,82 @@ object PipelineQueries {
     "p69_semantic_dedup_lsh" -> ((s, dir) =>
       Similarity.semanticDedupLsh(emb(s, dir), k = 16, tau = 0.35,
         tables = 16, planesPerTable = 8, dim = 64, starCapBucket = 24)),
+
+    // margin-thresholded langid routing (how fastText is USED in
+    // production: predictions under a confidence margin become 'und'
+    // and fall back to the script-profile prefilter — CLD practice):
+    // 3 of 4 docs carry the p61 language header (margins 16-43 by
+    // construction), every 4th is garbage — Han text (rescued to 'zh'
+    // by the han-dominant script) or digits (stays 'und'). Threshold
+    // = 16, the minimum real-header margin
+    "p72_langid_route" -> ((s, dir) => {
+      val header = LangId.Langs.foldRight(lit(null).cast("string")) {
+        (l, rest) =>
+          when(col("lang") === l,
+            concat_ws(" ", (0 until 10).map(k =>
+              element_at(typedLit(LangId.Lexicons(l).toArray),
+                (pmod(col("doc_id") * 7 + k * 3, lit(10)) + 1).cast("int"))): _*))
+            .otherwise(rest)
+      }
+      val t = when(pmod(col("doc_id"), lit(4)) =!= 3, header)
+        .when(pmod(col("doc_id"), lit(8)) === 3, // Han plant, \u-escaped
+          lit("\u4F60\u597D\u4E16\u754C\u518D\u89C1\u670B\u53CB"))
+        .otherwise(lit("12345 67890 12345"))
+      val src = docs(s, dir).select(col("doc_id"), t.as("t"))
+      val cls = LangId.classify(src, "doc_id", "t")
+        .select(col("doc_id"), col("lang_pred"), col("margin"))
+      val prof = Quality.scriptProfile(src, "doc_id", "t")
+        .select(col("doc_id"), col("dominant_script"))
+      cls.join(prof, "doc_id")
+        .select(col("doc_id"), col("lang_pred"), col("margin"),
+          col("dominant_script"),
+          when(col("margin") >= 16, col("lang_pred"))
+            .when(col("dominant_script") === "han", lit("zh"))
+            .otherwise(lit("und")).as("lang_routed"))
+    }),
+
+    // incremental cross-snapshot near-dup (the crawl-N+1 serving
+    // shape): even doc_ids play the STORED crawl-N index, odd ids the
+    // arriving batch — only the batch is shingled-and-signed fresh,
+    // candidates require >= 1 new side (the history is never re-paired
+    // with itself), verify is exact Jaccard. Equivalent relationally
+    // to "full-corpus minhash pairs with at least one odd side", which
+    // is what the oracle states
+    "p71_incremental_neardup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpusIdx = Dedup.minhashIndex(
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        n = 3, k = 32, bands = 8).persist()
+      val out = Dedup.incrementalMinhashPairs(
+        d.filter(col("doc_id") % 2 === 1), corpusIdx, "doc_id", "text",
+        n = 3, k = 32, bands = 8, threshold = 0.4)
+      corpusIdx.unpersist()
+      out
+    }),
+
+    // video-container metadata walk (ISO-BMFF box + EBML/Matroska
+    // structure — codec id, track count, sample count, duration; no
+    // pixel decode): each doc gets a VALID minimal mp4 or WebM built
+    // by VideoFixtures from closed-form parameters of its doc_id; the
+    // oracle states those parameters directly, so the engine's parser
+    // must INVERT the builder byte-exactly to match
+    "p70_video_metadata" -> ((s, dir) => {
+      val mp41 = (1 to 3).map(v => graft.pipeline.VideoFixtures.mp4(
+        tracks = 1, nSamples = 10L * v, durationMs = 1000L * v, codec = "avc1"))
+      val mp42 = (1 to 3).map(v => graft.pipeline.VideoFixtures.mp4(
+        tracks = 2, nSamples = 10L * v, durationMs = 1000L * v, codec = "hvc1"))
+      val webms = (1 to 3).map(v => graft.pipeline.VideoFixtures.webm(
+        nBlocks = 10 * v, durationMs = 1000L * v, codec = "V_VP9"))
+      val cls = pmod(col("doc_id"), lit(3))
+      val vr = pmod(expr("doc_id div 3"), lit(3))
+      def pick(arr: Seq[Array[Byte]]) =
+        when(vr === 0, lit(arr(0))).when(vr === 1, lit(arr(1)))
+          .otherwise(lit(arr(2)))
+      val blob = when(cls === 0, pick(mp41)).when(cls === 1, pick(mp42))
+        .otherwise(pick(webms))
+      Multimodal.videoMetadata(
+        docs(s, dir).select(col("doc_id"), blob.as("media")))
+    }),
 
     // fastText-style langid (hashed char-3-gram linear classifier,
     // integer scores): each doc gets a HEADER planted in its label
@@ -2503,6 +2585,75 @@ object PipelineQueries {
          FROM asg a LEFT JOIN comp c USING (vec_id)
               LEFT JOIN reps r ON c.grp = r.grp""",
 
+    // p61's generated scoring over the routed source (headers by the
+    // shared lexicon arithmetic, Han plant via chr() codes, digit
+    // garbage), then the margin gate + p57's script CASE as the
+    // fallback — the whole routing replayed relationally
+    "p72_langid_route" -> {
+      val hdr = graft.pipeline.LangId.Langs.map { l =>
+        val lex = s"list_value(${graft.pipeline.LangId.Lexicons(l)
+          .map(w => s"'$w'").mkString(",")})"
+        val words = (0 until 10).map(k =>
+          s"($lex)[((doc_id*7 + ${k * 3}) % 10)::INT + 1]")
+          .mkString(" || ' ' || ")
+        s"WHEN lang = '$l' THEN $words"
+      }.mkString(" ")
+      val han = Seq(20320, 22909, 19990, 30028, 20877, 35265, 26379, 21451)
+        .map(c => s"chr($c)").mkString(" || ")
+      val srcSel = s"""SELECT doc_id,
+           CASE WHEN doc_id % 4 <> 3 THEN lower(CASE $hdr END)
+                WHEN doc_id % 8 = 3 THEN $han
+                ELSE '12345 67890 12345' END AS __t
+         FROM documents"""
+      val scoreSql = graft.pipeline.LangId.scoreSqlFrom(srcSel)
+      raw"""WITH cls AS ($scoreSql),
+           src2 AS ($srcSel),
+           c0 AS (SELECT doc_id, length(__t) AS n,
+               length(__t) - length(regexp_replace(__t, '[ \t\n\f\r]', '', 'g')) AS ws,
+               length(__t) - length(regexp_replace(__t, '\p{Latin}', '', 'g')) AS lat,
+               length(__t) - length(regexp_replace(__t, '\p{Cyrillic}', '', 'g')) AS cyr,
+               length(__t) - length(regexp_replace(__t, '\p{Han}', '', 'g')) AS han,
+               length(__t) - length(regexp_replace(__t, '\p{Arabic}', '', 'g')) AS ar,
+               length(__t) - length(regexp_replace(__t, '[0-9]', '', 'g')) AS dig
+             FROM src2),
+           prof AS (SELECT doc_id,
+               CASE WHEN n - ws - lat - cyr - han - ar - dig >
+                         greatest(lat, cyr, han, ar) THEN 'other'
+                    WHEN lat >= greatest(cyr, han, ar) THEN 'latin'
+                    WHEN cyr >= greatest(han, ar) THEN 'cyrillic'
+                    WHEN han >= ar THEN 'han'
+                    ELSE 'arabic' END AS dominant_script
+             FROM c0)
+         SELECT c.doc_id, c.lang_pred, c.margin, p.dominant_script,
+           CASE WHEN c.margin >= 16 THEN c.lang_pred
+                WHEN p.dominant_script = 'han' THEN 'zh'
+                ELSE 'und' END AS lang_routed
+         FROM cls c JOIN prof p USING (doc_id)"""
+    },
+
+    // the incremental screen is relationally "full-corpus pairs with
+    // >= 1 side in the new batch": candidates from (new x all) band
+    // collisions are exactly the full self-join's pairs minus the
+    // both-old ones, and the verify Jaccard is unchanged
+    "p71_incremental_neardup" ->
+      s"""WITH ${minhashPairsCtes("documents")}
+         SELECT doc_a, doc_b, jaccard FROM j
+         WHERE jaccard >= 0.4 AND (doc_a % 2 = 1 OR doc_b % 2 = 1)""",
+
+    // closed-form restatement of the p70 plant parameters — doc_id%3
+    // picks 1-track mp4 / 2-track mp4 / webm, (doc_id//3)%3 the
+    // duration/sample variant; a parser that mis-walks any box or vint
+    // reports different numbers and the hash diverges
+    "p70_video_metadata" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 3 = 2 THEN 'webm' ELSE 'mp4' END AS container,
+           CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
+                ELSE 'V_VP9' END AS video_codec,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 1 END AS BIGINT) AS n_tracks,
+           CAST(10 * ((doc_id // 3) % 3 + 1) AS BIGINT) AS n_samples,
+           CAST(1000 * ((doc_id // 3) % 3 + 1) AS BIGINT) AS duration_ms
+         FROM documents""",
+
     // the header plant (pure modular word picks per label lang) and
     // the full hashed-char-3-gram linear scoring are both generated
     // from LangId's OWN constants — lexicons and trained weights are
@@ -2515,7 +2666,7 @@ object PipelineQueries {
     // etc. can only match at the planted markers
     "p63_media_containers" ->
       raw"""WITH b AS (SELECT doc_id,
-               CASE doc_id % 6
+               CASE doc_id % 8
                  WHEN 0 THEN '\x89PNG'::BLOB || text::BLOB
                  WHEN 1 THEN '\xFF\xD8\xFF'::BLOB || text::BLOB || '\xFF\xD9'::BLOB
                  WHEN 2 THEN '\xFF\xD8\xFF'::BLOB || text::BLOB || '\xFF\xD9'::BLOB ||
@@ -2523,6 +2674,10 @@ object PipelineQueries {
                  WHEN 3 THEN 'GIF8'::BLOB || text::BLOB
                  WHEN 4 THEN 'RIFF'::BLOB || '\x00\x00\x00\x00'::BLOB ||
                              'WAVE'::BLOB || text::BLOB
+                 WHEN 5 THEN '\x00\x00\x00\x10'::BLOB || 'ftypisom'::BLOB ||
+                             '\x00\x00\x00\x00'::BLOB || text::BLOB
+                 WHEN 6 THEN '\x1A\x45\xDF\xA3\x87\x42\x82\x84'::BLOB ||
+                             'webm'::BLOB || text::BLOB
                  ELSE text::BLOB END AS blob
              FROM documents),
            h AS (SELECT doc_id, blob, hex(blob) AS hx FROM b)
@@ -2552,6 +2707,15 @@ object PipelineQueries {
                      AND substr(hx, 17, 8) = hex('WAVE'::BLOB) THEN 'wav'
                 WHEN substr(hx, 1, 8) = hex('FORM'::BLOB) THEN 'aiff'
                 WHEN substr(hx, 1, 8) = hex('.snd'::BLOB) THEN 'au'
+                WHEN octet_length(blob) >= 12
+                     AND substr(hx, 9, 8) = hex('ftyp'::BLOB) THEN 'mp4'
+                -- EBML magic is non-ASCII so only the planted class-6
+                -- prefix reaches this branch; its DocType sits at the
+                -- fixed header offset the engine walk derives
+                WHEN substr(hx, 1, 8) = '1A45DFA3' THEN
+                  CASE WHEN substr(hx, 11, 4) = '4282'
+                            AND substr(hx, 17, 8) = hex('webm'::BLOB)
+                       THEN 'webm' ELSE 'mkv' END
                 ELSE 'unknown' END AS container,
            CAST(octet_length(blob) AS BIGINT) AS n_bytes
          FROM h""",

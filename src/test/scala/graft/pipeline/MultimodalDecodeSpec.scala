@@ -168,6 +168,66 @@ class MultimodalDecodeSpec extends SparkSpecBase {
     assert(dec.containerOf(Array[Byte](1, 2)) == "unknown")
   }
 
+  test("mp4/WebM metadata walk: v1 mdhd, largesize, unknown boxes, multi-cluster, DocType, truncation") {
+    val dec = new MediaDecoder
+    import VideoFixtures.{mp4, webm, box, be32, el, id, cluster, vsize}
+    def be64(v: Long): Array[Byte] =
+      (7 to 0 by -1).map(k => ((v >>> (8 * k)) & 0xFF).toByte).toArray
+    // builder round-trip: 2-track file, the VIDEO track's numbers win
+    val m = dec.videoMetaOf(1L, mp4(2, 25L, 4500L, "avc1"))
+    assert(m.container == "mp4" && m.video_codec == "avc1" &&
+      m.n_tracks == 2 && m.n_samples == 25 && m.duration_ms == 4500, m.toString)
+    // hand-assembled: version-1 mdhd (64-bit times, timescale 90000),
+    // an unknown 'free' box to skip, and moov under a LARGESIZE header
+    val vf = Array[Byte](0, 0, 0, 0)
+    val mdhdV1 = box("mdhd", Array[Byte](1, 0, 0, 0), be64(0), be64(0),
+      be32(90000), be64(180000L))
+    val hdlr = box("hdlr", vf, be32(0), "vide".getBytes("ISO-8859-1"),
+      new Array[Byte](13))
+    val stsd = box("stsd", vf, be32(1), be32(16),
+      "av01".getBytes("ISO-8859-1"), new Array[Byte](8))
+    val stsz = box("stsz", vf, be32(100), be32(42))
+    val trakB = box("trak", box("mdia", mdhdV1, hdlr,
+      box("minf", box("stbl", stsd, stsz))))
+    val largeMoov = be32(1) ++ "moov".getBytes("ISO-8859-1") ++
+      be64(16L + trakB.length) ++ trakB
+    val blob = box("ftyp", "isom".getBytes("ISO-8859-1"), be32(0)) ++
+      box("free", Array.fill[Byte](9)(3)) ++ largeMoov
+    val r = dec.videoMetaOf(2L, blob)
+    assert(r.video_codec == "av01" && r.n_tracks == 1 && r.n_samples == 42 &&
+      r.duration_ms == 180000L * 1000 / 90000, r.toString) // = 2000 ms
+    // WebM builder round-trip + DocType routing
+    val w = dec.videoMetaOf(3L, webm(7, 1234L, "V_VP9"))
+    assert(w.container == "webm" && w.video_codec == "V_VP9" &&
+      w.n_tracks == 1 && w.n_samples == 7 && w.duration_ms == 1234, w.toString)
+    assert(dec.videoMetaOf(4L,
+      webm(1, 10L, "V_MPEG4/ISO/AVC", docType = "matroska")).container == "mkv")
+    // hand-assembled: UNKNOWN-size Segment (streaming shape) holding
+    // TWO clusters — SimpleBlocks must sum across them
+    val header = el(id(0x1A, 0x45, 0xDF, 0xA3),
+      el(id(0x42, 0x82), "webm".getBytes("ISO-8859-1")))
+    val info = el(id(0x15, 0x49, 0xA9, 0x66),
+      el(id(0x2A, 0xD7, 0xB1), Array(0x0F.toByte, 0x42.toByte, 0x40.toByte)),
+      el(id(0x44, 0x89), be64(java.lang.Double.doubleToLongBits(500.0))))
+    val tracks = el(id(0x16, 0x54, 0xAE, 0x6B),
+      el(id(0xAE), el(id(0x83), Array(1.toByte)),
+        el(id(0x86), "V_AV1".getBytes("ISO-8859-1"))))
+    val segBody = info ++ tracks ++ cluster(3) ++ cluster(4)
+    val blob2 = header ++ id(0x18, 0x53, 0x80, 0x67) ++
+      Array(0xFF.toByte) ++ segBody
+    val u = dec.videoMetaOf(5L, blob2)
+    assert(u.container == "webm" && u.video_codec == "V_AV1" &&
+      u.n_samples == 7 && u.duration_ms == 500, u.toString)
+    // truncation degrades to zeros, never throws
+    val tm = dec.videoMetaOf(6L, mp4(1, 5L, 100L, "avc1").take(30))
+    assert(tm.container == "mp4" && tm.n_samples == 0 && tm.video_codec == "")
+    val tw = dec.videoMetaOf(7L, webm(5, 100L, "V_VP8").take(16))
+    assert(tw.container == "webm" && tw.n_samples == 0 && tw.video_codec == "")
+    // the sniff contract: 'ftyp' at bytes 4-7 is mp4 even for ASCII
+    assert(dec.containerOf("xxxxftypabcdefgh".getBytes("UTF-8")) == "mp4")
+    assert(vsize(7).length == 2) // fixture sizes are 2-byte vints
+  }
+
   test("raw MJPEG: real per-frame decode pins frame order and stride") {
     // four concatenated JPEGs of increasing gray — lossy, so lumas are
     // approximate, but ORDER must be strictly increasing and close

@@ -261,6 +261,37 @@ class PipelineSpec extends SparkSpecBase {
     assert(hits * 1.0 / lsh.size > 0.25, s"rank-1 recall ${hits}/${lsh.size}")
   }
 
+  test("minhash index save/load pins parameters; nearDupAgainstIndex serves from the stored path") {
+    import spark.implicits._
+    val all = docs
+    val corpus = all.filter(col("doc_id") < 400)
+    val newDocs = all.filter(col("doc_id") >= 400)
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_io").toString
+    Dedup.saveMinhashIndex(
+      Dedup.minhashIndex(corpus, "doc_id", "text", 3, 32, 8), dir, n = 3)
+    val (n, k, bands, idx) = Dedup.loadMinhashIndex(spark, dir)
+    assert(n == 3 && k == 32 && bands == 8 &&
+      idx.count() == corpus.count())
+    // the one-call serving shape equals full pairs restricted to the batch
+    val served = Dedup.nearDupAgainstIndex(newDocs, dir, "doc_id", "text", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = Dedup.minhashLshPairs(all, "doc_id", "text", 3, 32, 8, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val want = full.keySet.filter { case (a, b) => a >= 400 || b >= 400 }
+    assert(served.keySet == want,
+      s"missing=${want -- served.keySet} extra=${served.keySet -- want}")
+    assert(want.forall(p => served(p) == full(p)))
+    // a meta row disagreeing with the stored rows must fail LOUDLY —
+    // joining against an index built with different k silently misses
+    // duplicates, the worst failure mode for a dedup pipeline
+    Seq((3, 16, 8)).toDF("n", "k", "bands")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.loadMinhashIndex(spark, dir)
+    }
+    assert(e.getMessage.contains("disagree"), e.getMessage)
+  }
+
   test("incremental minhash == full pairs restricted to pairs touching new docs") {
     val all = docs
     val newDocs = all.filter(col("doc_id") >= 400)
@@ -1880,6 +1911,30 @@ class PipelineSpec extends SparkSpecBase {
       TextClassifier.train(QualityClassifier.TrainFixture,
         QualityClassifier.Classes, QualityClassifier.B,
         TextClassifier.bucketsMd5(_, QualityClassifier.B)))
+  }
+
+  test("langid margin routing: threshold gate, han fallback, und floor") {
+    // the p72 composition on controlled docs: a confident prediction
+    // passes the gate, sub-threshold garbage routes by script —
+    // han-dominant rescues to zh, anything else floors at 'und'
+    val df = docsOf(
+      (0L, "the and of to in that it is was for"),
+      (1L, "\u4F60\u597D\u4E16\u754C\u518D\u89C1"),
+      (2L, "12345 67890"),
+      (3L, "")) // gram-less: all scores 0, margin 0
+    val cls = LangId.classify(df, "doc_id", "text")
+    val prof = Quality.scriptProfile(df, "doc_id", "text")
+      .select(col("doc_id"), col("dominant_script"))
+    val out = cls.join(prof, "doc_id")
+      .select(col("doc_id"), col("margin"),
+        when(col("margin") >= 16, col("lang_pred"))
+          .when(col("dominant_script") === "han", lit("zh"))
+          .otherwise(lit("und")).as("r"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(0L)._1 >= 16 && out(0L)._2 == "en", out(0L).toString)
+    assert(out(1L)._1 < 16 && out(1L)._2 == "zh", out(1L).toString)
+    assert(out(2L)._1 < 16 && out(2L)._2 == "und", out(2L).toString)
+    assert(out(3L)._1 == 0 && out(3L)._2 == "und")
   }
 
   test("langid classifier: held-out sentences, fixture consistency, edges") {
