@@ -302,6 +302,14 @@ object ScaleSmokeDocs {
     stage("unigram_train_2k")(
       Unigram.trainModel(lettered, "text", vocabSize = 2000,
         maxWords = 100000).pieces.length.toLong)
+    // SentencePiece-default regime (round-8): 32k pieces from a 256k
+    // substring seed over the same capped dict — feasible because the
+    // round-8 trainer resolves lattices once, prunes by zeroing
+    // probabilities (no rebuild), and fans the E step across 32 fixed
+    // chunks (bit-reproducible chunk-order merge)
+    stage("unigram_train_32k")(
+      Unigram.trainModel(lettered, "text", vocabSize = 32000,
+        maxWords = 100000).pieces.length.toLong)
     // DSIR importance resampling (p39): hashed unigram+bigram counts per
     // (bucket, side) — one term-shaped shuffle folded to 2×1024 rows —
     // then a per-doc log-ratio sum and an exact-quantile cutoff broadcast

@@ -459,6 +459,46 @@ object Similarity {
     semanticKeep(assigned, pairs)
   }
 
+  /** SemDeDup with TRAINED centroids — the paper's own clustering: the
+    * deterministic driver-local Lloyd's codebook ([[ivfIndex]], hash-
+    * gated ≤ trainSampleMax sample) replaces the k-smallest-id
+    * exemplars, so cluster geometry adapts to the data and the
+    * least-central-representative choice uses real centroids. The
+    * assignment is [[ivfIndex]]'s codegen L2 argmin plus ONE projection
+    * computing the cosine to the assigned centroid from the broadcast
+    * constant array (the ivfTopK centArr shape — no row explosion);
+    * tau-pairs, components and the keep rule are [[semanticDedupLsh]]'s.
+    * NOT oracle-replayable (driver Lloyd's has no SQL mirror) —
+    * spec-pinned; use the exemplar forms where cross-engine replay
+    * matters.
+    */
+  def semanticDedupIvf(vecs: DataFrame, nLists: Int, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      tables: Int = 16, planesPerTable: Int = 8, dim: Int = -1,
+      starCapBucket: Int = Int.MaxValue, maxIter: Int = 10,
+      trainSampleMax: Int = 100000): DataFrame = {
+    val (cents, indexed) = ivfIndex(vecs, nLists, idCol, vecCol,
+      maxIter, trainSampleMax)
+    val centArr = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("list"),
+        dot(col("v"), array(c.map(lit).toIndexedSeq: _*)).as("dp"),
+        lit(math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))).as("cn"))
+    }.toIndexedSeq: _*)
+    val assigned = indexed
+      .select(col(idCol).cast("long").as("vec_id"),
+        asDouble(col(vecCol)).as("v"), col("list"))
+      .withColumn("__c", element_at(centArr, col("list").cast("int") + 1))
+      .select(col("vec_id"), col("v"), col("list").cast("long").as("cid"),
+        round(col("__c.dp") /
+          (sqrt(dot(col("v"), col("v"))) * col("__c.cn")), 6)
+          .as("cos_centroid"))
+      .persist()
+    val pairs = cosineNearDupPairs(vecs, tau, idCol, vecCol,
+        tables, planesPerTable, dim, starCapBucket)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    semanticKeep(assigned, pairs)
+  }
+
   /** Nearest-seed assignment as ONE codegen projection: the k seed
     * exemplars (the k smallest ids present — NOT `filter(id < k)`,
     * which silently yields zero seeds on non-contiguous id spaces) are

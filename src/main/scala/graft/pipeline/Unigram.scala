@@ -56,6 +56,23 @@ object Unigram {
 
   /** Driver-local EM over a collected (word, freq) dict — deterministic:
     * pieces live in sorted arrays, words iterate in dict order, no RNG.
+    *
+    * PRODUCTION-regime engineering (round-8, the indexed-BPE lesson
+    * applied to EM — the 32k-vocab/256k-seed run was unmeasured and
+    * the naive loop re-hashed every substring every pass):
+    *  - the (start, len) → piece-id lattice of every word is resolved
+    *    ONCE against the immutable global seed table; EM passes do
+    *    array reads only, zero string hashing;
+    *  - pruning DEACTIVATES pieces by zeroing their probability — a
+    *    zero-prob piece contributes exactly 0.0 to every lattice sum
+    *    (bit-identical to being absent, since all terms are
+    *    non-negative), so the lattices never rebuild across shrink
+    *    rounds;
+    *  - the E step fans out over a FIXED 32-chunk split of the word
+    *    array (the PQ per-subspace futures pattern): chunk boundaries
+    *    are a pure function of the word count and chunk sums merge in
+    *    chunk order, so the result is bit-reproducible regardless of
+    *    thread scheduling or core count.
     */
   private[pipeline] def trainLocal(vocabIn: Array[(String, Long)],
       vocabSize: Int, maxPieceLen: Int): Model = {
@@ -87,36 +104,146 @@ object Unigram {
     val multis = seedCounts.iterator.filter(_._1.length > 1).toArray
       .sortBy { case (p, c) => (-c, p) }.take(seedCap - singles.length)
       .map(_._1)
-    var pieces: Array[String] = (singles ++ multis).distinct.sorted
+    val pieces: Array[String] = (singles ++ multis).distinct.sorted
+    val nP = pieces.length
+    val idx = new java.util.HashMap[String, Integer](nP * 2)
+    pieces.indices.foreach(i => idx.put(pieces(i), i))
     var probs: Array[Double] = {
       val tot = pieces.map(seedCounts(_)).sum
       pieces.map(seedCounts(_) / tot)
     }
+    val active = Array.fill(nP)(true)
+    val singleSet = singles.toSet
+    val isSingle: Array[Boolean] = pieces.map(singleSet)
 
+    // one-time lattice resolve: gid of substring (i, len l) at
+    // a(i*maxPieceLen + l - 1), -1 when absent from the seed
+    val nW = words.length
+    val wlens = words.map(_._1.length)
+    val freqs = words.map(_._2)
+    val latt: Array[Array[Int]] = words.map { case (cps, _) =>
+      val n = cps.length
+      val a = new Array[Int](n * maxPieceLen)
+      var i = 0
+      while (i < n) {
+        val sb = new java.lang.StringBuilder()
+        var l = 0
+        while (l < maxPieceLen) {
+          if (i + l < n) {
+            sb.append(cps(i + l))
+            val g = idx.get(sb.toString)
+            a(i * maxPieceLen + l) = if (g == null) -1 else g.intValue
+          } else a(i * maxPieceLen + l) = -1
+          l += 1
+        }
+        i += 1
+      }
+      a
+    }
+
+    def emChunk(from: Int, until: Int, pr: Array[Double]): Array[Double] = {
+      val exp = new Array[Double](nP)
+      var w = from
+      while (w < until) {
+        val n = wlens(w)
+        val f = freqs(w).toDouble
+        val a = latt(w)
+        val alpha = new Array[Double](n + 1)
+        alpha(0) = 1.0
+        var i = 1
+        while (i <= n) {
+          var l = 1
+          var s = 0.0
+          while (l <= math.min(i, maxPieceLen)) {
+            val id = a((i - l) * maxPieceLen + (l - 1))
+            if (id >= 0) s += alpha(i - l) * pr(id)
+            l += 1
+          }
+          alpha(i) = s
+          i += 1
+        }
+        val z = alpha(n)
+        if (z > 0.0) {
+          val beta = new Array[Double](n + 1)
+          beta(n) = 1.0
+          i = n - 1
+          while (i >= 0) {
+            var l = 1
+            var s = 0.0
+            while (l <= math.min(n - i, maxPieceLen)) {
+              val id = a(i * maxPieceLen + (l - 1))
+              if (id >= 0) s += pr(id) * beta(i + l)
+              l += 1
+            }
+            beta(i) = s
+            i -= 1
+          }
+          i = 0
+          while (i < n) {
+            var l = 1
+            while (l <= math.min(n - i, maxPieceLen)) {
+              val id = a(i * maxPieceLen + (l - 1))
+              if (id >= 0) {
+                val m = alpha(i) * pr(id) * beta(i + l) / z
+                if (m > 0.0) exp(id) += f * m
+              }
+              l += 1
+            }
+            i += 1
+          }
+        }
+        w += 1
+      }
+      exp
+    }
+
+    val nChunks = 32
+    val bounds = (0 to nChunks).map(c => (c.toLong * nW / nChunks).toInt)
     def emStep(): Unit = {
-      val next = emOnce(words, pieces, probs, maxPieceLen)
-      if (next != null) probs = next
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val pr = probs
+      val parts = (0 until nChunks).map(c =>
+        Future(emChunk(bounds(c), bounds(c + 1), pr))(
+          scala.concurrent.ExecutionContext.global))
+        .map(Await.result(_, Duration.Inf))
+      val exp = new Array[Double](nP)
+      parts.foreach { e =>
+        var i = 0
+        while (i < nP) { exp(i) += e(i); i += 1 }
+      }
+      var tot = 0.0
+      var i = 0
+      while (i < nP) { tot += exp(i); i += 1 }
+      if (tot > 0.0) { // degenerate input: keep the previous probs
+        val np = new Array[Double](nP)
+        i = 0
+        while (i < nP) { np(i) = exp(i) / tot; i += 1 }
+        probs = np
+      }
     }
 
     // ---- EM + prune to target (2 E/M passes per shrink round)
-    val singleSet = singles.toSet
+    val minKeep = math.max(vocabSize, singleSet.size)
+    var activeCount = nP
     var guard = 0
-    while (pieces.length > math.max(vocabSize, singleSet.size) && guard < 100) {
+    while (activeCount > minKeep && guard < 100) {
       emStep(); emStep()
-      val keepN = math.max(math.max(vocabSize, singleSet.size),
-        (pieces.length * 3) / 4)
-      val ranked = pieces.indices.toArray
-        .sortBy(i => (-(probs(i)), pieces(i)))
+      val keepN = math.max(minKeep, (activeCount * 3) / 4)
+      val actIdx = pieces.indices.filter(active).toArray
+      val ranked = actIdx.sortBy(i => (-probs(i), pieces(i)))
       val kept = scala.collection.mutable.LinkedHashSet.empty[Int]
-      pieces.indices.foreach(i => if (singleSet(pieces(i))) kept += i)
+      actIdx.foreach(i => if (isSingle(i)) kept += i)
       ranked.foreach(i => if (kept.size < keepN) kept += i)
-      val keepIdx = kept.toArray.sorted
-      pieces = keepIdx.map(pieces)
-      probs = {
-        val p = keepIdx.map(probs)
-        val t = p.sum
-        if (t > 0.0) p.map(_ / t) else p
+      actIdx.foreach(i => if (!kept(i)) { active(i) = false; probs(i) = 0.0 })
+      var t = 0.0
+      var i = 0
+      while (i < nP) { t += probs(i); i += 1 }
+      if (t > 0.0) {
+        i = 0
+        while (i < nP) { probs(i) /= t; i += 1 }
       }
+      activeCount = kept.size
       guard += 1
     }
     emStep(); emStep()
@@ -124,7 +251,7 @@ object Unigram {
     // ---- integer quantization: micro-nat costs, probability floor so
     // unreached-but-retained single chars stay finite
     val floor = 1e-9
-    val costs = pieces.indices.map { i =>
+    val costs = pieces.indices.filter(active).map { i =>
       pieces(i) -> math.round(-math.log(math.max(probs(i), floor)) * 1e6)
     }
     val unk = costs.map(_._2).max + 10000000L

@@ -1658,6 +1658,53 @@ class PipelineSpec extends SparkSpecBase {
     assert(again == out)
   }
 
+  test("semanticDedupIvf: trained-centroid form keeps one rep per dup group; deterministic") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val rnd = new scala.util.Random(13)
+    val raw = Array.fill(60)(Array.fill(32)(rnd.nextDouble() * 2 - 1))
+    val base = raw.zipWithIndex.map { case (v, i) =>
+      if (i % 6 == 1) { val c = raw(i - 1).clone(); c(0) += 0.01; c } else v
+    }
+    val ids = (0 until 60).map(_.toLong)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ids.zip(base).map { case (id, v) => Row(id, v.toSeq) }, 3), schema)
+    val out = Similarity.semanticDedupIvf(df, nLists = 4, tau = 0.98,
+        tables = 8, planesPerTable = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out.size == 60 && out.values.forall(v => v._1 >= 0 && v._1 < 4),
+      "every vector assigned to a trained list")
+    // dup groups from the exact tau graph; exactly one kept each, and
+    // it is the member LEAST similar to its TRAINED centroid
+    def d6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dotl(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      d6(dotl(a, b) / (math.sqrt(dotl(a, a)) * math.sqrt(dotl(b, b))))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (i <- 0 until 60; j <- i + 1 until 60
+         if cos(base(i), base(j)) >= 0.98)
+      parent(find(ids(i))) = find(ids(j))
+    val groups = ids.groupBy(find).values.filter(_.size > 1).toSeq
+    assert(groups.nonEmpty)
+    for (g <- groups) {
+      val rep = g.minBy(id => (out(id)._2, id))
+      assert(g.forall(id => out(id)._3 == (id == rep)), s"group $g")
+    }
+    assert(ids.filterNot(groups.flatten.toSet).forall(out(_)._3))
+    val again = Similarity.semanticDedupIvf(df.repartition(7), nLists = 4,
+        tau = 0.98, tables = 8, planesPerTable = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(again == out, "Lloyd's + assignment must be partitioning-invariant")
+  }
+
   test("cosineNearDupPairs star cap bounds a hot cell; component survives") {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     // 40 IDENTICAL vectors — the pathological pile-up: same cell in
