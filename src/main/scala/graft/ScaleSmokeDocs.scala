@@ -471,7 +471,7 @@ object ScaleSmokeDocs {
     // nudged → cosine ≈ 0.999) so banded-pair recall is checkable.
     // The block's gate name carries every stage prefix it prints, so a
     // stage filter like "ann" or "pq" keeps it and "lm,dsir" skips it.
-    if (!wanted("ann_cosine_pairs_banded_embedding_clusters_semantic_dedup_lsh_pq_ivfpq_source_outliers")) {
+    if (!wanted("ann_cosine_pairs_banded_embedding_clusters_semantic_dedup_lsh_cos_index_build_cosine_screen_20k_pq_ivfpq_source_outliers")) {
       docs.unpersist(); return
     }
     val nVec = math.max(10000L, totalDocs / 2)
@@ -537,6 +537,35 @@ object ScaleSmokeDocs {
         .filter(!col("kept")).count()
       println(f"[docs-scale] semantic_dedup_lsh    ${(System.nanoTime() - t0sd) / 1e9}%8.2fs  " +
         f"removed=$sdRemoved (planted ≈ $plantedV)")
+    }
+    // embedding-side cross-snapshot screen: persist the banded cosine
+    // index once (cos_index_build), then near-dup a FIXED 20k-vector
+    // batch against it (cosine_screen_20k — the p73 serving shape;
+    // every 10th batch vector is a coord-0-shifted copy of a corpus
+    // vector, the corpus's own planting scheme)
+    if (Seq("cos_index_build", "cosine_screen_20k").exists(wanted)) {
+      val bN = 20000L
+      val bIsDupV = col("id") % 10 === 1
+      // hash-spread sources over the multiples of 100 (never the
+      // corpus's own %100==1 dups), so batch dups rarely share one
+      val bSrc = pmod(hash(col("id"), lit(7)), lit(nVec / 100)) * 100
+      val batch = spark.range(bN).select(
+        (col("id") + nVec).as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          d => (pmod(hash(when(bIsDupV, bSrc).otherwise(col("id") + nVec), d),
+            lit(2001)) - 1000) / lit(1000.0) +
+            when(bIsDupV && d === 0, lit(0.5)).otherwise(lit(0.0)))
+          .as("embedding")).persist()
+      batch.count()
+      val cosIdxDir = s"/tmp/graft_cos_idx_$totalDocs"
+      vstage("cos_index_build")({
+        Similarity.saveCosineIndex(vecs, cosIdxDir,
+          tables = 8, planesPerTable = planesB, dim = 64)
+        spark.read.parquet(s"$cosIdxDir/vectors").count()
+      })
+      vstage("cosine_screen_20k")(
+        Similarity.cosineNearDupAgainstIndex(batch, cosIdxDir, 0.98).count())
+      batch.unpersist()
     }
     // int8-quantized candidate scan + exact rescore vs the double
     // brute force above — same 100 queries; the quantized kernel

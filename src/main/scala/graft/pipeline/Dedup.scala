@@ -449,6 +449,33 @@ object Dedup {
     incrementalMinhashPairs(newDocs, idx, idCol, textCol, n, k, bands, threshold)
   }
 
+  /** Fold a screened batch INTO the stored minhash index — the step that
+    * closes the cross-snapshot loop (screen crawl N+1 with
+    * [[nearDupAgainstIndex]], merge its survivors here, and crawl N+2
+    * screens against N ∪ N+1). The batch is shingled/signed under the
+    * index's OWN stored parameters (read from meta, so family drift is
+    * impossible) and APPENDED as new parquet files — the historical
+    * rows are never rewritten, which is what makes the fold O(batch)
+    * instead of O(corpus). Caller contract: batch ids must be new
+    * (fold the post-dedup survivors, which by construction exclude ids
+    * already indexed); `assertNewIds = true` adds a semi-join count
+    * check against the stored ids for the loud-failure variant — one
+    * scan of the stored index, so off by default on the hot path.
+    */
+  def mergeIntoMinhashIndex(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, assertNewIds: Boolean = false): Unit = {
+    val (n, k, bands, stored) = loadMinhashIndex(newDocs.sparkSession, indexPath)
+    val newIdx = minhashIndex(newDocs, idCol, textCol, n, k, bands)
+      .select(col("doc"), col("sh"), col("sig"), col("bb"))
+    if (assertNewIds) {
+      val clash = newIdx.select("doc")
+        .join(stored.select("doc"), Seq("doc"), "left_semi").count()
+      require(clash == 0,
+        s"mergeIntoMinhashIndex: $clash batch ids already exist at $indexPath")
+    }
+    newIdx.write.mode("append").parquet(s"$indexPath/index")
+  }
+
   // ---- boilerplate line removal ---------------------------------------
 
   /** Line-level boilerplate removal (the CCNet/RefinedWeb-style cleanup a
@@ -996,8 +1023,20 @@ object Dedup {
     * signature collisions are bounded by genuine near-dup cluster sizes.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame =
+    hammingPairs48(simhashSignatures(docs, idCol, textCol), "doc", "sh",
+      maxHamming)
+
+  /** Hamming-cutoff pairs over ANY 48-bit signature relation — the
+    * pigeonhole banding factored out of [[simhashPairs]] so
+    * perceptual image hashes ([[Multimodal.imageDHash]]) and any
+    * future 48-bit fingerprint reuse the identical lossless machinery
+    * (and its oracle SQL form). Semantics, banding math, and hot-bucket
+    * caveats exactly as documented on [[simhashPairs]].
+    */
+  def hammingPairs48(sigDf: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int): DataFrame = {
-    val sh = simhashSignatures(docs, idCol, textCol).persist()
+    val sh = sigDf.select(col(idCol).as("doc"), col(sigCol).as("sh")).persist()
     val pairSelect = (df: DataFrame) => df
       .withColumn("hamming",
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long"))

@@ -143,6 +143,38 @@ object Multimodal {
       .toDF()
   }
 
+  final case class ImageHash(doc_id: Long, dhash: Long, decoded_real: Boolean)
+
+  /** Perceptual image fingerprints (difference hash): 48-bit dHash per
+    * blob — the image-side analogue of [[Dedup.simhashSignatures]],
+    * and the screen LAION-style image corpora dedup on (a re-encoded /
+    * resized / slightly-recompressed copy keeps its dHash within a few
+    * bits, while a cryptographic hash of the bytes sees nothing).
+    * Real path: decode frame 0, block-average the Rec.601 luma onto a
+    * 7×8 grid (7 columns × 8 rows; cell (c, r) averages pixels
+    * x ∈ [c·w/7, (c+1)·w/7), y ∈ [r·h/8, (r+1)·h/8)), then bit
+    * r·6+x = 1 iff grid(r)(x+1) > grid(r)(x) — 6 comparisons × 8 rows
+    * = 48 bits, matching the banding width of the SimHash machinery so
+    * [[Dedup.hammingPairs48]] pairs either signature kind. Images
+    * narrower than the grid (w < 7 or h < 8) and non-image payloads
+    * take the deterministic md5 fallback (first 48 bits), which the
+    * driver oracle replays from `md5(text)`; the real path is pinned by
+    * MultimodalDecodeSpec's painted fixtures, including the
+    * brightness/re-scale invariance that motivates dHash. One
+    * `mapPartitions` projection, no shuffle.
+    */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decoder = new MediaDecoder
+        rows.map { case (id, blob) => decoder.dHash48(id, blob) }
+      }
+      .toDF()
+  }
+
   final case class MediaContainer(doc_id: Long, container: String, n_bytes: Long)
 
   /** Container detection over a media-blob relation — the format-census
@@ -882,6 +914,76 @@ final class MediaDecoder extends Serializable {
           Multimodal.FrameFeature(id, f,
             ((hexSlice(hex, 20, 12) + f * 2654435761L) % 1000000L) / 1000000.0,
             decoded_real = false))
+    }
+  }
+
+  /** 7×8 block-averaged luma grid → 48-bit dHash (see
+    * [[Multimodal.imageDHash]] for the exact cell/bit layout). Returns
+    * None when the frame is narrower than the grid — an empty cell has
+    * no defined average, so tiny icons take the md5 fallback rather
+    * than an arbitrary convention.
+    */
+  private def realDHash(blob: Array[Byte]): Option[Long] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new ByteArrayInputStream(blob))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false, true)
+        val (hw, hh) = (reader.getWidth(0), reader.getHeight(0))
+        if (hw < 7 || hh < 8 || hw.toLong * hh > 64L * 1024 * 1024) return None
+        val img = reader.read(0)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val grid = Array.ofDim[Double](8, 7)
+        var r = 0
+        while (r < 8) {
+          val y0 = r * h / 8; val y1 = (r + 1) * h / 8
+          var c = 0
+          while (c < 7) {
+            val x0 = c * w / 7; val x1 = (c + 1) * w / 7
+            var sum = 0.0
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                sum += 0.299 * ((rgb >> 16) & 0xFF) +
+                  0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+                x += 1
+              }
+              y += 1
+            }
+            grid(r)(c) = sum / ((y1 - y0).toLong * (x1 - x0))
+            c += 1
+          }
+          r += 1
+        }
+        var bits = 0L
+        r = 0
+        while (r < 8) {
+          var x = 0
+          while (x < 6) {
+            if (grid(r)(x + 1) > grid(r)(x)) bits |= 1L << (r * 6 + x)
+            x += 1
+          }
+          r += 1
+        }
+        Some(bits)
+      } finally reader.dispose()
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    } finally iis.close()
+  }
+
+  def dHash48(id: Long, blob: Array[Byte]): Multimodal.ImageHash = {
+    val real = if (looksLikeImage(blob)) realDHash(blob) else None
+    real match {
+      case Some(bits) => Multimodal.ImageHash(id, bits, decoded_real = true)
+      case None =>
+        val hex = mdig.digest(blob).map("%02x".format(_)).mkString
+        Multimodal.ImageHash(id, hexSlice(hex, 0, 12), decoded_real = false)
     }
   }
 

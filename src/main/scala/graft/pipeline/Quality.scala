@@ -413,6 +413,35 @@ object Quality {
       .withColumn("keep", col("n_blocked") === 0)
   }
 
+  /** Blocklist (toxicity / NSFW word-list) gate — the C4 "bad words"
+    * filter (Raffel et al. '20 §2.2 drop any page containing a listed
+    * word; the Dolma/RefinedWeb variants soften it to a fraction
+    * threshold, both emitted here so the caller picks the policy):
+    * per doc, the listed-token count over [[TextOps.tokens]] (the
+    * lowercased `\s+` split, so the list entries are matched
+    * case-insensitively as WHOLE tokens — no substring
+    * Scunthorpe-problem false hits), the fraction of tokens listed,
+    * `keep_strict` (C4: zero hits) and `keep` (fraction ≤
+    * maxFraction). The blocklist ships broadcast as an array literal —
+    * real lists are O(100s) entries, a pure projection at any corpus
+    * size; a million-entry list would move to a broadcast join on the
+    * token instead.
+    */
+  def wordlistFilter(docs: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String], maxFraction: Double): DataFrame = {
+    val listed = array(blocklist.map(w => lit(w.toLowerCase)): _*)
+    docs
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(filter(col("__toks"), t => array_contains(listed, t)))
+          .cast("long").as("n_listed"))
+      .withColumn("listed_frac",
+        round(col("n_listed") / greatest(col("n_tokens"), lit(1L)), 6))
+      .withColumn("keep_strict", col("n_listed") === 0)
+      .withColumn("keep", col("listed_frac") <= maxFraction)
+  }
+
   /** Per-document fraction of token positions covered by CORPUS-
     * duplicated k-grams — the "duplicated n-gram characters" family of
     * repetition filters (Gopher appendix A1 / RefinedWeb table 2),

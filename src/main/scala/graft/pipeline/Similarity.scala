@@ -512,6 +512,42 @@ object Similarity {
     * sqrt(list_dot_product(cv, cv)).
     * Returns (vec_id, v, cid, cos_centroid).
     */
+  /** Cluster-balanced selection (the D4 / DataComp curation shape,
+    * Tirumala et al. '23: diversify by sampling evenly ACROSS embedding
+    * clusters instead of uniformly over the corpus, which oversamples
+    * the head modes): assign every vector to its nearest of k seed
+    * exemplars ([[assignSeeds]] — the [[semanticDedup]] assignment, one
+    * codegen projection over collected ≤k seed constants), then rank
+    * within each cluster by a deterministic md5 draw (salt `sel:` —
+    * reproducible at any partitioning, the [[Sampling]] discipline) and
+    * keep the first `perCluster`. Emits every row with its cluster,
+    * centroid cosine, in-cluster rank and the `selected` flag, so
+    * callers can audit cluster occupancy (a cluster smaller than the
+    * quota contributes all its members — balancing is a cap, not a
+    * waterfill).
+    *
+    * Scale shape: one shuffle on cid + a per-cluster sort for the
+    * ranks; cluster sizes are bounded by the assignment (grow k with
+    * the corpus — assignment cost is flat per row). Swap the seed
+    * exemplars for the trained [[ivfIndex]] Lloyd's codebook for the
+    * production regime, exactly as [[semanticDedupIvf]] does.
+    */
+  def clusterBalancedSelect(vecs: DataFrame, k: Int, perCluster: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && perCluster >= 1, s"bad k=$k / perCluster=$perCluster")
+    import org.apache.spark.sql.expressions.Window
+    val e = vecs.select(col(idCol).cast("long").as("vec_id"),
+      asDouble(col(vecCol)).as("v"))
+    val w = Window.partitionBy("cid")
+      .orderBy(md5(concat(lit("sel:"), col("vec_id").cast("string"))),
+        col("vec_id"))
+    assignSeeds(e, k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("vec_id"), col("cid").as("cluster_id"),
+        col("cos_centroid"), col("rnk"),
+        (col("rnk") <= perCluster).as("selected"))
+  }
+
   private def assignSeeds(e: DataFrame, k: Int): DataFrame = {
     val seeds: Array[(Long, Array[Double])] = e.orderBy("vec_id").limit(k)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -926,6 +962,172 @@ object Similarity {
     candidates
       .join(v.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
       .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .withColumn("sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("sim"))
+  }
+
+  /** Incremental cosine near-dup: screen an arriving embedding batch
+    * against a CORPUS without re-pairing the corpus with itself — the
+    * embedding-side twin of [[Dedup.incrementalMinhashPairs]] (crawl
+    * N+1 vs crawl N). Candidates = the new batch's (band, bucket)
+    * cells equality-joined against the batch ∪ corpus cells with at
+    * least one NEW side; verify is the exact cosine. Relationally
+    * equal to the full [[cosineNearDupPairs]] restricted to pairs
+    * touching the batch — which is what the oracle states. Both sides
+    * must share the hyperplane family (same tables/planesPerTable/dim
+    * — the md5-derived planes are deterministic constants, so there is
+    * no stored state to drift; the PERSISTED form
+    * [[saveCosineIndex]]/[[cosineNearDupAgainstIndex]] still pins them
+    * in a meta row because a mismatched rebuild silently misses pairs).
+    */
+  def cosineNearDupPairsIncremental(newVecs: DataFrame, corpus: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding", tables: Int = 16,
+      planesPerTable: Int = 8, dim: Int = -1): DataFrame = {
+    val newNonNull = newVecs.filter(col(vecCol).isNotNull)
+    val d =
+      if (dim > 0) dim
+      else newNonNull.select(size(col(vecCol))).take(1) match {
+        case Array(r) => r.getInt(0)
+        case _ =>
+          return newVecs.select(col(idCol).as("vec_a"), col(idCol).as("vec_b"),
+            lit(0.0).as("sim")).limit(0)
+      }
+    def prep(src: DataFrame): DataFrame = src
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    def bandsOf(v: DataFrame): DataFrame = v.select(col("id"),
+      explode(hyperplaneBands(col("v"), tables, planesPerTable, d)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val newV = prep(newVecs).persist()
+    val allV = newV.unionByName(prep(corpus))
+    val candidates = bandsOf(newV).as("a")
+      .join(bandsOf(allV).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    candidates
+      .join(allV.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(allV.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .withColumn("sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("sim"))
+  }
+
+  /** Persist the banded cosine index (vectors + norms + exploded band
+    * cells, plus a meta row pinning tables/planesPerTable/dim): what
+    * embedding-crawl N leaves behind for crawl N+1. The loader
+    * VALIDATES meta — a batch banded under a different plane family
+    * or dimension joined against this index silently finds nothing,
+    * the worst dedup failure mode.
+    */
+  def saveCosineIndex(corpus: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      tables: Int = 16, planesPerTable: Int = 8, dim: Int = -1): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nonNull = corpus.filter(col(vecCol).isNotNull)
+    val d =
+      if (dim > 0) dim
+      else nonNull.select(size(col(vecCol))).head().getInt(0)
+    val v = nonNull
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .persist()
+    Seq((tables, planesPerTable, d)).toDF("tables", "planes_per_table", "dim")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    v.write.mode("overwrite").parquet(s"$path/vectors")
+    v.select(col("id"),
+        explode(hyperplaneBands(col("v"), tables, planesPerTable, d)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    v.unpersist()
+  }
+
+  /** (tables, planesPerTable, dim, vectors, bands) back from
+    * [[saveCosineIndex]], meta validated.
+    */
+  def loadCosineIndex(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Int, Int, Int, DataFrame, DataFrame) = {
+    val meta = spark.read.parquet(s"$path/meta")
+      .select(col("tables").cast("int"), col("planes_per_table").cast("int"),
+        col("dim").cast("int")).collect()
+    require(meta.length == 1,
+      s"loadCosineIndex: expected ONE meta row at $path/meta, got ${meta.length}")
+    val vectors = spark.read.parquet(s"$path/vectors")
+    val bands = spark.read.parquet(s"$path/bands")
+    require(Seq("id", "v", "nrm").forall(vectors.columns.contains) &&
+      Seq("id", "band", "bucket").forall(bands.columns.contains),
+      s"loadCosineIndex: not a cosine index at $path")
+    (meta(0).getInt(0), meta(0).getInt(1), meta(0).getInt(2), vectors, bands)
+  }
+
+  /** Fold a screened embedding batch INTO the stored cosine index —
+    * the [[Dedup.mergeIntoMinhashIndex]] twin that closes the
+    * embedding-side cross-snapshot loop: the batch is normed and
+    * banded under the index's OWN stored plane family (from meta) and
+    * APPENDED as new parquet files; historical rows are never
+    * rewritten, so the fold is O(batch). Caller contract as on the
+    * minhash form: fold post-dedup survivors whose ids are new;
+    * `assertNewIds = true` trades one stored-id scan for a loud
+    * failure on a clash.
+    */
+  def mergeIntoCosineIndex(newVecs: DataFrame, indexPath: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      assertNewIds: Boolean = false): Unit = {
+    val spark = newVecs.sparkSession
+    val (tables, planes, d, storedV, _) = loadCosineIndex(spark, indexPath)
+    val v = newVecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .persist()
+    if (assertNewIds) {
+      val clash = v.select("id")
+        .join(storedV.select("id"), Seq("id"), "left_semi").count()
+      require(clash == 0,
+        s"mergeIntoCosineIndex: $clash batch ids already exist at $indexPath")
+    }
+    v.write.mode("append").parquet(s"$indexPath/vectors")
+    v.select(col("id"),
+        explode(hyperplaneBands(col("v"), tables, planes, d)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+      .write.mode("append").parquet(s"$indexPath/bands")
+    v.unpersist()
+  }
+
+  /** The embedding-side crawl-N+1 serving shape: near-dup an arriving
+    * batch against the STORED index — only the batch is banded fresh;
+    * the corpus arrives pre-banded and pre-normed from parquet.
+    */
+  def cosineNearDupAgainstIndex(newVecs: DataFrame, indexPath: String,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = newVecs.sparkSession
+    val (tables, planes, d, storedV, storedBands) =
+      loadCosineIndex(spark, indexPath)
+    val newV = newVecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .persist()
+    val newBands = newV.select(col("id"),
+        explode(hyperplaneBands(col("v"), tables, planes, d)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+      .persist()
+    val allV = newV.unionByName(storedV)
+    val candidates = newBands.as("a")
+      .join(newBands.unionByName(storedBands).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    candidates
+      .join(allV.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(allV.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .withColumn("sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("sim") >= threshold)
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("sim"))

@@ -960,6 +960,58 @@ object PipelineQueries {
       Similarity.semanticDedupLsh(emb(s, dir), k = 16, tau = 0.35,
         tables = 16, planesPerTable = 8, dim = 64, starCapBucket = 24)),
 
+    // the embedding-side twin of p71: screen an arriving embedding
+    // batch (odd vec_ids) against the stored corpus (even) — only the
+    // batch is banded fresh, candidates need >= 1 new side, verify is
+    // exact cosine; relationally = p5's full banded pairs restricted
+    // to pairs touching the batch
+    "p73_incremental_semantic" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.cosineNearDupPairsIncremental(
+        e.filter(col("vec_id") % 2 === 1),
+        e.filter(col("vec_id") % 2 === 0),
+        threshold = 0.35, tables = 16, planesPerTable = 8, dim = 64)
+    }),
+
+    // image near-dup via perceptual dHash + the simhash Hamming-banding
+    // machinery: text blobs always take the md5 fallback hash (the p12
+    // dispatch precedent — the REAL luma-grid path is pinned by
+    // MultimodalDecodeSpec), so the query plants its own duplicate
+    // structure: groups of ≤3 docs share the group leader's bytes as
+    // their "image", then members get 1–2 doc-derived bit flips — the
+    // re-encode/resize drift dHash is designed to absorb — and the
+    // banded pairer must recover every within-group pair at Hamming ≤ 4
+    "p74_image_dhash_neardup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id").as("bid"), col("text").as("btext"))
+      val grouped = d.select(col("doc_id"))
+        .join(base, col("doc_id") - col("doc_id") % 3 === col("bid"))
+        .select(col("doc_id"), encode(col("btext"), "UTF-8").as("media"))
+      val sig = Multimodal.imageDHash(grouped)
+      val planted = sig.withColumn("dhash",
+        col("dhash")
+          .bitwiseXOR(when(col("doc_id") % 3 >= 1,
+            expr("shiftleft(1L, cast(doc_id % 48 as int))"))
+            .otherwise(lit(0L)))
+          .bitwiseXOR(when(col("doc_id") % 3 === 2,
+            expr("shiftleft(1L, cast((doc_id * 31 + 17) % 48 as int))"))
+            .otherwise(lit(0L))))
+      Dedup.hammingPairs48(planted, "doc_id", "dhash", maxHamming = 4)
+    }),
+
+    // cluster-balanced selection (D4-style curation): p64's 16-seed
+    // assignment, then an md5-draw rank within each cluster caps every
+    // cluster at 12 — head modes can't dominate the selected set
+    "p76_cluster_balanced" -> ((s, dir) =>
+      Similarity.clusterBalancedSelect(emb(s, dir), k = 16, perCluster = 12)),
+
+    // word-list (toxicity/NSFW) gate: 'slow' is a high-df corpus token
+    // so every policy branch (strict drop, fraction keep, clean) is
+    // populated; 'leak'/'spam' are absent, pinning the zero path
+    "p75_wordlist_filter" -> ((s, dir) =>
+      Quality.wordlistFilter(docs(s, dir), "doc_id", "text",
+        blocklist = Seq("slow", "leak", "spam"), maxFraction = 0.02)),
+
     // margin-thresholded langid routing (how fastText is USED in
     // production: predictions under a confidence margin become 'und'
     // and fall back to the script-profile prefilter — CLD practice):
@@ -2584,6 +2636,90 @@ object PipelineQueries {
            (c.grp IS NULL OR a.vec_id = r.rep) AS kept
          FROM asg a LEFT JOIN comp c USING (vec_id)
               LEFT JOIN reps r ON c.grp = r.grp""",
+
+    // p5's plane/band/verify CTEs with the >= 1-new-side restriction —
+    // the p71 equivalence argument over embeddings
+    "p73_incremental_semantic" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             pl AS (SELECT p, list_transform(generate_series(0, 63), d ->
+                      ((('0x' || substr(md5('plane:' || p || ':' || d), 1, 12))::BIGINT
+                        % 2001) - 1000) / 1000.0) AS pv
+                    FROM unnest(generate_series(0, 127)) t(p)),
+             bits AS (SELECT vec_id, p // 8 AS band, 1 << (p % 8) AS w,
+                        CASE WHEN list_dot_product(v, pv) >= 0 THEN 1 ELSE 0 END AS bit
+                      FROM e, pl),
+             bk AS (SELECT vec_id, band, sum(bit * w) AS bucket
+                    FROM bits GROUP BY 1, 2),
+             cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                      FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.vec_id < b.vec_id),
+             pr AS (SELECT vec_a, vec_b,
+                      round(list_dot_product(ea.v, eb.v) /
+                        (sqrt(list_dot_product(ea.v, ea.v)) *
+                         sqrt(list_dot_product(eb.v, eb.v))), 6) AS sim
+                    FROM cand JOIN e ea ON vec_a = ea.vec_id
+                              JOIN e eb ON vec_b = eb.vec_id)
+         SELECT vec_a, vec_b, sim FROM pr
+         WHERE sim >= 0.35 AND (vec_a % 2 = 1 OR vec_b % 2 = 1)""",
+
+    // the md5-fallback dHash + group plant + bit flips replayed; the
+    // pair stage is the exact O(n²) restatement (the banding is
+    // LOSSLESS, so the engine's equality-join form must agree row-exact
+    // — the p4 oracle precedent)
+    "p74_image_dhash_neardup" ->
+      """WITH g AS (SELECT d.doc_id, b.text AS btext
+               FROM documents d
+               JOIN documents b ON b.doc_id = d.doc_id - (d.doc_id % 3)),
+             h AS (SELECT doc_id,
+                     ('0x' || substr(md5(btext), 1, 12))::BIGINT AS dh0
+                   FROM g),
+             p AS (SELECT doc_id,
+                     xor(xor(dh0,
+                       CASE WHEN doc_id % 3 >= 1
+                            THEN (1::BIGINT << (doc_id % 48)::INT)
+                            ELSE 0::BIGINT END),
+                       CASE WHEN doc_id % 3 = 2
+                            THEN (1::BIGINT << ((doc_id * 31 + 17) % 48)::INT)
+                            ELSE 0::BIGINT END) AS dh
+                   FROM h)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+         FROM p a JOIN p b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dh, b.dh)) <= 4""",
+
+    // p64's seed-assignment CTEs + the md5-draw in-cluster rank
+    "p76_cluster_balanced" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             seeds AS (SELECT vec_id AS cid, v AS cv FROM e
+                       ORDER BY vec_id LIMIT 16),
+             asg0 AS (SELECT e.vec_id, e.v, s.cid,
+                        round(list_dot_product(e.v, s.cv) /
+                          (sqrt(list_dot_product(e.v, e.v)) *
+                           sqrt(list_dot_product(s.cv, s.cv))), 6) AS cosc
+                      FROM e CROSS JOIN seeds s),
+             asg AS (SELECT vec_id, cid, cosc FROM (
+                      SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cosc DESC, cid) AS rn FROM asg0) t
+                     WHERE rn = 1)
+         SELECT vec_id, cid AS cluster_id, cosc AS cos_centroid,
+           CAST(row_number() OVER (PARTITION BY cid
+             ORDER BY md5('sel:' || vec_id::VARCHAR), vec_id) AS BIGINT) AS rnk,
+           row_number() OVER (PARTITION BY cid
+             ORDER BY md5('sel:' || vec_id::VARCHAR), vec_id) <= 12 AS selected
+         FROM asg""",
+
+    "p75_wordlist_filter" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+             c AS (SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CAST(len(list_filter(toks, t -> list_contains(
+                       ['slow', 'leak', 'spam'], t))) AS BIGINT) AS n_listed
+                   FROM d)
+         SELECT doc_id, n_tokens, n_listed,
+           round(n_listed / greatest(n_tokens, 1), 6) AS listed_frac,
+           n_listed = 0 AS keep_strict,
+           round(n_listed / greatest(n_tokens, 1), 6) <= 0.02 AS keep
+         FROM c""",
 
     // p61's generated scoring over the routed source (headers by the
     // shared lexicon arithmetic, Han plant via chr() codes, digit

@@ -103,6 +103,66 @@ object StreamingDedup {
       }
   }
 
+  final case class ScreenHit(vec_a: Long, vec_b: Long, sim: Double)
+
+  /** Streaming embedding screen against a STORED cosine index
+    * ([[graft.pipeline.Similarity.saveCosineIndex]]): each arriving
+    * micro-batch of vectors is banded under the index's OWN plane
+    * family (read from the meta row — the serve self-configures, so
+    * family drift is impossible) and near-dup'd against the static
+    * corpus via the (band, bucket) stream-static equality join +
+    * exact-cosine verify. A pair colliding in several bands must emit
+    * ONCE: the per-pair fold is a `flatMapGroupsWithState` that keeps
+    * no state across batches (the heapRescoreTopK pattern) — a
+    * streaming `distinct` would grow state with the corpus.
+    * Within-batch pairs are NOT emitted (a stream cannot self-join
+    * unbounded); run [[dedupExactStream]] upstream and fold the batch
+    * into the stored index downstream, the cross-snapshot loop.
+    * Batch-equivalence: rows = the batch
+    * [[graft.pipeline.Similarity.cosineNearDupAgainstIndex]] result
+    * minus its batch-internal pairs, any micro-batch split.
+    */
+  def cosineScreenStream(vecs: DataFrame, indexPath: String,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Dataset[ScreenHit] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val (tables, planes, d, storedV, storedBands) =
+      graft.pipeline.Similarity.loadCosineIndex(spark, indexPath)
+    val newSide = vecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm",
+        sqrt(graft.pipeline.Similarity.dot(col("v"), col("v"))))
+      .select(col("id"), col("v"), col("nrm"),
+        explode(graft.pipeline.Similarity.hyperplaneBands(
+          col("v"), tables, planes, d)).as("bb"))
+      .select(col("id"), col("v"), col("nrm"),
+        col("bb.band"), col("bb.bucket"))
+    val staticSide = storedBands.join(storedV, "id")
+      .select(col("id").as("id_b"), col("band"), col("bucket"),
+        col("v").as("vb"), col("nrm").as("nb"))
+    val verified = newSide.join(staticSide, Seq("band", "bucket"))
+      .filter(col("id") =!= col("id_b"))
+      .withColumn("sim", round(
+        graft.pipeline.Similarity.dot(col("v"), col("vb")) /
+          (col("nrm") * col("nb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(least(col("id"), col("id_b")).as("vec_a"),
+        greatest(col("id"), col("id_b")).as("vec_b"), col("sim"))
+      .as[(Long, Long, Double)]
+    verified.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: (Long, Long), rows: Iterator[(Long, Long, Double)],
+         state: GroupState[Boolean]) =>
+          // one emission per pair per micro-batch; sim identical on
+          // every colliding band (same verify expression), take head
+          val sim = rows.next()._3
+          Iterator.single(ScreenHit(key._1, key._2, sim))
+      }
+  }
+
   /** Batch helper rebuilding document texts from [[dedupLinesStream]]
     * survivors (run it in the sink / over the stored line relation):
     * group by doc, order by position, rejoin with newlines. A doc whose

@@ -104,6 +104,76 @@ class MultimodalDecodeSpec extends SparkSpecBase {
     assert(frames == 3L, s"expected 3 GIF frames, got $frames")
   }
 
+  // ---- round-8: perceptual dHash -------------------------------------
+
+  private def dhashAll(blobs: Seq[(Long, Array[Byte])]) = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("media", BinaryType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(blobs.map(b => Row(b._1, b._2)), 2), schema)
+    Multimodal.imageDHash(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+  }
+
+  /** Expected dHash via the decoder's exact grid math, fed from the
+    * painted pixels — the analytic truth [[MediaDecoder.dHash48]] must
+    * reproduce.
+    */
+  private def expectedDHash(im: BufferedImage): Long = {
+    val grid = Array.ofDim[Double](8, 7)
+    for (r <- 0 until 8; c <- 0 until 7) {
+      val y0 = r * im.getHeight / 8; val y1 = (r + 1) * im.getHeight / 8
+      val x0 = c * im.getWidth / 7;  val x1 = (c + 1) * im.getWidth / 7
+      var sum = 0.0
+      for (y <- y0 until y1; x <- x0 until x1) {
+        val rgb = im.getRGB(x, y)
+        sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+          0.114 * (rgb & 0xFF)
+      }
+      grid(r)(c) = sum / ((y1 - y0).toLong * (x1 - x0))
+    }
+    (for (r <- 0 until 8; x <- 0 until 6 if grid(r)(x + 1) > grid(r)(x))
+      yield 1L << (r * 6 + x)).sum
+  }
+
+  test("dHash matches the analytic grid; invariant to exact upscale and uniform brightness; jpeg stays near") {
+    // 14×16 → every 7×8 grid cell is an exact 2×2 pixel block
+    val img = paint(14, 16) { (x, y) =>
+      val v = ((x * 17 + y * 29) % 180) + 20; (v << 16) | (v << 8) | v
+    }
+    // nearest-neighbour 2× upscale replicates blocks → identical averages
+    val up = paint(28, 32)((x, y) => img.getRGB(x / 2, y / 2))
+    // +40 on every channel (v ≤ 199, no clamping) preserves every
+    // neighbour comparison — the invariance that makes dHash a
+    // PERCEPTUAL hash where md5-of-bytes sees nothing
+    val bright = paint(14, 16) { (x, y) =>
+      val rgb = img.getRGB(x, y)
+      def c(v: Int) = v + 40
+      (c((rgb >> 16) & 0xFF) << 16) | (c((rgb >> 8) & 0xFF) << 8) | c(rgb & 0xFF)
+    }
+    val out = dhashAll(Seq(
+      1L -> bytes(img, "png"), 2L -> bytes(up, "png"),
+      3L -> bytes(bright, "png"), 4L -> bytes(img, "bmp"),
+      5L -> bytes(img, "jpg")))
+    assert(out(1L) == ((expectedDHash(img), true)))
+    assert(out(2L) == out(1L), "2x upscale changed the dHash")
+    assert(out(3L) == out(1L), "uniform brightness shift changed the dHash")
+    assert(out(4L) == out(1L), "lossless re-encode (bmp) changed the dHash")
+    val (jh, jreal) = out(5L)
+    assert(jreal && java.lang.Long.bitCount(jh ^ out(1L)._1) <= 6,
+      s"jpeg re-encode drifted ${java.lang.Long.bitCount(jh ^ out(1L)._1)} bits")
+  }
+
+  test("dHash fallback: non-image and sub-grid blobs take md5 first-48-bits, decoded_real=false") {
+    val txt = "definitely not an image payload".getBytes("UTF-8")
+    val tiny = paint(4, 4)((_, _) => 0x808080) // narrower than the 7×8 grid
+    val out = dhashAll(Seq(1L -> txt, 2L -> bytes(tiny, "png")))
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(txt).map("%02x".format(_)).mkString
+    assert(out(1L) == ((java.lang.Long.parseLong(md5hex.take(12), 16), false)))
+    assert(!out(2L)._2, "4x4 image must take the fallback, not an arbitrary grid")
+  }
+
   private def animatedGif(frames: Seq[BufferedImage]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val writer = ImageIO.getImageWritersByFormatName("gif").next()

@@ -72,6 +72,56 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("clusterBalancedSelect: per-cluster quota capped, ranks dense, partitioning-invariant") {
+    val sel = Similarity.clusterBalancedSelect(emb, k = 8, perCluster = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    val byCluster = sel.groupBy(_._2)
+    assert(byCluster.size > 1, "assignment collapsed to one cluster")
+    for ((cid, rows) <- byCluster) {
+      val nSel = rows.count(_._4)
+      assert(nSel == math.min(rows.length, 5),
+        s"cluster $cid: ${rows.length} members but $nSel selected")
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"cluster $cid ranks not dense")
+      // selected = exactly the rank <= quota rows
+      assert(rows.forall(r => r._4 == (r._3 <= 5)))
+    }
+    val reparted = Similarity.clusterBalancedSelect(
+      emb.repartition(13, col("vec_id")), k = 8, perCluster = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    assert(sel.sortBy(_._1).toSeq == reparted.sortBy(_._1).toSeq,
+      "selection depends on physical partitioning")
+  }
+
+  test("wordlistFilter: whole-token case-insensitive hits; strict and fraction policies") {
+    val d = docsOf(
+      (1L, "Clean text entirely fine"),
+      (2L, "one BAD token here"),
+      (3L, "bad bad bad bad bad bad"),
+      (4L, "badge is not bad-word substring")) // no substring Scunthorpe hits
+    val out = Quality.wordlistFilter(d, "doc_id", "text", Seq("BAD"), 0.3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(out(1L) == ((4L, 0L, true, true)))
+    assert(out(2L) == ((4L, 1L, false, true))) // 0.25 <= 0.3
+    assert(out(3L) == ((6L, 6L, false, false)))
+    assert(out(4L) == ((5L, 0L, true, true)))
+  }
+
+  test("hammingPairs48 pairs ANY 48-bit signature relation under arbitrary column names") {
+    val schema = StructType(Seq(
+      StructField("img", LongType), StructField("fp", LongType)))
+    val sigs = Seq(
+      (10L, 0x0L), (11L, 0x3L), (12L, 1L << 47),
+      (20L, 0x0000FFFFFFFFFFFFL & ~0x3L)) // far from the 10-cluster
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(sigs.map(s => Row(s._1, s._2)), 2), schema)
+    val got = Dedup.hammingPairs48(df, "img", "fp", 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == Map((10L, 11L) -> 2L, (10L, 12L) -> 1L, (11L, 12L) -> 3L),
+      s"got $got")
+  }
+
   test("banded cosine near-dup pairs: no cartesian, finds planted high-sim pairs") {
     import org.apache.spark.sql.functions.{array => fArray}
     // planted: vec 1000+i = vec i with one coordinate nudged → cosine ≈ 1
@@ -290,6 +340,49 @@ class PipelineSpec extends SparkSpecBase {
       Dedup.loadMinhashIndex(spark, dir)
     }
     assert(e.getMessage.contains("disagree"), e.getMessage)
+  }
+
+  test("index fold-in: merge == fresh rebuild for minhash and cosine; id clash fails loudly") {
+    def pairMap(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // minhash: index A, fold in B, screen C — must equal screening C
+    // against an index built on A ∪ B in one shot
+    val a = docs.filter(col("doc_id") < 300)
+    val b = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val c = docs.filter(col("doc_id") >= 400)
+    val foldDir = java.nio.file.Files.createTempDirectory("mh_fold").toString
+    Dedup.saveMinhashIndex(
+      Dedup.minhashIndex(a, "doc_id", "text", 3, 32, 8), foldDir, n = 3)
+    Dedup.mergeIntoMinhashIndex(b, foldDir, "doc_id", "text")
+    val rebuildDir = java.nio.file.Files.createTempDirectory("mh_rebuild").toString
+    Dedup.saveMinhashIndex(
+      Dedup.minhashIndex(a.unionByName(b), "doc_id", "text", 3, 32, 8),
+      rebuildDir, n = 3)
+    val merged = pairMap(Dedup.nearDupAgainstIndex(c, foldDir, "doc_id", "text", 0.4))
+    val rebuilt = pairMap(Dedup.nearDupAgainstIndex(c, rebuildDir, "doc_id", "text", 0.4))
+    assert(merged == rebuilt && rebuilt.nonEmpty,
+      s"merged=${merged.size} rebuilt=${rebuilt.size}")
+    val clash = intercept[IllegalArgumentException] {
+      Dedup.mergeIntoMinhashIndex(b, foldDir, "doc_id", "text", assertNewIds = true)
+    }
+    assert(clash.getMessage.contains("already exist"), clash.getMessage)
+    // cosine twin
+    val va = emb.filter(col("vec_id") < 150)
+    val vb = emb.filter(col("vec_id") >= 150 && col("vec_id") < 220)
+    val vc = emb.filter(col("vec_id") >= 220)
+    val cosFold = java.nio.file.Files.createTempDirectory("cos_fold").toString
+    Similarity.saveCosineIndex(va, cosFold, tables = 16, planesPerTable = 8, dim = 64)
+    Similarity.mergeIntoCosineIndex(vb, cosFold)
+    val cosRebuild = java.nio.file.Files.createTempDirectory("cos_rebuild").toString
+    Similarity.saveCosineIndex(va.unionByName(vb), cosRebuild,
+      tables = 16, planesPerTable = 8, dim = 64)
+    val cm = pairMap(Similarity.cosineNearDupAgainstIndex(vc, cosFold, 0.35))
+    val cr = pairMap(Similarity.cosineNearDupAgainstIndex(vc, cosRebuild, 0.35))
+    assert(cm == cr && cr.nonEmpty, s"cos merged=${cm.size} rebuilt=${cr.size}")
+    val cclash = intercept[IllegalArgumentException] {
+      Similarity.mergeIntoCosineIndex(vb, cosFold, assertNewIds = true)
+    }
+    assert(cclash.getMessage.contains("already exist"), cclash.getMessage)
   }
 
   test("incremental minhash == full pairs restricted to pairs touching new docs") {
@@ -555,6 +648,50 @@ class PipelineSpec extends SparkSpecBase {
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
     assert(out(1L) == ((1L, 0L, 0L, "ping [EMAIL] done")))
     assert(out(2L) == ((1L, 1L, 0L, "at [IP] mail [EMAIL]")))
+  }
+
+  test("incremental cosine near-dup == full banded pairs touching the batch; stored index serves") {
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    def toMap(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = toMap(Similarity.cosineNearDupPairs(emb, 0.35,
+      tables = 16, planesPerTable = 8, dim = 64))
+    val want = full.keySet.filter { case (a, b) => a % 2 == 1 || b % 2 == 1 }
+    val inc = toMap(Similarity.cosineNearDupPairsIncremental(batch, corpus,
+      0.35, tables = 16, planesPerTable = 8, dim = 64))
+    assert(inc.keySet == want,
+      s"missing=${want -- inc.keySet} extra=${inc.keySet -- want}")
+    assert(want.forall(k => inc(k) == full(k)))
+    // persisted serving path: same result from the stored index, and
+    // the new batch is the ONLY side banded fresh (the stored bands
+    // parquet appears in the plan; the corpus embeddings do not)
+    val dir = java.nio.file.Files.createTempDirectory("cos_idx").toString
+    Similarity.saveCosineIndex(corpus, dir, tables = 16, planesPerTable = 8,
+      dim = 64)
+    val servedDf = Similarity.cosineNearDupAgainstIndex(batch, dir, 0.35)
+    val plan = servedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("cos_idx"), s"stored index not read:\n$plan")
+    val embScans = plan.linesIterator
+      .filter(_.contains("embeddings.parquet")).toSeq
+    assert(embScans.nonEmpty)
+    val served = toMap(servedDf)
+    assert(served.keySet == want && want.forall(k => served(k) == full(k)))
+    // the serve path SELF-CONFIGURES from the meta row (bands the batch
+    // under the STORED plane family, whatever the caller assumed) —
+    // that, not a runtime check, is what makes family drift impossible
+    import spark.implicits._
+    Seq((8, 16, 64)).toDF("tables", "planes_per_table", "dim")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val (t2, p2, d2, _, _) = Similarity.loadCosineIndex(spark, dir)
+    assert(t2 == 8 && p2 == 16 && d2 == 64)
+    // and a corrupt meta (two rows) is rejected loudly
+    Seq((8, 16, 64), (16, 8, 64)).toDF("tables", "planes_per_table", "dim")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.loadCosineIndex(spark, dir)
+    }
+    assert(ex.getMessage.contains("ONE meta row"))
   }
 
   test("cosineNearDupPairs skips null embeddings and derives dim past them") {

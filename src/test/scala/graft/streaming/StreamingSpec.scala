@@ -301,6 +301,45 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("cosineScreenStream over the stored index == batch screen minus batch pairs, any split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val batchV = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("cos_idx_stream").toString
+    graft.pipeline.Similarity.saveCosineIndex(corpus, dir,
+      tables = 16, planesPerTable = 8, dim = 64)
+    // expected: the batch stored-path screen WITHOUT batch-internal pairs
+    val expected = graft.pipeline.Similarity.cosineNearDupAgainstIndex(
+        emb.filter(col("vec_id") % 2 === 1), dir, 0.35)
+      .filter(pmod(col("vec_a"), lit(2)) === 0 || pmod(col("vec_b"), lit(2)) === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(expected.nonEmpty, "fixture produced no cross-snapshot pairs")
+    def run(splits: Seq[Seq[(Long, Seq[Double])]], name: String)
+        : Map[(Long, Long), Double] = {
+      val mem = MemoryStream[(Long, Seq[Double])]
+      val out = StreamingDedup.cosineScreenStream(
+        mem.toDF().toDF("vec_id", "embedding"), dir, 0.35)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        splits.foreach { s => mem.addData(s: _*); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      } finally q.stop()
+    }
+    val oneBatch = run(Seq(batchV), "cos_screen_1")
+    assert(oneBatch == expected,
+      s"missing=${expected.keySet -- oneBatch.keySet} extra=${oneBatch.keySet -- expected.keySet}")
+    val threeBatches = run(
+      Seq(batchV.take(50), batchV.slice(50, 120), batchV.drop(120)),
+      "cos_screen_3")
+    assert(threeBatches == expected, "split-invariance failed")
+  }
+
   test("asOfStream matches batch AsOf.join backward across micro-batches") {
     import spark.implicits._
     import StreamingAsOf._
