@@ -389,6 +389,59 @@ object Quality {
       regexp_replace(afterIp, PhoneRe, "[PHONE]").as("text_redacted"))
   }
 
+  /** Payment-card candidate: 13–19 digits with optional single
+    * space/hyphen group separators, word-bounded. Only constructs with
+    * identical Java-regex / RE2 semantics (`\b`, non-capturing groups,
+    * bounded repetition), so the DuckDB oracle replays it verbatim.
+    */
+  val CardCandidateRe = "\\b\\d(?:[ -]?\\d){12,18}\\b"
+
+  /** Luhn (ISO/IEC 7812-1 mod-10) term for position `i` (1-based from
+    * the LEFT) of digit string `s` with length `n`: digits an odd
+    * distance from position `n` are doubled with the classic >9 → −9
+    * fold. Pure column algebra so the whole check stays inside
+    * whole-stage codegen — no UDF.
+    */
+  private def luhnTerm(s: Column, n: Column, i: Column): Column = {
+    val d = s.substr(i, lit(1)).cast("int")
+    when((n - i) % 2 === 1,
+      when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+  }
+
+  /** Luhn validity of a separator-free digit string: card length
+    * (13–19) and mod-10 checksum over [[luhnTerm]] via
+    * `sequence(1, length)` + `aggregate`.
+    */
+  private def luhnValid(s: Column): Column =
+    length(s).between(13, 19) &&
+      aggregate(sequence(lit(1), length(s)), lit(0),
+        (acc, i) => acc + luhnTerm(s, length(s), i)) % 10 === 0
+
+  /** Card-number PII scrub (the piiScrub sibling for the pattern class
+    * where the REGEX alone over-matches and a checksum must arbitrate):
+    * candidates are [[CardCandidateRe]] runs; a candidate is a card
+    * only if its separator-stripped digits pass Luhn. Emits candidate /
+    * valid counts, the C4-style `keep` gate (no valid card present),
+    * and the text with each valid candidate literal-replaced by
+    * `[CARD]` — invalid candidates (order numbers, timestamps) are
+    * left untouched, which is exactly why the checksum pass exists.
+    * One codegen'd projection, no shuffle.
+    */
+  def luhnCardScrub(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    val cands = regexp_extract_all(t, lit(CardCandidateRe), lit(0))
+    // the Luhn walk runs on the separator-stripped digits while the
+    // redaction replace targets the raw spelling
+    val validRaw = filter(cands, x => luhnValid(regexp_replace(x, "[ -]", "")))
+    docs.select(col(idCol),
+      size(cands).cast("long").as("n_candidates"),
+      size(validRaw).cast("long").as("n_valid"),
+      (size(validRaw) === 0).as("keep"),
+      aggregate(validRaw, t, (acc, x) => replace(acc, x, lit("[CARD]")))
+        .as("text_redacted"))
+  }
+
   /** Scheme-qualified URL host pattern, capture group 1 = the host.
     * Java-regex / RE2 identical constructs only.
     */

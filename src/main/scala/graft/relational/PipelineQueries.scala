@@ -1005,6 +1005,51 @@ object PipelineQueries {
     "p76_cluster_balanced" -> ((s, dir) =>
       Similarity.clusterBalancedSelect(emb(s, dir), k = 16, perCluster = 12)),
 
+    // URL canonicalization dedup: every doc carries ONE planted URL
+    // whose raw spelling exercises a different RFC 3986 normalization
+    // each residue — scheme/host case (%2), default :80 port (%3),
+    // trailing slash (%2), tracking params + param ORDER (%2),
+    // fragment (%2) — so ~210 raw spellings per (host,page,id) triple
+    // collapse into one canonical key and n_raw_variants < n_urls
+    "p77_url_canonical_dedup" -> ((s, dir) =>
+      UrlOps.urlCanonicalDedup(
+        docs(s, dir).select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("http")),
+            lit("://Site"), (col("doc_id") % 10).cast("string"),
+            lit(".Example.COM"),
+            when(col("doc_id") % 3 === 0, lit(":80")).otherwise(lit("")),
+            lit("/Page/"), (col("doc_id") % 7).cast("string"),
+            when(col("doc_id") % 2 === 1, lit("/")).otherwise(lit("")),
+            when(col("doc_id") % 2 === 0,
+              concat(lit("?id="), (col("doc_id") % 5).cast("string"),
+                lit("&utm_source=feed")))
+              .otherwise(concat(lit("?utm_source=feed&utm_campaign=x&id="),
+                (col("doc_id") % 5).cast("string"))),
+            lit("#s"), (col("doc_id") % 2).cast("string")).as("raw_url")),
+        "doc_id", "raw_url")),
+
+    // Luhn card-number PII: docs cycle valid test PANs in four raw
+    // spellings (spaced, hyphenated, plain 16- and 15-digit) at %3==0,
+    // a checksum-FAILING 16-digit run plus a too-short digit run at
+    // %3==1 (neither may redact — the whole point of the Luhn
+    // arbitration), nothing at %3==2
+    "p78_card_pii" -> ((s, dir) =>
+      Quality.luhnCardScrub(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" pay "),
+                when(col("doc_id") % 10 === 0, lit("4111 1111 1111 1111"))
+                  .when(col("doc_id") % 10 === 3, lit("4012-8888-8888-1881"))
+                  .when(col("doc_id") % 10 === 6, lit("378282246310005"))
+                  .otherwise(lit("5555555555554444")),
+                lit(" now")))
+              .when(col("doc_id") % 3 === 1,
+                lit(" ref 4111111111111112 and order 12345678 code"))
+              .otherwise(lit(""))).as("text")),
+        "doc_id", "text")),
+
     // word-list (toxicity/NSFW) gate: 'slow' is a high-df corpus token
     // so every policy branch (strict drop, fraction keep, clean) is
     // populated; 'leak'/'spam' are absent, pinning the zero path
@@ -2707,6 +2752,91 @@ object PipelineQueries {
            row_number() OVER (PARTITION BY cid
              ORDER BY md5('sel:' || vec_id::VARCHAR), vec_id) <= 12 AS selected
          FROM asg""",
+
+    // the RFC 3986 §6 walk replayed step by step: fragment strip,
+    // scheme/host lower, default-port strip, trailing-slash strip,
+    // tracking-param filter + param sort — identical regexes (Java /
+    // RE2 shared constructs), then the same group-by
+    "p77_url_canonical_dedup" ->
+      raw"""WITH d AS (
+             SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END) ||
+               '://Site' || (doc_id % 10)::VARCHAR || '.Example.COM' ||
+               (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END) ||
+               '/Page/' || (doc_id % 7)::VARCHAR ||
+               (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) ||
+               (CASE WHEN doc_id % 2 = 0
+                     THEN '?id=' || (doc_id % 5)::VARCHAR || '&utm_source=feed'
+                     ELSE '?utm_source=feed&utm_campaign=x&id=' ||
+                          (doc_id % 5)::VARCHAR END) ||
+               '#s' || (doc_id % 2)::VARCHAR AS raw_url
+             FROM documents),
+           c0 AS (SELECT doc_id, raw_url,
+                    regexp_replace(raw_url, '#.*$$', '') AS u FROM d),
+           c1 AS (SELECT doc_id, raw_url,
+                    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+                    regexp_replace(regexp_extract(u,
+                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?]*)', 1), '/+$$', '') AS path,
+                    regexp_extract(u, '\?(.*)$$', 1) AS query
+                  FROM c0),
+           c2 AS (SELECT doc_id, raw_url,
+                    scheme || '://' ||
+                    (CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+                          THEN regexp_replace(hostport, ':80$$', '')
+                          WHEN scheme = 'https' AND hostport LIKE '%:443'
+                          THEN regexp_replace(hostport, ':443$$', '')
+                          ELSE hostport END) || path ||
+                    (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS canonical_url
+                  FROM (SELECT *, array_to_string(list_sort(list_filter(
+                          string_split(query, '&'),
+                          p -> len(p) > 0 AND NOT regexp_matches(
+                            lower(regexp_extract(p, '^([^=]*)', 1)),
+                            '^(utm_[a-z]+|fbclid|gclid|msclkid|ref)$$'))), '&') AS cq
+                        FROM c1))
+         SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_variants,
+           min(doc_id) AS first_doc
+         FROM c2 GROUP BY 1""",
+
+    // same plant, same candidate regex, same Luhn walk (positions
+    // left to right, (n-i) odd -> double with >9-9 fold), same
+    // left-fold literal replace of the VALID raw spellings only
+    "p78_card_pii" ->
+      raw"""WITH d AS (
+             SELECT doc_id, text ||
+               CASE WHEN doc_id % 3 = 0 THEN
+                      ' pay ' || (CASE WHEN doc_id % 10 = 0 THEN '4111 1111 1111 1111'
+                                       WHEN doc_id % 10 = 3 THEN '4012-8888-8888-1881'
+                                       WHEN doc_id % 10 = 6 THEN '378282246310005'
+                                       ELSE '5555555555554444' END) || ' now'
+                    WHEN doc_id % 3 = 1 THEN
+                      ' ref 4111111111111112 and order 12345678 code'
+                    ELSE '' END AS text
+             FROM documents),
+           c AS (SELECT doc_id, text,
+                   regexp_extract_all(text, '\b\d(?:[ -]?\d){12,18}\b') AS cands
+                 FROM d),
+           v AS (SELECT doc_id, text, cands,
+                   list_filter(cands, x ->
+                     len(regexp_replace(x, '[ -]', '', 'g')) BETWEEN 13 AND 19 AND
+                     list_sum(list_transform(
+                       range(1, len(regexp_replace(x, '[ -]', '', 'g')) + 1), i ->
+                       CASE WHEN (len(regexp_replace(x, '[ -]', '', 'g')) - i) % 2 = 1
+                            THEN CASE WHEN substr(regexp_replace(x, '[ -]', '', 'g'), i::INT, 1)::INT * 2 > 9
+                                      THEN substr(regexp_replace(x, '[ -]', '', 'g'), i::INT, 1)::INT * 2 - 9
+                                      ELSE substr(regexp_replace(x, '[ -]', '', 'g'), i::INT, 1)::INT * 2 END
+                            ELSE substr(regexp_replace(x, '[ -]', '', 'g'), i::INT, 1)::INT END)) % 10 = 0)
+                     AS valid_raw
+                 FROM c)
+         SELECT doc_id,
+           CAST(len(cands) AS BIGINT) AS n_candidates,
+           CAST(len(valid_raw) AS BIGINT) AS n_valid,
+           len(valid_raw) = 0 AS keep,
+           list_reduce(list_prepend(text, valid_raw),
+             (acc, x) -> replace(acc, x, '[CARD]')) AS text_redacted
+         FROM v""",
 
     "p75_wordlist_filter" ->
       s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),

@@ -2319,4 +2319,76 @@ class PipelineSpec extends SparkSpecBase {
     val top2 = Bpe.pairCounts(d, "text", k = 2).collect().map(_.getString(0)).toSeq
     assert(top2 == Seq("ab", "ba"))
   }
+
+  test("canonicalizeUrl: each RFC 3986 normalization step, and what must NOT change") {
+    val cases = Seq(
+      // fragment strip + scheme/host lowercase, path case preserved
+      "HTTP://WWW.Example.COM/Path/A#frag" -> "http://www.example.com/Path/A",
+      // default port stripped only when it matches the scheme
+      "http://a.com:80/x" -> "http://a.com/x",
+      "https://a.com:443/x" -> "https://a.com/x",
+      "http://a.com:443/x" -> "http://a.com:443/x",
+      "https://a.com:8080/x" -> "https://a.com:8080/x",
+      // trailing slash runs collapse; bare root becomes empty path
+      "http://a.com/x///" -> "http://a.com/x",
+      "http://a.com/" -> "http://a.com",
+      // tracking params dropped (case-insensitive key), survivors SORTED
+      "http://a.com/p?utm_source=x&b=2&a=1&fbclid=z" -> "http://a.com/p?a=1&b=2",
+      "http://a.com/p?UTM_Campaign=x&Ref=h" -> "http://a.com/p",
+      // reordered spellings meet at one key
+      "http://a.com/p?b=2&a=1" -> "http://a.com/p?a=1&b=2",
+      // value-less and empty params: kept (non-tracking) / dropped (empty)
+      "http://a.com/p?&flag&utm_x=1" -> "http://a.com/p?flag")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(cases.zipWithIndex.map {
+        case ((raw, want), i) => Row(i.toLong, raw, want) }, 2),
+      StructType(Seq(StructField("id", LongType),
+        StructField("raw", StringType), StructField("want", StringType))))
+    val got = df.select(col("id"), UrlOps.canonicalizeUrl(col("raw")).as("c"),
+      col("want")).collect()
+    got.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"case ${r.getLong(0)}: got ${r.getString(1)} want ${r.getString(2)}")
+    }
+  }
+
+  test("urlCanonicalDedup: spelling variants collapse, counts and first_doc right") {
+    val urls = Seq(
+      (5L, "HTTP://A.com/x/?utm_source=s"),
+      (2L, "http://a.com:80/x"),
+      (9L, "http://a.com/x#f"),
+      (9L, "http://a.com/x#f"),         // exact repeat: occurrence, not variant
+      (7L, "http://b.com/y"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(urls.map(u => Row(u._1, u._2)), 3),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("url", StringType))))
+    val out = UrlOps.urlCanonicalDedup(df, "doc_id", "url").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out("http://a.com/x") == ((4L, 3L, 2L)))
+    assert(out("http://b.com/y") == ((1L, 1L, 7L)))
+    assert(out.size == 2)
+  }
+
+  test("luhnCardScrub: checksum arbitrates — valid spellings redacted, invalid untouched") {
+    val d = docsOf(
+      (1L, "pay 4111 1111 1111 1111 now"),        // valid, spaced
+      (2L, "pay 4012-8888-8888-1881 now"),        // valid, hyphenated
+      (3L, "amex 378282246310005 ok"),            // valid, 15 digits
+      (4L, "ref 4111111111111112 here"),          // checksum fails
+      (5L, "order 123456789012 done"),            // 12 digits: not a candidate
+      (6L, "id 4111111111111111 bad 5500005555555559 x"), // two valid plain
+      (7L, "plain text no digits"))
+    val out = Quality.luhnCardScrub(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getString(4)))).toMap
+    assert(out(1L) == ((1L, 1L, false, "pay [CARD] now")))
+    assert(out(2L) == ((1L, 1L, false, "pay [CARD] now")))
+    assert(out(3L) == ((1L, 1L, false, "amex [CARD] ok")))
+    assert(out(4L) == ((1L, 0L, true, "ref 4111111111111112 here")))
+    assert(out(5L) == ((0L, 0L, true, "order 123456789012 done")))
+    assert(out(6L) == ((2L, 2L, false, "id [CARD] bad [CARD] x")))
+    assert(out(7L) == ((0L, 0L, true, "plain text no digits")))
+  }
 }
