@@ -229,6 +229,83 @@ object Quality {
         col("kn_nll"))
   }
 
+  /** Interpolated Kneser–Ney TRIGRAM scoring — [[knBigramScore]] lifted
+    * to the SRILM/KenLM default order-3 recursion (Chen & Goodman 1999
+    * §3, eq. 18): the highest order discounts raw trigram counts; the
+    * MIDDLE order runs entirely on continuation counts derived from the
+    * trigram-TYPE relation (N1+(·vw) over N1+(·v·), with N1+(v·)
+    * counting distinct continuations); the lowest order is
+    * [[knBigramScore]]'s Pcont(w) from the bigram-type relation:
+    *
+    *   P3(w|uv)  = max(c(uvw)−D,0)/c(uv·) + D·N1+(uv·)/c(uv·) · P2(w|v)
+    *   P2(w|v)   = max(N1+(·vw)−D,0)/N1+(·v·)
+    *               + D·N1+(v·)/N1+(·v·) · Pcont(w)
+    *   Pcont(w)  = N1+(·w) / N1+(··)
+    *
+    * Plan shape: the ONE persisted token relation feeds the trigram and
+    * bigram explodes; every statistic is a keyed aggregate over the
+    * trigram-type frame (counts, then (u,v)-, (v,w)- and v-rollups) or
+    * the bigram-type frame — no positional self-join anywhere, N1+(··)
+    * a one-row broadcast. Self-scoring the corpus keeps c(uvw) ≥ 1 so
+    * the top level is always defined. The probability expression
+    * mirrors the oracle's nesting token for token, so the micro-nat
+    * quantization rounds identically on both engines. Documents with
+    * < 3 tokens report `n_trigrams = 0` and a NULL score.
+    */
+  def knTrigramScore(docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1): $discount")
+    val withToks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .persist()
+    val tris = withToks
+      .select(col(idCol), explode(ngrams(col("__toks"), 3)).as("tri"))
+      .withColumn("__u", split(col("tri"), " ").getItem(0))
+      .withColumn("__v", split(col("tri"), " ").getItem(1))
+      .withColumn("__w", split(col("tri"), " ").getItem(2))
+    val ct = tris.groupBy("tri").agg(count(lit(1)).as("__ct")).persist()
+    val typed = ct
+      .select(col("tri"),
+        split(col("tri"), " ").getItem(0).as("__tu"),
+        split(col("tri"), " ").getItem(1).as("__tv"),
+        split(col("tri"), " ").getItem(2).as("__tw"),
+        col("__ct"))
+    val hist = typed.groupBy(col("__tu").as("__hu"), col("__tv").as("__hv"))
+      .agg(sum("__ct").as("__cuv"), count(lit(1)).as("__n3f"))
+    val midTypes = typed
+      .groupBy(col("__tv").as("__mv"), col("__tw").as("__mw"))
+      .agg(count(lit(1)).as("__n1vw")).persist()
+    val midV = midTypes.groupBy(col("__mv").as("__vv"))
+      .agg(sum("__n1vw").as("__n1mid"), count(lit(1)).as("__nfv"))
+    val cbt = withToks.select(explode(ngrams(col("__toks"), 2)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("__cb"))
+    val contW = cbt.select(split(col("pair"), " ").getItem(1).as("__bw"))
+      .groupBy("__bw").agg(count(lit(1)).as("__n1b"))
+    val nTypes = cbt.agg(count(lit(1)).as("__nt"))
+    val d = lit(discount)
+    val pcont = col("__n1b") / col("__nt")
+    val pmid = greatest(col("__n1vw") - d, lit(0.0)) / col("__n1mid") +
+      d * col("__nfv") / col("__n1mid") * pcont
+    val prob = greatest(col("__ct") - d, lit(0.0)) / col("__cuv") +
+      d * col("__n3f") / col("__cuv") * pmid
+    val scored = tris
+      .join(ct, Seq("tri"))
+      .join(hist, tris("__u") === col("__hu") && tris("__v") === col("__hv"))
+      .join(midTypes, tris("__v") === col("__mv") && tris("__w") === col("__mw"))
+      .join(midV, tris("__v") === col("__vv"))
+      .join(contW, tris("__w") === col("__bw"))
+      .crossJoin(broadcast(nTypes))
+      .withColumn("__nllu", round(-log(prob) * lit(1000000.0)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_trigrams"), sum("__nllu").as("__s"))
+      .withColumn("kn3_nll",
+        round(col("__s") / (col("n_trigrams") * lit(1000000.0)), 6))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("kn3_nll"))
+  }
+
   /** CCNet's head/middle/tail split over the [[lmScore]] signal (Wenzek
     * et al. 2020 §4.3: perplexity TERTILES, with "head" = most fluent):
     * documents are bucketed by where their `lm_nll` falls against the

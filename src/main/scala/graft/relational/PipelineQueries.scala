@@ -942,6 +942,12 @@ object PipelineQueries {
     "p65_kn_bigram" -> ((s, dir) =>
       Quality.knBigramScore(docs(s, dir), "doc_id", "text")),
 
+    // interpolated Kneser-Ney TRIGRAM scoring (the SRILM/KenLM default
+    // order: discounted trigram level, continuation-count middle level
+    // from the trigram-TYPE relation, p65's Pcont(w) at the bottom)
+    "p79_kn_trigram" -> ((s, dir) =>
+      Quality.knTrigramScore(docs(s, dir), "doc_id", "text")),
+
     // SemDeDup (Abbas '23): embedding-space dedup — exemplar-seeded
     // clusters, within-cluster cosine tau-graph, keep the group member
     // LEAST similar to its centroid. Candidate volume n²/k by
@@ -2571,6 +2577,65 @@ object PipelineQueries {
                      FROM sc GROUP BY 1)
          SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
            round(agg.ssum / (agg.n_bigrams * 1000000.0), 6) AS kn_nll
+         FROM d LEFT JOIN agg USING (doc_id)""",
+
+    // the order-3 KN recursion replayed: trigram types feed the (u,v)
+    // history rollup AND the continuation middle level ((v,w) types,
+    // v-rollup); the bottom level is p65's bigram-type Pcont; the
+    // probability nesting mirrors the engine token for token so the
+    // micro-nat rounding is identical
+    "p79_kn_trigram" ->
+      s"""WITH d AS MATERIALIZED (SELECT doc_id, $TOKS AS toks FROM documents),
+             tr AS MATERIALIZED (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+                      THEN list_transform(generate_series(1, len(toks) - 2),
+                           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                      ELSE [] END) AS tri FROM d),
+             sp AS MATERIALIZED (SELECT doc_id, tri,
+                      string_split(tri, ' ')[1] AS u,
+                      string_split(tri, ' ')[2] AS v,
+                      string_split(tri, ' ')[3] AS w
+                    FROM tr),
+             ct AS MATERIALIZED (SELECT tri, count(*) AS ct FROM tr GROUP BY 1),
+             typed AS MATERIALIZED (SELECT tri,
+                         string_split(tri, ' ')[1] AS tu,
+                         string_split(tri, ' ')[2] AS tv,
+                         string_split(tri, ' ')[3] AS tw,
+                         ct FROM ct),
+             hist AS MATERIALIZED (SELECT tu, tv, CAST(sum(ct) AS BIGINT) AS cuv,
+                        count(*) AS n3f
+                      FROM typed GROUP BY 1, 2),
+             mid AS MATERIALIZED (SELECT tv AS mv, tw AS mw, count(*) AS n1vw
+                     FROM typed GROUP BY 1, 2),
+             midv AS MATERIALIZED (SELECT mv AS vv, CAST(sum(n1vw) AS BIGINT) AS n1mid,
+                        count(*) AS nfv
+                      FROM mid GROUP BY 1),
+             pr AS MATERIALIZED (SELECT unnest(CASE WHEN len(toks) >= 2
+                      THEN list_transform(generate_series(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i + 1])
+                      ELSE [] END) AS pair FROM d),
+             cb AS MATERIALIZED (SELECT pair, count(*) AS cb FROM pr GROUP BY 1),
+             cont AS MATERIALIZED (SELECT string_split(pair, ' ')[2] AS bw,
+                        count(*) AS n1b
+                      FROM cb GROUP BY 1),
+             nt AS MATERIALIZED (SELECT count(*) AS nt FROM cb),
+             sc AS (SELECT doc_id,
+                      CAST(round(-ln(
+                        greatest(ct.ct - 0.75, 0.0) / hist.cuv +
+                          0.75 * hist.n3f / hist.cuv *
+                          (greatest(mid.n1vw - 0.75, 0.0) / midv.n1mid +
+                            0.75 * midv.nfv / midv.n1mid * (cont.n1b / nt.nt)))
+                        * 1000000.0) AS BIGINT) AS nllu
+                    FROM sp JOIN ct USING (tri)
+                    JOIN hist ON sp.u = hist.tu AND sp.v = hist.tv
+                    JOIN mid ON sp.v = mid.mv AND sp.w = mid.mw
+                    JOIN midv ON sp.v = midv.vv
+                    JOIN cont ON sp.w = cont.bw
+                    CROSS JOIN nt),
+             agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                       CAST(sum(nllu) AS BIGINT) AS ssum
+                     FROM sc GROUP BY 1)
+         SELECT d.doc_id, coalesce(agg.n_trigrams, 0) AS n_trigrams,
+           round(agg.ssum / (agg.n_trigrams * 1000000.0), 6) AS kn3_nll
          FROM d LEFT JOIN agg USING (doc_id)""",
 
     // the full SemDeDup chain replayed relationally: seed assignment

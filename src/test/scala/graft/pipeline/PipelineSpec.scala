@@ -2320,6 +2320,54 @@ class PipelineSpec extends SparkSpecBase {
     assert(top2 == Seq("ab", "ba"))
   }
 
+  test("knTrigramScore matches an independent plain-Scala KN-3 recomputation") {
+    val corpus = Seq(
+      (1L, "a b c a b c a b"),
+      (2L, "b c a b c a"),
+      (3L, "c c b a a b"),
+      (4L, "x y"),             // < 3 tokens: n_trigrams = 0, NULL score
+      (5L, "a b c"))
+    val D = 0.75
+    // independent oracle: plain maps, no Spark
+    val toks = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }
+    def grams(ts: Seq[String], n: Int) = ts.sliding(n).filter(_.size == n).toSeq
+    val allTri = toks.flatMap { case (_, ts) => grams(ts, 3) }
+    val ct = allTri.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val hist = ct.groupBy(_._1.take(2)).map { case (k, m) =>
+      k -> ((m.values.sum, m.size.toLong)) }                      // cuv, n3f
+    val mid = ct.keys.groupBy(t => (t(1), t(2))).map { case (k, v) =>
+      k -> v.size.toLong }                                        // n1vw
+    val midv = mid.groupBy(_._1._1).map { case (k, m) =>
+      k -> ((m.values.sum, m.size.toLong)) }                      // n1mid, nfv
+    val allBi = toks.flatMap { case (_, ts) => grams(ts, 2) }
+    val cbTypes = allBi.groupBy(identity).keys.toSeq
+    val n1b = cbTypes.groupBy(_(1)).map { case (k, v) => k -> v.size.toLong }
+    val nt = cbTypes.size.toLong
+    def nllu(tri: Seq[String]): Long = {
+      val (cuv, n3f) = hist(tri.take(2))
+      val (n1mid, nfv) = midv(tri(1))
+      val pcont = n1b(tri(2)).toDouble / nt
+      val pmid = math.max(mid((tri(1), tri(2))) - D, 0.0) / n1mid +
+        D * nfv / n1mid * pcont
+      val p = math.max(ct(tri) - D, 0.0) / cuv + D * n3f / cuv * pmid
+      math.round(-math.log(p) * 1e6)
+    }
+    val want = toks.map { case (id, ts) =>
+      val us = grams(ts, 3).map(nllu)
+      id -> (if (us.isEmpty) (0L, None) else (us.size.toLong, Some(
+        BigDecimal(us.sum.toDouble / (us.size * 1e6))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    }.toMap
+    val out = Quality.knTrigramScore(docsOf(corpus: _*), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(out.keySet == want.keySet)
+    want.foreach { case (id, w) => assert(out(id) == w, s"doc $id") }
+    // sanity on the smoothing itself: the repeated common phrase (doc 1)
+    // must score more fluent than the rare-order doc 3
+    assert(out(1L)._2.get < out(3L)._2.get)
+  }
+
   test("canonicalizeUrl: each RFC 3986 normalization step, and what must NOT change") {
     val cases = Seq(
       // fragment strip + scheme/host lowercase, path case preserved
