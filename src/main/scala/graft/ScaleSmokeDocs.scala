@@ -238,6 +238,33 @@ object ScaleSmokeDocs {
     // equality joins + the one-row type-total attach (the lm2 family)
     stage("kn_bigram")(Quality.knBigramScore(docs, "doc_id", "text")
       .filter(col("kn_nll").isNotNull).count())
+    // order-3 KN (p79): the trigram-TYPE relation is the scale term —
+    // on this 5k-word synthetic vocab the type count saturates near
+    // the corpus trigram-instance count, the realistic worst case
+    stage("kn_trigram")(Quality.knTrigramScore(docs, "doc_id", "text")
+      .filter(col("kn3_nll").isNotNull).count())
+    // URL canonicalization dedup (p77): one projection + one hash
+    // aggregate on the canonical key; raw spellings synthesized with
+    // the registered plant's residue scheme
+    stage("url_canonical")(graft.pipeline.UrlOps.urlCanonicalDedup(
+      docs.select(col("doc_id"), concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("http")),
+        lit("://Site"), (col("doc_id") % 997).cast("string"),
+        lit(".Example.COM"),
+        when(col("doc_id") % 3 === 0, lit(":80")).otherwise(lit("")),
+        lit("/Page/"), (col("doc_id") % 101).cast("string"),
+        when(col("doc_id") % 2 === 1, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&id="), (col("doc_id") % 11).cast("string"))
+        .as("raw_url")),
+      "doc_id", "raw_url").count())
+    // Luhn card PII (p78): candidate regex + checksum HOF, pure
+    // projection; every third doc carries a valid PAN
+    stage("card_pii")(Quality.luhnCardScrub(
+      docs.select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" pay 4111 1111 1111 1111 now"))
+          .when(col("doc_id") % 3 === 1, lit(" ref 4111111111111112 x"))
+          .otherwise(lit(""))).as("text")),
+      "doc_id", "text").filter(!col("keep")).count())
     // END-TO-END ingest (round-7): the README composition html →
     // C4 → Gopher → exact dedup → pack, over an HTML wrap of the
     // synthetic corpus built to PASS the gates (6 sentence-lines of 10

@@ -175,6 +175,37 @@ object Multimodal {
       .toDF()
   }
 
+  final case class AudioHash(doc_id: Long, afp: Long, decoded_real: Boolean)
+
+  /** 48-bit spectral audio fingerprint — [[imageDHash]]'s gradient idea
+    * applied to the time–frequency plane (the band-energy-difference
+    * family behind Chromaprint/AcoustID and Haitsma–Kalker 2002): the
+    * decoded mono PCM is cut into 8 equal time windows; each window's
+    * FFT power spectrum folds into 7 equal bands, and bit `w·6+x` = 1
+    * iff band x+1 carries more energy than band x. Energy RATIOS make
+    * the signature exactly invariant to amplitude scaling (volume
+    * normalization, the audio twin of dHash's brightness invariance)
+    * and stable under re-encode quantization noise, while md5-of-bytes
+    * sees nothing. 48 bits matches the SimHash banding width, so
+    * [[Dedup.hammingPairs48]] pairs audio fingerprints, image dHashes
+    * and SimHashes with the same pigeonhole machinery. Non-audio blobs
+    * and clips too short to frame take the md5 fallback (first 48
+    * bits), replayed by the driver oracle; the real path is pinned by
+    * MultimodalDecodeSpec's synthesized-WAV fixtures. One
+    * `mapPartitions` projection, no shuffle.
+    */
+  def audioFingerprint(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decoder = new AudioDecoder
+        rows.map { case (id, blob) => decoder.fingerprint48(id, blob) }
+      }
+      .toDF()
+  }
+
   final case class MediaContainer(doc_id: Long, container: String, n_bytes: Long)
 
   /** Container detection over a media-blob relation — the format-census
@@ -445,6 +476,58 @@ final class AudioDecoder extends Serializable {
           dominant_freq_hz = (hexSlice(hex, 12, 12) % 4000000L) / 1000.0,
           spectral_centroid_hz = (hexSlice(hex, 20, 12) % 4000000L) / 1000.0,
           decoded_real = false)
+    }
+  }
+
+  /** Real path of [[Multimodal.audioFingerprint]]: 8 time windows over
+    * the first 8×512 mono frames, per window an FFT over the largest
+    * power-of-two prefix (≤512), bins 1..n/2−1 folded into 7 equal
+    * bands, 6 adjacent-band energy comparisons per window. Clips
+    * shorter than 8×16 frames can't frame meaningfully → None (md5
+    * fallback), same contract as the sub-grid image fallback.
+    */
+  private def realFingerprint(blob: Array[Byte]): Option[Long] = {
+    pcmMono(blob, 8 * 512).flatMap { case (_, pcm) =>
+      if (pcm.length < 8 * 16) None
+      else {
+        val win = pcm.length / 8
+        var n = 16
+        while (n * 2 <= math.min(win, 512)) n *= 2
+        var bits = 0L
+        var w = 0
+        while (w < 8) {
+          val re = new Array[Double](n)
+          val im = new Array[Double](n)
+          var i = 0
+          while (i < n) { re(i) = pcm(w * win + i); i += 1 }
+          fft(re, im)
+          val half = n / 2
+          val e = new Array[Double](7)
+          var k = 1
+          while (k < half) {
+            val b = math.min((k - 1) * 7 / (half - 1), 6)
+            e(b) += re(k) * re(k) + im(k) * im(k)
+            k += 1
+          }
+          var x = 0
+          while (x < 6) {
+            if (e(x + 1) > e(x)) bits |= 1L << (w * 6 + x)
+            x += 1
+          }
+          w += 1
+        }
+        Some(bits)
+      }
+    }
+  }
+
+  def fingerprint48(id: Long, blob: Array[Byte]): Multimodal.AudioHash = {
+    val real = if (looksLikeAudio(blob)) realFingerprint(blob) else None
+    real match {
+      case Some(bits) => Multimodal.AudioHash(id, bits, decoded_real = true)
+      case None =>
+        val hex = mdig.digest(blob).map("%02x".format(_)).mkString
+        Multimodal.AudioHash(id, hexSlice(hex, 0, 12), decoded_real = false)
     }
   }
 

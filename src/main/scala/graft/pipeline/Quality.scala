@@ -259,16 +259,17 @@ object Quality {
       .persist()
     val tris = withToks
       .select(col(idCol), explode(ngrams(col("__toks"), 3)).as("tri"))
-      .withColumn("__u", split(col("tri"), " ").getItem(0))
-      .withColumn("__v", split(col("tri"), " ").getItem(1))
-      .withColumn("__w", split(col("tri"), " ").getItem(2))
-    val ct = tris.groupBy("tri").agg(count(lit(1)).as("__ct")).persist()
-    val typed = ct
+    // all statistics live on the trigram-TYPE relation; on Zipf corpora
+    // types ≪ instances, so the stats join chain runs on the SMALL
+    // frame and the instance relation shuffles exactly once (on tri)
+    // to pick up its precomputed per-type micro-nat cost
+    val typed = tris.groupBy("tri").agg(count(lit(1)).as("__ct"))
       .select(col("tri"),
         split(col("tri"), " ").getItem(0).as("__tu"),
         split(col("tri"), " ").getItem(1).as("__tv"),
         split(col("tri"), " ").getItem(2).as("__tw"),
         col("__ct"))
+      .persist()
     val hist = typed.groupBy(col("__tu").as("__hu"), col("__tv").as("__hv"))
       .agg(sum("__ct").as("__cuv"), count(lit(1)).as("__n3f"))
     val midTypes = typed
@@ -287,14 +288,16 @@ object Quality {
       d * col("__nfv") / col("__n1mid") * pcont
     val prob = greatest(col("__ct") - d, lit(0.0)) / col("__cuv") +
       d * col("__n3f") / col("__cuv") * pmid
-    val scored = tris
-      .join(ct, Seq("tri"))
-      .join(hist, tris("__u") === col("__hu") && tris("__v") === col("__hv"))
-      .join(midTypes, tris("__v") === col("__mv") && tris("__w") === col("__mw"))
-      .join(midV, tris("__v") === col("__vv"))
-      .join(contW, tris("__w") === col("__bw"))
+    val typeScore = typed
+      .join(hist, typed("__tu") === col("__hu") && typed("__tv") === col("__hv"))
+      .join(midTypes, typed("__tv") === col("__mv") && typed("__tw") === col("__mw"))
+      .join(midV, typed("__tv") === col("__vv"))
+      .join(contW, typed("__tw") === col("__bw"))
       .crossJoin(broadcast(nTypes))
-      .withColumn("__nllu", round(-log(prob) * lit(1000000.0)).cast("long"))
+      .select(col("tri"),
+        round(-log(prob) * lit(1000000.0)).cast("long").as("__nllu"))
+    val scored = tris
+      .join(typeScore, Seq("tri"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_trigrams"), sum("__nllu").as("__s"))
       .withColumn("kn3_nll",
@@ -516,6 +519,51 @@ object Quality {
       size(validRaw).cast("long").as("n_valid"),
       (size(validRaw) === 0).as("keep"),
       aggregate(validRaw, t, (acc, x) => replace(acc, x, lit("[CARD]")))
+        .as("text_redacted"))
+  }
+
+  /** IBAN candidate: 2 country letters + 2 check digits + 11–30
+    * alphanumerics (total 15–34, the ISO 13616 length envelope),
+    * word-bounded, uppercase as printed. Shared Java-regex / RE2
+    * constructs only.
+    */
+  val IbanCandidateRe = "\\b[A-Z]{2}\\d{2}[A-Z0-9]{11,30}\\b"
+
+  /** ISO 13616 / ISO 7064 mod-97-10 validity: move the first 4 chars
+    * to the end, map letters A–Z → 10–35, and the resulting digit
+    * string must be ≡ 1 (mod 97). The big-integer mod folds left to
+    * right ((acc·10^k + d) mod 97, k = digits contributed), so the
+    * whole check is one `sequence` + `aggregate` HOF — no UDF, no
+    * arbitrary-precision type.
+    */
+  private def ibanValid(s: Column): Column = {
+    val r = concat(s.substr(lit(5), length(s) - 4), s.substr(lit(1), lit(4)))
+    length(s).between(15, 34) &&
+      aggregate(sequence(lit(1), length(r)), lit(0L), (acc, i) => {
+        val c = r.substr(i, lit(1))
+        val d = when(c.between("0", "9"), c.cast("long"))
+          .otherwise((ascii(c) - 55).cast("long"))
+        (acc * when(d >= 10, 100L).otherwise(10L) + d) % 97L
+      }) === 1L
+  }
+
+  /** IBAN PII scrub — [[luhnCardScrub]]'s sibling for bank account
+    * numbers (the second checksum-arbitrated PII class a web-scale
+    * scrub handles): [[IbanCandidateRe]] candidates, mod-97-10
+    * validation, valid spellings literal-replaced `[IBAN]`,
+    * checksum-failing lookalikes left untouched. One codegen'd
+    * projection, no shuffle.
+    */
+  def ibanScrub(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    val cands = regexp_extract_all(t, lit(IbanCandidateRe), lit(0))
+    val validRaw = filter(cands, ibanValid(_))
+    docs.select(col(idCol),
+      size(cands).cast("long").as("n_candidates"),
+      size(validRaw).cast("long").as("n_valid"),
+      (size(validRaw) === 0).as("keep"),
+      aggregate(validRaw, t, (acc, x) => replace(acc, x, lit("[IBAN]")))
         .as("text_redacted"))
   }
 

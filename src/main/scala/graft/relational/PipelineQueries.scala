@@ -1011,6 +1011,29 @@ object PipelineQueries {
     "p76_cluster_balanced" -> ((s, dir) =>
       Similarity.clusterBalancedSelect(emb(s, dir), k = 16, perCluster = 12)),
 
+    // audio-fingerprint near-dup, the p74 pattern over the audio
+    // signature: text bytes are never decodable audio so the oracle
+    // pins the md5-fallback dispatch + the banded pairer; the REAL
+    // spectral path is pinned by MultimodalDecodeSpec's synthesized
+    // WAVs. Same planted group/flip structure as p74
+    "p80_audio_fp_neardup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id").as("bid"), col("text").as("btext"))
+      val grouped = d.select(col("doc_id"))
+        .join(base, col("doc_id") - col("doc_id") % 3 === col("bid"))
+        .select(col("doc_id"), encode(col("btext"), "UTF-8").as("media"))
+      val sig = Multimodal.audioFingerprint(grouped)
+      val planted = sig.withColumn("afp",
+        col("afp")
+          .bitwiseXOR(when(col("doc_id") % 3 >= 1,
+            expr("shiftleft(1L, cast(doc_id % 48 as int))"))
+            .otherwise(lit(0L)))
+          .bitwiseXOR(when(col("doc_id") % 3 === 2,
+            expr("shiftleft(1L, cast((doc_id * 31 + 17) % 48 as int))"))
+            .otherwise(lit(0L))))
+      Dedup.hammingPairs48(planted, "doc_id", "afp", maxHamming = 4)
+    }),
+
     // URL canonicalization dedup: every doc carries ONE planted URL
     // whose raw spelling exercises a different RFC 3986 normalization
     // each residue — scheme/host case (%2), default :80 port (%3),
@@ -1034,6 +1057,26 @@ object PipelineQueries {
                 (col("doc_id") % 5).cast("string"))),
             lit("#s"), (col("doc_id") % 2).cast("string")).as("raw_url")),
         "doc_id", "raw_url")),
+
+    // IBAN PII (mod-97-10): %3==0 docs cycle 5 valid test IBANs of
+    // different lengths/countries, %3==1 carries a checksum-FAILING
+    // lookalike (one trailing digit off) that must NOT redact
+    "p81_iban_pii" -> ((s, dir) =>
+      Quality.ibanScrub(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" acct "),
+                when(col("doc_id") % 15 === 0, lit("DE89370400440532013000"))
+                  .when(col("doc_id") % 15 === 3, lit("GB82WEST12345698765432"))
+                  .when(col("doc_id") % 15 === 6, lit("FR1420041010050500013M02606"))
+                  .when(col("doc_id") % 15 === 9, lit("NL91ABNA0417164300"))
+                  .otherwise(lit("CH9300762011623852957")),
+                lit(" ok")))
+              .when(col("doc_id") % 3 === 1,
+                lit(" acct DE89370400440532013001 bad"))
+              .otherwise(lit(""))).as("text")),
+        "doc_id", "text")),
 
     // Luhn card-number PII: docs cycle valid test PANs in four raw
     // spellings (spaced, hyphenated, plain 16- and 15-digit) at %3==0,
@@ -2797,6 +2840,29 @@ object PipelineQueries {
          FROM p a JOIN p b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.dh, b.dh)) <= 4""",
 
+    // p74's oracle verbatim over the audio signature: md5-fallback
+    // dispatch + planted flips + the exact O(n²) pair restatement
+    "p80_audio_fp_neardup" ->
+      """WITH g AS (SELECT d.doc_id, b.text AS btext
+               FROM documents d
+               JOIN documents b ON b.doc_id = d.doc_id - (d.doc_id % 3)),
+             h AS (SELECT doc_id,
+                     ('0x' || substr(md5(btext), 1, 12))::BIGINT AS fp0
+                   FROM g),
+             p AS (SELECT doc_id,
+                     xor(xor(fp0,
+                       CASE WHEN doc_id % 3 >= 1
+                            THEN (1::BIGINT << (doc_id % 48)::INT)
+                            ELSE 0::BIGINT END),
+                       CASE WHEN doc_id % 3 = 2
+                            THEN (1::BIGINT << ((doc_id * 31 + 17) % 48)::INT)
+                            ELSE 0::BIGINT END) AS fp
+                   FROM h)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         FROM p a JOIN p b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 4""",
+
     // p64's seed-assignment CTEs + the md5-draw in-cluster rank
     "p76_cluster_balanced" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2864,6 +2930,45 @@ object PipelineQueries {
            CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_variants,
            min(doc_id) AS first_doc
          FROM c2 GROUP BY 1""",
+
+    // same plant, same candidate regex, same rearrange + mod-97 fold
+    // (letters via ascii-55, digit-count-aware radix per step), same
+    // left-fold literal replace
+    "p81_iban_pii" ->
+      raw"""WITH d AS (
+             SELECT doc_id, text ||
+               CASE WHEN doc_id % 3 = 0 THEN
+                      ' acct ' || (CASE WHEN doc_id % 15 = 0 THEN 'DE89370400440532013000'
+                                        WHEN doc_id % 15 = 3 THEN 'GB82WEST12345698765432'
+                                        WHEN doc_id % 15 = 6 THEN 'FR1420041010050500013M02606'
+                                        WHEN doc_id % 15 = 9 THEN 'NL91ABNA0417164300'
+                                        ELSE 'CH9300762011623852957' END) || ' ok'
+                    WHEN doc_id % 3 = 1 THEN
+                      ' acct DE89370400440532013001 bad'
+                    ELSE '' END AS text
+             FROM documents),
+           c AS (SELECT doc_id, text,
+                   regexp_extract_all(text, '\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b') AS cands
+                 FROM d),
+           v AS (SELECT doc_id, text, cands,
+                   list_filter(cands, x ->
+                     len(x) BETWEEN 15 AND 34 AND
+                     list_reduce(list_prepend(0::BIGINT,
+                       list_transform(range(1, len(x) + 1), i ->
+                         CASE WHEN substr(substr(x, 5) || substr(x, 1, 4), i::INT, 1)
+                                BETWEEN '0' AND '9'
+                              THEN substr(substr(x, 5) || substr(x, 1, 4), i::INT, 1)::BIGINT
+                              ELSE ascii(substr(substr(x, 5) || substr(x, 1, 4), i::INT, 1)) - 55 END)),
+                       (acc, dd) -> (acc * (CASE WHEN dd >= 10 THEN 100 ELSE 10 END) + dd) % 97) = 1)
+                     AS valid_raw
+                 FROM c)
+         SELECT doc_id,
+           CAST(len(cands) AS BIGINT) AS n_candidates,
+           CAST(len(valid_raw) AS BIGINT) AS n_valid,
+           len(valid_raw) = 0 AS keep,
+           list_reduce(list_prepend(text, valid_raw),
+             (acc, x) -> replace(acc, x, '[IBAN]')) AS text_redacted
+         FROM v""",
 
     // same plant, same candidate regex, same Luhn walk (positions
     // left to right, (n-i) odd -> double with >9-9 fold), same

@@ -482,6 +482,73 @@ class MultimodalDecodeSpec extends SparkSpecBase {
     assert(mixed(1L)._6 && !mixed(2L)._6)
   }
 
+  // --- audio spectral fingerprint -----------------------------------
+  // band centers for rate 8000, fft n = 512 (half = 256, 7 bands of
+  // ~36.4 bins): bin k ↦ k·15.625 Hz, centers ≈ bins 18..236
+  private val BandFreqs =
+    Seq(281.25, 859.375, 1421.875, 1984.375, 2562.5, 3125.0, 3687.5)
+
+  private def mixTone(amps: Seq[Double], rate: Int, n: Int,
+      scale: Double): Array[Short] = {
+    val norm = amps.sum max 1.0
+    Array.tabulate(n) { i =>
+      val v = amps.zip(BandFreqs).map { case (a, f) =>
+        a * math.sin(2.0 * math.Pi * f * i / rate) }.sum / norm
+      (v * scale * 32000).toShort
+    }
+  }
+
+  private def fpAll(blobs: Seq[(Long, Array[Byte])]) = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("media", BinaryType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(blobs.map(b => Row(b._1, b._2)), 2), schema)
+    Multimodal.audioFingerprint(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+  }
+
+  test("audio fingerprint: band-energy gradient bits are analytic on tone mixtures") {
+    // strictly increasing per-band amplitudes → every adjacent-band
+    // comparison is 1 in every window; strictly decreasing → all 0
+    val up = wavBytes(mixTone(Seq(1, 2, 3, 4, 5, 6, 7), 8000, 4096, 0.8), 8000f)
+    val down = wavBytes(mixTone(Seq(7, 6, 5, 4, 3, 2, 1), 8000, 4096, 0.8), 8000f)
+    val out = fpAll(Seq(1L -> up, 2L -> down))
+    assert(out(1L) == ((0xFFFFFFFFFFFFL, true)), f"up: ${out(1L)._1}%012x")
+    assert(out(2L) == ((0L, true)))
+  }
+
+  test("audio fingerprint: amplitude-scaling invariance (the dHash-brightness twin)") {
+    val loud = wavBytes(mixTone(Seq(1, 2, 3, 4, 5, 6, 7), 8000, 4096, 0.9), 8000f)
+    val quiet = wavBytes(mixTone(Seq(1, 2, 3, 4, 5, 6, 7), 8000, 4096, 0.1), 8000f)
+    val out = fpAll(Seq(1L -> loud, 2L -> quiet))
+    assert(out(1L)._2 && out(2L)._2)
+    assert(out(1L)._1 == out(2L)._1,
+      "energy-ratio bits must not see volume changes")
+  }
+
+  test("audio fingerprint: windows capture temporal structure exactly") {
+    // first 4 windows increasing mix (bits 1), last 4 decreasing (bits 0):
+    // the signature must be exactly the low 24 bits
+    val first = mixTone(Seq(1, 2, 3, 4, 5, 6, 7), 8000, 2048, 0.8)
+    val second = mixTone(Seq(7, 6, 5, 4, 3, 2, 1), 8000, 2048, 0.8)
+    val wav = wavBytes(first ++ second, 8000f)
+    val out = fpAll(Seq(1L -> wav))
+    assert(out(1L) == ((0xFFFFFFL, true)), f"got ${out(1L)._1}%012x")
+  }
+
+  test("audio fingerprint: non-audio and too-short clips take the deterministic md5 fallback") {
+    val text = "definitely not audio".getBytes("UTF-8")
+    val short = wavBytes(mixTone(Seq(1, 2, 3, 4, 5, 6, 7), 8000, 64, 0.8), 8000f)
+    val out = fpAll(Seq(1L -> text, 2L -> short))
+    assert(!out(1L)._2 && !out(2L)._2)
+    assert(out(1L)._1 >= 0L && out(1L)._1 < (1L << 48))
+    assert(fpAll(Seq(1L -> text, 2L -> short)) == out, "fallback must be deterministic")
+    // and pairs with the real path in one batch
+    val wav = wavBytes(mixTone(Seq(1, 2, 3, 4, 5, 6, 7), 8000, 4096, 0.8), 8000f)
+    val mixed = fpAll(Seq(1L -> wav, 2L -> text))
+    assert(mixed(1L)._2 && !mixed(2L)._2)
+  }
+
   test("non-image and truncated blobs fall back to the deterministic fake") {
     val png = bytes(paint(9, 9)((_, _) => 0x808080), "png")
     val truncated = png.take(20) // valid magic, unreadable body

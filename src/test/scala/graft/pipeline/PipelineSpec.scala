@@ -2368,6 +2368,25 @@ class PipelineSpec extends SparkSpecBase {
     assert(out(1L)._2.get < out(3L)._2.get)
   }
 
+  test("ibanScrub: mod-97 arbitrates — valid spellings redacted, lookalikes untouched") {
+    val d = docsOf(
+      (1L, "acct DE89370400440532013000 ok"),
+      (2L, "acct FR1420041010050500013M02606 ok"),  // letters mid-BBAN
+      (3L, "acct DE89370400440532013001 bad"),      // checksum fails
+      (4L, "short GB82WEST123 nope"),               // 11 chars: not a candidate
+      (5L, "two NL91ABNA0417164300 and CH9300762011623852957 here"),
+      (6L, "plain words only"))
+    val out = Quality.ibanScrub(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getString(4)))).toMap
+    assert(out(1L) == ((1L, 1L, false, "acct [IBAN] ok")))
+    assert(out(2L) == ((1L, 1L, false, "acct [IBAN] ok")))
+    assert(out(3L) == ((1L, 0L, true, "acct DE89370400440532013001 bad")))
+    assert(out(4L) == ((0L, 0L, true, "short GB82WEST123 nope")))
+    assert(out(5L) == ((2L, 2L, false, "two [IBAN] and [IBAN] here")))
+    assert(out(6L) == ((0L, 0L, true, "plain words only")))
+  }
+
   test("canonicalizeUrl: each RFC 3986 normalization step, and what must NOT change") {
     val cases = Seq(
       // fragment strip + scheme/host lowercase, path case preserved

@@ -167,7 +167,9 @@ class PlanShapeSpec extends SparkSpecBase {
       "p53_budget_select", "p56_pmi_pairs",
       // p67 attaches the one-row corpus total to the ≤max-cluster-size
       // histogram frame (the p36 shape)
-      "p65_kn_bigram", "p67_dedup_report")
+      // p79 attaches the same one-row N1+(··) total to the trigram-TYPE
+      // score frame (p65's shape one order up)
+      "p65_kn_bigram", "p67_dedup_report", "p79_kn_trigram")
     for ((name, fn) <- graft.SparkEntry.queries
          if !intentionalThetaJoins(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
