@@ -1045,17 +1045,8 @@ object Dedup {
     if (maxHamming >= 48) {
       pairSelect(sh.as("a").join(sh.as("b"), col("a.doc") < col("b.doc")))
     } else {
-      val nBands = maxHamming + 1
-      val base = 48 / nBands
-      val rem = 48 % nBands
-      val widths = (0 until nBands).map(b => base + (if (b < rem) 1 else 0))
-      val offsets = widths.scanLeft(0)(_ + _)
       val banded = sh.select(col("doc"), col("sh"),
-        explode(array((0 until nBands).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sh"), offsets(b))
-              .bitwiseAND(lit((1L << widths(b)) - 1)).as("bits"))
-        }: _*)).as("__bb"))
+        explode(hammingBands48(col("sh"), maxHamming)).as("__bb"))
         .select(col("doc"), col("sh"), col("__bb.band"), col("__bb.bits"))
       // a pair can agree on several bands → dedupe after the verify
       pairSelect(banded.as("a").join(banded.as("b"),
@@ -1063,5 +1054,162 @@ object Dedup {
           col("a.doc") < col("b.doc")))
         .distinct()
     }
+  }
+
+  /** The pigeonhole band cells of a 48-bit signature at a Hamming
+    * cutoff, as an array of (band, bits) structs — factored out of
+    * [[hammingPairs48]] so the persisted index and the streaming
+    * screen band under EXACTLY the machinery the batch pairer uses.
+    */
+  def hammingBands48(sh: Column, maxHamming: Int): Column = {
+    require(maxHamming >= 0 && maxHamming < 48,
+      s"banding needs 0 <= maxHamming < 48: $maxHamming")
+    val nBands = maxHamming + 1
+    val base = 48 / nBands
+    val rem = 48 % nBands
+    val widths = (0 until nBands).map(b => base + (if (b < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(sh, offsets(b))
+          .bitwiseAND(lit((1L << widths(b)) - 1)).as("bits"))
+    }: _*)
+  }
+
+  /** Incremental 48-bit-signature near-dup: Hamming-cutoff pairs with
+    * AT LEAST ONE side in the arriving batch — the [[hammingPairs48]]
+    * twin of [[incrementalMinhashPairs]], closing the cross-snapshot
+    * loop for simhash / image-dHash / audio-fingerprint corpora. Only
+    * candidate generation changes: the batch's band cells equality-join
+    * batch ∪ corpus cells (the corpus never re-pairs with itself);
+    * the verify and its results are identical to running the full
+    * pairer and keeping pairs touching the batch.
+    */
+  def hammingPairsIncremental(newSigs: DataFrame, corpusSigs: DataFrame,
+      idCol: String, sigCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 48,
+      s"hammingPairsIncremental needs 0 <= maxHamming < 48: $maxHamming")
+    def prep(df: DataFrame) =
+      df.select(col(idCol).cast("long").as("doc"), col(sigCol).as("sh"))
+    val newSh = prep(newSigs).persist()
+    val corpusSh = prep(corpusSigs)
+    val newBands = newSh.select(col("doc"), col("sh"),
+      explode(hammingBands48(col("sh"), maxHamming)).as("__bb"))
+      .select(col("doc"), col("sh"), col("__bb.band"), col("__bb.bits"))
+      .persist()
+    val corpusBands = corpusSh.select(col("doc"), col("sh"),
+      explode(hammingBands48(col("sh"), maxHamming)).as("__bb"))
+      .select(col("doc"), col("sh"), col("__bb.band"), col("__bb.bits"))
+    newBands.as("a")
+      .join(newBands.unionByName(corpusBands).as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.doc") =!= col("b.doc"))
+      .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
+        greatest(col("a.doc"), col("b.doc")).as("doc_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Persist a 48-bit signature index (signatures + exploded band
+    * cells + a meta row pinning the Hamming cutoff): what a media
+    * crawl's dedup pass leaves behind for crawl N+1. The loader
+    * VALIDATES meta — a batch banded under a different cutoff has
+    * different cell widths and would silently miss duplicates.
+    */
+  def saveSignatureIndex(sigDf: DataFrame, path: String,
+      idCol: String, sigCol: String, maxHamming: Int): Unit = {
+    require(maxHamming >= 0 && maxHamming < 48,
+      s"saveSignatureIndex needs 0 <= maxHamming < 48: $maxHamming")
+    val spark = sigDf.sparkSession
+    import spark.implicits._
+    val sh = sigDf.select(col(idCol).cast("long").as("doc"),
+      col(sigCol).as("sh")).persist()
+    Seq(maxHamming).toDF("max_hamming")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    sh.write.mode("overwrite").parquet(s"$path/sigs")
+    sh.select(col("doc"),
+        explode(hammingBands48(col("sh"), maxHamming)).as("__bb"))
+      .select(col("doc"), col("__bb.band"), col("__bb.bits"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    sh.unpersist()
+  }
+
+  /** (maxHamming, sigs, bands) back from [[saveSignatureIndex]], meta
+    * validated.
+    */
+  def loadSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, DataFrame, DataFrame) = {
+    val meta = spark.read.parquet(s"$path/meta")
+      .select(col("max_hamming").cast("int")).collect()
+    require(meta.length == 1,
+      s"loadSignatureIndex: expected ONE meta row at $path/meta, got ${meta.length}")
+    val sigs = spark.read.parquet(s"$path/sigs")
+    val bands = spark.read.parquet(s"$path/bands")
+    require(Seq("doc", "sh").forall(sigs.columns.contains) &&
+      Seq("doc", "band", "bits").forall(bands.columns.contains),
+      s"loadSignatureIndex: not a signature index at $path")
+    (meta(0).getInt(0), sigs, bands)
+  }
+
+  /** Near-dup an arriving signature batch against the STORED index —
+    * only the batch is banded fresh (under the index's OWN stored
+    * cutoff, from meta), the corpus arrives pre-banded from parquet.
+    * Results = [[hammingPairsIncremental]] with the stored corpus.
+    */
+  def hammingAgainstIndex(newSigs: DataFrame, indexPath: String,
+      idCol: String, sigCol: String): DataFrame = {
+    val spark = newSigs.sparkSession
+    val (maxHamming, storedSigs, storedBands) =
+      loadSignatureIndex(spark, indexPath)
+    val newSh = newSigs.select(col(idCol).cast("long").as("doc"),
+      col(sigCol).as("sh")).persist()
+    val newBands = newSh.select(col("doc"),
+        explode(hammingBands48(col("sh"), maxHamming)).as("__bb"))
+      .select(col("doc"), col("__bb.band"), col("__bb.bits"))
+      .persist()
+    val allSigs = newSh.unionByName(storedSigs)
+    newBands.as("a")
+      .join(newBands.unionByName(storedBands).as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.doc") =!= col("b.doc"))
+      .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
+        greatest(col("a.doc"), col("b.doc")).as("doc_b"))
+      .distinct()
+      .join(allSigs.select(col("doc").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(allSigs.select(col("doc").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("hamming",
+        bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Fold a screened signature batch INTO the stored index — the
+    * [[mergeIntoMinhashIndex]] twin for 48-bit signatures: the batch
+    * is banded under the index's OWN stored cutoff and APPENDED as new
+    * parquet files; historical rows are never rewritten, so the fold
+    * is O(batch). Fold post-dedup survivors whose ids are new;
+    * `assertNewIds = true` trades one stored-id scan for a loud
+    * failure on a clash.
+    */
+  def mergeIntoSignatureIndex(newSigs: DataFrame, indexPath: String,
+      idCol: String, sigCol: String, assertNewIds: Boolean = false): Unit = {
+    val spark = newSigs.sparkSession
+    val (maxHamming, storedSigs, _) = loadSignatureIndex(spark, indexPath)
+    val sh = newSigs.select(col(idCol).cast("long").as("doc"),
+      col(sigCol).as("sh")).persist()
+    if (assertNewIds) {
+      val clash = sh.select("doc")
+        .join(storedSigs.select("doc"), Seq("doc"), "left_semi").count()
+      require(clash == 0,
+        s"mergeIntoSignatureIndex: $clash batch ids already exist at $indexPath")
+    }
+    sh.write.mode("append").parquet(s"$indexPath/sigs")
+    sh.select(col("doc"),
+        explode(hammingBands48(col("sh"), maxHamming)).as("__bb"))
+      .select(col("doc"), col("__bb.band"), col("__bb.bits"))
+      .write.mode("append").parquet(s"$indexPath/bands")
+    sh.unpersist()
   }
 }

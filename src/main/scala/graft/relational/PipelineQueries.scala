@@ -979,6 +979,32 @@ object PipelineQueries {
         threshold = 0.35, tables = 16, planesPerTable = 8, dim = 64)
     }),
 
+    // incremental 48-bit-signature near-dup (the p71/p73 pattern for
+    // the hamming family): even doc_ids play the stored media corpus,
+    // odd ids the arriving batch — p74's planted group/flip structure,
+    // candidates need >= 1 odd side, the corpus never re-pairs with
+    // itself. Relationally equivalent to "full hammingPairs48 with at
+    // least one odd side", which is what the oracle states
+    "p82_incremental_hamming" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id").as("bid"), col("text").as("btext"))
+      val grouped = d.select(col("doc_id"))
+        .join(base, col("doc_id") - col("doc_id") % 3 === col("bid"))
+        .select(col("doc_id"), encode(col("btext"), "UTF-8").as("media"))
+      val planted = Multimodal.imageDHash(grouped).withColumn("dhash",
+        col("dhash")
+          .bitwiseXOR(when(col("doc_id") % 3 >= 1,
+            expr("shiftleft(1L, cast(doc_id % 48 as int))"))
+            .otherwise(lit(0L)))
+          .bitwiseXOR(when(col("doc_id") % 3 === 2,
+            expr("shiftleft(1L, cast((doc_id * 31 + 17) % 48 as int))"))
+            .otherwise(lit(0L))))
+      Dedup.hammingPairsIncremental(
+        planted.filter(col("doc_id") % 2 === 1),
+        planted.filter(col("doc_id") % 2 === 0),
+        "doc_id", "dhash", maxHamming = 4)
+    }),
+
     // image near-dup via perceptual dHash + the simhash Hamming-banding
     // machinery: text blobs always take the md5 fallback hash (the p12
     // dispatch precedent — the REAL luma-grid path is pinned by
@@ -2839,6 +2865,30 @@ object PipelineQueries {
            CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
          FROM p a JOIN p b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.dh, b.dh)) <= 4""",
+
+    // p74's oracle restricted to pairs with >= 1 odd (batch) side —
+    // the incremental screen is relationally exactly that
+    "p82_incremental_hamming" ->
+      """WITH g AS (SELECT d.doc_id, b.text AS btext
+               FROM documents d
+               JOIN documents b ON b.doc_id = d.doc_id - (d.doc_id % 3)),
+             h AS (SELECT doc_id,
+                     ('0x' || substr(md5(btext), 1, 12))::BIGINT AS dh0
+                   FROM g),
+             p AS (SELECT doc_id,
+                     xor(xor(dh0,
+                       CASE WHEN doc_id % 3 >= 1
+                            THEN (1::BIGINT << (doc_id % 48)::INT)
+                            ELSE 0::BIGINT END),
+                       CASE WHEN doc_id % 3 = 2
+                            THEN (1::BIGINT << ((doc_id * 31 + 17) % 48)::INT)
+                            ELSE 0::BIGINT END) AS dh
+                   FROM h)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+         FROM p a JOIN p b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dh, b.dh)) <= 4
+           AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)""",
 
     // p74's oracle verbatim over the audio signature: md5-fallback
     // dispatch + planted flips + the exact O(n²) pair restatement

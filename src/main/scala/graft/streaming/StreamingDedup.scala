@@ -163,6 +163,60 @@ object StreamingDedup {
       }
   }
 
+  final case class HammingHit(doc_a: Long, doc_b: Long, hamming: Long)
+
+  /** Streaming 48-bit-signature screen against a STORED signature
+    * index ([[graft.pipeline.Dedup.saveSignatureIndex]]) — the
+    * [[cosineScreenStream]] twin for simhash / image-dHash /
+    * audio-fingerprint corpora: each arriving micro-batch of
+    * signatures is banded under the index's OWN stored Hamming cutoff
+    * (from the meta row — the serve self-configures, so cutoff drift
+    * is impossible) and screened via the (band, bits) stream-static
+    * equality join + exact bit_count verify. A pair agreeing on
+    * several bands must emit ONCE: the per-pair fold is a stateless
+    * `flatMapGroupsWithState` (no state across batches — a streaming
+    * `distinct` would grow state with the corpus). Within-batch pairs
+    * are NOT emitted; run exact dedup upstream and fold survivors in
+    * via [[graft.pipeline.Dedup.mergeIntoSignatureIndex]] downstream.
+    * Batch-equivalence: rows = the batch
+    * [[graft.pipeline.Dedup.hammingAgainstIndex]] result minus its
+    * batch-internal pairs, any micro-batch split.
+    */
+  def hammingScreenStream(sigs: DataFrame, indexPath: String,
+      idCol: String = "doc_id", sigCol: String = "sig")
+      : Dataset[HammingHit] = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val (maxHamming, storedSigs, storedBands) =
+      graft.pipeline.Dedup.loadSignatureIndex(spark, indexPath)
+    val newSide = sigs
+      .select(col(idCol).cast("long").as("doc"), col(sigCol).as("sh"))
+      .withColumn("__bb",
+        explode(graft.pipeline.Dedup.hammingBands48(col("sh"), maxHamming)))
+      .select(col("doc"), col("sh"), col("__bb.band"), col("__bb.bits"))
+    val staticSide = storedBands.join(storedSigs, "doc")
+      .select(col("doc").as("doc_b"), col("band"), col("bits"),
+        col("sh").as("shb"))
+    val verified = newSide.join(staticSide, Seq("band", "bits"))
+      .filter(col("doc") =!= col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("sh").bitwiseXOR(col("shb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(least(col("doc"), col("doc_b")).as("doc_a"),
+        greatest(col("doc"), col("doc_b")).as("doc_b2"), col("hamming"))
+      .as[(Long, Long, Long)]
+    verified.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: (Long, Long), rows: Iterator[(Long, Long, Long)],
+         state: GroupState[Boolean]) =>
+          // one emission per pair per micro-batch; hamming identical
+          // on every agreeing band, take head
+          val h = rows.next()._3
+          Iterator.single(HammingHit(key._1, key._2, h))
+      }
+  }
+
   /** Batch helper rebuilding document texts from [[dedupLinesStream]]
     * survivors (run it in the sink / over the stored line relation):
     * group by doc, order by position, rejoin with newlines. A doc whose

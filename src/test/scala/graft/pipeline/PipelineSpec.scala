@@ -385,6 +385,68 @@ class PipelineSpec extends SparkSpecBase {
     assert(cclash.getMessage.contains("already exist"), cclash.getMessage)
   }
 
+  test("incremental hamming == full pairs touching the batch; stored index serves identically") {
+    // groups of <=3 docs share a 48-bit base signature; members get a
+    // doc-derived bit flip (the p74/p82 plant)
+    val sig = docs.select(col("doc_id"),
+      expr("CAST(conv(substr(md5(string(doc_id - doc_id % 3)), 1, 12), 16, 10) AS BIGINT)")
+        .as("base"))
+      .withColumn("sig", col("base")
+        .bitwiseXOR(when(col("doc_id") % 3 >= 1,
+          expr("shiftleft(1L, cast(doc_id % 48 as int))")).otherwise(lit(0L))))
+      .select("doc_id", "sig")
+    def pairMap(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = pairMap(Dedup.hammingPairs48(sig, "doc_id", "sig", 4))
+    val batch = sig.filter(col("doc_id") % 2 === 1)
+    val corpus = sig.filter(col("doc_id") % 2 === 0)
+    val inc = pairMap(Dedup.hammingPairsIncremental(
+      batch, corpus, "doc_id", "sig", 4))
+    val want = full.view.filterKeys { case (a, b) => a % 2 == 1 || b % 2 == 1 }.toMap
+    assert(inc == want && want.nonEmpty,
+      s"missing=${want.keySet -- inc.keySet} extra=${inc.keySet -- want.keySet}")
+    // stored-path serve: parquet round-trip, self-configured from meta
+    val dir = java.nio.file.Files.createTempDirectory("sig_idx").toString
+    Dedup.saveSignatureIndex(corpus, dir, "doc_id", "sig", maxHamming = 4)
+    val served = pairMap(Dedup.hammingAgainstIndex(batch, dir, "doc_id", "sig"))
+    assert(served == inc)
+    // a malformed meta must fail LOUDLY, not silently mis-band
+    import spark.implicits._
+    Seq(4, 5).toDF("max_hamming").write.mode("overwrite").parquet(s"$dir/meta")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.loadSignatureIndex(spark, dir)
+    }
+    assert(e.getMessage.contains("ONE meta row"), e.getMessage)
+  }
+
+  test("signature index fold-in: merge == fresh rebuild; id clash fails loudly") {
+    val sig = docs.select(col("doc_id"),
+      expr("CAST(conv(substr(md5(string(doc_id - doc_id % 3)), 1, 12), 16, 10) AS BIGINT)")
+        .bitwiseXOR(when(col("doc_id") % 3 >= 1,
+          expr("shiftleft(1L, cast(doc_id % 48 as int))")).otherwise(lit(0L)))
+        .as("sig"))
+    val a = sig.filter(col("doc_id") < 300)
+    val b = sig.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val c = sig.filter(col("doc_id") >= 400)
+    def pairMap(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val foldDir = java.nio.file.Files.createTempDirectory("sig_fold").toString
+    Dedup.saveSignatureIndex(a, foldDir, "doc_id", "sig", maxHamming = 4)
+    Dedup.mergeIntoSignatureIndex(b, foldDir, "doc_id", "sig")
+    val rebuildDir = java.nio.file.Files.createTempDirectory("sig_rebuild").toString
+    Dedup.saveSignatureIndex(a.unionByName(b), rebuildDir, "doc_id", "sig",
+      maxHamming = 4)
+    val merged = pairMap(Dedup.hammingAgainstIndex(c, foldDir, "doc_id", "sig"))
+    val rebuilt = pairMap(Dedup.hammingAgainstIndex(c, rebuildDir, "doc_id", "sig"))
+    assert(merged == rebuilt && rebuilt.nonEmpty,
+      s"merged=${merged.size} rebuilt=${rebuilt.size}")
+    val clash = intercept[IllegalArgumentException] {
+      Dedup.mergeIntoSignatureIndex(b, foldDir, "doc_id", "sig",
+        assertNewIds = true)
+    }
+    assert(clash.getMessage.contains("already exist"), clash.getMessage)
+  }
+
   test("incremental minhash == full pairs restricted to pairs touching new docs") {
     val all = docs
     val newDocs = all.filter(col("doc_id") >= 400)

@@ -340,6 +340,48 @@ class StreamingSpec extends SparkSpecBase {
     assert(threeBatches == expected, "split-invariance failed")
   }
 
+  test("hammingScreenStream over the stored index == batch screen minus batch pairs, any split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val sig = docs.select(col("doc_id"),
+      expr("CAST(conv(substr(md5(string(doc_id - doc_id % 3)), 1, 12), 16, 10) AS BIGINT)")
+        .bitwiseXOR(when(col("doc_id") % 3 >= 1,
+          expr("shiftleft(1L, cast(doc_id % 48 as int))")).otherwise(lit(0L)))
+        .as("sig"))
+    val corpus = sig.filter(col("doc_id") % 2 === 0)
+    val batch = sig.filter(col("doc_id") % 2 === 1)
+    val batchRows = batch.as[(Long, Long)].collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("sig_idx_stream").toString
+    graft.pipeline.Dedup.saveSignatureIndex(corpus, dir, "doc_id", "sig",
+      maxHamming = 4)
+    val expected = graft.pipeline.Dedup.hammingAgainstIndex(
+        batch, dir, "doc_id", "sig")
+      .filter(pmod(col("doc_a"), lit(2)) === 0 || pmod(col("doc_b"), lit(2)) === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(expected.nonEmpty, "fixture produced no cross-snapshot pairs")
+    def run(splits: Seq[Seq[(Long, Long)]], name: String)
+        : Map[(Long, Long), Long] = {
+      val mem = MemoryStream[(Long, Long)]
+      val out = StreamingDedup.hammingScreenStream(
+        mem.toDF().toDF("doc_id", "sig"), dir)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        splits.foreach { s => mem.addData(s: _*); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      } finally q.stop()
+    }
+    val oneBatch = run(Seq(batchRows), "ham_screen_1")
+    assert(oneBatch == expected,
+      s"missing=${expected.keySet -- oneBatch.keySet} extra=${oneBatch.keySet -- expected.keySet}")
+    val threeBatches = run(
+      Seq(batchRows.take(60), batchRows.slice(60, 150), batchRows.drop(150)),
+      "ham_screen_3")
+    assert(threeBatches == expected, "split-invariance failed")
+  }
+
   test("asOfStream matches batch AsOf.join backward across micro-batches") {
     import spark.implicits._
     import StreamingAsOf._
