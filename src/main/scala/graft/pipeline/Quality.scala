@@ -522,6 +522,36 @@ object Quality {
         .as("text_redacted"))
   }
 
+  /** Filtering funnel report — the per-stage rejection table every
+    * pipeline paper publishes (Dolma §4 / FineWeb's ablation tables /
+    * RefinedWeb table 2 report exactly this: how many documents each
+    * gate removes, in pipeline order): each document is attributed to
+    * the FIRST gate that rejects it — Gopher rules, then the C4
+    * sentence/lorem/brace page gate, then the strict word-list — or
+    * to the survivor bucket. Output is the tiny (stage, n_docs)
+    * frame. Each gate is the existing verified operator; the three
+    * (id, keep) sides are narrow boolean projections joined back on
+    * the id — three cheap long/bool shuffles, never a second text
+    * scan of the corpus per gate.
+    */
+  def filterFunnel(docs: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String], maxFraction: Double = 0.0): DataFrame = {
+    val g = gopherRules(docs, idCol, textCol)
+      .select(col(idCol), col("keep").as("__g"))
+    val c = c4Clean(docs, idCol, textCol)
+      .select(col(idCol), col("keep").as("__c"))
+    val w = wordlistFilter(docs, idCol, textCol, blocklist, maxFraction)
+      .select(col(idCol), col("keep_strict").as("__w"))
+    docs.select(col(idCol))
+      .join(g, Seq(idCol)).join(c, Seq(idCol)).join(w, Seq(idCol))
+      .select(
+        when(!col("__g"), lit("1_gopher"))
+          .when(!col("__c"), lit("2_c4"))
+          .when(!col("__w"), lit("3_wordlist"))
+          .otherwise(lit("4_survivor")).as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_docs"))
+  }
+
   /** IBAN candidate: 2 country letters + 2 check digits + 11–30
     * alphanumerics (total 15–34, the ISO 13616 length envelope),
     * word-bounded, uppercase as printed. Shared Java-regex / RE2

@@ -126,6 +126,17 @@ object PipelineQueries {
     }(AnnIO.loadTruth(s, _))
 
   // tokenization prelude shared by the oracle SQL strings
+  /** The p83 funnel's gate-passing suffix: five ≥3-word sentences on
+    * one line (terminal '.', so the C4 line rule keeps it and counts 5
+    * sentences), 44 alpha words carrying all the Gopher stop words.
+    */
+  private val FunnelPasser =
+    "the quick brown fox jumps over the lazy dog today. " +
+    "and we keep many solid words here with care. " +
+    "that line also ends with a clean period mark. " +
+    "have another proper sentence of plain words now. " +
+    "with this final sentence the document clearly ends."
+
   private val TOKS =
     raw"""list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')"""
   private val SHINGLES3 =
@@ -1083,6 +1094,22 @@ object PipelineQueries {
                 (col("doc_id") % 5).cast("string"))),
             lit("#s"), (col("doc_id") % 2).cast("string")).as("raw_url")),
         "doc_id", "raw_url")),
+
+    // filtering funnel (the Dolma/FineWeb per-stage rejection table):
+    // every doc gets a gate-passing 5-sentence/44-word suffix, then
+    // each %4 residue breaks exactly one later gate — a '#'-flood
+    // token (gopher symbol ratio), a lorem line (c4), a blocklisted
+    // token on its own proper sentence line (wordlist) — so all four
+    // attribution branches are populated and first-fail order matters
+    "p83_filter_funnel" -> ((s, dir) =>
+      Quality.filterFunnel(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"), lit("\n" + FunnelPasser),
+            when(col("doc_id") % 4 === 1, lit(" " + "#" * 40))
+              .when(col("doc_id") % 4 === 2, lit("\nlorem ipsum dolor sit amet."))
+              .when(col("doc_id") % 4 === 3, lit("\nbadword ends the line today."))
+              .otherwise(lit(""))).as("text")),
+        "doc_id", "text", blocklist = Seq("badword"))),
 
     // IBAN PII (mod-97-10): %3==0 docs cycle 5 valid test IBANs of
     // different lengths/countries, %3==1 carries a checksum-FAILING
@@ -2980,6 +3007,71 @@ object PipelineQueries {
            CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_variants,
            min(doc_id) AS first_doc
          FROM c2 GROUP BY 1""",
+
+    // the three gate m-blocks of p43/p44/p75 composed over the funnel
+    // plant, then the same first-fail CASE and group-by; the passer
+    // suffix is interpolated from the SAME Scala constant the engine
+    // plants, so the two sides cannot drift
+    "p83_filter_funnel" -> {
+      val passer = FunnelPasser
+      raw"""WITH d0 AS (SELECT doc_id,
+                text || chr(10) || '$passer'
+                || CASE WHEN doc_id % 4 = 1 THEN ' ' || repeat('#', 40)
+                        WHEN doc_id % 4 = 2 THEN chr(10) || 'lorem ipsum dolor sit amet.'
+                        WHEN doc_id % 4 = 3 THEN chr(10) || 'badword ends the line today.'
+                        ELSE '' END AS text
+              FROM documents),
+             dd AS (SELECT doc_id, text,
+                      list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                        x -> x != '') AS toks,
+                      string_split(text, chr(10)) AS ls
+                    FROM d0),
+             g AS (SELECT doc_id,
+                     (CAST(len(toks) AS BIGINT) >= 50 AND len(toks) <= 100000
+                      AND coalesce(round(list_sum(list_transform(toks, x -> length(x)))
+                        * 1.0 / nullif(len(toks), 0), 6), 0.0) BETWEEN 3.0 AND 10.0
+                      AND coalesce(round((length(text) - length(replace(text, '#', ''))
+                        + (length(text) - length(replace(text, '...', ''))) / 3)
+                        * 1.0 / nullif(len(toks), 0), 6), 0.0) <= 0.1
+                      AND coalesce(round(len(list_filter(ls,
+                          l -> substr(ltrim(l), 1, 1) IN ('•', '-')))
+                        * 1.0 / nullif(len(ls), 0), 6), 0.0) <= 0.9
+                      AND coalesce(round(len(list_filter(ls,
+                          l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+                        * 1.0 / nullif(len(ls), 0), 6), 0.0) <= 0.3
+                      AND coalesce(round(len(list_filter(toks,
+                          x -> regexp_matches(x, '[a-z]')))
+                        * 1.0 / nullif(len(toks), 0), 6), 0.0) >= 0.8
+                      AND CAST(len(list_filter(
+                        ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+                        w -> list_contains(toks, w))) AS BIGINT) >= 2) AS gkeep
+                   FROM dd),
+             ck AS (SELECT doc_id, text,
+                      list_filter(string_split(text, chr(10)),
+                        l -> substr(rtrim(l), -1, 1) IN ('.', '!', '?', '"')
+                          AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                                x -> x != '')) >= 3
+                          AND NOT contains(lower(l), 'javascript')) AS kl
+                    FROM d0),
+             c AS (SELECT doc_id,
+                     (CAST(length(array_to_string(kl, chr(10)))
+                       - length(regexp_replace(array_to_string(kl, chr(10)),
+                           '[.!?]', '', 'g')) AS BIGINT) >= 5
+                      AND NOT contains(lower(text), 'lorem ipsum')
+                      AND NOT contains(text, '{')) AS ckeep
+                   FROM ck),
+             w AS (SELECT doc_id,
+                     len(list_filter(toks, t -> list_contains(['badword'], t))) = 0
+                       AS wkeep
+                   FROM dd)
+         SELECT CASE WHEN NOT gkeep THEN '1_gopher'
+                     WHEN NOT ckeep THEN '2_c4'
+                     WHEN NOT wkeep THEN '3_wordlist'
+                     ELSE '4_survivor' END AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs
+         FROM g JOIN c USING (doc_id) JOIN w USING (doc_id)
+         GROUP BY 1"""
+    },
 
     // same plant, same candidate regex, same rearrange + mod-97 fold
     // (letters via ascii-55, digit-count-aware radix per step), same

@@ -2430,6 +2430,27 @@ class PipelineSpec extends SparkSpecBase {
     assert(out(1L)._2.get < out(3L)._2.get)
   }
 
+  test("filterFunnel: first-failing-gate attribution, all branches, funnel order matters") {
+    // five proper sentences, 44 alpha words incl. the Gopher stops —
+    // passes gopher + c4 + wordlist
+    val passer =
+      "the quick brown fox jumps over the lazy dog today and more. " +
+      "and we keep many solid words here with care in this text. " +
+      "that line also ends with a clean period mark as needed. " +
+      "have another proper sentence of plain words right now too. " +
+      "with this final sentence the document clearly ends for good."
+    val d = docsOf(
+      (1L, passer),                                        // survivor
+      (2L, "too short."),                                  // fails gopher (AND c4) → gopher
+      (3L, passer + "\nlorem ipsum dolor sit amet."),      // fails only c4
+      (4L, passer + "\nbadword ends the line today."),     // fails only wordlist
+      (5L, passer + " " + "#" * 40))                       // symbol flood → gopher
+    val out = Quality.filterFunnel(d, "doc_id", "text", Seq("badword"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("1_gopher" -> 2L, "2_c4" -> 1L,
+      "3_wordlist" -> 1L, "4_survivor" -> 1L), out.toString)
+  }
+
   test("ibanScrub: mod-97 arbitrates — valid spellings redacted, lookalikes untouched") {
     val d = docsOf(
       (1L, "acct DE89370400440532013000 ok"),
