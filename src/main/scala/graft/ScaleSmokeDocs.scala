@@ -493,6 +493,42 @@ object ScaleSmokeDocs {
       batch.unpersist()
     }
 
+    // 48-bit-signature screen (p82): index the corpus's signatures
+    // (groups of 4 share a base, planted flips), then screen a FIXED
+    // 20k batch. maxHamming=2 → 3 bands of 16 bits (the documented
+    // simhash banding rule): random candidates per batch row ≈
+    // 3·corpus/65536 — linear in corpus with a 2^-16 constant, which
+    // is the honest scale law of hamming banding (unlike minhash,
+    // whose bucket count grows with content diversity)
+    if (wanted("sig_index_build") || wanted("hamming_screen_20k")) {
+      def sigOf(idc: org.apache.spark.sql.Column) = {
+        val base = idc - pmod(idc, lit(4))
+        // xxhash64, not hash(): a 32-bit hash leaves the top 16-bit
+        // band all-zero — one bucket holding the whole corpus
+        pmod(xxhash64(base), lit(1L << 48))
+      }
+      val sigs = docs.select(col("doc_id"),
+        sigOf(col("doc_id"))
+          .bitwiseXOR(when(col("doc_id") % 4 >= 1,
+            expr("shiftleft(1L, cast(doc_id % 48 as int))"))
+            .otherwise(lit(0L))).as("sig"))
+      val batchSigs = spark.range(20000).select(
+        (col("id") + totalDocs).as("doc_id"),
+        sigOf(col("id") * lit(4)) // every batch row hits one corpus group
+          .bitwiseXOR(expr("shiftleft(1L, cast((id * 7) % 48 as int))"))
+          .as("sig"))
+        .persist()
+      batchSigs.count()
+      val sigDir = s"/tmp/graft_sig_idx_$totalDocs"
+      stage("sig_index_build")({
+        Dedup.saveSignatureIndex(sigs, sigDir, "doc_id", "sig", maxHamming = 2)
+        spark.read.parquet(s"$sigDir/sigs").count()
+      })
+      stage("hamming_screen_20k")(
+        Dedup.hammingAgainstIndex(batchSigs, sigDir, "doc_id", "sig").count())
+      batchSigs.unpersist()
+    }
+
     // ANN over synthetic embeddings: half the doc count, 64 dims, with
     // planted near-dups (id ≡ 1 mod 100 = predecessor with coordinate 0
     // nudged → cosine ≈ 0.999) so banded-pair recall is checkable.
