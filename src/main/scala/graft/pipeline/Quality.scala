@@ -552,6 +552,40 @@ object Quality {
       .groupBy("stage").agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Character-level Shannon entropy per document — the gibberish /
+    * key-mash / padding detector quality pipelines run beside the
+    * word-level ratios (repetitive flooding like `aaaa…` crushes
+    * entropy toward 0 while normal prose sits near 3–4 nats; the
+    * signal needs no language model and no tokenizer, which is why
+    * it's the first gate for binary-ish crawl junk). Per doc:
+    * char count, distinct chars, entropy −Σ (k/n)·ln(k/n) in nats,
+    * and the keep gate. Plan: one char explode into ONE (doc, char)
+    * hash aggregate (map-side combine collapses to ≤ alphabet size
+    * per doc per partition), then two keyed rollups — linear, the p8
+    * token-stats family. The per-char-type term is micro-nat
+    * quantized before the exact integer sum (the p36 discipline), so
+    * both engines round identically. Documents with empty text have
+    * no char rows and drop from the output (mirrored by the oracle).
+    */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String,
+      minEntropy: Double = 2.5): DataFrame = {
+    val cc = docs.select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit("[\\s\\S]"), lit(0)))
+          .as("__c"))
+      .groupBy(col(idCol), col("__c")).agg(count(lit(1)).as("__k"))
+    val n = cc.groupBy(col(idCol))
+      .agg(sum("__k").as("__n"), count(lit(1)).as("n_distinct_chars"))
+    val p = col("__k") * lit(1.0) / col("__n")
+    val terms = cc.join(n, Seq(idCol))
+      .withColumn("__tu",
+        round(negate(p) * log(p) * lit(1000000.0)).cast("long"))
+      .groupBy(col(idCol)).agg(sum("__tu").as("__su"))
+    n.join(terms, Seq(idCol))
+      .select(col(idCol), col("__n").as("n_chars"), col("n_distinct_chars"),
+        round(col("__su") / lit(1000000.0), 6).as("char_entropy"))
+      .withColumn("keep", col("char_entropy") >= minEntropy)
+  }
+
   /** IBAN candidate: 2 country letters + 2 check digits + 11–30
     * alphanumerics (total 15–34, the ISO 13616 length envelope),
     * word-bounded, uppercase as printed. Shared Java-regex / RE2

@@ -1111,6 +1111,18 @@ object PipelineQueries {
               .otherwise(lit(""))).as("text")),
         "doc_id", "text", blocklist = Seq("badword"))),
 
+    // char-entropy gibberish gate: every 5th doc gets a 200-char 'a'
+    // flood that crushes its entropy below the 2.5-nat gate while the
+    // clean corpus sits near 2.9 — both modes populated
+    "p84_char_entropy" -> ((s, dir) =>
+      Quality.charEntropy(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" "), lit("a" * 200))).otherwise(lit("")))
+            .as("text")),
+        "doc_id", "text")),
+
     // IBAN PII (mod-97-10): %3==0 docs cycle 5 valid test IBANs of
     // different lengths/countries, %3==1 carries a checksum-FAILING
     // lookalike (one trailing digit off) that must NOT redact
@@ -3072,6 +3084,29 @@ object PipelineQueries {
          FROM g JOIN c USING (doc_id) JOIN w USING (doc_id)
          GROUP BY 1"""
     },
+
+    // same plant; per-char-type micro-nat term, exact integer sum,
+    // 6-dp final — the p36 rounding discipline over characters
+    "p84_char_entropy" ->
+      raw"""WITH d AS (SELECT doc_id,
+                text || CASE WHEN doc_id % 5 = 0 THEN ' ' || repeat('a', 200)
+                             ELSE '' END AS text
+              FROM documents),
+             ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
+                    FROM d),
+             cc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
+                    FROM ch GROUP BY 1, 2),
+             n AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS n_distinct FROM cc GROUP BY 1),
+             t AS (SELECT cc.doc_id,
+                     CAST(round(-(cc.k * 1.0 / n.n) * ln(cc.k * 1.0 / n.n)
+                       * 1000000.0) AS BIGINT) AS tu
+                   FROM cc JOIN n USING (doc_id)),
+             e AS (SELECT doc_id, CAST(sum(tu) AS BIGINT) AS su FROM t GROUP BY 1)
+         SELECT n.doc_id, n.n AS n_chars, n.n_distinct AS n_distinct_chars,
+           round(e.su / 1000000.0, 6) AS char_entropy,
+           round(e.su / 1000000.0, 6) >= 2.5 AS keep
+         FROM n JOIN e USING (doc_id)""",
 
     // same plant, same candidate regex, same rearrange + mod-97 fold
     // (letters via ascii-55, digit-count-aware radix per step), same

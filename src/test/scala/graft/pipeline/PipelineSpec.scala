@@ -2451,6 +2451,31 @@ class PipelineSpec extends SparkSpecBase {
       "3_wordlist" -> 1L, "4_survivor" -> 1L), out.toString)
   }
 
+  test("charEntropy: analytic values on hand distributions, flood crushes the gate") {
+    val d = docsOf(
+      (1L, "aaaa"),          // one char type: entropy exactly 0
+      (2L, "aabb"),          // uniform over 2: exactly ln 2
+      (3L, "abcd"),          // uniform over 4: exactly ln 4
+      (4L, "the quick brown fox jumps over the lazy dog " * 3 + "a" * 400))
+    val out = Quality.charEntropy(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    def h(ps: Seq[Double]) = {
+      val su = ps.map(p => math.round(-p * math.log(p) * 1e6)).sum
+      BigDecimal(su / 1e6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out(1L) == ((4L, 1L, 0.0, false)))
+    assert(out(2L) == ((4L, 2L, h(Seq(0.5, 0.5)), false)))
+    assert(out(3L) == ((4L, 4L, h(Seq(0.25, 0.25, 0.25, 0.25)), false)))
+    // the prose prefix alone clears 2.5 nats; the 400-char flood must
+    // drag the combined doc under the gate
+    val proseOnly = Quality.charEntropy(
+      docsOf((9L, "the quick brown fox jumps over the lazy dog " * 3)),
+      "doc_id", "text").collect()(0)
+    assert(proseOnly.getBoolean(4), s"prose entropy ${proseOnly.getDouble(3)}")
+    assert(!out(4L)._4 && out(4L)._3 < proseOnly.getDouble(3))
+  }
+
   test("ibanScrub: mod-97 arbitrates — valid spellings redacted, lookalikes untouched") {
     val d = docsOf(
       (1L, "acct DE89370400440532013000 ok"),
