@@ -586,6 +586,43 @@ object Quality {
       .withColumn("keep", col("char_entropy") >= minEntropy)
   }
 
+  /** FineWeb-style line-level corrections (Penedo '24 §3's line
+    * filters, the step between C4's sentence rule and whole-doc
+    * gates: web pages keep their prose but lose the furniture): drop
+    *
+    *   - `numeric`: lines of digits/punctuation only (pagination,
+    *     timestamps, vote tallies) — `^\s*[\d.,:%/-]+\s*$`;
+    *   - `counter`: social-counter lines — a number followed by
+    *     likes/comments/shares/views/points;
+    *   - `caps`: short ALL-CAPS lines (≤ maxCapsTokens tokens, has an
+    *     uppercase letter, no lowercase) — nav menus and section
+    *     chrome.
+    *
+    * The three rules are disjoint by construction (numeric lines have
+    * no letters; counter lines are lowercase words), so the per-rule
+    * counts sum to the dropped total. One codegen'd projection — the
+    * line split and every rule run as array HOFs, no explode, no
+    * shuffle; `text_clean` reassembles the survivors in order.
+    */
+  def lineCorrections(docs: DataFrame, idCol: String, textCol: String,
+      maxCapsTokens: Int = 4): DataFrame = {
+    val NumericRe = "^[\\d.,:%/\\s-]*\\d[\\d.,:%/\\s-]*$"
+    val CounterRe = "^\\s*\\d+\\s+(likes?|comments?|shares?|views?|points?)\\s*$"
+    def numeric(l: Column) = l.rlike(NumericRe)
+    def counter(l: Column) = lower(l).rlike(CounterRe)
+    def caps(l: Column) =
+      l.rlike("[A-Z]") && !l.rlike("[a-z]") &&
+        size(filter(split(trim(l), "\\s+"), t => length(t) > 0)) <= maxCapsTokens
+    def dropped(l: Column) = numeric(l) || counter(l) || caps(l)
+    val ls = split(col(textCol), "\n")
+    docs.select(col(idCol),
+      size(ls).cast("long").as("n_lines"),
+      size(filter(ls, numeric(_))).cast("long").as("n_numeric"),
+      size(filter(ls, counter(_))).cast("long").as("n_counter"),
+      size(filter(ls, caps(_))).cast("long").as("n_caps"),
+      array_join(filter(ls, l => !dropped(l)), "\n").as("text_clean"))
+  }
+
   /** IBAN candidate: 2 country letters + 2 check digits + 11–30
     * alphanumerics (total 15–34, the ISO 13616 length envelope),
     * word-bounded, uppercase as printed. Shared Java-regex / RE2

@@ -1111,6 +1111,26 @@ object PipelineQueries {
               .otherwise(lit(""))).as("text")),
         "doc_id", "text", blocklist = Seq("badword"))),
 
+    // FineWeb line corrections: residue-keyed furniture lines (a page
+    // counter, a social counter, an all-caps nav row) planted around a
+    // keeper sentence; %2/%3/%5 residues vary the per-rule counts and
+    // a 5-token caps line pins the token bound (caps but too long to
+    // be nav chrome -> must SURVIVE)
+    "p85_line_corrections" -> ((s, dir) =>
+      Quality.lineCorrections(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 2 === 0, lit("\n42 / 107")).otherwise(lit("")),
+            when(col("doc_id") % 3 === 0,
+              concat(lit("\n"), (col("doc_id") % 90).cast("string"),
+                lit(" likes"))).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0, lit("\nHOME ABOUT CONTACT"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 0, lit("\n12 THINGS WE KEPT TODAY"))
+              .otherwise(lit("")),
+            lit("\nthis closing line clearly stays here.")).as("text")),
+        "doc_id", "text")),
+
     // char-entropy gibberish gate: every 5th doc gets a 200-char 'a'
     // flood that crushes its entropy below the 2.5-nat gate while the
     // clean corpus sits near 2.9 — both modes populated
@@ -3084,6 +3104,44 @@ object PipelineQueries {
          FROM g JOIN c USING (doc_id) JOIN w USING (doc_id)
          GROUP BY 1"""
     },
+
+    // same plant, same three disjoint line rules as list_filters over
+    // the chr(10) split, same in-order reassembly
+    "p85_line_corrections" ->
+      raw"""WITH d AS (SELECT doc_id,
+                text
+                || CASE WHEN doc_id % 2 = 0 THEN chr(10) || '42 / 107' ELSE '' END
+                || CASE WHEN doc_id % 3 = 0
+                        THEN chr(10) || (doc_id % 90)::VARCHAR || ' likes'
+                        ELSE '' END
+                || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'HOME ABOUT CONTACT'
+                        ELSE '' END
+                || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '12 THINGS WE KEPT TODAY'
+                        ELSE '' END
+                || chr(10) || 'this closing line clearly stays here.' AS text
+              FROM documents),
+             sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d)
+         SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(ls,
+             l -> regexp_matches(l, '^[\d.,:%/\s-]*\d[\d.,:%/\s-]*$$'))) AS BIGINT)
+             AS n_numeric,
+           CAST(len(list_filter(ls,
+             l -> regexp_matches(lower(l),
+               '^\s*\d+\s+(likes?|comments?|shares?|views?|points?)\s*$$')))
+             AS BIGINT) AS n_counter,
+           CAST(len(list_filter(ls,
+             l -> regexp_matches(l, '[A-Z]') AND NOT regexp_matches(l, '[a-z]')
+               AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                     t -> len(t) > 0)) <= 4)) AS BIGINT) AS n_caps,
+           array_to_string(list_filter(ls,
+             l -> NOT (regexp_matches(l, '^[\d.,:%/\s-]*\d[\d.,:%/\s-]*$$')
+               OR regexp_matches(lower(l),
+                 '^\s*\d+\s+(likes?|comments?|shares?|views?|points?)\s*$$')
+               OR (regexp_matches(l, '[A-Z]') AND NOT regexp_matches(l, '[a-z]')
+                 AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                       t -> len(t) > 0)) <= 4))), chr(10)) AS text_clean
+         FROM sp""",
 
     // same plant; per-char-type micro-nat term, exact integer sum,
     // 6-dp final — the p36 rounding discipline over characters

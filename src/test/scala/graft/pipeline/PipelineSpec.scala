@@ -2451,6 +2451,25 @@ class PipelineSpec extends SparkSpecBase {
       "3_wordlist" -> 1L, "4_survivor" -> 1L), out.toString)
   }
 
+  test("lineCorrections: each furniture rule fires, disjointly; survivors reassemble in order") {
+    val d = docsOf(
+      (1L, "good prose line here.\n42 / 107\n3 likes\nHOME ABOUT\nmore prose."),
+      (2L, "12 THINGS WE KEPT TODAY\nALL CAPS\n2024-01-02"),  // 5-token caps SURVIVES
+      (3L, "only prose in this one."),
+      (4L, "117 Comments\n0 points\n999 views"))
+    val out = Quality.lineCorrections(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))).toMap
+    assert(out(1L) == ((5L, 1L, 1L, 1L, "good prose line here.\nmore prose.")))
+    // '2024-01-02' is numeric furniture; 'ALL CAPS' is 2-token caps;
+    // the 5-token caps headline is past the bound and must stay
+    assert(out(2L) == ((3L, 1L, 0L, 1L, "12 THINGS WE KEPT TODAY")))
+    assert(out(3L) == ((1L, 0L, 0L, 0L, "only prose in this one.")))
+    // counter rule is case-insensitive; all three lines are counters,
+    // none double-counts as numeric (they contain letters)
+    assert(out(4L) == ((3L, 0L, 3L, 0L, "")))
+  }
+
   test("charEntropy: analytic values on hand distributions, flood crushes the gate") {
     val d = docsOf(
       (1L, "aaaa"),          // one char type: entropy exactly 0
