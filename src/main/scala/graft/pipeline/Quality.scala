@@ -623,6 +623,47 @@ object Quality {
       array_join(filter(ls, l => !dropped(l)), "\n").as("text_clean"))
   }
 
+  /** Per-source token-distribution divergence — the domain-mix monitor
+    * behind DoReMi-style reweighting and data-mixture ablations (Xie
+    * '23; the first diagnostic when a source behaves oddly in training
+    * is "how far is its token distribution from the corpus"): for each
+    * source, KL(P_source ‖ P_corpus) = Σ_t p_s(t)·ln(p_s(t)/p(t)) in
+    * nats, plus its token and term counts. Support(P_s) ⊆ support(P)
+    * by construction (the corpus term counts are the source counts
+    * summed), so no smoothing is needed and every term is finite.
+    * Plan: ONE token explode into a (source, term) hash aggregate;
+    * the term marginal and source totals are rollups OF that frame
+    * (the corpus is never re-scanned); grand total a one-row
+    * broadcast. Per-(source, term) micro-nat quantization before the
+    * exact integer sum — the p36 discipline, so both engines round
+    * identically. Note micro-nat rounding of near-zero terms makes
+    * the SUM exactly reproducible, not exactly KL; at 6 dp the
+    * distinction is below the emitted precision.
+    */
+  def domainKl(docs: DataFrame, srcCol: String, textCol: String)
+      : DataFrame = {
+    val toks = docs.select(col(srcCol).as("source"),
+      explode(tokens(col(textCol))).as("term"))
+    val st = toks.groupBy("source", "term")
+      .agg(count(lit(1)).as("__kst")).persist()
+    val t = st.groupBy("term").agg(sum("__kst").as("__kt"))
+    val ns = st.groupBy("source")
+      .agg(sum("__kst").as("__ns"), count(lit(1)).as("n_terms"))
+    val tot = t.agg(sum("__kt").as("__n"))
+    val ps = col("__kst") * lit(1.0) / col("__ns")
+    val pc = col("__kt") * lit(1.0) / col("__n")
+    val klu = st
+      .join(t, Seq("term"))
+      .join(ns.select(col("source"), col("__ns")), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__klu",
+        round(ps * log(ps / pc) * lit(1000000.0)).cast("long"))
+      .groupBy("source").agg(sum("__klu").as("__su"))
+    ns.join(klu, Seq("source"))
+      .select(col("source"), col("__ns").as("n_tokens"), col("n_terms"),
+        round(col("__su") / lit(1000000.0), 6).as("kl_nats"))
+  }
+
   /** IBAN candidate: 2 country letters + 2 check digits + 11–30
     * alphanumerics (total 15–34, the ISO 13616 length envelope),
     * word-bounded, uppercase as printed. Shared Java-regex / RE2

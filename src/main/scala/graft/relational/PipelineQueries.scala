@@ -1131,6 +1131,17 @@ object PipelineQueries {
             lit("\nthis closing line clearly stays here.")).as("text")),
         "doc_id", "text")),
 
+    // per-source KL vs the corpus token distribution: each doc carries
+    // its source name 3x as planted exclusive tokens, so every source
+    // has a deterministic distribution skew on top of the natural
+    // finite-sample divergence
+    "p86_domain_kl" -> ((s, dir) =>
+      Quality.domainKl(
+        docs(s, dir).select(col("source"),
+          concat_ws(" ", col("text"), col("source"), col("source"),
+            col("source")).as("text")),
+        "source", "text")),
+
     // char-entropy gibberish gate: every 5th doc gets a 200-char 'a'
     // flood that crushes its entropy below the 2.5-nat gate while the
     // clean corpus sits near 2.9 — both modes populated
@@ -3142,6 +3153,38 @@ object PipelineQueries {
                  AND len(list_filter(string_split_regex(trim(l), '\s+'),
                        t -> len(t) > 0)) <= 4))), chr(10)) AS text_clean
          FROM sp""",
+
+    // same plant; per-(source, term) micro-nat KL term, exact integer
+    // sum per source, term marginal derived from the (source, term)
+    // frame exactly as the engine does
+    "p86_domain_kl" ->
+      raw"""WITH d AS (SELECT source,
+                concat_ws(' ', text, source, source, source) AS text
+              FROM documents),
+             tk AS (SELECT source,
+                      unnest(list_filter(string_split_regex(lower(trim(text)),
+                        '\s+'), x -> x != '')) AS term
+                    FROM d),
+             st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS kst
+                    FROM tk GROUP BY 1, 2),
+             t AS (SELECT term, CAST(sum(kst) AS BIGINT) AS kt
+                   FROM st GROUP BY 1),
+             ns AS (SELECT source, CAST(sum(kst) AS BIGINT) AS nsum,
+                      CAST(count(*) AS BIGINT) AS n_terms
+                    FROM st GROUP BY 1),
+             tot AS (SELECT CAST(sum(kt) AS BIGINT) AS n FROM t),
+             u AS (SELECT st.source,
+                     CAST(round((st.kst * 1.0 / ns.nsum) *
+                       ln((st.kst * 1.0 / ns.nsum) / (t.kt * 1.0 / tot.n))
+                       * 1000000.0) AS BIGINT) AS klu
+                   FROM st JOIN t USING (term)
+                   JOIN ns USING (source)
+                   CROSS JOIN tot),
+             su AS (SELECT source, CAST(sum(klu) AS BIGINT) AS su
+                    FROM u GROUP BY 1)
+         SELECT ns.source, ns.nsum AS n_tokens, ns.n_terms,
+           round(su.su / 1000000.0, 6) AS kl_nats
+         FROM ns JOIN su USING (source)""",
 
     // same plant; per-char-type micro-nat term, exact integer sum,
     // 6-dp final — the p36 rounding discipline over characters

@@ -2470,6 +2470,40 @@ class PipelineSpec extends SparkSpecBase {
     assert(out(4L) == ((3L, 0L, 3L, 0L, "")))
   }
 
+  test("domainKl matches an independent plain-Scala recomputation; identical dist -> 0") {
+    val rows = Seq(
+      ("a", "x x y"), ("a", "x z"),        // src a: x:3 y:1 z:1
+      ("b", "y y z z"), ("b", "y z"),      // src b: y:3 z:3
+      ("c", "x x y z"), ("c", "x"))        // src c: x:3 y:1 z:1 (== a)
+    val schema = StructType(Seq(
+      StructField("source", StringType), StructField("text", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 3), schema)
+    val out = Quality.domainKl(df, "source", "text").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // independent recomputation with plain maps
+    val st = rows.flatMap { case (s, t) => t.split(" ").map(s -> _) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t = st.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val ns = st.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n = t.values.sum.toDouble
+    def kl(s: String) = {
+      val su = st.collect { case ((`s`, term), k) =>
+        val ps = k.toDouble / ns(s)
+        math.round(ps * math.log(ps / (t(term) / n)) * 1e6)
+      }.sum
+      BigDecimal(su / 1e6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out.keySet == Set("a", "b", "c"))
+    Seq("a", "b", "c").foreach { s =>
+      assert(out(s) == ((ns(s), st.keys.count(_._1 == s).toLong, kl(s))), s)
+    }
+    // a and c have IDENTICAL distributions → identical KL; b diverges more
+    assert(out("a")._3 == out("c")._3)
+    assert(out("b")._3 > out("a")._3 && out("a")._3 > 0.0)
+  }
+
   test("charEntropy: analytic values on hand distributions, flood crushes the gate") {
     val d = docsOf(
       (1L, "aaaa"),          // one char type: entropy exactly 0

@@ -169,7 +169,10 @@ class PlanShapeSpec extends SparkSpecBase {
       // histogram frame (the p36 shape)
       // p79 attaches the same one-row N1+(··) total to the trigram-TYPE
       // score frame (p65's shape one order up)
-      "p65_kn_bigram", "p67_dedup_report", "p79_kn_trigram")
+      // p86 attaches the one-row corpus token total to the
+      // (source, term) count frame (the p36 shape)
+      "p65_kn_bigram", "p67_dedup_report", "p79_kn_trigram",
+      "p86_domain_kl")
     for ((name, fn) <- graft.SparkEntry.queries
          if !intentionalThetaJoins(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
