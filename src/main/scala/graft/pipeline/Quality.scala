@@ -664,6 +664,46 @@ object Quality {
         round(col("__su") / lit(1000000.0), 6).as("kl_nats"))
   }
 
+  /** Cross-snapshot vocabulary drift — the distributional twin of the
+    * doc-level snapshot diff (p59) and the first scraper-regression /
+    * content-shift alarm a recurring crawl runs: per term, the
+    * relative-frequency log-ratio between snapshot A and snapshot B,
+    * with `new` / `vanished` statuses for terms on one side only and
+    * a `drifted` flag past the log-ratio threshold. Output is VOCAB
+    * sized (further cut by `minCount` on the combined count — rare
+    * terms produce noise ratios). Plan: one token-count aggregate per
+    * snapshot, a full-outer equality join on the term, totals as a
+    * one-row broadcast — the shuffle moves (term, count) pairs, never
+    * text.
+    */
+  def vocabDrift(oldDocs: DataFrame, newDocs: DataFrame, textCol: String,
+      minCount: Long = 5, driftLogRatio: Double = 0.69): DataFrame = {
+    def counts(df: DataFrame, out: String) =
+      df.select(explode(tokens(col(textCol))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as(out))
+    val a = counts(oldDocs, "__ka").persist()
+    val b = counts(newDocs, "__kb").persist()
+    val tot = a.agg(sum("__ka").as("__na"))
+      .crossJoin(b.agg(sum("__kb").as("__nb")))
+    val ratio = round(
+      log((col("__kb") * lit(1.0) / col("__nb")) /
+        (col("__ka") * lit(1.0) / col("__na"))), 6)
+    a.join(b, Seq("term"), "full_outer")
+      .filter(coalesce(col("__ka"), lit(0L)) + coalesce(col("__kb"), lit(0L))
+        >= minCount)
+      .crossJoin(broadcast(tot))
+      .select(col("term"),
+        coalesce(col("__ka"), lit(0L)).as("k_old"),
+        coalesce(col("__kb"), lit(0L)).as("k_new"),
+        when(col("__ka").isNotNull && col("__kb").isNotNull, ratio)
+          .as("log_ratio"))
+      .withColumn("status",
+        when(col("k_old") === 0, lit("new"))
+          .when(col("k_new") === 0, lit("vanished"))
+          .when(abs(col("log_ratio")) >= driftLogRatio, lit("drifted"))
+          .otherwise(lit("stable")))
+  }
+
   /** IBAN candidate: 2 country letters + 2 check digits + 11–30
     * alphanumerics (total 15–34, the ISO 13616 length envelope),
     * word-bounded, uppercase as printed. Shared Java-regex / RE2

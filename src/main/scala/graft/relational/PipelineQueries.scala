@@ -1131,6 +1131,26 @@ object PipelineQueries {
             lit("\nthis closing line clearly stays here.")).as("text")),
         "doc_id", "text")),
 
+    // cross-snapshot vocab drift: A = even docs (+ 'legacyterm' on
+    // %6==0 -> vanished), B = odd docs (+ 'freshterm' on %6==1 -> new,
+    // + a 'slow' flood on %6==3 -> drifted up); common corpus terms
+    // stay stable under the 0.69-nat (~2x) threshold
+    "p87_vocab_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val a = d.filter(col("doc_id") % 2 === 0)
+        .select(concat(col("text"),
+          when(col("doc_id") % 6 === 0, lit(" legacyterm legacyterm"))
+            .otherwise(lit(""))).as("text"))
+      val b = d.filter(col("doc_id") % 2 === 1)
+        .select(concat(col("text"),
+          when(col("doc_id") % 6 === 1, lit(" freshterm freshterm"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 6 === 3,
+            lit(" slow slow slow slow slow slow slow slow"))
+            .otherwise(lit(""))).as("text"))
+      Quality.vocabDrift(a, b, "text")
+    }),
+
     // per-source KL vs the corpus token distribution: each doc carries
     // its source name 3x as planted exclusive tokens, so every source
     // has a deterministic distribution skew on top of the natural
@@ -3153,6 +3173,44 @@ object PipelineQueries {
                  AND len(list_filter(string_split_regex(trim(l), '\s+'),
                        t -> len(t) > 0)) <= 4))), chr(10)) AS text_clean
          FROM sp""",
+
+    // same split + plants, same full-outer term join, same single-ln
+    // 6-dp log-ratio and status CASE
+    "p87_vocab_drift" ->
+      raw"""WITH av AS (SELECT
+                text || CASE WHEN doc_id % 6 = 0 THEN ' legacyterm legacyterm'
+                             ELSE '' END AS text
+              FROM documents WHERE doc_id % 2 = 0),
+             bv AS (SELECT
+                text || CASE WHEN doc_id % 6 = 1 THEN ' freshterm freshterm'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 6 = 3
+                             THEN ' slow slow slow slow slow slow slow slow'
+                             ELSE '' END AS text
+              FROM documents WHERE doc_id % 2 = 1),
+             ta AS (SELECT unnest(list_filter(string_split_regex(
+                      lower(trim(text)), '\s+'), x -> x != '')) AS term FROM av),
+             tb AS (SELECT unnest(list_filter(string_split_regex(
+                      lower(trim(text)), '\s+'), x -> x != '')) AS term FROM bv),
+             ca AS (SELECT term, CAST(count(*) AS BIGINT) AS ka FROM ta GROUP BY 1),
+             cb AS (SELECT term, CAST(count(*) AS BIGINT) AS kb FROM tb GROUP BY 1),
+             tot AS (SELECT (SELECT CAST(sum(ka) AS BIGINT) FROM ca) AS na,
+                       (SELECT CAST(sum(kb) AS BIGINT) FROM cb) AS nb),
+             j AS (SELECT coalesce(ca.term, cb.term) AS term, ka, kb
+                   FROM ca FULL OUTER JOIN cb ON ca.term = cb.term
+                   WHERE coalesce(ka, 0) + coalesce(kb, 0) >= 5),
+             r AS (SELECT term,
+                     coalesce(ka, 0) AS k_old, coalesce(kb, 0) AS k_new,
+                     CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                          THEN round(ln((kb * 1.0 / tot.nb) / (ka * 1.0 / tot.na)), 6)
+                          END AS log_ratio
+                   FROM j CROSS JOIN tot)
+         SELECT term, k_old, k_new, log_ratio,
+           CASE WHEN k_old = 0 THEN 'new'
+                WHEN k_new = 0 THEN 'vanished'
+                WHEN abs(log_ratio) >= 0.69 THEN 'drifted'
+                ELSE 'stable' END AS status
+         FROM r""",
 
     // same plant; per-(source, term) micro-nat KL term, exact integer
     // sum per source, term marginal derived from the (source, term)

@@ -2504,6 +2504,34 @@ class PipelineSpec extends SparkSpecBase {
     assert(out("b")._3 > out("a")._3 && out("a")._3 > 0.0)
   }
 
+  test("vocabDrift: statuses, exact log-ratios, minCount cut, threshold boundary") {
+    val a = docsOf((1L, ("alpha " * 8 + "beta " * 8 + "gone " * 6).trim))
+    val b = docsOf((2L, ("alpha " * 8 + "beta " * 4 + "born " * 6).trim))
+    // totals: na = 22, nb = 18
+    val out = Quality.vocabDrift(a, b, "text", minCount = 5,
+        driftLogRatio = 0.69).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getString(4)))).toMap
+    def lr(ka: Long, kb: Long) =
+      BigDecimal(math.log((kb / 18.0) / (ka / 22.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // alpha: 8/22 -> 8/18, ratio ln(1.222) = 0.2007 < 0.69 -> stable
+    assert(out("alpha") == ((8L, 8L, Some(lr(8, 8)), "stable")))
+    // beta: 8/22 -> 4/18, ln(0.611) = -0.4925 -> stable (|.| < 0.69)
+    assert(out("beta") == ((8L, 4L, Some(lr(8, 4)), "stable")))
+    assert(out("gone") == ((6L, 0L, None, "vanished")))
+    assert(out("born") == ((0L, 6L, None, "new")))
+    assert(out.size == 4) // nothing below minCount leaks in
+    // drifted fires once the ratio clears the threshold: 2 -> 8 copies
+    val b2 = docsOf((2L, ("alpha " * 8 + "beta " * 8 + "hot " * 8).trim))
+    val a2 = docsOf((1L, ("alpha " * 8 + "beta " * 8 + "hot " * 2).trim))
+    val d2 = Quality.vocabDrift(a2, b2, "text", minCount = 5,
+        driftLogRatio = 0.69).collect()
+      .map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(d2("hot") == "drifted" && d2("alpha") == "stable")
+  }
+
   test("charEntropy: analytic values on hand distributions, flood crushes the gate") {
     val d = docsOf(
       (1L, "aaaa"),          // one char type: entropy exactly 0

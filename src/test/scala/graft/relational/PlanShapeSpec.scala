@@ -171,8 +171,10 @@ class PlanShapeSpec extends SparkSpecBase {
       // score frame (p65's shape one order up)
       // p86 attaches the one-row corpus token total to the
       // (source, term) count frame (the p36 shape)
+      // p87 attaches the one-row (Na, Nb) snapshot totals to the
+      // vocab-sized drift frame (same shape)
       "p65_kn_bigram", "p67_dedup_report", "p79_kn_trigram",
-      "p86_domain_kl")
+      "p86_domain_kl", "p87_vocab_drift")
     for ((name, fn) <- graft.SparkEntry.queries
          if !intentionalThetaJoins(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
