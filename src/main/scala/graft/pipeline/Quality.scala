@@ -704,6 +704,52 @@ object Quality {
           .otherwise(lit("stable")))
   }
 
+  /** Vocabulary-growth (Heaps' law) curve — the corpus-health report
+    * that catches both failure directions at a glance: vocabulary
+    * flattening early means heavy duplication/templating, growing
+    * near-linearly means OCR noise or encoding junk minting endless
+    * new "terms" (healthy text sits on the Heaps V ∝ n^β, β ≈ 0.5
+    * power law). Docs are cut into `buckets` equal id-ordered slices;
+    * per slice the report emits cumulative docs, tokens, distinct
+    * vocabulary, and the new-terms count of that slice. Plan: ONE
+    * token explode; vocabulary attribution is `min(doc bucket)` per
+    * term (its first-appearance slice) aggregated to a ≤`buckets`-row
+    * frame; the cumulative sums are a window over those few rows —
+    * never over the corpus. Id-range bounds arrive as a one-row
+    * broadcast.
+    */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = docs.agg(min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"))
+    // integer bucket arithmetic (no doubles): slice k covers ids with
+    // (id - lo) * buckets / (hi - lo + 1) == k
+    def bucketOf(id: Column) =
+      // integer `div`, not `/`: Column./ is double division and the
+      // long cast truncates while DuckDB's CAST rounds — div and //
+      // agree exactly
+      expr(s"CAST(((${id.toString} - __lo) * $buckets) div (__hi - __lo + 1) AS LONG)")
+    val toks = docs.crossJoin(broadcast(bounds))
+      .select(bucketOf(col(idCol)).as("__b"),
+        explode(tokens(col(textCol))).as("term"))
+    val firstSeen = toks.groupBy("term").agg(min("__b").as("__fb"))
+      .groupBy(col("__fb").as("__b")).agg(count(lit(1)).as("new_terms"))
+    val tokCounts = toks.groupBy("__b").agg(count(lit(1)).as("__nt"))
+    val docCounts = docs.crossJoin(broadcast(bounds))
+      .select(bucketOf(col(idCol)).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__nd"))
+    val w = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docCounts
+      .join(tokCounts, Seq("__b"), "left")
+      .join(firstSeen, Seq("__b"), "left")
+      .select(col("__b").as("bucket"),
+        sum("__nd").over(w).as("docs_cum"),
+        sum(coalesce(col("__nt"), lit(0L))).over(w).as("tokens_cum"),
+        sum(coalesce(col("new_terms"), lit(0L))).over(w).as("vocab_cum"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+  }
+
   /** IBAN candidate: 2 country letters + 2 check digits + 11–30
     * alphanumerics (total 15–34, the ISO 13616 length envelope),
     * word-bounded, uppercase as printed. Shared Java-regex / RE2

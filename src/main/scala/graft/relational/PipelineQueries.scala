@@ -1131,6 +1131,11 @@ object PipelineQueries {
             lit("\nthis closing line clearly stays here.")).as("text")),
         "doc_id", "text")),
 
+    // Heaps-law vocab growth over the raw corpus in 10 id-ordered
+    // slices — global window over 10 rows, never the corpus
+    "p88_vocab_growth" -> ((s, dir) =>
+      Quality.vocabGrowth(docs(s, dir), "doc_id", "text")),
+
     // cross-snapshot vocab drift: A = even docs (+ 'legacyterm' on
     // %6==0 -> vanished), B = odd docs (+ 'freshterm' on %6==1 -> new,
     // + a 'slow' flood on %6==3 -> drifted up); common corpus terms
@@ -3173,6 +3178,35 @@ object PipelineQueries {
                  AND len(list_filter(string_split_regex(trim(l), '\s+'),
                        t -> len(t) > 0)) <= 4))), chr(10)) AS text_clean
          FROM sp""",
+
+    // same integer bucket arithmetic, min-first-bucket vocabulary
+    // attribution, 10-row cumulative window
+    "p88_vocab_growth" ->
+      raw"""WITH bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+                            FROM documents),
+             db AS (SELECT CAST((doc_id - lo) * 10 // (hi - lo + 1) AS BIGINT) AS b,
+                      text
+                    FROM documents CROSS JOIN bounds),
+             tk AS (SELECT b, unnest(list_filter(string_split_regex(
+                      lower(trim(text)), '\s+'), x -> x != '')) AS term FROM db),
+             fs AS (SELECT fb AS b, CAST(count(*) AS BIGINT) AS new_terms
+                    FROM (SELECT term, min(b) AS fb FROM tk GROUP BY 1)
+                    GROUP BY 1),
+             tc AS (SELECT b, CAST(count(*) AS BIGINT) AS nt FROM tk GROUP BY 1),
+             dc AS (SELECT b, CAST(count(*) AS BIGINT) AS nd FROM db GROUP BY 1)
+         SELECT dc.b AS bucket,
+           CAST(sum(dc.nd) OVER (ORDER BY dc.b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS docs_cum,
+           CAST(sum(coalesce(tc.nt, 0)) OVER (ORDER BY dc.b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS tokens_cum,
+           CAST(sum(coalesce(fs.new_terms, 0)) OVER (ORDER BY dc.b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS vocab_cum,
+           coalesce(fs.new_terms, 0) AS new_terms
+         FROM dc LEFT JOIN tc ON dc.b = tc.b
+         LEFT JOIN fs ON dc.b = fs.b""",
 
     // same split + plants, same full-outer term join, same single-ln
     // 6-dp log-ratio and status CASE

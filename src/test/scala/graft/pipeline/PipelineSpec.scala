@@ -2532,6 +2532,26 @@ class PipelineSpec extends SparkSpecBase {
     assert(d2("hot") == "drifted" && d2("alpha") == "stable")
   }
 
+  test("vocabGrowth: hand corpus — first-appearance attribution, cumulative columns") {
+    // 4 docs, 2 buckets; ids non-contiguous to exercise the lo/hi form
+    val d = docsOf(
+      (10L, "a b a"),       // bucket 0: tokens 3
+      (11L, "b c"),         // bucket 0: tokens 2; vocab after b0 = {a,b,c}
+      (12L, "c d d"),       // bucket 1: d is new
+      (13L, "a"))           // bucket 1
+    val out = Quality.vocabGrowth(d, "doc_id", "text", buckets = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(0L) == ((2L, 5L, 3L, 3L)))
+    assert(out(1L) == ((4L, 9L, 4L, 1L)))
+    // duplicated corpus: same vocab curve, doubled token curve
+    val dup = d.unionByName(d.select((col("doc_id") + 100).as("doc_id"),
+      col("text")))
+    val o2 = Quality.vocabGrowth(dup, "doc_id", "text", buckets = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(o2(1L) == ((18L, 4L)), "dup corpus: tokens double, vocab flat")
+  }
+
   test("charEntropy: analytic values on hand distributions, flood crushes the gate") {
     val d = docsOf(
       (1L, "aaaa"),          // one char type: entropy exactly 0

@@ -173,8 +173,10 @@ class PlanShapeSpec extends SparkSpecBase {
       // (source, term) count frame (the p36 shape)
       // p87 attaches the one-row (Na, Nb) snapshot totals to the
       // vocab-sized drift frame (same shape)
+      // p88 attaches the one-row (lo, hi) id bounds to the doc frame
+      // and its window runs over <= buckets rows
       "p65_kn_bigram", "p67_dedup_report", "p79_kn_trigram",
-      "p86_domain_kl", "p87_vocab_drift")
+      "p86_domain_kl", "p87_vocab_drift", "p88_vocab_growth")
     for ((name, fn) <- graft.SparkEntry.queries
          if !intentionalThetaJoins(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
