@@ -265,6 +265,30 @@ object ScaleSmokeDocs {
           .when(col("doc_id") % 3 === 1, lit(" ref 4111111111111112 x"))
           .otherwise(lit(""))).as("text")),
       "doc_id", "text").filter(!col("keep")).count())
+    // char entropy (p84): one char explode (~420 chars/doc) through a
+    // (doc, char) hash aggregate — the heaviest row-count of the
+    // round-8 report family
+    stage("char_entropy")(Quality.charEntropy(docs, "doc_id", "text")
+      .filter(!col("keep")).count())
+    // filter funnel (p83): the three gate projections + three narrow
+    // (id, bool) joins + a 4-row aggregate
+    stage("filter_funnel")(Quality.filterFunnel(docs, "doc_id", "text",
+      blocklist = Seq("badword")).count())
+    // per-source KL (p86): one token explode into a (source, term)
+    // aggregate + vocab-sized rollups; 20 synthetic sources
+    stage("domain_kl")(Quality.domainKl(
+      docs.select(concat(lit("src"), (col("doc_id") % 20).cast("string"))
+        .as("source"), col("text")),
+      "source", "text").count())
+    // vocab drift (p87): two snapshot count aggregates + a full-outer
+    // term join — vocab-sized output
+    stage("vocab_drift")(Quality.vocabDrift(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "text").count())
+    // vocab growth (p88): one token explode, min-bucket per term,
+    // 10-row cumulative window
+    stage("vocab_growth")(Quality.vocabGrowth(docs, "doc_id", "text")
+      .count())
     // END-TO-END ingest (round-7): the README composition html →
     // C4 → Gopher → exact dedup → pack, over an HTML wrap of the
     // synthetic corpus built to PASS the gates (6 sentence-lines of 10
