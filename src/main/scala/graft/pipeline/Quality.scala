@@ -569,19 +569,23 @@ object Quality {
     */
   def charEntropy(docs: DataFrame, idCol: String, textCol: String,
       minEntropy: Double = 2.5): DataFrame = {
-    val cc = docs.select(col(idCol),
-        explode(regexp_extract_all(col(textCol), lit("[\\s\\S]"), lit(0)))
-          .as("__c"))
-      .groupBy(col(idCol), col("__c")).agg(count(lit(1)).as("__k"))
-    val n = cc.groupBy(col(idCol))
-      .agg(sum("__k").as("__n"), count(lit(1)).as("n_distinct_chars"))
-    val p = col("__k") * lit(1.0) / col("__n")
-    val terms = cc.join(n, Seq(idCol))
-      .withColumn("__tu",
-        round(negate(p) * log(p) * lit(1000000.0)).cast("long"))
-      .groupBy(col(idCol)).agg(sum("__tu").as("__su"))
-    n.join(terms, Seq(idCol))
-      .select(col(idCol), col("__n").as("n_chars"), col("n_distinct_chars"),
+    // the per-doc histogram comes from ONE pass over the bytes
+    // (graft.functions.CharCounts) and the entropy folds over its
+    // ≤-alphabet-size values as order-free integer micro-nats — zero
+    // shuffle, zero explode (the first form exploded every character
+    // into a (doc, char) aggregate: 840M rows and two shuffles at the
+    // 2M-doc smoke, all constant the histogram deletes). Map iteration
+    // order is unspecified; the integer sum makes that irrelevant.
+    val p = (k: Column) => k * lit(1.0) / col("__n")
+    docs
+      .select(col(idCol),
+        map_values(graft.functions.CharCounts(col(textCol))).as("__ks"))
+      .withColumn("__n", aggregate(col("__ks"), lit(0L), (acc, k) => acc + k))
+      .filter(col("__n") > 0) // empty text: no char rows in either form
+      .withColumn("__su", aggregate(col("__ks"), lit(0L), (acc, k) =>
+        acc + round(negate(p(k)) * log(p(k)) * lit(1000000.0)).cast("long")))
+      .select(col(idCol), col("__n").as("n_chars"),
+        size(col("__ks")).cast("long").as("n_distinct_chars"),
         round(col("__su") / lit(1000000.0), 6).as("char_entropy"))
       .withColumn("keep", col("char_entropy") >= minEntropy)
   }

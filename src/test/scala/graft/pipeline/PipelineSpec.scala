@@ -2552,6 +2552,23 @@ class PipelineSpec extends SparkSpecBase {
     assert(o2(1L) == ((18L, 4L)), "dup corpus: tokens double, vocab flat")
   }
 
+  test("CharCounts: code-point histogram — multi-byte chars, supplementary plane, determinism") {
+    val d = docsOf((1L, "aéé你你你" + new String(Character.toChars(0x1F600))))
+    val out = d.select(graft.functions.CharCounts(col("text")).as("m"))
+      .selectExpr("explode(m)").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 1L, "é" -> 2L, "你" -> 3L,
+      new String(Character.toChars(0x1F600)) -> 1L))
+    // histogram total == code-point length; charEntropy over unicode
+    // agrees with the independent formula
+    val e = Quality.charEntropy(d, "doc_id", "text").collect()(0)
+    assert(e.getLong(1) == 7L && e.getLong(2) == 4L)
+    val su = Seq(1, 2, 3, 1).map { k =>
+      val p = k / 7.0; math.round(-p * math.log(p) * 1e6) }.sum
+    assert(e.getDouble(3) ==
+      BigDecimal(su / 1e6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("charEntropy: analytic values on hand distributions, flood crushes the gate") {
     val d = docsOf(
       (1L, "aaaa"),          // one char type: entropy exactly 0
