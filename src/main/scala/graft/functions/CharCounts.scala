@@ -65,11 +65,16 @@ object CharCounts {
       } else if (b0 >= 0xE0 && b0 < 0xF0 && i + 2 < nb) {
         cp = ((b0 & 0x0F) << 12) | ((b(i + 1) & 0x3F) << 6) | (b(i + 2) & 0x3F)
         len = 3
-      } else if (b0 >= 0xF0 && i + 3 < nb) {
+      } else if (b0 >= 0xF0 && b0 < 0xF5 && i + 3 < nb) {
         cp = ((b0 & 0x07).toLong << 18) | ((b(i + 1) & 0x3F) << 12) |
           ((b(i + 2) & 0x3F) << 6) | (b(i + 3) & 0x3F)
         len = 4
-      } else { cp = b0 } // truncated lead: lone code point, no overrun
+        // 0xF4 leads can still decode past U+10FFFF (trail > 0x8F);
+        // Character.toChars would throw — fall back to the lone-lead
+        // treatment so garbage bytes can never crash the query
+        if (cp > 0x10FFFF) { cp = b0; len = 1 }
+      } else { cp = b0 } // truncated/invalid lead (incl. 0xF5-0xFF):
+      // lone code point, no overrun, never throws
       counts.merge(cp, 1L, (a, x) => a + x)
       i += len
     }
