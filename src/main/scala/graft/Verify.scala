@@ -27,6 +27,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release the engine's internal cached intermediates between
+      // queries — 150+ scoring/dedup plans would otherwise pin every
+      // token/type relation they ever persisted for the whole dump
+      graft.pipeline.CacheLedger.drain()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import TextOps._
+import graft.pipeline.CacheLedger.TrackedPersist
 
 /** Corpus-quality operators beyond the per-doc ratios of p9: repetition
   * signals (the Gopher/RefinedWeb-style filters that catch boilerplate
@@ -49,7 +50,7 @@ object Quality {
     // barrier each re-tokenizes from raw text (the CollapseProject /
     // no-CSE-in-lambdas trap documented in Dedup)
     val toks = docs.select(col(idCol).as("doc"), tokens(col(textCol)).as("__toks"))
-      .persist()
+      .persistTracked()
     def freqStats(grams: Column, outMax: String, outTot: String, outDist: String) =
       toks.select(col("doc"), explode(grams).as("g"))
         .groupBy("doc", "g").agg(count(lit(1)).as("c"))
@@ -132,7 +133,7 @@ object Quality {
     // it each consumer re-tokenizes from raw text, and the ngrams
     // lambda would re-evaluate an inlined tokenize per element)
     val withToks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .persist()
+      .persistTracked()
     val pairs = withToks
       .select(col(idCol), explode(ngrams(col("__toks"), 2)).as("pair"))
       .withColumn("__prev", split(col("pair"), " ").getItem(0))
@@ -185,12 +186,12 @@ object Quality {
       discount: Double = 0.75): DataFrame = {
     require(discount > 0 && discount < 1, s"discount must be in (0,1): $discount")
     val withToks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .persist()
+      .persistTracked()
     val pairs = withToks
       .select(col(idCol), explode(ngrams(col("__toks"), 2)).as("pair"))
       .withColumn("__prev", split(col("pair"), " ").getItem(0))
       .withColumn("__w", split(col("pair"), " ").getItem(1))
-    val cb = pairs.groupBy("pair").agg(count(lit(1)).as("__cb")).persist()
+    val cb = pairs.groupBy("pair").agg(count(lit(1)).as("__cb")).persistTracked()
     val ctx = cb
       .withColumn("__p", split(col("pair"), " ").getItem(0))
       .groupBy(col("__p"))
@@ -256,7 +257,7 @@ object Quality {
       discount: Double = 0.75): DataFrame = {
     require(discount > 0 && discount < 1, s"discount must be in (0,1): $discount")
     val withToks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .persist()
+      .persistTracked()
     val tris = withToks
       .select(col(idCol), explode(ngrams(col("__toks"), 3)).as("tri"))
     // all statistics live on the trigram-TYPE relation; on Zipf corpora
@@ -269,12 +270,12 @@ object Quality {
         split(col("tri"), " ").getItem(1).as("__tv"),
         split(col("tri"), " ").getItem(2).as("__tw"),
         col("__ct"))
-      .persist()
+      .persistTracked()
     val hist = typed.groupBy(col("__tu").as("__hu"), col("__tv").as("__hv"))
       .agg(sum("__ct").as("__cuv"), count(lit(1)).as("__n3f"))
     val midTypes = typed
       .groupBy(col("__tv").as("__mv"), col("__tw").as("__mw"))
-      .agg(count(lit(1)).as("__n1vw")).persist()
+      .agg(count(lit(1)).as("__n1vw")).persistTracked()
     val midV = midTypes.groupBy(col("__mv").as("__vv"))
       .agg(sum("__n1vw").as("__n1mid"), count(lit(1)).as("__nfv"))
     val cbt = withToks.select(explode(ngrams(col("__toks"), 2)).as("pair"))
@@ -559,10 +560,13 @@ object Quality {
     * signal needs no language model and no tokenizer, which is why
     * it's the first gate for binary-ish crawl junk). Per doc:
     * char count, distinct chars, entropy −Σ (k/n)·ln(k/n) in nats,
-    * and the keep gate. Plan: one char explode into ONE (doc, char)
-    * hash aggregate (map-side combine collapses to ≤ alphabet size
-    * per doc per partition), then two keyed rollups — linear, the p8
-    * token-stats family. The per-char-type term is micro-nat
+    * and the keep gate. Plan: a ZERO-shuffle projection — the per-doc
+    * code-point histogram comes from one pass over the UTF-8 bytes
+    * (`graft.functions.CharCounts`) and the entropy folds over its
+    * ≤-alphabet-size map values with array HOFs, so no explode and no
+    * aggregate ever touch the plan (the superseded first form exploded
+    * every character into a (doc, char) hash aggregate — 840M rows and
+    * two shuffles at the 2M-doc smoke). The per-char-type term is micro-nat
     * quantized before the exact integer sum (the p36 discipline), so
     * both engines round identically. Documents with empty text have
     * no char rows and drop from the output (mirrored by the oracle).
@@ -602,9 +606,12 @@ object Quality {
     *     uppercase letter, no lowercase) — nav menus and section
     *     chrome.
     *
-    * The three rules are disjoint by construction (numeric lines have
-    * no letters; counter lines are lowercase words), so the per-rule
-    * counts sum to the dropped total. One codegen'd projection — the
+    * Numeric is disjoint from the other two (it admits no letters),
+    * but counter and caps CAN both match one line (an uppercase
+    * counter like `3 LIKES` is a ≤4-token all-caps line too), so
+    * `n_numeric + n_counter + n_caps` may exceed the dropped-line
+    * total; the oracle mirrors the same per-rule counting, so the
+    * engines agree. One codegen'd projection — the
     * line split and every rule run as array HOFs, no explode, no
     * shuffle; `text_clean` reassembles the survivors in order.
     */
@@ -649,7 +656,7 @@ object Quality {
     val toks = docs.select(col(srcCol).as("source"),
       explode(tokens(col(textCol))).as("term"))
     val st = toks.groupBy("source", "term")
-      .agg(count(lit(1)).as("__kst")).persist()
+      .agg(count(lit(1)).as("__kst")).persistTracked()
     val t = st.groupBy("term").agg(sum("__kst").as("__kt"))
     val ns = st.groupBy("source")
       .agg(sum("__kst").as("__ns"), count(lit(1)).as("n_terms"))
@@ -685,8 +692,8 @@ object Quality {
     def counts(df: DataFrame, out: String) =
       df.select(explode(tokens(col(textCol))).as("term"))
         .groupBy("term").agg(count(lit(1)).as(out))
-    val a = counts(oldDocs, "__ka").persist()
-    val b = counts(newDocs, "__kb").persist()
+    val a = counts(oldDocs, "__ka").persistTracked()
+    val b = counts(newDocs, "__kb").persistTracked()
     val tot = a.agg(sum("__ka").as("__na"))
       .crossJoin(b.agg(sum("__kb").as("__nb")))
     val ratio = round(
@@ -896,7 +903,7 @@ object Quality {
         sequence(lit(0), size(col("toks")) - k),
         p => hash60(array_join(slice(col("toks"), p + 1, lit(k)), " "))))
         .as(Seq("pos", "gh")))
-      .persist()
+      .persistTracked()
     val dupGrams = grams.groupBy("gh")
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > 1)
@@ -1011,7 +1018,7 @@ object Quality {
       // feeds the token total, the bucket histogram AND the final join —
       // without it each consumer replays the whole two-shuffle lmScore
       // chain (measured 3.3× the chain's lone cost at 2M docs)
-      .persist()
+      .persistTracked()
     val tot = scored.agg(sum("n_tokens").as("__T"))
     val bw = org.apache.spark.sql.expressions.Window.orderBy("__bkt")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
