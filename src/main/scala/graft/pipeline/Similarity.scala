@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.pipeline.CacheLedger.TrackedPersist
 
 /** Similarity search over an embedding column (`array<float>`):
   * brute-force cosine top-k as the exact baseline, and an LSH
@@ -413,7 +414,7 @@ object Similarity {
     require(k >= 1, s"k must be >= 1: $k")
     val e = vecs.select(col(idCol).cast("long").as("vec_id"),
       asDouble(col(vecCol)).as("v"))
-    val assigned = assignSeeds(e, k).persist()
+    val assigned = assignSeeds(e, k).persistTracked()
     def cos(a: Column, b: Column): Column =
       round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
     val pairs = assigned.as("a")
@@ -452,7 +453,7 @@ object Similarity {
     require(k >= 1, s"k must be >= 1: $k")
     val e = vecs.select(col(idCol).cast("long").as("vec_id"),
       asDouble(col(vecCol)).as("v"))
-    val assigned = assignSeeds(e, k).persist()
+    val assigned = assignSeeds(e, k).persistTracked()
     val pairs = cosineNearDupPairs(vecs, tau, idCol, vecCol,
         tables, planesPerTable, dim, starCapBucket)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
@@ -492,7 +493,7 @@ object Similarity {
         round(col("__c.dp") /
           (sqrt(dot(col("v"), col("v"))) * col("__c.cn")), 6)
           .as("cos_centroid"))
-      .persist()
+      .persistTracked()
     val pairs = cosineNearDupPairs(vecs, tau, idCol, vecCol,
         tables, planesPerTable, dim, starCapBucket)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
@@ -684,7 +685,7 @@ object Similarity {
       .select(col(idCol),
         graft.functions.PqEncode(col("v"), lit(flat), nSub, ksub).as("code"),
         sqrt(dot(col("v"), col("v"))).as("cn"))
-      .persist()
+      .persistTracked()
     import spark.implicits._
     val codebook = codebooks.zipWithIndex.flatMap { case (cb, j) =>
       cb.zipWithIndex.map { case (ctr, c) => (j, c, ctr.toSeq) }
@@ -812,7 +813,7 @@ object Similarity {
       maxIter, trainSampleMax)
     val codesWithList = codes
       .join(indexed.select(col(idCol), col("list")), Seq(idCol))
-      .persist()
+      .persistTracked()
     (cents, codebook, codesWithList)
   }
 
@@ -930,7 +931,7 @@ object Similarity {
       }
     val v = nonNull.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .persist() // (id, vec, norm) — reused by the banding and both verify sides
+      .persistTracked() // (id, vec, norm) — reused by the banding and both verify sides
     val banded = v.select(col("id"),
       explode(hyperplaneBands(col("v"), tables, planesPerTable, d)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
@@ -984,7 +985,8 @@ object Similarity {
   def cosineNearDupPairsIncremental(newVecs: DataFrame, corpus: DataFrame,
       threshold: Double, idCol: String = "vec_id",
       vecCol: String = "embedding", tables: Int = 16,
-      planesPerTable: Int = 8, dim: Int = -1): DataFrame = {
+      planesPerTable: Int = 8, dim: Int = -1,
+      broadcastBatch: Boolean = true): DataFrame = {
     val newNonNull = newVecs.filter(col(vecCol).isNotNull)
     val d =
       if (dim > 0) dim
@@ -1001,18 +1003,34 @@ object Similarity {
     def bandsOf(v: DataFrame): DataFrame = v.select(col("id"),
       explode(hyperplaneBands(col("v"), tables, planesPerTable, d)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
-    val newV = prep(newVecs).persist()
-    val allV = newV.unionByName(prep(corpus))
-    val candidates = bandsOf(newV).as("a")
-      .join(bandsOf(allV).as("b"),
+    val newV = prep(newVecs).persistTracked()
+    val newBands = bandsOf(newV).persistTracked()
+    val allBands = newBands.unionByName(bandsOf(prep(corpus)))
+    // the bounded arriving batch probes the corpus band SCAN (broadcast
+    // hash join — the corpus is never shuffled), and the verify side is
+    // the corpus vector scan semi-filtered by the broadcast candidate
+    // ids: per-batch exchange cost tracks the batch, the corpus
+    // contributes two narrow columnar scans (see
+    // Dedup.incrementalMinhashPairsFromBands's shuffle ledger)
+    val aSide = if (broadcastBatch) broadcast(newBands) else newBands
+    val candidates = aSide.as("a")
+      .join(allBands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") =!= col("b.id"))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .distinct()
+      .persistTracked()
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val allV = newV.unionByName(prep(corpus))
+    val vNeeded =
+      if (broadcastBatch)
+        allV.join(broadcast(candIds), Seq("id"), "left_semi").persistTracked()
+      else allV
     candidates
-      .join(allV.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
-      .join(allV.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .join(vNeeded.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(vNeeded.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .withColumn("sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("sim") >= threshold)
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("sim"))
@@ -1033,17 +1051,31 @@ object Similarity {
     val nonNull = corpus.filter(col(vecCol).isNotNull)
     val d =
       if (dim > 0) dim
-      else nonNull.select(size(col(vecCol))).head().getInt(0)
+      else {
+        // fail BEFORE any write: .head() on an all-null-embedding
+        // corpus would throw NoSuchElementException after nothing —
+        // but only because dim sniffing runs first; guard explicitly
+        val h = nonNull.select(size(col(vecCol))).limit(1).collect()
+        require(h.nonEmpty,
+          s"saveCosineIndex: refusing to persist an EMPTY index to $path " +
+            "(every embedding is null; pass dim= explicitly if intended)")
+        h(0).getInt(0)
+      }
+    // id stored as LONG unconditionally: mergeIntoCosineIndex appends
+    // long ids, and parquet files with mixed physical id types inside
+    // one index directory make later loads/joins silently miss pairs —
+    // the exact failure mode the meta row exists to prevent
     val v = nonNull
-      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .persist()
+      .persistTracked()
     Seq((tables, planesPerTable, d)).toDF("tables", "planes_per_table", "dim")
       .write.mode("overwrite").parquet(s"$path/meta")
     v.write.mode("overwrite").parquet(s"$path/vectors")
     v.select(col("id"),
         explode(hyperplaneBands(col("v"), tables, planesPerTable, d)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
+      .sortWithinPartitions("band", "bucket")
       .write.mode("overwrite").parquet(s"$path/bands")
     v.unpersist()
   }
@@ -1084,7 +1116,7 @@ object Similarity {
     val v = newVecs.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .persist()
+      .persistTracked()
     if (assertNewIds) {
       val clash = v.select("id")
         .join(storedV.select("id"), Seq("id"), "left_semi").count()
@@ -1095,6 +1127,7 @@ object Similarity {
     v.select(col("id"),
         explode(hyperplaneBands(col("v"), tables, planes, d)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
+      .sortWithinPartitions("band", "bucket")
       .write.mode("append").parquet(s"$indexPath/bands")
     v.unpersist()
   }
@@ -1105,29 +1138,45 @@ object Similarity {
     */
   def cosineNearDupAgainstIndex(newVecs: DataFrame, indexPath: String,
       threshold: Double, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", broadcastBatch: Boolean = true): DataFrame = {
     val spark = newVecs.sparkSession
     val (tables, planes, d, storedV, storedBands) =
       loadCosineIndex(spark, indexPath)
+    // batch ids cast long to match the stored-index convention (save &
+    // merge both write long) — an int-typed batch would otherwise join
+    // against long stored ids through an implicit cast Catalyst may
+    // not push through the bucketed scan
     val newV = newVecs.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .persist()
+      .persistTracked()
     val newBands = newV.select(col("id"),
         explode(hyperplaneBands(col("v"), tables, planes, d)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
-      .persist()
-    val allV = newV.unionByName(storedV)
-    val candidates = newBands.as("a")
+      .persistTracked()
+    // stored bands/vectors are SCANNED, never shuffled — the broadcast
+    // batch probes the band scan, the verify side is the vector scan
+    // semi-filtered by the broadcast candidate ids (the
+    // Dedup.incrementalMinhashPairsFromBands shuffle ledger)
+    val aSide = if (broadcastBatch) broadcast(newBands) else newBands
+    val candidates = aSide.as("a")
       .join(newBands.unionByName(storedBands).as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") =!= col("b.id"))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .distinct()
+      .persistTracked()
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val allV = newV.unionByName(storedV)
+    val vNeeded =
+      if (broadcastBatch)
+        allV.join(broadcast(candIds), Seq("id"), "left_semi").persistTracked()
+      else allV
     candidates
-      .join(allV.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
-      .join(allV.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .join(vNeeded.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(vNeeded.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .withColumn("sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("sim") >= threshold)
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("sim"))
@@ -1141,7 +1190,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .persist() // tiny (id, vec, norm) — reused by both sides of the pair join
+      .persistTracked() // tiny (id, vec, norm) — reused by both sides of the pair join
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .withColumn("sim",
         round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
