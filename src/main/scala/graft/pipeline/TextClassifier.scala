@@ -169,6 +169,46 @@ object TextClassifier {
         }.as("margin"): _*)
   }
 
+  /** The full fit-on-YOUR-corpus → serve loop (the DCLM / FineWeb-Edu
+    * workflow: derive weak labels from a rule or teacher, fit the cheap
+    * linear gate, serve it over the held-out corpus) as one call:
+    *
+    *   1. fit on `labeled` via [[trainFromDF]] — hash-gated ≤
+    *      `maxSamples` sample, id-resorted, so the weights are a pure
+    *      function of the labeled RELATION, not of its partitioning;
+    *   2. serve on `heldOut` (which must carry `labelCol` too — the
+    *      weak label it was NOT trained on) as ONE codegen projection
+    *      ([[classifyWith]] over [[md5Buckets]], the same bucket
+    *      function training used);
+    *   3. attach the held-out agreement rate as a one-row broadcast
+    *      and FAIL THE PLAN (`assert_true`, the p7/withRecall
+    *      certificate shape) if it falls below `agreementFloor` — a
+    *      serving run with silently-drifted weights dies loudly.
+    *
+    * Training is a driver-side loop (perceptrons are order-sensitive —
+    * not SQL-replayable, the p47/p62 class), so queries built on this
+    * are rows-only with the in-plan certificate standing in for the
+    * oracle. Output: `(id, score_*, pred, margin, weak_label, agree,
+    * mean_agreement)`.
+    */
+  def trainAndServe(labeled: DataFrame, heldOut: DataFrame, idCol: String,
+      labelCol: String, textCol: String, classes: Seq[String], b: Int,
+      maxSamples: Int = 20000, agreementFloor: Double = 0.0): DataFrame = {
+    val weights = trainFromDF(labeled, idCol, labelCol, textCol, classes, b,
+      bucketsMd5(_, b), maxSamples)
+    val served = classifyWith(heldOut, idCol, md5Buckets(textCol, b),
+      classes, weights, "pred")
+      .join(heldOut.select(col(idCol),
+        col(labelCol).cast("string").as("weak_label")), idCol)
+      .withColumn("agree", col("pred") === col("weak_label"))
+    val mean = served.agg(round(avg(col("agree").cast("double")), 6)
+      .as("mean_agreement"))
+    served.crossJoin(broadcast(mean))
+      .filter(assert_true(col("mean_agreement") >= lit(agreementFloor),
+        concat(lit(s"trained gate's held-out agreement fell below " +
+          s"$agreementFloor: "), col("mean_agreement").cast("string"))).isNull)
+  }
+
   /** The md5-path scoring as a complete DuckDB query generated from the
     * same weight constants. `srcCte` must produce (doc_id, __t) with
     * __t already lowercased.

@@ -137,4 +137,67 @@ object TextOps {
   def htmlLinkCount(html: Column): Column =
     size(regexp_extract_all(html, lit("(?i)<a\\b[^>]*\\shref\\s*="), lit(0)))
       .cast("long")
+
+  // block-level tag boundary — the segmentation points of jusText-class
+  // extractors (Pomikálek 2011 §3.1 segments at block tags; trafilatura
+  // and Arc90 readability walk the same element set)
+  private[graft] val BlockTagRe =
+    "(?i)</?(?:p|div|li|ul|ol|dl|dt|dd|h[1-6]|table|thead|tbody|tr|td|th|" +
+      "section|article|main|blockquote|pre|figure|figcaption|form|br|hr)\\b[^>]*>"
+
+  /** Main-content extraction — the block-level step real ingest
+    * pipelines (FineWeb §3.1's trafilatura, RefinedWeb's jusText-class
+    * extractor, Arc90 readability) run between the raw page and the
+    * quality gates, where [[htmlToText]] alone keeps every nav menu and
+    * cookie banner in the text. The public heuristic core, restated as
+    * ONE codegen'd projection (split + array HOFs — no explode, no
+    * shuffle, the p44/p85 shape):
+    *
+    *   1. chrome SUBTREES vanish wholesale: script/style (as in
+    *      [[htmlToText]]) plus the semantic boilerplate containers
+    *      `nav`/`header`/`footer`/`aside` (lazy match — nested
+    *      same-tag containers are out of scope, stated not hidden);
+    *   2. the remainder splits into blocks at [[BlockTagRe]];
+    *   3. each block scores (clean text, link-text length) — link text
+    *      = anchor inner texts, the jusText/readability link-density
+    *      numerator;
+    *   4. keep = text length ≥ `minChars` AND link chars ≤
+    *      `maxLinkDensityPct`% of text chars (integer comparison — no
+    *      float density, so both engines decide boundaries
+    *      identically); survivors rejoin in document order.
+    *
+    * Returns a struct `(n_blocks, n_kept, text_main)` where `n_blocks`
+    * counts non-empty-text blocks. Six-entity decode and whitespace
+    * collapse reuse the [[htmlToText]] algebra per block; only
+    * Java-regex/RE2-identical constructs, so the DuckDB oracle replays
+    * the chain exactly (p89).
+    */
+  def mainContentBlocks(html: Column, minChars: Int = 25,
+      maxLinkDensityPct: Int = 20): Column = {
+    val pruned = Seq("script", "style", "nav", "header", "footer", "aside")
+      .foldLeft(html)((c, t) =>
+        regexp_replace(c, s"(?is)<$t\\b[^>]*>.*?</$t>", " "))
+    def cleanOf(c: Column): Column = {
+      val noTags = regexp_replace(c, "<[^>]+>", " ")
+      val decoded = Seq(
+        "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+        "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&").foldLeft(noTags) {
+        case (x, (ent, ch)) => regexp_replace(x, ent, ch)
+      }
+      trim(regexp_replace(decoded, "[ \\t\\n\\f\\r]+", " "))
+    }
+    val scored = transform(split(pruned, BlockTagRe), c =>
+      struct(
+        cleanOf(c).as("txt"),
+        length(cleanOf(array_join(regexp_extract_all(c,
+          lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)), " "))).as("lch")))
+    val nonEmpty = filter(scored, b => length(b.getField("txt")) > 0)
+    val kept = filter(nonEmpty, b =>
+      length(b.getField("txt")) >= minChars &&
+        b.getField("lch") * 100 <= length(b.getField("txt")) * maxLinkDensityPct)
+    struct(
+      size(nonEmpty).cast("long").as("n_blocks"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(transform(kept, b => b.getField("txt")), "\n").as("text_main"))
+  }
 }

@@ -137,8 +137,32 @@ object PipelineQueries {
     "have another proper sentence of plain words now. " +
     "with this final sentence the document clearly ends."
 
+  /** p89 main-content thresholds (jusText-family defaults: short-block
+    * floor, 20% link-density ceiling) — Scala vals interpolated into
+    * BOTH the engine call and the oracle SQL (the FunnelPasser
+    * discipline) so the sides cannot drift.
+    */
+  private val McMinChars = 25
+  private val McLinkPct = 20
+
   private val TOKS =
     raw"""list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')"""
+
+  /** The p89 per-block clean chain (tag strip → six-entity decode →
+    * whitespace collapse), generated once so the oracle's nesting
+    * mirrors `TextOps.mainContentBlocks`' cleanOf token for token.
+    */
+  private def mcClean(inner: String): String =
+    raw"""trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace($inner,
+         '<[^>]+>', ' ', 'g'),
+         '&nbsp;', ' ', 'g'),
+         '&lt;', '<', 'g'),
+         '&gt;', '>', 'g'),
+         '&quot;', '"', 'g'),
+         '&#39;', '''', 'g'),
+         '&amp;', '&', 'g'),
+         '[ \t\n\f\r]+', ' ', 'g'))"""
   private val SHINGLES3 =
     s"""CASE WHEN len(toks) >= 3
         THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
@@ -1130,6 +1154,117 @@ object PipelineQueries {
               .otherwise(lit("")),
             lit("\nthis closing line clearly stays here.")).as("text")),
         "doc_id", "text")),
+
+    // main-content extraction (the trafilatura/jusText step between
+    // WARC text and the quality gates): docs wrapped in planted page
+    // chrome — nav/aside/footer SUBTREES (must vanish wholesale), a
+    // link-heavy promo div (survives pruning, dropped by the 20%
+    // link-density rule), a short title block and a %3-keyed stub
+    // paragraph (dropped by the 25-char floor) around the real prose
+    // <p> (must be the sole survivor). Projection-only, the p49 plant
+    // mirrored in the oracle
+    "p89_main_content" -> ((s, dir) => {
+      val wrapped = docs(s, dir).select(col("doc_id"), concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>p{color:red}</style></head><body>"),
+        lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a>" +
+          " <a href=\"/faq\">FAQ</a></nav>"),
+        lit("<div><a href=\"/l1\">Latest stories</a>" +
+          " <a href=\"/l2\">Top picks</a> read</div>"),
+        lit("<p>"), col("text"), lit("</p>"),
+        when(col("doc_id") % 3 === 0, lit("<p>ok.</p>")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          lit("<aside>Related: <a href=\"/r\">one</a></aside>"))
+          .otherwise(lit("")),
+        lit("<footer>(c) 2026 Example &amp; Co</footer></body></html>"))
+        .as("html"))
+      wrapped
+        .select(col("doc_id"),
+          TextOps.mainContentBlocks(col("html"), McMinChars, McLinkPct).as("mc"))
+        .select(col("doc_id"),
+          col("mc.n_blocks").as("n_blocks"),
+          col("mc.n_kept").as("n_kept"),
+          length(col("mc.text_main")).cast("long").as("len_main"),
+          col("mc.text_main").as("text_main"))
+    }),
+
+    // corpus-trained classifier SERVED through the gate (the DCLM /
+    // FineWeb-Edu loop): weak labels derived IN-PLAN by the Gopher
+    // rule over a plant that makes the bad class surface-learnable
+    // (every 3rd doc gains a '#' flood that trips symbol_word_ratio;
+    // the passer paragraph keeps the rest green), perceptron fit on
+    // the EVEN-id half via trainFromDF (hash-gated, id-resorted,
+    // partitioning-independent), served over the held-out ODD half as
+    // one codegen projection. Training is an order-sensitive driver
+    // loop — not SQL-replayable (the p47/p62 class), so the query is
+    // rows-only with an in-plan held-out-agreement certificate
+    // (assert_true >= 0.9, the withRecall shape) standing for the
+    // oracle
+    "p90_trained_quality_gate" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit("\n" + FunnelPasser),
+          when(col("doc_id") % 3 === 0,
+            lit("\n########## ########## ########## ##########"))
+            .otherwise(lit(""))).as("text"))
+      val labeled = Quality.gopherRules(planted, "doc_id", "text")
+        .select(col("doc_id"),
+          when(col("keep"), lit("good")).otherwise(lit("bad")).as("weak_label"))
+        .join(planted, "doc_id")
+      TextClassifier.trainAndServe(
+        labeled.filter(col("doc_id") % 2 === 0),
+        labeled.filter(col("doc_id") % 2 === 1),
+        "doc_id", "weak_label", "text", Seq("good", "bad"),
+        b = 256, maxSamples = 2000, agreementFloor = 0.9)
+    }),
+
+    // clean-corpus v2 — the flagship integration query: the FULL
+    // FineWeb-order recipe (main-content extraction → line corrections
+    // → Gopher/C4/wordlist gates → email+card+IBAN PII scrubs → exact
+    // dedup → minhash near-dup canonical keep → SemDeDup-LSH verdicts)
+    // over pages built from the corpus. Plant, all keyed by the BASE id
+    // so copies stay byte-identical: every doc wears nav/link-farm/
+    // footer chrome, carries an email + valid card + valid IBAN in its
+    // prose, and the FunnelPasser paragraph; bid%5==1 adds a '#'-flood
+    // block (gopher kill), %5==2 a lorem sentence (C4 kill), %5==3 a
+    // badword sentence (wordlist kill); bid%2==0 adds a numeric
+    // furniture block (line-corrected away, doc survives); doc_id%10==7
+    // docs are EXACT copies of id-1, %10==9 near-copies of id-1 (one
+    // extra sentence word — minhash @0.8 pairs them, min-id keeps the
+    // base). Semantic verdicts are p69's exact configuration over the
+    // embedding table; non-kept vec_ids drop their surviving docs
+    "p91_clean_corpus_v2" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id").as("bid"), col("text").as("btext"))
+      val src = d.select(col("doc_id"),
+        (col("doc_id") - when(col("doc_id") % 10 === 7 ||
+          col("doc_id") % 10 === 9, 1).otherwise(0)).as("bid"))
+        .join(base, "bid")
+      val body = concat(col("btext"),
+        lit(" contact user"), col("bid").cast("string"),
+        lit("@example.com pay 4111 1111 1111 1111 now acct" +
+          " DE89370400440532013000 ok. " + FunnelPasser),
+        when(col("bid") % 5 === 2,
+          lit(" and lorem ipsum appears here sadly.")).otherwise(lit("")),
+        when(col("bid") % 5 === 3,
+          lit(" a badword slipped into prose today.")).otherwise(lit("")),
+        when(col("doc_id") % 10 === 9, lit(" extranine.")).otherwise(lit("")))
+      val html = concat(
+        lit("<html><head><title>Doc</title></head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+          "<div><a href=\"/l1\">Latest stories</a>" +
+          " <a href=\"/l2\">Top picks</a> go</div><p>"),
+        body, lit("</p>"),
+        when(col("bid") % 5 === 1,
+          lit("<p>########## ########## ########## ##########</p>"))
+          .otherwise(lit("")),
+        when(col("bid") % 2 === 0,
+          lit("<p>42 / 107 13.5% 2024-01-02 10:11 99/100</p>"))
+          .otherwise(lit("")),
+        lit("<footer>(c) 2026 Example</footer></body></html>"))
+      Dedup.cleanCorpusV2(
+        src.select(col("doc_id"), html.as("html")), emb(s, dir),
+        "doc_id", "html", blocklist = Seq("badword"), threshold = 0.8)
+    }),
 
     // Heaps-law vocab growth over the raw corpus in 10 id-ordered
     // slices — global window over 10 rows, never the corpus
@@ -3178,6 +3313,277 @@ object PipelineQueries {
                  AND len(list_filter(string_split_regex(trim(l), '\s+'),
                        t -> len(t) > 0)) <= 4))), chr(10)) AS text_clean
          FROM sp""",
+
+    // mirrors the p89 plant, prunes the chrome subtrees, splits at the
+    // SAME block-tag regex (interpolated from TextOps.BlockTagRe), and
+    // replays the per-block clean + link-density keep rule; coalesce
+    // covers DuckDB's array_to_string([]) = NULL where Spark's
+    // array_join([]) = ''
+    "p89_main_content" -> {
+      val keep = s"x -> length(x.txt) >= $McMinChars AND " +
+        s"x.lch * 100 <= length(x.txt) * $McLinkPct"
+      raw"""WITH h AS (SELECT doc_id,
+                '<html><head><title>Doc ' || doc_id::VARCHAR
+                || '</title><style>p{color:red}</style></head><body>'
+                || '<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/faq">FAQ</a></nav>'
+                || '<div><a href="/l1">Latest stories</a> <a href="/l2">Top picks</a> read</div>'
+                || '<p>' || text || '</p>'
+                || CASE WHEN doc_id % 3 = 0 THEN '<p>ok.</p>' ELSE '' END
+                || CASE WHEN doc_id % 4 = 0
+                     THEN '<aside>Related: <a href="/r">one</a></aside>'
+                     ELSE '' END
+                || '<footer>(c) 2026 Example &amp; Co</footer></body></html>'
+                  AS html
+              FROM documents),
+             pr AS (SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(html,
+                   '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                   '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                   '(?is)<nav\b[^>]*>.*?</nav>', ' ', 'g'),
+                   '(?is)<header\b[^>]*>.*?</header>', ' ', 'g'),
+                   '(?is)<footer\b[^>]*>.*?</footer>', ' ', 'g'),
+                   '(?is)<aside\b[^>]*>.*?</aside>', ' ', 'g') AS html2
+               FROM h),
+             b AS (SELECT doc_id, list_transform(
+                 string_split_regex(html2, '${graft.pipeline.TextOps.BlockTagRe}'),
+                 c -> {'txt': ${mcClean("c")},
+                       'lch': coalesce(length(${mcClean(
+                         raw"""array_to_string(regexp_extract_all(c,
+                           '(?is)<a\b[^>]*>(.*?)</a>', 1), ' ')""")}), 0)})
+                 AS blocks
+               FROM pr)
+         SELECT doc_id,
+           CAST(len(list_filter(blocks, x -> length(x.txt) > 0)) AS BIGINT)
+             AS n_blocks,
+           CAST(len(list_filter(blocks, $keep)) AS BIGINT) AS n_kept,
+           CAST(coalesce(length(array_to_string(list_transform(
+             list_filter(blocks, $keep), x -> x.txt), chr(10))), 0) AS BIGINT)
+             AS len_main,
+           coalesce(array_to_string(list_transform(
+             list_filter(blocks, $keep), x -> x.txt), chr(10)), '') AS text_main
+         FROM b"""
+    },
+
+    // clean-corpus v2: the whole recipe replayed as ONE CTE chain —
+    // p89's extraction, p85's corrections, p83's gates, p20/p78/p81's
+    // scrubs, p1's exact keep, p18's minhash walk, p69's semantic
+    // verdicts (sm-prefixed to avoid CTE name clashes) — over the same
+    // bid-keyed plant
+    "p91_clean_corpus_v2" -> {
+      val keep = s"x -> length(x.txt) >= $McMinChars AND " +
+        s"x.lch * 100 <= length(x.txt) * $McLinkPct"
+      val numeric = raw"""regexp_matches(l, '^[\d.,:%/\s-]*\d[\d.,:%/\s-]*$$')"""
+      val counter = raw"""regexp_matches(lower(l),
+        '^\s*\d+\s+(likes?|comments?|shares?|views?|points?)\s*$$')"""
+      val caps = raw"""(regexp_matches(l, '[A-Z]') AND NOT regexp_matches(l, '[a-z]')
+        AND len(list_filter(string_split_regex(trim(l), '\s+'),
+              t -> len(t) > 0)) <= 4)"""
+      raw"""WITH RECURSIVE base AS (SELECT doc_id AS bid, text AS btext FROM documents),
+             src AS (SELECT doc_id,
+                 doc_id - CASE WHEN doc_id % 10 IN (7, 9) THEN 1 ELSE 0 END AS bid
+               FROM documents),
+             d0 AS (SELECT s0.doc_id,
+                 '<html><head><title>Doc</title></head><body>'
+                 || '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+                 || '<div><a href="/l1">Latest stories</a> <a href="/l2">Top picks</a> go</div>'
+                 || '<p>' || b.btext || ' contact user' || s0.bid::VARCHAR
+                 || '@example.com pay 4111 1111 1111 1111 now acct DE89370400440532013000 ok. '
+                 || '$FunnelPasser'
+                 || CASE WHEN s0.bid % 5 = 2 THEN ' and lorem ipsum appears here sadly.' ELSE '' END
+                 || CASE WHEN s0.bid % 5 = 3 THEN ' a badword slipped into prose today.' ELSE '' END
+                 || CASE WHEN s0.doc_id % 10 = 9 THEN ' extranine.' ELSE '' END
+                 || '</p>'
+                 || CASE WHEN s0.bid % 5 = 1
+                      THEN '<p>########## ########## ########## ##########</p>' ELSE '' END
+                 || CASE WHEN s0.bid % 2 = 0
+                      THEN '<p>42 / 107 13.5% 2024-01-02 10:11 99/100</p>' ELSE '' END
+                 || '<footer>(c) 2026 Example</footer></body></html>' AS html
+               FROM src s0 JOIN base b USING (bid)),
+             pr AS (SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(html,
+                   '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                   '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                   '(?is)<nav\b[^>]*>.*?</nav>', ' ', 'g'),
+                   '(?is)<header\b[^>]*>.*?</header>', ' ', 'g'),
+                   '(?is)<footer\b[^>]*>.*?</footer>', ' ', 'g'),
+                   '(?is)<aside\b[^>]*>.*?</aside>', ' ', 'g') AS html2
+               FROM d0),
+             mcb AS (SELECT doc_id, list_transform(
+                 string_split_regex(html2, '${graft.pipeline.TextOps.BlockTagRe}'),
+                 c -> {'txt': ${mcClean("c")},
+                       'lch': coalesce(length(${mcClean(
+                         raw"""array_to_string(regexp_extract_all(c,
+                           '(?is)<a\b[^>]*>(.*?)</a>', 1), ' ')""")}), 0)})
+                 AS blocks
+               FROM pr),
+             mct AS (SELECT doc_id,
+                 coalesce(array_to_string(list_transform(
+                   list_filter(blocks, $keep), x -> x.txt), chr(10)), '') AS text
+               FROM mcb),
+             lc AS (SELECT doc_id,
+                 array_to_string(list_filter(string_split(text, chr(10)),
+                   l -> NOT ($numeric OR $counter OR $caps)), chr(10)) AS text
+               FROM mct),
+             dd2 AS (SELECT doc_id, text, $TOKS AS toks,
+                 string_split(text, chr(10)) AS ls
+               FROM lc),
+             g AS (SELECT doc_id,
+                     (CAST(len(toks) AS BIGINT) >= 50 AND len(toks) <= 100000
+                      AND coalesce(round(list_sum(list_transform(toks, x -> length(x)))
+                        * 1.0 / nullif(len(toks), 0), 6), 0.0) BETWEEN 3.0 AND 10.0
+                      AND coalesce(round((length(text) - length(replace(text, '#', ''))
+                        + (length(text) - length(replace(text, '...', ''))) / 3)
+                        * 1.0 / nullif(len(toks), 0), 6), 0.0) <= 0.1
+                      AND coalesce(round(len(list_filter(ls,
+                          l -> substr(ltrim(l), 1, 1) IN ('•', '-')))
+                        * 1.0 / nullif(len(ls), 0), 6), 0.0) <= 0.9
+                      AND coalesce(round(len(list_filter(ls,
+                          l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+                        * 1.0 / nullif(len(ls), 0), 6), 0.0) <= 0.3
+                      AND coalesce(round(len(list_filter(toks,
+                          x -> regexp_matches(x, '[a-z]')))
+                        * 1.0 / nullif(len(toks), 0), 6), 0.0) >= 0.8
+                      AND CAST(len(list_filter(
+                        ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+                        w2 -> list_contains(toks, w2))) AS BIGINT) >= 2) AS gkeep
+                   FROM dd2),
+             cg AS (SELECT doc_id,
+                      (CAST(length(array_to_string(kl, chr(10)))
+                        - length(regexp_replace(array_to_string(kl, chr(10)),
+                            '[.!?]', '', 'g')) AS BIGINT) >= 5
+                       AND NOT contains(lower(text), 'lorem ipsum')
+                       AND NOT contains(text, '{')) AS ckeep
+                    FROM (SELECT doc_id, text,
+                        list_filter(ls,
+                          l -> substr(rtrim(l), -1, 1) IN ('.', '!', '?', '"')
+                            AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                                  x -> x != '')) >= 3
+                            AND NOT contains(lower(l), 'javascript')) AS kl
+                      FROM dd2) t),
+             w AS (SELECT doc_id,
+                     len(list_filter(toks, t -> list_contains(['badword'], t))) = 0
+                       AS wkeep
+                   FROM dd2),
+             gated AS (SELECT dd2.doc_id, dd2.text
+                       FROM dd2 JOIN g USING (doc_id) JOIN cg USING (doc_id)
+                            JOIN w USING (doc_id)
+                       WHERE gkeep AND ckeep AND wkeep),
+             r3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+                 '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS text
+               FROM gated),
+             cv AS (SELECT doc_id, text,
+                 list_filter(regexp_extract_all(text, '\b\d(?:[ -]?\d){12,18}\b'), x ->
+                     len(regexp_replace(x, '[ -]', '', 'g')) BETWEEN 13 AND 19 AND
+                     list_sum(list_transform(
+                       range(1, len(regexp_replace(x, '[ -]', '', 'g')) + 1), i ->
+                       CASE WHEN (len(regexp_replace(x, '[ -]', '', 'g')) - i) % 2 = 1
+                            THEN CASE WHEN substr(regexp_replace(x, '[ -]', '', 'g'), i::INT, 1)::INT * 2 > 9
+                                      THEN substr(regexp_replace(x, '[ -]', '', 'g'), i::INT, 1)::INT * 2 - 9
+                                      ELSE substr(regexp_replace(x, '[ -]', '', 'g'), i::INT, 1)::INT * 2 END
+                            ELSE substr(regexp_replace(x, '[ -]', '', 'g'), i::INT, 1)::INT END)) % 10 = 0)
+                   AS valid_raw
+               FROM r3),
+             r4 AS (SELECT doc_id,
+                 list_reduce(list_prepend(text, valid_raw),
+                   (acc, x) -> replace(acc, x, '[CARD]')) AS text
+               FROM cv),
+             vi AS (SELECT doc_id, text,
+                 list_filter(regexp_extract_all(text, '\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b'), x ->
+                     len(x) BETWEEN 15 AND 34 AND
+                     list_reduce(list_prepend(0::BIGINT,
+                       list_transform(range(1, len(x) + 1), i ->
+                         CASE WHEN substr(substr(x, 5) || substr(x, 1, 4), i::INT, 1)
+                                BETWEEN '0' AND '9'
+                              THEN substr(substr(x, 5) || substr(x, 1, 4), i::INT, 1)::BIGINT
+                              ELSE ascii(substr(substr(x, 5) || substr(x, 1, 4), i::INT, 1)) - 55 END)),
+                       (acc, dd) -> (acc * (CASE WHEN dd >= 10 THEN 100 ELSE 10 END) + dd) % 97) = 1)
+                   AS valid_raw
+               FROM r4),
+             scrub AS (SELECT doc_id,
+                 list_reduce(list_prepend(text, valid_raw),
+                   (acc, x) -> replace(acc, x, '[IBAN]')) AS text
+               FROM vi),
+             dd AS (SELECT doc_id, text FROM scrub
+                    QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                               ORDER BY doc_id) = 1),
+             ${minhashPairsCtes("dd")},
+             pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.8),
+             edges AS (SELECT doc_a AS src2, doc_b AS dst FROM pairs
+                       UNION SELECT doc_b, doc_a FROM pairs),
+             nodes AS (SELECT DISTINCT src2 AS doc FROM edges),
+             walk AS (SELECT doc, doc AS label FROM nodes
+                      UNION
+                      SELECT e.src2 AS doc, w2.label
+                      FROM edges e JOIN walk w2 ON e.dst = w2.doc),
+             clusters AS (SELECT doc, min(label) AS cluster_id FROM walk GROUP BY doc),
+             doomed AS (SELECT doc FROM clusters WHERE doc <> cluster_id),
+             nd AS (SELECT doc_id, text FROM dd
+                    WHERE doc_id NOT IN (SELECT doc FROM doomed)),
+             sme AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             smseeds AS (SELECT vec_id AS cid, v AS cv2 FROM sme
+                         ORDER BY vec_id LIMIT 16),
+             smasg0 AS (SELECT sme.vec_id, sme.v, s2.cid,
+                          round(list_dot_product(sme.v, s2.cv2) /
+                            (sqrt(list_dot_product(sme.v, sme.v)) *
+                             sqrt(list_dot_product(s2.cv2, s2.cv2))), 6) AS cosc
+                        FROM sme CROSS JOIN smseeds s2),
+             smasg AS (SELECT vec_id, v, cid, cosc FROM (
+                        SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cosc DESC, cid) AS rn FROM smasg0) t
+                       WHERE rn = 1),
+             smpl AS (SELECT p, list_transform(generate_series(0, 63), dims ->
+                        ((('0x' || substr(md5('plane:' || p || ':' || dims), 1, 12))::BIGINT
+                          % 2001) - 1000) / 1000.0) AS pv
+                      FROM unnest(generate_series(0, 127)) t(p)),
+             smbits AS (SELECT vec_id, p // 8 AS band, 1 << (p % 8) AS wbit,
+                          CASE WHEN list_dot_product(v, pv) >= 0 THEN 1 ELSE 0 END AS bit
+                        FROM sme, smpl),
+             smbk AS (SELECT vec_id, band, sum(bit * wbit) AS bucket
+                      FROM smbits GROUP BY 1, 2),
+             smcells AS (SELECT vec_id, band, bucket,
+                           count(*) OVER (PARTITION BY band, bucket) AS bsz,
+                           min(vec_id) OVER (PARTITION BY band, bucket) AS bmin
+                         FROM smbk),
+             smcand AS (SELECT DISTINCT vec_a, vec_b FROM (
+                          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+                          FROM smcells a JOIN smcells b ON a.band = b.band
+                            AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+                          WHERE a.bsz <= 24 AND b.bsz <= 24
+                          UNION ALL
+                          SELECT bmin, vec_id FROM smcells
+                          WHERE bsz > 24 AND vec_id > bmin) u),
+             smpr AS (SELECT vec_a, vec_b,
+                        round(list_dot_product(ea.v, eb.v) /
+                          (sqrt(list_dot_product(ea.v, ea.v)) *
+                           sqrt(list_dot_product(eb.v, eb.v))), 6) AS sim
+                      FROM smcand JOIN sme ea ON vec_a = ea.vec_id
+                                JOIN sme eb ON vec_b = eb.vec_id),
+             smpairs AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM smpr
+                         WHERE sim >= 0.35),
+             smedges AS (SELECT doc_a AS src2, doc_b AS dst FROM smpairs
+                         UNION SELECT doc_b, doc_a FROM smpairs),
+             smnodes AS (SELECT DISTINCT src2 AS doc FROM smedges),
+             smwalk AS (SELECT doc, doc AS label FROM smnodes
+                        UNION
+                        SELECT e2.src2 AS doc, w3.label
+                        FROM smedges e2 JOIN smwalk w3 ON e2.dst = w3.doc),
+             smcomp AS (SELECT doc AS vec_id, min(label) AS grp
+                        FROM smwalk GROUP BY doc),
+             smreps AS (SELECT grp, vec_id AS rep FROM (
+                         SELECT c2.grp, a.vec_id, row_number() OVER (
+                           PARTITION BY c2.grp ORDER BY a.cosc, a.vec_id) AS rn
+                         FROM smcomp c2 JOIN smasg a USING (vec_id)) t WHERE rn = 1),
+             smdrop AS (SELECT a.vec_id
+                        FROM smasg a LEFT JOIN smcomp c2 USING (vec_id)
+                             LEFT JOIN smreps r ON c2.grp = r.grp
+                        WHERE NOT (c2.grp IS NULL OR a.vec_id = r.rep))
+         SELECT doc_id, text FROM nd
+         WHERE doc_id NOT IN (SELECT vec_id FROM smdrop)"""
+    },
 
     // same integer bucket arithmetic, min-first-bucket vocabulary
     // attribution, 10-row cumulative window

@@ -2451,7 +2451,7 @@ class PipelineSpec extends SparkSpecBase {
       "3_wordlist" -> 1L, "4_survivor" -> 1L), out.toString)
   }
 
-  test("lineCorrections: each furniture rule fires, disjointly; survivors reassemble in order") {
+  test("lineCorrections: each furniture rule fires; uppercase counters double-count; survivors reassemble in order") {
     val d = docsOf(
       (1L, "good prose line here.\n42 / 107\n3 likes\nHOME ABOUT\nmore prose."),
       (2L, "12 THINGS WE KEPT TODAY\nALL CAPS\n2024-01-02"),  // 5-token caps SURVIVES
@@ -2468,6 +2468,13 @@ class PipelineSpec extends SparkSpecBase {
     // counter rule is case-insensitive; all three lines are counters,
     // none double-counts as numeric (they contain letters)
     assert(out(4L) == ((3L, 0L, 3L, 0L, "")))
+    // counter and caps are NOT disjoint: an uppercase counter matches
+    // both (documented), so the per-rule counts exceed the drop total
+    val dd = docsOf((9L, "3 LIKES\nprose."))
+    val o9 = Quality.lineCorrections(dd, "doc_id", "text").collect()(0)
+    assert((o9.getLong(1), o9.getLong(2), o9.getLong(3), o9.getLong(4),
+      o9.getString(5)) == ((2L, 0L, 1L, 1L, "prose.")),
+      "uppercase counter: dropped once, counted by BOTH counter and caps")
   }
 
   test("domainKl matches an independent plain-Scala recomputation; identical dist -> 0") {
@@ -2567,6 +2574,103 @@ class PipelineSpec extends SparkSpecBase {
       val p = k / 7.0; math.round(-p * math.log(p) * 1e6) }.sum
     assert(e.getDouble(3) ==
       BigDecimal(su / 1e6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("index save on empty input fails loudly BEFORE writing anything") {
+    val tmp = java.nio.file.Files.createTempDirectory("emptyidx").toString
+    val emptyDocs = docsOf().toDF()
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.saveMinhashIndex(
+        Dedup.minhashIndex(emptyDocs, "doc_id", "text", 5, 32, 8),
+        s"$tmp/mh", 5)
+    }
+    assert(e1.getMessage.contains("EMPTY"), e1.getMessage)
+    assert(!new java.io.File(s"$tmp/mh/meta").exists(),
+      "no partial meta may be left behind")
+    val allNull = emb.limit(3).withColumn("embedding",
+      lit(null).cast("array<float>"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.saveCosineIndex(allNull, s"$tmp/cos")
+    }
+    assert(e2.getMessage.contains("EMPTY"), e2.getMessage)
+    assert(!new java.io.File(s"$tmp/cos/meta").exists())
+  }
+
+  test("mainContentBlocks: each drop rule fires on its own violator; prose survives") {
+    val prose = "This paragraph carries enough real sentence text to stay."
+    def mc(html: String) = {
+      val d = docsOf((1L, "x")).select(lit(html).as("h"))
+      val r = d.select(TextOps.mainContentBlocks(col("h")).as("m"))
+        .select(col("m.n_blocks"), col("m.n_kept"), col("m.text_main"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getString(2))
+    }
+    // chrome containers vanish WHOLESALE — their text never becomes a block
+    assert(mc(s"<body><nav><a href='/'>Home</a> menu words here</nav><p>$prose</p></body>")
+      == ((1L, 1L, prose)))
+    assert(mc(s"<body><header>Big Site Name Banner Words</header><p>$prose</p>" +
+      s"<footer>copyright words and links</footer></body>") == ((1L, 1L, prose)))
+    assert(mc(s"<body><aside>Related articles sidebar text block</aside><p>$prose</p></body>")
+      == ((1L, 1L, prose)))
+    // link-density rule: a long-enough block that is mostly anchor text drops
+    val linky = "<div><a href='/a'>Latest stories ranked</a> <a href='/b'>Top picks today</a> go</div>"
+    assert(mc(s"<body>$linky<p>$prose</p></body>") == ((2L, 1L, prose)))
+    // min-length rule: short blocks drop even with zero links
+    assert(mc(s"<body><p>ok.</p><p>$prose</p></body>") == ((2L, 1L, prose)))
+    // a long block with a MINOR link stays (density under the ceiling)
+    val mixed = s"$prose See <a href='/x'>this</a> for more supporting detail text."
+    val (nb, nk, tm) = mc(s"<body><p>$mixed</p></body>")
+    assert(nb == 1L && nk == 1L && tm.contains("this"), s"($nb,$nk,$tm)")
+    // entity decode + whitespace collapse inside kept blocks
+    assert(mc("<body><p>alpha &amp; beta&nbsp;gamma   delta epsilon zeta</p></body>")
+      == ((1L, 1L, "alpha & beta gamma delta epsilon zeta")))
+    // block order is preserved in text_main
+    val two = mc(s"<body><p>first paragraph with plenty of words inside.</p>" +
+      s"<p>second paragraph also has plenty of words.</p></body>")
+    assert(two == ((2L, 2L,
+      "first paragraph with plenty of words inside.\nsecond paragraph also has plenty of words.")))
+  }
+
+  test("CacheLedger: internal barriers registered, drain releases, results survive a drain") {
+    CacheLedger.drain()
+    val d = docsOf((1L, "a b c a b c d"), (2L, "x y z x y"), (3L, "q w e r t y u"))
+    val out = Quality.knTrigramScore(d, "doc_id", "text")
+    assert(CacheLedger.pinned > 0,
+      "knTrigramScore's token/type barriers must register with the ledger")
+    val rows = out.orderBy("doc_id").collect().toSeq
+    CacheLedger.drain()
+    assert(CacheLedger.pinned == 0, "drain must empty the ledger")
+    // a drained plan recomputes — identically
+    assert(out.orderBy("doc_id").collect().toSeq == rows)
+    // vocabDrift + hammingPairsIncremental register too
+    Quality.vocabDrift(d, d.withColumn("text", concat(col("text"), lit(" new"))),
+      "text", minCount = 1).count()
+    val sigs = d.select(col("doc_id"), (col("doc_id") * 1024L).as("sig"))
+    Dedup.hammingPairsIncremental(sigs, sigs.limit(0), "doc_id", "sig", 4).count()
+    assert(CacheLedger.pinned > 0)
+    CacheLedger.drain()
+    assert(CacheLedger.pinned == 0)
+  }
+
+  test("CharCounts: malformed UTF-8 never throws — 0xF5-0xFF leads and past-U+10FFFF decodes") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // the point of each call: ArrayBasedMapData construction (which
+    // runs Character.toChars over every decoded point) must not throw
+    def hist(bytes: Int*): Long = {
+      val m = graft.functions.CharCounts.histogram(
+        UTF8String.fromBytes(bytes.map(_.toByte).toArray))
+      (0 until m.numElements()).map(i => m.valueArray.getLong(i)).sum
+    }
+    // 0xF5 lead with 3 trail bytes: RFC 3629 forbids it (would decode
+    // > U+10FFFF); must degrade to lone-lead, not crash in toChars
+    assert(hist(0xF5, 0x80, 0x80, 0x80) == 4L)
+    assert(hist(0xFF, 0xBF, 0xBF, 0xBF) == 4L)
+    // 0xF4 with trail > 0x8F decodes to 0x110000 — exactly one past max
+    assert(hist(0xF4, 0x90, 0x80, 0x80) == 4L)
+    // valid supplementary-plane max still decodes as ONE code point
+    assert(hist(0xF4, 0x8F, 0xBF, 0xBF) == 1L)
+    // garbage + trailing ascii: every garbage byte a lone code point
+    assert(hist(0xF5, 0x80, 0x80, 0x80, 0x61) == 5L)
   }
 
   test("charEntropy: analytic values on hand distributions, flood crushes the gate") {

@@ -95,7 +95,15 @@ class PlanShapeSpec extends SparkSpecBase {
       "p27_ann_pq" -> "serve-time query batch + per-query PQ LUT (k*dsub doubles each)",
       "p29_ann_ivfpq" -> "serve-time query batch + per-query LUT, probed per list",
       "p17_decontaminate" -> "benchmark shingle set: fixed eval suite, small by construction",
-      "p18_clean_corpus" -> "composes p17's benchmark shingle broadcast")
+      "p18_clean_corpus" -> "composes p17's benchmark shingle broadcast",
+      // the incremental screens broadcast the ARRIVING BATCH's band
+      // cells so the stored corpus is scanned, never shuffled — the
+      // serving contract bounds the batch (a crawl increment);
+      // broadcastBatch=false restores the symmetric shuffle join for
+      // backfill-scale batches
+      "p71_incremental_neardup" -> "arriving batch band cells: bounded crawl increment",
+      "p73_incremental_semantic" -> "arriving batch band cells: bounded crawl increment",
+      "p82_incremental_hamming" -> "arriving batch band cells: bounded crawl increment")
     for ((name, fn) <- graft.SparkEntry.queries) {
       val analyzed = fn(spark, sfDir).queryExecution.analyzed
       val hints = analyzed.collect {
@@ -176,7 +184,10 @@ class PlanShapeSpec extends SparkSpecBase {
       // p88 attaches the one-row (lo, hi) id bounds to the doc frame
       // and its window runs over <= buckets rows
       "p65_kn_bigram", "p67_dedup_report", "p79_kn_trigram",
-      "p86_domain_kl", "p87_vocab_drift", "p88_vocab_growth")
+      "p86_domain_kl", "p87_vocab_drift", "p88_vocab_growth",
+      // p90 attaches the one-row held-out agreement rate (its in-plan
+      // certificate, the withRecall shape)
+      "p90_trained_quality_gate")
     for ((name, fn) <- graft.SparkEntry.queries
          if !intentionalThetaJoins(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
