@@ -1266,6 +1266,123 @@ object PipelineQueries {
         "doc_id", "html", blocklist = Seq("badword"), threshold = 0.8)
     }),
 
+    // GPT-2 regex pre-tokenization (the byte-level-BPE front end): a
+    // plant exercises every alternation branch — contractions, digit
+    // runs, punctuation runs, multi-space/tab/newline whitespace runs
+    // (the lookahead rule's cases) — and the output pins the count per
+    // branch, an md5 of the full pre-token list, and the LOSSLESS
+    // partition property (concat(pretokens) == text) as a hashed
+    // boolean. The marker transform makes the lookahead-free chain
+    // RE2-replayable, so the oracle runs the identical algebra
+    "p92_gpt2_pretokenize" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit("\n\nDon't stop; we'll go 1234 times!!  "),
+          when(col("doc_id") % 3 === 0, lit("\t\tindented tail here"))
+            .otherwise(lit("spaced   out   tail")),
+          when(col("doc_id") % 4 === 0, lit(" I'm done, you're not."))
+            .otherwise(lit(" trailing spaces  "))).as("text"))
+      val pt = planted.select(col("doc_id"), col("text"),
+        BpeByte.pretokens(col("text")).as("pts"))
+      pt.select(col("doc_id"),
+        size(col("pts")).cast("long").as("n_pretokens"),
+        size(filter(col("pts"), t => t.startsWith(" ") && t.rlike("\\S")))
+          .cast("long").as("n_space_prefixed"),
+        size(filter(col("pts"), t => t.rlike("^\\s+$")))
+          .cast("long").as("n_ws_runs"),
+        size(filter(col("pts"),
+          t => t.isin("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")))
+          .cast("long").as("n_contractions"),
+        md5(array_join(col("pts"), "\u001f")).as("pt_hash"),
+        (array_join(col("pts"), "") === col("text")).as("lossless"))
+    }),
+
+    // byte-level BPE end to end (train on the corpus's own pre-token
+    // dictionary, segment every pre-token over the 256-byte mapped
+    // alphabet): training is the driver-local indexed loop (the p47
+    // class — not SQL-replayable), so the query is rows-only with TWO
+    // in-plan asserts standing for the oracle: every pre-token's
+    // segments concatenate back to its byte-mapped form, and the
+    // unmapped concatenation of ALL segments reproduces the original
+    // text byte for byte — the lossless property that distinguishes
+    // this family from the whitespace tokenizers (p45/p47)
+    "p93_byte_bpe" -> ((s, dir) => {
+      // the p92 plant rides along so the byte path crosses newlines,
+      // tabs, digits, punctuation and contractions — the branches a
+      // letters-only corpus never exercises; 24 merges (the corpus
+      // vocabulary is ~40 pretokens) keep segmentation NON-trivial:
+      // frequent pretokens merge to one token, the tail stays split
+      def planted(d: DataFrame) = d.select(col("doc_id"),
+        concat(col("text"),
+          lit("\n\nDon't stop; we'll go 1234 times!!  "),
+          when(col("doc_id") % 3 === 0, lit("\t\tindented tail here"))
+            .otherwise(lit("spaced   out   tail"))).as("text"))
+      val merges = BpeByte.trainMerges(planted(docs(s, dir)), "text",
+        nMerges = 24, maxWords = 100000).map(m => (m._2, m._3))
+      planted(docs(s, dir))
+        .select(col("doc_id"), col("text"),
+          BpeByte.pretokens(col("text")).as("pts"))
+        .withColumn("mapped", transform(col("pts"),
+          t => graft.functions.ByteUnicode.toUnicode(t)))
+        .withColumn("segs", transform(col("mapped"),
+          m => graft.functions.BpeSegment(m, merges)))
+        .select(col("doc_id"),
+          size(col("pts")).cast("long").as("n_pretokens"),
+          aggregate(transform(col("segs"), a => size(a).cast("long")),
+            lit(0L), (a, x) => a + x).as("n_tokens"),
+          forall(zip_with(col("mapped"), col("segs"),
+            (m, sg) => concat_ws("", sg) === m), b => b).as("rebuilt_ok"),
+          (graft.functions.ByteUnicode.toBytes(
+            array_join(flatten(col("segs")), "")) === col("text"))
+            .as("lossless"))
+        .filter(assert_true(col("rebuilt_ok") && col("lossless"),
+          concat(lit("byte-BPE reconstruction failed for doc "),
+            col("doc_id").cast("string"))).isNull)
+    }),
+
+    // per-LINE language segmentation (the FineWeb-2/CCNet
+    // mixed-document detector — docs whose paragraphs disagree on
+    // language are either boilerplate-contaminated or need splitting
+    // before monolingual training): three planted lexicon lines per
+    // doc (line 1 flips to German on %4==0, line 2 to French on
+    // %5==0), each line classified by the p61 scorer under a
+    // composite line id, then one doc rollup: line count, distinct
+    // predicted languages, the dominant language (max line count, tie
+    // -> lexicographically smallest — a 3-row window per doc), mixed
+    // flag. Plan: classify is one codegen projection over the exploded
+    // line relation; the rollup shuffles (doc, lang) longs only
+    "p94_line_langs" -> ((s, dir) => {
+      def lineWords(l: String, line: Int) =
+        concat_ws(" ", (0 until 10).map(k =>
+          element_at(typedLit(LangId.Lexicons(l).toArray),
+            (pmod(col("doc_id") * 7 + line * 11 + k * 3, lit(10)) + 1)
+              .cast("int"))): _*)
+      val l0 = lineWords("en", 0)
+      val l1 = when(col("doc_id") % 4 === 0, lineWords("de", 1))
+        .otherwise(lineWords("en", 1))
+      val l2 = when(col("doc_id") % 5 === 0, lineWords("fr", 2))
+        .otherwise(lineWords("en", 2))
+      val lines = docs(s, dir).select(col("doc_id"),
+        posexplode(array(l0, l1, l2)).as(Seq("pos", "line")))
+        .select((col("doc_id") * 10 + col("pos")).as("lid"), col("line"))
+      val scored = LangId.classify(lines, "lid", "line")
+        .select(expr("lid div 10").as("doc_id"), col("lang_pred"))
+      val perLang = scored.groupBy("doc_id", "lang_pred")
+        .agg(count(lit(1)).as("__n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(col("__n").desc, col("lang_pred"))
+      perLang
+        .withColumn("__rk", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(sum("__n").cast("long").as("n_lines"),
+          count(lit(1)).cast("long").as("n_langs"),
+          max(when(col("__rk") === 1, col("lang_pred"))).as("dominant_lang"),
+          max(when(col("__rk") === 1, col("__n"))).cast("long")
+            .as("n_dominant"))
+        .withColumn("is_mixed", col("n_langs") >= 2)
+    }),
+
     // Heaps-law vocab growth over the raw corpus in 10 id-ordered
     // slices — global window over 10 rows, never the corpus
     "p88_vocab_growth" -> ((s, dir) =>
@@ -3583,6 +3700,78 @@ object PipelineQueries {
                         WHERE NOT (c2.grp IS NULL OR a.vec_id = r.rep))
          SELECT doc_id, text FROM nd
          WHERE doc_id NOT IN (SELECT vec_id FROM smdrop)"""
+    },
+
+    // same marker transform (chr(1) between the last two whitespace
+    // chars of a run before non-space), same split, same RE2-safe
+    // alternation — the lookahead-free restatement both engines run
+    "p92_gpt2_pretokenize" -> {
+      val re = graft.pipeline.BpeByte.PretokenRe.replace("'", "''")
+      raw"""WITH d AS (SELECT doc_id,
+                text || chr(10) || chr(10)
+                || 'Don''t stop; we''ll go 1234 times!!  '
+                || CASE WHEN doc_id % 3 = 0
+                     THEN chr(9) || chr(9) || 'indented tail here'
+                     ELSE 'spaced   out   tail' END
+                || CASE WHEN doc_id % 4 = 0 THEN ' I''m done, you''re not.'
+                     ELSE ' trailing spaces  ' END AS text
+              FROM documents),
+             m AS (SELECT doc_id, text,
+                 regexp_replace(text, '(\s)(\s)([^\s])',
+                   '\1' || chr(1) || '\2\3', 'g') AS mk
+               FROM d),
+             p AS (SELECT doc_id, text,
+                 flatten(list_transform(string_split(mk, chr(1)),
+                   seg -> regexp_extract_all(seg, '$re'))) AS pts
+               FROM m)
+         SELECT doc_id,
+           CAST(len(pts) AS BIGINT) AS n_pretokens,
+           CAST(len(list_filter(pts, t -> t[1:1] = ' '
+             AND regexp_matches(t, '\S'))) AS BIGINT) AS n_space_prefixed,
+           CAST(len(list_filter(pts,
+             t -> regexp_matches(t, '^\s+$$'))) AS BIGINT) AS n_ws_runs,
+           CAST(len(list_filter(pts, t -> list_contains(
+             ['''s', '''t', '''re', '''ve', '''m', '''ll', '''d'], t)))
+             AS BIGINT) AS n_contractions,
+           md5(coalesce(array_to_string(pts, chr(31)), '')) AS pt_hash,
+           coalesce(array_to_string(pts, ''), '') = text AS lossless
+         FROM p"""
+    },
+
+    // the p61 generated scorer over the exploded line relation (same
+    // lexicon arithmetic, composite line ids), then the same per-doc
+    // rollup with the same (count desc, lang asc) dominant pick
+    "p94_line_langs" -> {
+      def words(l: String, line: Int) = {
+        val lex = s"list_value(${graft.pipeline.LangId.Lexicons(l)
+          .map(w => s"'$w'").mkString(",")})"
+        (0 until 10).map(k =>
+          s"($lex)[((doc_id*7 + ${line * 11} + ${k * 3}) % 10)::INT + 1]")
+          .mkString(" || ' ' || ")
+      }
+      val srcSel = s"""SELECT doc_id*10 + pos AS doc_id, lower(CASE
+           WHEN pos = 0 THEN ${words("en", 0)}
+           WHEN pos = 1 THEN CASE WHEN doc_id % 4 = 0
+             THEN ${words("de", 1)} ELSE ${words("en", 1)} END
+           ELSE CASE WHEN doc_id % 5 = 0
+             THEN ${words("fr", 2)} ELSE ${words("en", 2)} END END) AS __t
+         FROM documents, (SELECT unnest([0, 1, 2]) AS pos) p"""
+      val scoreSql = graft.pipeline.LangId.scoreSqlFrom(srcSel)
+      raw"""WITH cls AS ($scoreSql),
+           pl AS (SELECT CAST(doc_id // 10 AS BIGINT) AS doc_id, lang_pred,
+                    count(*) AS n
+                  FROM cls GROUP BY 1, 2),
+           rk AS (SELECT doc_id, lang_pred, n,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY n DESC, lang_pred) AS rk
+                  FROM pl)
+         SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_lines,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           max(CASE WHEN rk = 1 THEN lang_pred END) AS dominant_lang,
+           CAST(max(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS n_dominant,
+           count(*) >= 2 AS is_mixed
+         FROM rk GROUP BY doc_id"""
     },
 
     // same integer bucket arithmetic, min-first-bucket vocabulary

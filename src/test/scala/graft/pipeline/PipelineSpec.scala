@@ -2091,6 +2091,191 @@ class PipelineSpec extends SparkSpecBase {
     assert(short.getString(3) == "keep" && short.getLong(4) == 0L)
   }
 
+  test("BpeByte.pretokens == GPT-2's lookahead pattern on every whitespace-rule case") {
+    // ground truth: the PUBLISHED pattern (with the (?!\S) lookahead)
+    // through Java regex — the engine's marker transform must produce
+    // the identical partition on every case the lookahead governs
+    val gpt2 = java.util.regex.Pattern.compile(
+      "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+")
+    def truth(s: String): Seq[String] = {
+      val m = gpt2.matcher(s)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (m.find()) out += m.group()
+      out.toSeq
+    }
+    val cases = Seq(
+      "Hello world",            // single space attaches
+      "don't stop, we'll go",   // contractions split off
+      "abc  def",               // 2-space run: 1 ws token + attached space
+      "abc   def",              // 3-space run: 2-space ws token + attach
+      "a\tb", "a\t\tb", "a \tb", "a\t b", // tab never attaches, space does
+      "trailing  ", "  leading", "   ",   // runs at edges
+      "line1\nline2\n\nline3",  // newlines
+      "x123y456", "3.14 costs $5!", "--flags--",
+      "mixed\u00a0nbsp stays")  // U+00A0 is NOT \s for either engine
+    for (c <- cases) {
+      val got = BpeByte.pretokensLocal(c)
+      assert(got == truth(c), s"case '${c.replace("\n", "\\n").replace("\t", "\\t")}': " +
+        s"got $got want ${truth(c)}")
+      assert(got.mkString("") == c, s"pretokens must partition '$c' exactly")
+    }
+    // the Column form agrees with the JVM mirror
+    val df = docsOf(cases.zipWithIndex.map { case (c, i) => (i.toLong, c) }: _*)
+    val viaCol = df.select(col("doc_id"), BpeByte.pretokens(col("text")).as("p"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getSeq[String](1).toSeq).toSeq
+    assert(viaCol == cases.map(truth), "Column path must equal the lookahead truth")
+  }
+
+  test("ByteUnicode: bijection on arbitrary unicode; byte-BPE is lossless end to end") {
+    import graft.functions.ByteUnicode
+    val samples = Seq("hello", " spaced out ", "\t\ntabs\n", "héllo wörld",
+      "你好世界", "mixed 你 and é plus " + new String(Character.toChars(0x1F600)),
+      "")
+    for (s <- samples)
+      assert(ByteUnicode.unmapBytes(ByteUnicode.mapBytes(s)) == s, s"roundtrip '$s'")
+    // space maps to the GPT-2 'Ġ' (U+0120), newline to 'Ċ' (U+010A) —
+    // the published table's best-known entries
+    assert(ByteUnicode.mapBytes(" ") == "\u0120" && ByteUnicode.mapBytes("\n") == "\u010a")
+    // mapped strings never contain a literal space (BpeSegment's rank-key
+    // separator contract)
+    assert(!samples.exists(s => ByteUnicode.mapBytes(s).contains(' ')))
+    // end to end: train byte merges on a tiny corpus, segment, unmap —
+    // original text reproduced byte for byte, whitespace included
+    val d = docsOf(
+      (1L, "the cat sat on the mat. the cat ran."),
+      (2L, "the dog sat   on\tthe log, naturally."),
+      (3L, "cats don't run 99 times!"))
+    val merges = BpeByte.trainMerges(d, "text", nMerges = 12)
+      .map(m => (m._2, m._3))
+    assert(merges.size == 12)
+    val out = d.select(col("doc_id"), col("text"),
+        BpeByte.pretokens(col("text")).as("pts"))
+      .withColumn("mapped", transform(col("pts"),
+        t => graft.functions.ByteUnicode.toUnicode(t)))
+      .withColumn("segs", transform(col("mapped"),
+        m => graft.functions.BpeSegment(m, merges)))
+      .select(col("doc_id"), col("text"),
+        graft.functions.ByteUnicode.toBytes(
+          array_join(flatten(col("segs")), "")).as("rebuilt"),
+        aggregate(transform(col("segs"), a => size(a).cast("long")),
+          lit(0L), (a, x) => a + x).as("n_tokens"),
+        size(col("pts")).cast("long").as("n_pretokens"))
+      .collect()
+    for (r <- out) {
+      assert(r.getString(2) == r.getString(1),
+        s"doc ${r.getLong(0)} not lossless: '${r.getString(2)}'")
+      // 12 merges over this vocab cannot fully merge every pretoken
+      assert(r.getLong(3) > r.getLong(4),
+        s"doc ${r.getLong(0)}: segmentation collapsed (${r.getLong(3)} tokens, " +
+          s"${r.getLong(4)} pretokens) — merges trivialized the spec")
+    }
+    // frequent " the" must compress well below its 4 raw byte symbols
+    // (exact grouping depends on merge order; compression + exact
+    // reconstruction are the invariants)
+    val theSegs = d.sparkSession.range(1).select(
+      graft.functions.BpeSegment(
+        graft.functions.ByteUnicode.toUnicode(lit(" the")), merges).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(theSegs.mkString("") == "\u0120the" && theSegs.size <= 2,
+      s"' the' segments: $theSegs")
+  }
+
+  test("trainAndServe: certificate fails loudly below floor; served rows repartition-stable") {
+    // perfectly learnable labels: 'zzz'-flooded docs are bad
+    val rows = (0L until 120L).map { i =>
+      val bad = i % 3 == 0
+      val txt = if (bad) "zzz zzz zzz zzz keyboard mash zz zzz here"
+        else "a perfectly ordinary clean sentence of plain prose words"
+      (i, txt + s" tail$i", if (bad) "bad" else "good")
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("weak_label", StringType)))
+    def df(parts: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), parts), schema)
+    val train = df(3).filter(col("doc_id") % 2 === 0)
+    val serve = df(3).filter(col("doc_id") % 2 === 1)
+    val out = TextClassifier.trainAndServe(train, serve, "doc_id", "weak_label",
+      "text", Seq("good", "bad"), b = 128, maxSamples = 100, agreementFloor = 0.9)
+      .select("doc_id", "pred", "agree").orderBy("doc_id").collect().toSeq
+    assert(out.nonEmpty && out.forall(_.getBoolean(2)),
+      "learnable labels must serve at full agreement")
+    // same relation, different partitioning -> identical served rows
+    // (trainFromDF's hash-gate + id re-sort make weights layout-free)
+    val out2 = TextClassifier.trainAndServe(
+      df(11).filter(col("doc_id") % 2 === 0), df(11).filter(col("doc_id") % 2 === 1),
+      "doc_id", "weak_label", "text", Seq("good", "bad"),
+      b = 128, maxSamples = 100, agreementFloor = 0.9)
+      .select("doc_id", "pred", "agree").orderBy("doc_id").collect().toSeq
+    assert(out2 == out, "served predictions must not depend on partitioning")
+    // an unlearnable labeling (labels uncorrelated with text) must DIE
+    // at the certificate, not serve silently-wrong predictions
+    val coin = df(3).withColumn("weak_label",
+      when(xxhash64(col("doc_id")) % 2 === 0, "good").otherwise("bad"))
+    val e = intercept[Exception] {
+      TextClassifier.trainAndServe(coin.filter(col("doc_id") % 2 === 0),
+        coin.filter(col("doc_id") % 2 === 1), "doc_id", "weak_label", "text",
+        Seq("good", "bad"), b = 128, maxSamples = 100, agreementFloor = 0.99)
+        .count()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("agreement"),
+      s"certificate must name the agreement floor: ${e.getMessage}")
+  }
+
+  test("cleanCorpusV2: each stage visible on hand pages end to end") {
+    val prose = "the quick brown fox jumps over the lazy dog today. " +
+      "and we keep many solid words here with care. " +
+      "that line also ends with a clean period mark. " +
+      "have another proper sentence of plain words now. " +
+      "some more plain filler words arrive to clear the gopher floor. " +
+      "nothing unusual happens inside this calm spare sentence either. " +
+      "with this final sentence the document clearly ends."
+    def page(body: String) =
+      "<html><body><nav><a href='/'>Home</a> menu</nav><p>" + body +
+        "</p><footer>(c) footer</footer></body></html>"
+    // every surviving body must END in terminal punctuation (the C4
+    // line rule) and carry a distinct-enough tail that only the PLANTED
+    // pair clears the 0.9 near-dup threshold over the shared prose
+    val rows = Seq(
+      (1L, page(prose + " unique tail for document number one.")),  // survives
+      (2L, page(prose + " unique tail for document number one.")),  // exact dup of 1 -> dropped
+      (3L, page(prose + " unique tail for document number one extraword.")), // near dup of 1 -> dropped
+      (4L, page(prose + " " + ("#" * 40))),                  // gopher kill
+      (5L, page(prose + " lorem ipsum dolor sit.")),         // c4 kill
+      (6L, page(prose + " a badword appears.")),             // wordlist kill
+      (7L, page(prose + " mail user7@example.com goes right here today.")), // survives, scrubbed
+      (8L, page(prose + " document eight has its own closing words.")))     // semantic dup of 1 -> dropped
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("html", StringType)))
+    val pages = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 3), schema)
+    // embeddings: docs 8 and 1 semantic dups (identical vectors) -> the
+    // non-kept member of the pair must drop; give the rest orthogonal-ish
+    // distinct vectors
+    val vecs = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, _) =>
+        val v = Array.tabulate(8)(d =>
+          if (i == 8L) (if (d == 0) 1.0f else 0.0f) // same direction as doc 1
+          else if (i == 1L) (if (d == 0) 1.0f else 0.0f)
+          else if (d == (i % 8).toInt) 1.0f else 0.0f)
+        Row(i, v.toSeq)
+      }, 2),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val out = Dedup.cleanCorpusV2(pages, vecs, "doc_id", "html",
+      blocklist = Seq("badword"), threshold = 0.9,
+      semK = 2, semTau = 0.99, semDim = 8, semStarCap = 24)
+      .orderBy("doc_id").collect()
+    val ids = out.map(_.getLong(0)).toSeq
+    // 2 exact-dropped, 3 near-dropped, 4/5/6 gated, 8 semantic-dropped
+    // (doc 1 is the min-id rep of the {1,8} semantic pair)
+    assert(ids == Seq(1L, 7L), s"survivors: $ids")
+    val t7 = out(1).getString(1)
+    assert(t7.contains("[EMAIL]") && !t7.contains("user7@example.com"),
+      s"PII must be scrubbed: $t7")
+    assert(!out(0).getString(1).contains("<"), "no tags may survive extraction")
+  }
+
   test("trainFromDF: corpus-fit gate separates held-out docs; deterministic across partitionings") {
     // a labeled RELATION (not the embedded fixture): 120 docs, ids
     // non-contiguous, label decides a planted style; some rows carry
