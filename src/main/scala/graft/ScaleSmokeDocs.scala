@@ -323,6 +323,73 @@ object ScaleSmokeDocs {
           concat(lit("s"), pmod(hash(col("doc_id"), lit(3)), lit(8)))),
         "doc_id", "text", "shard", 2048).count()
     })
+    // main-content extraction (round-9, p89): chrome subtrees + a
+    // link-farm block + a short stub around the prose — the full
+    // prune/split/score/keep chain. Projection-only; rows = pages whose
+    // main text is non-empty (all of them).
+    stage("main_content")({
+      val html = docs.select(col("doc_id"),
+        concat(lit("<html><head><title>t</title></head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+          "<div><a href=\"/l1\">Latest stories</a>" +
+          " <a href=\"/l2\">Top picks</a> go</div><p>"),
+          col("text"), lit("</p><p>ok.</p>" +
+            "<footer>(c) footer chrome</footer></body></html>")).as("html"))
+      html.select(col("doc_id"),
+        graft.pipeline.TextOps.mainContentBlocks(col("html"))
+          .getField("text_main").as("t"))
+        .filter(length(col("t")) > 0).count()
+    })
+    // clean-corpus v2 (round-9, p91): the FULL FineWeb-order recipe —
+    // extraction → line corrections → three gates → three PII scrubs →
+    // exact + minhash dedup → SemDeDup-LSH verdicts over totalDocs/2
+    // synthetic embeddings. The body is built to PASS the gates with a
+    // numeric furniture block the corrections must strip, and — the
+    // part that makes this row measure the ENGINE, not a plant
+    // pathology — with near-ZERO background shingle overlap between
+    // unrelated docs: no shared ≥3-consecutive-word run survives into
+    // the shingle sets (every shared template word is id-flanked), so
+    // banded candidates come from the planted near-dups rather than a
+    // corpus-wide boilerplate flood. (Real pipelines get this property
+    // from boilerplate/line removal BEFORE minhash — exactly where
+    // this recipe runs lineCorrections; a corpus whose post-correction
+    // docs still share 25% of shingles makes ANY banded LSH quadratic,
+    // which is a property of the corpus, not of the plan.) Planted
+    // text near-dups arrive from the corpus's own %100 perturbed
+    // copies. rows = surviving documents.
+    stage("clean_corpus_v2")({
+      val ws = split(col("text"), " ")
+      val idw = concat(lit("u"), pmod(hash(col("doc_id"), lit(11)), lit(100000)))
+      val body = concat_ws("\n", transform(sequence(lit(0), lit(5)), i =>
+        concat(lit("The "), concat_ws(" ", slice(ws, i * 10 + 1, lit(10))),
+          lit(" went "), idw, lit(" done."))))
+      val pages = docs.select(col("doc_id"),
+        concat(lit("<html><head><title>t</title></head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav><p>"),
+          body, lit(" to "), idw, lit(" be "), idw, lit(" of "), idw,
+          lit(" that "), idw, // gopher stop words, id-flanked (no run)
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com "), idw,
+          lit(" pays 4111 1111 1111 1111 "), idw,
+          lit(" now.</p><p>42 / 107 13.5% 99/100</p>" +
+            "<footer>(c) footer</footer></body></html>")).as("html"))
+      val nv = totalDocs / 2
+      val vIsDup = col("id") % 100 === 1
+      val vBase = when(vIsDup, col("id") - 1).otherwise(col("id"))
+      val vecs = spark.range(nv).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          d => (pmod(hash(vBase, d), lit(2001)) - 1000) / lit(1000.0) +
+            when(vIsDup && d === 0, lit(0.001)).otherwise(lit(0.0)))
+          .as("embedding"))
+      // 0.35: the %100 planted copies land near j≈0.38 here (the 13
+      // id-flanking words dilute them); background pairs sit ≈0.03.
+      // Star cap 24 = p69's: 8-plane tables have only 256 buckets, so
+      // at 100k+ vectors EVERY cell is a pile-up — uncapped cells go
+      // quadratic (measured 162 s of pure cell self-join at this size)
+      Dedup.cleanCorpusV2(pages, vecs, "doc_id", "html",
+        blocklist = Seq("zqxj"), threshold = 0.35,
+        semTau = 0.98, semDim = 64, semStarCap = 24).count()
+    })
     // production-regime tokenizer train (round-7): 32k merges — the GPT-2
     // vocabulary size — over a letterized corpus (26-letter alphabet,
     // hash-random words of 6-10 chars → the dict cap's full 100k words,
