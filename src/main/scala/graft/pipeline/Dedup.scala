@@ -1122,9 +1122,14 @@ object Dedup {
       semK: Int = 16, semTau: Double = 0.35, semTables: Int = 16,
       semPlanes: Int = 8, semDim: Int = 64, semStarCap: Int = 24)
       : DataFrame = {
+    // mc persisted too: lineCorrections references its text column in
+    // FIVE output expressions, and HOF-heavy projections get no CSE —
+    // without the barrier the whole extraction regex chain re-runs per
+    // reference (measured ~2× on the composed bench query)
     val mc = pages.select(col(idCol),
       TextOps.mainContentBlocks(col(htmlCol), minChars, maxLinkDensityPct)
         .getField("text_main").as("text"))
+      .persistTracked()
     val lc = Quality.lineCorrections(mc, idCol, "text")
       .select(col(idCol), col("text_clean").as("text"))
       .persistTracked() // feeds three gate projections + the scrub chain

@@ -193,10 +193,19 @@ object TextClassifier {
     */
   def trainAndServe(labeled: DataFrame, heldOut: DataFrame, idCol: String,
       labelCol: String, textCol: String, classes: Seq[String], b: Int,
-      maxSamples: Int = 20000, agreementFloor: Double = 0.0): DataFrame = {
+      maxSamples: Int = 20000, agreementFloor: Double = 0.0,
+      fast: Boolean = false): DataFrame = {
+    // fast = the rolling-ring feature family on BOTH the trainer and
+    // the serve projection (they must match): ~10× cheaper than
+    // md5-per-gram — the right default for a gate that is certified
+    // in-plan rather than oracle-replayed. md5 stays the default for
+    // callers that want the oracle-mirrorable bucket function.
+    val feat: String => Map[Int, Long] =
+      if (fast) bucketsRing(_, b) else bucketsMd5(_, b)
+    val buckets = if (fast) ringBuckets(textCol, b) else md5Buckets(textCol, b)
     val weights = trainFromDF(labeled, idCol, labelCol, textCol, classes, b,
-      bucketsMd5(_, b), maxSamples)
-    val served = classifyWith(heldOut, idCol, md5Buckets(textCol, b),
+      feat, maxSamples)
+    val served = classifyWith(heldOut, idCol, buckets,
       classes, weights, "pred")
       .join(heldOut.select(col(idCol),
         col(labelCol).cast("string").as("weak_label")), idCol)

@@ -1214,7 +1214,11 @@ object PipelineQueries {
         labeled.filter(col("doc_id") % 2 === 0),
         labeled.filter(col("doc_id") % 2 === 1),
         "doc_id", "weak_label", "text", Seq("good", "bad"),
-        b = 256, maxSamples = 2000, agreementFloor = 0.9)
+        b = 256, maxSamples = 2000, agreementFloor = 0.9,
+        // rows-only query certified in-plan: the ring feature family
+        // serves ~10× cheaper than md5-per-gram and nothing here needs
+        // the oracle-mirrorable bucket function
+        fast = true)
     }),
 
     // clean-corpus v2 — the flagship integration query: the FULL
