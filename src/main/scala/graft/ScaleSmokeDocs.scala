@@ -390,6 +390,29 @@ object ScaleSmokeDocs {
         blocklist = Seq("zqxj"), threshold = 0.35,
         semTau = 0.98, semDim = 64, semStarCap = 24).count()
     })
+    // GPT-2 regex pre-tokenization (round-9, p92): marker transform +
+    // split + alternation over the raw corpus — the byte-level-BPE
+    // front end as one projection; rows = total pre-tokens
+    stage("gpt2_pretokenize")(
+      docs.select(explode(graft.pipeline.BpeByte.pretokens(col("text")))
+        .as("t")).count())
+    // byte-level BPE end to end (round-9, p93): train 500 merges on the
+    // pre-token dictionary (driver-local indexed loop over the capped
+    // dict — the corpus pays ONE frequency aggregate), then segment
+    // every pre-token and verify the lossless property corpus-wide;
+    // rows = docs whose unmapped segment concat == text (must be all)
+    stage("byte_bpe_500")({
+      val merges = graft.pipeline.BpeByte.trainMerges(docs, "text",
+        nMerges = 500, maxWords = 100000).map(m => (m._2, m._3))
+      docs.select(col("doc_id"), col("text"),
+          graft.pipeline.BpeByte.pretokens(col("text")).as("pts"))
+        .select(col("doc_id"), col("text"),
+          graft.functions.ByteUnicode.toBytes(array_join(flatten(
+            transform(col("pts"), t => graft.functions.BpeSegment(
+              graft.functions.ByteUnicode.toUnicode(t), merges))), ""))
+            .as("rebuilt"))
+        .filter(col("rebuilt") === col("text")).count()
+    })
     // production-regime tokenizer train (round-7): 32k merges — the GPT-2
     // vocabulary size — over a letterized corpus (26-letter alphabet,
     // hash-random words of 6-10 chars → the dict cap's full 100k words,

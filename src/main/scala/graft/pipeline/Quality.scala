@@ -634,6 +634,47 @@ object Quality {
       array_join(filter(ls, l => !dropped(l)), "\n").as("text_clean"))
   }
 
+  /** Flesch–Kincaid readability (Kincaid et al. 1975 — the surface
+    * signal edu-quality filters like FineWeb-Edu's annotator rubric
+    * correlate with, and the oldest public text-difficulty formula):
+    * per doc, word / sentence / syllable counts, the FK grade level
+    * `0.39·(W/S) + 11.8·(Y/W) − 15.59` and the Flesch reading-ease
+    * `206.835 − 1.015·(W/S) − 84.6·(Y/W)`, plus a `keep` gate at the
+    * high-school grade cutoff. Syllables use the standard vowel-group
+    * heuristic (maximal `[aeiouy]+` runs, minus one for a silent
+    * consonant+`e` ending when more than one group, floor 1) — an
+    * approximation by construction, stated not hidden; the VALUE here
+    * is a deterministic, language-model-free difficulty axis, not
+    * dictionary-exact syllabification. One codegen'd projection — the
+    * token array materialized FIRST (the documented HOF-lambda
+    * contract), counts as array folds, no explode, no shuffle.
+    */
+  def readability(docs: DataFrame, idCol: String, textCol: String,
+      maxGrade: Double = 12.0): DataFrame = {
+    def groups(w: Column) =
+      size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0)))
+    val withToks = docs.select(col(idCol), col(textCol).as("__t"),
+      tokens(col(textCol)).as("__toks"))
+    withToks.select(col(idCol),
+      size(col("__toks")).cast("long").as("n_words"),
+      greatest(lit(1L), (length(col("__t")) -
+        length(regexp_replace(col("__t"), "[.!?]", ""))).cast("long"))
+        .as("n_sentences"),
+      aggregate(col("__toks"), lit(0L), (acc, w) =>
+        acc + greatest(lit(1),
+          groups(w) - when(w.rlike("[^aeiouy]e$") && groups(w) > 1, 1)
+            .otherwise(0)).cast("long")).as("n_syllables"))
+      .withColumn("fk_grade",
+        round(lit(0.39) * (col("n_words") * lit(1.0) / col("n_sentences")) +
+          lit(11.8) * (col("n_syllables") * lit(1.0) / col("n_words")) -
+          lit(15.59), 6))
+      .withColumn("flesch_ease",
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words") * lit(1.0) / col("n_sentences")) -
+          lit(84.6) * (col("n_syllables") * lit(1.0) / col("n_words")), 6))
+      .withColumn("keep", col("fk_grade") <= maxGrade)
+  }
+
   /** Per-source token-distribution divergence — the domain-mix monitor
     * behind DoReMi-style reweighting and data-mixture ablations (Xie
     * '23; the first diagnostic when a source behaves oddly in training

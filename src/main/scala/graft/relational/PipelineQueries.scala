@@ -1387,6 +1387,44 @@ object PipelineQueries {
         .withColumn("is_mixed", col("n_langs") >= 2)
     }),
 
+    // Flesch–Kincaid readability (the edu-quality surface signal):
+    // the corpus text carries no sentence punctuation, so a planted
+    // closing sentence (plus a %3-keyed extra one, varying W/S) gives
+    // the formulas their denominator; all ratios double-identical by
+    // mirrored nesting, rounded at 6 dp
+    "p95_readability" -> ((s, dir) =>
+      Quality.readability(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(". and so it goes."),
+            when(col("doc_id") % 3 === 0,
+              lit(" more plain text follows here.")).otherwise(lit("")))
+            .as("text")),
+        "doc_id", "text")),
+
+    // JSONL interchange round-trip (the format every public
+    // training-data release ships): write the corpus as one JSON
+    // object per line, read it back strict under the explicit schema —
+    // the oracle is the IDENTITY over the source table, so any
+    // escaping loss (newlines, quotes, unicode, nulls) hash-fails
+    "p96_jsonl_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_jsonl_${new java.io.File(dir).getName}"
+      graft.sources.JsonlCorpus.write(
+        docs(s, dir).select("doc_id", "text", "lang", "source", "n_chars"),
+        out)
+      graft.sources.JsonlCorpus.read(s, out,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.LongType))))
+    }),
+
     // Heaps-law vocab growth over the raw corpus in 10 id-ordered
     // slices — global window over 10 rows, never the corpus
     "p88_vocab_growth" -> ((s, dir) =>
@@ -3777,6 +3815,45 @@ object PipelineQueries {
            count(*) >= 2 AS is_mixed
          FROM rk GROUP BY doc_id"""
     },
+
+    // same plant, same vowel-group syllable heuristic, same formula
+    // nesting (multiply-then-divide order mirrored so IEEE bits match
+    // before the 6-dp round)
+    "p95_readability" ->
+      raw"""WITH d AS (SELECT doc_id,
+                text || '. and so it goes.'
+                || CASE WHEN doc_id % 3 = 0
+                     THEN ' more plain text follows here.' ELSE '' END AS t
+              FROM documents),
+             c AS (SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(t)), '\s+'),
+                   x -> x != '') AS toks,
+                 greatest(1, length(t) -
+                   length(regexp_replace(t, '[.!?]', '', 'g'))) AS s
+               FROM d),
+             k AS (SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 CAST(s AS BIGINT) AS n_sentences,
+                 CAST(list_sum(list_transform(toks, w ->
+                   greatest(1,
+                     len(regexp_extract_all(w, '[aeiouy]+'))
+                     - CASE WHEN regexp_matches(w, '[^aeiouy]e$$')
+                             AND len(regexp_extract_all(w, '[aeiouy]+')) > 1
+                            THEN 1 ELSE 0 END))) AS BIGINT) AS n_syllables
+               FROM c)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(0.39 * (n_words * 1.0 / n_sentences) +
+             11.8 * (n_syllables * 1.0 / n_words) - 15.59, 6) AS fk_grade,
+           round(206.835 - 1.015 * (n_words * 1.0 / n_sentences) -
+             84.6 * (n_syllables * 1.0 / n_words), 6) AS flesch_ease,
+           round(0.39 * (n_words * 1.0 / n_sentences) +
+             11.8 * (n_syllables * 1.0 / n_words) - 15.59, 6) <= 12.0 AS keep
+         FROM k""",
+
+    // the identity: a lossless interchange round-trip must reproduce
+    // the source relation exactly
+    "p96_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     // same integer bucket arithmetic, min-first-bucket vocabulary
     // attribution, 10-row cumulative window

@@ -2091,6 +2091,38 @@ class PipelineSpec extends SparkSpecBase {
     assert(short.getString(3) == "keep" && short.getLong(4) == 0L)
   }
 
+  test("readability: hand-computed FK on controlled sentences; gate flips on grade") {
+    // doc 1: "the cat sat. the dog ran." -> W=6, S=2 ('.' chars), all
+    // 1-syllable words -> Y=6. FK = 0.39*3 + 11.8*1 - 15.59 = -2.62
+    // doc 2: one long sentence of polysyllabic-ish words: W=8, S=1,
+    // syllables counted by the vowel-group heuristic below
+    val d = docsOf(
+      (1L, "the cat sat. the dog ran."),
+      (2L, "university organization respectively naturally between academia computational linguistics."))
+    val out = Quality.readability(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(6)))).toMap
+    def syl(w: String): Int = {
+      val g = "[aeiouy]+".r.findAllIn(w).length
+      math.max(1, g - (if (w.matches(".*[^aeiouy]e$") && g > 1) 1 else 0))
+    }
+    def fk(ws: Seq[String], s: Int): Double = {
+      val y = ws.map(syl).sum
+      BigDecimal(0.39 * (ws.size.toDouble / s) + 11.8 * (y.toDouble / ws.size) - 15.59)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val w1 = "the cat sat. the dog ran.".toLowerCase.split("\\s+").toSeq
+    assert(out(1L) == ((6L, 2L, w1.map(syl).sum.toLong, fk(w1, 2), fk(w1, 2) <= 12.0)))
+    val w2 = "university organization respectively naturally between academia computational linguistics."
+      .toLowerCase.split("\\s+").toSeq
+    assert(out(2L)._1 == 8L && out(2L)._2 == 1L &&
+      out(2L)._3 == w2.map(syl).sum.toLong && out(2L)._4 == fk(w2, 1))
+    // the polysyllabic single-sentence doc must land HARDER than the
+    // simple one, and past the grade-12 gate
+    assert(out(2L)._4 > out(1L)._4 && !out(2L)._5 && out(1L)._5,
+      s"grades: ${out(1L)._4} vs ${out(2L)._4}")
+  }
+
   test("BpeByte.pretokens == GPT-2's lookahead pattern on every whitespace-rule case") {
     // ground truth: the PUBLISHED pattern (with the (?!\S) lookahead)
     // through Java regex — the engine's marker transform must produce
