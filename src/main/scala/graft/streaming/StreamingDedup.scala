@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.pipeline.CacheLedger.TrackedPersist
 
 /** Streaming exact deduplication for continuous document ingestion: emit
   * only the first arrival of each content hash. Built on Structured
@@ -139,9 +140,22 @@ object StreamingDedup {
           col("v"), tables, planes, d)).as("bb"))
       .select(col("id"), col("v"), col("nrm"),
         col("bb.band"), col("bb.bucket"))
+    // the static side is materialized ONCE at stream construction,
+    // PRE-PARTITIONED on the join keys: a stream-static join re-plans
+    // the static subtree every micro-batch, so without this barrier
+    // each batch would re-run the bands⋈vectors join AND re-shuffle
+    // the whole corpus into the screen join — the O(corpus)-per-batch
+    // class the batch screens shed this round. The cached relation
+    // carries hashpartitioning(band, bucket) in its outputPartitioning,
+    // so per-batch joins exchange ONLY the arriving micro-batch
+    // (MEMORY_AND_DISK: an index outgrowing executor memory spills
+    // instead of failing)
     val staticSide = storedBands.join(storedV, "id")
       .select(col("id").as("id_b"), col("band"), col("bucket"),
         col("v").as("vb"), col("nrm").as("nb"))
+      .repartition(col("band"), col("bucket"))
+      .persistTracked()
+    staticSide.count()
     val verified = newSide.join(staticSide, Seq("band", "bucket"))
       .filter(col("id") =!= col("id_b"))
       .withColumn("sim", round(
@@ -194,9 +208,15 @@ object StreamingDedup {
       .withColumn("__bb",
         explode(graft.pipeline.Dedup.hammingBands48(col("sh"), maxHamming)))
       .select(col("doc"), col("sh"), col("__bb.band"), col("__bb.bits"))
+    // static side materialized once, pre-partitioned on the join keys
+    // (the cosineScreenStream barrier — see its comment): per-batch
+    // joins exchange only the arriving micro-batch
     val staticSide = storedBands.join(storedSigs, "doc")
       .select(col("doc").as("doc_b"), col("band"), col("bits"),
         col("sh").as("shb"))
+      .repartition(col("band"), col("bits"))
+      .persistTracked()
+    staticSide.count()
     val verified = newSide.join(staticSide, Seq("band", "bits"))
       .filter(col("doc") =!= col("doc_b"))
       .withColumn("hamming",
