@@ -27,6 +27,19 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(sorts == 1, s"expected 1 Sort, got $sorts:\n$plan")
   }
 
+  test("projection-only pipeline queries carry ZERO exchanges (p49/p84/p89/p92/p95)") {
+    // the design claim behind each: per-row column algebra end to end —
+    // a shuffle appearing here means an aggregate/join crept into what
+    // must scale as a pure map
+    for (name <- Seq("p49_html_extract", "p84_char_entropy",
+        "p89_main_content", "p92_gpt2_pretokenize", "p95_readability")) {
+      val plan = graft.SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val exchanges = countOccurrences(plan, "Exchange ")
+      assert(exchanges == 0, s"$name grew $exchanges exchange(s):\n$plan")
+    }
+  }
+
   test("q2 parquet scan carries pushed filters and a pruned read schema") {
     val df = graft.SparkEntry.queries("q2_filter_pushdown")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
