@@ -1425,6 +1425,49 @@ object PipelineQueries {
             org.apache.spark.sql.types.LongType))))
     }),
 
+    // cross-source near-dup attribution (the provenance matrix Dolma /
+    // CCNet-style reports publish: which feeds duplicate which — a
+    // crawl dump re-ingesting another source shows up as an off-
+    // diagonal spike): p3's minhash pairs joined to each side's source,
+    // counted per unordered source pair. The pair machinery is the
+    // verified operator; this is the narrow (doc, source) attribution
+    // join on top
+    "p97_dedup_source_matrix" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+        n = 3, k = 32, bands = 8, threshold = 0.4)
+      val src = d.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+          "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+          "doc_b")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+    }),
+
+    // context-length fit report (the first question a training run asks
+    // of a corpus: at sequence length L, how many documents truncate
+    // and what fraction of tokens falls off the end): per candidate L,
+    // docs over the limit, tokens lost, and the lost fraction — ONE
+    // token-count projection exploded against the 3-row L literal,
+    // then a 3-group aggregate
+    "p98_context_fit" -> ((s, dir) =>
+      docs(s, dir)
+        .select(size(tokens(col("text"))).cast("long").as("__n"))
+        .select(col("__n"), explode(typedLit(Seq(32L, 64L, 128L))).as("ctx_len"))
+        .groupBy("ctx_len")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("__n") > col("ctx_len"), 1L).otherwise(0L))
+            .cast("long").as("n_truncated"),
+          sum(col("__n")).cast("long").as("n_tokens"),
+          sum(greatest(col("__n") - col("ctx_len"), lit(0L))).cast("long")
+            .as("tokens_lost"))
+        .withColumn("lost_frac",
+          round(col("tokens_lost") * lit(1.0) / col("n_tokens"), 6))),
+
     // Heaps-law vocab growth over the raw corpus in 10 id-ordered
     // slices — global window over 10 rows, never the corpus
     "p88_vocab_growth" -> ((s, dir) =>
@@ -3854,6 +3897,34 @@ object PipelineQueries {
     // the source relation exactly
     "p96_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // p3's pair CTEs + the source attribution joins + the unordered
+    // pair fold
+    "p97_dedup_source_matrix" ->
+      s"""WITH ${minhashPairsCtes("documents")},
+             pr2 AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.4),
+             att AS (SELECT least(sa.source, sb.source) AS source_a,
+                       greatest(sa.source, sb.source) AS source_b
+                     FROM pr2
+                     JOIN documents sa ON pr2.doc_a = sa.doc_id
+                     JOIN documents sb ON pr2.doc_b = sb.doc_id)
+         SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM att GROUP BY 1, 2""",
+
+    // same token counts, same 3-row L table, same greatest() loss fold
+    "p98_context_fit" ->
+      s"""WITH n AS (SELECT CAST(len($TOKS) AS BIGINT) AS n FROM documents),
+             l AS (SELECT unnest([32, 64, 128]) AS ctx_len),
+             x AS (SELECT CAST(ctx_len AS BIGINT) AS ctx_len, n
+                   FROM n CROSS JOIN l)
+         SELECT ctx_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n > ctx_len THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truncated,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(sum(greatest(n - ctx_len, 0)) AS BIGINT) AS tokens_lost,
+           round(sum(greatest(n - ctx_len, 0)) * 1.0 / sum(n), 6) AS lost_frac
+         FROM x GROUP BY 1""",
 
     // same integer bucket arithmetic, min-first-bucket vocabulary
     // attribution, 10-row cumulative window

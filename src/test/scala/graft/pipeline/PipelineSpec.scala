@@ -2213,6 +2213,27 @@ class PipelineSpec extends SparkSpecBase {
       s"' the' segments: $theSegs")
   }
 
+  test("byte-BPE merge tables round-trip through TokenizerIO; segmentation identical") {
+    val d = docsOf(
+      (1L, "the cat sat on the mat. the cat ran."),
+      (2L, "the dog sat on the log, naturally."))
+    val merges = BpeByte.trainMerges(d, "text", nMerges = 10)
+    val dir = java.nio.file.Files.createTempDirectory("bytebpe_io").toString
+    TokenizerIO.saveBpe(merges, spark, dir)
+    val back = TokenizerIO.loadBpe(spark, dir)
+    assert(back == merges, "byte merge table must round-trip exactly " +
+      "(mapped-alphabet symbols are plain strings — the no-pickle contract holds)")
+    val pairs = merges.map(m => (m._2, m._3))
+    val seg = d.select(graft.functions.BpeSegment(
+        graft.functions.ByteUnicode.toUnicode(col("text")), pairs).as("s"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    val seg2 = d.select(graft.functions.BpeSegment(
+        graft.functions.ByteUnicode.toUnicode(col("text")),
+        back.map(m => (m._2, m._3))).as("s"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(seg == seg2)
+  }
+
   test("trainAndServe: certificate fails loudly below floor; served rows repartition-stable") {
     // perfectly learnable labels: 'zzz'-flooded docs are bad
     val rows = (0L until 120L).map { i =>
