@@ -436,6 +436,15 @@ object ScaleSmokeDocs {
     stage("bpe_train_32k")(
       Bpe.trainMerges(lettered, "text", nMerges = 32000,
         maxWords = 100000).length.toLong)
+    // byte-level twin at the SAME production regime (round-9): GPT-2
+    // pre-tokenization feeds the dictionary (each word arrives
+    // space-prefixed, so symbols start from the mapped-byte alphabet
+    // with Ġ-joined boundaries — the real GPT-2 training shape); the
+    // indexed trainer is shared, only the alphabet changed. rows =
+    // merges learned.
+    stage("byte_bpe_train_32k")(
+      graft.pipeline.BpeByte.trainMerges(lettered, "text", nMerges = 32000,
+        maxWords = 100000).length.toLong)
     // production-regime unigram-LM train (round-7): 2k-piece vocab via
     // soft-EM over the same 100k-word dict — each E pass is a
     // forward-backward over ~800k symbols × maxPieceLen lattice cells,
