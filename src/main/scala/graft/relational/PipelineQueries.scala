@@ -1468,6 +1468,45 @@ object PipelineQueries {
         .withColumn("lost_frac",
           round(col("tokens_lost") * lit(1.0) / col("n_tokens"), 6))),
 
+    // corpus datasheet (Gebru '21 "Datasheets for Datasets" / the
+    // summary table every public release ships — Dolma §4, The Pile
+    // appendix): ONE row of corpus-level facts — sizes, language and
+    // source diversity, the exact-dup rate, Gopher/C4 pass rates over
+    // the RAW text, and PII incidence. Every metric is an aggregate of
+    // an already-verified operator; the one-row frames attach via the
+    // documented broadcast scalar shape
+    "p99_corpus_datasheet" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(size(tokens(col("text")))).cast("long").as("n_tokens"),
+        sum(length(col("text"))).cast("long").as("n_chars"),
+        countDistinct(col("lang")).cast("long").as("n_langs"),
+        countDistinct(col("source")).cast("long").as("n_sources"),
+        countDistinct(md5(col("text"))).cast("long").as("n_unique_docs"))
+      val topLang = d.groupBy("lang").agg(count(lit(1)).as("__c"))
+        .orderBy(col("__c").desc, col("lang")).limit(1)
+        .select(col("lang").as("top_lang"),
+          col("__c").cast("long").as("top_lang_docs"))
+      val gop = Quality.gopherRules(d, "doc_id", "text")
+        .agg(round(avg(col("keep").cast("double")), 6).as("gopher_pass_frac"))
+      val c4 = Quality.c4Clean(d, "doc_id", "text")
+        .agg(round(avg(col("keep").cast("double")), 6).as("c4_pass_frac"))
+      val pii = Quality.piiScrub(d, "doc_id", "text")
+        .agg(sum(when(col("n_emails") + col("n_ips") + col("n_phones") > 0,
+          1L).otherwise(0L)).cast("long").as("docs_with_pii"))
+      base
+        .crossJoin(broadcast(topLang))
+        .crossJoin(broadcast(gop))
+        .crossJoin(broadcast(c4))
+        .crossJoin(broadcast(pii))
+        .withColumn("dup_doc_frac",
+          round((col("n_docs") - col("n_unique_docs")) * lit(1.0) /
+            col("n_docs"), 6))
+        .withColumn("top_lang_frac",
+          round(col("top_lang_docs") * lit(1.0) / col("n_docs"), 6))
+    }),
+
     // Heaps-law vocab growth over the raw corpus in 10 id-ordered
     // slices — global window over 10 rows, never the corpus
     "p88_vocab_growth" -> ((s, dir) =>
@@ -3925,6 +3964,84 @@ object PipelineQueries {
            CAST(sum(greatest(n - ctx_len, 0)) AS BIGINT) AS tokens_lost,
            round(sum(greatest(n - ctx_len, 0)) * 1.0 / sum(n), 6) AS lost_frac
          FROM x GROUP BY 1""",
+
+    // the Gopher/C4 m-blocks over the RAW text, the p20 chained PII
+    // counting, and plain aggregates, folded to one row
+    "p99_corpus_datasheet" ->
+      raw"""WITH dd AS (SELECT doc_id, text, lang, source,
+                 list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                   x -> x != '') AS toks,
+                 string_split(text, chr(10)) AS ls
+               FROM documents),
+             g AS (SELECT avg(CASE WHEN
+                     (CAST(len(toks) AS BIGINT) >= 50 AND len(toks) <= 100000
+                      AND coalesce(round(list_sum(list_transform(toks, x -> length(x)))
+                        * 1.0 / nullif(len(toks), 0), 6), 0.0) BETWEEN 3.0 AND 10.0
+                      AND coalesce(round((length(text) - length(replace(text, '#', ''))
+                        + (length(text) - length(replace(text, '...', ''))) / 3)
+                        * 1.0 / nullif(len(toks), 0), 6), 0.0) <= 0.1
+                      AND coalesce(round(len(list_filter(ls,
+                          l -> substr(ltrim(l), 1, 1) IN ('•', '-')))
+                        * 1.0 / nullif(len(ls), 0), 6), 0.0) <= 0.9
+                      AND coalesce(round(len(list_filter(ls,
+                          l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+                        * 1.0 / nullif(len(ls), 0), 6), 0.0) <= 0.3
+                      AND coalesce(round(len(list_filter(toks,
+                          x -> regexp_matches(x, '[a-z]')))
+                        * 1.0 / nullif(len(toks), 0), 6), 0.0) >= 0.8
+                      AND CAST(len(list_filter(
+                        ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+                        w2 -> list_contains(toks, w2))) AS BIGINT) >= 2)
+                     THEN 1.0 ELSE 0.0 END) AS gp
+                   FROM dd),
+             c AS (SELECT avg(CASE WHEN
+                     (CAST(length(array_to_string(kl, chr(10)))
+                       - length(regexp_replace(array_to_string(kl, chr(10)),
+                           '[.!?]', '', 'g')) AS BIGINT) >= 5
+                      AND NOT contains(lower(text), 'lorem ipsum')
+                      AND NOT contains(text, '{'))
+                     THEN 1.0 ELSE 0.0 END) AS cp
+                   FROM (SELECT doc_id, text,
+                       list_filter(ls,
+                         l -> substr(rtrim(l), -1, 1) IN ('.', '!', '?', '"')
+                           AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                                 x -> x != '')) >= 3
+                           AND NOT contains(lower(l), 'javascript')) AS kl
+                     FROM dd) t),
+             pii AS (SELECT CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS docs_with_pii
+                     FROM (SELECT
+                         len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+                         len(regexp_extract_all(regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '[EMAIL]', 'g'),
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni,
+                         len(regexp_extract_all(regexp_replace(regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '[EMAIL]', 'g'),
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+                           '\b\d{3}-\d{3}-\d{4}\b')) AS np
+                       FROM dd) u),
+             tl AS (SELECT lang AS top_lang, CAST(count(*) AS BIGINT)
+                      AS top_lang_docs
+                    FROM dd GROUP BY 1
+                    ORDER BY count(*) DESC, lang LIMIT 1),
+             base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+                 CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                 CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_docs
+               FROM dd)
+         SELECT n_docs, n_tokens, n_chars, n_langs, n_sources, n_unique_docs,
+           top_lang, top_lang_docs,
+           round(gp, 6) AS gopher_pass_frac,
+           round(cp, 6) AS c4_pass_frac,
+           docs_with_pii,
+           round((n_docs - n_unique_docs) * 1.0 / n_docs, 6) AS dup_doc_frac,
+           round(top_lang_docs * 1.0 / n_docs, 6) AS top_lang_frac
+         FROM base CROSS JOIN tl CROSS JOIN g CROSS JOIN c CROSS JOIN pii""",
 
     // same integer bucket arithmetic, min-first-bucket vocabulary
     // attribution, 10-row cumulative window

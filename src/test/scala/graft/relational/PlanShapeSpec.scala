@@ -200,7 +200,12 @@ class PlanShapeSpec extends SparkSpecBase {
       "p86_domain_kl", "p87_vocab_drift", "p88_vocab_growth",
       // p90 attaches the one-row held-out agreement rate (its in-plan
       // certificate, the withRecall shape)
-      "p90_trained_quality_gate")
+      "p90_trained_quality_gate",
+      // p99 is a one-row DATASHEET: four one-row aggregate frames
+      // (top-lang, two gate pass rates, PII incidence) attach to the
+      // one-row base aggregate — every crossJoin side is
+      // Aggregate/GlobalLimit-bounded
+      "p99_corpus_datasheet")
     for ((name, fn) <- graft.SparkEntry.queries
          if !intentionalThetaJoins(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
