@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench`
+// as JSON. Two pieces of sbt log framing defeated that for five rounds:
+// (1) forked-process stdout is re-logged with an "[info] " prefix under
+// the default LoggedOutput strategy — StdoutOutput passes the child's
+// stdout through verbatim; (2) sbt appends "[success] Total time: ..."
+// as the true final stdout line — showSuccess := false removes it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not a task — exclude it
+// from the unused-setting lint so the warn doesn't precede bench output.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
