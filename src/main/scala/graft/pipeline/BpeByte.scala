@@ -11,7 +11,9 @@ import graft.functions.ByteUnicode
   *   - PRE-TOKENIZATION splits text into contraction suffixes,
   *     optionally-space-prefixed letter/digit/punctuation runs, and
   *     whitespace chunks. Pre-tokens PARTITION the text exactly
-  *     (`concat(pretokens) == text`), so the tokenizer is LOSSLESS —
+  *     (`concat(pretokens) == strip_u0001(text)` — the U+0001 strip is
+  *     the single normalization, see [[pretokens]]), so the tokenizer
+  *     is LOSSLESS —
   *     whitespace survives round-trips, the property that makes this
   *     the tokenizer family production LLMs actually train on.
   *   - The ALPHABET is the 256 mapped bytes ([[ByteUnicode]]), so no
@@ -39,28 +41,56 @@ import graft.functions.ByteUnicode
   */
 object BpeByte {
 
+  /** The whitespace class, spelled out. Java's `\s` includes U+000B
+    * (vertical tab) but RE2's — the oracle's engine — does not, so a
+    * literal `\s` here would tokenize a `\x0B`-bearing doc differently
+    * in the engine vs DuckDB. The explicit class is identical in both
+    * engines; U+000B is consistently a punctuation-class char on both
+    * sides.
+    */
+  val Ws: String = " \\t\\n\\f\\r"
+
   /** The GPT-2 alternation minus the lookahead branch (handled by the
     * marker transform) — Java-regex/RE2-identical constructs only.
     */
   val PretokenRe: String =
-    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    s"'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^$Ws\\p{L}\\p{N}]+|[$Ws]+"
 
   /** The marker insertion: between the last two whitespace chars of any
     * whitespace run that precedes a non-space.
     */
-  val MarkerRe: String = "(\\s)(\\s)([^\\s])"
+  val MarkerRe: String = s"([$Ws])([$Ws])([^$Ws])"
 
-  /** GPT-2 pre-tokens of `text`, in order, partitioning it exactly. */
+  /** GPT-2 pre-tokens of `text`, in order, partitioning it exactly —
+    * after the ONE normalization this tokenizer applies: pre-existing
+    * U+0001 (SOH, a transport control byte with no text content) is
+    * stripped FIRST, because U+0001 is the pre-tokenizer's internal
+    * split marker and an in-band occurrence would otherwise be silently
+    * dropped mid-token by the split, breaking the partition. The
+    * invariant is `concat(pretokens) == strip_u0001(text)` — byte-exact
+    * for every string that does not contain SOH — and the strip is
+    * applied identically here, in [[pretokensLocal]], and in the DuckDB
+    * oracle mirrors (`replace(text, chr(1), '')`), pinned by spec.
+    * Lossless asserts must compare against [[stripMarker]] of the input.
+    */
   def pretokens(text: Column): Column =
     flatten(transform(
-      split(regexp_replace(text, MarkerRe, "$1\u0001$2$3"), "\u0001"),
+      split(regexp_replace(stripMarker(text), MarkerRe, "$1\u0001$2$3"),
+        "\u0001"),
       seg => regexp_extract_all(seg, lit(PretokenRe), lit(0))))
+
+  /** The [[pretokens]] input normalization (U+0001 strip), exposed so
+    * lossless asserts and oracle mirrors reference the same text.
+    */
+  def stripMarker(text: Column): Column =
+    regexp_replace(text, "\u0001", "")
 
   /** JVM mirror of [[pretokens]] for the driver-local trainer path and
     * the spec's lookahead-equivalence check.
     */
   def pretokensLocal(text: String): Seq[String] = {
-    val marked = text.replaceAll(MarkerRe, "$1\u0001$2$3")
+    val marked =
+      text.replace("\u0001", "").replaceAll(MarkerRe, "$1\u0001$2$3")
     val re = java.util.regex.Pattern.compile(PretokenRe)
     marked.split("\u0001", -1).toSeq.flatMap { seg =>
       val m = re.matcher(seg)

@@ -475,10 +475,12 @@ object Dedup {
   /** (n, k, bands, index) back from [[saveMinhashIndex]]; the stored
     * rows must agree with the meta row's k/bands — a foreign-engine or
     * wrong-family write fails loudly, not as missed duplicates. The
-    * agreement check reads a bounded HEAD SAMPLE, not the whole index:
-    * family drift (the failure meta exists to catch) is uniform across
-    * rows, and a per-load O(corpus) validation scan would put the
-    * entire history on every batch's critical path — run
+    * agreement check probes a bounded PER-FILE sample (newest files by
+    * mtime + a deterministic hash sample of the history, one row each):
+    * per-file because an out-of-band append with foreign geometry lands
+    * in its own new files, which a head row-sample never reads; bounded
+    * because a per-load O(corpus) validation scan would put the entire
+    * history on every batch's critical path — run
     * [[validateMinhashIndex]] for the full-audit form (after an
     * untrusted bulk import, say).
     */
@@ -494,11 +496,35 @@ object Dedup {
     val need = Seq("doc", "sh", "sig", "bb")
     require(need.forall(idx.columns.contains),
       s"loadMinhashIndex: not a minhash index at $path: ${idx.columns.mkString(",")}")
-    val bad = idx.limit(4096)
-      .filter(size(col("sig")) =!= k || size(col("bb")) =!= bands).count()
-    require(bad == 0,
-      s"loadMinhashIndex: $bad sampled rows disagree with meta (k=$k, " +
-        s"bands=$bands) at $path")
+    // the agreement sample is PER FILE, not per row: a row limit()
+    // reads whichever single partition answers first, so a
+    // foreign-engine append with a different k/bands landing in LATER
+    // files would sail past a head sample and surface as silently
+    // missed duplicates. Probe one row from each of a bounded file
+    // set — the NEWEST files by mtime first (an out-of-band append is
+    // by definition recent, so it is caught on the first load after it
+    // lands) plus a deterministic hash sample of the history; each
+    // probe reads one row of one file (footer + first page), keeping
+    // the load path O(files-sampled), never O(corpus). Within-file
+    // drift remains [[validateMinhashIndex]]'s full-audit job.
+    val fs = new org.apache.hadoop.fs.Path(s"$path/index")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/index"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val newest = statuses.sortBy(-_.getModificationTime).take(16)
+    val hashed = statuses.sortBy(st =>
+      scala.util.hashing.MurmurHash3.stringHash(st.getPath.getName)).take(16)
+    val probes = (newest ++ hashed).map(_.getPath.toString).distinct
+    probes.foreach { f =>
+      val r = spark.read.parquet(f)
+        .select(size(col("sig")), size(col("bb"))).limit(1).collect()
+      r.headOption.foreach { row =>
+        require(row.getInt(0) == k && row.getInt(1) == bands,
+          s"loadMinhashIndex: file $f has k=${row.getInt(0)}, " +
+            s"bands=${row.getInt(1)} but meta says (k=$k, bands=$bands) " +
+            s"at $path")
+      }
+    }
     (n, k, bands, idx)
   }
 
@@ -1153,12 +1179,19 @@ object Dedup {
     val exact = dropExactDuplicates(scrubbed, idCol, "text").persistTracked()
     val pairs = minhashLshPairs(exact, idCol, "text", n, k, bands, threshold)
     val nd = dropNearDuplicates(exact, pairs, idCol)
-    val semDrop = Similarity.semanticDedupLsh(embeddings, semK, semTau,
-        tables = semTables, planesPerTable = semPlanes, dim = semDim,
-        starCapBucket = semStarCap)
-      .filter(!col("kept"))
-      .select(col("vec_id").as(idCol))
-    nd.join(semDrop, Seq(idCol), "left_anti")
+    // a crawl ingest may carry NO embedding table at all (the WARC →
+    // corpus path embeds AFTER cleaning, not before): with an empty
+    // frame the semantic stage is skipped outright — consistent with
+    // the documented rule that docs without an embedding pass through
+    if (embeddings.isEmpty) nd
+    else {
+      val semDrop = Similarity.semanticDedupLsh(embeddings, semK, semTau,
+          tables = semTables, planesPerTable = semPlanes, dim = semDim,
+          starCapBucket = semStarCap)
+        .filter(!col("kept"))
+        .select(col("vec_id").as(idCol))
+      nd.join(semDrop, Seq(idCol), "left_anti")
+    }
   }
 
   // ---- SimHash ---------------------------------------------------------
@@ -1211,9 +1244,9 @@ object Dedup {
     * signature collisions are bounded by genuine near-dup cluster sizes.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int): DataFrame =
+      maxHamming: Int, nBlocks: Int = 0): DataFrame =
     hammingPairs48(simhashSignatures(docs, idCol, textCol), "doc", "sh",
-      maxHamming)
+      maxHamming, nBlocks)
 
   /** Hamming-cutoff pairs over ANY 48-bit signature relation — the
     * pigeonhole banding factored out of [[simhashPairs]] so
@@ -1223,7 +1256,7 @@ object Dedup {
     * caveats exactly as documented on [[simhashPairs]].
     */
   def hammingPairs48(sigDf: DataFrame, idCol: String, sigCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, nBlocks: Int = 0): DataFrame = {
     val sh = sigDf.select(col(idCol).as("doc"), col(sigCol).as("sh")).persistTracked()
     val pairSelect = (df: DataFrame) => df
       .withColumn("hamming",
@@ -1234,7 +1267,7 @@ object Dedup {
       pairSelect(sh.as("a").join(sh.as("b"), col("a.doc") < col("b.doc")))
     } else {
       val banded = sh.select(col("doc"), col("sh"),
-        explode(hammingBands48(col("sh"), maxHamming)).as("__bb"))
+        explode(hammingBands48(col("sh"), maxHamming, nBlocks)).as("__bb"))
         .select(col("doc"), col("sh"), col("__bb.band"), col("__bb.bits"))
       // a pair can agree on several bands → dedupe after the verify
       pairSelect(banded.as("a").join(banded.as("b"),
@@ -1244,23 +1277,68 @@ object Dedup {
     }
   }
 
+  /** The block-combination geometry behind [[hammingBands48]]: the 48
+    * bits split into `nBlocks` contiguous blocks, and every
+    * `nBlocks - maxHamming`-subset of blocks (lexicographic order)
+    * becomes one join key. Pigeonhole: a pair within Hamming <=
+    * maxHamming differs in at most maxHamming blocks, so it agrees
+    * EXACTLY on every block of at least one subset — banding stays
+    * LOSSLESS for any nBlocks > maxHamming (Manku et al., WWW'07 §3).
+    *
+    * THE SCALE KNOB: at the minimum nBlocks = maxHamming + 1 (the
+    * default everywhere), subsets are single blocks and each key
+    * carries only 48/(h+1) bits — the candidate law is
+    * `(h+1) * batch * corpus / 2^(48/(h+1))`, whose denominator is
+    * FIXED while batch and corpus grow (at h=2: 2^16 — the p82 decade
+    * row's residual growth term). Raising nBlocks widens every key to
+    * ~48*(nBlocks-h)/nBlocks bits at the cost of C(nBlocks, h) cells
+    * per doc: candidates ~= C(m,h) * batch * corpus / 2^(48*(m-h)/m),
+    * an EXPONENTIAL cut for a polynomial cell-count increase (h=2:
+    * m=3 -> 3 cells / 2^16 keys; m=6 -> 15 cells / 2^32 keys). Size m
+    * so the expected bucket load batch*corpus/2^width stays O(true
+    * near-dup rate) at the target corpus.
+    */
+  private[pipeline] def hammingGeometry(maxHamming: Int, nBlocks: Int)
+      : Seq[(Int, Seq[(Int, Int)])] = {
+    val m = if (nBlocks == 0) maxHamming + 1 else nBlocks
+    require(maxHamming >= 0 && maxHamming < 48,
+      s"banding needs 0 <= maxHamming < 48: $maxHamming")
+    require(m > maxHamming && m <= 48,
+      s"banding needs maxHamming < nBlocks <= 48 for losslessness: " +
+        s"nBlocks=$m, maxHamming=$maxHamming")
+    val base = 48 / m
+    val rem = 48 % m
+    val widths = (0 until m).map(b => base + (if (b < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val combos = (0 until m).combinations(m - maxHamming).toSeq
+    require(combos.size <= 64,
+      s"C($m, $maxHamming) = ${combos.size} cells per doc — cap is 64; " +
+        "use fewer blocks")
+    combos.zipWithIndex.map { case (blocks, i) =>
+      (i, blocks.map(b => (offsets(b), widths(b))))
+    }
+  }
+
   /** The pigeonhole band cells of a 48-bit signature at a Hamming
     * cutoff, as an array of (band, bits) structs — factored out of
     * [[hammingPairs48]] so the persisted index and the streaming
     * screen band under EXACTLY the machinery the batch pairer uses.
+    * `nBlocks` (default 0 = the minimal maxHamming + 1) is the
+    * band-geometry scale knob — law and losslessness proof on
+    * [[hammingGeometry]]; at the default, cells are exactly the
+    * historical single-block (band, bits) pairs, so stored indexes
+    * and oracle replays are unchanged.
     */
-  def hammingBands48(sh: Column, maxHamming: Int): Column = {
-    require(maxHamming >= 0 && maxHamming < 48,
-      s"banding needs 0 <= maxHamming < 48: $maxHamming")
-    val nBands = maxHamming + 1
-    val base = 48 / nBands
-    val rem = 48 % nBands
-    val widths = (0 until nBands).map(b => base + (if (b < rem) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    array((0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(sh, offsets(b))
-          .bitwiseAND(lit((1L << widths(b)) - 1)).as("bits"))
+  def hammingBands48(sh: Column, maxHamming: Int, nBlocks: Int = 0): Column = {
+    val geom = hammingGeometry(maxHamming, nBlocks)
+    array(geom.map { case (comboId, blocks) =>
+      // key = the selected blocks' bits, concatenated low-to-high in
+      // block order (total width <= 48 by construction, fits a long)
+      val bits = blocks.foldLeft(lit(0L): Column) { case (acc, (off, w)) =>
+        shiftleft(acc, w).bitwiseOR(
+          shiftright(sh, off).bitwiseAND(lit((1L << w) - 1)))
+      }
+      struct(lit(comboId).as("band"), bits.as("bits"))
     }: _*)
   }
 
@@ -1275,7 +1353,7 @@ object Dedup {
     */
   def hammingPairsIncremental(newSigs: DataFrame, corpusSigs: DataFrame,
       idCol: String, sigCol: String, maxHamming: Int,
-      broadcastBatch: Boolean = true): DataFrame = {
+      broadcastBatch: Boolean = true, nBlocks: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 48,
       s"hammingPairsIncremental needs 0 <= maxHamming < 48: $maxHamming")
     def prep(df: DataFrame) =
@@ -1283,11 +1361,11 @@ object Dedup {
     val newSh = prep(newSigs).persistTracked()
     val corpusSh = prep(corpusSigs)
     val newBands = newSh.select(col("doc"), col("sh"),
-      explode(hammingBands48(col("sh"), maxHamming)).as("__bb"))
+      explode(hammingBands48(col("sh"), maxHamming, nBlocks)).as("__bb"))
       .select(col("doc"), col("sh"), col("__bb.band"), col("__bb.bits"))
       .persistTracked()
     val corpusBands = corpusSh.select(col("doc"), col("sh"),
-      explode(hammingBands48(col("sh"), maxHamming)).as("__bb"))
+      explode(hammingBands48(col("sh"), maxHamming, nBlocks)).as("__bb"))
       .select(col("doc"), col("sh"), col("__bb.band"), col("__bb.bits"))
     // broadcastBatch: the bounded arriving batch probes the corpus band
     // SCAN (sigs ride along in the band rows, so there is no second
@@ -1313,31 +1391,43 @@ object Dedup {
     * different cell widths and would silently miss duplicates.
     */
   def saveSignatureIndex(sigDf: DataFrame, path: String,
-      idCol: String, sigCol: String, maxHamming: Int): Unit = {
+      idCol: String, sigCol: String, maxHamming: Int,
+      nBlocks: Int = 0): Unit = {
     require(maxHamming >= 0 && maxHamming < 48,
       s"saveSignatureIndex needs 0 <= maxHamming < 48: $maxHamming")
+    val m = if (nBlocks == 0) maxHamming + 1 else nBlocks
+    hammingGeometry(maxHamming, m) // validate geometry BEFORE any write
     val spark = sigDf.sparkSession
     import spark.implicits._
     val sh = sigDf.select(col(idCol).cast("long").as("doc"),
       col(sigCol).as("sh")).persistTracked()
-    Seq(maxHamming).toDF("max_hamming")
+    // meta pins the FULL band geometry: a batch banded under a
+    // different cutoff OR block count produces different cells and
+    // would silently miss duplicates — the loader validates both
+    Seq((maxHamming, m)).toDF("max_hamming", "n_blocks")
       .write.mode("overwrite").parquet(s"$path/meta")
     sh.write.mode("overwrite").parquet(s"$path/sigs")
     sh.select(col("doc"),
-        explode(hammingBands48(col("sh"), maxHamming)).as("__bb"))
+        explode(hammingBands48(col("sh"), maxHamming, m)).as("__bb"))
       .select(col("doc"), col("__bb.band"), col("__bb.bits"))
       .sortWithinPartitions("band", "bits")
       .write.mode("overwrite").parquet(s"$path/bands")
     sh.unpersist()
   }
 
-  /** (maxHamming, sigs, bands) back from [[saveSignatureIndex]], meta
-    * validated.
+  /** (maxHamming, nBlocks, sigs, bands) back from
+    * [[saveSignatureIndex]], meta validated. Indexes persisted before
+    * the geometry knob carry no n_blocks column — they were banded at
+    * the minimal maxHamming + 1.
     */
   def loadSignatureIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): (Int, DataFrame, DataFrame) = {
-    val meta = spark.read.parquet(s"$path/meta")
-      .select(col("max_hamming").cast("int")).collect()
+      path: String): (Int, Int, DataFrame, DataFrame) = {
+    val metaDf = spark.read.parquet(s"$path/meta")
+    val meta = (if (metaDf.columns.contains("n_blocks"))
+        metaDf.select(col("max_hamming").cast("int"),
+          col("n_blocks").cast("int"))
+      else metaDf.select(col("max_hamming").cast("int"),
+        (col("max_hamming") + 1).cast("int"))).collect()
     require(meta.length == 1,
       s"loadSignatureIndex: expected ONE meta row at $path/meta, got ${meta.length}")
     val sigs = spark.read.parquet(s"$path/sigs")
@@ -1345,7 +1435,7 @@ object Dedup {
     require(Seq("doc", "sh").forall(sigs.columns.contains) &&
       Seq("doc", "band", "bits").forall(bands.columns.contains),
       s"loadSignatureIndex: not a signature index at $path")
-    (meta(0).getInt(0), sigs, bands)
+    (meta(0).getInt(0), meta(0).getInt(1), sigs, bands)
   }
 
   /** Near-dup an arriving signature batch against the STORED index —
@@ -1357,12 +1447,12 @@ object Dedup {
       idCol: String, sigCol: String,
       broadcastBatch: Boolean = true): DataFrame = {
     val spark = newSigs.sparkSession
-    val (maxHamming, storedSigs, storedBands) =
+    val (maxHamming, nBlocks, storedSigs, storedBands) =
       loadSignatureIndex(spark, indexPath)
     val newSh = newSigs.select(col(idCol).cast("long").as("doc"),
       col(sigCol).as("sh")).persistTracked()
     val newBands = newSh.select(col("doc"),
-        explode(hammingBands48(col("sh"), maxHamming)).as("__bb"))
+        explode(hammingBands48(col("sh"), maxHamming, nBlocks)).as("__bb"))
       .select(col("doc"), col("__bb.band"), col("__bb.bits"))
       .persistTracked()
     // stored bands/sigs are SCANNED, never shuffled: the broadcast batch
@@ -1405,7 +1495,8 @@ object Dedup {
   def mergeIntoSignatureIndex(newSigs: DataFrame, indexPath: String,
       idCol: String, sigCol: String, assertNewIds: Boolean = false): Unit = {
     val spark = newSigs.sparkSession
-    val (maxHamming, storedSigs, _) = loadSignatureIndex(spark, indexPath)
+    val (maxHamming, nBlocks, storedSigs, _) =
+      loadSignatureIndex(spark, indexPath)
     val sh = newSigs.select(col(idCol).cast("long").as("doc"),
       col(sigCol).as("sh")).persistTracked()
     if (assertNewIds) {
@@ -1416,7 +1507,7 @@ object Dedup {
     }
     sh.write.mode("append").parquet(s"$indexPath/sigs")
     sh.select(col("doc"),
-        explode(hammingBands48(col("sh"), maxHamming)).as("__bb"))
+        explode(hammingBands48(col("sh"), maxHamming, nBlocks)).as("__bb"))
       .select(col("doc"), col("__bb.band"), col("__bb.bits"))
       .sortWithinPartitions("band", "bits")
       .write.mode("append").parquet(s"$indexPath/bands")

@@ -664,14 +664,20 @@ object Quality {
         acc + greatest(lit(1),
           groups(w) - when(w.rlike("[^aeiouy]e$") && groups(w) > 1, 1)
             .otherwise(0)).cast("long")).as("n_syllables"))
-      .withColumn("fk_grade",
-        round(lit(0.39) * (col("n_words") * lit(1.0) / col("n_sentences")) +
-          lit(11.8) * (col("n_syllables") * lit(1.0) / col("n_words")) -
-          lit(15.59), 6))
-      .withColumn("flesch_ease",
-        round(lit(206.835) -
-          lit(1.015) * (col("n_words") * lit(1.0) / col("n_sentences")) -
-          lit(84.6) * (col("n_syllables") * lit(1.0) / col("n_words")), 6))
+      // zero-word docs: the Y/W term would be 0.0/0 = NaN in Spark but
+      // NULL in a SQL mirror (list_sum of an empty list is NULL in
+      // DuckDB) — emit NULL grades on BOTH engines (nullif in the SQL)
+      // so library callers and oracles agree on empty-token docs
+      .withColumn("fk_grade", when(col("n_words") === 0, lit(null))
+        .otherwise(
+          round(lit(0.39) * (col("n_words") * lit(1.0) / col("n_sentences")) +
+            lit(11.8) * (col("n_syllables") * lit(1.0) / col("n_words")) -
+            lit(15.59), 6)))
+      .withColumn("flesch_ease", when(col("n_words") === 0, lit(null))
+        .otherwise(
+          round(lit(206.835) -
+            lit(1.015) * (col("n_words") * lit(1.0) / col("n_sentences")) -
+            lit(84.6) * (col("n_syllables") * lit(1.0) / col("n_words")), 6)))
       .withColumn("keep", col("fk_grade") <= maxGrade)
   }
 

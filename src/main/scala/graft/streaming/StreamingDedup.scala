@@ -201,12 +201,13 @@ object StreamingDedup {
       : Dataset[HammingHit] = {
     val spark = sigs.sparkSession
     import spark.implicits._
-    val (maxHamming, storedSigs, storedBands) =
+    val (maxHamming, nBlocks, storedSigs, storedBands) =
       graft.pipeline.Dedup.loadSignatureIndex(spark, indexPath)
     val newSide = sigs
       .select(col(idCol).cast("long").as("doc"), col(sigCol).as("sh"))
       .withColumn("__bb",
-        explode(graft.pipeline.Dedup.hammingBands48(col("sh"), maxHamming)))
+        explode(graft.pipeline.Dedup.hammingBands48(col("sh"), maxHamming,
+          nBlocks)))
       .select(col("doc"), col("sh"), col("__bb.band"), col("__bb.bits"))
     // static side materialized once, pre-partitioned on the join keys
     // (the cosineScreenStream barrier — see its comment): per-batch
