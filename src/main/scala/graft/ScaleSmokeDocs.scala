@@ -357,7 +357,7 @@ object ScaleSmokeDocs {
     // which is a property of the corpus, not of the plan.) Planted
     // text near-dups arrive from the corpus's own %100 perturbed
     // copies. rows = surviving documents.
-    stage("clean_corpus_v2")({
+    if (wanted("clean_corpus_v2") || wanted("release_export")) {
       val ws = split(col("text"), " ")
       val idw = concat(lit("u"), pmod(hash(col("doc_id"), lit(11)), lit(100000)))
       val body = concat_ws("\n", transform(sequence(lit(0), lit(5)), i =>
@@ -386,10 +386,18 @@ object ScaleSmokeDocs {
       // Star cap 24 = p69's: 8-plane tables have only 256 buckets, so
       // at 100k+ vectors EVERY cell is a pile-up — uncapped cells go
       // quadratic (measured 162 s of pure cell self-join at this size)
-      Dedup.cleanCorpusV2(pages, vecs, "doc_id", "html",
+      val survivors = Dedup.cleanCorpusV2(pages, vecs, "doc_id", "html",
         blocklist = Seq("zqxj"), threshold = 0.35,
-        semTau = 0.98, semDim = 64, semStarCap = 24).count()
-    })
+        semTau = 0.98, semDim = 64, semStarCap = 24)
+      stage("clean_corpus_v2")(survivors.count())
+      // the loop's last step (round-10, p101): survivors → 64
+      // deterministic gzip JSONL shards + the read-back identity
+      // certificate (two survivor re-scans — served from the chain's
+      // internal barriers — plus one scan of the written files)
+      stage("release_export")(
+        graft.pipeline.Release.releaseCorpus(survivors, "doc_id",
+          s"/tmp/graft_release_$totalDocs", nShards = 64))
+    }
     // GPT-2 regex pre-tokenization (round-9, p92): marker transform +
     // split + alternation over the raw corpus — the byte-level-BPE
     // front end as one projection; rows = total pre-tokens
@@ -649,6 +657,19 @@ object ScaleSmokeDocs {
       })
       stage("hamming_screen_20k")(
         Dedup.hammingAgainstIndex(batchSigs, sigDir, "doc_id", "sig").count())
+      // the band-geometry knob at work: same cutoff, 6 blocks instead
+      // of the minimal 3 → C(6,2)=15 cells/doc but 32-bit keys, so the
+      // residual candidate law drops from 3·batch·corpus/2^16 to
+      // 15·batch·corpus/2^32 — the growth CONSTANT shrinks ~13000×,
+      // which the decade rows should show as a near-flat screen
+      val sigDirW = s"/tmp/graft_sig_idx_w_$totalDocs"
+      stage("sig_index_build_wide")({
+        Dedup.saveSignatureIndex(sigs, sigDirW, "doc_id", "sig",
+          maxHamming = 2, nBlocks = 6)
+        spark.read.parquet(s"$sigDirW/sigs").count()
+      })
+      stage("hamming_screen_20k_wide")(
+        Dedup.hammingAgainstIndex(batchSigs, sigDirW, "doc_id", "sig").count())
       batchSigs.unpersist()
     }
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.pipeline._
+import graft.pipeline.CacheLedger.TrackedPersist
 import graft.pipeline.TextOps._
 
 /** Training-data pipeline operators exposed as driver-verifiable queries
@@ -1290,15 +1291,17 @@ object PipelineQueries {
         BpeByte.pretokens(col("text")).as("pts"))
       pt.select(col("doc_id"),
         size(col("pts")).cast("long").as("n_pretokens"),
-        size(filter(col("pts"), t => t.startsWith(" ") && t.rlike("\\S")))
+        size(filter(col("pts"),
+          t => t.startsWith(" ") && t.rlike(s"[^${BpeByte.Ws}]")))
           .cast("long").as("n_space_prefixed"),
-        size(filter(col("pts"), t => t.rlike("^\\s+$")))
+        size(filter(col("pts"), t => t.rlike(s"^[${BpeByte.Ws}]+$$")))
           .cast("long").as("n_ws_runs"),
         size(filter(col("pts"),
           t => t.isin("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")))
           .cast("long").as("n_contractions"),
         md5(array_join(col("pts"), "\u001f")).as("pt_hash"),
-        (array_join(col("pts"), "") === col("text")).as("lossless"))
+        (array_join(col("pts"), "") === BpeByte.stripMarker(col("text")))
+          .as("lossless"))
     }),
 
     // byte-level BPE end to end (train on the corpus's own pre-token
@@ -1337,8 +1340,8 @@ object PipelineQueries {
           forall(zip_with(col("mapped"), col("segs"),
             (m, sg) => concat_ws("", sg) === m), b => b).as("rebuilt_ok"),
           (graft.functions.ByteUnicode.toBytes(
-            array_join(flatten(col("segs")), "")) === col("text"))
-            .as("lossless"))
+            array_join(flatten(col("segs")), ""))
+            === BpeByte.stripMarker(col("text"))).as("lossless"))
         .filter(assert_true(col("rebuilt_ok") && col("lossless"),
           concat(lit("byte-BPE reconstruction failed for doc "),
             col("doc_id").cast("string"))).isNull)
@@ -1407,7 +1410,12 @@ object PipelineQueries {
     // the oracle is the IDENTITY over the source table, so any
     // escaping loss (newlines, quotes, unicode, nulls) hash-fails
     "p96_jsonl_roundtrip" -> ((s, dir) => {
-      val out = s"/tmp/graft_jsonl_${new java.io.File(dir).getName}"
+      // per-invocation temp dir: a fixed path would make merely
+      // CONSTRUCTING the query (PlanShapeSpec sweeps every registered
+      // plan) overwrite a prior run's output, and two concurrent
+      // sessions on the same sf dir would race on the same files
+      val out = java.nio.file.Files.createTempDirectory(
+        s"graft_jsonl_${new java.io.File(dir).getName}_").toString
       graft.sources.JsonlCorpus.write(
         docs(s, dir).select("doc_id", "text", "lang", "source", "n_chars"),
         out)
@@ -1505,6 +1513,97 @@ object PipelineQueries {
             col("n_docs"), 6))
         .withColumn("top_lang_frac",
           round(col("top_lang_docs") * lit(1.0) / col("n_docs"), 6))
+    }),
+
+    // release export (VERDICT r9 gap #4 — the loop's last step): the
+    // corpus shipped through Release.releaseCorpus — deterministic
+    // md5 shards, gzip JSONL, and the in-call identity certificate
+    // (count + full-column checksum of the read-back vs the input) —
+    // then read back as the query result. The oracle is the p96
+    // identity: ANY loss in sharding, escaping, compression or parse
+    // hash-fails against the source relation
+    "p101_release_export" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory(
+        s"graft_release_${new java.io.File(dir).getName}_").toString
+      val corpus = docs(s, dir)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      graft.pipeline.Release.releaseCorpus(corpus, "doc_id", out,
+        nShards = 8, compression = "gzip")
+      graft.sources.JsonlCorpus.read(s, out,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.LongType))))
+    }),
+
+    // context-length fit in REAL tokenizer units (VERDICT r9 gap #3): a
+    // training run budgets context in BPE tokens, not whitespace words
+    // — p98's truncation histogram restated under a PERSISTED byte-BPE
+    // merge table (train → TokenizerIO round-trip → BpeSegment, the
+    // exact production serve path), whitespace and BPE counts side by
+    // side. The merge loop is not SQL-replayable (the p47/p93 class),
+    // so the query is rows-only with the p93 lossless assert standing
+    // for the oracle: the unmapped concatenation of every doc's
+    // segments must reproduce its (U+0001-stripped) text byte-exactly
+    // — any segmentation defect fails the WHOLE query, loudly
+    "p100_bpe_context_fit" -> ((s, dir) => {
+      val d = docs(s, dir)
+      // 64 merges against the small test-corpus vocabulary keeps
+      // segmentation NON-trivial (the p93 sizing note: enough merges
+      // and every pretoken collapses to one token, making n_bpe ==
+      // n_ws and the report degenerate); production loads a stored
+      // 32k table here instead of training inline
+      val merges0 = BpeByte.trainMerges(d, "text", nMerges = 64,
+        maxWords = 100000)
+      val tokDir = java.nio.file.Files
+        .createTempDirectory("graft_bpe_ctx_").toString
+      TokenizerIO.saveBpe(merges0, s, s"$tokDir/bpe")
+      val merges = TokenizerIO.loadBpe(s, s"$tokDir/bpe")
+        .map(m => (m._2, m._3))
+      // narrow per-doc counts persisted: the segmentation HOF chain is
+      // the expensive part and must run ONCE per doc, not once per
+      // exploded ctx_len row (interpreted HOFs get no CSE)
+      val per = d
+        .select(col("text"), size(tokens(col("text"))).cast("long").as("n_ws"),
+          BpeByte.pretokens(col("text")).as("pts"))
+        .withColumn("mapped", transform(col("pts"),
+          t => graft.functions.ByteUnicode.toUnicode(t)))
+        .withColumn("segs", transform(col("mapped"),
+          m => graft.functions.BpeSegment(m, merges)))
+        .withColumn("n_bpe",
+          aggregate(transform(col("segs"), a => size(a).cast("long")),
+            lit(0L), (a, x) => a + x))
+        .withColumn("lossless", graft.functions.ByteUnicode.toBytes(
+          array_join(flatten(col("segs")), ""))
+          === BpeByte.stripMarker(col("text")))
+        .filter(assert_true(col("lossless"),
+          lit("byte-BPE context-fit segmentation not lossless")).isNull)
+        .select("n_ws", "n_bpe")
+        .persistTracked()
+      per
+        .select(col("n_ws"), col("n_bpe"),
+          explode(typedLit(Seq(32L, 64L, 128L))).as("ctx_len"))
+        .groupBy("ctx_len")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("n_ws") > col("ctx_len"), 1L).otherwise(0L))
+            .cast("long").as("ws_truncated"),
+          sum(when(col("n_bpe") > col("ctx_len"), 1L).otherwise(0L))
+            .cast("long").as("bpe_truncated"),
+          sum(col("n_ws")).cast("long").as("ws_tokens"),
+          sum(col("n_bpe")).cast("long").as("bpe_tokens"),
+          sum(greatest(col("n_bpe") - col("ctx_len"), lit(0L)))
+            .cast("long").as("bpe_tokens_lost"))
+        .withColumn("bpe_per_ws",
+          round(col("bpe_tokens") * lit(1.0) / col("ws_tokens"), 6))
+        .withColumn("bpe_lost_frac",
+          round(col("bpe_tokens_lost") * lit(1.0) / col("bpe_tokens"), 6))
     }),
 
     // Heaps-law vocab growth over the raw corpus in 10 id-ordered
@@ -3831,6 +3930,8 @@ object PipelineQueries {
     // alternation — the lookahead-free restatement both engines run
     "p92_gpt2_pretokenize" -> {
       val re = graft.pipeline.BpeByte.PretokenRe.replace("'", "''")
+      val mk = graft.pipeline.BpeByte.MarkerRe
+      val ws = graft.pipeline.BpeByte.Ws
       raw"""WITH d AS (SELECT doc_id,
                 text || chr(10) || chr(10)
                 || 'Don''t stop; we''ll go 1234 times!!  '
@@ -3840,10 +3941,12 @@ object PipelineQueries {
                 || CASE WHEN doc_id % 4 = 0 THEN ' I''m done, you''re not.'
                      ELSE ' trailing spaces  ' END AS text
               FROM documents),
-             m AS (SELECT doc_id, text,
-                 regexp_replace(text, '(\s)(\s)([^\s])',
-                   '\1' || chr(1) || '\2\3', 'g') AS mk
+             n AS (SELECT doc_id, replace(text, chr(1), '') AS text
                FROM d),
+             m AS (SELECT doc_id, text,
+                 regexp_replace(text, '$mk',
+                   '\1' || chr(1) || '\2\3', 'g') AS mk
+               FROM n),
              p AS (SELECT doc_id, text,
                  flatten(list_transform(string_split(mk, chr(1)),
                    seg -> regexp_extract_all(seg, '$re'))) AS pts
@@ -3851,9 +3954,10 @@ object PipelineQueries {
          SELECT doc_id,
            CAST(len(pts) AS BIGINT) AS n_pretokens,
            CAST(len(list_filter(pts, t -> t[1:1] = ' '
-             AND regexp_matches(t, '\S'))) AS BIGINT) AS n_space_prefixed,
+             AND regexp_matches(t, '[^$ws]'))) AS BIGINT)
+             AS n_space_prefixed,
            CAST(len(list_filter(pts,
-             t -> regexp_matches(t, '^\s+$$'))) AS BIGINT) AS n_ws_runs,
+             t -> regexp_matches(t, '^[$ws]+$$'))) AS BIGINT) AS n_ws_runs,
            CAST(len(list_filter(pts, t -> list_contains(
              ['''s', '''t', '''re', '''ve', '''m', '''ll', '''d'], t)))
              AS BIGINT) AS n_contractions,
@@ -3916,25 +4020,35 @@ object PipelineQueries {
              k AS (SELECT doc_id,
                  CAST(len(toks) AS BIGINT) AS n_words,
                  CAST(s AS BIGINT) AS n_sentences,
-                 CAST(list_sum(list_transform(toks, w ->
+                 CAST(coalesce(list_sum(list_transform(toks, w ->
                    greatest(1,
                      len(regexp_extract_all(w, '[aeiouy]+'))
                      - CASE WHEN regexp_matches(w, '[^aeiouy]e$$')
                              AND len(regexp_extract_all(w, '[aeiouy]+')) > 1
-                            THEN 1 ELSE 0 END))) AS BIGINT) AS n_syllables
+                            THEN 1 ELSE 0 END))), 0) AS BIGINT)
+                   AS n_syllables
                FROM c)
          SELECT doc_id, n_words, n_sentences, n_syllables,
            round(0.39 * (n_words * 1.0 / n_sentences) +
-             11.8 * (n_syllables * 1.0 / n_words) - 15.59, 6) AS fk_grade,
+             11.8 * (n_syllables * 1.0 / nullif(n_words, 0)) - 15.59, 6)
+             AS fk_grade,
            round(206.835 - 1.015 * (n_words * 1.0 / n_sentences) -
-             84.6 * (n_syllables * 1.0 / n_words), 6) AS flesch_ease,
+             84.6 * (n_syllables * 1.0 / nullif(n_words, 0)), 6)
+             AS flesch_ease,
            round(0.39 * (n_words * 1.0 / n_sentences) +
-             11.8 * (n_syllables * 1.0 / n_words) - 15.59, 6) <= 12.0 AS keep
+             11.8 * (n_syllables * 1.0 / nullif(n_words, 0)) - 15.59, 6)
+             <= 12.0 AS keep
          FROM k""",
 
     // the identity: a lossless interchange round-trip must reproduce
     // the source relation exactly
     "p96_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // the release pipeline (shard → gzip JSONL → schema read) is also
+    // an identity — the certificate inside releaseCorpus already
+    // enforced it once; the oracle enforces it independently
+    "p101_release_export" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     // p3's pair CTEs + the source attribution joins + the unordered

@@ -339,7 +339,7 @@ class PipelineSpec extends SparkSpecBase {
     val e = intercept[IllegalArgumentException] {
       Dedup.loadMinhashIndex(spark, dir)
     }
-    assert(e.getMessage.contains("disagree"), e.getMessage)
+    assert(e.getMessage.contains("but meta says"), e.getMessage)
   }
 
   test("index fold-in: merge == fresh rebuild for minhash and cosine; id clash fails loudly") {
@@ -417,6 +417,117 @@ class PipelineSpec extends SparkSpecBase {
       Dedup.loadSignatureIndex(spark, dir)
     }
     assert(e.getMessage.contains("ONE meta row"), e.getMessage)
+  }
+
+  test("releaseCorpus: deterministic shards, identity certificate, tamper detection") {
+    val corpus = docs.select("doc_id", "text").limit(200)
+      .withColumn("lang", lit("en")).persist()
+    val dir = java.nio.file.Files.createTempDirectory("rel_spec").toString
+    val n = Release.releaseCorpus(corpus, "doc_id", s"$dir/r1",
+      nShards = 4, compression = "gzip", salt = "s")
+    assert(n == corpus.count())
+    // layout: one directory per shard, gzip parts inside
+    val shards = new java.io.File(s"$dir/r1").listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(shards.nonEmpty && shards.length <= 4, shards.mkString(","))
+    // shard membership is a pure function of (salt, id, nShards):
+    // a re-release from a differently-partitioned frame lands every
+    // doc in the same shard
+    Release.releaseCorpus(corpus.repartition(13), "doc_id", s"$dir/r2",
+      nShards = 4, compression = "gzip", salt = "s")
+    def shardOf(path: String): Map[Long, String] = {
+      import org.apache.spark.sql.types._
+      spark.read.text(path)
+        .select(input_file_name().as("f"), col("value"))
+        .select(regexp_extract(col("f"), "shard=(\\d+)", 1).as("shard"),
+          get_json_object(col("value"), "$.doc_id").cast("long").as("id"))
+        .collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+    }
+    assert(shardOf(s"$dir/r1") == shardOf(s"$dir/r2"),
+      "shard membership depends on physical partitioning")
+    // the certificate audits a landed release on its own — and FAILS
+    // on tampering (a dropped shard must never verify)
+    assert(Release.verifyRelease(corpus, s"$dir/r1") == n)
+    val victim = new java.io.File(s"$dir/r1/${shards.head}")
+    victim.listFiles().filter(_.getName.startsWith("part-")).foreach(_.delete())
+    val e = intercept[IllegalArgumentException] {
+      Release.verifyRelease(corpus, s"$dir/r1")
+    }
+    assert(e.getMessage.contains("read-back mismatch"), e.getMessage)
+    corpus.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("band-geometry knob: pairs identical at any nBlocks; wider keys shrink candidates") {
+    // the 100-TB failure mode the knob exists for, reproduced in
+    // miniature: every doc shares its LOW 24 bits (boilerplate-like
+    // signature mass), so at the minimal geometry (h=1 -> two 24-bit
+    // blocks) block 0 is one giant bucket and candidates go O(n^2);
+    // group structure lives in the HIGH 24 bits, so wider keys (every
+    // 3-of-4-block combo includes a high block) collapse the bucket.
+    // Pairs must be IDENTICAL at every geometry (pigeonhole holds for
+    // any nBlocks > maxHamming) — only the candidate volume may move.
+    val sig = docs.select(col("doc_id"),
+      expr("CAST(conv(substr(md5(string(doc_id - doc_id % 3)), 1, 6), 16, 10) AS BIGINT)")
+        .as("grp"))
+      .withColumn("sig", shiftleft(col("grp"), 24)
+        .bitwiseOR(lit(0xABCDEL))
+        .bitwiseXOR(when(col("doc_id") % 3 >= 1,
+          expr("shiftleft(1L, 24 + cast(doc_id % 24 as int))"))
+          .otherwise(lit(0L))))
+      .select("doc_id", "sig").persist()
+    def pairMap(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = pairMap(Dedup.hammingPairs48(sig, "doc_id", "sig", 48)
+      .filter(col("hamming") <= 1))
+    assert(want.nonEmpty, "plant produced no close pairs")
+    def candidates(nBlocks: Int): Long = {
+      val banded = sig.select(col("doc_id").as("doc"),
+        explode(Dedup.hammingBands48(col("sig"), 1, nBlocks)).as("bb"))
+        .select(col("doc"), col("bb.band"), col("bb.bits"))
+      banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.doc") < col("b.doc"))
+        .select(col("a.doc"), col("b.doc")).distinct().count()
+    }
+    for (m <- Seq(0, 2, 4, 8))
+      assert(pairMap(Dedup.hammingPairs48(sig, "doc_id", "sig", 1, m)) == want,
+        s"nBlocks=$m lost or invented pairs")
+    val (c2, c4, c8) = (candidates(2), candidates(4), candidates(8))
+    // minimal geometry: the shared low block buckets EVERYTHING together
+    val n = sig.count()
+    assert(c2 >= n * (n - 1) / 4, s"plant failed to flood the minimal bands: $c2")
+    assert(c4 < c2 / 10 && c8 <= c4,
+      s"wider keys must shrink candidates: c2=$c2 c4=$c4 c8=$c8")
+    assert(c8 >= want.size, "candidates cannot undercut true pairs")
+    // lossy geometries are refused up front
+    val bad = intercept[IllegalArgumentException] {
+      Dedup.hammingBands48(col("sig"), 2, 2)
+    }
+    assert(bad.getMessage.contains("losslessness"), bad.getMessage)
+    // stored index pins its geometry; serving batches band under it
+    val batch = sig.filter(col("doc_id") % 2 === 1)
+    val corpus = sig.filter(col("doc_id") % 2 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("sig_geom").toString
+    Dedup.saveSignatureIndex(corpus, dir, "doc_id", "sig", maxHamming = 1,
+      nBlocks = 4)
+    val (h, m, _, _) = Dedup.loadSignatureIndex(spark, dir)
+    assert((h, m) == ((1, 4)), s"meta geometry: h=$h m=$m")
+    val served = pairMap(Dedup.hammingAgainstIndex(batch, dir, "doc_id", "sig"))
+    val inc = pairMap(Dedup.hammingPairsIncremental(
+      batch, corpus, "doc_id", "sig", 1, nBlocks = 4))
+    assert(served == inc && inc ==
+      want.view.filterKeys { case (a, b) => a % 2 == 1 || b % 2 == 1 }.toMap)
+    // an index persisted BEFORE the knob (meta lacks n_blocks) loads
+    // as the minimal geometry its bands were actually built at
+    import spark.implicits._
+    Seq(1).toDF("max_hamming").write.mode("overwrite").parquet(s"$dir/meta")
+    Dedup.saveSignatureIndex(corpus, s"$dir/rebuilt", "doc_id", "sig", 1)
+    Seq(1).toDF("max_hamming").write.mode("overwrite")
+      .parquet(s"$dir/rebuilt/meta")
+    val (h0, m0, _, _) = Dedup.loadSignatureIndex(spark, s"$dir/rebuilt")
+    assert((h0, m0) == ((1, 2)), s"legacy meta: h=$h0 m=$m0")
+    sig.unpersist()
   }
 
   test("signature index fold-in: merge == fresh rebuild; id clash fails loudly") {
@@ -2127,10 +2238,18 @@ class PipelineSpec extends SparkSpecBase {
     // ground truth: the PUBLISHED pattern (with the (?!\S) lookahead)
     // through Java regex — the engine's marker transform must produce
     // the identical partition on every case the lookahead governs
+    // the whitespace class is the engine's EXPLICIT one (Java \s would
+    // smuggle U+000B in, which RE2 — the oracle — excludes); what this
+    // test proves is the LOOKAHEAD-free restatement, case by case
+    val ws = BpeByte.Ws
     val gpt2 = java.util.regex.Pattern.compile(
-      "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+")
+      s"'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^$ws\\p{L}\\p{N}]+" +
+        s"|[$ws]+(?![^$ws])|[$ws]+")
+    // the tokenizer's single normalization, applied before the truth
+    // pattern too: U+0001 is the internal marker and is stripped
+    def norm(s: String): String = s.replace("\u0001", "")
     def truth(s: String): Seq[String] = {
-      val m = gpt2.matcher(s)
+      val m = gpt2.matcher(norm(s))
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       while (m.find()) out += m.group()
       out.toSeq
@@ -2144,12 +2263,17 @@ class PipelineSpec extends SparkSpecBase {
       "trailing  ", "  leading", "   ",   // runs at edges
       "line1\nline2\n\nline3",  // newlines
       "x123y456", "3.14 costs $5!", "--flags--",
-      "mixed\u00a0nbsp stays")  // U+00A0 is NOT \s for either engine
+      "mixed\u00a0nbsp stays",  // U+00A0 is NOT \s for either engine
+      "a\u000bb", "a \u000b b", // U+000B: punct class (RE2 parity), not ws
+      // pre-existing U+0001 (the marker char) is STRIPPED, never
+      // silently lost mid-token: the partition rebuilds norm(text)
+      "pre\u0001mid post", "a \u0001 b", "\u0001", "ab  \u0001cd  ef")
     for (c <- cases) {
       val got = BpeByte.pretokensLocal(c)
       assert(got == truth(c), s"case '${c.replace("\n", "\\n").replace("\t", "\\t")}': " +
         s"got $got want ${truth(c)}")
-      assert(got.mkString("") == c, s"pretokens must partition '$c' exactly")
+      assert(got.mkString("") == norm(c),
+        s"pretokens must partition norm('$c') exactly")
     }
     // the Column form agrees with the JVM mirror
     val df = docsOf(cases.zipWithIndex.map { case (c, i) => (i.toLong, c) }: _*)
