@@ -624,6 +624,46 @@ object ScaleSmokeDocs {
       batch.unpersist()
     }
 
+    // backfill-scale screen (round-10): the SAME corpus in the bucketed
+    // layout, screened by a 632k-doc batch — a batch too big to
+    // broadcast, the regime the bucketBy(join keys) tables exist for.
+    // Shuffle ledger: the batch's bands shuffle into the table's
+    // buckets; the corpus side is two bucketed scans, zero exchanges.
+    if (Seq("mh_index_build_bucketed", "backfill_screen_632k",
+        "backfill_screen_632k_symmetric").exists(wanted)) {
+      val batchN = 632000L
+      val bIsDup = col("id") % 10 === 1
+      val srcId = pmod(col("id") * 97, lit(totalDocs))
+      val batch = spark.range(batchN).select(
+        (col("id") + totalDocs).as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(words - 1)), i => {
+          val h = when(bIsDup,
+              when(i < 3, hash(col("id"), i, lit("y")))
+                .otherwise(hash(srcId, i)))
+            .otherwise(hash(col("id") + totalDocs, i, lit("z")))
+          concat(lit("w"), pmod(h, lit(5000)))
+        })).as("text")).persist()
+      batch.count()
+      val idxDirB = s"/tmp/graft_mh_idx_bk_$totalDocs"
+      stage("mh_index_build_bucketed")({
+        Dedup.saveMinhashIndexBucketed(
+          Dedup.minhashIndex(docs, "doc_id", "text", 3, 32, 8), idxDirB, 3,
+          nBuckets = 32, tablePrefix = s"smoke_mh_$totalDocs")
+        spark.read.parquet(s"$idxDirB/index").count()
+      })
+      stage("backfill_screen_632k")(
+        Dedup.nearDupAgainstIndexBucketed(batch, idxDirB, "doc_id", "text",
+          0.4, tablePrefix = s"smoke_mh_$totalDocs").count())
+      // the comparison row: the SAME batch through the pre-round-10
+      // symmetric fallback (plain layout, broadcastBatch=false) — the
+      // full stored band+shingle relations shuffle per batch. Needs the
+      // plain index from the mh_index_build stage at this size.
+      stage("backfill_screen_632k_symmetric")(
+        Dedup.nearDupAgainstIndex(batch, s"/tmp/graft_mh_idx_$totalDocs",
+          "doc_id", "text", 0.4, broadcastBatch = false).count())
+      batch.unpersist()
+    }
+
     // 48-bit-signature screen (p82): index the corpus's signatures
     // (groups of 4 share a base, planted flips), then screen a FIXED
     // 20k batch. maxHamming=2 → 3 bands of 16 bits (the documented

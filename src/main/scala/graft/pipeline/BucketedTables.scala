@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table plumbing for the stored dedup/ANN indexes — the
+  * backfill-scale layout (VERDICT r9 gap #5): a broadcast screen is the
+  * right tool for bounded serving batches, but a BACKFILL batch (say a
+  * re-screen of a whole historical snapshot) cannot broadcast, and the
+  * symmetric fallback shuffles the full stored band relation per batch.
+  * Writing the stored relations as `bucketBy(join keys)` tables makes
+  * the corpus side of every backfill join EXCHANGE-FREE: Spark's
+  * bucketed scan reports the table's hash partitioning, so only the
+  * batch side shuffles (into nBuckets partitions).
+  *
+  * Catalog note: Spark can only exploit bucketing through catalog
+  * metadata, never from bare parquet paths. The data files are written
+  * ONCE at the index's own paths (they remain readable as plain parquet
+  * by every existing loader — bucketing only adds a filename
+  * convention); the metadata is a one-line `CREATE TABLE ... CLUSTERED
+  * BY ... LOCATION` that [[register]] re-issues idempotently, so a
+  * fresh session (or a cluster with a real metastore) re-attaches to
+  * the same files.
+  */
+object BucketedTables {
+
+  /** Write `df` at `path` as a bucketed external table `tableName`
+    * (CLUSTERED + SORTED by `bucketCols` into `nBuckets`), replacing
+    * any previous registration.
+    */
+  def saveBucketed(df: DataFrame, path: String, tableName: String,
+      bucketCols: Seq[String], nBuckets: Int): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    df.write
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", path).format("parquet").mode("overwrite")
+      .saveAsTable(tableName)
+  }
+
+  /** Idempotently (re-)register the bucketed table over files already
+    * at `path` — the fresh-session path. The column DDL comes from the
+    * files' own parquet schema, so registration can never drift from
+    * the data.
+    */
+  def register(spark: SparkSession, tableName: String, path: String,
+      bucketCols: Seq[String], nBuckets: Int): Unit = {
+    if (!spark.catalog.tableExists(tableName)) {
+      val ddl = spark.read.parquet(path).schema.toDDL
+      val cols = bucketCols.mkString(", ")
+      spark.sql(s"""CREATE TABLE $tableName ($ddl) USING parquet
+        CLUSTERED BY ($cols) SORTED BY ($cols)
+        INTO $nBuckets BUCKETS LOCATION '$path'""")
+    }
+  }
+}

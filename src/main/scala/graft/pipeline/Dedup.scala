@@ -472,6 +472,103 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/bands")
   }
 
+  /** Deterministic default catalog prefix for a stored index's bucketed
+    * tables (callers running several indexes in one session can pass
+    * their own).
+    */
+  private def bucketedPrefix(path: String): String =
+    "graft_idx_" + (scala.util.hashing.MurmurHash3.stringHash(path) & 0x7fffffff)
+
+  /** [[saveMinhashIndex]] in the BACKFILL layout: the same three
+    * relations at the same paths — still readable as plain parquet by
+    * [[loadMinhashIndex]], [[storedBandCells]] and the broadcast
+    * serving screen — but the index rows land `bucketBy(doc)` and the
+    * band cells `bucketBy(band, bucket)` as external catalog tables,
+    * so [[nearDupAgainstIndexBucketed]]'s backfill joins never
+    * exchange the corpus side (see [[BucketedTables]]). The meta row
+    * additionally pins `n_buckets`. One data copy serves both access
+    * paths; choose this layout when re-screens at batch sizes too big
+    * to broadcast are part of the lifecycle.
+    */
+  def saveMinhashIndexBucketed(index: DataFrame, path: String, n: Int,
+      nBuckets: Int = 64, tablePrefix: String = ""): Unit = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val need = Seq("doc", "sh", "sig", "bb")
+    require(need.forall(index.columns.contains),
+      s"saveMinhashIndexBucketed: expected columns ${need.mkString(",")}, " +
+        s"got ${index.columns.mkString(",")}")
+    val headOpt = index.select(size(col("sig")), size(col("bb"))).limit(1).collect()
+    require(headOpt.nonEmpty,
+      s"saveMinhashIndexBucketed: refusing to persist an EMPTY index to $path")
+    val head = headOpt(0)
+    val prefix = if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(path)
+    Seq((n, head.getInt(0), head.getInt(1), nBuckets))
+      .toDF("n", "k", "bands", "n_buckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    BucketedTables.saveBucketed(index.select(need.map(col): _*),
+      s"$path/index", s"${prefix}_docs", Seq("doc"), nBuckets)
+    BucketedTables.saveBucketed(explodeBands(index),
+      s"$path/bands", s"${prefix}_bands", Seq("band", "bucket"), nBuckets)
+  }
+
+  /** The backfill-scale screen against a [[saveMinhashIndexBucketed]]
+    * index: identical pairs to [[nearDupAgainstIndex]] (>= 1 batch
+    * side), but built for batches too big to broadcast. Shuffle
+    * ledger: the batch's band cells shuffle into the band table's
+    * nBuckets partitions and join the bucketed corpus scan
+    * EXCHANGE-FREE on the corpus side; candidate ids semi-filter the
+    * bucketed (doc, sh) scan the same way; every remaining exchange is
+    * batch- or candidate-proportional. The corpus contributes two
+    * bucketed columnar scans and zero shuffles — at any batch size.
+    */
+  def nearDupAgainstIndexBucketed(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, threshold: Double,
+      tablePrefix: String = ""): DataFrame = {
+    val spark = newDocs.sparkSession
+    val (n, k, bands, _) = loadMinhashIndex(spark, indexPath)
+    val metaB = spark.read.parquet(s"$indexPath/meta")
+    require(metaB.columns.contains("n_buckets"),
+      s"nearDupAgainstIndexBucketed: $indexPath was not saved in the " +
+        "bucketed layout (no n_buckets in meta) — use nearDupAgainstIndex " +
+        "or re-save with saveMinhashIndexBucketed")
+    val nBuckets = metaB.select(col("n_buckets").cast("int")).head().getInt(0)
+    val prefix = if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(indexPath)
+    BucketedTables.register(spark, s"${prefix}_docs", s"$indexPath/index",
+      Seq("doc"), nBuckets)
+    BucketedTables.register(spark, s"${prefix}_bands", s"$indexPath/bands",
+      Seq("band", "bucket"), nBuckets)
+    val corpusBands = spark.table(s"${prefix}_bands")
+    val corpusSh = spark.table(s"${prefix}_docs").select(col("doc"), col("sh"))
+    val (newIdx0, sh) = minhashIndexTracked(newDocs, idCol, textCol, n, k, bands)
+    val newIdxP = newIdx0.persistTracked()
+    val out = CacheLedger.scoped {
+      val newBands = explodeBands(newIdxP)
+      def keyEq = col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.doc") =!= col("b.doc")
+      // batch x batch and batch x corpus candidates are SEPARATE joins:
+      // a union of the corpus into one relation would bury the bucketed
+      // scan under a Union node and force the exchange back
+      val candBB = newBands.as("a").join(newBands.as("b"), keyEq)
+        .select(col("a.doc").as("da"), col("b.doc").as("db"))
+      val candBC = newBands.as("a").join(corpusBands.as("b"), keyEq)
+        .select(col("a.doc").as("da"), col("b.doc").as("db"))
+      val candidates = candBB.unionByName(candBC)
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"))
+        .distinct().persistTracked()
+      val candIds = candidates
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc")).distinct()
+      val shNeeded = newIdxP.select(col("doc"), col("sh"))
+        .unionByName(corpusSh.join(candIds, Seq("doc"), "left_semi"))
+        .persistTracked()
+      verifyJaccard(candidates, shNeeded, threshold).localCheckpoint()
+    }
+    newIdxP.unpersist()
+    sh.unpersist()
+    out
+  }
+
   /** (n, k, bands, index) back from [[saveMinhashIndex]]; the stored
     * rows must agree with the meta row's k/bands — a foreign-engine or
     * wrong-family write fails loudly, not as missed duplicates. The
@@ -1475,6 +1572,88 @@ object Dedup {
       if (broadcastBatch)
         allSigs0.join(broadcast(candIds), Seq("doc"), "left_semi").persistTracked()
       else allSigs0
+    candidates
+      .join(allSigs.select(col("doc").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(allSigs.select(col("doc").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("hamming",
+        bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** [[saveSignatureIndex]] in the backfill layout — sigs
+    * `bucketBy(doc)`, band cells `bucketBy(band, bits)`, same paths,
+    * plain-parquet readers unaffected; meta additionally pins
+    * n_buckets. The [[saveMinhashIndexBucketed]] rationale verbatim.
+    */
+  def saveSignatureIndexBucketed(sigDf: DataFrame, path: String,
+      idCol: String, sigCol: String, maxHamming: Int, nBlocks: Int = 0,
+      nBuckets: Int = 64, tablePrefix: String = ""): Unit = {
+    require(maxHamming >= 0 && maxHamming < 48,
+      s"saveSignatureIndexBucketed needs 0 <= maxHamming < 48: $maxHamming")
+    val m = if (nBlocks == 0) maxHamming + 1 else nBlocks
+    hammingGeometry(maxHamming, m) // validate BEFORE any write
+    val spark = sigDf.sparkSession
+    import spark.implicits._
+    val prefix = if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(path)
+    val sh = sigDf.select(col(idCol).cast("long").as("doc"),
+      col(sigCol).as("sh")).persistTracked()
+    Seq((maxHamming, m, nBuckets))
+      .toDF("max_hamming", "n_blocks", "n_buckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    BucketedTables.saveBucketed(sh, s"$path/sigs", s"${prefix}_sigs",
+      Seq("doc"), nBuckets)
+    BucketedTables.saveBucketed(
+      sh.select(col("doc"),
+          explode(hammingBands48(col("sh"), maxHamming, m)).as("__bb"))
+        .select(col("doc"), col("__bb.band"), col("__bb.bits")),
+      s"$path/bands", s"${prefix}_bands", Seq("band", "bits"), nBuckets)
+    sh.unpersist()
+  }
+
+  /** Backfill-scale twin of [[hammingAgainstIndex]] over a
+    * [[saveSignatureIndexBucketed]] index: identical pairs, corpus side
+    * exchange-free (the [[nearDupAgainstIndexBucketed]] shuffle
+    * ledger, hamming edition).
+    */
+  def hammingAgainstIndexBucketed(newSigs: DataFrame, indexPath: String,
+      idCol: String, sigCol: String, tablePrefix: String = ""): DataFrame = {
+    val spark = newSigs.sparkSession
+    val (maxHamming, nBlocks, _, _) = loadSignatureIndex(spark, indexPath)
+    val metaB = spark.read.parquet(s"$indexPath/meta")
+    require(metaB.columns.contains("n_buckets"),
+      s"hammingAgainstIndexBucketed: $indexPath was not saved in the " +
+        "bucketed layout — use hammingAgainstIndex or re-save with " +
+        "saveSignatureIndexBucketed")
+    val nBuckets = metaB.select(col("n_buckets").cast("int")).head().getInt(0)
+    val prefix = if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(indexPath)
+    BucketedTables.register(spark, s"${prefix}_sigs", s"$indexPath/sigs",
+      Seq("doc"), nBuckets)
+    BucketedTables.register(spark, s"${prefix}_bands", s"$indexPath/bands",
+      Seq("band", "bits"), nBuckets)
+    val storedSigs = spark.table(s"${prefix}_sigs")
+    val storedBands = spark.table(s"${prefix}_bands")
+    val newSh = newSigs.select(col(idCol).cast("long").as("doc"),
+      col(sigCol).as("sh")).persistTracked()
+    val newBands = newSh.select(col("doc"),
+        explode(hammingBands48(col("sh"), maxHamming, nBlocks)).as("__bb"))
+      .select(col("doc"), col("__bb.band"), col("__bb.bits"))
+      .persistTracked()
+    def keyEq = col("a.band") === col("b.band") &&
+      col("a.bits") === col("b.bits") && col("a.doc") =!= col("b.doc")
+    val candBB = newBands.as("a").join(newBands.as("b"), keyEq)
+      .select(col("a.doc").as("da"), col("b.doc").as("db"))
+    val candBC = newBands.as("a").join(storedBands.as("b"), keyEq)
+      .select(col("a.doc").as("da"), col("b.doc").as("db"))
+    val candidates = candBB.unionByName(candBC)
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+      .distinct().persistTracked()
+    val candIds = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc")).distinct()
+    val allSigs = newSh
+      .unionByName(storedSigs.join(candIds, Seq("doc"), "left_semi"))
+      .persistTracked()
     candidates
       .join(allSigs.select(col("doc").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(allSigs.select(col("doc").as("doc_b"), col("sh").as("shb")), "doc_b")

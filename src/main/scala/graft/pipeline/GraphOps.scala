@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.pipeline.CacheLedger.TrackedPersist
 
 /** Link-graph analytics for crawl pipelines (the host-graph step:
   * Common Crawl publishes exactly this — host-level centrality used to
@@ -60,10 +61,11 @@ object GraphOps {
     require(materializeEvery >= 1,
       s"materializeEvery must be >= 1: $materializeEvery")
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).persist()
+      col(dstCol).cast("long").as("dst")).persistTracked()
     val vertices = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("__deg")).persist()
+      .union(e.select(col("dst").as("node"))).distinct().persistTracked()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+      .persistTracked()
     if (assertBound && dampingMicro > 0) {
       // worst case Σr ≈ |V|·1e6 concentrated on one vertex, whose next
       // multiply is rank·dampingMicro — keep that product under 2^63
@@ -96,7 +98,9 @@ object GraphOps {
       // barrier every `materializeEvery` steps bounds lineage depth and
       // failure-recovery cost without paying an action per iteration
       if (i % materializeEvery == 0 && i < iterations) {
-        val m = next.persist()
+        // tracked: superseded barriers unpersist below; the FINAL one
+        // backs the returned frame and is released by the ledger drain
+        val m = next.persistTracked()
         m.count()
         lastBarrier.foreach(_.unpersist())
         lastBarrier = Some(m)

@@ -1080,6 +1080,105 @@ object Similarity {
     v.unpersist()
   }
 
+  private def bucketedPrefix(path: String): String =
+    "graft_cos_" + (scala.util.hashing.MurmurHash3.stringHash(path) & 0x7fffffff)
+
+  /** [[saveCosineIndex]] in the backfill layout — vectors
+    * `bucketBy(id)`, band cells `bucketBy(band, bucket)`, same paths,
+    * plain-parquet readers unaffected; meta pins n_buckets. See
+    * [[graft.pipeline.BucketedTables]] for why the catalog is involved.
+    */
+  def saveCosineIndexBucketed(corpus: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      tables: Int = 16, planesPerTable: Int = 8, dim: Int = -1,
+      nBuckets: Int = 64, tablePrefix: String = ""): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nonNull = corpus.filter(col(vecCol).isNotNull)
+    val d =
+      if (dim > 0) dim
+      else {
+        val h = nonNull.select(size(col(vecCol))).limit(1).collect()
+        require(h.nonEmpty,
+          s"saveCosineIndexBucketed: refusing to persist an EMPTY index " +
+            s"to $path (every embedding is null; pass dim= if intended)")
+        h(0).getInt(0)
+      }
+    val prefix = if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(path)
+    val v = nonNull
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .persistTracked()
+    Seq((tables, planesPerTable, d, nBuckets))
+      .toDF("tables", "planes_per_table", "dim", "n_buckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    graft.pipeline.BucketedTables.saveBucketed(v, s"$path/vectors",
+      s"${prefix}_vecs", Seq("id"), nBuckets)
+    graft.pipeline.BucketedTables.saveBucketed(
+      v.select(col("id"),
+          explode(hyperplaneBands(col("v"), tables, planesPerTable, d)).as("bb"))
+        .select(col("id"), col("bb.band"), col("bb.bucket")),
+      s"$path/bands", s"${prefix}_bands", Seq("band", "bucket"), nBuckets)
+    v.unpersist()
+  }
+
+  /** Backfill-scale twin of [[cosineNearDupAgainstIndex]] over a
+    * [[saveCosineIndexBucketed]] index: identical pairs, corpus side
+    * exchange-free — batch x batch and batch x corpus candidates are
+    * separate joins (a union would bury the bucketed scan), and the
+    * candidate-id semi-filter replaces the serving path's broadcast.
+    */
+  def cosineNearDupAgainstIndexBucketed(newVecs: DataFrame,
+      indexPath: String, threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding", tablePrefix: String = ""): DataFrame = {
+    val spark = newVecs.sparkSession
+    val (tables, planes, d, _, _) = loadCosineIndex(spark, indexPath)
+    val metaB = spark.read.parquet(s"$indexPath/meta")
+    require(metaB.columns.contains("n_buckets"),
+      s"cosineNearDupAgainstIndexBucketed: $indexPath was not saved in " +
+        "the bucketed layout — use cosineNearDupAgainstIndex or re-save " +
+        "with saveCosineIndexBucketed")
+    val nBuckets = metaB.select(col("n_buckets").cast("int")).head().getInt(0)
+    val prefix = if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(indexPath)
+    graft.pipeline.BucketedTables.register(spark, s"${prefix}_vecs",
+      s"$indexPath/vectors", Seq("id"), nBuckets)
+    graft.pipeline.BucketedTables.register(spark, s"${prefix}_bands",
+      s"$indexPath/bands", Seq("band", "bucket"), nBuckets)
+    val storedV = spark.table(s"${prefix}_vecs")
+    val storedBands = spark.table(s"${prefix}_bands")
+    val newV = newVecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .persistTracked()
+    val newBands = newV.select(col("id"),
+        explode(hyperplaneBands(col("v"), tables, planes, d)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+      .persistTracked()
+    def keyEq = col("a.band") === col("b.band") &&
+      col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id")
+    val candBB = newBands.as("a").join(newBands.as("b"), keyEq)
+      .select(col("a.id").as("ia"), col("b.id").as("ib"))
+    val candBC = newBands.as("a").join(storedBands.as("b"), keyEq)
+      .select(col("a.id").as("ia"), col("b.id").as("ib"))
+    val candidates = candBB.unionByName(candBC)
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"))
+      .distinct().persistTracked()
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val vNeeded = newV
+      .unionByName(storedV.join(candIds, Seq("id"), "left_semi"))
+      .persistTracked()
+    candidates
+      .join(vNeeded.select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(vNeeded.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "id_b")
+      .withColumn("sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("sim"))
+  }
+
   /** (tables, planesPerTable, dim, vectors, bands) back from
     * [[saveCosineIndex]], meta validated.
     */

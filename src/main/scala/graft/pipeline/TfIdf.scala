@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.pipeline.CacheLedger.TrackedPersist
 import TextOps.tokens
 
 /** Corpus-level term statistics: smoothed TF-IDF with per-document
@@ -89,7 +90,7 @@ object TfIdf {
     }
     val perDoc = tok.groupBy("doc_id")
       .agg(count(lit(1)).as("dl"), tfCols: _*)
-      .persist()
+      .persistTracked()
     val statCols = Seq(count(lit(1)).as("nd"), round(avg("dl"), 6).as("avgdl")) ++
       queryTerms.indices.map(i =>
         sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))

@@ -415,7 +415,7 @@ object PipelineQueries {
       val d = docs(s, dir)
       val benchmark = Dedup.shingleSets(
         d.filter(col("doc_id") < 5), "doc_id", "text", 3)
-        .persist() // barrier against tokenizer-in-lambda inlining
+        .persistTracked() // barrier against tokenizer-in-lambda inlining
         .select(explode(col("sh")).as("sh"))
       Dedup.contaminationFlags(d.filter(col("doc_id") >= 5),
         "doc_id", "text", benchmark, n = 3)
@@ -870,7 +870,7 @@ object PipelineQueries {
         .withColumn("__d", zip_with(col("v"), col("centroid"), (x, c) => x - c))
         .select(col("vec_id"), col("label"),
           round(sqrt(Similarity.dot(col("__d"), col("__d"))), 6).as("dist"))
-        .persist()
+        .persistTracked()
       val cut = dist.groupBy("label")
         .agg(round(percentile(col("dist"), lit(0.95)), 6).as("__cut"))
       dist.join(broadcast(cut), "label")
@@ -1746,7 +1746,7 @@ object PipelineQueries {
       val d = docs(s, dir)
       val corpusIdx = Dedup.minhashIndex(
         d.filter(col("doc_id") % 2 === 0), "doc_id", "text",
-        n = 3, k = 32, bands = 8).persist()
+        n = 3, k = 32, bands = 8).persistTracked()
       val out = Dedup.incrementalMinhashPairs(
         d.filter(col("doc_id") % 2 === 1), corpusIdx, "doc_id", "text",
         n = 3, k = 32, bands = 8, threshold = 0.4)

@@ -419,6 +419,102 @@ class PipelineSpec extends SparkSpecBase {
     assert(e.getMessage.contains("ONE meta row"), e.getMessage)
   }
 
+  test("bucketed index layout: backfill screens == broadcast screens; corpus side exchange-free") {
+    import org.apache.spark.sql.functions.{array => fArray}
+    val batchDocs = docs.filter(col("doc_id") % 2 === 1)
+    val corpusDocs = docs.filter(col("doc_id") % 2 === 0)
+    def pairMap(df: DataFrame, a: String, b: String, v: String) = df.collect()
+      .map(r => (r.getAs[Long](a), r.getAs[Long](b)) -> r.getAs[Any](v)).toMap
+
+    // --- minhash: one data copy serves both access paths
+    val mhDir = java.nio.file.Files.createTempDirectory("bk_mh").toString
+    Dedup.saveMinhashIndexBucketed(
+      Dedup.minhashIndex(corpusDocs, "doc_id", "text", 3, 32, 8), mhDir, 3,
+      nBuckets = 8, tablePrefix = "t_mh")
+    val mhWant = pairMap(Dedup.nearDupAgainstIndex(
+      batchDocs, mhDir, "doc_id", "text", 0.4), "doc_a", "doc_b", "jaccard")
+    val mhScreen = Dedup.nearDupAgainstIndexBucketed(
+      batchDocs, mhDir, "doc_id", "text", 0.4, tablePrefix = "t_mh")
+    assert(pairMap(mhScreen, "doc_a", "doc_b", "jaccard") == mhWant
+      && mhWant.nonEmpty, "bucketed minhash screen diverged")
+    // the corpus band table joins WITHOUT an exchange above its scan:
+    // only the batch side shuffles (the scratch-proven single-exchange
+    // shape), and the scan itself reports its buckets
+    // broadcast disabled for the probe: at spec scale the tiny batch
+    // would broadcast (also corpus-exchange-free, but not the backfill
+    // shape under test — a backfill batch CANNOT broadcast)
+    val batchBands = Dedup.lshBands(batchDocs, "doc_id", "text", 3, 32, 8)
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = batchBands.join(spark.table("t_mh_bands"), Seq("band", "bucket"))
+      val probePlan = probe.queryExecution.executedPlan.toString
+      assert(probePlan.contains("Bucketed: true") &&
+        probePlan.contains("SelectedBucketsCount"),
+        s"corpus band scan not bucketed:\n$probePlan")
+      // exactly ONE shuffle on the join keys — the batch side; the
+      // corpus side's partitioning comes from the bucketed scan (the
+      // batch's own minhash construction shuffles on doc internally,
+      // which is batch-proportional and not under test here)
+      assert(probePlan.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning(band")) == 1,
+        s"expected ONE band-key exchange (batch side only):\n$probePlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+    // --- 48-bit signature
+    val sig = docs.select(col("doc_id"),
+      expr("CAST(conv(substr(md5(string(doc_id - doc_id % 3)), 1, 12), 16, 10) AS BIGINT)")
+        .bitwiseXOR(when(col("doc_id") % 3 >= 1,
+          expr("shiftleft(1L, cast(doc_id % 48 as int))")).otherwise(lit(0L)))
+        .as("sig"))
+    val sBatch = sig.filter(col("doc_id") % 2 === 1)
+    val sCorpus = sig.filter(col("doc_id") % 2 === 0)
+    val sgDir = java.nio.file.Files.createTempDirectory("bk_sig").toString
+    Dedup.saveSignatureIndexBucketed(sCorpus, sgDir, "doc_id", "sig",
+      maxHamming = 4, nBuckets = 8, tablePrefix = "t_sig")
+    val sgWant = pairMap(Dedup.hammingAgainstIndex(
+      sBatch, sgDir, "doc_id", "sig"), "doc_a", "doc_b", "hamming")
+    val sgGot = pairMap(Dedup.hammingAgainstIndexBucketed(
+      sBatch, sgDir, "doc_id", "sig", tablePrefix = "t_sig"),
+      "doc_a", "doc_b", "hamming")
+    assert(sgGot == sgWant && sgWant.nonEmpty, "bucketed hamming screen diverged")
+
+    // --- cosine
+    val base = emb.filter(col("vec_id") < 200).select("vec_id", "embedding")
+    val cBatch = base.filter(col("vec_id") % 2 === 1)
+      .unionByName(base.filter(col("vec_id") % 2 === 0).limit(20)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          col("embedding"))) // planted copies of stored vectors
+    val cCorpus = base.filter(col("vec_id") % 2 === 0)
+    val csDir = java.nio.file.Files.createTempDirectory("bk_cos").toString
+    Similarity.saveCosineIndexBucketed(cCorpus, csDir, dim = 64,
+      nBuckets = 8, tablePrefix = "t_cos")
+    val csWant = pairMap(Similarity.cosineNearDupAgainstIndex(
+      cBatch, csDir, 0.35), "vec_a", "vec_b", "sim")
+    val csGot = pairMap(Similarity.cosineNearDupAgainstIndexBucketed(
+      cBatch, csDir, 0.35, tablePrefix = "t_cos"), "vec_a", "vec_b", "sim")
+    assert(csGot == csWant && csWant.nonEmpty, "bucketed cosine screen diverged")
+
+    // fresh-catalog re-registration: drop the session tables, screen
+    // again — register() re-attaches the DDL over the existing files
+    Seq("t_mh_docs", "t_mh_bands", "t_sig_sigs", "t_sig_bands",
+      "t_cos_vecs", "t_cos_bands")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val mhAgain = pairMap(Dedup.nearDupAgainstIndexBucketed(
+      batchDocs, mhDir, "doc_id", "text", 0.4, tablePrefix = "t_mh"),
+      "doc_a", "doc_b", "jaccard")
+    assert(mhAgain == mhWant, "re-registered catalog lost the layout")
+    // a plain-layout index refuses the bucketed screen loudly
+    val plainDir = java.nio.file.Files.createTempDirectory("bk_plain").toString
+    Dedup.saveMinhashIndex(
+      Dedup.minhashIndex(corpusDocs, "doc_id", "text", 3, 32, 8), plainDir, 3)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.nearDupAgainstIndexBucketed(batchDocs, plainDir, "doc_id",
+        "text", 0.4)
+    }
+    assert(e.getMessage.contains("bucketed layout"), e.getMessage)
+  }
+
   test("releaseCorpus: deterministic shards, identity certificate, tamper detection") {
     val corpus = docs.select("doc_id", "text").limit(200)
       .withColumn("lang", lit("en")).persist()
@@ -3010,6 +3106,18 @@ class PipelineSpec extends SparkSpecBase {
     val sigs = d.select(col("doc_id"), (col("doc_id") * 1024L).as("sig"))
     Dedup.hammingPairsIncremental(sigs, sigs.limit(0), "doc_id", "sig", 4).count()
     assert(CacheLedger.pinned > 0)
+    CacheLedger.drain()
+    assert(CacheLedger.pinned == 0)
+    // the round-10 sweep: the BM25 per-doc barrier and PageRank's
+    // edge/vertex/degree (+ iteration) barriers are tracked, not bare
+    TfIdf.bm25Scores(d, "doc_id", "text", Seq("a", "x")).count()
+    assert(CacheLedger.pinned > 0, "bm25 per-doc barrier must be tracked")
+    CacheLedger.drain()
+    val edges = docsOf((1L, "x"), (2L, "x")).select(
+      col("doc_id").as("src"), (col("doc_id") % 2 + 1).as("dst"))
+    GraphOps.pageRank(edges, "src", "dst", iterations = 6,
+      materializeEvery = 2).count()
+    assert(CacheLedger.pinned > 0, "pageRank barriers must be tracked")
     CacheLedger.drain()
     assert(CacheLedger.pinned == 0)
   }
