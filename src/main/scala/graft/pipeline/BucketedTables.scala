@@ -39,6 +39,33 @@ object BucketedTables {
       .saveAsTable(tableName)
   }
 
+  /** Guard for the PLAIN merge paths: appending plain parquet files
+    * into a bucketed layout would land files without bucket ids in
+    * their names, silently mis-assigning rows on every later bucketed
+    * read — missed duplicates, the exact failure class the meta row
+    * exists to prevent. Fails loudly instead.
+    */
+  def requirePlainLayout(spark: SparkSession, metaPath: String,
+      caller: String): Unit = {
+    val meta = spark.read.parquet(metaPath)
+    require(!meta.columns.contains("n_buckets"),
+      s"$caller: the index at $metaPath uses the BUCKETED layout; a " +
+        "plain parquet append would corrupt bucket-to-file assignment " +
+        "for every bucketed read — use the *Bucketed merge")
+  }
+
+  /** Append `df` into a bucketed table (registered via [[register]] if
+    * needed): rows land in correctly bucket-named files. Repartitioned
+    * on the bucket keys first so each merge adds at most one file per
+    * bucket instead of tasks x buckets small files.
+    */
+  def appendBucketed(df: DataFrame, path: String, tableName: String,
+      bucketCols: Seq[String], nBuckets: Int): Unit = {
+    register(df.sparkSession, tableName, path, bucketCols, nBuckets)
+    df.repartition(nBuckets, bucketCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("append").insertInto(tableName)
+  }
+
   /** Idempotently (re-)register the bucketed table over files already
     * at `path` — the fresh-session path. The column DDL comes from the
     * files' own parquet schema, so registration can never drift from

@@ -472,6 +472,41 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/bands")
   }
 
+  /** [[mergeIntoMinhashIndex]] for the bucketed layout: the batch is
+    * indexed under the stored parameters and APPENDED through the
+    * catalog tables (insertInto), so the new files carry correct
+    * bucket ids — a plain parquet append would silently corrupt every
+    * later bucketed read, which is why the plain merge refuses the
+    * layout outright.
+    */
+  def mergeIntoMinhashIndexBucketed(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, assertNewIds: Boolean = false,
+      tablePrefix: String = ""): Unit = {
+    val spark = newDocs.sparkSession
+    val (n, k, bands, stored) = loadMinhashIndex(spark, indexPath)
+    val metaB = spark.read.parquet(s"$indexPath/meta")
+    require(metaB.columns.contains("n_buckets"),
+      s"mergeIntoMinhashIndexBucketed: $indexPath is a plain-layout " +
+        "index — use mergeIntoMinhashIndex")
+    val nBuckets = metaB.select(col("n_buckets").cast("int")).head().getInt(0)
+    val prefix = if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(indexPath)
+    val newIdx = minhashIndex(newDocs, idCol, textCol, n, k, bands)
+      .select(col("doc"), col("sh"), col("sig"), col("bb"))
+    if (assertNewIds) {
+      val clash = newIdx.select("doc")
+        .join(stored.select("doc"), Seq("doc"), "left_semi").count()
+      require(clash == 0,
+        s"mergeIntoMinhashIndexBucketed: $clash batch ids already exist " +
+          s"at $indexPath")
+    }
+    val newIdxP = newIdx.persistTracked()
+    BucketedTables.appendBucketed(newIdxP, s"$indexPath/index",
+      s"${prefix}_docs", Seq("doc"), nBuckets)
+    BucketedTables.appendBucketed(explodeBands(newIdxP), s"$indexPath/bands",
+      s"${prefix}_bands", Seq("band", "bucket"), nBuckets)
+    newIdxP.unpersist()
+  }
+
   /** Deterministic default catalog prefix for a stored index's bucketed
     * tables (callers running several indexes in one session can pass
     * their own).
@@ -690,6 +725,8 @@ object Dedup {
     */
   def mergeIntoMinhashIndex(newDocs: DataFrame, indexPath: String,
       idCol: String, textCol: String, assertNewIds: Boolean = false): Unit = {
+    BucketedTables.requirePlainLayout(newDocs.sparkSession,
+      s"$indexPath/meta", "mergeIntoMinhashIndex")
     val (n, k, bands, stored) = loadMinhashIndex(newDocs.sparkSession, indexPath)
     val newIdx = minhashIndex(newDocs, idCol, textCol, n, k, bands)
       .select(col("doc"), col("sh"), col("sig"), col("bb"))
@@ -1663,6 +1700,40 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** [[mergeIntoSignatureIndex]] for the bucketed layout — see
+    * [[mergeIntoMinhashIndexBucketed]].
+    */
+  def mergeIntoSignatureIndexBucketed(newSigs: DataFrame, indexPath: String,
+      idCol: String, sigCol: String, assertNewIds: Boolean = false,
+      tablePrefix: String = ""): Unit = {
+    val spark = newSigs.sparkSession
+    val (maxHamming, nBlocks, storedSigs, _) =
+      loadSignatureIndex(spark, indexPath)
+    val metaB = spark.read.parquet(s"$indexPath/meta")
+    require(metaB.columns.contains("n_buckets"),
+      s"mergeIntoSignatureIndexBucketed: $indexPath is a plain-layout " +
+        "index — use mergeIntoSignatureIndex")
+    val nBuckets = metaB.select(col("n_buckets").cast("int")).head().getInt(0)
+    val prefix = if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(indexPath)
+    val sh = newSigs.select(col(idCol).cast("long").as("doc"),
+      col(sigCol).as("sh")).persistTracked()
+    if (assertNewIds) {
+      val clash = sh.select("doc")
+        .join(storedSigs.select("doc"), Seq("doc"), "left_semi").count()
+      require(clash == 0,
+        s"mergeIntoSignatureIndexBucketed: $clash batch ids already " +
+          s"exist at $indexPath")
+    }
+    BucketedTables.appendBucketed(sh, s"$indexPath/sigs",
+      s"${prefix}_sigs", Seq("doc"), nBuckets)
+    BucketedTables.appendBucketed(
+      sh.select(col("doc"),
+          explode(hammingBands48(col("sh"), maxHamming, nBlocks)).as("__bb"))
+        .select(col("doc"), col("__bb.band"), col("__bb.bits")),
+      s"$indexPath/bands", s"${prefix}_bands", Seq("band", "bits"), nBuckets)
+    sh.unpersist()
+  }
+
   /** Fold a screened signature batch INTO the stored index — the
     * [[mergeIntoMinhashIndex]] twin for 48-bit signatures: the batch
     * is banded under the index's OWN stored cutoff and APPENDED as new
@@ -1674,6 +1745,8 @@ object Dedup {
   def mergeIntoSignatureIndex(newSigs: DataFrame, indexPath: String,
       idCol: String, sigCol: String, assertNewIds: Boolean = false): Unit = {
     val spark = newSigs.sparkSession
+    BucketedTables.requirePlainLayout(spark, s"$indexPath/meta",
+      "mergeIntoSignatureIndex")
     val (maxHamming, nBlocks, storedSigs, _) =
       loadSignatureIndex(spark, indexPath)
     val sh = newSigs.select(col(idCol).cast("long").as("doc"),

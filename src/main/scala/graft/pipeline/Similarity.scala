@@ -1080,6 +1080,41 @@ object Similarity {
     v.unpersist()
   }
 
+  /** [[mergeIntoCosineIndex]] for the bucketed layout — see
+    * [[graft.pipeline.Dedup.mergeIntoMinhashIndexBucketed]].
+    */
+  def mergeIntoCosineIndexBucketed(newVecs: DataFrame, indexPath: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      assertNewIds: Boolean = false, tablePrefix: String = ""): Unit = {
+    val spark = newVecs.sparkSession
+    val (tables, planes, d, storedV, _) = loadCosineIndex(spark, indexPath)
+    val metaB = spark.read.parquet(s"$indexPath/meta")
+    require(metaB.columns.contains("n_buckets"),
+      s"mergeIntoCosineIndexBucketed: $indexPath is a plain-layout " +
+        "index — use mergeIntoCosineIndex")
+    val nBuckets = metaB.select(col("n_buckets").cast("int")).head().getInt(0)
+    val prefix = if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(indexPath)
+    val v = newVecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .persistTracked()
+    if (assertNewIds) {
+      val clash = v.select("id")
+        .join(storedV.select("id"), Seq("id"), "left_semi").count()
+      require(clash == 0,
+        s"mergeIntoCosineIndexBucketed: $clash batch ids already exist " +
+          s"at $indexPath")
+    }
+    graft.pipeline.BucketedTables.appendBucketed(v, s"$indexPath/vectors",
+      s"${prefix}_vecs", Seq("id"), nBuckets)
+    graft.pipeline.BucketedTables.appendBucketed(
+      v.select(col("id"),
+          explode(hyperplaneBands(col("v"), tables, planes, d)).as("bb"))
+        .select(col("id"), col("bb.band"), col("bb.bucket")),
+      s"$indexPath/bands", s"${prefix}_bands", Seq("band", "bucket"), nBuckets)
+    v.unpersist()
+  }
+
   private def bucketedPrefix(path: String): String =
     "graft_cos_" + (scala.util.hashing.MurmurHash3.stringHash(path) & 0x7fffffff)
 
@@ -1211,6 +1246,8 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       assertNewIds: Boolean = false): Unit = {
     val spark = newVecs.sparkSession
+    graft.pipeline.BucketedTables.requirePlainLayout(spark,
+      s"$indexPath/meta", "mergeIntoCosineIndex")
     val (tables, planes, d, storedV, _) = loadCosineIndex(spark, indexPath)
     val v = newVecs.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))

@@ -515,6 +515,42 @@ class PipelineSpec extends SparkSpecBase {
     assert(e.getMessage.contains("bucketed layout"), e.getMessage)
   }
 
+  test("bucketed index merge: fold-in == fresh rebuild; plain merge refuses the layout") {
+    val a = docs.filter(col("doc_id") < 300)
+    val b = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val c = docs.filter(col("doc_id") >= 400)
+    def pairMap(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val foldDir = java.nio.file.Files.createTempDirectory("bk_fold").toString
+    Dedup.saveMinhashIndexBucketed(
+      Dedup.minhashIndex(a, "doc_id", "text", 3, 32, 8), foldDir, 3,
+      nBuckets = 4, tablePrefix = "t_fold")
+    // the PLAIN merge must refuse the bucketed layout LOUDLY — its
+    // appended files would carry no bucket ids and silently corrupt
+    // bucket-to-file assignment on every later bucketed read
+    val e = intercept[IllegalArgumentException] {
+      Dedup.mergeIntoMinhashIndex(b, foldDir, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("BUCKETED layout"), e.getMessage)
+    // the bucketed merge appends THROUGH the catalog: fold-in == rebuild
+    Dedup.mergeIntoMinhashIndexBucketed(b, foldDir, "doc_id", "text",
+      tablePrefix = "t_fold")
+    val rebuildDir = java.nio.file.Files.createTempDirectory("bk_rb").toString
+    Dedup.saveMinhashIndexBucketed(
+      Dedup.minhashIndex(a.unionByName(b), "doc_id", "text", 3, 32, 8),
+      rebuildDir, 3, nBuckets = 4, tablePrefix = "t_rb")
+    val merged = pairMap(Dedup.nearDupAgainstIndexBucketed(
+      c, foldDir, "doc_id", "text", 0.4, tablePrefix = "t_fold"))
+    val rebuilt = pairMap(Dedup.nearDupAgainstIndexBucketed(
+      c, rebuildDir, "doc_id", "text", 0.4, tablePrefix = "t_rb"))
+    assert(merged == rebuilt && rebuilt.nonEmpty,
+      s"merged=${merged.size} rebuilt=${rebuilt.size}")
+    // and the broadcast/plain READ path sees the merged files too
+    val plainRead = pairMap(Dedup.nearDupAgainstIndex(
+      c, foldDir, "doc_id", "text", 0.4))
+    assert(plainRead == rebuilt, "plain readers diverged after bucketed merge")
+  }
+
   test("releaseCorpus: deterministic shards, identity certificate, tamper detection") {
     val corpus = docs.select("doc_id", "text").limit(200)
       .withColumn("lang", lit("en")).persist()
