@@ -1041,6 +1041,51 @@ object PipelineQueries {
         "doc_id", "dhash", maxHamming = 4)
     }),
 
+    // the band-geometry knob ORACLE-CERTIFIED (round-10): p82's exact
+    // plant and oracle, screened at the WIDE geometry (nBlocks=6: 15
+    // three-block combos x 32-bit keys instead of 3 x 16-bit bands).
+    // Pigeonhole banding is LOSSLESS at any nBlocks > maxHamming, so
+    // the oracle is geometry-independent — a hash-exact match here is
+    // a proof the wider keys drop only CANDIDATES, never pairs
+    "p102_hamming_wide" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id").as("bid"), col("text").as("btext"))
+      val grouped = d.select(col("doc_id"))
+        .join(base, col("doc_id") - col("doc_id") % 3 === col("bid"))
+        .select(col("doc_id"), encode(col("btext"), "UTF-8").as("media"))
+      val planted = Multimodal.imageDHash(grouped).withColumn("dhash",
+        col("dhash")
+          .bitwiseXOR(when(col("doc_id") % 3 >= 1,
+            expr("shiftleft(1L, cast(doc_id % 48 as int))"))
+            .otherwise(lit(0L)))
+          .bitwiseXOR(when(col("doc_id") % 3 === 2,
+            expr("shiftleft(1L, cast((doc_id * 31 + 17) % 48 as int))"))
+            .otherwise(lit(0L))))
+      Dedup.hammingPairsIncremental(
+        planted.filter(col("doc_id") % 2 === 1),
+        planted.filter(col("doc_id") % 2 === 0),
+        "doc_id", "dhash", maxHamming = 4, nBlocks = 6)
+    }),
+
+    // the bucketed backfill screen ORACLE-CERTIFIED (round-10): p71's
+    // exact plant and oracle, but the corpus index is persisted in the
+    // bucketBy layout and the batch screens through
+    // nearDupAgainstIndexBucketed — hash-exact equality proves the
+    // catalog path (bucketed scans, split candidate joins, semi-filtered
+    // verify) returns the identical relation
+    "p103_backfill_screen" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idxDir = java.nio.file.Files.createTempDirectory(
+        s"graft_p103_${new java.io.File(dir).getName}_").toString
+      Dedup.saveMinhashIndexBucketed(
+        Dedup.minhashIndex(d.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", n = 3, k = 32, bands = 8),
+        idxDir, 3, nBuckets = 8, tablePrefix = "p103_idx")
+      Dedup.nearDupAgainstIndexBucketed(
+        d.filter(col("doc_id") % 2 === 1), idxDir, "doc_id", "text",
+        threshold = 0.4, tablePrefix = "p103_idx")
+    }),
+
     // image near-dup via perceptual dHash + the simhash Hamming-banding
     // machinery: text blobs always take the md5 fallback hash (the p12
     // dispatch precedent — the REAL luma-grid path is pinned by
@@ -3460,6 +3505,30 @@ object PipelineQueries {
          WHERE bit_count(xor(a.dh, b.dh)) <= 4
            AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)""",
 
+    // p82's oracle VERBATIM: banding is lossless at any block count,
+    // so the truth relation does not mention geometry at all
+    "p102_hamming_wide" ->
+      """WITH g AS (SELECT d.doc_id, b.text AS btext
+               FROM documents d
+               JOIN documents b ON b.doc_id = d.doc_id - (d.doc_id % 3)),
+             h AS (SELECT doc_id,
+                     ('0x' || substr(md5(btext), 1, 12))::BIGINT AS dh0
+                   FROM g),
+             p AS (SELECT doc_id,
+                     xor(xor(dh0,
+                       CASE WHEN doc_id % 3 >= 1
+                            THEN (1::BIGINT << (doc_id % 48)::INT)
+                            ELSE 0::BIGINT END),
+                       CASE WHEN doc_id % 3 = 2
+                            THEN (1::BIGINT << ((doc_id * 31 + 17) % 48)::INT)
+                            ELSE 0::BIGINT END) AS dh
+                   FROM h)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+         FROM p a JOIN p b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dh, b.dh)) <= 4
+           AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)""",
+
     // p74's oracle verbatim over the audio signature: md5-fallback
     // dispatch + planted flips + the exact O(n²) pair restatement
     "p80_audio_fp_neardup" ->
@@ -4420,6 +4489,13 @@ object PipelineQueries {
     // collisions are exactly the full self-join's pairs minus the
     // both-old ones, and the verify Jaccard is unchanged
     "p71_incremental_neardup" ->
+      s"""WITH ${minhashPairsCtes("documents")}
+         SELECT doc_a, doc_b, jaccard FROM j
+         WHERE jaccard >= 0.4 AND (doc_a % 2 = 1 OR doc_b % 2 = 1)""",
+
+    // p71's oracle VERBATIM: the bucketed catalog path must return the
+    // identical >=1-odd-side pair relation
+    "p103_backfill_screen" ->
       s"""WITH ${minhashPairsCtes("documents")}
          SELECT doc_a, doc_b, jaccard FROM j
          WHERE jaccard >= 0.4 AND (doc_a % 2 = 1 OR doc_b % 2 = 1)""",
