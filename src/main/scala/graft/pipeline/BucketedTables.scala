@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Bucketed-table plumbing for the stored dedup/ANN indexes — the
   * backfill-scale layout (VERDICT r9 gap #5): a broadcast screen is the
@@ -61,7 +62,15 @@ object BucketedTables {
     */
   def appendBucketed(df: DataFrame, path: String, tableName: String,
       bucketCols: Seq[String], nBuckets: Int): Unit = {
-    register(df.sparkSession, tableName, path, bucketCols, nBuckets)
+    val spark = df.sparkSession
+    register(spark, tableName, path, bucketCols, nBuckets)
+    // insertInto maps columns POSITIONALLY — a reordered frame would
+    // write values into the wrong columns without an error
+    val tableCols = spark.table(tableName).columns
+    require(df.columns.sameElements(tableCols),
+      s"appendBucketed($tableName): column order ${df.columns.mkString(",")} " +
+        s"must match the table's ${tableCols.mkString(",")} — insertInto " +
+        "binds positionally")
     df.repartition(nBuckets, bucketCols.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("append").insertInto(tableName)
   }
@@ -79,6 +88,22 @@ object BucketedTables {
       spark.sql(s"""CREATE TABLE $tableName ($ddl) USING parquet
         CLUSTERED BY ($cols) SORTED BY ($cols)
         INTO $nBuckets BUCKETS LOCATION '$path'""")
+    } else {
+      // a session-level name can only bind ONE location: if the caller
+      // reuses a prefix for a DIFFERENT index path, scanning the
+      // already-registered table would silently read the wrong corpus —
+      // the worst dedup failure mode. Compare canonical URIs (the
+      // catalog stores file:/... for local paths).
+      val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $tableName")
+        .filter(col("col_name") === "Location")
+        .select("data_type").head().getString(0)
+      val want = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(new org.apache.hadoop.fs.Path(path)).toString
+      require(loc.stripSuffix("/") == want.stripSuffix("/"),
+        s"register($tableName): already bound to $loc, not $want — two " +
+          "indexes cannot share a table prefix in one session; pass a " +
+          "distinct tablePrefix")
     }
   }
 }

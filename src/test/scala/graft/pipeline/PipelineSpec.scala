@@ -549,6 +549,14 @@ class PipelineSpec extends SparkSpecBase {
     val plainRead = pairMap(Dedup.nearDupAgainstIndex(
       c, foldDir, "doc_id", "text", 0.4))
     assert(plainRead == rebuilt, "plain readers diverged after bucketed merge")
+    // one prefix = one location: reusing t_fold for a DIFFERENT index
+    // path must refuse, not silently scan the first index
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.nearDupAgainstIndexBucketed(c, rebuildDir, "doc_id", "text",
+        0.4, tablePrefix = "t_fold")
+    }
+    assert(e2.getMessage.contains("cannot share a table prefix"),
+      e2.getMessage)
   }
 
   test("releaseCorpus: deterministic shards, identity certificate, tamper detection") {
