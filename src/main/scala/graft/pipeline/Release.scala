@@ -49,6 +49,10 @@ object Release {
     val spark = corpus.sparkSession
     val cols = corpus.columns
     require(cols.contains(idCol), s"releaseCorpus: no $idCol column")
+    require(!cols.contains("shard"),
+      "releaseCorpus: the corpus already has a 'shard' column — it would " +
+        "be overwritten by the layout column before serialization " +
+        "(rename it, or drop it if it is a previous release's)")
     corpus
       .withColumn("shard", Sharding.shardId(col(idCol), nShards, salt))
       .repartition(nShards, col("shard"))

@@ -227,6 +227,45 @@ object Sampling {
       .select(col(idCol), col(langCol), col("rnk"), col("quota"), col("epoch"))
   }
 
+  /** Fill-in-the-middle transform (Bavarian et al. '22, "Efficient
+    * Training of Language Models to Fill in the Middle" — the data-side
+    * trick that gives a causal LM infilling ability for free): with
+    * probability `fimRatePct`/100 a document is split at two
+    * deterministic cut points 0 <= a <= b <= len and re-serialized in
+    * PSM order `PRE prefix SUF suffix MID middle`; the rest pass
+    * through unchanged (the paper's 50/50 joint training).
+    *
+    * Cuts and the apply-gate are salted md5 draws of the id (the p24
+    * split discipline): reproducible at any parallelism, replayable in
+    * SQL, and uniform over [0,len] x [a,len] as the paper prescribes
+    * (character = code point positions; a byte-level FIM would split
+    * multi-byte runes, which this deliberately does not). One codegen'd
+    * projection — no shuffle, no UDF.
+    */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+      fimRatePct: Int = 50, pre: String = "<|fim_pre|>",
+      suf: String = "<|fim_suf|>", mid: String = "<|fim_mid|>"): DataFrame = {
+    require(fimRatePct >= 0 && fimRatePct <= 100,
+      s"fimRatePct must be in [0,100]: $fimRatePct")
+    val idS = col(idCol).cast("string")
+    val t = col(textCol)
+    val n = length(t)
+    val a = (TextOps.hash60(concat(lit("fima:"), idS)) % (n + 1)).cast("int")
+    val b = (a + TextOps.hash60(concat(lit("fimb:"), idS)) % (n - a + 1))
+      .cast("int")
+    val applied =
+      TextOps.hash60(concat(lit("fimr:"), idS)) % 100 < fimRatePct
+    docs.select(col(idCol),
+      applied.as("fim_applied"),
+      a.cast("long").as("cut_a"),
+      b.cast("long").as("cut_b"),
+      when(applied,
+        concat(lit(pre), t.substr(lit(1), a),
+          lit(suf), t.substr(b + 1, n - b),
+          lit(mid), t.substr(a + 1, b - a)))
+        .otherwise(t).as("fim_text"))
+  }
+
   /** Concatenate-and-chunk sequence packing (the GPT-style pretraining
     * layout): within each `groupCol` shard, documents are laid end to
     * end in `idCol` order and cut into fixed `budget`-token sequences;

@@ -27,6 +27,39 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Hard-negative mining for contrastive / embedding-model training
+    * (the in-batch-negatives upgrade every dual-encoder recipe ships —
+    * DPR, Karpukhin '20 §4.2; SimCSE; the "hard" in hard negatives):
+    * for each query vector, the top-k most-similar corpus vectors
+    * whose LABEL differs — maximally confusable wrong-class examples.
+    * Same broadcast-probe shape as [[bruteForceTopK]] (the oracle-exact
+    * baseline; the banded/IVF candidate generators compose in front of
+    * it at corpus scale exactly as for p7/p15), plus the label
+    * inequality in the join predicate so same-class pairs never rank.
+    */
+  def hardNegativesTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
+      col(labelCol).as("qlabel"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv")))))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"), col(labelCol).as("nlabel"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(q, col("query_id") =!= col("neighbor_id") &&
+        col("qlabel") =!= col("nlabel"))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("qlabel").cast("long").as("query_label"),
+        col("neighbor_id"), col("nlabel").cast("long").as("neighbor_label"),
+        round(col("sim"), 6).as("sim"), col("rnk"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector (self excluded).
     * The query side is broadcast — the corpus streams once, no shuffle
     * of the big side.

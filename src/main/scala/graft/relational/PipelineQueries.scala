@@ -1041,6 +1041,21 @@ object PipelineQueries {
         "doc_id", "dhash", maxHamming = 4)
     }),
 
+    // hard-negative mining (round-10 — the contrastive-training data
+    // op: for each query vector, the top-k most-similar vectors of a
+    // DIFFERENT label; DPR-class dual-encoder recipes train on exactly
+    // this relation). Brute-force is the oracle-exact baseline — the
+    // banded/IVF candidate generators compose in front at corpus scale
+    "p104_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegativesTopK(
+        emb(s, dir), emb(s, dir).filter(col("vec_id") < 20), k = 5)),
+
+    // fill-in-the-middle transform (round-10, Bavarian '22): PSM
+    // re-serialization at salted-md5 cut points, 50% apply rate — one
+    // codegen'd projection, cuts and gate replayable in SQL
+    "p105_fim_transform" -> ((s, dir) =>
+      Sampling.fimTransform(docs(s, dir), "doc_id", "text")),
+
     // the band-geometry knob ORACLE-CERTIFIED (round-10): p82's exact
     // plant and oracle, screened at the WIDE geometry (nBlocks=6: 15
     // three-block combos x 32-bit keys instead of 3 x 16-bit bands).
@@ -3504,6 +3519,46 @@ object PipelineQueries {
          FROM p a JOIN p b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.dh, b.dh)) <= 4
            AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)""",
+
+    // the p6 pair loop with the label-inequality predicate in the join
+    "p104_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+             q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel
+                   FROM e WHERE vec_id < 20),
+             s AS (SELECT query_id, CAST(qlabel AS BIGINT) AS query_label,
+                     c.vec_id AS neighbor_id,
+                     CAST(c.label AS BIGINT) AS neighbor_label,
+                     list_dot_product(qv, c.v) /
+                       (sqrt(list_dot_product(qv, qv)) *
+                        sqrt(list_dot_product(c.v, c.v))) AS sim
+                   FROM q JOIN e c
+                     ON c.vec_id <> query_id AND c.label <> qlabel),
+             r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+                   FROM s)
+         SELECT query_id, query_label, neighbor_id, neighbor_label,
+           round(sim, 6) AS sim, rnk
+         FROM r WHERE rnk <= 5""",
+
+    // the same salted-md5 draws, the same PSM concatenation — substr
+    // arithmetic is position-identical on both engines
+    "p105_fim_transform" ->
+      """WITH h AS (SELECT doc_id, text, length(text) AS n,
+               ('0x' || substr(md5('fima:' || doc_id::VARCHAR), 1, 15))::BIGINT AS ha,
+               ('0x' || substr(md5('fimb:' || doc_id::VARCHAR), 1, 15))::BIGINT AS hb,
+               ('0x' || substr(md5('fimr:' || doc_id::VARCHAR), 1, 15))::BIGINT AS hr
+             FROM documents),
+             c AS (SELECT doc_id, text, n, hb, hr % 100 < 50 AS fim_applied,
+                 ha % (n + 1) AS a FROM h),
+             c2 AS (SELECT *, a + (hb % (n - a + 1)) AS b FROM c)
+         SELECT doc_id, fim_applied, CAST(a AS BIGINT) AS cut_a,
+           CAST(b AS BIGINT) AS cut_b,
+           CASE WHEN fim_applied
+             THEN '<|fim_pre|>' || substr(text, 1, a::INT)
+               || '<|fim_suf|>' || substr(text, (b + 1)::INT, (n - b)::INT)
+               || '<|fim_mid|>' || substr(text, (a + 1)::INT, (b - a)::INT)
+             ELSE text END AS fim_text
+         FROM c2""",
 
     // p82's oracle VERBATIM: banding is lossless at any block count,
     // so the truth relation does not mention geometry at all

@@ -559,6 +559,60 @@ class PipelineSpec extends SparkSpecBase {
       e2.getMessage)
   }
 
+  test("fimTransform: PSM order pinned; cuts partition the text; rate edges") {
+    val d = docsOf((1L, "abcdefghij"), (2L, "x"), (3L, ""),
+      (4L, "h\u00e9llo w\u00f6rld \u4f60\u597d"))
+    val out = Sampling.fimTransform(d, "doc_id", "text", fimRatePct = 100)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val texts = Map(1L -> "abcdefghij", 2L -> "x", 3L -> "",
+      4L -> "h\u00e9llo w\u00f6rld \u4f60\u597d")
+    for ((id, (applied, a, b, fim)) <- out) {
+      assert(applied, s"doc $id not applied at rate 100")
+      val t = texts(id)
+      assert(0 <= a && a <= b && b <= t.length, s"doc $id cuts ($a,$b)")
+      val (pre, mid0, suf) = (t.substring(0, a.toInt),
+        t.substring(a.toInt, b.toInt), t.substring(b.toInt))
+      // PSM: PRE prefix SUF suffix MID middle — and the three pieces
+      // partition the original exactly
+      assert(fim == s"<|fim_pre|>$pre<|fim_suf|>$suf<|fim_mid|>$mid0",
+        s"doc $id: $fim")
+      assert(pre + mid0 + suf == t)
+    }
+    // rate 0: everything passes through verbatim
+    val none = Sampling.fimTransform(d, "doc_id", "text", fimRatePct = 0)
+      .collect().map(r => (r.getBoolean(1), r.getString(4)))
+    assert(none.forall(!_._1) &&
+      none.map(_._2).toSet == texts.values.toSet)
+    // plan: one projection, no shuffle, no UDF
+    val plan = Sampling.fimTransform(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("ScalaUDF"), plan)
+  }
+
+  test("hardNegativesTopK: never a same-label neighbor; equals label-filtered brute force") {
+    val q = emb.filter(col("vec_id") < 20)
+    val got = Similarity.hardNegativesTopK(emb, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        ((r.getLong(1), r.getLong(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(got.nonEmpty && got.values.forall { case (ql, nl, _, _) => ql != nl },
+      "a same-label pair ranked as a hard negative")
+    // ranks dense 1..5 per query
+    val byQ = got.toSeq.groupBy(_._1._1)
+    assert(byQ.values.forall(_.map(_._2._4).sorted.toSeq == (1L to 5L)))
+    // the label predicate is the ONLY difference vs brute force:
+    // every returned (query, neighbor, sim) appears in the unfiltered
+    // top list restricted to cross-label pairs
+    val labels = emb.select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = Similarity.bruteForceTopK(emb, q, k = 200).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    for (((qid, nid), (_, _, sim, _)) <- got) {
+      assert(labels(qid) != labels(nid))
+      assert(brute.get((qid, nid)).forall(s => math.abs(s - sim) < 1e-9))
+    }
+  }
+
   test("releaseCorpus: deterministic shards, identity certificate, tamper detection") {
     val corpus = docs.select("doc_id", "text").limit(200)
       .withColumn("lang", lit("en")).persist()
