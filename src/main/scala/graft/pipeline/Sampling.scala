@@ -227,6 +227,63 @@ object Sampling {
       .select(col(idCol), col(langCol), col("rnk"), col("quota"), col("epoch"))
   }
 
+  /** Deterministic epoch shuffle — the reproducibility primitive a
+    * multi-epoch training run needs: for each epoch, an explicit
+    * position for every doc, derived from a salted md5 of (epoch, id).
+    * Same corpus + same epoch => the identical order on any cluster at
+    * any parallelism, and each epoch's order is independent of every
+    * other's (fresh salt per epoch — the property naive `ORDER BY
+    * hash(id)` reuse loses). Materializing a total order costs one
+    * sort per epoch — exactly the sort a shuffled-dataset WRITE does
+    * anyway; consume it with sort-on-write, not collect.
+    */
+  def epochShuffle(docs: DataFrame, idCol: String, nEpochs: Int): DataFrame = {
+    require(nEpochs >= 1, s"nEpochs must be >= 1: $nEpochs")
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col(idCol),
+        explode(typedLit((0L until nEpochs.toLong))).as("epoch"))
+      .withColumn("__k", TextOps.hash60(concat(lit("ep:"),
+        col("epoch").cast("string"), lit(":"), col(idCol).cast("string"))))
+      .withColumn("position", row_number()
+        .over(Window.partitionBy("epoch").orderBy(col("__k"), col(idCol)))
+        .cast("long"))
+      .select(col(idCol), col("epoch"), col("position"))
+  }
+
+  /** Repeat-upsampling under a fixed token budget (Muennighoff '23,
+    * "Scaling Data-Constrained Language Models": up to ~4 epochs of
+    * repeated data are nearly as good as fresh data; beyond that,
+    * returns collapse): every doc repeats `floor(budget/corpus)` full
+    * epochs (capped at `maxEpochs`), and the fractional remainder
+    * epoch admits each doc independently by a salted md5 draw, so the
+    * expected emitted tokens meet the budget without a sort or a
+    * running sum. Integer arithmetic throughout (basis points for the
+    * fraction) — order-free, cluster-reproducible, SQL-replayable.
+    */
+  def repeatUpsample(docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long, maxEpochs: Int = 4): DataFrame = {
+    require(budgetTokens > 0 && maxEpochs >= 1,
+      s"budgetTokens > 0 and maxEpochs >= 1 required: $budgetTokens, $maxEpochs")
+    val perDoc = docs.select(col(idCol),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val total = perDoc.agg(sum(col("n_tokens")).as("__ct"))
+    perDoc.crossJoin(broadcast(total))
+      .withColumn("__fe",
+        // `div`, not `/`: Spark's / on longs is DOUBLE division, and a
+        // double epoch count would drift the basis-point arithmetic
+        least(lit(maxEpochs.toLong),
+          expr(s"CAST($budgetTokens AS BIGINT) div __ct")))
+      .withColumn("__frac_bp",
+        when(col("__fe") >= maxEpochs.toLong, lit(0L))
+          .otherwise(expr(
+            s"((CAST($budgetTokens AS BIGINT) - __fe * __ct) * 10000) div __ct")))
+      .withColumn("__draw", TextOps.hash60(
+        concat(lit("rep:"), col(idCol).cast("string"))) % 10000L)
+      .select(col(idCol), col("n_tokens"),
+        (col("__fe") + when(col("__draw") < col("__frac_bp"), 1L)
+          .otherwise(0L)).as("n_repeats"))
+  }
+
   /** Fill-in-the-middle transform (Bavarian et al. '22, "Efficient
     * Training of Language Models to Fill in the Middle" — the data-side
     * trick that gives a causal LM infilling ability for free): with

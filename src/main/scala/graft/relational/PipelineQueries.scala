@@ -1041,6 +1041,20 @@ object PipelineQueries {
         "doc_id", "dhash", maxHamming = 4)
     }),
 
+    // deterministic epoch shuffle (round-10 — reproducible multi-epoch
+    // data order: fresh salt per epoch so orders are independent;
+    // the sort is the one a shuffled-dataset write pays anyway)
+    "p106_epoch_shuffle" -> ((s, dir) =>
+      Sampling.epochShuffle(docs(s, dir), "doc_id", nEpochs = 2)),
+
+    // repeat-upsampling under a fixed token budget (round-10,
+    // Muennighoff '23 data-constrained scaling: full epochs capped at
+    // 4, fractional epoch by independent salted draw — integer
+    // basis-point arithmetic, order-free, no sort, no running sum)
+    "p107_repeat_upsample" -> ((s, dir) =>
+      Sampling.repeatUpsample(docs(s, dir), "doc_id", "text",
+        budgetTokens = 100000L)),
+
     // hard-negative mining (round-10 — the contrastive-training data
     // op: for each query vector, the top-k most-similar vectors of a
     // DIFFERENT label; DPR-class dual-encoder recipes train on exactly
@@ -3519,6 +3533,34 @@ object PipelineQueries {
          FROM p a JOIN p b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.dh, b.dh)) <= 4
            AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)""",
+
+    // same per-epoch salted keys, same rank
+    "p106_epoch_shuffle" ->
+      """WITH e AS (SELECT doc_id, unnest([0, 1]) AS epoch FROM documents),
+             k AS (SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+                     ('0x' || substr(md5('ep:' || epoch::VARCHAR || ':' ||
+                       doc_id::VARCHAR), 1, 15))::BIGINT AS k
+                   FROM e)
+         SELECT doc_id, epoch,
+           CAST(row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id)
+             AS BIGINT) AS position
+         FROM k""",
+
+    // same integer epoch/basis-point arithmetic, same salted draw
+    "p107_repeat_upsample" ->
+      s"""WITH n AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens
+               FROM documents),
+             t AS (SELECT sum(n_tokens) AS ct FROM n),
+             j AS (SELECT doc_id, n_tokens, ct,
+                     least(4, 100000 // ct) AS fe FROM n CROSS JOIN t),
+             f AS (SELECT *, CASE WHEN fe >= 4 THEN 0
+                     ELSE ((100000 - fe * ct) * 10000) // ct END AS bp
+                   FROM j)
+         SELECT doc_id, n_tokens,
+           CAST(fe + CASE WHEN ('0x' || substr(md5('rep:' ||
+               doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < bp
+             THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+         FROM f""",
 
     // the p6 pair loop with the label-inequality predicate in the join
     "p104_hard_negatives" ->

@@ -559,6 +559,39 @@ class PipelineSpec extends SparkSpecBase {
       e2.getMessage)
   }
 
+  test("epochShuffle + repeatUpsample: dense independent orders; budget met in expectation") {
+    val out = Sampling.epochShuffle(docs, "doc_id", nEpochs = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(0)) -> r.getLong(2)).toMap
+    val n = docs.count()
+    for (e <- 0L to 2L) {
+      val eps = out.collect { case ((`e`, _), pos) => pos }.toSeq.sorted
+      assert(eps == (1L to n), s"epoch $e positions not dense")
+    }
+    // independent orders per epoch
+    val ids = out.keys.map(_._2).toSeq.distinct
+    assert(ids.count(id => out((0L, id)) != out((1L, id))) > ids.size / 2)
+    // physical partitioning never moves a position
+    val rep = Sampling.epochShuffle(docs.repartition(13), "doc_id", 3)
+      .collect().map(r => (r.getLong(1), r.getLong(0)) -> r.getLong(2)).toMap
+    assert(rep == out, "epoch order depends on partitioning")
+
+    val ru = Sampling.repeatUpsample(docs, "doc_id", "text",
+      budgetTokens = 100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ct = ru.map(_._2).sum
+    val fe = math.min(4L, 100000L / ct)
+    assert(ru.forall(r => r._3 == fe || r._3 == fe + 1),
+      s"repeats outside {$fe, ${fe + 1}}")
+    val emitted = ru.map(r => r._2 * r._3).sum
+    assert(math.abs(emitted - 100000L) < ct / 2,
+      s"emitted $emitted vs budget 100000 (corpus $ct)")
+    // a budget past the repetition cliff caps at maxEpochs, frac 0
+    val capped = Sampling.repeatUpsample(docs, "doc_id", "text",
+      budgetTokens = ct * 100, maxEpochs = 4)
+      .collect().map(_.getLong(2))
+    assert(capped.forall(_ == 4L), "cap at maxEpochs violated")
+  }
+
   test("fimTransform: PSM order pinned; cuts partition the text; rate edges") {
     val d = docsOf((1L, "abcdefghij"), (2L, "x"), (3L, ""),
       (4L, "h\u00e9llo w\u00f6rld \u4f60\u597d"))

@@ -182,6 +182,11 @@ class PlanShapeSpec extends SparkSpecBase {
     // crossJoin; assignSeeds now unrolls the collected seeds into one
     // codegen projection, so p64/p69 carry no BNLJ at all)
     val scalarAttachJoins = Set("p13_text_tfidf", "p32_domain_mix",
+      // p107 attaches the one-row corpus-token total (the p36 shape)
+      "p107_repeat_upsample",
+      // p104 is the brute-force pair loop BY DESIGN (the oracle-exact
+      // baseline, bounded broadcast query side — the p6/p7 truth class)
+      "p104_hard_negatives",
       "p36_lm_score", "p38_lm_buckets", "p39_dsir_resample",
       "p7_ann_lsh", "p15_ann_ivf", "p29_ann_ivfpq", "p46_bigram_lm",
       "p48_lang_sample", "p51_unimax_sample", "p52_bm25_topk",
