@@ -409,6 +409,22 @@ object ScaleSmokeDocs {
           s"/tmp/graft_release_$totalDocs", nShards = 64)
       })
     }
+    // round-10 training-order ops, isolated rows: FIM re-serialization
+    // (one projection), the per-epoch shuffle (one sort per epoch —
+    // the cost an explicit order costs anywhere), and the budgeted
+    // repeat schedule (one token-count aggregate + a one-row attach)
+    stage("fim_transform")(
+      graft.pipeline.Sampling.fimTransform(docs, "doc_id", "text")
+        .filter(col("fim_applied")).count())
+    stage("epoch_shuffle")(
+      graft.pipeline.Sampling.epochShuffle(docs, "doc_id", nEpochs = 2)
+        .filter(col("position") <= 10).count())
+    stage("repeat_upsample")(
+      graft.pipeline.Sampling.repeatUpsample(docs, "doc_id", "text",
+        budgetTokens = totalDocs * 250L)
+        .select(sum(col("n_tokens") * col("n_repeats")).cast("long"))
+        .head().getLong(0))
+
     // GPT-2 regex pre-tokenization (round-9, p92): marker transform +
     // split + alternation over the raw corpus — the byte-level-BPE
     // front end as one projection; rows = total pre-tokens
