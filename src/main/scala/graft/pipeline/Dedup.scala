@@ -346,6 +346,45 @@ object Dedup {
     verifyJaccard(candidates, idx.select(col("doc"), col("sh")), threshold)
   }
 
+  /** Near-duplicate DECONTAMINATION against an evaluation/benchmark set
+    * (the FineWeb/GPT-3-appendix discipline: exact n-gram overlap —
+    * [[contaminationFlags]]' job — misses paraphrased or
+    * whitespace-perturbed leakage, so releases ALSO drop training docs
+    * that minhash-near-dup a benchmark doc): returns the audit relation
+    * `(train_id, bench_id, jaccard)` of training docs whose Jaccard
+    * with some benchmark doc clears the threshold. Anti-join the
+    * train corpus on `train_id` to drop them.
+    *
+    * Shape: candidates come from a STRICTLY cross-set band join — the
+    * training corpus never self-pairs (that is [[minhashLshPairs]]'
+    * job), and the benchmark side is BROADCAST end to end (band cells
+    * into the candidate join, shingle sets into the verify): benchmark
+    * suites are bounded by construction, so per-release cost is one
+    * scan of the training corpus with zero corpus-side exchange.
+    */
+  def nearDupDecontaminate(train: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, k: Int = 32,
+      bands: Int = 8, threshold: Double = 0.4): DataFrame = {
+    val tIdx = minhashIndex(train, idCol, textCol, n, k, bands).persistTracked()
+    val bIdx = minhashIndex(benchmark, idCol, textCol, n, k, bands)
+      .persistTracked()
+    val candidates = explodeBands(tIdx).as("a")
+      .join(broadcast(explodeBands(bIdx)).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc").as("train_id"), col("b.doc").as("bench_id"))
+      .distinct()
+    candidates
+      .join(tIdx.select(col("doc").as("train_id"), col("sh").as("sh_t")),
+        "train_id")
+      .join(broadcast(bIdx.select(col("doc").as("bench_id"),
+        col("sh").as("sh_b"))), "bench_id")
+      .withColumn("inter", size(array_intersect(col("sh_t"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter") * lit(1.0) /
+        (size(col("sh_t")) + size(col("sh_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("train_id"), col("bench_id"), col("jaccard"))
+  }
+
   /** Incremental near-dup detection: screen an arriving batch against a
     * PRECOMPUTED corpus index (the stored output of [[minhashIndex]]) —
     * only the batch is shingled and signed, so per-batch cost is the

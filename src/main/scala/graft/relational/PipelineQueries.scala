@@ -1041,6 +1041,19 @@ object PipelineQueries {
         "doc_id", "dhash", maxHamming = 4)
     }),
 
+    // near-dup decontamination vs the benchmark set (round-10 — exact
+    // n-gram overlap (p17) misses paraphrased leakage; releases ALSO
+    // drop train docs minhash-near a benchmark doc): docs %25==0 play
+    // the benchmark, the rest the train corpus; strictly cross-set
+    // band join, benchmark side broadcast end to end
+    "p108_neardup_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.nearDupDecontaminate(
+        d.filter(col("doc_id") % 25 =!= 0),
+        d.filter(col("doc_id") % 25 === 0),
+        "doc_id", "text", threshold = 0.4)
+    }),
+
     // deterministic epoch shuffle (round-10 — reproducible multi-epoch
     // data order: fresh salt per epoch so orders are independent;
     // the sort is the one a shuffled-dataset write pays anyway)
@@ -3533,6 +3546,17 @@ object PipelineQueries {
          FROM p a JOIN p b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.dh, b.dh)) <= 4
            AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)""",
+
+    // the p2/p3 pair CTEs restricted to EXACTLY-ONE-side-benchmark and
+    // re-oriented (train_id, bench_id) — relationally identical to the
+    // engine's strictly-cross-set join
+    "p108_neardup_decontaminate" ->
+      s"""WITH ${minhashPairsCtes("documents")}
+         SELECT CASE WHEN doc_a % 25 = 0 THEN doc_b ELSE doc_a END AS train_id,
+           CASE WHEN doc_a % 25 = 0 THEN doc_a ELSE doc_b END AS bench_id,
+           jaccard
+         FROM j WHERE jaccard >= 0.4
+           AND ((doc_a % 25 = 0) <> (doc_b % 25 = 0))""",
 
     // same per-epoch salted keys, same rank
     "p106_epoch_shuffle" ->

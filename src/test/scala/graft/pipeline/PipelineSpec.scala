@@ -592,6 +592,33 @@ class PipelineSpec extends SparkSpecBase {
     assert(capped.forall(_ == 4L), "cap at maxEpochs violated")
   }
 
+  test("nearDupDecontaminate: cross-set only, internal train dups never flag, benchmark broadcast") {
+    def words(seed: Int) = (1 to 30)
+      .map(k => s"w${seed}x$k token$k").mkString(" ")
+    val train = docsOf(
+      (1L, words(1)), (2L, words(2)),
+      (3L, words(2)),                          // internal train near-dup — NOT contamination
+      (4L, words(4) + " tail"), (5L, words(5)))
+    val bench = docsOf(
+      (100L, words(1).replaceFirst("token3", "token3b")), // near-dups train 1
+      (101L, words(9)))                                    // clean benchmark doc
+    val out = Dedup.nearDupDecontaminate(train, bench, "doc_id", "text")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSet == Set((1L, 100L)),
+      s"flagged ${rows.mkString(",")} — want exactly train 1 x bench 100")
+    // the train-internal 2~3 duplicate pair must never surface here
+    assert(!rows.exists(p => p._1 == 2L || p._1 == 3L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the CROSS-SET joins broadcast the bounded benchmark side (the
+    // index-construction joins inside minhashIndex may SMJ at spec
+    // scale — corpus-keyed equi-joins, not under test here)
+    assert(plan.contains("BroadcastHashJoin [band") &&
+      plan.contains("BroadcastHashJoin [bench_id"),
+      s"benchmark side must broadcast (bounded by construction):\n$plan")
+    CacheLedger.drain()
+  }
+
   test("fimTransform: PSM order pinned; cuts partition the text; rate edges") {
     val d = docsOf((1L, "abcdefghij"), (2L, "x"), (3L, ""),
       (4L, "h\u00e9llo w\u00f6rld \u4f60\u597d"))
