@@ -31,8 +31,9 @@ object Release {
     *     bytes for a given corpus, and consumers stream docs in id
     *     order per shard.
     *   - The identity certificate re-scans the input relation once
-    *     (count + order-insensitive xxhash64/bit_xor over every
-    *     column) and scans the written files once. Callers releasing
+    *     (count + TWO order-insensitive combiners of the full-column
+    *     xxhash64 — bit_xor AND an exact decimal sum, see
+    *     [[verifyRelease]]) and scans the written files once. Callers releasing
     *     an expensive derivation (e.g. [[Dedup.cleanCorpusV2]]
     *     survivors) should hand in a persisted frame — the chain's
     *     internal barriers make the re-scan cheap, but only while
@@ -76,16 +77,28 @@ object Release {
     val spark = corpus.sparkSession
     val cols = corpus.columns
     val back = JsonlCorpus.read(spark, path, corpus.schema)
-    def sig(df: DataFrame): (Long, Long) = {
+    // TWO order-insensitive combiners over the row hashes, because one
+    // is not a multiset identity: XOR cancels in PAIRS (replacing a
+    // duplicated row pair {A,A} with junk {B,B} passes count + xor),
+    // while the wide-decimal SUM is duplicate-sensitive but could in
+    // principle be forged by a crafted additive combination that xor
+    // would catch. Together: any multiset change must alter at least
+    // one of them. The sum is decimal(38,0) — xxhash64 sums overflow
+    // a BIGINT at ~2^33 rows, and decimal addition is exact.
+    def sig(df: DataFrame): (Long, Long, java.math.BigDecimal) = {
+      val h = xxhash64(cols.map(col): _*)
       val r = df.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(cols.map(col): _*)), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+        coalesce(bit_xor(h), lit(0L)),
+        coalesce(sum(h.cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getLong(1), r.getDecimal(2))
     }
-    val (n0, h0) = sig(corpus)
-    val (n1, h1) = sig(back)
-    require(n0 == n1 && h0 == h1,
+    val (n0, x0, s0) = sig(corpus)
+    val (n1, x1, s1) = sig(back)
+    require(n0 == n1 && x0 == x1 && s0.compareTo(s1) == 0,
       s"releaseCorpus: read-back mismatch at $path — wrote $n0 rows " +
-        s"(xor $h0), read $n1 ($h1); the release is NOT the corpus")
+        s"(xor $x0, sum $s0), read $n1 (xor $x1, sum $s1); the release " +
+        "is NOT the corpus")
     n0
   }
 }

@@ -233,21 +233,51 @@ object Sampling {
     * Same corpus + same epoch => the identical order on any cluster at
     * any parallelism, and each epoch's order is independent of every
     * other's (fresh salt per epoch — the property naive `ORDER BY
-    * hash(id)` reuse loses). Materializing a total order costs one
-    * sort per epoch — exactly the sort a shuffled-dataset WRITE does
-    * anyway; consume it with sort-on-write, not collect.
+    * hash(id)` reuse loses).
+    *
+    * Distribution (round-11 ADVICE fix): position is a GLOBAL rank
+    * within the epoch, but it is NOT computed with a per-epoch window
+    * — `Window.partitionBy(epoch)` hash-partitions on a column with
+    * nEpochs distinct values, so every document of an epoch lands in
+    * ONE task and the "per-epoch sort" degenerates to a single-executor
+    * global sort (the OOM/straggler ceiling at corpus scale). Instead
+    * the (epoch, key, id) relation is RANGE-partitioned and sorted
+    * within partitions — a fully distributed sort across all tasks —
+    * and the rank is reconstructed arithmetically: with every doc
+    * present in every epoch, the global contiguous index of a row in
+    * the (epoch, key, id) total order satisfies
+    * `idx = epoch * nDocs + (position - 1)`, so one `count()` of the
+    * corpus converts partition-offset indexes (the classic
+    * count-per-partition + cumulative-offset pass, via `zipWithIndex`)
+    * into exact per-epoch positions with no per-epoch barrier at all.
+    * The range sort is exactly the distributed sort a shuffled-dataset
+    * WRITE pays anyway; consume it with sort-on-write, not collect.
     */
   def epochShuffle(docs: DataFrame, idCol: String, nEpochs: Int): DataFrame = {
     require(nEpochs >= 1, s"nEpochs must be >= 1: $nEpochs")
-    import org.apache.spark.sql.expressions.Window
-    docs.select(col(idCol),
+    val spark = docs.sparkSession
+    val nDocs = docs.count()
+    val keyed = docs.select(col(idCol),
         explode(typedLit((0L until nEpochs.toLong))).as("epoch"))
       .withColumn("__k", TextOps.hash60(concat(lit("ep:"),
         col("epoch").cast("string"), lit(":"), col(idCol).cast("string"))))
-      .withColumn("position", row_number()
-        .over(Window.partitionBy("epoch").orderBy(col("__k"), col(idCol)))
-        .cast("long"))
-      .select(col(idCol), col("epoch"), col("position"))
+    // repartitionByRange samples boundaries, but the OUTPUT is
+    // boundary-independent: (epoch, __k, id) is a strict total order
+    // (ids are unique per epoch), so the global contiguous index of a
+    // row — and therefore its position — is the same at any partition
+    // count. zipWithIndex's two jobs read the same shuffle files.
+    val sorted = keyed
+      .repartitionByRange(col("epoch"), col("__k"), col(idCol))
+      .sortWithinPartitions(col("epoch"), col("__k"), col(idCol))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "__gidx", org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, outSchema)
+    indexed.select(col(idCol), col("epoch"),
+      (col("__gidx") + 1L - col("epoch") * nDocs).as("position"))
   }
 
   /** Repeat-upsampling under a fixed token budget (Muennighoff '23,
@@ -266,7 +296,15 @@ object Sampling {
       s"budgetTokens > 0 and maxEpochs >= 1 required: $budgetTokens, $maxEpochs")
     val perDoc = docs.select(col(idCol),
       size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
-    val total = perDoc.agg(sum(col("n_tokens")).as("__ct"))
+    // an all-empty (or empty) corpus makes __ct 0/NULL, and `x div 0`
+    // is NULL in Spark — every downstream epoch count would silently
+    // be NULL and a schedule built on it would emit nothing. Fail
+    // loudly inside the plan instead (assert_true returns NULL on
+    // pass, so the filter keeps every row of a sane corpus).
+    val total = perDoc.agg(coalesce(sum(col("n_tokens")), lit(0L)).as("__ct"))
+      .filter(assert_true(col("__ct") > 0,
+        lit("repeatUpsample: corpus has zero total tokens — no budget " +
+          "can be met; nothing to upsample")).isNull)
     perDoc.crossJoin(broadcast(total))
       .withColumn("__fe",
         // `div`, not `/`: Spark's / on longs is DOUBLE division, and a

@@ -36,14 +36,7 @@ object PipelineQueries {
     * can never silently mask a builder edit — no hand-bumped version
     * constant to forget.
     */
-  private lazy val BuilderCodeStamp: String = {
-    val builderClasses = Seq(
-      "graft/pipeline/Similarity$.class", // pqIndex / ivfIndex / localLloyd
-      "graft/pipeline/AnnIO$.class",      // on-disk layout
-      "graft/functions/PqEncode.class",
-      "graft/functions/PqAdcScore.class",
-      "graft/functions/PqLut.class",
-      "graft/relational/PipelineQueries$.class") // build parameters live here
+  private def codeStamp(builderClasses: Seq[String]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val cl = getClass.getClassLoader
     for (c <- builderClasses) {
@@ -57,6 +50,26 @@ object PipelineQueries {
     }
     md.digest().map("%02x".format(_)).mkString.take(12)
   }
+
+  private lazy val BuilderCodeStamp: String = codeStamp(Seq(
+    "graft/pipeline/Similarity$.class", // pqIndex / ivfIndex / localLloyd
+    "graft/pipeline/AnnIO$.class",      // on-disk layout
+    "graft/functions/PqEncode.class",
+    "graft/functions/PqAdcScore.class",
+    "graft/functions/PqLut.class",
+    "graft/relational/PipelineQueries$.class")) // build parameters live here
+
+  /** Code stamp for the WRITE-side query artifacts (p96/p100/p101/p103):
+    * everything on their build paths, so an engine edit rebuilds.
+    */
+  private lazy val PipelineCodeStamp: String = codeStamp(Seq(
+    "graft/pipeline/Dedup$.class",          // minhash index build
+    "graft/pipeline/BucketedTables$.class", // bucketed layout
+    "graft/pipeline/Release$.class",        // release export
+    "graft/pipeline/BpeByte$.class",        // merge training
+    "graft/pipeline/TokenizerIO$.class",    // tokenizer persistence
+    "graft/sources/JsonlCorpus$.class",     // JSONL write
+    "graft/relational/PipelineQueries$.class")) // build parameters
 
   /** Index kinds BUILT (not served from cache) by this JVM — lets Bench
     * report cold/warm per run so BENCH totals are interpretable.
@@ -83,10 +96,9 @@ object PipelineQueries {
     s"${System.getProperty("java.io.tmpdir")}/graft_ann_cache_c$BuilderCodeStamp/$safe/${kind}_$stamp"
   }
 
-  private def withIndexCache[T](dir: String, kind: String)(
-      build: String => Unit)(load: String => T): T = {
+  private def buildOnce(path: String, kind: String)(
+      build: String => Unit): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val path = cachedIndex(dir, kind)
     if (!new java.io.File(s"$path/_built").exists()) {
       // build into a process-unique staging dir, then ATOMIC-rename into
       // place: concurrent builders (another suite, another Bench JVM)
@@ -109,7 +121,37 @@ object PipelineQueries {
           rm(new java.io.File(staging))
       }
     }
+  }
+
+  private def withIndexCache[T](dir: String, kind: String)(
+      build: String => Unit)(load: String => T): T = {
+    val path = cachedIndex(dir, kind)
+    buildOnce(path, kind)(build)
     load(path)
+  }
+
+  /** Build-once for the WRITE-side query artifacts (round-11 ADVICE):
+    * p96/p100/p101/p103 must write an artifact their returned plan then
+    * reads, but plan CONSTRUCTION must stay cheap — PlanShapeSpec
+    * sweeps every registered plan and Verify constructs before running
+    * — and the prior per-invocation temp dirs leaked one directory per
+    * sweep. Keyed like the ANN cache: builder-code stamp + the source
+    * parquet's size/mtime, so an engine edit or regenerated data
+    * rebuilds and nothing can serve stale; concurrent builders stage +
+    * atomic-rename. Returns the artifact root.
+    */
+  private def withPipelineArtifact(dir: String, kind: String)(
+      build: String => Unit): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val src = new java.io.File(s"$dir/documents.parquet")
+    require(src.isFile,
+      s"$dir/documents.parquet is not a plain file — artifact data " +
+        "stamping assumes the driver's single-file parquet layout")
+    val stamp = s"${src.length()}_${src.lastModified()}"
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_pipe_cache_c$PipelineCodeStamp/$safe/${kind}_$stamp"
+    buildOnce(path, kind)(build)
+    path
   }
 
   /** Brute-force ground truth for the pinned ANN query set (vec_id < 50,
@@ -1084,8 +1126,11 @@ object PipelineQueries {
       Sampling.fimTransform(docs(s, dir), "doc_id", "text")),
 
     // the band-geometry knob ORACLE-CERTIFIED (round-10): p82's exact
-    // plant and oracle, screened at the WIDE geometry (nBlocks=6: 15
-    // three-block combos x 32-bit keys instead of 3 x 16-bit bands).
+    // plant and oracle, screened at the WIDE geometry. At maxHamming=4,
+    // nBlocks=6 the pigeonhole keys span nBlocks-maxHamming = 2 of the
+    // six 8-bit blocks: C(6,2) = 15 two-block combos with 16-bit keys,
+    // vs the minimal geometry's 5 blocks keyed on 1 block of ~9-10 bits
+    // — wider keys, fewer random collisions per cell.
     // Pigeonhole banding is LOSSLESS at any nBlocks > maxHamming, so
     // the oracle is geometry-independent — a hash-exact match here is
     // a proof the wider keys drop only CANDIDATES, never pairs
@@ -1117,15 +1162,27 @@ object PipelineQueries {
     // verify) returns the identical relation
     "p103_backfill_screen" -> ((s, dir) => {
       val d = docs(s, dir)
-      val idxDir = java.nio.file.Files.createTempDirectory(
-        s"graft_p103_${new java.io.File(dir).getName}_").toString
-      Dedup.saveMinhashIndexBucketed(
-        Dedup.minhashIndex(d.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text", n = 3, k = 32, bands = 8),
-        idxDir, 3, nBuckets = 8, tablePrefix = "p103_idx")
+      // the bucketed index is a build-once artifact (the p96 rationale:
+      // plan construction must not re-pay the index build or leak a
+      // dir). The BUILD registers its catalog tables under a
+      // process-unique prefix and drops them right after the save — the
+      // data files survive the atomic move, the staging-path DDL must
+      // not — and the SCREEN re-registers at the final path under the
+      // default prefix (a hash of that path, so two sf dirs in one
+      // session can never collide on a table name)
+      val out = withPipelineArtifact(dir, "p103_minhash_idx") { stage =>
+        val bp = s"p103_build_${ProcessHandle.current().pid()}_" +
+          s"${Thread.currentThread().getId}"
+        Dedup.saveMinhashIndexBucketed(
+          Dedup.minhashIndex(d.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", n = 3, k = 32, bands = 8),
+          s"$stage/idx", 3, nBuckets = 8, tablePrefix = bp)
+        s.sql(s"DROP TABLE IF EXISTS ${bp}_docs")
+        s.sql(s"DROP TABLE IF EXISTS ${bp}_bands")
+      }
       Dedup.nearDupAgainstIndexBucketed(
-        d.filter(col("doc_id") % 2 === 1), idxDir, "doc_id", "text",
-        threshold = 0.4, tablePrefix = "p103_idx")
+        d.filter(col("doc_id") % 2 === 1), s"$out/idx", "doc_id", "text",
+        threshold = 0.4)
     }),
 
     // image near-dup via perceptual dHash + the simhash Hamming-banding
@@ -1497,16 +1554,17 @@ object PipelineQueries {
     // the oracle is the IDENTITY over the source table, so any
     // escaping loss (newlines, quotes, unicode, nulls) hash-fails
     "p96_jsonl_roundtrip" -> ((s, dir) => {
-      // per-invocation temp dir: a fixed path would make merely
-      // CONSTRUCTING the query (PlanShapeSpec sweeps every registered
-      // plan) overwrite a prior run's output, and two concurrent
-      // sessions on the same sf dir would race on the same files
-      val out = java.nio.file.Files.createTempDirectory(
-        s"graft_jsonl_${new java.io.File(dir).getName}_").toString
-      graft.sources.JsonlCorpus.write(
-        docs(s, dir).select("doc_id", "text", "lang", "source", "n_chars"),
-        out)
-      graft.sources.JsonlCorpus.read(s, out,
+      // build-once artifact (withPipelineArtifact): the write happens
+      // once per (code, data) stamp — repeated plan construction
+      // (PlanShapeSpec sweeps every registered plan) neither re-pays
+      // the write nor leaks a temp dir, and concurrent sessions race
+      // safely through the stage + atomic-rename
+      val out = withPipelineArtifact(dir, "p96_jsonl") { stage =>
+        graft.sources.JsonlCorpus.write(
+          docs(s, dir).select("doc_id", "text", "lang", "source", "n_chars"),
+          s"$stage/data")
+      }
+      graft.sources.JsonlCorpus.read(s, s"$out/data",
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id",
             org.apache.spark.sql.types.LongType),
@@ -1610,13 +1668,16 @@ object PipelineQueries {
     // identity: ANY loss in sharding, escaping, compression or parse
     // hash-fails against the source relation
     "p101_release_export" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory(
-        s"graft_release_${new java.io.File(dir).getName}_").toString
-      val corpus = docs(s, dir)
-        .select("doc_id", "text", "lang", "source", "n_chars")
-      graft.pipeline.Release.releaseCorpus(corpus, "doc_id", out,
-        nShards = 8, compression = "gzip")
-      graft.sources.JsonlCorpus.read(s, out,
+      // build-once artifact (the p96 rationale): the export — including
+      // its in-call identity certificate — runs once per (code, data)
+      // stamp instead of on every plan construction
+      val out = withPipelineArtifact(dir, "p101_release") { stage =>
+        val corpus = docs(s, dir)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+        graft.pipeline.Release.releaseCorpus(corpus, "doc_id",
+          s"$stage/data", nShards = 8, compression = "gzip")
+      }
+      graft.sources.JsonlCorpus.read(s, s"$out/data",
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id",
             org.apache.spark.sql.types.LongType),
@@ -1647,11 +1708,15 @@ object PipelineQueries {
       // and every pretoken collapses to one token, making n_bpe ==
       // n_ws and the report degenerate); production loads a stored
       // 32k table here instead of training inline
-      val merges0 = BpeByte.trainMerges(d, "text", nMerges = 64,
-        maxWords = 100000)
-      val tokDir = java.nio.file.Files
-        .createTempDirectory("graft_bpe_ctx_").toString
-      TokenizerIO.saveBpe(merges0, s, s"$tokDir/bpe")
+      // the TRAINED merge table is a build-once artifact (the p96
+      // rationale): repeated plan construction must not re-run the
+      // driver-loop trainer, and the persisted form IS the production
+      // serve path the query claims to exercise
+      val tokDir = withPipelineArtifact(dir, "p100_bpe64") { stage =>
+        val merges0 = BpeByte.trainMerges(d, "text", nMerges = 64,
+          maxWords = 100000)
+        TokenizerIO.saveBpe(merges0, s, s"$stage/bpe")
+      }
       val merges = TokenizerIO.loadBpe(s, s"$tokDir/bpe")
         .map(m => (m._2, m._3))
       // narrow per-doc counts persisted: the segmentation HOF chain is

@@ -712,6 +712,55 @@ class PipelineSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("verifyRelease: even-multiset substitution (XOR-cancelling) fails loudly") {
+    // the round-10 certificate was count + bit_xor(xxhash64) only, and
+    // XOR cancels in pairs: replacing a duplicated row pair {A,A} in
+    // the landed files with a different duplicated pair {B,B} kept
+    // BOTH checks green while the release silently lost data. The
+    // round-11 certificate adds an exact decimal SUM of the row hashes
+    // (order-free AND duplicate-sensitive), which this corruption must
+    // trip.
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha"), (1L, "alpha"), (2L, "keep"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("rel_xor").toString
+    Release.releaseCorpus(corpus, "doc_id", s"$dir/r", nShards = 1,
+      compression = "none")
+    val junk = """{"doc_id":1,"text":"junk"}"""
+    for {
+      shard <- new java.io.File(s"$dir/r").listFiles()
+        if shard.getName.startsWith("shard=")
+      part <- shard.listFiles() if part.getName.startsWith("part-")
+    } {
+      val lines = scala.io.Source.fromFile(part).getLines().toSeq
+      val swapped = lines.map(l => if (l.contains("alpha")) junk else l)
+      if (swapped != lines) {
+        val w = new java.io.PrintWriter(part)
+        try swapped.foreach(w.println) finally w.close()
+        // drop Hadoop's local-FS .crc sidecar: it would catch the edit
+        // before the certificate ever ran, and the corruption classes
+        // the certificate exists for (remote stores, copies between
+        // stores) carry no sidecars
+        new java.io.File(part.getParent, s".${part.getName}.crc").delete()
+      }
+    }
+    // demonstrate the corruption IS the xor-blind spot: same count,
+    // same bit_xor over the row hashes as the source corpus
+    val back = graft.sources.JsonlCorpus.read(spark, s"$dir/r", corpus.schema)
+    def xorSig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        bit_xor(xxhash64(col("doc_id"), col("text")))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(xorSig(back) == xorSig(corpus),
+      "counterexample must be invisible to count + bit_xor")
+    val e = intercept[IllegalArgumentException] {
+      Release.verifyRelease(corpus, s"$dir/r")
+    }
+    assert(e.getMessage.contains("read-back mismatch"), e.getMessage)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("band-geometry knob: pairs identical at any nBlocks; wider keys shrink candidates") {
     // the 100-TB failure mode the knob exists for, reproduced in
     // miniature: every doc shares its LOW 24 bits (boilerplate-like
