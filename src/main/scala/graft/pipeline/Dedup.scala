@@ -49,6 +49,214 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  // ---- exact stored index ------------------------------------------------
+  //
+  // The p71 cross-snapshot pattern for the EXACT family (round-10
+  // verdict gap #2): crawl-N+1 exact screening against a stored
+  // canonical-key relation is the cheapest, most-used screen in
+  // practice — it must not re-aggregate the full corpus per batch.
+  //
+  // LAYOUT: append-only PARTIAL groups. `$path/index` holds
+  // (content_hash, keep_id, dup_cnt) rows that are partial aggregates
+  // under the monoid (min keep_id, sum dup_cnt) — a fresh save writes
+  // one combined row per hash, and every merge APPENDS the batch's own
+  // partial rows as new files instead of rewriting history (the fold
+  // is O(batch), the property that makes the minhash/cosine/signature
+  // folds scale). Readers combine partials per hash; the serving
+  // screen combines only the hashes the batch actually touches.
+
+  /** Persist [[exactGroups]] of `docs` as a stored exact index at
+    * `path` (meta + the partial-group relation, sorted by hash within
+    * files so row groups carry tight min/max stats for the semi-join).
+    */
+  def saveExactIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(("exact_md5", 32)).toDF("family", "hash_len")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    exactGroups(docs, idCol, textCol)
+      .select(col("content_hash"), col("keep_id").cast("long"),
+        col("dup_cnt").cast("long"))
+      .sortWithinPartitions("content_hash")
+      .write.mode("overwrite").parquet(s"$path/index")
+  }
+
+  /** The stored partial-group relation back from [[saveExactIndex]],
+    * meta validated plus the per-file probe (the [[loadMinhashIndex]]
+    * discipline): a foreign-family append lands in its own new files,
+    * so one row of each sampled file must carry a 32-hex md5 — wrong
+    * key material would silently miss every duplicate.
+    */
+  def loadExactIndex(spark: SparkSession, path: String): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta")
+      .select(col("family").cast("string"), col("hash_len").cast("int"))
+      .collect()
+    require(meta.length == 1,
+      s"loadExactIndex: expected ONE meta row at $path/meta, got ${meta.length}")
+    require(meta(0).getString(0) == "exact_md5",
+      s"loadExactIndex: index family ${meta(0).getString(0)} at $path is " +
+        "not exact_md5 — screening against foreign key material would " +
+        "silently miss every duplicate")
+    val hashLen = meta(0).getInt(1)
+    val idx = spark.read.parquet(s"$path/index")
+    require(Seq("content_hash", "keep_id", "dup_cnt")
+        .forall(idx.columns.contains),
+      s"loadExactIndex: not an exact index at $path: ${idx.columns.mkString(",")}")
+    probeFiles(spark, s"$path/index").foreach { f =>
+      val r = spark.read.parquet(f)
+        .select(length(col("content_hash")),
+          col("content_hash").rlike("^[0-9a-f]+$")).limit(1).collect()
+      r.headOption.foreach { row =>
+        require(!row.isNullAt(0) && row.getInt(0) == hashLen && row.getBoolean(1),
+          s"loadExactIndex: file $f carries a non-md5 content_hash but " +
+            s"meta says hash_len=$hashLen at $path")
+      }
+    }
+    idx
+  }
+
+  /** Screen a batch against the stored exact index WITHOUT touching the
+    * corpus text: per batch doc — its content hash, the canonical
+    * `keep_id` across corpus ∪ batch (smallest id anywhere that content
+    * was seen), the corpus occurrence count, and `keep` = this doc IS
+    * the canonical occurrence. Relationally equal to [[exactGroups]]'
+    * keep rule over corpus ∪ batch, restricted to batch rows.
+    *
+    * Shuffle ledger (the serving contract, `broadcastBatch = true` for
+    * a bounded crawl increment): the batch's distinct hashes broadcast
+    * and SEMI-FILTER the stored index scan, so only index rows whose
+    * hash the batch actually carries are aggregated — per-batch
+    * exchange cost tracks the batch, the corpus contributes one narrow
+    * columnar scan and zero shuffles. The partial-group monoid
+    * (min keep_id, sum dup_cnt) is combined per matching hash, so an
+    * index holding N merged snapshots serves identically to a fresh
+    * rebuild. `broadcastBatch = false` falls back to the symmetric
+    * shuffle join for backfill-scale batches (see the bucketed form).
+    */
+  def exactAgainstIndex(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val spark = newDocs.sparkSession
+    val idx = loadExactIndex(spark, indexPath)
+    exactScreenBody(newDocs, idx, idCol, textCol, broadcastBatch)
+  }
+
+  /** The screen body over an already-loaded partial-group relation —
+    * shared by the plain and bucketed forms.
+    */
+  private def exactScreenBody(newDocs: DataFrame, idx: DataFrame,
+      idCol: String, textCol: String, broadcastBatch: Boolean): DataFrame = {
+    val batch = newDocs.select(col(idCol).cast("long").as("doc"),
+      md5(col(textCol)).as("content_hash")).persistTracked()
+    val bKeys = batch.select("content_hash").distinct()
+    val matching =
+      if (broadcastBatch)
+        idx.join(broadcast(bKeys), Seq("content_hash"), "left_semi")
+      else idx.join(bKeys, Seq("content_hash"), "left_semi")
+    val stored = matching.groupBy("content_hash")
+      .agg(min(col("keep_id")).as("__ck"), sum(col("dup_cnt")).as("__cn"))
+    val batchMin = batch.groupBy("content_hash")
+      .agg(min(col("doc")).as("__bm"))
+    batch
+      .join(batchMin, Seq("content_hash"))
+      .join(stored, Seq("content_hash"), "left")
+      // Spark's least skips NULLs, so an index miss keeps the batch min
+      .select(col("doc"), col("content_hash"),
+        least(col("__ck"), col("__bm")).as("keep_id"),
+        coalesce(col("__cn"), lit(0L)).as("n_corpus"),
+        (col("doc") === least(col("__ck"), col("__bm"))).as("keep"))
+  }
+
+  /** Fold a batch INTO the stored exact index: the batch's own
+    * [[exactGroups]] partials are APPENDED as new files — historical
+    * rows are never rewritten (O(batch) fold), and readers' monoid
+    * combine makes N appends serve identically to a fresh rebuild.
+    * Fold the RAW batch (not just survivors): the corpus occurrence
+    * count is part of the served relation, and a text that arrived
+    * twice in one batch must count twice in crawl N+2's screen.
+    */
+  def mergeIntoExactIndex(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String): Unit = {
+    val spark = newDocs.sparkSession
+    BucketedTables.requirePlainLayout(spark, s"$indexPath/meta",
+      "mergeIntoExactIndex")
+    loadExactIndex(spark, indexPath) // validates family before writing
+    exactGroups(newDocs, idCol, textCol)
+      .select(col("content_hash"), col("keep_id").cast("long"),
+        col("dup_cnt").cast("long"))
+      .sortWithinPartitions("content_hash")
+      .write.mode("append").parquet(s"$indexPath/index")
+  }
+
+  /** [[saveExactIndex]] in the backfill layout: the same partial-group
+    * relation at the same path, `bucketBy(content_hash)` as an external
+    * catalog table (still plain-parquet readable), meta additionally
+    * pins n_buckets. [[exactAgainstIndexBucketed]]'s semi-filter and
+    * combine then run with ZERO corpus-side exchanges at any batch
+    * size (see [[BucketedTables]]).
+    */
+  def saveExactIndexBucketed(docs: DataFrame, idCol: String,
+      textCol: String, path: String, nBuckets: Int = 64,
+      tablePrefix: String = ""): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prefix = if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(path)
+    Seq(("exact_md5", 32, nBuckets)).toDF("family", "hash_len", "n_buckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    BucketedTables.saveBucketed(
+      exactGroups(docs, idCol, textCol)
+        .select(col("content_hash"), col("keep_id").cast("long"),
+          col("dup_cnt").cast("long")),
+      s"$path/index", s"${prefix}_exact", Seq("content_hash"), nBuckets)
+  }
+
+  /** The backfill-scale exact screen: identical relation to
+    * [[exactAgainstIndex]], but the stored side is the bucketed catalog
+    * table — the per-hash combine and the batch semi-join both consume
+    * the table's own hash partitioning, so the corpus side never
+    * exchanges; only the batch shuffles (into nBuckets partitions).
+    */
+  def exactAgainstIndexBucketed(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, tablePrefix: String = ""): DataFrame = {
+    val spark = newDocs.sparkSession
+    loadExactIndex(spark, indexPath) // meta + per-file probe
+    val metaB = spark.read.parquet(s"$indexPath/meta")
+    require(metaB.columns.contains("n_buckets"),
+      s"exactAgainstIndexBucketed: $indexPath was not saved in the " +
+        "bucketed layout (no n_buckets in meta) — use exactAgainstIndex " +
+        "or re-save with saveExactIndexBucketed")
+    val nBuckets = metaB.select(col("n_buckets").cast("int")).head().getInt(0)
+    val prefix =
+      if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(indexPath)
+    BucketedTables.register(spark, s"${prefix}_exact", s"$indexPath/index",
+      Seq("content_hash"), nBuckets)
+    exactScreenBody(newDocs, spark.table(s"${prefix}_exact"),
+      idCol, textCol, broadcastBatch = false)
+  }
+
+  /** [[mergeIntoExactIndex]] for the bucketed layout: the batch
+    * partials are appended through the catalog table (insertInto), so
+    * new files carry correct bucket ids.
+    */
+  def mergeIntoExactIndexBucketed(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, tablePrefix: String = ""): Unit = {
+    val spark = newDocs.sparkSession
+    loadExactIndex(spark, indexPath)
+    val metaB = spark.read.parquet(s"$indexPath/meta")
+    require(metaB.columns.contains("n_buckets"),
+      s"mergeIntoExactIndexBucketed: $indexPath is a plain-layout " +
+        "index — use mergeIntoExactIndex")
+    val nBuckets = metaB.select(col("n_buckets").cast("int")).head().getInt(0)
+    val prefix =
+      if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(indexPath)
+    BucketedTables.appendBucketed(
+      exactGroups(newDocs, idCol, textCol)
+        .select(col("content_hash"), col("keep_id").cast("long"),
+          col("dup_cnt").cast("long")),
+      s"$indexPath/index", s"${prefix}_exact", Seq("content_hash"), nBuckets)
+  }
+
   // ---- shingling -------------------------------------------------------
 
   /** Distinct word n-gram shingles of a token-array column (empty when
@@ -672,21 +880,11 @@ object Dedup {
     // foreign-engine append with a different k/bands landing in LATER
     // files would sail past a head sample and surface as silently
     // missed duplicates. Probe one row from each of a bounded file
-    // set — the NEWEST files by mtime first (an out-of-band append is
-    // by definition recent, so it is caught on the first load after it
-    // lands) plus a deterministic hash sample of the history; each
-    // probe reads one row of one file (footer + first page), keeping
-    // the load path O(files-sampled), never O(corpus). Within-file
-    // drift remains [[validateMinhashIndex]]'s full-audit job.
-    val fs = new org.apache.hadoop.fs.Path(s"$path/index")
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val statuses = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/index"))
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    val newest = statuses.sortBy(-_.getModificationTime).take(16)
-    val hashed = statuses.sortBy(st =>
-      scala.util.hashing.MurmurHash3.stringHash(st.getPath.getName)).take(16)
-    val probes = (newest ++ hashed).map(_.getPath.toString).distinct
-    probes.foreach { f =>
+    // set (see [[probeFiles]]); each probe reads one row of one file
+    // (footer + first page), keeping the load path O(files-sampled),
+    // never O(corpus). Within-file drift remains
+    // [[validateMinhashIndex]]'s full-audit job.
+    probeFiles(spark, s"$path/index").foreach { f =>
       val r = spark.read.parquet(f)
         .select(size(col("sig")), size(col("bb"))).limit(1).collect()
       r.headOption.foreach { row =>
@@ -697,6 +895,26 @@ object Dedup {
       }
     }
     (n, k, bands, idx)
+  }
+
+  /** The bounded per-file probe set every stored-index loader samples
+    * (minhash / cosine / signature — same failure class, same fix):
+    * the NEWEST files by mtime first — an out-of-band append with
+    * foreign geometry is by definition recent, so it is caught on the
+    * first load after it lands — plus a deterministic hash sample of
+    * the history. Bounded, because a per-load O(corpus) validation
+    * scan would put the entire history on every batch's critical path.
+    */
+  private[pipeline] def probeFiles(spark: SparkSession, dir: String,
+      cap: Int = 16): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = fs.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val newest = statuses.sortBy(-_.getModificationTime).take(cap)
+    val hashed = statuses.sortBy(st =>
+      scala.util.hashing.MurmurHash3.stringHash(st.getPath.getName)).take(cap)
+    (newest ++ hashed).map(_.getPath.toString).distinct.toSeq
   }
 
   /** Full-corpus audit of a stored index (every row against meta, and
@@ -1608,7 +1826,33 @@ object Dedup {
     require(Seq("doc", "sh").forall(sigs.columns.contains) &&
       Seq("doc", "band", "bits").forall(bands.columns.contains),
       s"loadSignatureIndex: not a signature index at $path")
-    (meta(0).getInt(0), meta(0).getInt(1), sigs, bands)
+    val (h, m) = (meta(0).getInt(0), meta(0).getInt(1))
+    // per-file geometry probe (the loadMinhashIndex discipline): a
+    // foreign append banded under a different (maxHamming, nBlocks)
+    // lands in its own NEW band files with band ids from a different
+    // combo count and keys of different widths — silently missed
+    // duplicates on every later screen. One row per sampled file:
+    // the band id must exist in THIS geometry and the key must fit
+    // that band's bit width.
+    val geom = hammingGeometry(h, m)
+    val widthOf = geom.map { case (b, blocks) =>
+      (b.toLong, blocks.map(_._2).sum)
+    }.toMap
+    probeFiles(spark, s"$path/bands").foreach { f =>
+      val r = spark.read.parquet(f)
+        .select(col("band").cast("long"), col("bits").cast("long"))
+        .limit(1).collect()
+      r.headOption.foreach { row =>
+        val (b, bits) = (row.getLong(0), row.getLong(1))
+        require(widthOf.contains(b) &&
+          bits >= 0 && (widthOf(b) == 64 || bits < (1L << widthOf(b))),
+          s"loadSignatureIndex: file $f has cell (band=$b, bits=$bits) " +
+            s"outside the meta geometry (maxHamming=$h, nBlocks=$m: " +
+            s"${geom.size} bands) at $path — a foreign-geometry append " +
+            "would silently miss duplicates")
+      }
+    }
+    (h, m, sigs, bands)
   }
 
   /** Near-dup an arriving signature batch against the STORED index —

@@ -1262,7 +1262,36 @@ object Similarity {
     require(Seq("id", "v", "nrm").forall(vectors.columns.contains) &&
       Seq("id", "band", "bucket").forall(bands.columns.contains),
       s"loadCosineIndex: not a cosine index at $path")
-    (meta(0).getInt(0), meta(0).getInt(1), meta(0).getInt(2), vectors, bands)
+    val (tables, planes, dim) =
+      (meta(0).getInt(0), meta(0).getInt(1), meta(0).getInt(2))
+    // per-file geometry probe (the Dedup.loadMinhashIndex discipline):
+    // a foreign append with a different dim or plane family lands in
+    // its own NEW files, which a head row-sample never reads — and
+    // surfaces as silently missed duplicates. One row per sampled
+    // file: vector length must equal the meta dim, and band cells must
+    // come from THIS (tables, planesPerTable) family.
+    Dedup.probeFiles(spark, s"$path/vectors").foreach { f =>
+      val r = spark.read.parquet(f).select(size(col("v"))).limit(1).collect()
+      r.headOption.foreach { row =>
+        require(row.getInt(0) == dim,
+          s"loadCosineIndex: file $f has dim=${row.getInt(0)} but meta " +
+            s"says dim=$dim at $path — a foreign-dim append would " +
+            "silently miss duplicates")
+      }
+    }
+    Dedup.probeFiles(spark, s"$path/bands").foreach { f =>
+      val r = spark.read.parquet(f)
+        .select(col("band").cast("long"), col("bucket").cast("long"))
+        .limit(1).collect()
+      r.headOption.foreach { row =>
+        val (b, bk) = (row.getLong(0), row.getLong(1))
+        require(b >= 0 && b < tables && bk >= 0 && bk < (1L << planes),
+          s"loadCosineIndex: file $f has cell (band=$b, bucket=$bk) " +
+            s"outside the meta family (tables=$tables, " +
+            s"planesPerTable=$planes) at $path")
+      }
+    }
+    (tables, planes, dim, vectors, bands)
   }
 
   /** Fold a screened embedding batch INTO the stored cosine index —

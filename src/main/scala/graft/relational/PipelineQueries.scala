@@ -19,6 +19,18 @@ object PipelineQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** The p109/p110 duplicate plant: the test corpus carries no natural
+    * exact duplicates, so ids with doc_id%5<2 share 'grp:(doc_id div 4)'
+    * as their text — scalar-only (both engines replay it without a
+    * join), and the 4-wide grouping makes the duplicate pairs straddle
+    * the even/odd corpus/batch split.
+    */
+  private def exactPlant(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      when(col("doc_id") % 5 < 2,
+        concat(lit("grp:"), expr("doc_id div 4").cast("string")))
+        .otherwise(col("text")).as("text"))
+
   /** Build-once / serve-many for the ANN index queries (p15/p27/p29):
     * the index is persisted via [[AnnIO]] on first use and every
     * invocation serves from the LOADED parquet relations — the shape a
@@ -1094,6 +1106,48 @@ object PipelineQueries {
         d.filter(col("doc_id") % 25 =!= 0),
         d.filter(col("doc_id") % 25 === 0),
         "doc_id", "text", threshold = 0.4)
+    }),
+
+    // exact-dedup stored-index screen (round-11, the p71 pattern for
+    // the EXACT family — crawl N+1's cheapest screen): even ids play
+    // the stored crawl-N index (canonical-key partial groups), odd ids
+    // the arriving batch; the corpus is touched only through its
+    // persisted index, never re-hashed. The corpus carries no natural
+    // exact dups, so the query PLANTS them scalar-only: ids with
+    // doc_id%5<2 share 'grp:(doc_id div 4)' as their text — duplicate
+    // pairs that straddle the even/odd split. Oracle = p1's keep rule
+    // over corpus ∪ batch restricted to batch rows, hash-exact.
+    "p109_exact_screen" -> ((s, dir) => {
+      val planted = exactPlant(docs(s, dir))
+      val out = withPipelineArtifact(dir, "p109_exact_idx") { stage =>
+        Dedup.saveExactIndex(planted.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", s"$stage/idx")
+      }
+      Dedup.exactAgainstIndex(planted.filter(col("doc_id") % 2 === 1),
+          s"$out/idx", "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("content_hash"),
+          col("keep_id"), col("n_corpus"), col("keep"))
+    }),
+
+    // p109's oracle VERBATIM over the BUCKETED catalog path (the p103
+    // precedent): the stored partial groups live bucketBy(content_hash),
+    // so the per-hash combine and the batch semi-join consume the
+    // table's own partitioning — zero corpus-side exchanges at any
+    // batch size. Hash-exact equality proves the layout returns the
+    // identical relation.
+    "p110_exact_backfill" -> ((s, dir) => {
+      val planted = exactPlant(docs(s, dir))
+      val out = withPipelineArtifact(dir, "p110_exact_idx_bucketed") { stage =>
+        val bp = s"p110_build_${ProcessHandle.current().pid()}_" +
+          s"${Thread.currentThread().getId}"
+        Dedup.saveExactIndexBucketed(planted.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", s"$stage/idx", nBuckets = 8, tablePrefix = bp)
+        s.sql(s"DROP TABLE IF EXISTS ${bp}_exact")
+      }
+      Dedup.exactAgainstIndexBucketed(planted.filter(col("doc_id") % 2 === 1),
+          s"$out/idx", "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("content_hash"),
+          col("keep_id"), col("n_corpus"), col("keep"))
     }),
 
     // deterministic epoch shuffle (round-10 — reproducible multi-epoch
@@ -3622,6 +3676,43 @@ object PipelineQueries {
            jaccard
          FROM j WHERE jaccard >= 0.4
            AND ((doc_a % 25 = 0) <> (doc_b % 25 = 0))""",
+
+    // p1's keep rule over corpus ∪ batch, restricted to batch (odd)
+    // rows — the stored-index screen must return the identical
+    // relation without ever re-aggregating the corpus
+    "p109_exact_screen" ->
+      """WITH d AS (SELECT doc_id,
+               CASE WHEN doc_id % 5 < 2 THEN 'grp:' || (doc_id // 4)::VARCHAR
+                    ELSE text END AS text
+             FROM documents),
+           h AS (SELECT doc_id, md5(text) AS content_hash FROM d),
+           k AS (SELECT content_hash, min(doc_id) AS keep_id
+                 FROM h GROUP BY 1),
+           c AS (SELECT content_hash, count(*) AS n_corpus
+                 FROM h WHERE doc_id % 2 = 0 GROUP BY 1)
+         SELECT h.doc_id, h.content_hash, k.keep_id,
+           CAST(coalesce(c.n_corpus, 0) AS BIGINT) AS n_corpus,
+           h.doc_id = k.keep_id AS keep
+         FROM h JOIN k USING (content_hash) LEFT JOIN c USING (content_hash)
+         WHERE h.doc_id % 2 = 1""",
+
+    // p109's oracle VERBATIM: the bucketed catalog path must return
+    // the identical relation
+    "p110_exact_backfill" ->
+      """WITH d AS (SELECT doc_id,
+               CASE WHEN doc_id % 5 < 2 THEN 'grp:' || (doc_id // 4)::VARCHAR
+                    ELSE text END AS text
+             FROM documents),
+           h AS (SELECT doc_id, md5(text) AS content_hash FROM d),
+           k AS (SELECT content_hash, min(doc_id) AS keep_id
+                 FROM h GROUP BY 1),
+           c AS (SELECT content_hash, count(*) AS n_corpus
+                 FROM h WHERE doc_id % 2 = 0 GROUP BY 1)
+         SELECT h.doc_id, h.content_hash, k.keep_id,
+           CAST(coalesce(c.n_corpus, 0) AS BIGINT) AS n_corpus,
+           h.doc_id = k.keep_id AS keep
+         FROM h JOIN k USING (content_hash) LEFT JOIN c USING (content_hash)
+         WHERE h.doc_id % 2 = 1""",
 
     // same per-epoch salted keys, same rank
     "p106_epoch_shuffle" ->

@@ -342,6 +342,63 @@ class PipelineSpec extends SparkSpecBase {
     assert(e.getMessage.contains("but meta says"), e.getMessage)
   }
 
+  test("foreign-append probes: cosine and signature loaders fail loudly on later-file drift") {
+    // the loadMinhashIndex per-file probe, mirrored onto its two
+    // siblings (round-10 verdict gap): an out-of-band append with a
+    // different dim / plane family / band geometry lands in its own
+    // NEW files, which a head row-sample never reads — pre-fix it
+    // surfaced as silently missed duplicates on every later screen.
+    import spark.implicits._
+    val cosDir = java.nio.file.Files.createTempDirectory("cos_probe").toString
+    Similarity.saveCosineIndex(emb.filter(col("vec_id") < 100), cosDir,
+      tables = 16, planesPerTable = 8, dim = 64)
+    // sanity: the clean index loads
+    Similarity.loadCosineIndex(spark, cosDir)
+    // foreign-dim vectors appended as a new file
+    Seq((9001L, Array.fill(32)(0.5), 1.0)).toDF("id", "v", "nrm")
+      .coalesce(1).write.mode("append").parquet(s"$cosDir/vectors")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.loadCosineIndex(spark, cosDir)
+    }
+    assert(e1.getMessage.contains("but meta says dim"), e1.getMessage)
+    // out-of-family band cells appended as a new file
+    val cosDir2 = java.nio.file.Files.createTempDirectory("cos_probe2").toString
+    Similarity.saveCosineIndex(emb.filter(col("vec_id") < 100), cosDir2,
+      tables = 16, planesPerTable = 8, dim = 64)
+    Seq((9001L, 99L, 5L)).toDF("id", "band", "bucket")
+      .coalesce(1).write.mode("append").parquet(s"$cosDir2/bands")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.loadCosineIndex(spark, cosDir2)
+    }
+    assert(e2.getMessage.contains("outside the meta family"), e2.getMessage)
+
+    val sigDir = java.nio.file.Files.createTempDirectory("sig_probe").toString
+    val corpus = docs.select(col("doc_id"),
+      expr("CAST(conv(substr(md5(string(doc_id)), 1, 12), 16, 10) AS BIGINT)")
+        .as("sig"))
+    Dedup.saveSignatureIndex(corpus, sigDir, "doc_id", "sig", maxHamming = 4)
+    Dedup.loadSignatureIndex(spark, sigDir)
+    // band id from a different geometry (maxHamming=4, nBlocks=5 has
+    // exactly 5 single-block bands)
+    Seq((9001L, 77L, 3L)).toDF("doc", "band", "bits")
+      .coalesce(1).write.mode("append").parquet(s"$sigDir/bands")
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.loadSignatureIndex(spark, sigDir)
+    }
+    assert(e3.getMessage.contains("outside the meta geometry"), e3.getMessage)
+    // bits wider than the band's key width (band 0 is 10 bits here)
+    val sigDir2 = java.nio.file.Files.createTempDirectory("sig_probe2").toString
+    Dedup.saveSignatureIndex(corpus, sigDir2, "doc_id", "sig", maxHamming = 4)
+    Seq((9001L, 0L, 1L << 20)).toDF("doc", "band", "bits")
+      .coalesce(1).write.mode("append").parquet(s"$sigDir2/bands")
+    val e4 = intercept[IllegalArgumentException] {
+      Dedup.loadSignatureIndex(spark, sigDir2)
+    }
+    assert(e4.getMessage.contains("outside the meta geometry"), e4.getMessage)
+    for (d <- Seq(cosDir, cosDir2, sigDir, sigDir2))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
+
   test("index fold-in: merge == fresh rebuild for minhash and cosine; id clash fails loudly") {
     def pairMap(df: DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
@@ -383,6 +440,93 @@ class PipelineSpec extends SparkSpecBase {
       Similarity.mergeIntoCosineIndex(vb, cosFold, assertNewIds = true)
     }
     assert(cclash.getMessage.contains("already exist"), cclash.getMessage)
+  }
+
+  test("exact stored index: screen == keep rule over union; fold == rebuild; bucketed identical + exchange-free") {
+    import spark.implicits._
+    // plant exact duplicates (the corpus has none naturally): ids with
+    // doc_id%5<2 share 'grp:(id div 4)' — groups straddle the splits
+    val planted = docs.select(col("doc_id"),
+      when(col("doc_id") % 5 < 2,
+        concat(lit("grp:"), expr("doc_id div 4").cast("string")))
+        .otherwise(col("text")).as("text"))
+    // mod-4 splits so the 4-wide plant groups straddle corpus and
+    // batch (an id-RANGE split would keep every group on one side)
+    val a = planted.filter(col("doc_id") % 4 < 2)
+    val b = planted.filter(col("doc_id") % 4 === 2)
+    val c = planted.filter(col("doc_id") % 4 === 3)
+    def screenMap(df: DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // expected: p1's keep rule over corpus ∪ batch restricted to batch
+    val corpus = a.unionByName(b)
+    val all = corpus.unionByName(c)
+    val keepIds = all.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nCorp = corpus.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = c.select(col("doc_id"), md5(col("text")).as("h"))
+      .collect().map { r =>
+        val (id, h) = (r.getLong(0), r.getString(1))
+        id -> ((h, keepIds(h), nCorp.getOrElse(h, 0L), id == keepIds(h)))
+      }.toMap
+    // fold path: save A, merge B, screen C — must equal the rebuild
+    val foldDir = java.nio.file.Files.createTempDirectory("ex_fold").toString
+    Dedup.saveExactIndex(a, "doc_id", "text", foldDir)
+    Dedup.mergeIntoExactIndex(b, foldDir, "doc_id", "text")
+    val served = screenMap(
+      Dedup.exactAgainstIndex(c, foldDir, "doc_id", "text"))
+    assert(served == want && want.nonEmpty, "fold-path screen diverged")
+    assert(want.values.exists(!_._4) && want.values.exists(_._4),
+      "plant must produce both dups and keeps")
+    assert(want.values.exists(_._3 > 0), "plant must hit the corpus")
+    val rebuildDir = java.nio.file.Files.createTempDirectory("ex_re").toString
+    Dedup.saveExactIndex(corpus, "doc_id", "text", rebuildDir)
+    assert(screenMap(Dedup.exactAgainstIndex(c, rebuildDir, "doc_id", "text"))
+      == served, "fold != rebuild")
+
+    // bucketed layout: identical relation, corpus side exchange-free
+    val bkDir = java.nio.file.Files.createTempDirectory("ex_bk").toString
+    Dedup.saveExactIndexBucketed(a, "doc_id", "text", bkDir,
+      nBuckets = 8, tablePrefix = "t_ex")
+    Dedup.mergeIntoExactIndexBucketed(b, bkDir, "doc_id", "text",
+      tablePrefix = "t_ex")
+    val bkScreen = Dedup.exactAgainstIndexBucketed(c, bkDir,
+      "doc_id", "text", tablePrefix = "t_ex")
+    assert(screenMap(bkScreen) == want, "bucketed screen diverged")
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Dedup.exactAgainstIndexBucketed(c, bkDir,
+        "doc_id", "text", tablePrefix = "t_ex")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"stored side must scan bucketed:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    // the plain merge must refuse the bucketed layout
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.mergeIntoExactIndex(b, bkDir, "doc_id", "text")
+    }
+    assert(e1.getMessage.contains("BUCKETED layout"), e1.getMessage)
+    // foreign key material in a LATER file fails the per-file probe
+    Seq(("deadbeef", 1L, 1L)).toDF("content_hash", "keep_id", "dup_cnt")
+      .coalesce(1).write.mode("append").parquet(s"$foldDir/index")
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.loadExactIndex(spark, foldDir)
+    }
+    assert(e2.getMessage.contains("non-md5 content_hash"), e2.getMessage)
+    // a foreign FAMILY in meta fails before any join
+    Seq(("simhash", 16)).toDF("family", "hash_len")
+      .write.mode("overwrite").parquet(s"$rebuildDir/meta")
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.loadExactIndex(spark, rebuildDir)
+    }
+    assert(e3.getMessage.contains("not exact_md5"), e3.getMessage)
+    for (d <- Seq(foldDir, rebuildDir, bkDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+    CacheLedger.drain()
   }
 
   test("incremental hamming == full pairs touching the batch; stored index serves identically") {
