@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WordPiece subword segmentation of a single word (Wu et al. 2016,
+  * "Google's Neural Machine Translation System" §4.1 — the BERT-family
+  * serve path): greedy LONGEST-match-first against a fixed vocabulary,
+  * continuation pieces carrying the `##` prefix, and the all-or-nothing
+  * rule — a word with ANY unmatchable position collapses to the single
+  * `unkToken`, never a partial segmentation (the HuggingFace
+  * BertWordPieceTokenizer contract). The vocabulary rides as codegen
+  * reference objects (two hash sets: word-initial pieces and
+  * `##`-stripped continuations), so encoding stays inside whole-stage
+  * codegen as a plain method call — no UDF.
+  *
+  * Greedy longest-match is DETERMINISTIC and SQL-replayable: at a given
+  * position and length only one candidate string exists (the substring
+  * itself), so "longest match" has no tie to break — the property that
+  * lets the DuckDB oracle replay segmentation bit-for-bit, unlike the
+  * likelihood-trained BPE/unigram merge loops.
+  *
+  * Symbols are Unicode code points (the [[BpeSegment]] convention, and
+  * DuckDB's substr/length unit, so positions agree cross-engine).
+  * Invariant: for a non-UNK result, concatenating the pieces with the
+  * `##` prefixes stripped reproduces the input word. Null → null;
+  * empty word → empty array.
+  */
+case class WordPieceSegment(child: Expression, vocab: Seq[String],
+    unkToken: String)
+  extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  // vocab split ONCE: entries starting with "##" are continuation-only
+  // (stored stripped), the rest word-initial-only — mirroring the
+  // lookup classes the greedy loop probes
+  @transient private lazy val bareSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    vocab.foreach(p => if (!p.startsWith("##")) s.add(p))
+    s
+  }
+  @transient private lazy val contSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    vocab.foreach(p => if (p.startsWith("##")) s.add(p.substring(2)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordPieceSegment.segmentJ(input.asInstanceOf[UTF8String],
+      bareSet, contSet, unkToken)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val b = ctx.addReferenceObj("wpBare", bareSet, "java.util.HashSet")
+      val c = ctx.addReferenceObj("wpCont", contSet, "java.util.HashSet")
+      val u = ctx.addReferenceObj("wpUnk", unkToken, "java.lang.String")
+      s"${ev.value} = graft.functions.WordPieceSegment.segmentJ($a, $b, $c, $u);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordPieceSegment {
+
+  /** The greedy apply loop; static-forwarded so generated code calls it
+    * directly. O(len × maxPieceLen) set probes per word — words are
+    * short, and the probe substring shrinks from the longest remaining
+    * span, so the FIRST hit is the longest match by construction.
+    */
+  def segmentJ(word: UTF8String, bare: java.util.HashSet[String],
+      cont: java.util.HashSet[String], unk: String): ArrayData = {
+    val cps = BpeSegment.codePoints(word.toString)
+    if (cps.length == 0) return new GenericArrayData(Array.empty[Any])
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < cps.length) {
+      val set = if (i == 0) bare else cont
+      var l = cps.length - i
+      var matched = -1
+      while (l >= 1 && matched < 0) {
+        if (set.contains(cps.slice(i, i + l).mkString)) matched = l
+        else l -= 1
+      }
+      if (matched < 0) // all-or-nothing: one unmatchable position
+        return new GenericArrayData(Array[Any](UTF8String.fromString(unk)))
+      val piece = cps.slice(i, i + matched).mkString
+      out += (if (i == 0) piece else "##" + piece)
+      i += matched
+    }
+    new GenericArrayData(out.map(p => UTF8String.fromString(p)).toArray[Any])
+  }
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def apply(word: Column, vocab: Seq[String],
+      unkToken: String = "[UNK]"): Column =
+    ColumnBridge.column(WordPieceSegment(ColumnBridge.expression(word),
+      vocab, unkToken))
+}

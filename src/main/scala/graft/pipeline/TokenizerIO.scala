@@ -42,6 +42,36 @@ object TokenizerIO {
     rows
   }
 
+  /** WordPiece vocabulary: `path/vocab` (piece) + `path/meta`
+    * (unk_token). Saved from the RELATION form ([[WordPiece.vocabFrame]]
+    * or any externally trained vocab) so construction never collects.
+    */
+  def saveWordPiece(vocab: org.apache.spark.sql.DataFrame,
+      unkToken: String, path: String): Unit = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    require(vocab.columns.contains("piece"),
+      s"saveWordPiece: expected a 'piece' column, got ${vocab.columns.mkString(",")}")
+    Seq(unkToken).toDF("unk_token")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    vocab.select(col("piece").cast("string"))
+      .write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  def loadWordPiece(spark: SparkSession, path: String): (Seq[String], String) = {
+    val pieces = spark.read.parquet(s"$path/vocab")
+      .select(col("piece")).orderBy("piece")
+      .collect().map(_.getString(0)).toSeq
+    require(pieces.nonEmpty, "wordpiece vocab corrupt: no pieces")
+    require(pieces.distinct.length == pieces.length,
+      "wordpiece vocab corrupt: duplicate pieces")
+    val meta = spark.read.parquet(s"$path/meta")
+      .select(col("unk_token").cast("string")).collect()
+    require(meta.length == 1,
+      s"wordpiece vocab corrupt: ${meta.length} meta rows (want 1)")
+    (pieces, meta(0).getString(0))
+  }
+
   def saveUnigram(m: Unigram.Model, spark: SparkSession, path: String): Unit = {
     import spark.implicits._
     m.pieces.toDF("piece", "cost_micro")

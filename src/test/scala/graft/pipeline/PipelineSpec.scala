@@ -817,6 +817,45 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("hardNegativesBandedTopK: subset-of-exact with identical sims; planted near-dup negative never missed") {
+    val q = emb.filter(col("vec_id") < 20)
+    val banded = Similarity.hardNegativesBandedTopK(emb, q, k = 5, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+        ((r.getLong(1), r.getLong(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(banded.nonEmpty)
+    // every banded row is cross-label and carries the TRUE cosine —
+    // the exact form with a huge k is the reference relation
+    val exact = Similarity.hardNegativesTopK(emb, q, k = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(4)).toMap
+    for (((qid, nid), (ql, nl, sim, _)) <- banded) {
+      assert(ql != nl, s"same-label pair ($qid,$nid) ranked")
+      assert(exact.get((qid, nid)).exists(s => math.abs(s - sim) < 1e-9),
+        s"banded sim for ($qid,$nid) not the true cosine")
+    }
+    // ranks dense 1..n within each query's candidate set
+    for ((qid, rows) <- banded.toSeq.groupBy(_._1._1))
+      assert(rows.map(_._2._4).sorted.toSeq == (1L to rows.size), s"query $qid")
+    // the LSH guarantee in miniature: a TRUE near-duplicate negative
+    // (sim = 1.0 — a scaled copy of a corpus vector under a foreign
+    // label) signs identically in every table, so it can NEVER be
+    // missed and must rank with sim 1.0
+    val plant = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 9000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
+        lit(-1L).as("label"))
+    val got = Similarity.hardNegativesBandedTopK(emb, plant, k = 1, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(got.size == 10 && got.values.forall(_ == 1.0),
+      s"planted near-dup negatives missed or mis-scored: $got")
+    // the plan is candidate-bounded: no cartesian anywhere, and the
+    // corpus-facing joins broadcast the bounded query/candidate sides
+    val plan = Similarity.hardNegativesBandedTopK(emb, q, k = 5, dim = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("releaseCorpus: deterministic shards, identity certificate, tamper detection") {
     val corpus = docs.select("doc_id", "text").limit(200)
       .withColumn("lang", lit("en")).persist()
@@ -2566,6 +2605,64 @@ class PipelineSpec extends SparkSpecBase {
     val err = intercept[IllegalArgumentException] {
       TokenizerIO.loadBpe(spark, s"$tmp/bad") }
     assert(err.getMessage.contains("dense"))
+  }
+
+  test("WordPiece: greedy longest-match semantics; vocab recipe; TokenizerIO round-trip") {
+    import spark.implicits._
+    // hand-built vocab pins the BERT inference contract exactly
+    val vocab = Seq("un", "runn", "run", "##able", "##ning", "##n", "##i",
+      "##ng", "a", "r", "u", "##un")
+    def seg(w: String) = spark.range(1)
+      .select(WordPiece.segment(lit(w), vocab).as("s"))
+      .head().getSeq[String](0).toSeq
+    // longest-match-first: 'runn' beats 'run' at the start
+    assert(seg("running") == Seq("runn", "##i", "##ng"), seg("running"))
+    // continuation pieces carry ##; multi-char beats char-by-char
+    assert(seg("unable") == Seq("un", "##able"), seg("unable"))
+    // all-or-nothing: 'z' is matchable nowhere -> the WHOLE word is
+    // [UNK], not a partial prefix segmentation
+    assert(seg("runz") == Seq("[UNK]"), seg("runz"))
+    assert(seg("zrun") == Seq("[UNK]"), seg("zrun"))
+    // a word-initial piece never matches mid-word and vice versa:
+    // 'a' is bare-only, so 'ra' needs ##a (absent) -> UNK; 'aun'
+    // starts bare 'a' then ##un
+    assert(seg("ra") == Seq("[UNK]"), seg("ra"))
+    assert(seg("aun") == Seq("a", "##un"), seg("aun"))
+    // empty word -> empty array (null handled by nullSafeEval)
+    assert(seg("") == Seq())
+    // non-UNK results concatenate back to the word, ## stripped
+    for (w <- Seq("running", "unable", "aun", "run", "a"))
+      assert(seg(w).map(_.stripPrefix("##")).mkString == w, w)
+
+    // vocab recipe: top-K whole words, capped ## n-grams, initial chars
+    val d = docsOf((1L, "aaa bbb aaa ccc aaa bbb"), (2L, "dddd aaa bbb"))
+    val pieces = WordPiece.vocabFrame(d, "text", topWords = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(pieces.contains("aaa") && pieces.contains("bbb"), pieces) // top-2
+    assert(!pieces.contains("ccc") && !pieces.contains("dddd"), pieces)
+    assert(pieces.contains("##aa") && pieces.contains("##ddd"), pieces)
+    assert(Seq("a", "b", "c", "d").forall(pieces.contains), pieces)
+    // contLen cap: no ## piece longer than 3 bare chars
+    assert(pieces.filter(_.startsWith("##")).forall(_.length <= 5), pieces)
+
+    // persistence round-trip: identical vocab, identical segmentation
+    val tmp = java.nio.file.Files.createTempDirectory("wp_io").toString
+    TokenizerIO.saveWordPiece(WordPiece.vocabFrame(d, "text", 2),
+      "[UNK]", s"$tmp/wp")
+    val (loaded, unk) = TokenizerIO.loadWordPiece(spark, s"$tmp/wp")
+    assert(loaded.toSet == pieces && unk == "[UNK]")
+    val before = d.select(
+      WordPiece.segment(lit("dddd"), pieces.toSeq).as("s")).head().getSeq[String](0)
+    val after = d.select(
+      WordPiece.segment(lit("dddd"), loaded, unk).as("s")).head().getSeq[String](0)
+    assert(before == after && before.nonEmpty)
+    // duplicate pieces in a stored vocab must fail loudly
+    Seq("x", "x").toDF("piece").write.mode("overwrite").parquet(s"$tmp/bad/vocab")
+    Seq("[UNK]").toDF("unk_token").write.mode("overwrite").parquet(s"$tmp/bad/meta")
+    val err = intercept[IllegalArgumentException] {
+      TokenizerIO.loadWordPiece(spark, s"$tmp/bad") }
+    assert(err.getMessage.contains("duplicate"), err.getMessage)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
   test("split leakage: near-dup pairs straddling the holdout boundary, exactly") {
