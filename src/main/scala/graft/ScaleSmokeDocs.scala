@@ -681,6 +681,16 @@ object ScaleSmokeDocs {
       stage("backfill_screen_632k")(
         Dedup.nearDupAgainstIndexBucketed(batch, idxDirB, "doc_id", "text",
           0.4, tablePrefix = s"smoke_mh_$totalDocs").count())
+      // the memory-robust variant (round-11): batch-side barriers on
+      // DISK_ONLY — on a memory-tight executor (SPARK_DRIVER_MEM=24g,
+      // the round-10 footgun row) the predictable spill replaces the
+      // eviction-recompute of the batch prep; on a roomy heap the
+      // overhead vs the default level is the ser/deser of the barriers
+      stage("backfill_screen_632k_diskonly")(
+        Dedup.nearDupAgainstIndexBucketed(batch, idxDirB, "doc_id", "text",
+          0.4, tablePrefix = s"smoke_mh_$totalDocs",
+          batchStorage = org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          .count())
       // the comparison row: the SAME batch through the pre-round-10
       // symmetric fallback (plain layout, broadcastBatch=false) — the
       // full stored band+shingle relations shuffle per batch. Needs the

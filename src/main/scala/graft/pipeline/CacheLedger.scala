@@ -43,8 +43,17 @@ object CacheLedger {
     * block if one is open (released at scope exit), else globally for
     * the next [[drain]].
     */
-  def track(df: DataFrame): DataFrame = {
-    val p = df.persist()
+  def track(df: DataFrame): DataFrame =
+    track(df, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** [[track]] at an explicit storage level — the backfill screens
+    * route their batch-side barriers to disk-backed levels so a
+    * memory-tight executor spills instead of evicting-and-recomputing
+    * the batch prep (the round-10 24 GiB footgun).
+    */
+  def track(df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel): DataFrame = {
+    val p = df.persist(level)
     scopes.get() match {
       case head :: _ => head += p
       case Nil       => frames.add(p)
@@ -92,5 +101,8 @@ object CacheLedger {
     */
   implicit class TrackedPersist(private val df: DataFrame) extends AnyVal {
     def persistTracked(): DataFrame = track(df)
+    def persistTracked(
+        level: org.apache.spark.storage.StorageLevel): DataFrame =
+      track(df, level)
   }
 }

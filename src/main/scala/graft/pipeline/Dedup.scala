@@ -500,9 +500,12 @@ object Dedup {
     * cached relations forever.
     */
   private def minhashIndexTracked(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int, bands: Int): (DataFrame, DataFrame) = {
+      n: Int, k: Int, bands: Int,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      : (DataFrame, DataFrame) = {
     // persisted: the signature aggregate re-reads the shingle relation
-    val sh = shingleSets(docs, idCol, textCol, n).persistTracked()
+    val sh = shingleSets(docs, idCol, textCol, n).persistTracked(storage)
     val idx = sh.join(minhashSignaturesExploded(sh, k), "doc")
       .withColumn("bb", bandBuckets(col("sig"), bands, k / bands))
     (idx, sh)
@@ -806,7 +809,9 @@ object Dedup {
     */
   def nearDupAgainstIndexBucketed(newDocs: DataFrame, indexPath: String,
       idCol: String, textCol: String, threshold: Double,
-      tablePrefix: String = ""): DataFrame = {
+      tablePrefix: String = "",
+      batchStorage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val spark = newDocs.sparkSession
     val (n, k, bands, _) = loadMinhashIndex(spark, indexPath)
     val metaB = spark.read.parquet(s"$indexPath/meta")
@@ -822,8 +827,14 @@ object Dedup {
       Seq("band", "bucket"), nBuckets)
     val corpusBands = spark.table(s"${prefix}_bands")
     val corpusSh = spark.table(s"${prefix}_docs").select(col("doc"), col("sh"))
-    val (newIdx0, sh) = minhashIndexTracked(newDocs, idCol, textCol, n, k, bands)
-    val newIdxP = newIdx0.persistTracked()
+    val (newIdx0, sh) = minhashIndexTracked(newDocs, idCol, textCol,
+      n, k, bands, batchStorage)
+    // the WIDE batch-side barriers (sig/bb/sh arrays) honor
+    // `batchStorage`: a backfill batch is big by definition, and on a
+    // memory-tight executor the default level's eviction-recompute of
+    // the batch prep is the dominant cost (the round-10 24 GiB row) —
+    // pass StorageLevel.DISK_ONLY to trade a predictable spill for it
+    val newIdxP = newIdx0.persistTracked(batchStorage)
     val out = CacheLedger.scoped {
       val newBands = explodeBands(newIdxP)
       def keyEq = col("a.band") === col("b.band") &&
@@ -843,7 +854,7 @@ object Dedup {
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc")).distinct()
       val shNeeded = newIdxP.select(col("doc"), col("sh"))
         .unionByName(corpusSh.join(candIds, Seq("doc"), "left_semi"))
-        .persistTracked()
+        .persistTracked(batchStorage)
       verifyJaccard(candidates, shNeeded, threshold).localCheckpoint()
     }
     newIdxP.unpersist()
@@ -1532,13 +1543,16 @@ object Dedup {
     * furniture the corrections remove is exactly what inflates line
     * counts and deflates stop-word ratios.
     */
-  def cleanCorpusV2(pages: DataFrame, embeddings: DataFrame,
-      idCol: String, htmlCol: String, blocklist: Seq[String],
-      minChars: Int = 25, maxLinkDensityPct: Int = 20,
-      n: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.4,
-      semK: Int = 16, semTau: Double = 0.35, semTables: Int = 16,
-      semPlanes: Int = 8, semDim: Int = 64, semStarCap: Int = 24)
-      : DataFrame = {
+  /** The recipe's INGEST half — extraction → line corrections → gates →
+    * scrubs → exact dedup — factored out so the streaming front end
+    * ([[graft.streaming.StreamingCleanCorpus]]) has a batch reference
+    * to be equivalence-tested against, and so an ingest job can run
+    * JUST this half (the pair-join stages usually live in a periodic
+    * compactor). Returns the exact-deduped (idCol, text) survivors.
+    */
+  def cleanCorpusFrontEnd(pages: DataFrame, idCol: String, htmlCol: String,
+      blocklist: Seq[String], minChars: Int = 25,
+      maxLinkDensityPct: Int = 20): DataFrame = {
     // mc persisted too: lineCorrections references its text column in
     // FIVE output expressions, and HOF-heavy projections get no CSE —
     // without the barrier the whole extraction regex chain re-runs per
@@ -1567,7 +1581,18 @@ object Dedup {
       .foldLeft(gated)((d, f) =>
         f(d).select(col(idCol), col("text_redacted").as("text")))
       .persistTracked()
-    val exact = dropExactDuplicates(scrubbed, idCol, "text").persistTracked()
+    dropExactDuplicates(scrubbed, idCol, "text")
+  }
+
+  def cleanCorpusV2(pages: DataFrame, embeddings: DataFrame,
+      idCol: String, htmlCol: String, blocklist: Seq[String],
+      minChars: Int = 25, maxLinkDensityPct: Int = 20,
+      n: Int = 3, k: Int = 32, bands: Int = 8, threshold: Double = 0.4,
+      semK: Int = 16, semTau: Double = 0.35, semTables: Int = 16,
+      semPlanes: Int = 8, semDim: Int = 64, semStarCap: Int = 24)
+      : DataFrame = {
+    val exact = cleanCorpusFrontEnd(pages, idCol, htmlCol, blocklist,
+      minChars, maxLinkDensityPct).persistTracked()
     val pairs = minhashLshPairs(exact, idCol, "text", n, k, bands, threshold)
     val nd = dropNearDuplicates(exact, pairs, idCol)
     // a crawl ingest may carry NO embedding table at all (the WARC →

@@ -366,7 +366,8 @@ object Quality {
     * Token-less documents fail the word-count rule (keep = false) with
     * all ratios 0.
     */
-  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)
     val nWords = size(toks).cast("long")
@@ -389,14 +390,14 @@ object Quality {
       size(filter(toks, w => w.rlike("[a-z]"))).cast("long"), nWords)
     val nStop = size(filter(array(GopherStops.map(lit): _*),
       w => array_contains(toks, w))).cast("long")
-    docs.select(col(idCol),
-      nWords.as("n_words"),
-      meanLen.as("mean_word_len"),
-      symbolRatio.as("symbol_word_ratio"),
-      bulletFrac.as("bullet_line_frac"),
-      ellipsisFrac.as("ellipsis_line_frac"),
-      alphaFrac.as("alpha_word_frac"),
-      nStop.as("n_stop_distinct"))
+    docs.select(col(idCol) +: carry.map(col) :+
+      nWords.as("n_words") :+
+      meanLen.as("mean_word_len") :+
+      symbolRatio.as("symbol_word_ratio") :+
+      bulletFrac.as("bullet_line_frac") :+
+      ellipsisFrac.as("ellipsis_line_frac") :+
+      alphaFrac.as("alpha_word_frac") :+
+      nStop.as("n_stop_distinct"): _*)
       .withColumn("keep",
         col("n_words") >= 50 && col("n_words") <= 100000 &&
           col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
@@ -422,7 +423,8 @@ object Quality {
     * (C4's remaining rule — cross-document three-sentence span dedup —
     * is [[Dedup.removeDuplicateSpans]] / p23.)
     */
-  def c4Clean(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def c4Clean(docs: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val lines = split(t, "\n")
     def lineKeep(l: Column): Column =
@@ -431,15 +433,15 @@ object Quality {
         !lower(l).contains("javascript")
     val keptLines = filter(lines, lineKeep(_))
     val textClean = array_join(keptLines, "\n")
-    docs.select(col(idCol),
-      size(lines).cast("long").as("n_lines"),
-      size(keptLines).cast("long").as("n_kept"),
+    docs.select(col(idCol) +: carry.map(col) :+
+      size(lines).cast("long").as("n_lines") :+
+      size(keptLines).cast("long").as("n_kept") :+
       (length(textClean) -
         length(regexp_replace(textClean, "[.!?]", ""))).cast("long")
-        .as("n_sentences"),
-      lower(t).contains("lorem ipsum").as("has_lorem"),
-      t.contains("{").as("has_brace"),
-      textClean.as("text_clean"))
+        .as("n_sentences") :+
+      lower(t).contains("lorem ipsum").as("has_lorem") :+
+      t.contains("{").as("has_brace") :+
+      textClean.as("text_clean"): _*)
       .withColumn("keep",
         col("n_sentences") >= 5 && !col("has_lorem") && !col("has_brace"))
   }
@@ -459,15 +461,16 @@ object Quality {
     * counts once, as the email that consumed it). Pure codegen'd
     * regexp expressions — one projection, no shuffle at all.
     */
-  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val afterEmail = regexp_replace(t, EmailRe, "[EMAIL]")
     val afterIp = regexp_replace(afterEmail, Ipv4Re, "[IP]")
-    docs.select(col(idCol),
-      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
-      size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
-      size(regexp_extract_all(afterIp, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
-      regexp_replace(afterIp, PhoneRe, "[PHONE]").as("text_redacted"))
+    docs.select(col(idCol) +: carry.map(col) :+
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails") :+
+      size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))).cast("long").as("n_ips") :+
+      size(regexp_extract_all(afterIp, lit(PhoneRe), lit(0))).cast("long").as("n_phones") :+
+      regexp_replace(afterIp, PhoneRe, "[PHONE]").as("text_redacted"): _*)
   }
 
   /** Payment-card candidate: 13–19 digits with optional single
@@ -508,19 +511,19 @@ object Quality {
     * left untouched, which is exactly why the checksum pass exists.
     * One codegen'd projection, no shuffle.
     */
-  def luhnCardScrub(docs: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
+  def luhnCardScrub(docs: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val cands = regexp_extract_all(t, lit(CardCandidateRe), lit(0))
     // the Luhn walk runs on the separator-stripped digits while the
     // redaction replace targets the raw spelling
     val validRaw = filter(cands, x => luhnValid(regexp_replace(x, "[ -]", "")))
-    docs.select(col(idCol),
-      size(cands).cast("long").as("n_candidates"),
-      size(validRaw).cast("long").as("n_valid"),
-      (size(validRaw) === 0).as("keep"),
+    docs.select(col(idCol) +: carry.map(col) :+
+      size(cands).cast("long").as("n_candidates") :+
+      size(validRaw).cast("long").as("n_valid") :+
+      (size(validRaw) === 0).as("keep") :+
       aggregate(validRaw, t, (acc, x) => replace(acc, x, lit("[CARD]")))
-        .as("text_redacted"))
+        .as("text_redacted"): _*)
   }
 
   /** Filtering funnel report — the per-stage rejection table every
@@ -616,7 +619,7 @@ object Quality {
     * shuffle; `text_clean` reassembles the survivors in order.
     */
   def lineCorrections(docs: DataFrame, idCol: String, textCol: String,
-      maxCapsTokens: Int = 4): DataFrame = {
+      maxCapsTokens: Int = 4, carry: Seq[String] = Nil): DataFrame = {
     val NumericRe = "^[\\d.,:%/\\s-]*\\d[\\d.,:%/\\s-]*$"
     val CounterRe = "^\\s*\\d+\\s+(likes?|comments?|shares?|views?|points?)\\s*$"
     def numeric(l: Column) = l.rlike(NumericRe)
@@ -626,12 +629,12 @@ object Quality {
         size(filter(split(trim(l), "\\s+"), t => length(t) > 0)) <= maxCapsTokens
     def dropped(l: Column) = numeric(l) || counter(l) || caps(l)
     val ls = split(col(textCol), "\n")
-    docs.select(col(idCol),
-      size(ls).cast("long").as("n_lines"),
-      size(filter(ls, numeric(_))).cast("long").as("n_numeric"),
-      size(filter(ls, counter(_))).cast("long").as("n_counter"),
-      size(filter(ls, caps(_))).cast("long").as("n_caps"),
-      array_join(filter(ls, l => !dropped(l)), "\n").as("text_clean"))
+    docs.select(col(idCol) +: carry.map(col) :+
+      size(ls).cast("long").as("n_lines") :+
+      size(filter(ls, numeric(_))).cast("long").as("n_numeric") :+
+      size(filter(ls, counter(_))).cast("long").as("n_counter") :+
+      size(filter(ls, caps(_))).cast("long").as("n_caps") :+
+      array_join(filter(ls, l => !dropped(l)), "\n").as("text_clean"): _*)
   }
 
   /** Flesch–Kincaid readability (Kincaid et al. 1975 — the surface
@@ -840,17 +843,17 @@ object Quality {
     * checksum-failing lookalikes left untouched. One codegen'd
     * projection, no shuffle.
     */
-  def ibanScrub(docs: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
+  def ibanScrub(docs: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val cands = regexp_extract_all(t, lit(IbanCandidateRe), lit(0))
     val validRaw = filter(cands, ibanValid(_))
-    docs.select(col(idCol),
-      size(cands).cast("long").as("n_candidates"),
-      size(validRaw).cast("long").as("n_valid"),
-      (size(validRaw) === 0).as("keep"),
+    docs.select(col(idCol) +: carry.map(col) :+
+      size(cands).cast("long").as("n_candidates") :+
+      size(validRaw).cast("long").as("n_valid") :+
+      (size(validRaw) === 0).as("keep") :+
       aggregate(validRaw, t, (acc, x) => replace(acc, x, lit("[IBAN]")))
-        .as("text_redacted"))
+        .as("text_redacted"): _*)
   }
 
   /** Scheme-qualified URL host pattern, capture group 1 = the host.
@@ -892,14 +895,15 @@ object Quality {
     * token instead.
     */
   def wordlistFilter(docs: DataFrame, idCol: String, textCol: String,
-      blocklist: Seq[String], maxFraction: Double): DataFrame = {
+      blocklist: Seq[String], maxFraction: Double,
+      carry: Seq[String] = Nil): DataFrame = {
     val listed = array(blocklist.map(w => lit(w.toLowerCase)): _*)
     docs
       .withColumn("__toks", tokens(col(textCol)))
-      .select(col(idCol),
-        size(col("__toks")).cast("long").as("n_tokens"),
+      .select(col(idCol) +: carry.map(col) :+
+        size(col("__toks")).cast("long").as("n_tokens") :+
         size(filter(col("__toks"), t => array_contains(listed, t)))
-          .cast("long").as("n_listed"))
+          .cast("long").as("n_listed"): _*)
       .withColumn("listed_frac",
         round(col("n_listed") / greatest(col("n_tokens"), lit(1L)), 6))
       .withColumn("keep_strict", col("n_listed") === 0)

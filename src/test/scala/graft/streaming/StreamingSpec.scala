@@ -816,4 +816,66 @@ class StreamingSpec extends SparkSpecBase {
       assert(cGot == cExpected)
     } finally { qG.stop(); qC.stop() }
   }
+
+  test("cleanCorpusStream == batch cleanCorpusFrontEnd across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingSpec.CleanPage
+    // the EndToEndIngestSpec v2 fixture shape: id-flanked markers keep
+    // docs genuinely distinct; chrome (nav/footer/link farm) must die
+    // in extraction; one page per gate + an exact dup SPLIT ACROSS the
+    // micro-batch boundary (the cross-batch state under test)
+    def body(seed: Int) = (1 to 6).map { k =>
+      s"The article m${seed}a$k begins and m${seed}b$k explains that " +
+        s"m${seed}c$k readers keep m${seed}d$k context with m${seed}e$k " +
+        "every stage done."
+    }.mkString(" ")
+    def pageHtml(title: String, b: String) =
+      s"<html><head><title>$title</title></head><body>" +
+        "<nav><a href=/a>Home</a> <a href=/b>About</a></nav>" +
+        s"<p>$b</p>" +
+        "<footer>Copyright 2024 Site Inc <a href=/tos>Terms</a></footer>" +
+        "</body></html>"
+    val rows = Seq(
+      1L -> pageHtml("One", body(1)),
+      2L -> pageHtml("Two", body(2)),
+      3L -> pageHtml("Bad", body(3) + " That page also says badword plainly."),
+      4L -> pageHtml("Pii", body(4) +
+        " Write to jane.doe@example.com or charge card 4111111111111111 today."),
+      5L -> pageHtml("Stub", "Too short to keep, sadly so."),
+      6L -> pageHtml("One", body(1))) // exact dup of 1 — later batch
+      .map { case (id, h) => CleanPage(id, ts(id.toInt), h) }
+    val mem = MemoryStream[CleanPage]
+    val out = StreamingCleanCorpus.cleanCorpusStream(mem.toDF(),
+      "doc_id", "ts", "html", blocklist = Seq("badword"),
+      watermarkDelay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("clean_stream")
+      .outputMode("append").start()
+    val got = try {
+      mem.addData(rows.take(3): _*); q.processAllAvailable()
+      mem.addData(rows.drop(3): _*); q.processAllAvailable()
+      spark.table("clean_stream").collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+    } finally q.stop()
+    // the batch reference: ids arrive in id order, so streaming
+    // first-arrival == batch min-id for the duplicate pair
+    val want = graft.pipeline.Dedup.cleanCorpusFrontEnd(
+        rows.toDF().select(col("doc_id"), col("html")),
+        "doc_id", "html", blocklist = Seq("badword"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want, s"stream=${got.keySet} batch=${want.keySet}")
+    assert(want.keySet == Set(1L, 2L, 4L),
+      s"fixture must exercise every gate: ${want.keySet}")
+    // the PII page survived SCRUBBED, chrome never reached the corpus
+    assert(got(4L).contains("[EMAIL]") && got(4L).contains("[CARD]") &&
+      !got(4L).contains("jane.doe@example.com"), got(4L))
+    assert(got.values.forall(t => !t.contains("Copyright")), got)
+    graft.pipeline.CacheLedger.drain()
+  }
+}
+
+object StreamingSpec {
+  // top-level so spark.implicits derives an Encoder (a method-local
+  // case class has no stable type tag for the product encoder)
+  final case class CleanPage(doc_id: Long, ts: Timestamp, html: String)
 }
