@@ -1093,6 +1093,16 @@ object Dedup {
     val dropped = content.join(dupFirst.hint("shuffle_hash"), Seq("lk"))
       .filter(struct(col(idCol), col("pos")) =!= col("__first"))
       .select(col(idCol), col("pos"))
+    rebuildWithoutLines(docs, idCol, textCol, lines, dropped)
+  }
+
+  /** Reassemble `docs` with the `(id, pos)` rows of `dropped` removed —
+    * shared by [[dedupLines]] and [[linesAgainstIndex]]. Untouched docs
+    * pass through VERBATIM; a touched doc whose every line dropped
+    * reassembles to "".
+    */
+  private def rebuildWithoutLines(docs: DataFrame, idCol: String,
+      textCol: String, lines: DataFrame, dropped: DataFrame): DataFrame = {
     val touched = dropped.select(col(idCol)).distinct()
     val rebuilt = lines.join(touched, Seq(idCol))
       .join(dropped, Seq(idCol, "pos"), "left_anti")
@@ -1110,6 +1120,147 @@ object Dedup {
         when(col("__touched").isNull, col(textCol))
           .otherwise(coalesce(col("__t2"), lit(""))))
       .select(docs.columns.map(col): _*)
+  }
+
+  // ---- line-level stored index -----------------------------------------
+  //
+  // The cross-snapshot lifecycle for LINE dedup (p37's rule), closing
+  // the stored-index matrix: exact-doc / minhash / cosine / hamming all
+  // have save → screen → merge; line-level boilerplate is the remaining
+  // family a recurring crawl re-pays per batch without one. Same
+  // append-only partial-group monoid as the exact index: `$path/index`
+  // holds (lk, doc, pos, cnt) rows combined by (min (doc, pos), sum cnt)
+  // — merges append, history is never rewritten.
+
+  /** Persist the line-key state of `docs` (first occurrence + count per
+    * distinct non-whitespace line key) as a stored line index.
+    */
+  def saveLineIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(("line_md5_60", 60)).toDF("family", "key_bits")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    lineKeyGroups(docs, idCol, textCol)
+      .sortWithinPartitions("lk")
+      .write.mode("overwrite").parquet(s"$path/index")
+  }
+
+  /** One partial group per distinct line key of `docs`:
+    * (lk, doc, pos, cnt) with (doc, pos) = the first occurrence.
+    */
+  private def lineKeyGroups(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{split => fsplit}
+    docs
+      .select(col(idCol).cast("long").as("__doc"),
+        posexplode(fsplit(col(textCol), "\n")).as(Seq("pos", "line")))
+      .filter(col("line").rlike("\\S"))
+      .withColumn("lk", TextOps.lineKey(col("line")))
+      .groupBy("lk")
+      .agg(min(struct(col("__doc").as("doc"), col("pos").cast("long").as("pos")))
+        .as("__f"), count(lit(1)).as("cnt"))
+      .select(col("lk"), col("__f.doc").as("doc"), col("__f.pos").as("pos"),
+        col("cnt").cast("long").as("cnt"))
+  }
+
+  /** The stored line-key partials back from [[saveLineIndex]], meta
+    * validated + the per-file probe (keys must fit the 60-bit md5
+    * family — a foreign-engine append with 64-bit hashes would
+    * silently stop matching the batch's keys).
+    */
+  def loadLineIndex(spark: SparkSession, path: String): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta")
+      .select(col("family").cast("string"), col("key_bits").cast("int"))
+      .collect()
+    require(meta.length == 1,
+      s"loadLineIndex: expected ONE meta row at $path/meta, got ${meta.length}")
+    require(meta(0).getString(0) == "line_md5_60",
+      s"loadLineIndex: index family ${meta(0).getString(0)} at $path is " +
+        "not line_md5_60 — foreign key material would silently stop " +
+        "matching batch lines")
+    val bits = meta(0).getInt(1)
+    val idx = spark.read.parquet(s"$path/index")
+    require(Seq("lk", "doc", "pos", "cnt").forall(idx.columns.contains),
+      s"loadLineIndex: not a line index at $path: ${idx.columns.mkString(",")}")
+    probeFiles(spark, s"$path/index").foreach { f =>
+      val r = spark.read.parquet(f).select(col("lk").cast("long"))
+        .limit(1).collect()
+      r.headOption.foreach { row =>
+        val k = row.getLong(0)
+        require(k >= 0 && (bits == 64 || k < (1L << bits)),
+          s"loadLineIndex: file $f carries key $k outside the " +
+            s"$bits-bit family at $path")
+      }
+    }
+    idx
+  }
+
+  /** Screen a batch's LINES against the stored line index — the p37
+    * rule under the cross-snapshot temporal contract: a batch line is
+    * dropped when its key exists ANYWHERE in the stored corpus (the
+    * corpus was ingested first, so its occurrence wins regardless of
+    * ids), or when an earlier batch occurrence (smaller (doc, pos))
+    * carries the same key. Whitespace-only lines always pass; untouched
+    * docs pass VERBATIM; returns the rewritten batch docs.
+    *
+    * Shuffle ledger (`broadcastBatch = true`, the serving contract):
+    * the batch's distinct keys broadcast and SEMI-FILTER the stored
+    * index scan, and only the matching keys come back (bounded by the
+    * batch) — the corpus contributes one narrow columnar scan and zero
+    * shuffles; every remaining exchange is batch-proportional.
+    */
+  def linesAgainstIndex(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String,
+      broadcastBatch: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.{split => fsplit}
+    val spark = newDocs.sparkSession
+    val idx = loadLineIndex(spark, indexPath)
+    val lines = newDocs
+      .select(col(idCol), posexplode(fsplit(col(textCol), "\n"))
+        .as(Seq("pos", "line")))
+    val content = lines.filter(col("line").rlike("\\S"))
+      .withColumn("lk", TextOps.lineKey(col("line")))
+      .persistTracked()
+    val bKeys = content.select("lk").distinct()
+    val hitKeys = (if (broadcastBatch)
+        idx.join(broadcast(bKeys), Seq("lk"), "left_semi")
+      else idx.join(bKeys, Seq("lk"), "left_semi"))
+      .select("lk").distinct()
+    // every batch occurrence of a corpus-known key is dropped
+    val corpusDrops = content
+      .join(if (broadcastBatch) broadcast(hitKeys) else hitKeys,
+        Seq("lk"), "left_semi")
+      .select(col(idCol), col("pos"))
+    // keys NOT in the corpus dedup within the batch (p37's rule)
+    val fresh = content.join(
+      if (broadcastBatch) broadcast(hitKeys) else hitKeys,
+      Seq("lk"), "left_anti")
+    val dupFirst = fresh.groupBy("lk")
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"),
+        count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > 1)
+      .select(col("lk"), col("__first"))
+    val batchDrops = fresh.join(dupFirst.hint("shuffle_hash"), Seq("lk"))
+      .filter(struct(col(idCol), col("pos")) =!= col("__first"))
+      .select(col(idCol), col("pos"))
+    rebuildWithoutLines(newDocs, idCol, textCol, lines,
+      corpusDrops.unionByName(batchDrops))
+  }
+
+  /** Fold a batch INTO the stored line index: the batch's own partial
+    * groups are APPENDED as new files (O(batch); readers combine by the
+    * (min (doc, pos), sum cnt) monoid, so N appends serve identically
+    * to a rebuild). Fold the RAW batch — occurrence counts are part of
+    * the served state.
+    */
+  def mergeIntoLineIndex(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String): Unit = {
+    val spark = newDocs.sparkSession
+    loadLineIndex(spark, indexPath) // validates family before writing
+    lineKeyGroups(newDocs, idCol, textCol)
+      .sortWithinPartitions("lk")
+      .write.mode("append").parquet(s"$indexPath/index")
   }
 
   // ---- duplicated-span removal ----------------------------------------

@@ -1151,6 +1151,59 @@ object PipelineQueries {
           col("keep_id"), col("n_corpus"), col("keep"))
     }),
 
+    // line-level stored-index screen (round-11, closing the
+    // cross-snapshot matrix: exact-doc/minhash/cosine/hamming all have
+    // save→screen→merge; this is the LINE family — the per-batch
+    // boilerplate pass a recurring crawl otherwise re-pays over the
+    // full history). p37's plant (shared footer + per-doc unique line),
+    // even ids = the stored crawl-N line index, odd ids = the batch;
+    // a batch line dies when the corpus knows its key (temporal
+    // contract: the corpus was ingested first) or an earlier batch
+    // (doc, pos) carries it. Output = the REWRITTEN batch docs.
+    "p113_line_screen" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit("\nshared footer please subscribe\nuniq-"),
+          col("doc_id").cast("string")).as("text"))
+      val out = withPipelineArtifact(dir, "p113_line_idx") { stage =>
+        Dedup.saveLineIndex(planted.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", s"$stage/idx")
+      }
+      Dedup.linesAgainstIndex(planted.filter(col("doc_id") % 2 === 1),
+        s"$out/idx", "doc_id", "text")
+    }),
+
+    // URL-frontier screen (round-11 — "have we fetched this URL
+    // before, under ANY raw spelling?", the crawl scheduler's hottest
+    // question): the p77 plant's RFC 3986 spelling variants are
+    // canonicalized, the even ids' canonical keys persist as a stored
+    // EXACT index, and the odd batch screens against it — n_corpus > 0
+    // = already fetched, keep = this batch row is the canonical first
+    // fetch across corpus ∪ batch
+    "p114_url_frontier" -> ((s, dir) => {
+      val urls = docs(s, dir).select(col("doc_id"),
+        UrlOps.canonicalizeUrl(concat(
+          when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("http")),
+          lit("://Site"), (col("doc_id") % 10).cast("string"),
+          lit(".Example.COM"),
+          when(col("doc_id") % 3 === 0, lit(":80")).otherwise(lit("")),
+          lit("/Page/"), (col("doc_id") % 7).cast("string"),
+          when(col("doc_id") % 2 === 1, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("?id="), (col("doc_id") % 5).cast("string"),
+              lit("&utm_source=feed")))
+            .otherwise(concat(lit("?utm_source=feed&utm_campaign=x&id="),
+              (col("doc_id") % 5).cast("string"))),
+          lit("#s"), (col("doc_id") % 2).cast("string"))).as("text"))
+      val out = withPipelineArtifact(dir, "p114_url_idx") { stage =>
+        Dedup.saveExactIndex(urls.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", s"$stage/idx")
+      }
+      Dedup.exactAgainstIndex(urls.filter(col("doc_id") % 2 === 1),
+          s"$out/idx", "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("content_hash"),
+          col("keep_id"), col("n_corpus"), col("keep"))
+    }),
+
     // deterministic epoch shuffle (round-10 — reproducible multi-epoch
     // data order: fresh salt per epoch so orders are independent;
     // the sort is the one a shuffled-dataset write pays anyway)
@@ -3731,6 +3784,103 @@ object PipelineQueries {
                     ELSE text END AS text
              FROM documents),
            h AS (SELECT doc_id, md5(text) AS content_hash FROM d),
+           k AS (SELECT content_hash, min(doc_id) AS keep_id
+                 FROM h GROUP BY 1),
+           c AS (SELECT content_hash, count(*) AS n_corpus
+                 FROM h WHERE doc_id % 2 = 0 GROUP BY 1)
+         SELECT h.doc_id, h.content_hash, k.keep_id,
+           CAST(coalesce(c.n_corpus, 0) AS BIGINT) AS n_corpus,
+           h.doc_id = k.keep_id AS keep
+         FROM h JOIN k USING (content_hash) LEFT JOIN c USING (content_hash)
+         WHERE h.doc_id % 2 = 1""",
+
+    // the p37 line rule under the cross-snapshot temporal contract,
+    // restricted to the odd (batch) docs: a batch line dies when its
+    // key appears in ANY even (corpus) doc, or when an earlier batch
+    // (doc, pos) carries it; whitespace lines pass, untouched docs
+    // verbatim, touched docs reassemble in position order
+    "p113_line_screen" ->
+      raw"""WITH d0 AS (SELECT doc_id,
+                text || chr(10) || 'shared footer please subscribe' ||
+                chr(10) || 'uniq-' || doc_id::VARCHAR AS text
+              FROM documents),
+             b AS (SELECT * FROM d0 WHERE doc_id % 2 = 1),
+             bl0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM b),
+             bl AS (SELECT doc_id, i - 1 AS pos, ls[i] AS line
+                    FROM bl0, unnest(generate_series(1, len(ls))) t(i)),
+             bc AS (SELECT doc_id, pos,
+                      ('0x' || substr(md5(array_to_string(list_filter(
+                        string_split_regex(lower(trim(line)), '\s+'),
+                        x -> x != ''), ' ')), 1, 15))::BIGINT AS k
+                    FROM bl WHERE regexp_matches(line, '\S')),
+             e AS (SELECT * FROM d0 WHERE doc_id % 2 = 0),
+             el0 AS (SELECT string_split(text, chr(10)) AS ls FROM e),
+             el AS (SELECT ls[i] AS line
+                    FROM el0, unnest(generate_series(1, len(ls))) t(i)),
+             ck AS (SELECT DISTINCT
+                      ('0x' || substr(md5(array_to_string(list_filter(
+                        string_split_regex(lower(trim(line)), '\s+'),
+                        x -> x != ''), ' ')), 1, 15))::BIGINT AS k
+                    FROM el WHERE regexp_matches(line, '\S')),
+             fresh AS (SELECT bc.* FROM bc ANTI JOIN ck USING (k)),
+             rm AS (SELECT doc_id, pos FROM bc SEMI JOIN ck USING (k)
+                    UNION ALL
+                    SELECT doc_id, pos FROM (
+                      SELECT doc_id, pos, row_number() OVER (PARTITION BY k
+                        ORDER BY doc_id, pos) AS rn FROM fresh)
+                    WHERE rn > 1),
+             touched AS (SELECT DISTINCT doc_id FROM rm),
+             wp AS (SELECT doc_id, pos, line FROM bl
+                    WHERE doc_id IN (SELECT doc_id FROM touched)),
+             kept AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t2
+                      FROM wp ANTI JOIN rm USING (doc_id, pos)
+                      GROUP BY doc_id)
+         SELECT b.doc_id,
+           CASE WHEN t.doc_id IS NULL THEN b.text
+                ELSE coalesce(kept.t2, '') END AS text
+         FROM b LEFT JOIN touched t USING (doc_id)
+                LEFT JOIN kept USING (doc_id)""",
+
+    // p77's canonicalization CTEs + p109's keep rule over the canonical
+    // keys, restricted to the odd (batch) side
+    "p114_url_frontier" ->
+      raw"""WITH d AS (
+             SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END) ||
+               '://Site' || (doc_id % 10)::VARCHAR || '.Example.COM' ||
+               (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END) ||
+               '/Page/' || (doc_id % 7)::VARCHAR ||
+               (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) ||
+               (CASE WHEN doc_id % 2 = 0
+                     THEN '?id=' || (doc_id % 5)::VARCHAR || '&utm_source=feed'
+                     ELSE '?utm_source=feed&utm_campaign=x&id=' ||
+                          (doc_id % 5)::VARCHAR END) ||
+               '#s' || (doc_id % 2)::VARCHAR AS raw_url
+             FROM documents),
+           c0 AS (SELECT doc_id, raw_url,
+                    regexp_replace(raw_url, '#.*$$', '') AS u FROM d),
+           c1 AS (SELECT doc_id,
+                    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+                    regexp_replace(regexp_extract(u,
+                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?]*)', 1), '/+$$', '') AS path,
+                    regexp_extract(u, '\?(.*)$$', 1) AS query
+                  FROM c0),
+           c2 AS (SELECT doc_id,
+                    scheme || '://' ||
+                    (CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+                          THEN regexp_replace(hostport, ':80$$', '')
+                          WHEN scheme = 'https' AND hostport LIKE '%:443'
+                          THEN regexp_replace(hostport, ':443$$', '')
+                          ELSE hostport END) || path ||
+                    (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS canonical_url
+                  FROM (SELECT *, array_to_string(list_sort(list_filter(
+                          string_split(query, '&'),
+                          p -> len(p) > 0 AND NOT regexp_matches(
+                            lower(regexp_extract(p, '^([^=]*)', 1)),
+                            '^(utm_[a-z]+|fbclid|gclid|msclkid|ref)$$'))), '&') AS cq
+                        FROM c1)),
+           h AS (SELECT doc_id, md5(canonical_url) AS content_hash FROM c2),
            k AS (SELECT content_hash, min(doc_id) AS keep_id
                  FROM h GROUP BY 1),
            c AS (SELECT content_hash, count(*) AS n_corpus

@@ -529,6 +529,62 @@ class PipelineSpec extends SparkSpecBase {
     CacheLedger.drain()
   }
 
+  test("line stored index: temporal screen rule; fold == rebuild; foreign keys fail loudly") {
+    import spark.implicits._
+    val corpus = docsOf(
+      (2L, "alpha one\nshared footer\nbeta"),
+      (4L, "gamma\nshared footer"))
+    val batch = docsOf(
+      (11L, "fresh line one\nshared footer\nfresh line two"),
+      (13L, "batch dup line\n\t\nunique a"),
+      (15L, "batch dup line\nunique b"))
+    val dir = java.nio.file.Files.createTempDirectory("line_idx").toString
+    Dedup.saveLineIndex(corpus, "doc_id", "text", dir)
+    def screenMap(df: DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = screenMap(
+      Dedup.linesAgainstIndex(batch, dir, "doc_id", "text"))
+    // corpus-known line dies from the TOUCHED doc; whitespace-only
+    // lines always pass; the batch-internal dup keeps its first
+    // (doc, pos) occurrence; untouched docs pass verbatim
+    assert(out == Map(
+      11L -> "fresh line one\nfresh line two",
+      13L -> "batch dup line\n\t\nunique a",
+      15L -> "unique b"), out)
+    // fold == rebuild: after merging the batch in, a later batch's
+    // screen must equal screening against a fresh corpus ∪ batch index
+    Dedup.mergeIntoLineIndex(batch, dir, "doc_id", "text")
+    val batch2 = docsOf(
+      (21L, "unique a\nbrand new line"), // 'unique a' now known (from 13)
+      (23L, "another new line"))
+    val rebuilt = java.nio.file.Files.createTempDirectory("line_idx2").toString
+    Dedup.saveLineIndex(corpus.unionByName(batch), "doc_id", "text", rebuilt)
+    val foldScreen = screenMap(
+      Dedup.linesAgainstIndex(batch2, dir, "doc_id", "text"))
+    assert(foldScreen == screenMap(
+      Dedup.linesAgainstIndex(batch2, rebuilt, "doc_id", "text")),
+      "fold != rebuild")
+    assert(foldScreen(21L) == "brand new line" &&
+      foldScreen(23L) == "another new line", foldScreen)
+    // a foreign append with keys outside the 60-bit family fails loudly
+    Seq((1L << 62, 1L, 0L, 1L)).toDF("lk", "doc", "pos", "cnt")
+      .coalesce(1).write.mode("append").parquet(s"$dir/index")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.loadLineIndex(spark, dir)
+    }
+    assert(e.getMessage.contains("outside the"), e.getMessage)
+    // a foreign FAMILY in meta fails before any join
+    Seq(("simhash", 48)).toDF("family", "key_bits")
+      .write.mode("overwrite").parquet(s"$rebuilt/meta")
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.loadLineIndex(spark, rebuilt)
+    }
+    assert(e2.getMessage.contains("not line_md5_60"), e2.getMessage)
+    for (d <- Seq(dir, rebuilt))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+    CacheLedger.drain()
+  }
+
   test("incremental hamming == full pairs touching the batch; stored index serves identically") {
     // groups of <=3 docs share a 48-bit base signature; members get a
     // doc-derived bit flip (the p74/p82 plant)
