@@ -651,6 +651,48 @@ object ScaleSmokeDocs {
       batch.unpersist()
     }
 
+    // exact + line stored-index screens (round-11): the same
+    // crawl-N/crawl-N+1 shape for the two CHEAPEST families. Builds
+    // are linear (the crawl-N cost); the screen rows are the decade
+    // claim — per-batch cost tracks the 20k batch while the corpus
+    // grows 10×, because the corpus is touched only through one
+    // broadcast-semi-filtered scan of its stored index.
+    if (Seq("exact_index_build", "exact_screen_20k",
+        "line_index_build", "line_screen_20k").exists(wanted)) {
+      val batchN = 20000L
+      // every 10th batch doc duplicates a corpus doc VERBATIM (the
+      // exact family's plant); the rest are fresh
+      val bIsDup = col("id") % 10 === 1
+      val srcId = pmod(col("id") * 97, lit(totalDocs))
+      val batch = spark.range(batchN).select(
+        (col("id") + totalDocs).as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(words - 1)), i => {
+          val h = when(bIsDup, hash(srcId, i))
+            .otherwise(hash(col("id") + totalDocs, i, lit("z")))
+          concat(lit("w"), pmod(h, lit(5000)))
+        })).as("text")).persist()
+      batch.count()
+      val exDir = s"/tmp/graft_ex_idx_$totalDocs"
+      stage("exact_index_build")({
+        Dedup.saveExactIndex(docs, "doc_id", "text", exDir)
+        spark.read.parquet(s"$exDir/index").count()
+      })
+      val exHits = stage("exact_screen_20k")(
+        Dedup.exactAgainstIndex(batch, exDir, "doc_id", "text")
+          .filter(col("n_corpus") > 0).count())
+      if (exHits >= 0)
+        println(s"[docs-scale]   exact_screen hits=$exHits " +
+          s"(planted ${batchN / 10})")
+      val lnDir = s"/tmp/graft_ln_idx_$totalDocs"
+      stage("line_index_build")({
+        Dedup.saveLineIndex(docs, "doc_id", "text", lnDir)
+        spark.read.parquet(s"$lnDir/index").count()
+      })
+      stage("line_screen_20k")(
+        Dedup.linesAgainstIndex(batch, lnDir, "doc_id", "text").count())
+      batch.unpersist()
+    }
+
     // backfill-scale screen (round-10): the SAME corpus in the bucketed
     // layout, screened by a 632k-doc batch — a batch too big to
     // broadcast, the regime the bucketBy(join keys) tables exist for.

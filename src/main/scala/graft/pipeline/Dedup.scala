@@ -189,6 +189,134 @@ object Dedup {
       .write.mode("append").parquet(s"$indexPath/index")
   }
 
+  // ---- bloom sidecar for the exact index ---------------------------------
+  //
+  // The frontier FAST PATH: at crawl scale the overwhelming majority of
+  // an arriving batch is NEW content, and a membership sketch answers
+  // "definitely new" from memory with zero index I/O — only the
+  // sketch-positive minority (true duplicates + the configured
+  // false-positive rate) pays the exact stored-index confirm. Because a
+  // Bloom filter has NO false negatives, the bloom-gated screen returns
+  // the IDENTICAL relation to [[exactAgainstIndex]] — which is what the
+  // oracle states. Sizing: ~9.6 bits/key at 1% fpp (a 1B-key frontier
+  // sketch is ~1.2 GB — broadcastable; shard the corpus/sketch above
+  // that, the production frontier practice).
+
+  /** Build (or REBUILD after folds) the bloom sidecar at
+    * `$indexPath/bloom` over the stored index's keys. The sidecar pins
+    * a drift stamp (file count + total bytes of `$indexPath/index` at
+    * build time): an index that gained files since would make the
+    * sketch silently miss duplicates, so the loader fails loudly
+    * instead (rebuild costs one linear key scan — the same cost class
+    * as the fold that invalidated it).
+    */
+  def buildExactBloom(spark: SparkSession, indexPath: String,
+      expectedItems: Long, fpp: Double = 0.01): Unit = {
+    val idx = loadExactIndex(spark, indexPath)
+    val bloom = idx.stat.bloomFilter(
+      xxhash64(col("content_hash")), expectedItems, fpp)
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (nFiles, nBytes) = indexStamp(fs, s"$indexPath/index")
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$indexPath/bloom/filter.bin"), true)
+    try bloom.writeTo(out) finally out.close()
+    import spark.implicits._
+    Seq((expectedItems, fpp, nFiles, nBytes))
+      .toDF("expected_items", "fpp", "n_index_files", "n_index_bytes")
+      .write.mode("overwrite").parquet(s"$indexPath/bloom/meta")
+  }
+
+  private def indexStamp(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): (Long, Long) = {
+    val sts = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    (sts.length.toLong, sts.map(_.getLen).sum)
+  }
+
+  /** The bloom sidecar back from [[buildExactBloom]] — FAILS if the
+    * index gained/changed files since the sketch was built (a stale
+    * sketch has false negatives for the folded batch, the one failure
+    * mode a dedup screen must never have).
+    */
+  def loadExactBloom(spark: SparkSession, indexPath: String)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaP = new org.apache.hadoop.fs.Path(s"$indexPath/bloom/meta")
+    require(fs.exists(metaP),
+      s"loadExactBloom: no bloom sidecar at $indexPath/bloom — run " +
+        "buildExactBloom first")
+    val meta = spark.read.parquet(s"$indexPath/bloom/meta")
+      .select(col("n_index_files").cast("long"),
+        col("n_index_bytes").cast("long")).head()
+    val (nFiles, nBytes) = indexStamp(fs, s"$indexPath/index")
+    require(meta.getLong(0) == nFiles && meta.getLong(1) == nBytes,
+      s"loadExactBloom: the index at $indexPath changed since the bloom " +
+        s"was built (files ${meta.getLong(0)} → $nFiles, bytes " +
+        s"${meta.getLong(1)} → $nBytes) — a stale sketch would silently " +
+        "miss the folded batch's duplicates; re-run buildExactBloom")
+    val in = fs.open(
+      new org.apache.hadoop.fs.Path(s"$indexPath/bloom/filter.bin"))
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+    finally in.close()
+  }
+
+  /** [[exactAgainstIndex]] with the bloom fast path: batch hashes that
+    * the sketch rules out NEVER reach the stored-index lookup — they
+    * take the miss branch (n_corpus = 0, keep decided within the batch)
+    * directly. No false negatives ⇒ the returned relation is IDENTICAL
+    * to the unbloomed screen; the sketch-positive minority (true dups +
+    * fpp of the fresh mass) pays the exact confirm. The in-memory
+    * `maybe_dup` split itself is also exposed as
+    * [[bloomFrontierFlags]] for zero-index-I/O scheduling decisions.
+    */
+  def exactAgainstIndexBloom(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val spark = newDocs.sparkSession
+    val bloom = loadExactBloom(spark, indexPath)
+    val idx = loadExactIndex(spark, indexPath)
+    val batch = newDocs.select(col(idCol).cast("long").as("doc"),
+      md5(col(textCol)).as("content_hash"))
+      .withColumn("__maybe", graft.functions.BloomMightContain(
+        xxhash64(col("content_hash")), bloom))
+      .persistTracked()
+    // only sketch-positive hashes consult the stored index
+    val bKeys = batch.filter(col("__maybe"))
+      .select("content_hash").distinct()
+    val matching =
+      if (broadcastBatch)
+        idx.join(broadcast(bKeys), Seq("content_hash"), "left_semi")
+      else idx.join(bKeys, Seq("content_hash"), "left_semi")
+    val stored = matching.groupBy("content_hash")
+      .agg(min(col("keep_id")).as("__ck"), sum(col("dup_cnt")).as("__cn"))
+    val batchMin = batch.groupBy("content_hash")
+      .agg(min(col("doc")).as("__bm"))
+    batch
+      .join(batchMin, Seq("content_hash"))
+      .join(stored, Seq("content_hash"), "left")
+      .select(col("doc"), col("content_hash"),
+        least(col("__ck"), col("__bm")).as("keep_id"),
+        coalesce(col("__cn"), lit(0L)).as("n_corpus"),
+        (col("doc") === least(col("__ck"), col("__bm"))).as("keep"))
+  }
+
+  /** The pure in-memory frontier split — zero index I/O: per batch doc,
+    * `maybe_dup` = the sketch cannot rule it out (true duplicate or a
+    * false positive at the build fpp), `false` = DEFINITELY new. The
+    * scheduling primitive: route maybe-dups to the exact confirm queue,
+    * fetch the rest immediately.
+    */
+  def bloomFrontierFlags(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String): DataFrame = {
+    val bloom = loadExactBloom(newDocs.sparkSession, indexPath)
+    newDocs.select(col(idCol).cast("long").as("doc"),
+      md5(col(textCol)).as("content_hash"))
+      .withColumn("maybe_dup", graft.functions.BloomMightContain(
+        xxhash64(col("content_hash")), bloom))
+  }
+
   /** [[saveExactIndex]] in the backfill layout: the same partial-group
     * relation at the same path, `bucketBy(content_hash)` as an external
     * catalog table (still plain-parquet readable), meta additionally

@@ -1151,6 +1151,28 @@ object PipelineQueries {
           col("keep_id"), col("n_corpus"), col("keep"))
     }),
 
+    // bloom-prefiltered exact screen (round-11, the crawl-frontier
+    // FAST PATH): a membership sketch built over the stored index's
+    // keys answers "definitely new" in memory — only sketch-positive
+    // hashes (true dups + the 1% fpp of the fresh mass) consult the
+    // index at all. A Bloom filter has NO false negatives, so the
+    // relation is IDENTICAL to p109's — which is exactly what the
+    // oracle states: hash-exact equality here IS the no-false-negative
+    // proof over this corpus
+    "p115_bloom_screen" -> ((s, dir) => {
+      val planted = exactPlant(docs(s, dir))
+      val out = withPipelineArtifact(dir, "p115_exact_bloom_idx") { stage =>
+        Dedup.saveExactIndex(planted.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", s"$stage/idx")
+        Dedup.buildExactBloom(s, s"$stage/idx",
+          expectedItems = 10000L, fpp = 0.01)
+      }
+      Dedup.exactAgainstIndexBloom(planted.filter(col("doc_id") % 2 === 1),
+          s"$out/idx", "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("content_hash"),
+          col("keep_id"), col("n_corpus"), col("keep"))
+    }),
+
     // line-level stored-index screen (round-11, closing the
     // cross-snapshot matrix: exact-doc/minhash/cosine/hamming all have
     // save→screen→merge; this is the LINE family — the per-batch
@@ -3779,6 +3801,24 @@ object PipelineQueries {
     // rows — the stored-index screen must return the identical
     // relation without ever re-aggregating the corpus
     "p109_exact_screen" ->
+      """WITH d AS (SELECT doc_id,
+               CASE WHEN doc_id % 5 < 2 THEN 'grp:' || (doc_id // 4)::VARCHAR
+                    ELSE text END AS text
+             FROM documents),
+           h AS (SELECT doc_id, md5(text) AS content_hash FROM d),
+           k AS (SELECT content_hash, min(doc_id) AS keep_id
+                 FROM h GROUP BY 1),
+           c AS (SELECT content_hash, count(*) AS n_corpus
+                 FROM h WHERE doc_id % 2 = 0 GROUP BY 1)
+         SELECT h.doc_id, h.content_hash, k.keep_id,
+           CAST(coalesce(c.n_corpus, 0) AS BIGINT) AS n_corpus,
+           h.doc_id = k.keep_id AS keep
+         FROM h JOIN k USING (content_hash) LEFT JOIN c USING (content_hash)
+         WHERE h.doc_id % 2 = 1""",
+
+    // p109's oracle VERBATIM: the bloom fast path must return the
+    // identical relation (no false negatives, by construction)
+    "p115_bloom_screen" ->
       """WITH d AS (SELECT doc_id,
                CASE WHEN doc_id % 5 < 2 THEN 'grp:' || (doc_id // 4)::VARCHAR
                     ELSE text END AS text

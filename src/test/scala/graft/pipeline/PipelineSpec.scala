@@ -529,6 +529,60 @@ class PipelineSpec extends SparkSpecBase {
     CacheLedger.drain()
   }
 
+  test("exact-index bloom sidecar: screen identical; no false negatives; stale sketch fails") {
+    import spark.implicits._
+    val planted = docs.select(col("doc_id"),
+      when(col("doc_id") % 5 < 2,
+        concat(lit("grp:"), expr("doc_id div 4").cast("string")))
+        .otherwise(col("text")).as("text"))
+    val corpus = planted.filter(col("doc_id") % 4 < 2)
+    val batch = planted.filter(col("doc_id") % 4 >= 2)
+    val dir = java.nio.file.Files.createTempDirectory("ex_bloom").toString
+    Dedup.saveExactIndex(corpus, "doc_id", "text", dir)
+    // no sidecar yet: the bloom paths must refuse, not degrade
+    val e0 = intercept[IllegalArgumentException] {
+      Dedup.loadExactBloom(spark, dir)
+    }
+    assert(e0.getMessage.contains("no bloom sidecar"), e0.getMessage)
+    Dedup.buildExactBloom(spark, dir, expectedItems = 1000L, fpp = 0.01)
+    def screenMap(df: DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // the bloom-gated screen returns the IDENTICAL relation — the
+    // no-false-negative contract made a row-for-row assertion
+    val plain = screenMap(Dedup.exactAgainstIndex(batch, dir, "doc_id", "text"))
+    val bloomed = screenMap(
+      Dedup.exactAgainstIndexBloom(batch, dir, "doc_id", "text"))
+    assert(bloomed == plain && plain.values.exists(_._3 > 0),
+      "bloom screen diverged (or the plant missed the corpus)")
+    // the in-memory frontier split: every TRUE duplicate is maybe_dup
+    // (no false negatives); the fresh mass is mostly ruled out (fpp 1%,
+    // asserted with a wide margin)
+    val flags = Dedup.bloomFrontierFlags(batch, dir, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val trueDups = plain.collect { case (id, (_, _, n, _)) if n > 0 => id }
+    assert(trueDups.nonEmpty && trueDups.forall(flags(_)),
+      "a true duplicate was ruled out — a bloom false negative")
+    val fresh = plain.collect { case (id, (_, _, 0L, _)) => id }.toSeq
+    val fpRate = fresh.count(flags(_)).toDouble / fresh.size
+    assert(fpRate < 0.1, f"false-positive rate $fpRate%.3f way above fpp")
+    // a fold invalidates the sketch: the loader must fail LOUDLY (a
+    // stale sketch has false negatives for the folded batch)
+    Dedup.mergeIntoExactIndex(batch, dir, "doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.exactAgainstIndexBloom(batch, dir, "doc_id", "text")
+    }
+    assert(e1.getMessage.contains("re-run buildExactBloom"), e1.getMessage)
+    // rebuilding restores service over the folded index
+    Dedup.buildExactBloom(spark, dir, expectedItems = 2000L, fpp = 0.01)
+    val after = screenMap(
+      Dedup.exactAgainstIndexBloom(batch, dir, "doc_id", "text"))
+    assert(after == screenMap(
+      Dedup.exactAgainstIndex(batch, dir, "doc_id", "text")))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    CacheLedger.drain()
+  }
+
   test("line stored index: temporal screen rule; fold == rebuild; foreign keys fail loudly") {
     import spark.implicits._
     val corpus = docsOf(
