@@ -280,6 +280,51 @@ object Sampling {
       (col("__gidx") + 1L - col("epoch") * nDocs).as("position"))
   }
 
+  /** Quality-annealed multi-epoch schedule — the "data annealing" /
+    * midtraining recipe (the Llama-3-class finding that the FINAL
+    * training phase should re-weight toward the highest-quality data,
+    * and MiniCPM's two-stage WSD variant): epoch 0 replays the whole
+    * corpus, and each later epoch admits only the best keep-fraction by
+    * `scoreCol` (LOWER = better — the NLL/perplexity convention of
+    * [[Quality.lmScore]]), the fraction annealing LINEARLY from 100%
+    * down to `finalKeepBp` basis points at the last epoch.
+    *
+    * Determinism/scale shape: the per-epoch cutoffs are EXACT
+    * percentiles computed in ONE aggregate over the corpus (the p38
+    * discipline — a bucket-free percentile aggregate, never a global
+    * sort) and broadcast as one row; admission is then a pure
+    * comparison, so the schedule is identical at any parallelism and
+    * SQL-replayable (Spark's percentile and DuckDB's quantile_cont
+    * share the `lower + d·(higher−lower)` interpolation). Ties at a
+    * cutoff are admitted together — no RNG, no rank. NULL scores (docs
+    * the scorer could not rank, e.g. empty texts) ride ONLY the
+    * full-corpus epoch 0. Returns (idCol, epoch, scoreCol) admitted
+    * pairs.
+    */
+  def annealSchedule(docs: DataFrame, idCol: String, scoreCol: String,
+      nEpochs: Int, finalKeepBp: Int): DataFrame = {
+    require(nEpochs >= 2, s"annealing needs nEpochs >= 2: $nEpochs")
+    require(finalKeepBp > 0 && finalKeepBp <= 10000,
+      s"finalKeepBp must be in (0, 10000]: $finalKeepBp")
+    val bps = (0 until nEpochs).map(e =>
+      10000L - (10000L - finalKeepBp) * e / (nEpochs - 1))
+    val fracSql = bps.map(bp => s"CAST($bp AS DOUBLE)/10000.0").mkString(",")
+    val cuts = docs.agg(
+      expr(s"percentile($scoreCol, array($fracSql))").as("__cuts"))
+    docs.select(col(idCol), col(scoreCol))
+      .crossJoin(broadcast(cuts))
+      .select(col(idCol), col(scoreCol),
+        explode(typedLit((0L until nEpochs.toLong))).as("epoch"),
+        col("__cuts"))
+      .filter(
+        // epoch 0's 10000 bp admits EVERYTHING, null scores included
+        element_at(typedLit(bps.map(_ == 10000L)),
+          (col("epoch") + 1).cast("int")) ||
+        col(scoreCol) <= element_at(col("__cuts"),
+          (col("epoch") + 1).cast("int")))
+      .select(col(idCol), col("epoch"), col(scoreCol))
+  }
+
   /** Repeat-upsampling under a fixed token budget (Muennighoff '23,
     * "Scaling Data-Constrained Language Models": up to ~4 epochs of
     * repeated data are nearly as good as fresh data; beyond that,

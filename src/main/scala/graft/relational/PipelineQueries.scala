@@ -1151,6 +1151,18 @@ object PipelineQueries {
           col("keep_id"), col("n_corpus"), col("keep"))
     }),
 
+    // quality-annealed multi-epoch schedule (round-11 — the data
+    // side of "anneal on high-quality data last": epoch 0 replays the
+    // corpus, later epochs keep the most-fluent fraction by the p36
+    // LM score, linearly down to 25% at epoch 3). Cutoffs = ONE exact
+    // multi-percentile aggregate broadcast (the p38 discipline, no
+    // global sort); admission a pure comparison — deterministic and
+    // SQL-replayable
+    "p116_anneal_schedule" -> ((s, dir) =>
+      Sampling.annealSchedule(
+        Quality.lmScore(docs(s, dir), "doc_id", "text"),
+        "doc_id", "lm_nll", nEpochs = 4, finalKeepBp = 2500)),
+
     // bloom-prefiltered exact screen (round-11, the crawl-frontier
     // FAST PATH): a membership sketch built over the stored index's
     // keys answers "definitely new" in memory — only sketch-positive
@@ -3815,6 +3827,36 @@ object PipelineQueries {
            h.doc_id = k.keep_id AS keep
          FROM h JOIN k USING (content_hash) LEFT JOIN c USING (content_hash)
          WHERE h.doc_id % 2 = 1""",
+
+    // p36's scoring CTEs + one quantile_cont over the same fraction
+    // list (both engines interpolate lower + d·(higher−lower), the p38
+    // precedent); epoch 0 admits everything incl. NULL-score docs
+    "p116_anneal_schedule" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+             tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+             c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+             t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                          CAST(count(*) AS BIGINT) AS v FROM c),
+             s AS (SELECT doc_id,
+                     CAST(round(-ln((cnt + 1.0) / (n + v)) * 1000000)
+                          AS BIGINT) AS nllu
+                   FROM tok JOIN c USING (term), t),
+             g AS (SELECT doc_id,
+                     round(CAST(sum(nllu) AS BIGINT)
+                           / (count(*) * 1000000.0), 6) AS lm_nll
+                   FROM s GROUP BY 1),
+             sc AS (SELECT doc_id, lm_nll
+                    FROM documents LEFT JOIN g USING (doc_id)),
+             cut AS (SELECT quantile_cont(lm_nll,
+                       [CAST(10000 AS DOUBLE)/10000.0,
+                        CAST(7500 AS DOUBLE)/10000.0,
+                        CAST(5000 AS DOUBLE)/10000.0,
+                        CAST(2500 AS DOUBLE)/10000.0]) AS cuts FROM sc),
+             e AS (SELECT doc_id, lm_nll, unnest([0, 1, 2, 3]) AS epoch
+                   FROM sc)
+         SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, lm_nll
+         FROM e, cut
+         WHERE epoch = 0 OR lm_nll <= cuts[epoch + 1]""",
 
     // p109's oracle VERBATIM: the bloom fast path must return the
     // identical relation (no false negatives, by construction)

@@ -177,6 +177,56 @@ object StreamingDedup {
       }
   }
 
+  /** Streaming EXACT screen against a stored exact index
+    * ([[graft.pipeline.Dedup.saveExactIndex]]) — the content-hash
+    * frontier question per arriving document: how many times has this
+    * exact content been seen in the stored corpus, and what is its
+    * canonical id there? Stateless: one hash projection + a
+    * stream-static LEFT join against the index's partial groups
+    * COMBINED ONCE at stream construction (min keep / sum cnt per
+    * hash, pre-partitioned on the hash — the cosineScreenStream
+    * barrier, so each micro-batch exchanges only itself). Within-batch
+    * duplicates are [[dedupExactStream]]'s job upstream; fold
+    * survivors in via `mergeIntoExactIndex` downstream (and re-run
+    * `buildExactBloom` — its drift stamp makes forgetting that loud).
+    *
+    * `useBloom = true` adds the in-memory fast path: rows the sidecar
+    * sketch rules out take the miss branch WITHOUT touching the join
+    * at all (no false negatives ⇒ rows identical, pinned by the spec).
+    * Output: (doc_id, content_hash, n_corpus, corpus_keep — null when
+    * the corpus has never seen the content).
+    */
+  def exactScreenStream(docs: DataFrame, indexPath: String,
+      idCol: String, textCol: String,
+      useBloom: Boolean = false): DataFrame = {
+    val spark = docs.sparkSession
+    val staticSide = graft.pipeline.Dedup.loadExactIndex(spark, indexPath)
+      .groupBy("content_hash")
+      .agg(min(col("keep_id")).as("corpus_keep"),
+        sum(col("dup_cnt")).as("__cn"))
+      .repartition(col("content_hash"))
+      .persistTracked()
+    staticSide.count()
+    val hashed = docs.select(col(idCol).cast("long").as("doc_id"),
+      md5(col(textCol)).as("content_hash"))
+    def joined(src: DataFrame): DataFrame = src
+      .join(staticSide, Seq("content_hash"), "left")
+      .select(col("doc_id"), col("content_hash"),
+        coalesce(col("__cn"), lit(0L)).as("n_corpus"), col("corpus_keep"))
+    if (!useBloom) joined(hashed)
+    else {
+      val bloom = graft.pipeline.Dedup.loadExactBloom(spark, indexPath)
+      val flagged = hashed.withColumn("__maybe",
+        graft.functions.BloomMightContain(
+          xxhash64(col("content_hash")), bloom))
+      joined(flagged.filter(col("__maybe")).drop("__maybe"))
+        .unionByName(flagged.filter(!col("__maybe"))
+          .select(col("doc_id"), col("content_hash"),
+            lit(0L).as("n_corpus"),
+            lit(null).cast("long").as("corpus_keep")))
+    }
+  }
+
   final case class HammingHit(doc_a: Long, doc_b: Long, hamming: Long)
 
   /** Streaming 48-bit-signature screen against a STORED signature

@@ -529,6 +529,37 @@ class PipelineSpec extends SparkSpecBase {
     CacheLedger.drain()
   }
 
+  test("annealSchedule: linear keep fractions, nested epochs, null scores ride epoch 0 only") {
+    import spark.implicits._
+    // 100 docs with distinct scores 1..100 (lower = better) + one
+    // null-score doc (the unscorable-empty-text case)
+    val scored = (1L to 100L).map(i => (i, Some(i.toDouble)))
+      .toDF("doc_id", "q")
+      .unionByName(Seq((999L, None: Option[Double])).toDF("doc_id", "q"))
+    val out = Sampling.annealSchedule(scored, "doc_id", "q",
+        nEpochs = 4, finalKeepBp = 2500)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSeq
+    val byEpoch = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // epoch 0 = everything (incl. the null score); later epochs keep
+    // the best 75/50/25% — exact on distinct scores
+    assert(byEpoch(0L).size == 101 && byEpoch(0L).contains(999L))
+    assert(byEpoch(1L) == (1L to 75L).toSet, s"e1=${byEpoch(1L).size}")
+    assert(byEpoch(2L) == (1L to 50L).toSet)
+    assert(byEpoch(3L) == (1L to 25L).toSet)
+    // annealing is NESTED: each epoch's pool is a subset of the prior
+    for (e <- 1L to 3L)
+      assert(byEpoch(e).subsetOf(byEpoch(e - 1)), s"epoch $e not nested")
+    // deterministic at any parallelism
+    val rep = Sampling.annealSchedule(scored.repartition(13), "doc_id", "q",
+        nEpochs = 4, finalKeepBp = 2500)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(rep == out.toSet)
+    // the cutoff aggregate is ONE row — no global sort in the plan
+    val plan = Sampling.annealSchedule(scored, "doc_id", "q", 4, 2500)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort "), s"annealing must not globally sort:\n$plan")
+  }
+
   test("exact-index bloom sidecar: screen identical; no false negatives; stale sketch fails") {
     import spark.implicits._
     val planted = docs.select(col("doc_id"),

@@ -210,7 +210,11 @@ class PlanShapeSpec extends SparkSpecBase {
       // (top-lang, two gate pass rates, PII incidence) attach to the
       // one-row base aggregate — every crossJoin side is
       // Aggregate/GlobalLimit-bounded
-      "p99_corpus_datasheet")
+      "p99_corpus_datasheet",
+      // p116 attaches the ONE-ROW multi-percentile cutoff aggregate
+      // (the p38 shape: bucket-free exact percentiles, never a global
+      // sort) to the scored-doc frame
+      "p116_anneal_schedule")
     for ((name, fn) <- graft.SparkEntry.queries
          if !intentionalThetaJoins(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString

@@ -817,6 +817,41 @@ class StreamingSpec extends SparkSpecBase {
     } finally { qG.stop(); qC.stop() }
   }
 
+  test("exactScreenStream over the stored index == batch corpus stats, bloom identical") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((2L, "alpha body"), (4L, "beta body"), (6L, "alpha body"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ex_stream").toString
+    graft.pipeline.Dedup.saveExactIndex(corpus, "doc_id", "text", dir)
+    graft.pipeline.Dedup.buildExactBloom(spark, dir, expectedItems = 100L)
+    // batch rows: a corpus dup (alpha ×2 in corpus), a single-hit
+    // (beta), and fresh content — split ACROSS micro-batches
+    val rows = Seq((11L, "alpha body"), (13L, "fresh one"),
+      (15L, "beta body"), (17L, "fresh two"))
+    val expected = Map(
+      11L -> (2L, Some(2L)), 13L -> (0L, None),
+      15L -> (1L, Some(4L)), 17L -> (0L, None))
+    for (bloom <- Seq(false, true)) {
+      val mem = MemoryStream[(Long, String)]
+      val name = s"ex_screen_$bloom"
+      val q = StreamingDedup.exactScreenStream(
+          mem.toDF().toDF("doc_id", "text"), dir,
+          "doc_id", "text", useBloom = bloom)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      val got = try {
+        mem.addData(rows.take(2): _*); q.processAllAvailable()
+        mem.addData(rows.drop(2): _*); q.processAllAvailable()
+        spark.table(name).collect().map(r => r.getLong(0) ->
+          ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+      } finally q.stop()
+      assert(got == expected, s"bloom=$bloom: $got")
+    }
+    graft.pipeline.CacheLedger.drain()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("cleanCorpusStream == batch cleanCorpusFrontEnd across micro-batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
