@@ -817,6 +817,36 @@ class StreamingSpec extends SparkSpecBase {
     } finally { qG.stop(); qC.stop() }
   }
 
+  test("WordPiece segmentation serves on streams unchanged (stateless projection)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the frozen-vocab serve path: a stored vocabulary segments an
+    // arriving stream with the SAME codegen expression as batch — the
+    // per-token greedy loop carries no cross-row state at all
+    val vocab = Seq("stream", "batch", "##ing", "##es", "s", "b", "t",
+      "##t", "##r", "##e", "##a", "##m", "##i", "##n", "##g")
+    val rows = Seq((1L, "streaming batches"), (2L, "tsream"), (3L, ""))
+    val batchDf = rows.toDF("doc_id", "text")
+    def plan(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      array_join(flatten(transform(
+        graft.pipeline.TextOps.tokens(col("text")),
+        w => graft.pipeline.WordPiece.segment(w, vocab))), " ").as("wp"))
+    val expected = plan(batchDf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(expected(1L) == "stream ##ing batch ##es", expected(1L))
+    val mem = MemoryStream[(Long, String)]
+    val q = plan(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("wp_stream")
+      .outputMode("append").start()
+    val got = try {
+      mem.addData(rows.take(2): _*); q.processAllAvailable()
+      mem.addData(rows.drop(2): _*); q.processAllAvailable()
+      spark.table("wp_stream").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    } finally q.stop()
+    assert(got == expected)
+  }
+
   test("exactScreenStream over the stored index == batch corpus stats, bloom identical") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
