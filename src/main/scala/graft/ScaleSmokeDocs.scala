@@ -680,9 +680,17 @@ object ScaleSmokeDocs {
       val exHits = stage("exact_screen_20k")(
         Dedup.exactAgainstIndex(batch, exDir, "doc_id", "text")
           .filter(col("n_corpus") > 0).count())
-      if (exHits >= 0)
-        println(s"[docs-scale]   exact_screen hits=$exHits " +
-          s"(planted ${batchN / 10})")
+      // the plant is verbatim only because srcId = (97·id) mod totalDocs
+      // never lands on a perturbed corpus doc — which relies on the
+      // corpus generator's perturbation classes and totalDocs % 100 == 0;
+      // assert the planted count so a generator change fails loudly
+      // instead of silently timing a weaker screen
+      require(exHits == batchN / 10,
+        s"exact_screen plant broken: $exHits hits, expected ${batchN / 10} " +
+          "(did the corpus generator's perturbation classes or totalDocs " +
+          "multiple-of-100 coupling change?)")
+      println(s"[docs-scale]   exact_screen hits=$exHits " +
+        s"(planted ${batchN / 10})")
       val lnDir = s"/tmp/graft_ln_idx_$totalDocs"
       stage("line_index_build")({
         Dedup.saveLineIndex(docs, "doc_id", "text", lnDir)

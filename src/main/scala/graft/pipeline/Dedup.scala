@@ -202,28 +202,54 @@ object Dedup {
   // sketch is ~1.2 GB — broadcastable; shard the corpus/sketch above
   // that, the production frontier practice).
 
-  /** Build (or REBUILD after folds) the bloom sidecar at
-    * `$indexPath/bloom` over the stored index's keys. The sidecar pins
-    * a drift stamp (file count + total bytes of `$indexPath/index` at
-    * build time): an index that gained files since would make the
-    * sketch silently miss duplicates, so the loader fails loudly
-    * instead (rebuild costs one linear key scan — the same cost class
-    * as the fold that invalidated it).
+  /** Hard ceiling on a sidecar sketch's serialized size (~1.2 GB ≈ the
+    * 1B-key / 1% fpp point). The sketch rides as a plan reference
+    * object, so task-binary bloat arrives BEFORE broadcast limits do —
+    * above this, shard the corpus (index + sketch) by key range and
+    * screen each shard independently, the production frontier practice.
+    * Builders `require` the projected size up front so the failure is
+    * loud at build time, not a mystery slowdown at serve time.
     */
-  def buildExactBloom(spark: SparkSession, indexPath: String,
-      expectedItems: Long, fpp: Double = 0.01): Unit = {
-    val idx = loadExactIndex(spark, indexPath)
-    val bloom = idx.stat.bloomFilter(
-      xxhash64(col("content_hash")), expectedItems, fpp)
+  private[pipeline] val MaxBloomSketchBytes: Long = 1300L * 1024 * 1024
+
+  /** Projected serialized size of an optimal Bloom sketch:
+    * bits = −n·ln(fpp)/ln²2 (≈ 9.6 bits/key at 1% fpp).
+    */
+  private[pipeline] def bloomSketchBytes(expectedItems: Long, fpp: Double): Long =
+    math.ceil(-expectedItems.toDouble * math.log(fpp) /
+      (math.log(2) * math.log(2)) / 8.0).toLong
+
+  /** Shared sidecar writer for EVERY index family: one distributed
+    * sketch over `keys` (a single LONG column `k`), persisted at
+    * `$indexPath/bloom` with a family tag and a drift stamp (file count
+    * + total bytes of `stampDir` at build time). An index that gained
+    * files since the sketch was built would make it silently miss the
+    * folded batch's duplicates — so [[readBloomSidecar]] fails loudly
+    * instead (rebuild costs one linear key scan, the same cost class as
+    * the fold that invalidated it).
+    */
+  private[pipeline] def writeBloomSidecar(indexPath: String, stampDir: String,
+      keys: DataFrame, family: String, expectedItems: Long,
+      fpp: Double): Unit = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    val projected = bloomSketchBytes(expectedItems, fpp)
+    require(projected <= MaxBloomSketchBytes,
+      s"bloom sidecar at $indexPath: expectedItems=$expectedItems at " +
+        s"fpp=$fpp projects a $projected-byte sketch, over the " +
+        s"$MaxBloomSketchBytes-byte ceiling — a sketch that size bloats " +
+        "every task binary; SHARD the corpus (index + sketch) by key " +
+        "range and screen the shards independently")
+    val bloom = keys.stat.bloomFilter(col("k"), expectedItems, fpp)
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (nFiles, nBytes) = indexStamp(fs, s"$indexPath/index")
+    val (nFiles, nBytes) = indexStamp(fs, stampDir)
     val out = fs.create(
       new org.apache.hadoop.fs.Path(s"$indexPath/bloom/filter.bin"), true)
     try bloom.writeTo(out) finally out.close()
-    import spark.implicits._
-    Seq((expectedItems, fpp, nFiles, nBytes))
-      .toDF("expected_items", "fpp", "n_index_files", "n_index_bytes")
+    Seq((family, expectedItems, fpp, nFiles, nBytes))
+      .toDF("family", "expected_items", "fpp",
+        "n_index_files", "n_index_bytes")
       .write.mode("overwrite").parquet(s"$indexPath/bloom/meta")
   }
 
@@ -234,33 +260,63 @@ object Dedup {
     (sts.length.toLong, sts.map(_.getLen).sum)
   }
 
+  /** Shared sidecar reader: validates presence, FAMILY (a sketch built
+    * over a different key derivation would probe garbage — definitely-
+    * new answers become wrong silently) and the drift stamp, then
+    * deserializes the sketch. `builder` names the build entry point in
+    * every error message.
+    */
+  private[pipeline] def readBloomSidecar(spark: SparkSession,
+      indexPath: String, stampDir: String, family: String,
+      builder: String): org.apache.spark.util.sketch.BloomFilter = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaP = new org.apache.hadoop.fs.Path(s"$indexPath/bloom/meta")
+    require(fs.exists(metaP),
+      s"no bloom sidecar at $indexPath/bloom — run $builder first")
+    val metaDf = spark.read.parquet(s"$indexPath/bloom/meta")
+    require(metaDf.columns.contains("family"),
+      s"bloom sidecar at $indexPath/bloom predates the family tag — " +
+        s"re-run $builder to rebuild it")
+    val meta = metaDf.select(col("family").cast("string"),
+      col("n_index_files").cast("long"),
+      col("n_index_bytes").cast("long")).head()
+    require(meta.getString(0) == family,
+      s"bloom sidecar at $indexPath/bloom was built over key family " +
+        s"'${meta.getString(0)}', not '$family' — probing it with " +
+        s"differently-derived keys answers garbage; re-run $builder")
+    val (nFiles, nBytes) = indexStamp(fs, stampDir)
+    require(meta.getLong(1) == nFiles && meta.getLong(2) == nBytes,
+      s"the index at $indexPath changed since the bloom was built " +
+        s"(files ${meta.getLong(1)} → $nFiles, bytes " +
+        s"${meta.getLong(2)} → $nBytes) — a stale sketch would silently " +
+        s"miss the folded batch's duplicates; re-run $builder")
+    val in = fs.open(
+      new org.apache.hadoop.fs.Path(s"$indexPath/bloom/filter.bin"))
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+    finally in.close()
+  }
+
+  /** Build (or REBUILD after folds) the exact index's bloom sidecar
+    * over `xxhash64(content_hash)` — see [[writeBloomSidecar]].
+    */
+  def buildExactBloom(spark: SparkSession, indexPath: String,
+      expectedItems: Long, fpp: Double = 0.01): Unit = {
+    val idx = loadExactIndex(spark, indexPath)
+    writeBloomSidecar(indexPath, s"$indexPath/index",
+      idx.select(xxhash64(col("content_hash")).as("k")),
+      "exact_xxhash64", expectedItems, fpp)
+  }
+
   /** The bloom sidecar back from [[buildExactBloom]] — FAILS if the
     * index gained/changed files since the sketch was built (a stale
     * sketch has false negatives for the folded batch, the one failure
     * mode a dedup screen must never have).
     */
   def loadExactBloom(spark: SparkSession, indexPath: String)
-      : org.apache.spark.util.sketch.BloomFilter = {
-    val fs = new org.apache.hadoop.fs.Path(indexPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val metaP = new org.apache.hadoop.fs.Path(s"$indexPath/bloom/meta")
-    require(fs.exists(metaP),
-      s"loadExactBloom: no bloom sidecar at $indexPath/bloom — run " +
-        "buildExactBloom first")
-    val meta = spark.read.parquet(s"$indexPath/bloom/meta")
-      .select(col("n_index_files").cast("long"),
-        col("n_index_bytes").cast("long")).head()
-    val (nFiles, nBytes) = indexStamp(fs, s"$indexPath/index")
-    require(meta.getLong(0) == nFiles && meta.getLong(1) == nBytes,
-      s"loadExactBloom: the index at $indexPath changed since the bloom " +
-        s"was built (files ${meta.getLong(0)} → $nFiles, bytes " +
-        s"${meta.getLong(1)} → $nBytes) — a stale sketch would silently " +
-        "miss the folded batch's duplicates; re-run buildExactBloom")
-    val in = fs.open(
-      new org.apache.hadoop.fs.Path(s"$indexPath/bloom/filter.bin"))
-    try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-    finally in.close()
-  }
+      : org.apache.spark.util.sketch.BloomFilter =
+    readBloomSidecar(spark, indexPath, s"$indexPath/index",
+      "exact_xxhash64", "buildExactBloom")
 
   /** [[exactAgainstIndex]] with the bloom fast path: batch hashes that
     * the sketch rules out NEVER reach the stored-index lookup — they
@@ -762,16 +818,31 @@ object Dedup {
     */
   private def incrementalMinhashPairsFromBands(newIdx: DataFrame,
       corpusDocSh: DataFrame, corpusBands: DataFrame, threshold: Double,
-      broadcastBatch: Boolean): DataFrame = {
+      broadcastBatch: Boolean,
+      corpusBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None)
+      : DataFrame = {
     val newBands = explodeBands(newIdx)
     val aSide = if (broadcastBatch) broadcast(newBands) else newBands
-    val allBands = newBands.unionByName(corpusBands)
-    val candidates = aSide.as("a")
-      .join(allBands.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc") =!= col("b.doc"))
+    def bandEq = col("a.band") === col("b.band") &&
+      col("a.bucket") === col("b.bucket") && col("a.doc") =!= col("b.doc")
+    def pairs(df: DataFrame) = df
       .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
         greatest(col("a.doc"), col("b.doc")).as("doc_b"))
+    // with a band-cell sketch, only sketch-positive batch cells consult
+    // the CORPUS band scan (no false negatives ⇒ identical candidates);
+    // batch×batch candidates are always computed in full
+    val candPairs = corpusBloom match {
+      case None =>
+        pairs(aSide.as("a")
+          .join(newBands.unionByName(corpusBands).as("b"), bandEq))
+      case Some(bf) =>
+        val gated = newBands.filter(graft.functions.BloomMightContain(
+          xxhash64(col("band"), col("bucket")), bf))
+        val gSide = if (broadcastBatch) broadcast(gated) else gated
+        pairs(aSide.as("a").join(newBands.as("b"), bandEq))
+          .unionByName(pairs(gSide.as("a").join(corpusBands.as("b"), bandEq)))
+    }
+    val candidates = candPairs
       .distinct()
       .persistTracked()
     val candIds = candidates
@@ -1106,6 +1177,58 @@ object Dedup {
     out
   }
 
+  /** Build (or REBUILD after folds) the minhash index's bloom sidecar
+    * over `xxhash64(band, bucket)` of its stored band cells. The drift
+    * stamp pins the band table (the relation folds append to) — or the
+    * index rows for a pre-band-table index, whose cells
+    * [[nearDupAgainstIndexBloom]] re-derives the same way.
+    */
+  def buildMinhashBloom(spark: SparkSession, indexPath: String,
+      expectedItems: Long, fpp: Double = 0.01): Unit = {
+    loadMinhashIndex(spark, indexPath) // family/meta/probe validation
+    writeBloomSidecar(indexPath, bandStampDir(spark, indexPath),
+      storedBandCells(spark, indexPath)
+        .select(xxhash64(col("band"), col("bucket")).as("k")),
+      "minhash_band_xxh64", expectedItems, fpp)
+  }
+
+  def loadMinhashBloom(spark: SparkSession, indexPath: String)
+      : org.apache.spark.util.sketch.BloomFilter =
+    readBloomSidecar(spark, indexPath, bandStampDir(spark, indexPath),
+      "minhash_band_xxh64", "buildMinhashBloom")
+
+  private def bandStampDir(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/bands")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) s"$path/bands" else s"$path/index"
+  }
+
+  /** [[nearDupAgainstIndex]] with the bloom fast path: batch band cells
+    * the sketch rules out never probe the corpus band scan — on a
+    * mostly-fresh frontier batch the corpus-side join input shrinks to
+    * the sketch-positive minority. Batch-internal candidates are always
+    * computed in full; no false negatives ⇒ IDENTICAL pairs.
+    */
+  def nearDupAgainstIndexBloom(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, threshold: Double,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val spark = newDocs.sparkSession
+    val bloom = loadMinhashBloom(spark, indexPath)
+    val (n, k, bands, idx) = loadMinhashIndex(spark, indexPath)
+    val (newIdx, sh) = minhashIndexTracked(newDocs, idCol, textCol, n, k, bands)
+    val newIdxP = newIdx.persistTracked()
+    val out = CacheLedger.scoped {
+      incrementalMinhashPairsFromBands(newIdxP,
+        idx.select(col("doc"), col("sh")),
+        storedBandCells(spark, indexPath), threshold, broadcastBatch,
+        Some(bloom))
+        .localCheckpoint()
+    }
+    newIdxP.unpersist()
+    sh.unpersist()
+    out
+  }
+
   /** Fold a screened batch INTO the stored minhash index — the step that
     * closes the cross-snapshot loop (screen crawl N+1 with
     * [[nearDupAgainstIndex]], merge its survivors here, and crawl N+2
@@ -1340,7 +1463,43 @@ object Dedup {
     */
   def linesAgainstIndex(newDocs: DataFrame, indexPath: String,
       idCol: String, textCol: String,
-      broadcastBatch: Boolean = true): DataFrame = {
+      broadcastBatch: Boolean = true): DataFrame =
+    linesScreenBody(newDocs, indexPath, idCol, textCol, broadcastBatch, None)
+
+  /** Build (or REBUILD after folds) the line index's bloom sidecar over
+    * the stored 60-bit line keys — [[linesAgainstIndexBloom]]'s fast
+    * path. Same drift-stamp/loud-failure contract as [[buildExactBloom]].
+    */
+  def buildLineBloom(spark: SparkSession, indexPath: String,
+      expectedItems: Long, fpp: Double = 0.01): Unit = {
+    val idx = loadLineIndex(spark, indexPath)
+    writeBloomSidecar(indexPath, s"$indexPath/index",
+      idx.select(col("lk").cast("long").as("k")),
+      "line_lk60", expectedItems, fpp)
+  }
+
+  def loadLineBloom(spark: SparkSession, indexPath: String)
+      : org.apache.spark.util.sketch.BloomFilter =
+    readBloomSidecar(spark, indexPath, s"$indexPath/index",
+      "line_lk60", "buildLineBloom")
+
+  /** [[linesAgainstIndex]] with the bloom fast path: batch line keys the
+    * sketch rules out never consult the stored index — on a frontier
+    * batch that is mostly fresh prose, the broadcast key set and the
+    * index row groups it touches shrink to the sketch-positive minority
+    * (true boilerplate + fpp). No false negatives ⇒ the rewritten batch
+    * is IDENTICAL to the unbloomed screen's.
+    */
+  def linesAgainstIndexBloom(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String,
+      broadcastBatch: Boolean = true): DataFrame =
+    linesScreenBody(newDocs, indexPath, idCol, textCol, broadcastBatch,
+      Some(loadLineBloom(newDocs.sparkSession, indexPath)))
+
+  private def linesScreenBody(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, broadcastBatch: Boolean,
+      corpusBloom: Option[org.apache.spark.util.sketch.BloomFilter])
+      : DataFrame = {
     import org.apache.spark.sql.functions.{split => fsplit}
     val spark = newDocs.sparkSession
     val idx = loadLineIndex(spark, indexPath)
@@ -1350,7 +1509,15 @@ object Dedup {
     val content = lines.filter(col("line").rlike("\\S"))
       .withColumn("lk", TextOps.lineKey(col("line")))
       .persistTracked()
-    val bKeys = content.select("lk").distinct()
+    // sketch-negative keys are DEFINITELY not in the corpus (no false
+    // negatives), so gating the probe set loses nothing: hitKeys — and
+    // therefore corpusDrops and fresh — are unchanged by construction
+    val probe = corpusBloom match {
+      case Some(bf) => content.filter(
+        graft.functions.BloomMightContain(col("lk").cast("long"), bf))
+      case None => content
+    }
+    val bKeys = probe.select("lk").distinct()
     val hitKeys = (if (broadcastBatch)
         idx.join(broadcast(bKeys), Seq("lk"), "left_semi")
       else idx.join(bKeys, Seq("lk"), "left_semi"))
@@ -2166,7 +2333,41 @@ object Dedup {
     */
   def hammingAgainstIndex(newSigs: DataFrame, indexPath: String,
       idCol: String, sigCol: String,
-      broadcastBatch: Boolean = true): DataFrame = {
+      broadcastBatch: Boolean = true): DataFrame =
+    hammingScreenBody(newSigs, indexPath, idCol, sigCol, broadcastBatch, None)
+
+  /** Build (or REBUILD after folds) the signature index's bloom sidecar
+    * over `xxhash64(band, bits)` of its stored band cells — the hamming
+    * family's [[buildMinhashBloom]].
+    */
+  def buildSignatureBloom(spark: SparkSession, indexPath: String,
+      expectedItems: Long, fpp: Double = 0.01): Unit = {
+    loadSignatureIndex(spark, indexPath) // geometry/meta/probe validation
+    writeBloomSidecar(indexPath, s"$indexPath/bands",
+      spark.read.parquet(s"$indexPath/bands")
+        .select(xxhash64(col("band"), col("bits")).as("k")),
+      "signature_band_xxh64", expectedItems, fpp)
+  }
+
+  def loadSignatureBloom(spark: SparkSession, indexPath: String)
+      : org.apache.spark.util.sketch.BloomFilter =
+    readBloomSidecar(spark, indexPath, s"$indexPath/bands",
+      "signature_band_xxh64", "buildSignatureBloom")
+
+  /** [[hammingAgainstIndex]] with the bloom fast path — identical pairs
+    * (no false negatives), corpus band scan probed only by the
+    * sketch-positive batch cells.
+    */
+  def hammingAgainstIndexBloom(newSigs: DataFrame, indexPath: String,
+      idCol: String, sigCol: String,
+      broadcastBatch: Boolean = true): DataFrame =
+    hammingScreenBody(newSigs, indexPath, idCol, sigCol, broadcastBatch,
+      Some(loadSignatureBloom(newSigs.sparkSession, indexPath)))
+
+  private def hammingScreenBody(newSigs: DataFrame, indexPath: String,
+      idCol: String, sigCol: String, broadcastBatch: Boolean,
+      corpusBloom: Option[org.apache.spark.util.sketch.BloomFilter])
+      : DataFrame = {
     val spark = newSigs.sparkSession
     val (maxHamming, nBlocks, storedSigs, storedBands) =
       loadSignatureIndex(spark, indexPath)
@@ -2181,12 +2382,23 @@ object Dedup {
     // semi-filtered by the broadcast candidate ids (the
     // incrementalMinhashPairsFromBands shuffle ledger)
     val aSide = if (broadcastBatch) broadcast(newBands) else newBands
-    val candidates = aSide.as("a")
-      .join(newBands.unionByName(storedBands).as("b"),
-        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
-          col("a.doc") =!= col("b.doc"))
+    def cellEq = col("a.band") === col("b.band") &&
+      col("a.bits") === col("b.bits") && col("a.doc") =!= col("b.doc")
+    def pairs(df: DataFrame) = df
       .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
         greatest(col("a.doc"), col("b.doc")).as("doc_b"))
+    val candPairs = corpusBloom match {
+      case None =>
+        pairs(aSide.as("a")
+          .join(newBands.unionByName(storedBands).as("b"), cellEq))
+      case Some(bf) =>
+        val gated = newBands.filter(graft.functions.BloomMightContain(
+          xxhash64(col("band"), col("bits")), bf))
+        val gSide = if (broadcastBatch) broadcast(gated) else gated
+        pairs(aSide.as("a").join(newBands.as("b"), cellEq))
+          .unionByName(pairs(gSide.as("a").join(storedBands.as("b"), cellEq)))
+    }
+    val candidates = candPairs
       .distinct()
       .persistTracked()
     val candIds = candidates

@@ -78,13 +78,18 @@ object Release {
     val cols = corpus.columns
     val back = JsonlCorpus.read(spark, path, corpus.schema)
     // TWO order-insensitive combiners over the row hashes, because one
-    // is not a multiset identity: XOR cancels in PAIRS (replacing a
-    // duplicated row pair {A,A} with junk {B,B} passes count + xor),
-    // while the wide-decimal SUM is duplicate-sensitive but could in
-    // principle be forged by a crafted additive combination that xor
-    // would catch. Together: any multiset change must alter at least
-    // one of them. The sum is decimal(38,0) — xxhash64 sums overflow
-    // a BIGINT at ~2^33 rows, and decimal addition is exact.
+    // alone is weaker: XOR cancels in PAIRS (replacing a duplicated row
+    // pair {A,A} with junk {B,B} passes count + xor), while the
+    // wide-decimal SUM is duplicate-sensitive but additive-forgeable in
+    // ways xor would catch. The combined check is PROBABILISTIC, not a
+    // multiset identity — counterexamples that preserve count, xor and
+    // sum simultaneously exist (e.g. hashes {1,2} → {0,3}) — but any
+    // such change must collide all three over 64-bit-hash images of the
+    // rows, which corruption and truncation do not do by accident.
+    // Strictly stronger than xor alone. The sum is decimal(38,0) —
+    // xxhash64 sums overflow a BIGINT at ~2^33 rows, and decimal
+    // addition is exact (an overflow would NULL-coalesce to 0, itself
+    // astronomically unreachable below ~10^19 rows).
     def sig(df: DataFrame): (Long, Long, java.math.BigDecimal) = {
       val h = xxhash64(cols.map(col): _*)
       val r = df.agg(count(lit(1)),

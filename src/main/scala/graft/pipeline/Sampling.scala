@@ -300,29 +300,87 @@ object Sampling {
     * the scorer could not rank, e.g. empty texts) ride ONLY the
     * full-corpus epoch 0. Returns (idCol, epoch, scoreCol) admitted
     * pairs.
+    *
+    * MEMORY CONTRACT of the exact path: Spark's `percentile` aggregate
+    * buffers one counter per DISTINCT score value, merged onto one
+    * reducer — O(distinct scores) driver-side memory. Micro-nat integer
+    * scores ([[Quality.lmScore]]'s `round(nll·1e6)` grid) bound the
+    * distinct count structurally; raw CONTINUOUS scores on a
+    * billion-doc corpus do not. For that regime pass `bucketWidth > 0`:
+    * scores are floored onto a `bucketWidth` grid and the cutoffs are
+    * computed from the bounded bucket histogram (≤ score-range /
+    * bucketWidth rows — the [[Quality.budgetSelect]] waterline
+    * discipline) with the SAME `lower + d·(higher−lower)`
+    * interpolation over bucket representatives. Admission error is
+    * bounded by one bucket's mass; when every score already sits on
+    * the grid (e.g. quantized scores with a power-of-two bucketWidth,
+    * so `floor(score/w)·w == score` exactly), the admitted pools are
+    * IDENTICAL to the exact path's (spec-pinned).
     */
   def annealSchedule(docs: DataFrame, idCol: String, scoreCol: String,
-      nEpochs: Int, finalKeepBp: Int): DataFrame = {
+      nEpochs: Int, finalKeepBp: Int, bucketWidth: Double = 0.0): DataFrame = {
     require(nEpochs >= 2, s"annealing needs nEpochs >= 2: $nEpochs")
     require(finalKeepBp > 0 && finalKeepBp <= 10000,
       s"finalKeepBp must be in (0, 10000]: $finalKeepBp")
+    require(bucketWidth >= 0, s"bucketWidth must be >= 0: $bucketWidth")
     val bps = (0 until nEpochs).map(e =>
       10000L - (10000L - finalKeepBp) * e / (nEpochs - 1))
-    val fracSql = bps.map(bp => s"CAST($bp AS DOUBLE)/10000.0").mkString(",")
-    val cuts = docs.agg(
-      expr(s"percentile($scoreCol, array($fracSql))").as("__cuts"))
-    docs.select(col(idCol), col(scoreCol))
+    val score = col(scoreCol) // Column API — never interpolated into SQL
+    val cuts =
+      if (bucketWidth == 0.0)
+        docs.agg(percentile(score,
+          typedLit(bps.map(bp => bp.toDouble / 10000.0))).as("__cuts"))
+      else {
+        // bounded-histogram percentile: distinct BUCKETS, not distinct
+        // scores, bound every buffer. Order statistic i (0-based) lands
+        // in the bucket whose cumulative count first exceeds i; the
+        // type-7 interpolation then runs over bucket representatives
+        // rep = qb·bucketWidth (== the score itself when grid-aligned).
+        val hist = docs.filter(score.isNotNull)
+          .groupBy(floor(score / lit(bucketWidth)).cast("long").as("__qb"))
+          .agg(count(lit(1)).as("__c"))
+        val hw = Window.orderBy("__qb")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist
+          .withColumn("__cum", sum("__c").over(hw))
+          .withColumn("__prev", col("__cum") - col("__c"))
+          .crossJoin(broadcast(hist.agg(sum("__c").as("__N"))))
+        val eps = cum.select(col("__qb"), col("__prev"), col("__cum"),
+            col("__N"), explode(typedLit((0 until nEpochs).toList)).as("__e"))
+          .withColumn("__h",
+            element_at(typedLit(bps.map(bp => bp.toDouble / 10000.0)),
+              col("__e") + 1) * (col("__N") - 1).cast("double"))
+        // the bucket holding order stat floor(h) supplies lower, the one
+        // holding min(floor(h)+1, N-1) supplies higher; each filter keeps
+        // exactly one histogram row per epoch (bounded frame throughout)
+        def holder(i: Column) = col("__prev") <= i && i < col("__cum")
+        val lo = eps.filter(holder(floor(col("__h"))))
+          .select(col("__e"), (col("__qb") * lit(bucketWidth)).as("__lo"),
+            col("__h"))
+        val hi = eps.filter(holder(least(floor(col("__h")) + 1, col("__N") - 1)))
+          .select(col("__e").as("__e2"), (col("__qb") * lit(bucketWidth)).as("__hi"))
+        lo.join(hi, col("__e") === col("__e2"))
+          .withColumn("__cut",
+            col("__lo") + (col("__h") - floor(col("__h"))) *
+              (col("__hi") - col("__lo")))
+          .groupBy()
+          .agg(map_from_arrays(collect_list(col("__e")),
+            collect_list(col("__cut"))).as("__cutm"))
+          .select(transform(typedLit((0 until nEpochs).toList),
+            e => element_at(col("__cutm"), e)).as("__cuts"))
+      }
+    docs.select(col(idCol), score)
       .crossJoin(broadcast(cuts))
-      .select(col(idCol), col(scoreCol),
+      .select(col(idCol), score,
         explode(typedLit((0L until nEpochs.toLong))).as("epoch"),
         col("__cuts"))
       .filter(
         // epoch 0's 10000 bp admits EVERYTHING, null scores included
         element_at(typedLit(bps.map(_ == 10000L)),
           (col("epoch") + 1).cast("int")) ||
-        col(scoreCol) <= element_at(col("__cuts"),
+        score <= element_at(col("__cuts"),
           (col("epoch") + 1).cast("int")))
-      .select(col(idCol), col("epoch"), col(scoreCol))
+      .select(col(idCol), col("epoch"), score)
   }
 
   /** Repeat-upsampling under a fixed token budget (Muennighoff '23,

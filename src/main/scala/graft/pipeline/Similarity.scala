@@ -1409,7 +1409,45 @@ object Similarity {
     */
   def cosineNearDupAgainstIndex(newVecs: DataFrame, indexPath: String,
       threshold: Double, idCol: String = "vec_id",
-      vecCol: String = "embedding", broadcastBatch: Boolean = true): DataFrame = {
+      vecCol: String = "embedding", broadcastBatch: Boolean = true): DataFrame =
+    cosineScreenBody(newVecs, indexPath, threshold, idCol, vecCol,
+      broadcastBatch, None)
+
+  /** Build (or REBUILD after folds) the cosine index's bloom sidecar
+    * over `xxhash64(band, bucket)` of its stored band cells — the
+    * embedding family's [[graft.pipeline.Dedup.buildMinhashBloom]],
+    * sharing its drift-stamp/loud-failure machinery.
+    */
+  def buildCosineBloom(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, expectedItems: Long, fpp: Double = 0.01): Unit = {
+    loadCosineIndex(spark, indexPath) // meta/probe validation
+    Dedup.writeBloomSidecar(indexPath, s"$indexPath/bands",
+      spark.read.parquet(s"$indexPath/bands")
+        .select(xxhash64(col("band"), col("bucket")).as("k")),
+      "cosine_band_xxh64", expectedItems, fpp)
+  }
+
+  def loadCosineBloom(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): org.apache.spark.util.sketch.BloomFilter =
+    Dedup.readBloomSidecar(spark, indexPath, s"$indexPath/bands",
+      "cosine_band_xxh64", "buildCosineBloom")
+
+  /** [[cosineNearDupAgainstIndex]] with the bloom fast path — identical
+    * pairs (no false negatives); only sketch-positive batch band cells
+    * probe the stored band scan.
+    */
+  def cosineNearDupAgainstIndexBloom(newVecs: DataFrame, indexPath: String,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding", broadcastBatch: Boolean = true): DataFrame =
+    cosineScreenBody(newVecs, indexPath, threshold, idCol, vecCol,
+      broadcastBatch,
+      Some(loadCosineBloom(newVecs.sparkSession, indexPath)))
+
+  private def cosineScreenBody(newVecs: DataFrame, indexPath: String,
+      threshold: Double, idCol: String, vecCol: String,
+      broadcastBatch: Boolean,
+      corpusBloom: Option[org.apache.spark.util.sketch.BloomFilter])
+      : DataFrame = {
     val spark = newVecs.sparkSession
     val (tables, planes, d, storedV, storedBands) =
       loadCosineIndex(spark, indexPath)
@@ -1430,12 +1468,23 @@ object Similarity {
     // semi-filtered by the broadcast candidate ids (the
     // Dedup.incrementalMinhashPairsFromBands shuffle ledger)
     val aSide = if (broadcastBatch) broadcast(newBands) else newBands
-    val candidates = aSide.as("a")
-      .join(newBands.unionByName(storedBands).as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") =!= col("b.id"))
+    def cellEq = col("a.band") === col("b.band") &&
+      col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id")
+    def pairs(df: DataFrame) = df
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
+    val candPairs = corpusBloom match {
+      case None =>
+        pairs(aSide.as("a")
+          .join(newBands.unionByName(storedBands).as("b"), cellEq))
+      case Some(bf) =>
+        val gated = newBands.filter(graft.functions.BloomMightContain(
+          xxhash64(col("band"), col("bucket")), bf))
+        val gSide = if (broadcastBatch) broadcast(gated) else gated
+        pairs(aSide.as("a").join(newBands.as("b"), cellEq))
+          .unionByName(pairs(gSide.as("a").join(storedBands.as("b"), cellEq)))
+    }
+    val candidates = candPairs
       .distinct()
       .persistTracked()
     val candIds = candidates

@@ -104,6 +104,26 @@ object DetectorQueries {
       out(PerSeriesFit.diffDetect(e.filter(col("event_id") % 2 === 0), e, spec = spec))
     }),
 
+    // per-series gradient fit (round-12, closing the §2.1.1 fit-series
+    // matrix): threshold = each user's max |per-second gradient| over
+    // its even-event half. Gradient = one subtraction + one division,
+    // both correctly rounded with identical operand order on both
+    // engines, so the fitted max needs no rounding.
+    "det_gradient_fit_series" -> ((s, dir) => {
+      val e = ev(s, dir)
+      out(PerSeriesFit.gradientDetect(e.filter(col("event_id") % 2 === 0), e, spec = spec))
+    }),
+
+    // per-series rolling-std fit (round-12): fit = max TRAILING
+    // window-10 stddev of the even half (the reference's fit asymmetry),
+    // detect CENTERED — per-series thresholds rounded to 6 dp in-plan on
+    // both sides (the det_rolling_std_fit discipline, per series).
+    "det_rolling_std_fit_series" -> ((s, dir) => {
+      val e = ev(s, dir)
+      out(PerSeriesFit.rollingStdDetect(e.filter(col("event_id") % 2 === 0), e,
+        spec = spec, roundTo = 6))
+    }),
+
     // EWMA forecast deviation: the one imperative-path detector (recursive
     // state has no window-frame form). The oracle restates the recursion
     // as a list_reduce over each row's non-null prefix — same
@@ -606,7 +626,47 @@ object DetectorQueries {
           SELECT e.user_id, e.event_id, e.value,
             coalesce(abs(e.value - lag(e.value) OVER (PARTITION BY e.user_id
               ORDER BY e.ts, e.event_id)) > f.md, false) AS is_anomaly
-          FROM events e LEFT JOIN f USING (user_id)"""
+          FROM events e LEFT JOIN f USING (user_id)""",
+
+    // gradient over the even half, threshold = per-user max |Δv/Δt| —
+    // one exactly-rounded subtraction + division per row, identical
+    // operand order on both engines, so no rounding is needed
+    "det_gradient_fit_series" ->
+      s"""WITH t AS (SELECT user_id,
+                       abs((value - lag(value) OVER ($W)) /
+                         ((epoch_us(ts) - lag(epoch_us(ts)) OVER ($W))
+                           / 1000000.0)) AS g
+                     FROM events WHERE event_id % 2 = 0),
+               f AS (SELECT user_id, max(g) AS mg FROM t GROUP BY user_id)
+          SELECT e.user_id, e.event_id, e.value,
+            coalesce(abs((e.value - lag(e.value) OVER (PARTITION BY e.user_id
+                ORDER BY e.ts, e.event_id)) /
+              ((epoch_us(e.ts) - lag(epoch_us(e.ts)) OVER (PARTITION BY
+                e.user_id ORDER BY e.ts, e.event_id)) / 1000000.0)) > f.mg,
+              false) AS is_anomaly
+          FROM events e LEFT JOIN f USING (user_id)""",
+
+    // fit = max TRAILING window-10 stddev of the even half (rounded
+    // 6 dp, per series), detect = CENTERED window over everything
+    "det_rolling_std_fit_series" ->
+      s"""WITH t AS (
+            SELECT user_id,
+              CASE WHEN count(value) OVER f = 10
+                   THEN stddev_samp(value) OVER f END AS tstd
+            FROM events WHERE event_id % 2 = 0
+            WINDOW f AS ($W ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+               m AS (SELECT user_id, round(max(tstd), 6) AS thr FROM t
+                     GROUP BY user_id),
+               r AS (
+            SELECT user_id, event_id, value, row_number() OVER w AS rn,
+              CASE WHEN count(value) OVER f = 10
+                   THEN stddev_samp(value) OVER f END AS std
+            FROM events
+            WINDOW w AS ($W),
+                   f AS ($W ROWS BETWEEN 5 PRECEDING AND 4 FOLLOWING))
+          SELECT r.user_id, r.event_id, r.value,
+            (coalesce(r.std > m.thr, false) AND rn <> 1) AS is_anomaly
+          FROM r LEFT JOIN m USING (user_id)"""
   )
 
   // chunked evaluation is an execution strategy, not a semantics change:

@@ -1185,6 +1185,83 @@ object PipelineQueries {
           col("keep_id"), col("n_corpus"), col("keep"))
     }),
 
+    // round-12: the p115 bloom fast path generalized to the LINE index —
+    // p113's setup with a key sketch in front; no false negatives ⇒ the
+    // rewritten batch is IDENTICAL, which is what the oracle states
+    // (p113's verbatim)
+    "p119_line_bloom_screen" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit("\nshared footer please subscribe\nuniq-"),
+          col("doc_id").cast("string")).as("text"))
+      val out = withPipelineArtifact(dir, "p119_line_bloom_idx") { stage =>
+        Dedup.saveLineIndex(planted.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", s"$stage/idx")
+        Dedup.buildLineBloom(s, s"$stage/idx", expectedItems = 2000000L)
+      }
+      Dedup.linesAgainstIndexBloom(planted.filter(col("doc_id") % 2 === 1),
+        s"$out/idx", "doc_id", "text")
+    }),
+
+    // round-12: the bloom fast path over the MINHASH band cells — p71's
+    // stored-index serving shape with a band-cell sketch in front;
+    // sketch-negative batch cells never probe the corpus band scan.
+    // Oracle = p71's verbatim (identical pairs by the no-false-negative
+    // construction)
+    "p120_minhash_bloom_screen" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val out = withPipelineArtifact(dir, "p120_mh_bloom_idx") { stage =>
+        Dedup.saveMinhashIndex(
+          Dedup.minhashIndex(d.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", n = 3, k = 32, bands = 8), s"$stage/idx", n = 3)
+        Dedup.buildMinhashBloom(s, s"$stage/idx", expectedItems = 2000000L)
+      }
+      Dedup.nearDupAgainstIndexBloom(d.filter(col("doc_id") % 2 === 1),
+        s"$out/idx", "doc_id", "text", threshold = 0.4)
+    }),
+
+    // round-12: the bloom fast path over the COSINE band cells — p73's
+    // embedding screen from a stored index with a sketch in front.
+    // Oracle = p73's verbatim
+    "p121_cosine_bloom_screen" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val out = withPipelineArtifact(dir, "p121_cos_bloom_idx") { stage =>
+        Similarity.saveCosineIndex(e.filter(col("vec_id") % 2 === 0),
+          s"$stage/idx", tables = 16, planesPerTable = 8, dim = 64)
+        Similarity.buildCosineBloom(s, s"$stage/idx",
+          expectedItems = 2000000L)
+      }
+      Similarity.cosineNearDupAgainstIndexBloom(
+        e.filter(col("vec_id") % 2 === 1), s"$out/idx", threshold = 0.35)
+    }),
+
+    // round-12: the bloom fast path over the SIGNATURE band cells —
+    // p82's planted dHash structure screened from a stored index.
+    // Oracle = p82's verbatim
+    "p122_hamming_bloom_screen" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id").as("bid"), col("text").as("btext"))
+      val grouped = d.select(col("doc_id"))
+        .join(base, col("doc_id") - col("doc_id") % 3 === col("bid"))
+        .select(col("doc_id"), encode(col("btext"), "UTF-8").as("media"))
+      val planted = Multimodal.imageDHash(grouped).withColumn("dhash",
+        col("dhash")
+          .bitwiseXOR(when(col("doc_id") % 3 >= 1,
+            expr("shiftleft(1L, cast(doc_id % 48 as int))"))
+            .otherwise(lit(0L)))
+          .bitwiseXOR(when(col("doc_id") % 3 === 2,
+            expr("shiftleft(1L, cast((doc_id * 31 + 17) % 48 as int))"))
+            .otherwise(lit(0L))))
+      val out = withPipelineArtifact(dir, "p122_sig_bloom_idx") { stage =>
+        Dedup.saveSignatureIndex(
+          planted.filter(col("doc_id") % 2 === 0), s"$stage/idx",
+          "doc_id", "dhash", maxHamming = 4)
+        Dedup.buildSignatureBloom(s, s"$stage/idx",
+          expectedItems = 2000000L)
+      }
+      Dedup.hammingAgainstIndexBloom(planted.filter(col("doc_id") % 2 === 1),
+        s"$out/idx", "doc_id", "dhash")
+    }),
+
     // line-level stored-index screen (round-11, closing the
     // cross-snapshot matrix: exact-doc/minhash/cosine/hamming all have
     // save→screen→merge; this is the LINE family — the per-batch
@@ -3876,12 +3953,113 @@ object PipelineQueries {
          FROM h JOIN k USING (content_hash) LEFT JOIN c USING (content_hash)
          WHERE h.doc_id % 2 = 1""",
 
+    // p71's oracle VERBATIM: the band-cell sketch has no false
+    // negatives, so the bloom-gated stored-index screen returns the
+    // identical >=1-odd-side pair relation
+    "p120_minhash_bloom_screen" ->
+      s"""WITH ${minhashPairsCtes("documents")}
+         SELECT doc_a, doc_b, jaccard FROM j
+         WHERE jaccard >= 0.4 AND (doc_a % 2 = 1 OR doc_b % 2 = 1)""",
+
+    // p73's oracle VERBATIM (the cosine band cells' sketch — same
+    // no-false-negative identity)
+    "p121_cosine_bloom_screen" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             pl AS (SELECT p, list_transform(generate_series(0, 63), d ->
+                      ((('0x' || substr(md5('plane:' || p || ':' || d), 1, 12))::BIGINT
+                        % 2001) - 1000) / 1000.0) AS pv
+                    FROM unnest(generate_series(0, 127)) t(p)),
+             bits AS (SELECT vec_id, p // 8 AS band, 1 << (p % 8) AS w,
+                        CASE WHEN list_dot_product(v, pv) >= 0 THEN 1 ELSE 0 END AS bit
+                      FROM e, pl),
+             bk AS (SELECT vec_id, band, sum(bit * w) AS bucket
+                    FROM bits GROUP BY 1, 2),
+             cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                      FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.vec_id < b.vec_id),
+             pr AS (SELECT vec_a, vec_b,
+                      round(list_dot_product(ea.v, eb.v) /
+                        (sqrt(list_dot_product(ea.v, ea.v)) *
+                         sqrt(list_dot_product(eb.v, eb.v))), 6) AS sim
+                    FROM cand JOIN e ea ON vec_a = ea.vec_id
+                              JOIN e eb ON vec_b = eb.vec_id)
+         SELECT vec_a, vec_b, sim FROM pr
+         WHERE sim >= 0.35 AND (vec_a % 2 = 1 OR vec_b % 2 = 1)""",
+
+    // p82's oracle VERBATIM (the signature band cells' sketch)
+    "p122_hamming_bloom_screen" ->
+      """WITH g AS (SELECT d.doc_id, b.text AS btext
+               FROM documents d
+               JOIN documents b ON b.doc_id = d.doc_id - (d.doc_id % 3)),
+             h AS (SELECT doc_id,
+                     ('0x' || substr(md5(btext), 1, 12))::BIGINT AS dh0
+                   FROM g),
+             p AS (SELECT doc_id,
+                     xor(xor(dh0,
+                       CASE WHEN doc_id % 3 >= 1
+                            THEN (1::BIGINT << (doc_id % 48)::INT)
+                            ELSE 0::BIGINT END),
+                       CASE WHEN doc_id % 3 = 2
+                            THEN (1::BIGINT << ((doc_id * 31 + 17) % 48)::INT)
+                            ELSE 0::BIGINT END) AS dh
+                   FROM h)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+         FROM p a JOIN p b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dh, b.dh)) <= 4
+           AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)""",
+
     // the p37 line rule under the cross-snapshot temporal contract,
     // restricted to the odd (batch) docs: a batch line dies when its
     // key appears in ANY even (corpus) doc, or when an earlier batch
     // (doc, pos) carries it; whitespace lines pass, untouched docs
     // verbatim, touched docs reassemble in position order
     "p113_line_screen" ->
+      raw"""WITH d0 AS (SELECT doc_id,
+                text || chr(10) || 'shared footer please subscribe' ||
+                chr(10) || 'uniq-' || doc_id::VARCHAR AS text
+              FROM documents),
+             b AS (SELECT * FROM d0 WHERE doc_id % 2 = 1),
+             bl0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM b),
+             bl AS (SELECT doc_id, i - 1 AS pos, ls[i] AS line
+                    FROM bl0, unnest(generate_series(1, len(ls))) t(i)),
+             bc AS (SELECT doc_id, pos,
+                      ('0x' || substr(md5(array_to_string(list_filter(
+                        string_split_regex(lower(trim(line)), '\s+'),
+                        x -> x != ''), ' ')), 1, 15))::BIGINT AS k
+                    FROM bl WHERE regexp_matches(line, '\S')),
+             e AS (SELECT * FROM d0 WHERE doc_id % 2 = 0),
+             el0 AS (SELECT string_split(text, chr(10)) AS ls FROM e),
+             el AS (SELECT ls[i] AS line
+                    FROM el0, unnest(generate_series(1, len(ls))) t(i)),
+             ck AS (SELECT DISTINCT
+                      ('0x' || substr(md5(array_to_string(list_filter(
+                        string_split_regex(lower(trim(line)), '\s+'),
+                        x -> x != ''), ' ')), 1, 15))::BIGINT AS k
+                    FROM el WHERE regexp_matches(line, '\S')),
+             fresh AS (SELECT bc.* FROM bc ANTI JOIN ck USING (k)),
+             rm AS (SELECT doc_id, pos FROM bc SEMI JOIN ck USING (k)
+                    UNION ALL
+                    SELECT doc_id, pos FROM (
+                      SELECT doc_id, pos, row_number() OVER (PARTITION BY k
+                        ORDER BY doc_id, pos) AS rn FROM fresh)
+                    WHERE rn > 1),
+             touched AS (SELECT DISTINCT doc_id FROM rm),
+             wp AS (SELECT doc_id, pos, line FROM bl
+                    WHERE doc_id IN (SELECT doc_id FROM touched)),
+             kept AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t2
+                      FROM wp ANTI JOIN rm USING (doc_id, pos)
+                      GROUP BY doc_id)
+         SELECT b.doc_id,
+           CASE WHEN t.doc_id IS NULL THEN b.text
+                ELSE coalesce(kept.t2, '') END AS text
+         FROM b LEFT JOIN touched t USING (doc_id)
+                LEFT JOIN kept USING (doc_id)""",
+
+    // p113's oracle VERBATIM: the line-key sketch has no false
+    // negatives, so the bloom-gated line screen rewrites the batch
+    // identically
+    "p119_line_bloom_screen" ->
       raw"""WITH d0 AS (SELECT doc_id,
                 text || chr(10) || 'shared footer please subscribe' ||
                 chr(10) || 'uniq-' || doc_id::VARCHAR AS text
@@ -4092,8 +4270,10 @@ object PipelineQueries {
              FROM seg s LEFT JOIN best b ON s.word = b.word AND s.pos = b.pos
              WHERE s.pos <= len(s.word)
            ),
-           done AS MATERIALIZED (SELECT word, pieces FROM seg
-                                 WHERE pos = len(word) + 1),
+           done AS MATERIALIZED (SELECT word,
+                                   CASE WHEN len(word) > 100 THEN ['[UNK]']
+                                        ELSE pieces END AS pieces
+                                 FROM seg WHERE pos = len(word) + 1),
            ex AS (SELECT doc_id, i, toks[i] AS word FROM toks,
                     LATERAL unnest(generate_series(1, len(toks))) t(i)),
            j AS (SELECT e.doc_id, e.i, d.pieces

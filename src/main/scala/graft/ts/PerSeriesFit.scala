@@ -62,17 +62,22 @@ object PerSeriesFit {
 
   /** RollingStdDevDetector per series: threshold = each series' max
     * right-aligned rolling stddev (the reference's fit asymmetry,
-    * `detectors.py:205-208`), detect centered by default.
+    * `detectors.py:205-208`), detect centered by default. `roundTo >= 0`
+    * rounds each fitted threshold to that many decimals in-plan — the
+    * det_rolling_std_fit oracle discipline (a stddev threshold is real
+    * arithmetic, so cross-engine ulp at the comparison boundary is
+    * pinned by rounding BOTH sides), applied per series.
     */
   def rollingStdDetect(train: DataFrame, data: DataFrame,
       windowSize: Int = 10, center: Boolean = true,
-      spec: SeriesSpec = SeriesSpec()): DataFrame = {
+      spec: SeriesSpec = SeriesSpec(), roundTo: Int = -1): DataFrame = {
     val v = TsOps.cleanValue(spec)
     val trainStd = TsOps.guarded(
       stddev_samp, v, TsOps.trailingFrame(spec.w, windowSize), windowSize)
+    val rawMax = max(col("__s"))
     val fitted = train.withColumn("__s", trainStd)
       .groupBy(spec.seriesId.map(col): _*)
-      .agg(max(col("__s")).as("__max_std"))
+      .agg((if (roundTo >= 0) round(rawMax, roundTo) else rawMax).as("__max_std"))
       .select(spec.seriesId.map(col) :+ col("__max_std"): _*)
     val frame =
       if (center) TsOps.centeredFrame(spec.w, windowSize)

@@ -560,6 +560,44 @@ class PipelineSpec extends SparkSpecBase {
     assert(!plan.contains("Sort "), s"annealing must not globally sort:\n$plan")
   }
 
+  test("annealSchedule bucketWidth fallback: identical pools when grid-aligned, bounded deficit when coarse") {
+    import spark.implicits._
+    // scores on a 0.25 grid — 0.25 is a power of two, so
+    // floor(score/0.25)·0.25 == score EXACTLY and the bucketed
+    // histogram carries the same multiset as the raw scores
+    val scored = (1L to 100L).map(i => (i, Some(i.toDouble * 0.25)))
+      .toDF("doc_id", "q")
+      .unionByName(Seq((999L, None: Option[Double])).toDF("doc_id", "q"))
+    def pools(bw: Double) =
+      Sampling.annealSchedule(scored, "doc_id", "q", nEpochs = 4,
+          finalKeepBp = 2500, bucketWidth = bw)
+        .collect().map(r => (r.getLong(1), r.getLong(0)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = pools(0.0)
+    // grid-aligned bucketWidth: the O(distinct-scores) exact-percentile
+    // buffer is traded for a bounded histogram with IDENTICAL pools
+    val aligned = pools(0.25)
+    for (e <- 0L to 3L)
+      assert(aligned(e) == exact(e), s"epoch $e pools diverge at bw=0.25")
+    // coarse buckets (8.0 = 32 docs/bucket): cutoffs use bucket lower
+    // edges, so each epoch under-admits by AT MOST one bucket's mass,
+    // stays nested, and epoch 0 still admits everything
+    val coarse0 = pools(8.0)
+    def coarse(e: Long) = coarse0.getOrElse(e, Set.empty[Long])
+    assert(coarse(0L) == exact(0L))
+    for (e <- 1L to 3L) {
+      assert(coarse(e).subsetOf(exact(e)), s"epoch $e over-admits at bw=8")
+      assert(exact(e).size - coarse(e).size <= 32,
+        s"epoch $e deficit ${exact(e).size - coarse(e).size} > one bucket")
+      assert(coarse(e).subsetOf(coarse(e - 1)), s"epoch $e not nested at bw=8")
+    }
+    // deterministic at any parallelism
+    val rep = Sampling.annealSchedule(scored.repartition(13), "doc_id", "q",
+        4, 2500, bucketWidth = 0.25)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(rep == aligned.toSeq.flatMap { case (e, s) => s.map((e, _)) }.toSet)
+  }
+
   test("exact-index bloom sidecar: screen identical; no false negatives; stale sketch fails") {
     import spark.implicits._
     val planted = docs.select(col("doc_id"),
@@ -611,6 +649,127 @@ class PipelineSpec extends SparkSpecBase {
     assert(after == screenMap(
       Dedup.exactAgainstIndex(batch, dir, "doc_id", "text")))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    CacheLedger.drain()
+  }
+
+  test("bloom sidecars generalize: line/minhash/signature/cosine identical screens; stale-after-fold fails; family + size guards") {
+    import spark.implicits._
+    // ---- LINE family: identical rewrite; a fold staleness fails loudly
+    val lnCorpus = docsOf(
+      (2L, "alpha one\nshared footer\nbeta"),
+      (4L, "gamma\nshared footer"))
+    val lnBatch = docsOf(
+      (11L, "fresh line one\nshared footer\nfresh line two"),
+      (13L, "batch dup line\nunique a"),
+      (15L, "batch dup line\nunique b"))
+    val lnDir = java.nio.file.Files.createTempDirectory("ln_bloom").toString
+    Dedup.saveLineIndex(lnCorpus, "doc_id", "text", lnDir)
+    Dedup.buildLineBloom(spark, lnDir, expectedItems = 1000L)
+    def lnMap(df: DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lnMap(Dedup.linesAgainstIndexBloom(lnBatch, lnDir, "doc_id", "text"))
+      == lnMap(Dedup.linesAgainstIndex(lnBatch, lnDir, "doc_id", "text")))
+    // loading a line sidecar through the WRONG family loader fails
+    val eFam = intercept[IllegalArgumentException] {
+      Dedup.loadExactBloom(spark, lnDir)
+    }
+    assert(eFam.getMessage.contains("key family"), eFam.getMessage)
+    Dedup.mergeIntoLineIndex(lnBatch, lnDir, "doc_id", "text")
+    val eLn = intercept[IllegalArgumentException] {
+      Dedup.linesAgainstIndexBloom(lnBatch, lnDir, "doc_id", "text")
+    }
+    assert(eLn.getMessage.contains("re-run buildLineBloom"), eLn.getMessage)
+    // rebuild restores service over the folded index
+    Dedup.buildLineBloom(spark, lnDir, expectedItems = 2000L)
+    val lnBatch2 = docsOf((21L, "unique a\ntotally new"), (23L, "gamma\nnew"))
+    assert(
+      lnMap(Dedup.linesAgainstIndexBloom(lnBatch2, lnDir, "doc_id", "text"))
+        == lnMap(Dedup.linesAgainstIndex(lnBatch2, lnDir, "doc_id", "text")))
+
+    // ---- MINHASH family: planted near-dup pairs straddle the split AND
+    // sit inside the batch (both candidate branches of the gated body)
+    val mhAll = docsOf((0L until 30L).map(i =>
+      (i, s"shared prose body for group ${i / 2} repeated tokens here")) ++
+      Seq((101L, "batch internal twin xyz"), (103L, "batch internal twin xyz")): _*)
+    val mhCorpus = mhAll.filter(col("doc_id") % 2 === 0 && col("doc_id") < 100)
+    val mhBatch = mhAll.filter(col("doc_id") % 2 === 1 || col("doc_id") > 100)
+    val mhDir = java.nio.file.Files.createTempDirectory("mh_bloom").toString
+    Dedup.saveMinhashIndex(
+      Dedup.minhashIndex(mhCorpus, "doc_id", "text", 3, 32, 8), mhDir, 3)
+    Dedup.buildMinhashBloom(spark, mhDir, expectedItems = 1000L)
+    def pairMap(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.get(2)).toMap
+    val mhPlain = pairMap(
+      Dedup.nearDupAgainstIndex(mhBatch, mhDir, "doc_id", "text", 0.4))
+    val mhBloom = pairMap(
+      Dedup.nearDupAgainstIndexBloom(mhBatch, mhDir, "doc_id", "text", 0.4))
+    assert(mhBloom == mhPlain && mhPlain.contains((101L, 103L)) &&
+      mhPlain.exists { case ((a, b), _) => a % 2 == 0 || b % 2 == 0 },
+      s"minhash bloom diverged or plant missing: ${mhPlain.keySet}")
+    Dedup.mergeIntoMinhashIndex(mhBatch, mhDir, "doc_id", "text")
+    val eMh = intercept[IllegalArgumentException] {
+      Dedup.nearDupAgainstIndexBloom(mhBatch, mhDir, "doc_id", "text", 0.4)
+    }
+    assert(eMh.getMessage.contains("re-run buildMinhashBloom"), eMh.getMessage)
+
+    // ---- SIGNATURE family: the p82 base/flip plant
+    val sig = docsOf((0L until 24L).map(i => (i, s"t$i")): _*)
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(md5(string(doc_id - doc_id % 3)), 1, 12), 16, 10) AS BIGINT)")
+          .bitwiseXOR(when(col("doc_id") % 3 >= 1,
+            expr("shiftleft(1L, cast(doc_id % 48 as int))"))
+            .otherwise(lit(0L))).as("sig"))
+    val sigDir = java.nio.file.Files.createTempDirectory("sig_bloom").toString
+    Dedup.saveSignatureIndex(sig.filter(col("doc_id") % 2 === 0), sigDir,
+      "doc_id", "sig", maxHamming = 4)
+    Dedup.buildSignatureBloom(spark, sigDir, expectedItems = 1000L)
+    val sgBatch = sig.filter(col("doc_id") % 2 === 1)
+    val sgPlain = pairMap(
+      Dedup.hammingAgainstIndex(sgBatch, sigDir, "doc_id", "sig"))
+    val sgBloom = pairMap(
+      Dedup.hammingAgainstIndexBloom(sgBatch, sigDir, "doc_id", "sig"))
+    assert(sgBloom == sgPlain && sgPlain.nonEmpty,
+      s"signature bloom diverged: plain=${sgPlain.keySet} bloom=${sgBloom.keySet}")
+    Dedup.mergeIntoSignatureIndex(sgBatch, sigDir, "doc_id", "sig")
+    val eSg = intercept[IllegalArgumentException] {
+      Dedup.hammingAgainstIndexBloom(sgBatch, sigDir, "doc_id", "sig")
+    }
+    assert(eSg.getMessage.contains("re-run buildSignatureBloom"), eSg.getMessage)
+
+    // ---- COSINE family: grouped near-parallel vectors
+    val vecs = (0L until 20L).map { i =>
+      val g = (i / 2).toInt
+      (i, Seq.tabulate(8)(j =>
+        (if (j == g % 8) 1.0 else 0.05 * ((g + j) % 3)) + 0.001 * (i % 2)))
+    }.toDF("vec_id", "embedding")
+    val cosDir = java.nio.file.Files.createTempDirectory("cos_bloom").toString
+    Similarity.saveCosineIndex(vecs.filter(col("vec_id") % 2 === 0), cosDir,
+      tables = 4, planesPerTable = 8, dim = 8)
+    Similarity.buildCosineBloom(spark, cosDir, expectedItems = 1000L)
+    val cosBatch = vecs.filter(col("vec_id") % 2 === 1)
+    val cosPlain = pairMap(
+      Similarity.cosineNearDupAgainstIndex(cosBatch, cosDir, 0.9))
+    val cosBloom = pairMap(
+      Similarity.cosineNearDupAgainstIndexBloom(cosBatch, cosDir, 0.9))
+    assert(cosBloom == cosPlain && cosPlain.nonEmpty,
+      s"cosine bloom diverged: plain=${cosPlain.keySet} bloom=${cosBloom.keySet}")
+    Similarity.mergeIntoCosineIndex(cosBatch, cosDir)
+    val eCos = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupAgainstIndexBloom(cosBatch, cosDir, 0.9)
+    }
+    assert(eCos.getMessage.contains("re-run buildCosineBloom"), eCos.getMessage)
+
+    // ---- size guard: a sketch past the task-binary ceiling refuses to
+    // build, with the sharding guidance, BEFORE any distributed work
+    val eSz = intercept[IllegalArgumentException] {
+      Dedup.buildLineBloom(spark, lnDir, expectedItems = 3000000000L)
+    }
+    assert(eSz.getMessage.contains("SHARD"), eSz.getMessage)
+    assert(Dedup.bloomSketchBytes(1000000000L, 0.01) <= Dedup.MaxBloomSketchBytes,
+      "a 1B-key 1% sketch must stay under the ceiling (the documented point)")
+
+    for (d <- Seq(lnDir, mhDir, sigDir, cosDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
     CacheLedger.drain()
   }
 
@@ -2774,6 +2933,18 @@ class PipelineSpec extends SparkSpecBase {
     // non-UNK results concatenate back to the word, ## stripped
     for (w <- Seq("running", "unable", "aun", "run", "a"))
       assert(seg(w).map(_.stripPrefix("##")).mkString == w, w)
+    // HF max_input_chars_per_word: a word longer than the cap collapses
+    // to [UNK] without probing (the default cap is 100 code points; a
+    // segmentable word at exactly 100 still segments)
+    assert(seg("run" * 34) == Seq("[UNK]"))  // 102 chars > 100
+    val exactly99 = "r" + "un" * 49  // 99 chars: greedy run + ##un x48
+    assert(seg(exactly99).head == "run" && seg(exactly99).length == 49)
+    // an explicit tighter cap through the expression API
+    val capped = spark.range(1)
+      .select(graft.functions.WordPieceSegment(lit("running"), vocab,
+        "[UNK]", maxInputChars = 5).as("s"))
+      .head().getSeq[String](0).toSeq
+    assert(capped == Seq("[UNK]"), capped)
 
     // vocab recipe: top-K whole words, capped ## n-grams, initial chars
     val d = docsOf((1L, "aaa bbb aaa ccc aaa bbb"), (2L, "dddd aaa bbb"))
