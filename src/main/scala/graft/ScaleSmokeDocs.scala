@@ -77,6 +77,24 @@ object ScaleSmokeDocs {
     stage("fingerprint")(docs.select(
       graft.pipeline.TextOps.fingerprint(col("text")).as("fp"))
       .groupBy("fp").count().filter(col("count") > 1).count())
+
+    // round-12: contamination-free packing. Lengths vary 20..719 tokens
+    // (so the >budget split path runs); the per-shard histogram fold is
+    // corpus-size-independent (<= budget distinct lengths), leaving the
+    // linear piece explode + the (shard, length)-keyed rank window —
+    // the decade row should track ~linear
+    if (wanted("bfd_pack")) {
+      val packDocs = spark.range(totalDocs).select(
+        col("id").as("doc_id"),
+        (col("id") % 8).cast("string").as("source"),
+        concat_ws(" ", transform(
+          sequence(lit(0), (pmod(hash(col("id"), lit("len")), lit(700))
+            + 19).cast("int")),
+          i => concat(lit("t"), pmod(hash(col("id"), i), lit(5000)))))
+          .as("text"))
+      stage("bfd_pack")(Sampling.packSequencesBinned(
+        packDocs, "doc_id", "text", "source", budget = 512).count())
+    }
     val lshPairs = Dedup.minhashLshPairs(
       docs, "doc_id", "text", n = 3, k = 32, bands = 8, threshold = 0.5).persist()
     val found = stage("minhash_lsh")(lshPairs.count())

@@ -487,4 +487,116 @@ object Sampling {
       .select(col(idCol), col(groupCol), col("n_tokens"), col("seq_id"),
         col("seq_off"))
   }
+
+  /** CONTAMINATION-FREE sequence packing (the production alternative to
+    * [[packSequences]]' concat-and-chunk, whose boundary fragments mix
+    * two documents' tokens in one training sequence and truncate tails
+    * — the loss the context-fit report quantifies): greedy
+    * length-DESCENDING binning where a document is never split across
+    * sequences unless it is longer than the context itself (then it
+    * splits minimally: `n div budget` full-budget pieces + one
+    * remainder piece, each full piece owning its sequence outright —
+    * "Fewer Truncations Improve Language Modeling"'s best-fit packing
+    * contract, Ding et al. '24).
+    *
+    * ALGORITHM — greedy decreasing at LENGTH-GROUP granularity. Exact
+    * textbook best-fit-decreasing keeps an open-bin remainder MULTISET
+    * whose evolution is a sequential fold over every document — no
+    * partition-independent closed form, no SQL mirror, and a driver
+    * bottleneck at corpus scale. Instead: pieces are bucketed by exact
+    * token length; groups are processed longest-first; and INSIDE a
+    * group of c same-length-ℓ pieces the packing evolves by pure
+    * arithmetic from the group's entry state (bin t, fill f):
+    * r = (B−f) div ℓ pieces top off the current bin, then k = B div ℓ
+    * pieces fill each fresh bin. The ONLY sequential state is the
+    * per-group entry (t, f) — a fold over the per-shard length
+    * HISTOGRAM, ≤ budget+1 rows by construction (the DSIR bounded-frame
+    * argument), computed in one `flatMapGroups` per shard with no
+    * driver round-trip. Everything else is windows and one broadcast
+    * join. The same bounded recursion is replayable as a ≤ budget-step
+    * recursive CTE, which is what makes the operator HASH-EXACT against
+    * the SQL oracle — the property every driver-loop packer lacks.
+    *
+    * Determinism: pieces rank by (id, piece) inside their length group;
+    * groups order by length desc — no RNG, no partition sensitivity,
+    * identical output at any parallelism. Utilization: each bin is
+    * filled contiguously and a bin accepts every later group that fits
+    * its remainder, so waste per bin is bounded by the SMALLEST length
+    * that ever declined it; on natural length distributions this tracks
+    * FFD closely, and the spec pins it ≥ concat-and-chunk's
+    * whole-document utilization on a planted corpus. Token-less docs
+    * produce no pieces (there is nothing to pack — left-join downstream
+    * if their presence matters).
+    *
+    * Output: one row per PIECE —
+    * `(idCol, groupCol, n_tokens, piece, piece_len, seq_id, seq_off)`;
+    * `seq_id` counts bins per shard, `seq_off` is the piece's first
+    * token slot, and `seq_off + piece_len <= budget` always (the
+    * no-cross-doc-fragment invariant, spec-asserted).
+    */
+  def packSequencesBinned(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val B = budget.toLong
+    val n = size(TextOps.tokens(col(textCol))).cast("long")
+    val pieces = docs
+      .withColumn("n_tokens", n)
+      .withColumn("__nf", expr(s"n_tokens div ${B}L"))
+      .select(col(idCol), col(groupCol), col("n_tokens"),
+        explode(sequence(lit(0L), col("__nf"))).as("piece"), col("__nf"))
+      .withColumn("piece_len",
+        when(col("piece") < col("__nf"), lit(B))
+          .otherwise(col("n_tokens") % lit(B)))
+      .filter(col("piece_len") >= 1)
+      .drop("__nf")
+    val hist = pieces.groupBy(col(groupCol), col("piece_len"))
+      .agg(count(lit(1)).as("__c"))
+    // per-shard entry-state fold over the bounded histogram: ≤ budget+1
+    // rows per shard sorted in memory inside the group — never a
+    // driver collect, never a corpus-sized task
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val stSchema = StructType(Seq(hist.schema(groupCol),
+      StructField("piece_len", LongType, nullable = false),
+      StructField("__t", LongType, nullable = false),
+      StructField("__f", LongType, nullable = false)))
+    val states = hist
+      .groupByKey(r => String.valueOf(r.get(0)))(Encoders.STRING)
+      .flatMapGroups { (_, it: Iterator[Row]) =>
+        val sorted = it.toArray.sortBy(-_.getAs[Long]("piece_len"))
+        var t = 0L
+        var f = 0L
+        sorted.iterator.map { r =>
+          val len = r.getAs[Long]("piece_len")
+          val c = r.getAs[Long]("__c")
+          val out = Row(r.get(0), len, t, f)
+          val rCap = (B - f) / len
+          if (c <= rCap) f += c * len
+          else {
+            val c2 = c - rCap
+            val k = B / len
+            t = t + 1 + (c2 - 1) / k
+            f = ((c2 - 1) % k + 1) * len
+          }
+          out
+        }
+      }(Encoders.row(stSchema))
+      .toDF(groupCol, "piece_len", "__t", "__f")
+    val j = row_number().over(Window.partitionBy(col(groupCol), col("piece_len"))
+      .orderBy(col(idCol), col("piece"))).cast("long")
+    pieces
+      .withColumn("__j", j)
+      .join(broadcast(states), Seq(groupCol, "piece_len"))
+      .withColumn("__r", expr(s"(${B}L - __f) div piece_len"))
+      .withColumn("__k", expr(s"${B}L div piece_len"))
+      .select(col(idCol), col(groupCol), col("n_tokens"), col("piece"),
+        col("piece_len"),
+        when(col("__j") <= col("__r"), col("__t"))
+          .otherwise(col("__t") + 1 +
+            expr("(__j - __r - 1) div __k")).as("seq_id"),
+        when(col("__j") <= col("__r"),
+            col("__f") + (col("__j") - 1) * col("piece_len"))
+          .otherwise(((col("__j") - col("__r") - 1) % col("__k")) *
+            col("piece_len")).as("seq_off"))
+  }
 }

@@ -552,6 +552,16 @@ object PipelineQueries {
       Sampling.packSequences(docs(s, dir), "doc_id", "text", "source",
         budget = 512)),
 
+    // round-12: CONTAMINATION-FREE packing (greedy length-descending
+    // binning, no doc split unless longer than the context; p25 stays
+    // as the concat-and-chunk throughput baseline). The per-shard fold
+    // runs over the bounded length histogram, which is why the oracle
+    // can replay it as a <= budget-step recursive CTE — hash-exact,
+    // unlike any driver-loop packer
+    "p117_pack_bfd" -> ((s, dir) =>
+      Sampling.packSequencesBinned(docs(s, dir), "doc_id", "text", "source",
+        budget = 512)),
+
     // deterministic stratified sampling: 50% of en, 25% of de, 10% of
     // every other language
     // training-shard membership (the write path's partition key): pure
@@ -3014,6 +3024,62 @@ object PipelineQueries {
            CAST(floor(strt / 512.0) AS BIGINT) AS seq_id,
            CAST(strt % 512 AS BIGINT) AS seq_off
          FROM c""",
+
+    // the engine's bounded histogram fold replayed as a <= 513-level
+    // recursive CTE: one state row (entry bin t, entry fill f) per
+    // (source, length-group) — scalar recursion state, every placement
+    // then closed-form integer arithmetic from the group's entry state.
+    // r = (512 - f) // len pieces top off the current bin, k = 512 //
+    // len fill each fresh bin; exit state feeds the next (shorter)
+    // group. All-BIGINT, so hash-exact by construction.
+    "p117_pack_bfd" ->
+      s"""WITH RECURSIVE d AS MATERIALIZED (
+             SELECT doc_id, source, CAST(len($TOKS) AS BIGINT) AS n
+             FROM documents),
+           pieces AS MATERIALIZED (
+             SELECT doc_id, source, n AS n_tokens, i AS piece,
+               CASE WHEN i < n // 512 THEN 512 ELSE n % 512 END AS piece_len
+             FROM d, LATERAL unnest(generate_series(0, n // 512)) t(i)
+             WHERE (CASE WHEN i < n // 512 THEN 512 ELSE n % 512 END) >= 1),
+           hq AS MATERIALIZED (
+             SELECT source, piece_len, c,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY piece_len DESC) AS g
+             FROM (SELECT source, piece_len, count(*) AS c
+                   FROM pieces GROUP BY 1, 2)),
+           st AS (
+             SELECT source, CAST(1 AS BIGINT) AS g, CAST(0 AS BIGINT) AS t,
+               CAST(0 AS BIGINT) AS f
+             FROM (SELECT DISTINCT source FROM hq)
+             UNION ALL
+             SELECT s.source, s.g + 1,
+               CASE WHEN h.c <= (512 - s.f) // h.piece_len THEN s.t
+                    ELSE s.t + 1 + (h.c - (512 - s.f) // h.piece_len - 1)
+                           // (512 // h.piece_len) END,
+               CASE WHEN h.c <= (512 - s.f) // h.piece_len
+                    THEN s.f + h.c * h.piece_len
+                    ELSE ((h.c - (512 - s.f) // h.piece_len - 1)
+                            % (512 // h.piece_len) + 1) * h.piece_len END
+             FROM st s JOIN hq h ON h.source = s.source AND h.g = s.g),
+           rk AS (
+             SELECT p.*, row_number() OVER (PARTITION BY source, piece_len
+               ORDER BY doc_id, piece) AS j
+             FROM pieces p),
+           asg AS (
+             SELECT rk.doc_id, rk.source, rk.n_tokens, rk.piece,
+               rk.piece_len, rk.j, st.t, st.f,
+               (512 - st.f) // rk.piece_len AS r,
+               512 // rk.piece_len AS k
+             FROM rk
+             JOIN hq ON rk.source = hq.source AND rk.piece_len = hq.piece_len
+             JOIN st ON st.source = hq.source AND st.g = hq.g)
+         SELECT doc_id, source, n_tokens, piece, piece_len,
+           CAST(CASE WHEN j <= r THEN t
+                     ELSE t + 1 + (j - r - 1) // k END AS BIGINT) AS seq_id,
+           CAST(CASE WHEN j <= r THEN f + (j - 1) * piece_len
+                     ELSE ((j - r - 1) % k) * piece_len END AS BIGINT)
+             AS seq_off
+         FROM asg""",
 
     "p34_shard_assign" ->
       """SELECT doc_id,

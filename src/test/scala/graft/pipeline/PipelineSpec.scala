@@ -560,6 +560,68 @@ class PipelineSpec extends SparkSpecBase {
     assert(!plan.contains("Sort "), s"annealing must not globally sort:\n$plan")
   }
 
+  test("packSequencesBinned: no cross-doc fragments; minimal splits; beats concat-and-chunk utilization; deterministic") {
+    import spark.implicits._
+    def docOfLen(id: Long, nTok: Int) =
+      (id, Seq.fill(nTok)("w").mkString(" "))
+    val d = docsOf(docOfLen(1, 60), docOfLen(2, 60), docOfLen(3, 60),
+        docOfLen(4, 40), docOfLen(5, 40), docOfLen(6, 40),
+        docOfLen(7, 250), // longer than ctx: splits minimally 100+100+50
+        docOfLen(8, 0))   // token-less: produces no pieces
+      .withColumn("source", lit("s1"))
+    val B = 100
+    val out = Sampling.packSequencesBinned(d, "doc_id", "text", "source", B)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    // the FULL hand-packed layout: 100-group tops bin0 + fresh bin1;
+    // 60s each open fresh bins (remainder 0 declines them); the 50
+    // remainder opens bin5 which the first 40 then tops off; the last
+    // two 40s share bin6. (doc, n, piece, len, seq, off):
+    val want = Set(
+      (7L, 250L, 0L, 100L, 0L, 0L), (7L, 250L, 1L, 100L, 1L, 0L),
+      (1L, 60L, 0L, 60L, 2L, 0L), (2L, 60L, 0L, 60L, 3L, 0L),
+      (3L, 60L, 0L, 60L, 4L, 0L),
+      (7L, 250L, 2L, 50L, 5L, 0L), (4L, 40L, 0L, 40L, 5L, 50L),
+      (5L, 40L, 0L, 40L, 6L, 0L), (6L, 40L, 0L, 40L, 6L, 40L))
+    assert(out == want, s"missing=${want -- out} extra=${out -- want}")
+    // invariants, independent of the hand computation: every piece lies
+    // INSIDE one sequence, pieces of a bin never overlap, splitting is
+    // minimal (ceil(n/B) pieces, only for n > B), token-less docs absent
+    assert(out.forall { case (_, _, _, len, _, off) => off + len <= B })
+    out.groupBy(t => t._5).foreach { case (seq, ps) =>
+      val sorted = ps.toSeq.sortBy(_._6)
+      sorted.sliding(2).foreach {
+        case Seq((_, _, _, la, _, oa), (_, _, _, _, _, ob)) =>
+          assert(oa + la <= ob, s"overlap in seq $seq")
+        case _ =>
+      }
+    }
+    assert(out.groupBy(_._1).forall { case (_, ps) =>
+      val n = ps.head._2
+      ps.size == ((n + B - 1) / B).toInt
+    }, "splitting is not minimal")
+    assert(!out.exists(_._1 == 8L))
+    // utilization: usable (whole-doc or minimal-split) tokens per slot
+    // beats concat-and-chunk, where a doc is usable only if it lies
+    // wholly inside one sequence
+    val bfdBins = out.map(_._5).max + 1
+    val bfdUtil = out.toSeq.map(_._4).sum.toDouble / (bfdBins * B)
+    val cc = Sampling.packSequences(d, "doc_id", "text", "source", B)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    val ccBins = cc.map { case (n, s, off) => (off + n - 1) / B + s }.max + 1
+    val ccUsable = cc.collect {
+      case (n, _, off) if n > 0 && off + n <= B => n }.sum
+    val ccUtil = ccUsable.toDouble / (ccBins * B)
+    assert(bfdUtil > ccUtil,
+      f"BFD util $bfdUtil%.3f must beat concat-and-chunk's usable $ccUtil%.3f")
+    // deterministic at any parallelism
+    val rep = Sampling.packSequencesBinned(d.repartition(7), "doc_id",
+        "text", "source", B)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(rep == out)
+  }
+
   test("annealSchedule bucketWidth fallback: identical pools when grid-aligned, bounded deficit when coarse") {
     import spark.implicits._
     // scores on a 0.25 grid — 0.25 is a power of two, so
