@@ -1094,4 +1094,37 @@ object Quality {
           (col("__st") === "boundary" && col("__cumtok") <= col("__R")),
           lit(false)).as("kept"))
   }
+
+  /** Compression-ratio junk gate — the tokenizer-free signal the
+    * char-entropy gate (p84) complements: per doc, the DEFLATE ratio of
+    * the UTF-8 bytes in exact integer milli-units,
+    * `ratio_milli = (deflate_bytes · 1000) div n_bytes`. BOTH tails are
+    * junk for LM training: `ratio_milli < lowMilli` = machine
+    * repetition/templating (boilerplate farms, key-mash, log spam);
+    * `ratio_milli > highMilli` = high-entropy payloads masquerading as
+    * text (base64/hex blobs, packed binaries, already-compressed data).
+    * Natural prose lands in between (~350–650 milli at paragraph
+    * length — deflate needs a few hundred bytes of history, so very
+    * short docs trend HIGH and should be length-gated first, the
+    * Gopher-rule composition). One zero-shuffle codegen projection
+    * ([[graft.functions.DeflateLen]] + `octet_length`), all-integer
+    * outputs, hash-stable. Empty/whitespace-only docs have n_bytes
+    * of 0 or tiny values — a 0-byte doc gets a NULL ratio and
+    * `keep = false` (nothing to train on).
+    *
+    * Output: `(idCol, n_bytes, deflate_bytes, ratio_milli, keep)`.
+    */
+  def compressionGate(docs: DataFrame, idCol: String, textCol: String,
+      lowMilli: Long = 250L, highMilli: Long = 750L): DataFrame = {
+    require(lowMilli >= 0 && highMilli > lowMilli,
+      s"need 0 <= lowMilli < highMilli: $lowMilli, $highMilli")
+    docs.select(col(idCol),
+        octet_length(col(textCol)).cast("long").as("n_bytes"),
+        graft.functions.DeflateLen(col(textCol)).as("deflate_bytes"))
+      .withColumn("ratio_milli",
+        expr("CASE WHEN n_bytes > 0 THEN (deflate_bytes * 1000) div n_bytes END"))
+      .withColumn("keep",
+        coalesce(col("ratio_milli") >= lowMilli &&
+          col("ratio_milli") <= highMilli, lit(false)))
+  }
 }

@@ -204,6 +204,44 @@ object PipelineQueries {
   private val TOKS =
     raw"""list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')"""
 
+  /** p118's planted texts — 12 variants keyed by doc_id % 12: 0..3
+    * machine repetition (ratio ≈ 22‰), 4..7 deterministic high-entropy
+    * printable blobs (≈ 834‰, the base64/packed-payload shape), 8..11
+    * varied natural prose (≈ 590‰). DuckDB cannot deflate, so the
+    * oracle replays the ENGINE-SHARED [[graft.functions.DeflateLen]]
+    * helper's exact byte counts for these 12 strings as generated
+    * literals (the p61 generated-constants pattern) — zlib at a pinned
+    * level is a pure function of the bytes, so the parity is exact.
+    */
+  private lazy val deflateVariants: Seq[String] = {
+    val rep = (0 until 4).map(v => s"buy now item$v click here " * 80)
+    val rnd = (0 until 4).map { v =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sb = new StringBuilder
+      var seed = s"p118:$v".getBytes("UTF-8")
+      while (sb.length < 2048) {
+        val h = md.digest(seed)
+        h.foreach(b => sb.append((33 + ((b & 0xff) % 94)).toChar))
+        seed = sb.takeRight(16).toString.getBytes("UTF-8")
+      }
+      sb.toString
+    }
+    val sents = Seq(
+      "A quiet survey of the northern valley found thirty potential well sites.",
+      "Rainfall charts from the past decade suggest caution before expanding the orchard.",
+      "Local carpenters prefer seasoned oak although imported pine arrives faster.",
+      "The ferry timetable changes whenever the river drops below two meters.",
+      "Students mapped the old quarry and catalogued forty mineral samples.",
+      "Evening markets draw larger crowds during the harvest festival weeks.",
+      "Engineers proposed a gravel bypass to relieve the stone bridge.",
+      "The librarian archived letters describing the flood of eighteen ninety.",
+      "Wind measurements on the ridge justify a small turbine cooperative.",
+      "Beekeepers reported earlier swarms after the mild winter.")
+    val prose = (0 until 4).map(v =>
+      s"Report draft number $v follows. " + sents.mkString(" "))
+    rep ++ rnd ++ prose
+  }
+
   /** The p89 per-block clean chain (tag strip → six-entity decode →
     * whitespace collapse), generated once so the oracle's nesting
     * mirrors `TextOps.mainContentBlocks`' cleanOf token for token.
@@ -561,6 +599,18 @@ object PipelineQueries {
     "p117_pack_bfd" -> ((s, dir) =>
       Sampling.packSequencesBinned(docs(s, dir), "doc_id", "text", "source",
         budget = 512)),
+
+    // round-12: compression-ratio junk gate beside p84's char entropy —
+    // BOTH deflate tails are junk (repetition/templating low, base64/
+    // packed payloads high). Planted 12-variant texts keyed by
+    // doc_id%12; the oracle replays DeflateLen's exact byte counts as
+    // generated literals (p61 pattern) since DuckDB cannot deflate
+    "p118_compression_gate" -> ((s, dir) =>
+      Quality.compressionGate(
+        docs(s, dir).select(col("doc_id"),
+          element_at(typedlit(deflateVariants),
+            (col("doc_id") % 12 + 1).cast("int")).as("text")),
+        "doc_id", "text")),
 
     // deterministic stratified sampling: 50% of en, 25% of de, 10% of
     // every other language
@@ -3080,6 +3130,33 @@ object PipelineQueries {
                      ELSE ((j - r - 1) % k) * piece_len END AS BIGINT)
              AS seq_off
          FROM asg""",
+
+    // ENGINE-GENERATED literal table: n_bytes from the variant strings,
+    // deflate_bytes from the shared DeflateLen helper (zlib level 6 raw
+    // — a pure function of the bytes); ratio/keep arithmetic restated
+    // in exact integer SQL
+    "p118_compression_gate" -> {
+      val consts = deflateVariants.zipWithIndex.map { case (t, i) =>
+        val nb = t.getBytes("UTF-8").length.toLong
+        val db = graft.functions.DeflateLen.deflateLenJ(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        (i, nb, db)
+      }
+      val nbCase = consts.map { case (i, nb, _) => s"WHEN $i THEN $nb" }
+        .mkString(" ")
+      val dbCase = consts.map { case (i, _, db) => s"WHEN $i THEN $db" }
+        .mkString(" ")
+      s"""WITH c AS (SELECT doc_id,
+               CAST(CASE doc_id % 12 $nbCase END AS BIGINT) AS n_bytes,
+               CAST(CASE doc_id % 12 $dbCase END AS BIGINT) AS deflate_bytes
+             FROM documents),
+           r AS (SELECT *, CASE WHEN n_bytes > 0
+                   THEN (deflate_bytes * 1000) // n_bytes END AS ratio_milli
+                 FROM c)
+         SELECT doc_id, n_bytes, deflate_bytes, ratio_milli,
+           coalesce(ratio_milli >= 250 AND ratio_milli <= 750, false) AS keep
+         FROM r"""
+    },
 
     "p34_shard_assign" ->
       """SELECT doc_id,

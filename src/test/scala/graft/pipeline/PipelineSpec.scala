@@ -560,6 +560,52 @@ class PipelineSpec extends SparkSpecBase {
     assert(!plan.contains("Sort "), s"annealing must not globally sort:\n$plan")
   }
 
+  test("compressionGate: both deflate junk tails flagged, prose kept, empty/null guarded") {
+    import spark.implicits._
+    val rep = "buy now click here " * 100            // machine repetition
+    val rnd = {                                      // high-entropy printable
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sb = new StringBuilder
+      var seed = "junk:0".getBytes("UTF-8")
+      while (sb.length < 2048) {
+        md.digest(seed).foreach(b => sb.append((33 + ((b & 0xff) % 94)).toChar))
+        seed = sb.takeRight(16).toString.getBytes("UTF-8")
+      }
+      sb.toString
+    }
+    val prose = "A quiet survey of the northern valley found thirty " +
+      "potential well sites. Rainfall charts from the past decade " +
+      "suggest caution before expanding the orchard. Local carpenters " +
+      "prefer seasoned oak although imported pine arrives faster. The " +
+      "ferry timetable changes whenever the river drops below two " +
+      "meters. Students mapped the old quarry and catalogued forty " +
+      "mineral samples. Evening markets draw larger crowds during the " +
+      "harvest festival weeks."
+    val d = Seq((1L, Some(rep)), (2L, Some(rnd)), (3L, Some(prose)),
+      (4L, Some("")), (5L, None: Option[String])).toDF("doc_id", "text")
+    val out = Quality.compressionGate(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))).toMap
+    val (repR, repKeep) = out(1L)
+    val (rndR, rndKeep) = out(2L)
+    val (proseR, proseKeep) = out(3L)
+    // repetition compresses to almost nothing; high-entropy barely at
+    // all; varied prose sits mid-band — both tails rejected, prose kept
+    assert(repR.exists(_ < 250) && !repKeep, s"rep ratio $repR")
+    assert(rndR.exists(_ > 750) && !rndKeep, s"rnd ratio $rndR")
+    assert(proseR.exists(r => r >= 250 && r <= 750) && proseKeep,
+      s"prose ratio $proseR")
+    // empty text: NULL ratio, keep = false; NULL text row survives with
+    // NULL stats (nullSafeEval), keep = false
+    assert(out(4L) == ((None, false)) && out(5L) == ((None, false)))
+    // ratio is exact integer arithmetic over exact byte counts — stable
+    // under repartition (hash-stability, not float luck)
+    val rep2 = Quality.compressionGate(d.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))).toMap
+    assert(rep2 == out)
+  }
+
   test("packSequencesBinned: no cross-doc fragments; minimal splits; beats concat-and-chunk utilization; deterministic") {
     import spark.implicits._
     def docOfLen(id: Long, nTok: Int) =
