@@ -126,6 +126,24 @@ object ScaleSmokeDocs {
         explode(TextOps.bpeishTokens(col("text"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term")).limit(200).count())
+    // sketch-pruned frequent n-grams (p123): the Misra-Gries candidate
+    // pass is the stress — at this corpus nearly every 3-gram is
+    // distinct (random 5000-word draws), so the partial buffers evict
+    // constantly and the exchange still carries only ≤ 32k-entry
+    // summaries; the support threshold lands above every natural count,
+    // so the verify pass is the cheap no-candidate path (rows = 0 is
+    // the expected census on a template-free corpus)
+    stage("heavy_ngrams3")(HeavyHitters.frequentNgrams(
+      spark, docs, "text", n = 3).count())
+    // the unigram form exercises the verify join at full output: all
+    // ~5000 vocabulary words clear the support threshold, so the
+    // broadcast-candidate groupBy counts every one exactly
+    if (wanted("heavy_unigrams")) {
+      val hh = stage("heavy_unigrams")(HeavyHitters.frequentNgrams(
+        spark, docs, "text", n = 1).count())
+      require(hh >= 4900 && hh <= 5000,
+        s"heavy_unigrams: expected ~5000 vocabulary words, got $hh")
+    }
     // unigram LM scoring (p36): corpus term-count aggregate, token→count
     // equality join, one-row broadcast total — two shuffles on term plus
     // the per-doc sum; micro-nat longs keep the agg exact and order-free

@@ -599,4 +599,95 @@ object Sampling {
           .otherwise(((col("__j") - col("__r") - 1) % col("__k")) *
             col("piece_len")).as("seq_off"))
   }
+
+  /** Weighted sampling WITHOUT replacement, k per group, deterministic —
+    * Efraimidis-Spirakis reservoir order (Inf. Proc. Letters '06):
+    * each row draws `u ∈ (0,1]` from its salted id hash and ranks by
+    * `key = ln(u) / w` (the monotone form of `u^(1/w)`); the k
+    * LARGEST keys per group are the sample. Inclusion probability is
+    * proportional to weight, jointly correct across all k draws —
+    * the distribution a per-row Bernoulli or a weight-sorted top-k
+    * cannot give (the former has no fixed k; the latter always picks
+    * the same heavy rows).
+    *
+    * Everything is hash-derived (the module contract): the same doc is
+    * in or out of the sample on every re-run, at any parallelism, on
+    * any cluster — and the DuckDB oracle replays the arithmetic
+    * exactly (long→double conversion and `ln` agree bit-for-bit
+    * between the JVM and DuckDB on hash-derived inputs; the p36
+    * micro-nat precedent relies on the same).
+    *
+    * Scale shape: one hash-partition exchange on `groupCol` and a
+    * row_number window — no global sort; k bounds nothing upstream,
+    * so AQE's skew handling applies to a hot group. Rows with NULL or
+    * non-positive weight are excluded (they have no E-S key).
+    *
+    * Output: the selected rows as `(idCol, groupCol, weightCol,
+    * rank)`, rank 1..k by descending key — rank 1 is the strongest
+    * draw, stable under re-partitioning.
+    */
+  def weightedSample(docs: DataFrame, idCol: String, groupCol: String,
+      weightCol: String, k: Int, salt: String = "ws"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    // u = (hash60+1)/2^60 ∈ (0, 1]; +1 keeps ln finite at hash 0
+    val u = (TextOps.hash60(concat(lit(salt + ":"),
+      col(idCol).cast("string"))) + 1L) / lit(1152921504606846976.0)
+    val key = log(u) / col(weightCol)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(key.desc, col(idCol))
+    docs
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col(groupCol), col(weightCol), col("rank"))
+  }
+
+  /** Overlapping token-window chunking — the retrieval/RAG prep that
+    * turns documents into embedder-sized passages: windows of `size`
+    * whitespace tokens advancing by `stride = size - overlap`, with the
+    * LAST window right-aligned (its start clamps to `n - size`) so no
+    * chunk is a runt — every chunk carries exactly `size` tokens except
+    * when the whole document is shorter (then it is the one chunk,
+    * whole). Chunk count is `1 + ceil((n - size) / stride)` for
+    * `n > size`, else 1.
+    *
+    * This is deliberately a PURE PROJECTION: tokenize once, compute the
+    * chunk count arithmetically, explode a `sequence`, slice the token
+    * array — zero exchanges, zero joins, whole-stage codegen end to
+    * end, so the operator scales as the scan does. Deterministic by
+    * construction (no hash, even): the same doc yields the same chunks
+    * at any parallelism, and the arithmetic contract is exactly
+    * replayable in SQL (the DuckDB oracle mirrors it with an inclusive
+    * list slice), which keeps the operator hash-exact.
+    *
+    * Output: one row per chunk —
+    * `(idCol, chunk_idx, n_tokens, chunk_text)`; `n_tokens` is the
+    * chunk's own token count, `chunk_text` the space-joined window.
+    * Token-less documents emit one empty chunk (chunk_idx 0,
+    * n_tokens 0) so every input id stays represented.
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(size > 0, s"size must be positive: $size")
+    require(overlap >= 0 && overlap < size,
+      s"overlap must be in [0, size): $overlap vs size=$size")
+    val stride = (size - overlap).toLong
+    docs
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .withColumn("__n", org.apache.spark.sql.functions.size(col("__toks")).cast("long"))
+      .withColumn("__nc",
+        when(col("__n") <= size, lit(1L))
+          .otherwise(ceil((col("__n") - size) / lit(stride.toDouble))
+            .cast("long") + 1L))
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0L), col("__nc") - 1L)).as("chunk_idx"))
+      .withColumn("__start",
+        least(col("chunk_idx") * stride, greatest(col("__n") - size, lit(0L))))
+      .withColumn("__chunk",
+        slice(col("__toks"), (col("__start") + 1L).cast("int"), lit(size)))
+      .select(col(idCol), col("chunk_idx"),
+        org.apache.spark.sql.functions.size(col("__chunk")).cast("long")
+          .as("n_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
 }

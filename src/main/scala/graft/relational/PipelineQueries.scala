@@ -1322,6 +1322,34 @@ object PipelineQueries {
         s"$out/idx", "doc_id", "dhash")
     }),
 
+    // round-12: corpus-frequent 3-gram census (the stop-gram /
+    // boilerplate-phrase report) — exact counts, but candidates come
+    // from ONE mergeable Misra-Gries pass so the gram tail never
+    // shuffles; the verify groupBy touches only the broadcast-joined
+    // candidates. Exact-equivalence is certified in-plan (the MG
+    // deficiency bound is require'd against the measured total), so
+    // the result is byte-identical to the full-shuffle relation the
+    // oracle computes. Support-relative threshold:
+    // minCount = max(6, ceil(total/16384)).
+    "p123_heavy_ngrams" -> ((s, dir) =>
+      HeavyHitters.frequentNgrams(s, docs(s, dir), "text", n = 3)),
+
+    // round-12: RAG/retrieval passage chunking — 32-token windows,
+    // 8-token overlap, right-aligned last window. Pure codegen
+    // projection (tokenize → arithmetic chunk count → sequence explode
+    // → array slice): zero exchanges, scales as the scan does
+    "p124_chunk_overlap" -> ((s, dir) =>
+      Sampling.chunkTokens(docs(s, dir), "doc_id", "text",
+        size = 32, overlap = 8)),
+
+    // round-12: length-weighted corpus subsample — 20 docs per source,
+    // inclusion probability ∝ n_chars, WITHOUT replacement
+    // (Efraimidis-Spirakis hash-derived reservoir keys; deterministic,
+    // exactly replayable in SQL)
+    "p125_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(docs(s, dir), "doc_id", "source",
+        "n_chars", k = 20)),
+
     // line-level stored-index screen (round-11, closing the
     // cross-snapshot matrix: exact-doc/minhash/cosine/hamming all have
     // save→screen→merge; this is the LINE family — the per-batch
@@ -4151,6 +4179,53 @@ object PipelineQueries {
          FROM p a JOIN p b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.dh, b.dh)) <= 4
            AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)""",
+
+    // the exact full-shuffle relation p123's sketch-pruned plan must
+    // equal byte-for-byte (DuckDB 1-based INCLUSIVE list slice:
+    // toks[i:i+2] = tokens i, i+1, i+2 — Spark's element_at(i..i+2))
+    "p123_heavy_ngrams" ->
+      s"""WITH d AS (SELECT $TOKS AS toks FROM documents),
+             g AS (SELECT array_to_string(toks[i:i+2], ' ') AS gram
+                   FROM d, unnest(generate_series(1, len(toks) - 2)) t(i)),
+             tot AS (SELECT count(*)::BIGINT AS n FROM g),
+             mc AS (SELECT greatest(6, CAST(ceil(n / 16384.0) AS BIGINT)) AS m
+                    FROM tot),
+             c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1)
+         SELECT gram, cnt FROM c, mc WHERE cnt >= m
+         ORDER BY cnt DESC, gram""",
+
+    // chunk arithmetic mirrored exactly: stride 24 = size 32 - overlap
+    // 8; last chunk start clamps to n-32 (right-aligned); inclusive
+    // DuckDB slice toks[s+1 : s+32] = Spark slice(toks, s+1, 32)
+    "p124_chunk_overlap" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+             p AS (SELECT doc_id, toks, len(toks)::BIGINT AS n,
+                     CASE WHEN len(toks) <= 32 THEN 1::BIGINT
+                          ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1
+                     END AS nc
+                   FROM d),
+             c AS (SELECT doc_id, i AS chunk_idx,
+                     least(i * 24, greatest(n - 32, 0)) AS s, toks
+                   FROM p, unnest(generate_series(0, nc - 1)) t(i))
+         SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+           len(toks[s + 1 : s + 32])::BIGINT AS n_tokens,
+           array_to_string(toks[s + 1 : s + 32], ' ') AS chunk_text
+         FROM c""",
+
+    // E-S reservoir keys replayed exactly: u = (hash60+1)/2^60,
+    // key = ln(u)/n_chars, top-20 per source by key desc (id tiebreak)
+    "p125_weighted_sample" ->
+      """WITH d AS (SELECT doc_id, source, n_chars,
+                 ln((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                     + 1) / 1152921504606846976.0) / n_chars AS key
+               FROM documents
+               WHERE n_chars IS NOT NULL AND n_chars > 0)
+         SELECT doc_id, source, n_chars,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY key DESC, doc_id) AS BIGINT)
+             AS rank
+         FROM d
+         QUALIFY rank <= 20""",
 
     // the p37 line rule under the cross-snapshot temporal contract,
     // restricted to the odd (batch) docs: a batch line dies when its

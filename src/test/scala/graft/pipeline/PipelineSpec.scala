@@ -668,6 +668,75 @@ class PipelineSpec extends SparkSpecBase {
     assert(rep == out)
   }
 
+  test("chunkTokens: right-aligned last window, exact overlap, zero exchanges") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, words(5)),   // n < size: one whole chunk
+      (2L, words(8)),   // n == size: exactly one chunk
+      (3L, words(14)),  // starts 0, 6, clamp(12 -> 6)? no: nc=2, last start=6
+      (4L, words(21)),  // nc = ceil(13/6)+1 = 4; last start clamps 18 -> 13
+      (5L, ""))         // token-less: one empty chunk, id stays represented
+      .toDF("doc_id", "text")
+    val out = Sampling.chunkTokens(d, "doc_id", "text", size = 8, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(t => (t._1, t._2))
+    def expectChunks(id: Long, starts: Seq[Int], n: Int) =
+      starts.zipWithIndex.map { case (s, i) =>
+        val toks = (s + 1 to math.min(s + 8, n)).map(j => s"w$j")
+        (id, i.toLong, toks.size.toLong, toks.mkString(" "))
+      }
+    val want = (expectChunks(1L, Seq(0), 5) ++ expectChunks(2L, Seq(0), 8) ++
+      expectChunks(3L, Seq(0, 6), 14) ++
+      expectChunks(4L, Seq(0, 6, 12, 13), 21) ++
+      Seq((5L, 0L, 0L, ""))).sortBy(t => (t._1, t._2))
+    assert(out.toSeq == want, s"got=${out.toSeq}")
+    // every doc-4 chunk is FULL size (the right-aligned contract)
+    assert(out.filter(_._1 == 4L).forall(_._3 == 8L))
+    // pure projection: no Exchange anywhere in the physical plan
+    val plan = Sampling.chunkTokens(d, "doc_id", "text", 8, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("weightedSample: E-S keys match plain-Scala recompute; weight drives inclusion") {
+    import spark.implicits._
+    // 1000 heavy (w=50) + 1000 light (w=1) rows in one group, plus a
+    // second group and null/zero weights that must be excluded
+    val rows = (1L to 2000L).map(i =>
+      (i, "g1", Some(if (i <= 1000) 50L else 1L))) ++
+      (3000L to 3009L).map(i => (i, "g2", Some(3L))) ++
+      Seq((4000L, "g1", None: Option[Long]), (4001L, "g1", Some(0L)))
+    val d = rows.toDF("doc_id", "source", "n_chars")
+    val got = Sampling.weightedSample(d, "doc_id", "source", "n_chars", k = 100)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    // independent recomputation of the reservoir order in plain Scala
+    def hash60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def key(id: Long, w: Long): Double =
+      math.log((hash60(s"ws:$id") + 1L) / 1152921504606846976.0) / w
+    val want = rows.collect { case (id, g, Some(w)) if w > 0 => (id, g, w) }
+      .groupBy(_._2).flatMap { case (g, rs) =>
+        rs.sortBy(r => (-key(r._1, r._3), r._1)).take(100).zipWithIndex
+          .map { case ((id, grp, _), i) => (id, grp, (i + 1).toLong) }
+      }.toSet
+    assert(got.toSet == want, s"got ${got.length} rows")
+    // g2 has only 10 rows -> all selected; g1 capped at k
+    assert(got.count(_._2 == "g2") == 10 && got.count(_._2 == "g1") == 100)
+    // the 50x weight dominates the draw but does not monopolize it
+    val heavy = got.count(t => t._2 == "g1" && t._1 <= 1000)
+    assert(heavy >= 85, s"heavy=$heavy of 100")
+    // deterministic at any parallelism
+    val rep = Sampling.weightedSample(d.repartition(7), "doc_id", "source",
+        "n_chars", 100)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    assert(rep == got.toSet)
+  }
+
   test("annealSchedule bucketWidth fallback: identical pools when grid-aligned, bounded deficit when coarse") {
     import spark.implicits._
     // scores on a 0.25 grid — 0.25 is a power of two, so

@@ -600,6 +600,72 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("chunkTokens is a stateless projection on a stream (RAG ingest path)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def words(a: Int, b: Int) = (a to b).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words(1, 5)), (2L, words(1, 14)), (3L, words(1, 21)))
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.pipeline.Sampling.chunkTokens(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      size = 8, overlap = 2)
+    val q = out.writeStream.format("memory").queryName("chunkstream")
+      .outputMode("append").start()
+    val got = try {
+      mem.addData(docs.take(1)); q.processAllAvailable()
+      mem.addData(docs.drop(1)); q.processAllAvailable()
+      spark.table("chunkstream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+    } finally q.stop()
+    val want = graft.pipeline.Sampling.chunkTokens(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 8, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("weightedSampleStream reservoir == batch E-S selection across batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingWeightedSample.{WeightedDoc, esKey}
+    val k = 5
+    // two groups; batch 2 deliberately carries the strongest-key doc of
+    // g1 (found by recomputing keys) so the reservoir must DISPLACE an
+    // earlier selection, plus a zero-weight row that must be ignored
+    val all = (1L to 40L).map(i =>
+      WeightedDoc(i, if (i % 2 == 0) "g1" else "g2", (i % 7 + 1).toDouble))
+    val g1 = all.filter(_.group == "g1")
+    val strongest = g1.maxBy(d => esKey(d.doc_id, d.weight, "ws")).doc_id
+    val batch2 = all.filter(d => d.doc_id == strongest || d.doc_id > 30) :+
+      WeightedDoc(999L, "g1", 0.0)
+    val batch1 = all.filterNot(d => d.doc_id == strongest || d.doc_id > 30)
+    val mem = MemoryStream[WeightedDoc]
+    val q = StreamingWeightedSample.weightedSampleStream(mem.toDS(), k)
+      .writeStream.format("memory").queryName("wsample")
+      .outputMode("update").start()
+    val got = try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val rows = spark.table("wsample").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4)))
+      val last = rows.groupBy(_._1)
+        .map { case (g, rs) => g -> rs.map(_._5).max }
+      rows.filter(r => r._5 == last(r._1))
+        .map(r => (r._1, r._2, r._4)).toSet // (group, doc_id, rank)
+    } finally q.stop()
+    val want = graft.pipeline.Sampling.weightedSample(
+        all.toDF("doc_id", "group", "weight"), "doc_id", "group",
+        "weight", k)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(3)))
+      .toSet
+    assert(got == want, s"stream=$got batch=$want")
+    // the cross-batch displacement actually happened
+    assert(got.contains(("g1", strongest, 1L)), s"strongest=$strongest $got")
+  }
+
   test("rangeStream is the stateless batch expression on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
