@@ -95,6 +95,19 @@ object ScaleSmokeDocs {
       stage("bfd_pack")(Sampling.packSequencesBinned(
         packDocs, "doc_id", "text", "source", budget = 512).count())
     }
+    if (wanted("host_cap")) {
+      // power-law hosts: host 0 owns ~half the corpus (the skew case a
+      // window row_number would pin on one task), the tail is tiny;
+      // the packed-TopK cap must return exactly n per non-tiny host
+      val hosted = spark.range(totalDocs).select(
+        col("id").as("doc_id"),
+        floor(log2(pmod(hash(col("id"), lit("host")), lit(1L << 20)) + 1L))
+          .cast("string").as("host"),
+        pmod(hash(col("id"), lit("score")), lit(1000L)).as("score"))
+      val kept = stage("host_cap")(Sampling.hostCap(
+        hosted, "doc_id", "host", "score", n = 10, maxScore = 999L).count())
+      require(kept <= 21 * 10, s"more than n per host survived: $kept")
+    }
     val lshPairs = Dedup.minhashLshPairs(
       docs, "doc_id", "text", n = 3, k = 32, bands = 8, threshold = 0.5).persist()
     val found = stage("minhash_lsh")(lshPairs.count())
@@ -841,7 +854,7 @@ object ScaleSmokeDocs {
     // nudged → cosine ≈ 0.999) so banded-pair recall is checkable.
     // The block's gate name carries every stage prefix it prints, so a
     // stage filter like "ann" or "pq" keeps it and "lm,dsir" skips it.
-    if (!wanted("ann_cosine_pairs_banded_embedding_clusters_semantic_dedup_lsh_cos_index_build_cosine_screen_20k_pq_ivfpq_source_outliers_hard_neg_brute_100q_hard_neg_banded_100q")) {
+    if (!wanted("ann_cosine_pairs_banded_embedding_clusters_semantic_dedup_lsh_cos_index_build_cosine_screen_20k_pq_ivfpq_source_outliers_hard_neg_brute_100q_hard_neg_banded_100q_bitext")) {
       docs.unpersist(); return
     }
     val nVec = math.max(10000L, totalDocs / 2)
@@ -893,6 +906,23 @@ object ScaleSmokeDocs {
         Similarity.hardNegativesBandedTopK(vecsL,
           vecsL.filter(col("vec_id") < 100), 5,
           tables = 8, planesPerTable = planesB, dim = 64).count())
+    }
+    // bitext margin mining, brute vs banded (the p130/p131 pair): tgt =
+    // every vector mixed with its reverse and re-keyed, src = 100
+    // queries — brute margins pay O(src·corpus), the banded form's
+    // candidate graph tracks bucket collisions (~flat across the decade)
+    if (wanted("bitext")) {
+      val tgtV = vecs.select((col("vec_id") + 100000000L).as("vec_id"),
+        zip_with(col("embedding"), reverse(col("embedding")),
+          (a, b) => a * 0.9 + b * 0.1).as("embedding"))
+      val srcV = vecs.filter(col("vec_id") < 100)
+      vstage("bitext_brute_100q")(
+        Similarity.bitextMarginMine(srcV, tgtV, k = 5,
+          marginMilliMin = 1800L).filter(col("mined")).count())
+      vstage("bitext_banded_100q")(
+        Similarity.bitextMarginMineBanded(srcV, tgtV, k = 5,
+          marginMilliMin = 1800L, tables = 8, planesPerTable = planesB,
+          dim = 64).filter(col("mined")).count())
     }
     if (wanted("cosine_pairs_banded")) {
       val t0 = System.nanoTime()

@@ -49,6 +49,47 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Cross-source PRIORITY dedup — when the same text arrives from
+    * several sources (curated dump + crawl + mirror), keep the copy
+    * from the most-trusted source, not the lowest id: winner per
+    * content group = min `(priority, id)` lexicographically, where
+    * smaller priority = more trusted and id breaks ties. The
+    * SlimPajama/Dolma merge rule when corpora are unioned.
+    *
+    * One hash aggregate, no window, no join back for the group stats:
+    * the winner is `min(priority · 2^idBits + id)` — the same packed
+    * BIGINT move as [[graft.pipeline.Sampling.hostCap]] (bounds
+    * enforced loudly; `min` of packed keys is the lexicographic min
+    * because both components are nonnegative and id < 2^idBits) — and
+    * decodes back arithmetically. Output one row per distinct text:
+    * `(content_hash, keep_id, keep_priority, dup_cnt, n_sources)`.
+    */
+  def priorityGroups(docs: DataFrame, idCol: String, textCol: String,
+      priorityCol: String, maxPriority: Long,
+      idBits: Int = 40): DataFrame = {
+    require(idBits >= 1 && idBits <= 56, s"idBits must be in [1,56]: $idBits")
+    require(maxPriority >= 0 && (maxPriority + 1) <= (Long.MaxValue >> idBits),
+      s"(maxPriority+1)·2^$idBits must fit a BIGINT: maxPriority=$maxPriority")
+    val idMod = 1L << idBits
+    val inBounds = col(priorityCol) >= 0L && col(priorityCol) <= maxPriority &&
+      col(idCol) >= 0L && col(idCol) < idMod
+    docs.select(md5(col(textCol)).as("content_hash"),
+        when(inBounds, col(priorityCol) * idMod + col(idCol))
+          .otherwise(raise_error(lit(
+            s"priorityGroups packing bounds violated: need " +
+              s"0<=priority<=$maxPriority and 0<=id<2^$idBits")).cast("long"))
+          .as("__packed"),
+        col(priorityCol))
+      .groupBy("content_hash")
+      .agg(min("__packed").as("__win"),
+        count(lit(1)).as("dup_cnt"),
+        countDistinct(col(priorityCol)).as("n_sources"))
+      .select(col("content_hash"),
+        (col("__win") % idMod).as("keep_id"),
+        expr(s"__win div $idMod").as("keep_priority"),
+        col("dup_cnt"), col("n_sources"))
+  }
+
   // ---- exact stored index ------------------------------------------------
   //
   // The p71 cross-snapshot pattern for the EXACT family (round-10

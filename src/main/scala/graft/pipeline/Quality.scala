@@ -1127,4 +1127,75 @@ object Quality {
         coalesce(col("ratio_milli") >= lowMilli &&
           col("ratio_milli") <= highMilli, lit(false)))
   }
+
+  /** The default keyword probes for [[codeGate]] — substrings whose
+    * PRESENCE (not count) votes "code". Chosen to span the mainstream
+    * source languages while staying rare in prose; each hit is worth
+    * 100 score-milli, so two hits alone clear a 400-milli threshold
+    * only together with symbol/structure signals.
+    */
+  val CodeKeywords: Seq[String] = Seq(
+    "def ", "#include", "import ", "return", "function", "class ",
+    "const ", "public static", "let ", "print(", "=>", "nullptr")
+
+  /** Code-vs-prose detector (the StarCoder/Dolma-style routing signal
+    * that decides whether a crawled doc feeds the code or the text
+    * subset). Four integer signals per doc, all in exact milli units so
+    * the DuckDB oracle replays them bit-for-bit:
+    *
+    *   - `sym_milli`: source-structure characters `{}();=<>[]` per 1000
+    *     chars (`translate`-delete and subtract — no regex);
+    *   - `indent_milli`: lines starting with four spaces or a tab per
+    *     1000 lines (indented blocks — also fires on poetry, which is
+    *     why no single signal decides);
+    *   - `term_milli`: lines whose space-rtrimmed tail is `;`/`{`/`}`
+    *     per 1000 lines (statement terminators / block braces);
+    *   - `kw_hits`: how many of `keywords` occur at least once.
+    *
+    * `score_milli = 3·sym + 2·term + indent div 4 + 100·kw` and
+    * `is_code = score_milli >= threshold` (default 400). Indentation is
+    * deliberately the WEAKEST vote — a fully-indented doc contributes
+    * only 250 milli, so poetry/quoted email can never cross the
+    * threshold on indentation alone, while real source always carries
+    * symbols or terminators too; prose with a parenthetical and an
+    * "import duties" mention stays well under. One zero-shuffle codegen
+    * projection: `split`/`filter`/`translate`/`contains` built-ins
+    * only, no UDF, linear in text length. Empty docs score 0.
+    *
+    * Output: `(idCol, n_chars, n_lines, sym_milli, indent_milli,
+    * term_milli, kw_hits, score_milli, is_code)`.
+    */
+  def codeGate(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Long = 400L,
+      keywords: Seq[String] = CodeKeywords): DataFrame = {
+    require(keywords.nonEmpty, "need at least one keyword probe")
+    val t = col(textCol)
+    val lines = split(t, "\n", -1)
+    val kwHits = keywords.map(k =>
+      when(contains(t, lit(k)), 1L).otherwise(0L)).reduce(_ + _)
+    docs.select(col(idCol),
+        length(t).cast("long").as("n_chars"),
+        size(lines).cast("long").as("n_lines"),
+        (length(t) - length(translate(t, "{}();=<>[]", "")))
+          .cast("long").as("sym_chars"),
+        size(filter(lines, l =>
+          substring(l, 1, 4) === "    " || substring(l, 1, 1) === "\t"))
+          .cast("long").as("indent_lines"),
+        size(filter(lines, l =>
+          rtrim(l).endsWith(";") || rtrim(l).endsWith("{") ||
+            rtrim(l).endsWith("}")))
+          .cast("long").as("term_lines"),
+        kwHits.as("kw_hits"))
+      .withColumn("sym_milli",
+        expr("(sym_chars * 1000) div greatest(n_chars, 1)"))
+      .withColumn("indent_milli",
+        expr("(indent_lines * 1000) div greatest(n_lines, 1)"))
+      .withColumn("term_milli",
+        expr("(term_lines * 1000) div greatest(n_lines, 1)"))
+      .withColumn("score_milli",
+        expr("3 * sym_milli + 2 * term_milli + (indent_milli div 4) + 100 * kw_hits"))
+      .withColumn("is_code", col("score_milli") >= threshold)
+      .select(idCol, "n_chars", "n_lines", "sym_milli", "indent_milli",
+        "term_milli", "kw_hits", "score_milli", "is_code")
+  }
 }

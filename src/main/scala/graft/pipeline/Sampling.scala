@@ -690,4 +690,52 @@ object Sampling {
           .as("n_tokens"),
         concat_ws(" ", col("__chunk")).as("chunk_text"))
   }
+
+  /** Per-host document cap — keep the best `n` docs of every host by
+    * `(score desc, id asc)` (the C4/RefinedWeb anti-spam rule: one farm
+    * must not dominate the corpus). Semantically identical to
+    * `row_number() over (partition by host order by score desc, id asc)
+    * <= n`, but NOT built on a window: a window materializes every row
+    * of a host in one task, so a single mega-host (the power-law head
+    * of any crawl) pins its full document list on one executor. Instead
+    * the ordering is PACKED into one BIGINT —
+    * `(maxScore − score) · 2^idBits + id`, smaller = better — and fed
+    * to [[graft.functions.TopKLongs]], whose size-n heap prunes
+    * map-side: the shuffle carries at most n longs per (mapper, host),
+    * and reduce-side state is ≤ n regardless of host size. Rank, score
+    * and id decode back out of the packed key arithmetically — no join
+    * back to the input.
+    *
+    * Packing bounds (enforced, loud): `0 ≤ score ≤ maxScore` and
+    * `0 ≤ id < 2^idBits`, with `(maxScore+1) · 2^idBits` within BIGINT.
+    * Distinct (host, id) pairs make the packed ordering total, so the
+    * result is deterministic under any partitioning.
+    *
+    * Output: `(hostCol, idCol, score, rank)` with rank 1-based in
+    * descending-score order.
+    */
+  def hostCap(docs: DataFrame, idCol: String, hostCol: String,
+      scoreCol: String, n: Int, maxScore: Long, idBits: Int = 40): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    require(idBits >= 1 && idBits <= 56, s"idBits must be in [1,56]: $idBits")
+    require(maxScore >= 0 && (maxScore + 1) <= (Long.MaxValue >> idBits),
+      s"(maxScore+1)·2^$idBits must fit a BIGINT: maxScore=$maxScore")
+    val idMod = 1L << idBits
+    val inBounds = col(scoreCol) >= 0L && col(scoreCol) <= maxScore &&
+      col(idCol) >= 0L && col(idCol) < idMod
+    docs.select(col(hostCol), col(idCol), col(scoreCol))
+      .withColumn("__packed",
+        when(inBounds, (lit(maxScore) - col(scoreCol)) * idMod + col(idCol))
+          .otherwise(raise_error(
+            lit(s"hostCap packing bounds violated: need 0<=score<=$maxScore " +
+              s"and 0<=id<2^$idBits")).cast("long")))
+      .groupBy(col(hostCol))
+      .agg(graft.functions.TopKLongs(col("__packed"), n).as("__keys"))
+      .select(col(hostCol),
+        posexplode(col("__keys")).as(Seq("__r", "__key")))
+      .select(col(hostCol),
+        (col("__key") % idMod).as(idCol),
+        (lit(maxScore) - expr(s"__key div $idMod")).as(scoreCol),
+        (col("__r") + 1).cast("long").as("rank"))
+  }
 }

@@ -1517,4 +1517,185 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"), col("sim"))
   }
+
+  /** Margin scoring shared by [[bitextMarginMine]] (exact baseline) and
+    * [[bitextMarginMineBanded]] (the scale form): given a (src_id,
+    * tgt_id, sim_micro) relation, rank-1-per-src candidates are scored
+    * by the Artetxe & Schwenk ratio margin against BOTH neighborhoods —
+    * `margin = sim / ((avg top-k sim of src + avg top-k sim of tgt)/2)`
+    * — kept in EXACT integer milli units:
+    * `margin_milli = (sim_micro · 2000 · k) div (Σtopk_src + Σtopk_tgt)`
+    * (avoids order-dependent float sums AND the floor-vs-truncate
+    * divergence — numerator is gated nonnegative, denominator positive,
+    * the regime where Spark `div` and DuckDB `//` agree). Margin is
+    * NULL (and `mined` false) when the best sim or the neighborhood
+    * mass is nonpositive — a "pair" mined out of an all-negative
+    * neighborhood is noise by definition.
+    */
+  private def marginFromSims(sims: DataFrame, k: Int,
+      marginMilliMin: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy("src_id")
+      .orderBy(col("sim_micro").desc, col("tgt_id"))
+    val byTgt = Window.partitionBy("tgt_id")
+      .orderBy(col("sim_micro").desc, col("src_id"))
+    val ranked = sims
+      .withColumn("rs", row_number().over(bySrc))
+      .withColumn("rt", row_number().over(byTgt))
+      .persistTracked() // three consumers: best-per-src + both top-k sums
+    val wx = ranked.filter(col("rs") <= k)
+      .groupBy("src_id").agg(sum("sim_micro").as("wx_sum"))
+    val wy = ranked.filter(col("rt") <= k)
+      .groupBy("tgt_id").agg(sum("sim_micro").as("wy_sum"))
+    ranked.filter(col("rs") === 1)
+      .select("src_id", "tgt_id", "sim_micro")
+      .join(wx, Seq("src_id"))
+      .join(wy, Seq("tgt_id"))
+      .withColumn("margin_milli",
+        when(col("sim_micro") >= 0L && col("wx_sum") + col("wy_sum") > 0L,
+          expr(s"(sim_micro * 2000 * $k) div (wx_sum + wy_sum)")))
+      .withColumn("mined",
+        coalesce(col("margin_milli") >= marginMilliMin, lit(false)))
+      .select("src_id", "tgt_id", "sim_micro", "wx_sum", "wy_sum",
+        "margin_milli", "mined")
+  }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk '19 — the WMT/CCMatrix
+    * parallel-corpus pipeline): for every source vector, its best target
+    * by cosine, accepted only when the RATIO MARGIN over both local
+    * neighborhoods clears the threshold — absolute cosine can't separate
+    * true translations from hubs, margin can. Similarities are
+    * fixed-pointed to micros (`round(cos·1e6)` BIGINT) the moment they
+    * are computed, so every downstream sum/rank/division is exact
+    * integer arithmetic with a bit-identical SQL restatement.
+    *
+    * This is the EXACT-truth baseline: the all-pairs cross join
+    * (src side broadcast, corpus streams once) is O(|src|·|tgt|) and
+    * exists to certify [[bitextMarginMineBanded]], the serving form —
+    * the p104/p111 pattern.
+    */
+  def bitextMarginMine(src: DataFrame, tgt: DataFrame, k: Int,
+      marginMilliMin: Long, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(src.select(col(idCol).as("src_id"),
+        asDouble(col(vecCol)).as("sv"))
+      .withColumn("sn", sqrt(dot(col("sv"), col("sv")))))
+    val t = tgt.select(col(idCol).as("tgt_id"),
+        asDouble(col(vecCol)).as("tv"))
+      .withColumn("tn", sqrt(dot(col("tv"), col("tv"))))
+    val sims = t.crossJoin(q)
+      .withColumn("sim_micro",
+        round(dot(col("sv"), col("tv")) / (col("sn") * col("tn")) * 1e6)
+          .cast("long"))
+      .select("src_id", "tgt_id", "sim_micro")
+    marginFromSims(sims, k, marginMilliMin)
+  }
+
+  /** Scale-safe bitext mining: [[bitextMarginMine]] with banded
+    * hyperplane LSH composed in front, exactly the
+    * [[hardNegativesBandedTopK]] move — a source only meets targets
+    * colliding in ≥ 1 of `tables` sign-buckets, so pair count tracks
+    * bucket collisions (corpus-size-independent expectation for random
+    * mass), never |src|·|tgt|. Both the best-candidate AND the two
+    * top-k neighborhood sums are computed WITHIN the candidate
+    * relation — that candidate-graph margin is the defined semantics
+    * (and what the oracle restates); true translation pairs sit at
+    * cosine ≈ 1 where band collision probability → 1, so the pairs
+    * worth mining are exactly the ones the bands keep.
+    */
+  def bitextMarginMineBanded(src: DataFrame, tgt: DataFrame, k: Int,
+      marginMilliMin: Long, tables: Int = 16, planesPerTable: Int = 8,
+      dim: Int = -1, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val srcNN = src.filter(col(vecCol).isNotNull)
+    val d =
+      if (dim > 0) dim
+      else srcNN.select(size(col(vecCol))).take(1) match {
+        case Array(r) => r.getInt(0)
+        case _ =>
+          return srcNN.select(col(idCol).as("src_id"),
+            col(idCol).as("tgt_id"), lit(0L).as("sim_micro"),
+            lit(0L).as("wx_sum"), lit(0L).as("wy_sum"),
+            lit(0L).as("margin_milli"), lit(false).as("mined")).limit(0)
+      }
+    val q = srcNN.select(col(idCol).as("src_id"),
+        asDouble(col(vecCol)).as("sv"))
+      .withColumn("sn", sqrt(dot(col("sv"), col("sv"))))
+    val tNN = tgt.filter(col(vecCol).isNotNull)
+    val qBands = q.select(col("src_id"),
+        explode(hyperplaneBands(col("sv"), tables, planesPerTable, d)).as("bb"))
+      .select(col("src_id"), col("bb.band"), col("bb.bucket"))
+    val tBands = tNN.select(col(idCol).as("tgt_id"),
+        explode(hyperplaneBands(asDouble(col(vecCol)), tables,
+          planesPerTable, d)).as("bb"))
+      .select(col("tgt_id"), col("bb.band"), col("bb.bucket"))
+    val cand = broadcast(qBands).as("a")
+      .join(tBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("src_id"), col("tgt_id"))
+      .distinct()
+    val t = tNN.select(col(idCol).as("tgt_id"),
+        asDouble(col(vecCol)).as("tv"))
+      .withColumn("tn", sqrt(dot(col("tv"), col("tv"))))
+    val sims = t.join(broadcast(cand.join(q, Seq("src_id"))), Seq("tgt_id"))
+      .withColumn("sim_micro",
+        round(dot(col("sv"), col("tv")) / (col("sn") * col("tn")) * 1e6)
+          .cast("long"))
+      .select("src_id", "tgt_id", "sim_micro")
+    marginFromSims(sims, k, marginMilliMin)
+  }
+
+  /** Chunk→document embedding pooling (the retrieval-corpus step that
+    * turns per-chunk vectors back into one doc vector) in EXACT integer
+    * arithmetic, so the result is order-independent and hash-stable:
+    * float sums depend on reduction order, so a float mean can differ
+    * between partitionings of the SAME data — instead each component is
+    * fixed-pointed to micros (`round(x·1e6)` as BIGINT) and summed as
+    * integers, which commute. The element-wise mean truncates toward
+    * zero via nonnegative division only (`sign(s)·(|s| div n)`), the
+    * one integer-division form Spark's `div` and DuckDB's `//` agree on
+    * for negative sums.
+    *
+    * Shape: posexplode → (group, dim-position) partial-aggregated sum —
+    * the ONE shuffle, keys = groups × dim so no group pins more than
+    * `dim` rows on a reducer regardless of chunk count — then a (group)
+    * rollup that reassembles the vector `sort_array`-ordered. Groups
+    * with ragged vector lengths fail loudly (a silent mean over
+    * mismatched dims is a corrupt embedding).
+    *
+    * Output: `(groupCol, n_chunks, dim, mean_micros: array<bigint>,
+    * norm_sq: bigint, unit: array<double> rounded 6dp)` where `norm_sq`
+    * is `Σ mean_i²` (exact; |mean| ≤ 1e6·max|x| keeps it far inside
+    * BIGINT for unit-scale embeddings) and `unit` is the L2-normalized
+    * mean — IEEE sqrt/divide on integer-exact inputs, deterministic.
+    */
+  def meanPoolMicros(chunks: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    chunks
+      .select(col(groupCol).as("grp"),
+        transform(col(vecCol),
+          x => round(x.cast("double") * 1e6).cast("long")).as("m"))
+      .select(col("grp"), posexplode(col("m")).as(Seq("pos", "v")))
+      .groupBy("grp", "pos")
+      .agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .groupBy("grp")
+      .agg(
+        when(min("c") === max("c"), max("c"))
+          .otherwise(raise_error(concat(
+            lit("meanPoolMicros: ragged vector lengths in group "),
+            col("grp").cast("string"))).cast("long"))
+          .as("n_chunks"),
+        count(lit(1)).cast("long").as("dim"),
+        sort_array(collect_list(struct(col("pos"),
+          (signum(col("s")).cast("long") *
+            expr("abs(s) div c")).as("mm")))).as("__sm"))
+      .select(col("grp").as(groupCol), col("n_chunks"), col("dim"),
+        transform(col("__sm"), x => x.getField("mm")).as("mean_micros"))
+      .withColumn("norm_sq",
+        aggregate(col("mean_micros"), lit(0L), (a, x) => a + x * x))
+      .withColumn("unit",
+        when(col("norm_sq") > 0L,
+          transform(col("mean_micros"),
+            x => round(x.cast("double") / sqrt(col("norm_sq").cast("double")), 6))))
+  }
 }

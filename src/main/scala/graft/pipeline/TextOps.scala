@@ -200,4 +200,47 @@ object TextOps {
       size(kept).cast("long").as("n_kept"),
       array_join(transform(kept, b => b.getField("txt")), "\n").as("text_main"))
   }
+
+  /** SFT conversation → training text in the ChatML wire format, plus
+    * the loss-mask offsets every fine-tuning run needs: each turn
+    * renders as `<|im_start|>ROLE\nCONTENT<|im_end|>\n` and the spans
+    * column lists the 0-based half-open [start:end) CHARACTER offsets
+    * of every assistant turn's CONTENT inside the rendered string (the
+    * canonical "train only on assistant tokens" mask), serialized
+    * `"s:e,s:e"` so the row stays flat and hash-stable.
+    *
+    * One left-fold over the messages array (`aggregate` HOF — a single
+    * zero-shuffle codegen projection, no UDF, no explode): the
+    * accumulator carries (rendered-so-far, spans-so-far), and each
+    * turn's span start is `len(so-far) + 12 + len(role) + 1` by
+    * construction (12 = `<|im_start|>`, 1 = the newline). NULL content
+    * renders as empty. Offsets are code-point positions — identical in
+    * Spark (`length`) and DuckDB (`length`) — so the oracle restates
+    * the arithmetic exactly.
+    *
+    * Input: `array<struct<role, content>>`. Output struct:
+    * `(rendered, n_turns, assistant_spans)`.
+    */
+  def renderChatML(messages: Column): Column = {
+    val acc = aggregate(messages,
+      struct(lit("").as("txt"), lit("").as("spans")),
+      (a, m) => {
+        val role = m.getField("role")
+        val content = coalesce(m.getField("content"), lit(""))
+        val start = length(a.getField("txt")) + lit(12) + length(role) + lit(1)
+        val end = start + length(content)
+        struct(
+          concat(a.getField("txt"), lit("<|im_start|>"), role, lit("\n"),
+            content, lit("<|im_end|>\n")).as("txt"),
+          when(role === "assistant",
+            concat(a.getField("spans"),
+              when(length(a.getField("spans")) > 0, lit(",")).otherwise(lit("")),
+              start.cast("string"), lit(":"), end.cast("string")))
+            .otherwise(a.getField("spans")).as("spans"))
+      })
+    struct(
+      acc.getField("txt").as("rendered"),
+      size(messages).cast("long").as("n_turns"),
+      acc.getField("spans").as("assistant_spans"))
+  }
 }

@@ -242,6 +242,102 @@ object PipelineQueries {
     rep ++ rnd ++ prose
   }
 
+  /** p126's planted texts — 6 variants keyed by doc_id % 8 (ids %8 >= 6
+    * keep their real corpus prose): 0..3 are genuine source/config in
+    * four syntaxes (all must route to code), 4 is fully-indented poetry
+    * (the false-positive probe — indentation alone must NOT cross the
+    * threshold), 5 is prose that mentions "import duties" and "return
+    * policy" with a parenthetical (the keyword-substring probe). The
+    * oracle replays these as escaped SQL literals.
+    */
+  private lazy val codeVariants: Seq[String] = Seq(
+    // python
+    "import os\n\ndef walk(root):\n    total = 0\n    for name in os.listdir(root):\n        total = total + 1\n    return total\n\nclass Walker:\n    def run(self):\n        return walk('.')\n",
+    // c
+    "#include <stdio.h>\n\nint main(int argc, char **argv) {\n    int i;\n    int acc = 0;\n    for (i = 0; i < argc; i++) {\n        acc += i;\n    }\n    printf(\"%d\\n\", acc);\n    return acc;\n}\n",
+    // javascript
+    "const parts = [];\nfunction join(xs) {\n    let out = '';\n    xs.forEach((x) => {\n        out = out + x;\n    });\n    return out;\n}\nmodule.exports = { join };\n",
+    // json config
+    "{\n    \"name\": \"pipeline\",\n    \"version\": 3,\n    \"stages\": [\"dedup\", \"filter\"],\n    \"limits\": {\n        \"max_docs\": 1000,\n        \"min_chars\": 25\n    }\n}\n",
+    // indented poetry — must stay prose
+    "    The river keeps its ledger in the reeds,\n    and every spring it audits what it owes.\n    A heron signs the margin where it feeds,\n    the current carries off the spring overflows.\n    No clerk records the interest on the rain,\n    yet every delta balances again.\n",
+    // prose with keyword substrings — must stay prose
+    "The committee reviewed import duties on ceramic goods (including tiles and tableware) and agreed to return the draft schedule to the ministry. Their classic function, as one member noted, remains consultative rather than binding, and the printed minutes reflect that consensus.\n")
+
+  /** p128's fixed system prompt (shared by query and oracle). */
+  private val ChatSysPrompt = "You are a helpful assistant."
+
+  /** p130/p131's synthetic target side: every 2nd vector, mixed with
+    * its own reverse (`0.9·v[i] + 0.1·v[n+1−i]`, double arithmetic so
+    * the oracle's per-dimension restatement is bit-identical) and
+    * re-keyed +100000 — sources with `vec_id % 10 == 0` therefore have
+    * a planted high-cosine counterpart, the rest only hubs.
+    */
+  private def bitextTgt(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 2 === 0).select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      zip_with(col("embedding"), reverse(col("embedding")),
+        (a, b) => a.cast("double") * 0.9 + b.cast("double") * 0.1)
+        .as("embedding"))
+
+  /** Shared SQL for the p130/p131 oracles: `pairsFrom` is the FROM
+    * clause of the sim relation (`s, t` = all pairs for the exact
+    * baseline; the candidate join for the banded form, whose band
+    * CTEs — the p111 replay — are prepended via `bandCtes`).
+    */
+  private def bitextOracleHead(pairsFrom: String): String = {
+    val bandCtes =
+      if (!pairsFrom.contains("cand")) ""
+      else """
+         pl AS (SELECT p, list_transform(generate_series(0, 63), d ->
+                  ((('0x' || substr(md5('plane:' || p || ':' || d), 1, 12))::BIGINT
+                    % 2001) - 1000) / 1000.0) AS pv
+                FROM unnest(generate_series(0, 127)) q(p)),
+         u AS (SELECT src_id AS uid, sv AS v, true AS is_src FROM s
+               UNION ALL SELECT tgt_id, tv, false FROM t),
+         bits AS (SELECT uid, is_src, p // 8 AS band, 1 << (p % 8) AS w,
+                    CASE WHEN list_dot_product(v, pv) >= 0 THEN 1 ELSE 0 END AS bit
+                  FROM u, pl),
+         bk AS (SELECT uid, is_src, band, sum(bit * w) AS bucket
+                FROM bits GROUP BY 1, 2, 3),
+         cand AS (SELECT DISTINCT a.uid AS src_id, b.uid AS tgt_id
+                  FROM bk a JOIN bk b ON a.band = b.band
+                    AND a.bucket = b.bucket AND a.is_src AND NOT b.is_src),"""
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         s AS (SELECT vec_id AS src_id, v AS sv FROM e WHERE vec_id % 5 = 0),
+         t AS (SELECT vec_id + 100000 AS tgt_id,
+             list_transform(generate_series(1, len(v)),
+               i -> 0.9 * v[i] + 0.1 * v[len(v) + 1 - i]) AS tv
+           FROM e WHERE vec_id % 2 = 0),$bandCtes
+         p AS (SELECT src_id, tgt_id,
+             CAST(round(list_dot_product(sv, tv) /
+               (sqrt(list_dot_product(sv, sv)) * sqrt(list_dot_product(tv, tv)))
+               * 1000000.0) AS BIGINT) AS sim_micro
+           FROM $pairsFrom),"""
+  }
+
+  private val bitextOracleTail: String =
+    """
+         r AS (SELECT *,
+             row_number() OVER (PARTITION BY src_id
+               ORDER BY sim_micro DESC, tgt_id) AS rs,
+             row_number() OVER (PARTITION BY tgt_id
+               ORDER BY sim_micro DESC, src_id) AS rt
+           FROM p),
+         wx AS (SELECT src_id, CAST(sum(sim_micro) AS BIGINT) AS wx_sum
+           FROM r WHERE rs <= 5 GROUP BY 1),
+         wy AS (SELECT tgt_id, CAST(sum(sim_micro) AS BIGINT) AS wy_sum
+           FROM r WHERE rt <= 5 GROUP BY 1),
+         b AS (SELECT src_id, tgt_id, sim_micro FROM r WHERE rs = 1),
+         m AS (SELECT b.src_id, b.tgt_id, b.sim_micro, wx.wx_sum, wy.wy_sum,
+             CASE WHEN b.sim_micro >= 0 AND wx.wx_sum + wy.wy_sum > 0
+               THEN (b.sim_micro * 2000 * 5) // (wx.wx_sum + wy.wy_sum)
+             END AS margin_milli
+           FROM b JOIN wx USING (src_id) JOIN wy USING (tgt_id))
+       SELECT src_id, tgt_id, sim_micro, wx_sum, wy_sum, margin_milli,
+         coalesce(margin_milli >= 1800, false) AS mined
+       FROM m"""
+
   /** The p89 per-block clean chain (tag strip → six-entity decode →
     * whitespace collapse), generated once so the oracle's nesting
     * mirrors `TextOps.mainContentBlocks`' cleanOf token for token.
@@ -611,6 +707,99 @@ object PipelineQueries {
           element_at(typedlit(deflateVariants),
             (col("doc_id") % 12 + 1).cast("int")).as("text")),
         "doc_id", "text")),
+
+    // code-vs-prose routing gate: docs with doc_id%8 < 6 carry planted
+    // source/config/poetry variants (both classes + the indented-poetry
+    // false-positive probe), the rest keep real corpus prose; the
+    // oracle replays the plant as escaped literals and restates every
+    // milli signal in identical integer arithmetic
+    "p126_code_gate" -> ((s, dir) =>
+      Quality.codeGate(
+        docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 8 < 6,
+            element_at(typedlit(codeVariants),
+              (col("doc_id") % 8 + 1).cast("int")))
+            .otherwise(col("text")).as("text")),
+        "doc_id", "text")),
+
+    // per-host document cap: best 7 docs per source by (score desc,
+    // doc_id asc) with the skew-safe packed-TopK aggregate — the oracle
+    // is the window-rank form the aggregate provably equals
+    "p127_host_cap" -> ((s, dir) =>
+      Sampling.hostCap(
+        docs(s, dir).select(col("source"), col("doc_id"),
+          (col("n_chars") % 1000).as("score")),
+        "doc_id", "source", "score", n = 7, maxScore = 999L)),
+
+    // SFT chat-template render: a deterministic 5-turn conversation per
+    // doc (system + 2 user/assistant rounds carved from the doc text),
+    // rendered ChatML with 0-based assistant loss-span offsets; the
+    // oracle restates the closed-form length arithmetic
+    "p128_chat_render" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextOps.renderChatML(array(
+            struct(lit("system").as("role"),
+              lit(ChatSysPrompt).as("content")),
+            struct(lit("user").as("role"),
+              substring(col("text"), 1, 120).as("content")),
+            struct(lit("assistant").as("role"),
+              substring(col("text"), 121, 200).as("content")),
+            struct(lit("user").as("role"),
+              lit("Continue.").as("content")),
+            struct(lit("assistant").as("role"),
+              substring(col("text"), 321, 160).as("content")))).as("r"))
+        .select(col("doc_id"), col("r.rendered").as("rendered"),
+          col("r.n_turns").as("n_turns"),
+          col("r.assistant_spans").as("assistant_spans"))),
+
+    // chunk→doc embedding pooling in exact integer micros (vec_id%50 as
+    // the synthetic doc key), flattened one row per dimension for the
+    // driver compare; unit_val is the L2-normalized mean at 6dp
+    "p129_embed_pool" -> ((s, dir) =>
+      Similarity.meanPoolMicros(
+          emb(s, dir).select((col("vec_id") % 50).as("grp"),
+            col("embedding")),
+          "grp", "embedding")
+        .select(col("grp"), col("n_chunks"), col("dim"), col("norm_sq"),
+          posexplode(arrays_zip(col("mean_micros"), col("unit")))
+            .as(Seq("pos", "z")))
+        .select(col("grp"), col("n_chunks"), col("dim"), col("norm_sq"),
+          col("pos").cast("long").as("pos"),
+          col("z.mean_micros").as("mean_micro"),
+          col("z.unit").as("unit_val"))),
+
+    // margin-based bitext mining, EXACT baseline (Artetxe & Schwenk
+    // ratio margin in integer milli): src = every 5th vector, tgt =
+    // every 2nd vector mixed with its reverse (ids +100000) so srcs
+    // with vec_id%10==0 have a planted counterpart at cos≈0.99; the
+    // planted margins sit at 2173+ vs <=1493 for hubs, threshold 1800
+    "p130_bitext_margin" -> ((s, dir) =>
+      Similarity.bitextMarginMine(
+        emb(s, dir).filter(col("vec_id") % 5 === 0),
+        bitextTgt(emb(s, dir)),
+        k = 5, marginMilliMin = 1800L)),
+
+    // the SERVING form: banded hyperplane LSH candidates in front, the
+    // margin computed within the candidate graph (the defined
+    // semantics, restated by the oracle's band replay — p111 pattern)
+    "p131_bitext_margin_lsh" -> ((s, dir) =>
+      Similarity.bitextMarginMineBanded(
+        emb(s, dir).filter(col("vec_id") % 5 === 0),
+        bitextTgt(emb(s, dir)),
+        k = 5, marginMilliMin = 1800L)),
+
+    // cross-source priority dedup: the p109 duplicate plant makes the
+    // dup groups straddle sources; priority = numeric source suffix
+    // mod 4 (smaller = more trusted), winner = min (priority, id)
+    "p132_priority_dedup" -> ((s, dir) =>
+      Dedup.priorityGroups(
+        docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 5 < 2,
+            concat(lit("grp:"), expr("doc_id div 4").cast("string")))
+            .otherwise(col("text")).as("text"),
+          (substring(col("source"), 4, 10).cast("long") % 4)
+            .as("priority")),
+        "doc_id", "text", "priority", maxPriority = 3L)),
 
     // deterministic stratified sampling: 50% of en, 25% of de, 10% of
     // every other language
@@ -3185,6 +3374,149 @@ object PipelineQueries {
            coalesce(ratio_milli >= 250 AND ratio_milli <= 750, false) AS keep
          FROM r"""
     },
+
+    // replays the 6 planted variants as escaped literals and restates
+    // every code signal in identical integer milli arithmetic
+    "p126_code_gate" -> {
+      def esc(s: String) = s.replace("'", "''")
+      val caseArms = codeVariants.zipWithIndex.map { case (t, i) =>
+        s"WHEN $i THEN '${esc(t)}'" }.mkString("\n           ")
+      val kw = graft.pipeline.Quality.CodeKeywords.map(k =>
+        s"(CASE WHEN strpos(text, '${esc(k)}') > 0 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id,
+             CASE doc_id % 8 $caseArms ELSE text END AS text
+           FROM documents),
+         s AS (SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+             CAST(length(text) -
+               length(translate(text, '{}();=<>[]', '')) AS BIGINT) AS sym_chars,
+             CAST(len(list_filter(string_split(text, chr(10)),
+               l -> substr(l, 1, 4) = '    ' OR substr(l, 1, 1) = chr(9)))
+               AS BIGINT) AS indent_lines,
+             CAST(len(list_filter(string_split(text, chr(10)),
+               l -> right(rtrim(l), 1) IN (';', '{', '}')))
+               AS BIGINT) AS term_lines,
+             CAST($kw AS BIGINT) AS kw_hits
+           FROM d),
+         r AS (SELECT doc_id, n_chars, n_lines,
+             (sym_chars * 1000) // greatest(n_chars, 1) AS sym_milli,
+             (indent_lines * 1000) // greatest(n_lines, 1) AS indent_milli,
+             (term_lines * 1000) // greatest(n_lines, 1) AS term_milli,
+             kw_hits
+           FROM s)
+       SELECT doc_id, n_chars, n_lines, sym_milli, indent_milli,
+         term_milli, kw_hits,
+         3 * sym_milli + 2 * term_milli + (indent_milli // 4)
+           + 100 * kw_hits AS score_milli,
+         (3 * sym_milli + 2 * term_milli + (indent_milli // 4)
+           + 100 * kw_hits) >= 400 AS is_code
+       FROM r"""
+    },
+
+    // the window-rank form the packed-TopK aggregate provably equals
+    "p127_host_cap" ->
+      """WITH s AS (SELECT source, doc_id,
+             CAST(n_chars % 1000 AS BIGINT) AS score FROM documents),
+         r AS (SELECT source, doc_id, score,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+           FROM s)
+       SELECT source, doc_id, score, rank FROM r WHERE rank <= 7""",
+
+    // closed-form ChatML length arithmetic: per-turn overhead is
+    // 24 + len(role) + len(content) (12 for <|im_start|>, newline,
+    // 10 for <|im_end|>, newline); assistant content starts at
+    // prefix + 12 + 9 + 1
+    "p128_chat_render" -> {
+      def esc(s: String) = s.replace("'", "''")
+      val sys = esc(ChatSysPrompt)
+      s"""WITH d AS (SELECT doc_id, text,
+             CAST(length('$sys') AS BIGINT) AS ls,
+             CAST(length(substr(text, 1, 120)) AS BIGINT) AS l1,
+             CAST(length(substr(text, 121, 200)) AS BIGINT) AS l2,
+             CAST(length(substr(text, 321, 160)) AS BIGINT) AS l4
+           FROM documents),
+         o AS (SELECT doc_id, text, l2, l4,
+             (24 + 6 + ls) + (24 + 4 + l1) AS p2
+           FROM d),
+         sp AS (SELECT doc_id, text,
+             p2 + 22 AS s2, p2 + 22 + l2 AS e2,
+             p2 + (24 + 9 + l2) + (24 + 4 + 9) + 22 AS s4,
+             p2 + (24 + 9 + l2) + (24 + 4 + 9) + 22 + l4 AS e4
+           FROM o)
+       SELECT doc_id,
+         '<|im_start|>system' || chr(10) || '$sys' || '<|im_end|>'
+           || chr(10) || '<|im_start|>user' || chr(10)
+           || substr(text, 1, 120) || '<|im_end|>' || chr(10)
+           || '<|im_start|>assistant' || chr(10)
+           || substr(text, 121, 200) || '<|im_end|>' || chr(10)
+           || '<|im_start|>user' || chr(10) || 'Continue.'
+           || '<|im_end|>' || chr(10)
+           || '<|im_start|>assistant' || chr(10)
+           || substr(text, 321, 160) || '<|im_end|>' || chr(10)
+           AS rendered,
+         CAST(5 AS BIGINT) AS n_turns,
+         CAST(s2 AS VARCHAR) || ':' || CAST(e2 AS VARCHAR) || ','
+           || CAST(s4 AS VARCHAR) || ':' || CAST(e4 AS VARCHAR)
+           AS assistant_spans
+       FROM sp"""
+    },
+
+    // exact integer-micro pooling: same fixed-pointing, same
+    // truncate-toward-zero division via nonnegative operands only
+    "p129_embed_pool" ->
+      """WITH x AS (SELECT vec_id % 50 AS grp, i - 1 AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+               AS BIGINT) AS v
+           FROM embeddings,
+             unnest(generate_series(1, len(embedding))) u(i)),
+         a AS (SELECT grp, pos, CAST(sum(v) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS c
+           FROM x GROUP BY grp, pos),
+         g AS (SELECT grp, max(c) AS n_chunks,
+             CAST(count(*) AS BIGINT) AS dim
+           FROM a GROUP BY grp),
+         m AS (SELECT grp, pos, s, c,
+             CASE WHEN s >= 0 THEN s // c ELSE -((-s) // c) END AS mm
+           FROM a),
+         nr AS (SELECT grp, CAST(sum(mm * mm) AS BIGINT) AS norm_sq
+           FROM m GROUP BY grp)
+       SELECT m.grp, g.n_chunks, g.dim, nr.norm_sq,
+         CAST(m.pos AS BIGINT) AS pos, m.mm AS mean_micro,
+         CASE WHEN nr.norm_sq > 0 THEN
+           round(CAST(m.mm AS DOUBLE) / sqrt(CAST(nr.norm_sq AS DOUBLE)), 6)
+         END AS unit_val
+       FROM m JOIN g ON m.grp = g.grp JOIN nr ON m.grp = nr.grp""",
+
+    // all-pairs margin relation restated: same fixed-pointing, same
+    // rank order, same one-division integer margin
+    "p130_bitext_margin" -> (bitextOracleHead("s, t") + bitextOracleTail),
+
+    // candidate-graph margin: the p111 band replay in front (planes
+    // from md5('plane:'||p||':'||d), bucket = Σ bit·2^(p%8)), sims and
+    // both neighborhoods computed only within candidate pairs
+    "p131_bitext_margin_lsh" -> (bitextOracleHead(
+      """cand JOIN s USING (src_id) JOIN t USING (tgt_id)""") +
+      bitextOracleTail),
+
+    "p132_priority_dedup" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 < 2
+               THEN 'grp:' || CAST(doc_id // 4 AS VARCHAR) ELSE text END AS text,
+             CAST(substr(source, 4) AS BIGINT) % 4 AS priority
+           FROM documents),
+         g AS (SELECT md5(text) AS content_hash,
+             min(priority * 1099511627776 + doc_id) AS win,
+             CAST(count(*) AS BIGINT) AS dup_cnt,
+             CAST(count(DISTINCT priority) AS BIGINT) AS n_sources
+           FROM d GROUP BY 1)
+       SELECT content_hash,
+         CAST(win % 1099511627776 AS BIGINT) AS keep_id,
+         CAST(win // 1099511627776 AS BIGINT) AS keep_priority,
+         dup_cnt, n_sources
+       FROM g""",
 
     "p34_shard_assign" ->
       """SELECT doc_id,

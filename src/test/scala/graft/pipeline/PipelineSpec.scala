@@ -4195,4 +4195,238 @@ class PipelineSpec extends SparkSpecBase {
     assert(out(6L) == ((2L, 2L, false, "id [CARD] bad [CARD] x")))
     assert(out(7L) == ((0L, 0L, true, "plain text no digits")))
   }
+
+  test("codeGate: hand-computed signals; poetry and keyword-substring prose stay prose") {
+    val d = docsOf(
+      (1L, "a;\n    b{\nplain"),
+      // fully-indented poetry: indentation alone must not cross 400
+      (2L, "    roses are red\n    violets are blue\n    the cap is low\n    the gate is true"),
+      // prose with 'return'-substring and parens: kw + light symbols stay under
+      (3L, "He returned the books (on time), which the librarian noted."),
+      (4L, ""),
+      // real source: all four signals fire
+      (5L, "import os\n\ndef f(x):\n    y = x + 1\n    return y\n"))
+    val out = Quality.codeGate(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: n_chars=15, n_lines=3, sym=2 -> 133; indent 1/3 -> 333;
+    // term 2/3 -> 666; kw 0 => 3*133 + 2*666 + 333 div 4 = 1814
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 15L && r1.getLong(2) == 3L)
+    assert(r1.getLong(3) == 133L && r1.getLong(4) == 333L && r1.getLong(5) == 666L)
+    assert(r1.getLong(6) == 0L && r1.getLong(7) == 1814L && r1.getBoolean(8))
+    // poetry: indent 1000 -> contributes only 250; everything else 0
+    assert(out(2L).getLong(4) == 1000L && out(2L).getLong(7) == 250L)
+    assert(!out(2L).getBoolean(8))
+    // prose: 'return' substring hits (100) + '(' ')' ',' -> low sym, stays prose
+    assert(out(3L).getLong(6) >= 1L && !out(3L).getBoolean(8))
+    // empty: zero everything
+    assert(out(4L).getLong(7) == 0L && !out(4L).getBoolean(8))
+    // python: keywords + indent + symbols clear the threshold
+    assert(out(5L).getLong(6) >= 3L && out(5L).getBoolean(8))
+  }
+
+  test("hostCap == window row_number on the real corpus; skew, small hosts, determinism") {
+    import spark.implicits._
+    val scored = docs.select(col("source"), col("doc_id"),
+      (col("n_chars") % 1000).as("score"))
+    val got = Sampling.hostCap(scored, "doc_id", "source", "score",
+        n = 7, maxScore = 999L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val want = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(col("score").desc, col("doc_id").asc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 7)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    }
+    assert(got == want)
+    // determinism under a different partitioning
+    val again = Sampling.hostCap(scored.repartition(13), "doc_id", "source",
+        "score", n = 7, maxScore = 999L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(again == got)
+    // one mega-host: only n survive, best-first
+    val skew = spark.range(0, 1000).select(
+      lit("farm").as("host"), col("id").as("doc_id"),
+      (col("id") % 97).as("score"))
+    val capped = Sampling.hostCap(skew, "doc_id", "host", "score",
+        n = 3, maxScore = 96L)
+      .orderBy("rank").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // best score 96 at ids 96, 193, 290, ... -> smallest ids win ties
+    assert(capped == Seq((96L, 96L, 1L), (193L, 96L, 2L), (290L, 96L, 3L)))
+    // a host with fewer than n docs keeps everything
+    val tiny = Sampling.hostCap(
+      Seq(("solo", 42L, 5L)).toDF("host", "doc_id", "score"),
+      "doc_id", "host", "score", n = 7, maxScore = 999L).collect()
+    assert(tiny.length == 1 && tiny.head.getLong(3) == 1L)
+  }
+
+  test("hostCap: packing-bound violations fail loudly, not silently wrong") {
+    import spark.implicits._
+    val bad = Seq(("h", 1L, 5000L)).toDF("host", "doc_id", "score")
+    val e = intercept[Exception] {
+      Sampling.hostCap(bad, "doc_id", "host", "score",
+        n = 2, maxScore = 999L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("packing bounds")), e.toString)
+    intercept[IllegalArgumentException] {
+      Sampling.hostCap(bad, "doc_id", "host", "score",
+        n = 2, maxScore = Long.MaxValue / 2)
+    }
+  }
+
+  test("renderChatML: exact render, spans address the assistant content, edge cases") {
+    import spark.implicits._
+    def render(msgs: org.apache.spark.sql.Column) = Seq(1L).toDF("id")
+      .select(graft.pipeline.TextOps.renderChatML(msgs).as("r"))
+      .select("r.rendered", "r.n_turns", "r.assistant_spans")
+      .collect().head
+    val r = render(array(
+      struct(lit("system").as("role"), lit("sys").as("content")),
+      struct(lit("user").as("role"), lit("hello").as("content")),
+      struct(lit("assistant").as("role"), lit("hi there").as("content"))))
+    assert(r.getString(0) ==
+      "<|im_start|>system\nsys<|im_end|>\n" +
+      "<|im_start|>user\nhello<|im_end|>\n" +
+      "<|im_start|>assistant\nhi there<|im_end|>\n")
+    assert(r.getLong(1) == 3L && r.getString(2) == "88:96")
+    // span self-consistency: [s:e) carved out of the render IS the
+    // content (BMP chars only, so code points == JVM chars here)
+    assert(r.getString(0).substring(88, 96) == "hi there")
+    // multi-byte BMP content shifts later spans by code points
+    val u = render(array(
+      struct(lit("assistant").as("role"), lit("中文 résumé").as("content")),
+      struct(lit("assistant").as("role"), lit("ok").as("content"))))
+    val spans = u.getString(2).split(",").map { s =>
+      val Array(a, b) = s.split(":"); (a.toInt, b.toInt) }
+    assert(spans.length == 2)
+    assert(u.getString(0).substring(spans(0)._1, spans(0)._2) == "中文 résumé")
+    assert(u.getString(0).substring(spans(1)._1, spans(1)._2) == "ok")
+    // null content renders empty; empty conversation renders empty
+    val n = render(array(
+      struct(lit("assistant").as("role"),
+        lit(null).cast("string").as("content"))))
+    assert(n.getString(0) == "<|im_start|>assistant\n<|im_end|>\n")
+    assert(n.getString(2) == "22:22")
+    val e = render(array().cast("array<struct<role:string,content:string>>"))
+    assert(e.getString(0) == "" && e.getLong(1) == 0L && e.getString(2) == "")
+  }
+
+  test("meanPoolMicros: exact integer pooling, toward-zero mean, ragged dims fail") {
+    import spark.implicits._
+    val chunks = Seq(
+      (1L, Seq(1.0, -0.5)), (1L, Seq(0.5, -0.25)),
+      (2L, Seq(-0.000001, 0.0)), (2L, Seq(-0.000002, 0.0)))
+      .toDF("grp", "embedding")
+    val out = Similarity.meanPoolMicros(chunks, "grp", "embedding")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val g1 = out(1L)
+    assert(g1.getLong(1) == 2L && g1.getLong(2) == 2L)
+    assert(g1.getSeq[Long](3) == Seq(750000L, -375000L))
+    assert(g1.getLong(4) == 750000L * 750000L + 375000L * 375000L)
+    // unit = mean / |mean|: (0.894427, -0.447214) at 6dp
+    assert(g1.getSeq[Double](5) == Seq(0.894427, -0.447214))
+    // sum -3 over 2 chunks truncates toward zero: -1, not floor's -2
+    assert(out(2L).getSeq[Long](3) == Seq(-1L, 0L))
+    // order independence
+    val again = Similarity.meanPoolMicros(chunks.repartition(7), "grp", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](3)).toMap
+    assert(again(1L) == Seq(750000L, -375000L) && again(2L) == Seq(-1L, 0L))
+    // ragged vector lengths in one group fail loudly
+    val ragged = Seq((9L, Seq(1.0, 2.0)), (9L, Seq(1.0)))
+      .toDF("grp", "embedding")
+    val err = intercept[Exception] {
+      Similarity.meanPoolMicros(ragged, "grp", "embedding").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("ragged")), err.toString)
+  }
+
+  test("bitextMarginMine: planted counterparts mined, hubs rejected, banded == exact here") {
+    val src = emb.filter(col("vec_id") % 5 === 0)
+    val tgt = emb.filter(col("vec_id") % 2 === 0).select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      zip_with(col("embedding"), reverse(col("embedding")),
+        (a, b) => a.cast("double") * 0.9 + b.cast("double") * 0.1)
+        .as("embedding"))
+    val exact = Similarity.bitextMarginMine(src, tgt, k = 5,
+      marginMilliMin = 1800L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(6)))).toMap
+    // every src with a planted counterpart (vec_id%10==0) finds IT and
+    // mines it; srcs without one are never mined (hub margins < 1.5)
+    val planted = exact.filter { case (s, _) => s % 10 == 0 }
+    assert(planted.nonEmpty)
+    planted.foreach { case (s, (t, mined)) =>
+      assert(t == s + 100000L && mined, s"src $s -> $t mined=$mined")
+    }
+    exact.filter { case (s, _) => s % 10 != 0 }.foreach { case (s, (_, mined)) =>
+      assert(!mined, s"hub src $s was mined")
+    }
+    // the banded serving form agrees with the exact baseline on this
+    // corpus (cos≈0.99 pairs collide in >=1 of 16 bands with P~1; the
+    // candidate-graph neighborhoods happen to match the global ones
+    // here, which the 3-SF oracle equality also pins)
+    val banded = Similarity.bitextMarginMineBanded(src, tgt, k = 5,
+      marginMilliMin = 1800L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(6)))).toMap
+    planted.keys.foreach { s =>
+      assert(banded.get(s).exists { case (t, m) => t == s + 100000L && m },
+        s"banded missed planted src $s")
+    }
+  }
+
+  test("bitextMarginMine: hand-computed integer margin on a 3-vector corpus") {
+    import spark.implicits._
+    // src x = e1; targets: y1 = e1 (sim 1e6), y2 = 45deg (sim 707107),
+    // y3 = e2 (sim 0). k=2: wx = 1e6 + 707107; y-neighborhoods are
+    // singletons (one src): wy(y1) = 1e6.
+    val src = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (11L, Seq(1.0, 0.0)), (12L, Seq(1.0, 1.0)), (13L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.bitextMarginMine(src, tgt, k = 2,
+      marginMilliMin = 1500L).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 1L && row.getLong(1) == 11L)
+    assert(row.getLong(2) == 1000000L)
+    assert(row.getLong(3) == 1000000L + 707107L) // wx: top-2 of {1e6, 707107, 0}
+    assert(row.getLong(4) == 1000000L)           // wy(11): only src 1
+    // margin = (1e6 * 2000 * 2) div (1707107 + 1000000) = 1477...
+    val expect = (1000000L * 2000L * 2L) / (1707107L + 1000000L)
+    assert(row.getLong(5) == expect && expect == 1477L)
+    assert(!row.getBoolean(6)) // 1477 < 1500: high absolute sim, low margin
+  }
+
+  test("priorityGroups: trusted source wins across dup groups; bounds enforced") {
+    import spark.implicits._
+    val d = Seq(
+      (10L, "same text", 2L), (11L, "same text", 0L), (12L, "same text", 0L),
+      (20L, "only crawl", 3L),
+      (30L, "tie", 1L), (31L, "tie", 1L))
+      .toDF("doc_id", "text", "priority")
+    val out = Dedup.priorityGroups(d, "doc_id", "text", "priority",
+        maxPriority = 3L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(out == Set(
+      (11L, 0L, 3L, 2L), // min (priority, id): 11 beats 12 (tie) and 10 (prio 2)
+      (20L, 3L, 1L, 1L),
+      (30L, 1L, 2L, 1L))) // same priority: min id
+    val e = intercept[Exception] {
+      Dedup.priorityGroups(d.withColumn("priority", col("priority") + 10L),
+        "doc_id", "text", "priority", maxPriority = 3L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("packing bounds")), e.toString)
+  }
 }

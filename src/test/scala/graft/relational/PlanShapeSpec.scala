@@ -187,6 +187,11 @@ class PlanShapeSpec extends SparkSpecBase {
       // p104 is the brute-force pair loop BY DESIGN (the oracle-exact
       // baseline, bounded broadcast query side — the p6/p7 truth class)
       "p104_hard_negatives",
+      // p130 is the bitext-mining brute baseline BY DESIGN (broadcast
+      // src side × corpus scan — the exact truth p131's banded
+      // candidate graph is certified against; p131 itself carries only
+      // equality joins and gets no exemption)
+      "p130_bitext_margin",
       "p36_lm_score", "p38_lm_buckets", "p39_dsir_resample",
       "p7_ann_lsh", "p15_ann_ivf", "p29_ann_ivfpq", "p46_bigram_lm",
       "p48_lang_sample", "p51_unimax_sample", "p52_bm25_topk",

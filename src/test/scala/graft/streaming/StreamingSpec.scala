@@ -1003,6 +1003,83 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.values.forall(t => !t.contains("Copyright")), got)
     graft.pipeline.CacheLedger.drain()
   }
+
+  test("hostCap on a stream (complete mode) == batch — TopKLongs folds in the state store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the SAME TypedImperativeAggregate serves batch and stream: its
+    // serialize/merge are what the state store folds across
+    // micro-batches — batch 2 delivers a score that must DISPLACE a
+    // batch-1 top entry inside persisted heap state
+    val batch1 = Seq(("a", 1L, 100L), ("a", 2L, 90L), ("a", 3L, 80L),
+      ("b", 10L, 5L))
+    val batch2 = Seq(("a", 4L, 95L), ("b", 11L, 7L), ("b", 12L, 3L))
+    val all = (batch1 ++ batch2).toDF("host", "doc_id", "score")
+    val expected = graft.pipeline.Sampling.hostCap(all, "doc_id", "host",
+        "score", n = 2, maxScore = 999L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // sanity: doc 4 (95) displaced doc 2 (90) from host a's top-2
+    assert(expected == Set(("a", 1L, 100L, 1L), ("a", 4L, 95L, 2L),
+      ("b", 11L, 7L, 1L), ("b", 10L, 5L, 2L)))
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = graft.pipeline.Sampling.hostCap(
+        mem.toDF().toDF("host", "doc_id", "score"),
+        "doc_id", "host", "score", n = 2, maxScore = 999L)
+      .writeStream.format("memory").queryName("hostcap_stream")
+      .outputMode("complete").start()
+    val got = try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      spark.table("hostcap_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    } finally q.stop()
+    assert(got == expected)
+  }
+
+  test("codeGate and renderChatML serve on streams unchanged (stateless projections)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // both ops are single codegen projections — planning them on a
+    // streaming frame pins that neither smuggles in an agg or sort
+    val rows = Seq(
+      (1L, "import os\n\ndef f():\n    return 1;\n"),
+      (2L, "plain prose about rivers and ledgers."),
+      (3L, ""))
+    val corpus = rows.toDF("doc_id", "text")
+    def chatPlan(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      graft.pipeline.TextOps.renderChatML(array(
+        struct(lit("user").as("role"), col("text").as("content")),
+        struct(lit("assistant").as("role"),
+          substring(col("text"), 1, 5).as("content")))).as("r"))
+      .select(col("doc_id"), col("r.rendered"), col("r.assistant_spans"))
+    val gExpected = graft.pipeline.Quality.codeGate(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val cExpected = chatPlan(corpus)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val memG = MemoryStream[(Long, String)]
+    val memC = MemoryStream[(Long, String)]
+    val qG = graft.pipeline.Quality.codeGate(
+        memG.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("code_gate_stream")
+      .outputMode("append").start()
+    val qC = chatPlan(memC.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chat_render_stream")
+      .outputMode("append").start()
+    try {
+      memG.addData(rows.take(2): _*); qG.processAllAvailable()
+      memG.addData(rows.drop(2): _*); qG.processAllAvailable()
+      memC.addData(rows.take(1): _*); qC.processAllAvailable()
+      memC.addData(rows.drop(1): _*); qC.processAllAvailable()
+      val gGot = spark.table("code_gate_stream").collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      val cGot = spark.table("chat_render_stream").collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      assert(gGot == gExpected)
+      assert(cGot == cExpected)
+    } finally { qG.stop(); qC.stop() }
+  }
 }
 
 object StreamingSpec {
