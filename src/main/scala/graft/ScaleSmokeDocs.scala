@@ -707,7 +707,8 @@ object ScaleSmokeDocs {
     // grows 10×, because the corpus is touched only through one
     // broadcast-semi-filtered scan of its stored index.
     if (Seq("exact_index_build", "exact_screen_20k",
-        "line_index_build", "line_screen_20k").exists(wanted)) {
+        "line_index_build", "line_screen_20k", "priority_screen_20k")
+        .exists(wanted)) {
       val batchN = 20000L
       // every 10th batch doc duplicates a corpus doc VERBATIM (the
       // exact family's plant); the rest are fresh
@@ -734,12 +735,31 @@ object ScaleSmokeDocs {
       // corpus generator's perturbation classes and totalDocs % 100 == 0;
       // assert the planted count so a generator change fails loudly
       // instead of silently timing a weaker screen
-      require(exHits == batchN / 10,
-        s"exact_screen plant broken: $exHits hits, expected ${batchN / 10} " +
-          "(did the corpus generator's perturbation classes or totalDocs " +
-          "multiple-of-100 coupling change?)")
-      println(s"[docs-scale]   exact_screen hits=$exHits " +
-        s"(planted ${batchN / 10})")
+      if (wanted("exact_screen_20k")) {
+        require(exHits == batchN / 10,
+          s"exact_screen plant broken: $exHits hits, expected ${batchN / 10} " +
+            "(did the corpus generator's perturbation classes or totalDocs " +
+            "multiple-of-100 coupling change?)")
+        println(s"[docs-scale]   exact_screen hits=$exHits " +
+          s"(planted ${batchN / 10})")
+      }
+      // priority screen: the same serving shape as exact_screen plus
+      // the packed-winner monoid — decade behavior must match it
+      if (wanted("priority_screen_20k")) {
+        val prDir = s"/tmp/graft_pr_idx_$totalDocs"
+        // build cost is characterized by exact_index_build (same shape
+        // plus the packed-min/bitmask agg); timed row is the SCREEN
+        val tb = System.nanoTime()
+        Dedup.savePriorityIndex(
+          docs.withColumn("priority", pmod(col("doc_id"), lit(4L))),
+          "doc_id", "text", "priority", maxPriority = 3L, prDir)
+        println(f"[docs-scale] priority_index_build   ${(System.nanoTime() - tb) / 1e9}%.2fs")
+        stage("priority_screen_20k")(
+          Dedup.priorityAgainstIndex(
+            batch.withColumn("priority", pmod(col("doc_id"), lit(4L))),
+            prDir, "doc_id", "text", "priority")
+            .filter(col("n_corpus") > 0).count())
+      }
       val lnDir = s"/tmp/graft_ln_idx_$totalDocs"
       stage("line_index_build")({
         Dedup.saveLineIndex(docs, "doc_id", "text", lnDir)

@@ -64,21 +64,31 @@ object Dedup {
     * decodes back arithmetically. Output one row per distinct text:
     * `(content_hash, keep_id, keep_priority, dup_cnt, n_sources)`.
     */
-  def priorityGroups(docs: DataFrame, idCol: String, textCol: String,
-      priorityCol: String, maxPriority: Long,
-      idBits: Int = 40): DataFrame = {
+  /** The `(priority, id)` lexicographic order packed into one BIGINT —
+    * shared by [[priorityGroups]] and the priority stored-index family.
+    * Bounds enforced loudly: a silently-wrapped packing would elect the
+    * wrong winner.
+    */
+  private[graft] def packPriority(idCol: String, priorityCol: String,
+      maxPriority: Long, idBits: Int): Column = {
     require(idBits >= 1 && idBits <= 56, s"idBits must be in [1,56]: $idBits")
     require(maxPriority >= 0 && (maxPriority + 1) <= (Long.MaxValue >> idBits),
       s"(maxPriority+1)·2^$idBits must fit a BIGINT: maxPriority=$maxPriority")
     val idMod = 1L << idBits
     val inBounds = col(priorityCol) >= 0L && col(priorityCol) <= maxPriority &&
       col(idCol) >= 0L && col(idCol) < idMod
+    when(inBounds, col(priorityCol) * idMod + col(idCol))
+      .otherwise(raise_error(lit(
+        s"priorityGroups packing bounds violated: need " +
+          s"0<=priority<=$maxPriority and 0<=id<2^$idBits")).cast("long"))
+  }
+
+  def priorityGroups(docs: DataFrame, idCol: String, textCol: String,
+      priorityCol: String, maxPriority: Long,
+      idBits: Int = 40): DataFrame = {
+    val idMod = 1L << idBits
     docs.select(md5(col(textCol)).as("content_hash"),
-        when(inBounds, col(priorityCol) * idMod + col(idCol))
-          .otherwise(raise_error(lit(
-            s"priorityGroups packing bounds violated: need " +
-              s"0<=priority<=$maxPriority and 0<=id<2^$idBits")).cast("long"))
-          .as("__packed"),
+        packPriority(idCol, priorityCol, maxPriority, idBits).as("__packed"),
         col(priorityCol))
       .groupBy("content_hash")
       .agg(min("__packed").as("__win"),
@@ -88,6 +98,151 @@ object Dedup {
         (col("__win") % idMod).as("keep_id"),
         expr(s"__win div $idMod").as("keep_priority"),
         col("dup_cnt"), col("n_sources"))
+  }
+
+  // ---- priority stored index ----------------------------------------------
+  //
+  // The cross-snapshot form of [[priorityGroups]]: a curated corpus is
+  // indexed once, and each arriving crawl batch asks "do we already
+  // hold this text from a MORE trusted source?" without touching the
+  // corpus text. Same append-only partial-group layout as the exact
+  // family; the monoid is (min packed-winner, sum dup_cnt, bit_or
+  // priority-mask) — all three combine associatively, so N appended
+  // snapshots serve identically to a fresh rebuild. Priorities are
+  // constrained to [0, 62] here (they are trust TIERS, a handful in
+  // practice) so the seen-priorities set is one BIGINT bitmask — the
+  // only set-valued stat that stays a monoid.
+
+  /** Batch partials for the priority index: one row per content hash
+    * with the packed winner, occurrence count and priority bitmask.
+    */
+  private def priorityPartials(docs: DataFrame, idCol: String,
+      textCol: String, priorityCol: String, maxPriority: Long,
+      idBits: Int): DataFrame =
+    docs.select(md5(col(textCol)).as("content_hash"),
+        packPriority(idCol, priorityCol, maxPriority, idBits).as("__packed"),
+        col(priorityCol))
+      .groupBy("content_hash")
+      .agg(min("__packed").as("win"),
+        count(lit(1)).cast("long").as("dup_cnt"),
+        bit_or(expr(s"shiftleft(1L, cast(`$priorityCol` as int))"))
+          .as("prio_mask"))
+
+  /** Persist the priority partial-group relation at `path`. Meta pins
+    * the PACKING GEOMETRY (max_priority, id_bits) — folding a batch
+    * packed with a different geometry would decode garbage winners, so
+    * [[loadPriorityIndex]] fails loudly on any mismatch.
+    */
+  def savePriorityIndex(docs: DataFrame, idCol: String, textCol: String,
+      priorityCol: String, maxPriority: Long, path: String,
+      idBits: Int = 40): Unit = {
+    require(maxPriority <= 62,
+      s"priority index stores a BIGINT priority bitmask: maxPriority " +
+        s"must be <= 62, got $maxPriority")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(("priority_md5", 32, maxPriority, idBits))
+      .toDF("family", "hash_len", "max_priority", "id_bits")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    priorityPartials(docs, idCol, textCol, priorityCol, maxPriority, idBits)
+      .sortWithinPartitions("content_hash")
+      .write.mode("overwrite").parquet(s"$path/index")
+  }
+
+  /** Load + validate a priority index: family, geometry columns and the
+    * per-file md5 probe (the [[loadExactIndex]] discipline). Returns
+    * (partials, maxPriority, idBits).
+    */
+  def loadPriorityIndex(spark: SparkSession,
+      path: String): (DataFrame, Long, Int) = {
+    val metaDf = spark.read.parquet(s"$path/meta")
+    // family FIRST (a foreign family's meta lacks the geometry columns —
+    // the family mismatch is the useful error, not an unresolved column)
+    require(metaDf.columns.contains("family"),
+      s"loadPriorityIndex: no family column in meta at $path")
+    val fam = metaDf.select(col("family").cast("string")).collect()
+    require(fam.length == 1,
+      s"loadPriorityIndex: expected ONE meta row at $path/meta, got ${fam.length}")
+    require(fam(0).getString(0) == "priority_md5",
+      s"loadPriorityIndex: index family ${fam(0).getString(0)} at $path " +
+        "is not priority_md5 — screening against foreign key material " +
+        "would silently miss every duplicate")
+    val meta = metaDf
+      .select(col("family").cast("string"), col("hash_len").cast("int"),
+        col("max_priority").cast("long"), col("id_bits").cast("int"))
+      .collect()
+    val hashLen = meta(0).getInt(1)
+    val idx = spark.read.parquet(s"$path/index")
+    require(Seq("content_hash", "win", "dup_cnt", "prio_mask")
+        .forall(idx.columns.contains),
+      s"loadPriorityIndex: not a priority index at $path: ${idx.columns.mkString(",")}")
+    probeFiles(spark, s"$path/index").foreach { f =>
+      val r = spark.read.parquet(f)
+        .select(length(col("content_hash")),
+          col("content_hash").rlike("^[0-9a-f]+$")).limit(1).collect()
+      r.headOption.foreach { row =>
+        require(!row.isNullAt(0) && row.getInt(0) == hashLen && row.getBoolean(1),
+          s"loadPriorityIndex: file $f carries a non-md5 content_hash but " +
+            s"meta says hash_len=$hashLen at $path")
+      }
+    }
+    (idx, meta(0).getLong(2), meta(0).getInt(3))
+  }
+
+  /** Screen a batch against the stored priority index: per batch doc —
+    * the winning `(keep_priority, keep_id)` across corpus ∪ batch, the
+    * corpus occurrence count and seen-priority count for its hash, and
+    * `keep` = this doc IS the winner. Relationally equal to
+    * [[priorityGroups]] over corpus ∪ batch restricted to batch rows
+    * (same packed-min winner). Shuffle ledger = the exact family's:
+    * batch hashes broadcast and semi-filter the stored index scan; the
+    * corpus contributes one narrow columnar scan and zero exchanges.
+    */
+  def priorityAgainstIndex(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, priorityCol: String,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val spark = newDocs.sparkSession
+    val (idx, maxPriority, idBits) = loadPriorityIndex(spark, indexPath)
+    val idMod = 1L << idBits
+    val batch = newDocs.select(col(idCol).cast("long").as("doc"),
+        md5(col(textCol)).as("content_hash"),
+        packPriority(idCol, priorityCol, maxPriority, idBits).as("__p"),
+        col(priorityCol).cast("int").as("__prio"))
+      .persistTracked()
+    val bKeys = batch.select("content_hash").distinct()
+    val matching =
+      if (broadcastBatch)
+        idx.join(broadcast(bKeys), Seq("content_hash"), "left_semi")
+      else idx.join(bKeys, Seq("content_hash"), "left_semi")
+    val stored = matching.groupBy("content_hash")
+      .agg(min(col("win")).as("__cw"), sum(col("dup_cnt")).as("__cn"),
+        bit_or(col("prio_mask")).as("__cm"))
+    val batchAgg = batch.groupBy("content_hash")
+      .agg(min(col("__p")).as("__bw"),
+        bit_or(expr("shiftleft(1L, __prio)")).as("__bm"))
+    batch
+      .join(batchAgg, Seq("content_hash"))
+      .join(stored, Seq("content_hash"), "left")
+      .select(col("doc"), col("content_hash"),
+        (least(col("__cw"), col("__bw")) % idMod).as("keep_id"),
+        expr(s"least(__cw, __bw) div $idMod").as("keep_priority"),
+        coalesce(col("__cn"), lit(0L)).as("n_corpus"),
+        bit_count(coalesce(col("__cm"), lit(0L))
+          .bitwiseOR(col("__bm"))).cast("long").as("n_priorities"),
+        (col("__p") === least(col("__cw"), col("__bw"))).as("keep"))
+  }
+
+  /** Fold a batch INTO the stored priority index: the batch's own
+    * partials append as new files (O(batch)); geometry must match the
+    * stored meta or the fold refuses.
+    */
+  def mergeIntoPriorityIndex(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, priorityCol: String): Unit = {
+    val spark = newDocs.sparkSession
+    val (_, maxPriority, idBits) = loadPriorityIndex(spark, indexPath)
+    priorityPartials(newDocs, idCol, textCol, priorityCol, maxPriority, idBits)
+      .sortWithinPartitions("content_hash")
+      .write.mode("append").parquet(s"$indexPath/index")
   }
 
   // ---- exact stored index ------------------------------------------------

@@ -801,6 +801,30 @@ object PipelineQueries {
             .as("priority")),
         "doc_id", "text", "priority", maxPriority = 3L)),
 
+    // the priority family's cross-snapshot screen: index built from
+    // doc_id%4==0, a second snapshot FOLDED IN from %4==2 (so the
+    // monoid combine across appended partials is inside the certified
+    // relation), odd docs screened — winner and priority census across
+    // corpus ∪ batch replayed by the oracle over the union
+    "p133_priority_screen" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 < 2,
+          concat(lit("grp:"), expr("doc_id div 4").cast("string")))
+          .otherwise(col("text")).as("text"),
+        (substring(col("source"), 4, 10).cast("long") % 4).as("priority"))
+      val out = withPipelineArtifact(dir, "p133_priority_idx") { stage =>
+        Dedup.savePriorityIndex(planted.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", "priority", maxPriority = 3L, s"$stage/idx")
+        Dedup.mergeIntoPriorityIndex(planted.filter(col("doc_id") % 4 === 2),
+          s"$stage/idx", "doc_id", "text", "priority")
+      }
+      Dedup.priorityAgainstIndex(planted.filter(col("doc_id") % 2 === 1),
+          s"$out/idx", "doc_id", "text", "priority")
+        .select(col("doc").as("doc_id"), col("content_hash"),
+          col("keep_id"), col("keep_priority"), col("n_corpus"),
+          col("n_priorities"), col("keep"))
+    }),
+
     // deterministic stratified sampling: 50% of en, 25% of de, 10% of
     // every other language
     // training-shard membership (the write path's partition key): pure
@@ -3517,6 +3541,33 @@ object PipelineQueries {
          CAST(win // 1099511627776 AS BIGINT) AS keep_priority,
          dup_cnt, n_sources
        FROM g""",
+
+    // winner + priority census over corpus (evens, two folded
+    // snapshots) ∪ batch (odds), restricted to batch rows
+    "p133_priority_screen" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 < 2 THEN 'grp:' || (doc_id // 4)::VARCHAR
+                  ELSE text END AS text,
+             CAST(substr(source, 4) AS BIGINT) % 4 AS priority
+           FROM documents),
+         h AS (SELECT doc_id, priority, md5(text) AS content_hash,
+             priority * 1099511627776 + doc_id AS packed FROM d),
+         k AS (SELECT content_hash, min(packed) AS win FROM h GROUP BY 1),
+         c AS (SELECT content_hash, count(*) AS n_corpus
+           FROM h WHERE doc_id % 2 = 0 GROUP BY 1),
+         np AS (SELECT content_hash,
+             count(DISTINCT priority) AS n_priorities
+           FROM h GROUP BY 1)
+       SELECT h.doc_id, h.content_hash,
+         CAST(k.win % 1099511627776 AS BIGINT) AS keep_id,
+         CAST(k.win // 1099511627776 AS BIGINT) AS keep_priority,
+         CAST(coalesce(c.n_corpus, 0) AS BIGINT) AS n_corpus,
+         CAST(np.n_priorities AS BIGINT) AS n_priorities,
+         h.packed = k.win AS keep
+       FROM h JOIN k USING (content_hash)
+         LEFT JOIN c USING (content_hash)
+         JOIN np USING (content_hash)
+       WHERE h.doc_id % 2 = 1""",
 
     "p34_shard_assign" ->
       """SELECT doc_id,

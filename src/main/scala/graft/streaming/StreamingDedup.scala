@@ -227,6 +227,41 @@ object StreamingDedup {
     }
   }
 
+  /** Streaming screen against a STORED priority index
+    * ([[graft.pipeline.Dedup.savePriorityIndex]]) — the
+    * [[exactScreenStream]] twin for the cross-source trust rule: each
+    * arriving doc is judged against the FROZEN corpus winner for its
+    * content hash (the serving contract — cross-batch winners are the
+    * fold's job, not the stream's). Emits per doc: the corpus winner's
+    * decoded (keep_id, keep_priority), corpus occurrence count, and
+    * `beats_corpus` = this doc's packed (priority, id) outranks every
+    * stored copy (true for unseen text — a frontier admit). The static
+    * side is the monoid-combined partial groups, materialized ONCE and
+    * pre-partitioned on the join key.
+    */
+  def priorityScreenStream(docs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, priorityCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val (idx, maxPriority, idBits) =
+      graft.pipeline.Dedup.loadPriorityIndex(spark, indexPath)
+    val idMod = 1L << idBits
+    val staticSide = idx.groupBy("content_hash")
+      .agg(min(col("win")).as("__cw"), sum(col("dup_cnt")).as("__cn"))
+      .repartition(col("content_hash"))
+      .persistTracked()
+    staticSide.count()
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        md5(col(textCol)).as("content_hash"),
+        graft.pipeline.Dedup.packPriority(idCol, priorityCol,
+          maxPriority, idBits).as("__p"))
+      .join(staticSide, Seq("content_hash"), "left")
+      .select(col("doc_id"), col("content_hash"),
+        (col("__cw") % idMod).as("corpus_keep_id"),
+        expr(s"__cw div $idMod").as("corpus_keep_priority"),
+        coalesce(col("__cn"), lit(0L)).as("n_corpus"),
+        (col("__cw").isNull || col("__p") < col("__cw")).as("beats_corpus"))
+  }
+
   final case class HammingHit(doc_a: Long, doc_b: Long, hamming: Long)
 
   /** Streaming 48-bit-signature screen against a STORED signature

@@ -4406,6 +4406,46 @@ class PipelineSpec extends SparkSpecBase {
     assert(!row.getBoolean(6)) // 1477 < 1500: high absolute sim, low margin
   }
 
+  test("priority index: fold == rebuild, screen semantics, loud foreign/oversize failures") {
+    import spark.implicits._
+    val corpusA = Seq((2L, "shared", 2L), (4L, "corpus only", 1L))
+      .toDF("doc_id", "text", "priority")
+    val corpusB = Seq((6L, "shared", 3L), (8L, "late better", 2L))
+      .toDF("doc_id", "text", "priority")
+    val batch = Seq(
+      (11L, "shared", 0L),      // batch brings a MORE trusted copy -> wins
+      (13L, "corpus only", 3L), // corpus copy more trusted -> loses
+      (15L, "brand new", 2L),   // unseen text -> wins, n_corpus 0
+      (17L, "late better", 1L)) // beats the FOLDED snapshot's copy
+      .toDF("doc_id", "text", "priority")
+    val dir = java.nio.file.Files.createTempDirectory("prio_idx_").toString
+    Dedup.savePriorityIndex(corpusA, "doc_id", "text", "priority", 3L, s"$dir/f")
+    Dedup.mergeIntoPriorityIndex(corpusB, s"$dir/f", "doc_id", "text", "priority")
+    Dedup.savePriorityIndex(corpusA.union(corpusB), "doc_id", "text",
+      "priority", 3L, s"$dir/r")
+    def screen(p: String) =
+      Dedup.priorityAgainstIndex(batch, p, "doc_id", "text", "priority")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getBoolean(6)))).toMap
+    val folded = screen(s"$dir/f")
+    assert(folded == screen(s"$dir/r"), "fold != rebuild")
+    assert(folded(11L) == ((11L, 0L, 2L, 3L, true)))  // wins over prio 2 and 3
+    assert(folded(13L) == ((4L, 1L, 1L, 2L, false)))  // corpus prio 1 holds
+    assert(folded(15L) == ((15L, 2L, 0L, 1L, true)))  // unseen
+    assert(folded(17L) == ((17L, 1L, 1L, 2L, true)))  // beats folded snapshot
+    // loud failures: bitmask ceiling, foreign family
+    intercept[IllegalArgumentException] {
+      Dedup.savePriorityIndex(corpusA, "doc_id", "text", "priority", 63L,
+        s"$dir/too_wide")
+    }
+    Dedup.saveExactIndex(corpusA, "doc_id", "text", s"$dir/exact")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.loadPriorityIndex(spark, s"$dir/exact")
+    }
+    assert(e.getMessage.contains("not priority_md5"), e.getMessage)
+  }
+
   test("priorityGroups: trusted source wins across dup groups; bounds enforced") {
     import spark.implicits._
     val d = Seq(

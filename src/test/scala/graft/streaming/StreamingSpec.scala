@@ -1004,6 +1004,43 @@ class StreamingSpec extends SparkSpecBase {
     graft.pipeline.CacheLedger.drain()
   }
 
+  test("priorityScreenStream over the stored index == batch, incl. a folded snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpusA = Seq((2L, "shared", 2L), (4L, "corpus only", 1L))
+      .toDF("doc_id", "text", "priority")
+    val corpusB = Seq((8L, "late better", 2L)).toDF("doc_id", "text", "priority")
+    val dir = java.nio.file.Files.createTempDirectory("prio_stream_").toString
+    graft.pipeline.Dedup.savePriorityIndex(corpusA, "doc_id", "text",
+      "priority", 3L, dir)
+    graft.pipeline.Dedup.mergeIntoPriorityIndex(corpusB, dir, "doc_id",
+      "text", "priority")
+    val rows = Seq(
+      (11L, "shared", 0L),      // outranks the stored prio-2 copy
+      (13L, "corpus only", 3L), // stored prio-1 copy holds
+      (15L, "brand new", 2L),   // unseen -> frontier admit
+      (17L, "late better", 1L)) // outranks the FOLDED snapshot's copy
+    val batchDf = rows.toDF("doc_id", "text", "priority")
+    def out(df: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamingDedup.priorityScreenStream(
+        df, dir, "doc_id", "text", "priority")
+    val expected = out(batchDf).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(expected(11L).last == true && expected(13L).last == false &&
+      expected(15L).last == true && expected(17L).last == true)
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = out(mem.toDF().toDF("doc_id", "text", "priority"))
+      .writeStream.format("memory").queryName("prio_screen_stream")
+      .outputMode("append").start()
+    val got = try {
+      mem.addData(rows.take(2): _*); q.processAllAvailable()
+      mem.addData(rows.drop(2): _*); q.processAllAvailable()
+      spark.table("prio_screen_stream").collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    } finally q.stop()
+    assert(got == expected)
+  }
+
   test("hostCap on a stream (complete mode) == batch — TopKLongs folds in the state store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
