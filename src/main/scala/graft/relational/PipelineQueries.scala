@@ -338,6 +338,64 @@ object PipelineQueries {
          coalesce(margin_milli >= 1800, false) AS mined
        FROM m"""
 
+  /** The WordPiece vocab-recipe + greedy-match replay CTE chain shared
+    * by the p112 and p134 oracles, ending at `j` = (doc_id, i, pieces).
+    */
+  private lazy val WpSegCtes: String =
+    s"""WITH RECURSIVE toks AS MATERIALIZED (
+             SELECT doc_id, $TOKS AS toks FROM documents),
+           wAll AS MATERIALIZED (SELECT unnest(toks) AS w FROM toks),
+           cnt AS MATERIALIZED (SELECT w, count(*) AS c FROM wAll GROUP BY 1),
+           freq AS (SELECT w FROM (SELECT w, row_number()
+                      OVER (ORDER BY c DESC, w) r FROM cnt) WHERE r <= 12),
+           vocab AS MATERIALIZED (
+             SELECT DISTINCT piece FROM (
+               SELECT w AS piece FROM freq
+               UNION ALL
+               SELECT '##' || substr(w, i, l) AS piece
+               FROM cnt, LATERAL unnest(generate_series(2, len(w))) t(i),
+                    LATERAL unnest(generate_series(1, least(3, len(w) - i + 1))) u(l)
+               WHERE len(w) >= 2
+               UNION ALL
+               SELECT substr(w, 1, 1) AS piece FROM cnt
+             )),
+           words AS MATERIALIZED (SELECT w AS word FROM cnt),
+           positions AS (SELECT word, i AS pos FROM words,
+                           LATERAL unnest(generate_series(1, len(word))) t(i)),
+           m0 AS (SELECT p.word, p.pos,
+                    CASE WHEN p.pos = 1 THEN v.piece
+                         ELSE substr(v.piece, 3) END AS bare
+                  FROM positions p JOIN vocab v
+                    ON (p.pos = 1) = (v.piece NOT LIKE '##%')
+                   AND substr(p.word, p.pos, len(CASE WHEN p.pos = 1
+                         THEN v.piece ELSE substr(v.piece, 3) END)) =
+                       CASE WHEN p.pos = 1 THEN v.piece
+                            ELSE substr(v.piece, 3) END),
+           best AS MATERIALIZED (SELECT word, pos, bare, len(bare) AS plen
+                  FROM (SELECT *, row_number() OVER (PARTITION BY word, pos
+                          ORDER BY len(bare) DESC) rn FROM m0) WHERE rn = 1),
+           seg AS (
+             SELECT word, 1 AS pos, []::VARCHAR[] AS pieces FROM words
+             UNION ALL
+             SELECT s.word,
+               CASE WHEN b.bare IS NULL THEN len(s.word) + 1
+                    ELSE s.pos + b.plen END AS pos,
+               CASE WHEN b.bare IS NULL THEN ['[UNK]']
+                    ELSE list_append(s.pieces, CASE WHEN s.pos = 1
+                      THEN b.bare ELSE '##' || b.bare END) END AS pieces
+             FROM seg s LEFT JOIN best b ON s.word = b.word AND s.pos = b.pos
+             WHERE s.pos <= len(s.word)
+           ),
+           done AS MATERIALIZED (SELECT word,
+                                   CASE WHEN len(word) > 100 THEN ['[UNK]']
+                                        ELSE pieces END AS pieces
+                                 FROM seg WHERE pos = len(word) + 1),
+           ex AS (SELECT doc_id, i, toks[i] AS word FROM toks,
+                    LATERAL unnest(generate_series(1, len(toks))) t(i)),
+           j AS (SELECT e.doc_id, e.i, d.pieces
+                 FROM ex e JOIN done d ON e.word = d.word)"""
+
+
   /** The p89 per-block clean chain (tag strip → six-entity decode →
     * whitespace collapse), generated once so the oracle's nesting
     * mirrors `TextOps.mainContentBlocks`' cleanOf token for token.
@@ -1673,6 +1731,38 @@ object PipelineQueries {
             (a, x) => a + when(size(x) === 1 && element_at(x, 1) === unk,
               1L).otherwise(0L)).as("n_unk"),
           array_join(flatten(col("segs")), " ").as("wp_text"))
+    }),
+
+    // per-language tokenizer-coverage / OOV report over the SAME stored
+    // WordPiece artifact as p112 — the tokenizer-QA table every vocab
+    // bump ships with: words, pieces, [UNK] words, unk-permille and
+    // fertility (pieces per word, milli) by language. One segmentation
+    // projection + one ≤|langs|-row rollup; all-integer milli ratios.
+    "p134_oov_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tokDir = withPipelineArtifact(dir, "p112_wordpiece") { stage =>
+        TokenizerIO.saveWordPiece(
+          WordPiece.vocabFrame(d, "text", topWords = 12), "[UNK]",
+          s"$stage/wp")
+      }
+      val (vocab, unk) = TokenizerIO.loadWordPiece(s, s"$tokDir/wp")
+      d.select(col("lang"), tokens(col("text")).as("toks"))
+        .withColumn("segs", transform(col("toks"),
+          w => WordPiece.segment(w, vocab, unk)))
+        .select(col("lang"),
+          size(col("toks")).cast("long").as("nw"),
+          aggregate(col("segs"), lit(0L),
+            (a, x) => a + size(x)).as("np"),
+          aggregate(col("segs"), lit(0L),
+            (a, x) => a + when(size(x) === 1 && element_at(x, 1) === unk,
+              1L).otherwise(0L)).as("nu"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("nw").as("n_words"),
+          sum("np").as("n_pieces"), sum("nu").as("n_unk"))
+        .withColumn("unk_permille",
+          expr("(n_unk * 1000) div greatest(n_words, 1)"))
+        .withColumn("fertility_milli",
+          expr("(n_pieces * 1000) div greatest(n_words, 1)"))
     }),
 
     // SCALE-SAFE hard-negative mining (round-11, the round-10
@@ -4826,59 +4916,7 @@ object PipelineQueries {
     // substring itself can match), so the replay is bit-exact.
     // DuckDB-1.0 note: a LATERAL argmax inside the recursive term
     // silently matches nothing, hence the non-recursive `best` table.
-    "p112_wordpiece" ->
-      s"""WITH RECURSIVE toks AS MATERIALIZED (
-             SELECT doc_id, $TOKS AS toks FROM documents),
-           wAll AS MATERIALIZED (SELECT unnest(toks) AS w FROM toks),
-           cnt AS MATERIALIZED (SELECT w, count(*) AS c FROM wAll GROUP BY 1),
-           freq AS (SELECT w FROM (SELECT w, row_number()
-                      OVER (ORDER BY c DESC, w) r FROM cnt) WHERE r <= 12),
-           vocab AS MATERIALIZED (
-             SELECT DISTINCT piece FROM (
-               SELECT w AS piece FROM freq
-               UNION ALL
-               SELECT '##' || substr(w, i, l) AS piece
-               FROM cnt, LATERAL unnest(generate_series(2, len(w))) t(i),
-                    LATERAL unnest(generate_series(1, least(3, len(w) - i + 1))) u(l)
-               WHERE len(w) >= 2
-               UNION ALL
-               SELECT substr(w, 1, 1) AS piece FROM cnt
-             )),
-           words AS MATERIALIZED (SELECT w AS word FROM cnt),
-           positions AS (SELECT word, i AS pos FROM words,
-                           LATERAL unnest(generate_series(1, len(word))) t(i)),
-           m0 AS (SELECT p.word, p.pos,
-                    CASE WHEN p.pos = 1 THEN v.piece
-                         ELSE substr(v.piece, 3) END AS bare
-                  FROM positions p JOIN vocab v
-                    ON (p.pos = 1) = (v.piece NOT LIKE '##%')
-                   AND substr(p.word, p.pos, len(CASE WHEN p.pos = 1
-                         THEN v.piece ELSE substr(v.piece, 3) END)) =
-                       CASE WHEN p.pos = 1 THEN v.piece
-                            ELSE substr(v.piece, 3) END),
-           best AS MATERIALIZED (SELECT word, pos, bare, len(bare) AS plen
-                  FROM (SELECT *, row_number() OVER (PARTITION BY word, pos
-                          ORDER BY len(bare) DESC) rn FROM m0) WHERE rn = 1),
-           seg AS (
-             SELECT word, 1 AS pos, []::VARCHAR[] AS pieces FROM words
-             UNION ALL
-             SELECT s.word,
-               CASE WHEN b.bare IS NULL THEN len(s.word) + 1
-                    ELSE s.pos + b.plen END AS pos,
-               CASE WHEN b.bare IS NULL THEN ['[UNK]']
-                    ELSE list_append(s.pieces, CASE WHEN s.pos = 1
-                      THEN b.bare ELSE '##' || b.bare END) END AS pieces
-             FROM seg s LEFT JOIN best b ON s.word = b.word AND s.pos = b.pos
-             WHERE s.pos <= len(s.word)
-           ),
-           done AS MATERIALIZED (SELECT word,
-                                   CASE WHEN len(word) > 100 THEN ['[UNK]']
-                                        ELSE pieces END AS pieces
-                                 FROM seg WHERE pos = len(word) + 1),
-           ex AS (SELECT doc_id, i, toks[i] AS word FROM toks,
-                    LATERAL unnest(generate_series(1, len(toks))) t(i)),
-           j AS (SELECT e.doc_id, e.i, d.pieces
-                 FROM ex e JOIN done d ON e.word = d.word),
+    "p112_wordpiece" -> (WpSegCtes + raw""",
            agg AS (SELECT doc_id, count(*) AS n_words,
                sum(len(pieces)) AS n_pieces,
                sum(CASE WHEN pieces = ['[UNK]'] THEN 1 ELSE 0 END) AS n_unk,
@@ -4888,7 +4926,29 @@ object PipelineQueries {
            CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
            CAST(coalesce(a.n_unk, 0) AS BIGINT) AS n_unk,
            coalesce(a.wp_text, '') AS wp_text
-         FROM toks t LEFT JOIN agg a USING (doc_id)""",
+         FROM toks t LEFT JOIN agg a USING (doc_id)"""),
+
+    // the p112 segmentation rolled up by language: the tokenizer-QA
+    // table every vocab bump ships with — same CTE chain, per-lang sums
+    "p134_oov_report" -> (WpSegCtes + raw""",
+           agg AS (SELECT doc_id, count(*) AS n_words,
+               sum(len(pieces)) AS n_pieces,
+               sum(CASE WHEN pieces = ['[UNK]'] THEN 1 ELSE 0 END) AS n_unk
+             FROM j GROUP BY 1),
+           per AS (SELECT d.lang, count(*) AS n_docs,
+               sum(coalesce(a.n_words, 0)) AS n_words,
+               sum(coalesce(a.n_pieces, 0)) AS n_pieces,
+               sum(coalesce(a.n_unk, 0)) AS n_unk
+             FROM documents d LEFT JOIN agg a USING (doc_id) GROUP BY 1)
+         SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_pieces AS BIGINT) AS n_pieces,
+           CAST(n_unk AS BIGINT) AS n_unk,
+           (CAST(n_unk AS BIGINT) * 1000)
+             // greatest(CAST(n_words AS BIGINT), 1) AS unk_permille,
+           (CAST(n_pieces AS BIGINT) * 1000)
+             // greatest(CAST(n_words AS BIGINT), 1) AS fertility_milli
+         FROM per"""),
 
     // the p104 relation restricted to the LSH candidate set: the
     // md5-derived plane family (p69's CTEs) is replayed bit-for-bit,
