@@ -95,6 +95,21 @@ object ScaleSmokeDocs {
       stage("bfd_pack")(Sampling.packSequencesBinned(
         packDocs, "doc_id", "text", "source", budget = 512).count())
     }
+    if (wanted("cdc_dedup")) {
+      // every 3rd doc carries one of 7 shared ~200-char tails at a
+      // different absolute offset — the chunker must re-sync and the
+      // per-hash first-occurrence aggregate must stay flat per doc
+      val tails = (0 until 7).map(v =>
+        s"shared tail $v " + ("the county atlases and the quarry " +
+          "surveys and the mill ledgers draw the most requests ") * 3)
+      val cdcDocs = docs.withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" "),
+            element_at(typedlit(tails), (col("doc_id") % 7 + 1).cast("int"))))
+          .otherwise(col("text")))
+      stage("cdc_dedup")(Dedup.cdcDupChunks(cdcDocs, "doc_id", "text")
+        .filter(col("n_dup") > 0).count())
+    }
     if (wanted("host_cap")) {
       // power-law hosts: host 0 owns ~half the corpus (the skew case a
       // window row_number would pin on one task), the tail is tiny;

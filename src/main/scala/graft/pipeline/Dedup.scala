@@ -100,6 +100,69 @@ object Dedup {
         col("dup_cnt"), col("n_sources"))
   }
 
+  /** Content-defined-chunk duplicate report (Gear/FastCDC rolling-hash
+    * chunking, [[graft.functions.GearChunks]]): per doc — how many of
+    * its chunks, and how much of its chunked text, already occur
+    * earlier in the corpus (first occurrence = smallest (doc, start);
+    * every later copy is the duplicate). Chunk boundaries re-sync
+    * after edits, so this sees shared regions that shift position
+    * between docs — the insertion-robust sibling of the fixed-gram
+    * span dedup (p23/p35) and the storage-dedup / incremental-crawl
+    * diff primitive.
+    *
+    * Shape: one chunker projection (codegen) → explode → ONE hash
+    * aggregate over chunk hashes (partial map-side; a boilerplate
+    * chunk with 10^9 copies reduces to one (hash, min, count) row —
+    * no window over power-law hash groups) → equi-join back → per-doc
+    * rollup. First-occurrence order is packed `(doc · 2^startBits +
+    * start)` with loud bounds. Docs whose text yields no chunks
+    * report zeros.
+    *
+    * Output: `(idCol, n_chunks, chunk_chars, n_dup, dup_chars,
+    * dup_permille)`.
+    */
+  def cdcDupChunks(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 16, maxLen: Int = 128, maskBits: Int = 5,
+      startBits: Int = 24): DataFrame = {
+    require(startBits >= 1 && startBits <= 40,
+      s"startBits must be in [1,40]: $startBits")
+    val startMod = 1L << startBits
+    val maxDoc = Long.MaxValue >> startBits
+    val chunks = docs.select(col(idCol).cast("long").as("doc"),
+        col(textCol).as("__t"),
+        explode(graft.functions.GearChunks(col(textCol),
+          minLen, maxLen, maskBits)).as("c"))
+      .select(col("doc"),
+        col("c.start").as("start"), col("c.len").as("len"),
+        md5(expr("substring(__t, cast(start as int), cast(len as int))"))
+          .as("chunk_hash"))
+      .withColumn("__packed",
+        when(col("doc") >= 0L && col("doc") < maxDoc &&
+            col("start") < startMod,
+          col("doc") * startMod + col("start"))
+          .otherwise(raise_error(lit(
+            s"cdcDupChunks packing bounds violated: need 0<=doc<2^" +
+              s"${63 - startBits} and start<2^$startBits")).cast("long")))
+    val first = chunks.groupBy("chunk_hash")
+      .agg(min("__packed").as("__first"))
+    val perDoc = chunks.join(first, Seq("chunk_hash"))
+      .withColumn("__dup", col("__packed") > col("__first"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("len")).as("chunk_chars"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("__dup"), col("len")).otherwise(0L)).as("dup_chars"))
+    docs.select(col(idCol).cast("long").as("doc")).distinct()
+      .join(perDoc, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("chunk_chars"), lit(0L)).as("chunk_chars"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+      .withColumn("dup_permille",
+        expr("(dup_chars * 1000) div greatest(chunk_chars, 1)"))
+  }
+
   // ---- priority stored index ----------------------------------------------
   //
   // The cross-snapshot form of [[priorityGroups]]: a curated corpus is

@@ -267,6 +267,21 @@ object PipelineQueries {
   /** p128's fixed system prompt (shared by query and oracle). */
   private val ChatSysPrompt = "You are a helpful assistant."
 
+  /** p135's planted shared tails — 7 paragraphs (~200 chars, several
+    * expected chunks each) appended by doc_id % 7, so content-defined
+    * chunking must find the shared region across docs even though its
+    * ABSOLUTE offset differs per doc (the re-sync property a
+    * fixed-width chunker lacks). Escaped into the oracle as literals.
+    */
+  private lazy val cdcParagraphs: Seq[String] = Seq(
+    "The committee resolved to publish the annual water survey before the spring thaw, noting that the upstream gauges had been recalibrated twice and that the ferry operators requested earlier notice of any change to the weir schedule.",
+    "Visitors to the eastern orchard are reminded that the cider press operates only on market days, that the storage barn remains closed during inspection week, and that surplus crates should be returned to the cooperative by Friday.",
+    "According to the harbor master, the dredging barge will work the northern channel first, then the marina approach, and small craft are asked to keep to the marked lane until the depth survey confirms the new soundings.",
+    "The library's map room reopened with the restored county atlases on display, and the archivist noted that the flood plates of eighteen ninety draw the most requests, followed by the quarry surveys and the mill ledgers.",
+    "Farmers along the ridge road reported that the new culverts held through the heavy rains, though two field gates were silted shut, and the council agreed to schedule the grading crew before the harvest carts arrive.",
+    "The evening lecture series continues with a talk on groundwater modeling, preceded by a short demonstration of the observatory's rain gauges and followed by questions from the irrigation board and the well drillers.",
+    "Residents near the old tannery are advised that the soil sampling will proceed in marked plots, that results will be posted at the parish hall, and that the orchard boundary fence will be restored once the survey ends.")
+
   /** p130/p131's synthetic target side: every 2nd vector, mixed with
     * its own reverse (`0.9·v[i] + 0.1·v[n+1−i]`, double arithmetic so
     * the oracle's per-dimension restatement is bit-identical) and
@@ -858,6 +873,19 @@ object PipelineQueries {
           (substring(col("source"), 4, 10).cast("long") % 4)
             .as("priority")),
         "doc_id", "text", "priority", maxPriority = 3L)),
+
+    // content-defined-chunk dedup (Gear/FastCDC): docs get a shared
+    // ~200-char tail by doc_id%7 at a DIFFERENT absolute offset per
+    // doc — the rolling-hash chunker re-syncs inside the shared region
+    // so its chunks hash-match across docs; per doc, how many chunks /
+    // chars already occur earlier in the corpus
+    "p135_cdc_dedup" -> ((s, dir) =>
+      Dedup.cdcDupChunks(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(" "),
+            element_at(typedlit(cdcParagraphs),
+              (col("doc_id") % 7 + 1).cast("int"))).as("text")),
+        "doc_id", "text")),
 
     // the priority family's cross-snapshot screen: index built from
     // doc_id%4==0, a second snapshot FOLDED IN from %4==2 (so the
@@ -3631,6 +3659,74 @@ object PipelineQueries {
          CAST(win // 1099511627776 AS BIGINT) AS keep_priority,
          dup_cnt, n_sources
        FROM g""",
+
+    // the Gear walk replayed exactly: md5-derived gear constants, the
+    // 2^64 wrap in HUGEINT, the same minLen/maxLen/maskBits cut rule;
+    // chunk hashes and the first-occurrence packing restated verbatim
+    "p135_cdc_dedup" -> {
+      def esc(s: String) = s.replace("'", "''")
+      val caseArms = cdcParagraphs.zipWithIndex.map { case (t, i) =>
+        s"WHEN $i THEN '${esc(t)}'" }.mkString("\n             ")
+      s"""WITH RECURSIVE g AS (SELECT i,
+             ('0x' || substr(md5('gear:' || i), 1, 15))::BIGINT AS gv
+           FROM unnest(generate_series(0, 255)) t(i)),
+         dd AS (SELECT doc_id,
+             text || ' ' || CASE doc_id % 7 $caseArms END AS text,
+             length(text || ' ' || CASE doc_id % 7 $caseArms END) AS n
+           FROM documents),
+         walk AS (
+           SELECT doc_id, 0 AS pos, CAST(0 AS HUGEINT) AS h,
+             1 AS cstart, false AS cut, 0 AS clen, 1 AS chunk_start
+           FROM dd
+           UNION ALL
+           SELECT doc_id, pos,
+             CASE WHEN (clen >= 128 OR (clen >= 16 AND nh % 32 = 0))
+               THEN CAST(0 AS HUGEINT) ELSE nh END AS h,
+             CASE WHEN (clen >= 128 OR (clen >= 16 AND nh % 32 = 0))
+               THEN pos + 1 ELSE cstart END AS cstart,
+             (clen >= 128 OR (clen >= 16 AND nh % 32 = 0)) AS cut,
+             clen, cstart AS chunk_start
+           FROM (
+             SELECT w.doc_id, w.pos + 1 AS pos,
+               (w.h * 2 + gg.gv)
+                 % CAST('18446744073709551616' AS HUGEINT) AS nh,
+               w.cstart, w.pos + 1 - w.cstart + 1 AS clen
+             FROM walk w
+             JOIN dd ON dd.doc_id = w.doc_id
+             JOIN g gg
+               ON gg.i = unicode(substr(dd.text, w.pos + 1, 1)) % 256
+             WHERE w.pos < dd.n) s
+         ),
+         bounds AS (
+           SELECT doc_id, chunk_start AS start, clen AS len
+           FROM walk WHERE cut
+           UNION ALL
+           SELECT w.doc_id, w.cstart, dd.n - w.cstart + 1
+           FROM walk w JOIN dd USING (doc_id)
+           WHERE w.pos = dd.n AND NOT w.cut AND dd.n > 0
+         ),
+         ch AS (SELECT b.doc_id, b.start, b.len,
+             md5(substr(dd.text, b.start, b.len)) AS chash,
+             b.doc_id * 16777216 + b.start AS packed
+           FROM bounds b JOIN dd USING (doc_id)),
+         fo AS (SELECT chash, min(packed) AS fp FROM ch GROUP BY 1),
+         per AS (SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(len) AS BIGINT) AS chunk_chars,
+             CAST(sum(CASE WHEN packed > fp THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_dup,
+             CAST(sum(CASE WHEN packed > fp THEN len ELSE 0 END)
+               AS BIGINT) AS dup_chars
+           FROM ch JOIN fo USING (chash) GROUP BY 1)
+       SELECT d.doc_id,
+         coalesce(p.n_chunks, 0) AS n_chunks,
+         coalesce(p.chunk_chars, 0) AS chunk_chars,
+         coalesce(p.n_dup, 0) AS n_dup,
+         coalesce(p.dup_chars, 0) AS dup_chars,
+         (coalesce(p.dup_chars, 0) * 1000)
+           // greatest(coalesce(p.chunk_chars, 0), 1) AS dup_permille
+       FROM documents d LEFT JOIN per p USING (doc_id)"""
+    },
 
     // winner + priority census over corpus (evens, two folded
     // snapshots) ∪ batch (odds), restricted to batch rows

@@ -4406,6 +4406,81 @@ class PipelineSpec extends SparkSpecBase {
     assert(!row.getBoolean(6)) // 1477 < 1500: high absolute sim, low margin
   }
 
+  test("GearChunks: exact tiling, length bounds, re-sync across shifted prefixes") {
+    import spark.implicits._
+    val (minLen, maxLen, maskBits) = (16, 128, 5)
+    def chunksOf(texts: (Long, String)*) =
+      texts.toSeq.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"),
+          explode(graft.functions.GearChunks(col("text"),
+            minLen, maxLen, maskBits)).as("c"))
+        .select(col("doc_id"), col("c.start"), col("c.len"),
+          expr("substring(text, cast(start as int), cast(len as int))")
+            .as("chunk"))
+        .collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(_.getLong(1)).map(r =>
+          (r.getLong(1), r.getLong(2), r.getString(3))).toSeq).toMap
+    val base = ("the committee resolved to publish the annual water " +
+      "survey before the spring thaw and the upstream gauges were " +
+      "recalibrated twice while the ferry operators requested notice " +
+      "of every change to the weir schedule and the dredging barge " +
+      "worked the northern channel before the marina approach") * 2
+    val out = chunksOf((1L, base), (2L, "DIFFERENT PREFIX!! " + base),
+      (3L, ""), (4L, "short"))
+    // exact tiling: contiguous starts, lens sum to the text length
+    for (id <- Seq(1L, 2L)) {
+      val cs = out(id)
+      assert(cs.head._1 == 1L)
+      cs.sliding(2).foreach {
+        case Seq((s1, l1, _), (s2, _, _)) => assert(s2 == s1 + l1)
+        case _ =>
+      }
+      assert(cs.map(_._2).sum == (if (id == 1) base.length
+        else base.length + 19))
+      // every chunk <= maxLen; every non-final chunk >= minLen
+      assert(cs.forall(_._2 <= maxLen))
+      assert(cs.dropRight(1).forall(_._2 >= minLen))
+    }
+    // re-sync: after a 19-char prefix insertion the chunker recovers —
+    // the tail chunk CONTENT multisets overlap heavily
+    val h1 = out(1L).map(_._3)
+    val h2 = out(2L).map(_._3)
+    val shared = h1.toSet.intersect(h2.toSet)
+    assert(shared.size >= h1.size / 2,
+      s"re-sync failed: ${shared.size} of ${h1.size} chunks shared")
+    // empty text -> no chunks; short text -> one final sub-minLen chunk
+    assert(!out.contains(3L))
+    assert(out(4L) == Seq((1L, 5L, "short")))
+  }
+
+  test("cdcDupChunks: shared shifted tails dedup; zeros row; determinism") {
+    import spark.implicits._
+    val tail = "the archivist noted that the flood plates of eighteen " +
+      "ninety draw the most requests followed by the quarry surveys " +
+      "and the mill ledgers and the county atlases on display"
+    val d = Seq(
+      (1L, "first document body with its own words " + tail),
+      (2L, "a completely different and rather longer opening passage " + tail),
+      (3L, "unrelated content about turbine cooperatives on the ridge"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val out = Dedup.cdcDupChunks(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // doc 1 owns the tail's first occurrences; doc 2 re-finds them at a
+    // DIFFERENT offset (the re-sync property) -> dup chars > 0
+    assert(out(1L)._2 == 0L, s"doc1 should own first occurrences: ${out(1L)}")
+    assert(out(2L)._2 >= 1L && out(2L)._3 > 0L,
+      s"shifted shared tail not deduped: ${out(2L)}")
+    assert(out(3L)._2 == 0L)
+    assert(out(4L) == ((0L, 0L, 0L, 0L)))
+    val again = Dedup.cdcDupChunks(d.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(again == out)
+  }
+
   test("priority index: fold == rebuild, screen semantics, loud foreign/oversize failures") {
     import spark.implicits._
     val corpusA = Seq((2L, "shared", 2L), (4L, "corpus only", 1L))
