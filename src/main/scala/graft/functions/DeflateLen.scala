@@ -46,20 +46,29 @@ case class DeflateLen(child: Expression)
 
 object DeflateLen {
 
+  /** One native Deflater per executor thread, `reset()` between rows —
+    * deflateInit allocates a ~256 KB native window per instance, and a
+    * per-row allocate/end pair would dominate the gate's runtime on
+    * short documents. `reset()` restores the exact initial stream
+    * state, so output stays a pure function of (bytes, level 6, raw).
+    */
+  private val localDeflater =
+    ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+      new java.util.zip.Deflater(6, true))
+
   /** Exact DEFLATE(level 6, raw) output length of the UTF-8 bytes;
     * static-forwarded so generated code calls it directly.
     */
   def deflateLenJ(s: UTF8String): Long = {
     val bytes = s.getBytes
-    val d = new java.util.zip.Deflater(6, true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val d = localDeflater.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 
   import org.apache.spark.sql.graftbridge.ColumnBridge

@@ -561,7 +561,13 @@ object Sampling {
       StructField("__t", LongType, nullable = false),
       StructField("__f", LongType, nullable = false)))
     val states = hist
-      .groupByKey(r => String.valueOf(r.get(0)))(Encoders.STRING)
+      // key prefix disambiguates a NULL group from the literal string
+      // "null" — both would otherwise fold through ONE sequential
+      // (t, f) state and corrupt both shards' bin assignments
+      .groupByKey(r => r.get(0) match {
+        case null => " "
+        case v => "v" + v
+      })(Encoders.STRING)
       .flatMapGroups { (_, it: Iterator[Row]) =>
         val sorted = it.toArray.sortBy(-_.getAs[Long]("piece_len"))
         var t = 0L
@@ -586,7 +592,13 @@ object Sampling {
       .orderBy(col(idCol), col("piece"))).cast("long")
     pieces
       .withColumn("__j", j)
-      .join(broadcast(states), Seq(groupCol, "piece_len"))
+      // null-safe on the group key: a plain equi-join drops NULL-group
+      // docs silently (null != null), losing a whole shard
+      .join(broadcast(states
+          .withColumnRenamed(groupCol, "__g2")
+          .withColumnRenamed("piece_len", "__pl2")),
+        col(groupCol) <=> col("__g2") && col("piece_len") === col("__pl2"))
+      .drop("__g2", "__pl2")
       .withColumn("__r", expr(s"(${B}L - __f) div piece_len"))
       .withColumn("__k", expr(s"${B}L div piece_len"))
       .select(col(idCol), col(groupCol), col("n_tokens"), col("piece"),
@@ -673,7 +685,11 @@ object Sampling {
       s"overlap must be in [0, size): $overlap vs size=$size")
     val stride = (size - overlap).toLong
     docs
-      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      // NULL text tokenizes to NULL whose size() is -1 (legacy
+      // sizeOfNull) — coalesce to empty so the doc reports the same
+      // single empty chunk as an empty string
+      .withColumn("__toks", coalesce(TextOps.tokens(col(textCol)),
+        array().cast("array<string>")))
       .withColumn("__n", org.apache.spark.sql.functions.size(col("__toks")).cast("long"))
       .withColumn("__nc",
         when(col("__n") <= size, lit(1L))

@@ -1524,13 +1524,20 @@ object Similarity {
     * by the Artetxe & Schwenk ratio margin against BOTH neighborhoods —
     * `margin = sim / ((avg top-k sim of src + avg top-k sim of tgt)/2)`
     * — kept in EXACT integer milli units:
-    * `margin_milli = (sim_micro · 2000 · k) div (Σtopk_src + Σtopk_tgt)`
-    * (avoids order-dependent float sums AND the floor-vs-truncate
-    * divergence — numerator is gated nonnegative, denominator positive,
-    * the regime where Spark `div` and DuckDB `//` agree). Margin is
-    * NULL (and `mined` false) when the best sim or the neighborhood
-    * mass is nonpositive — a "pair" mined out of an all-negative
-    * neighborhood is noise by definition.
+    * `margin_milli = (sim_micro · 1000 · (|topk_src| + |topk_tgt|))
+    * div (Σtopk_src + Σtopk_tgt)` — sim over the MEAN of the actual
+    * neighborhood members, not a fixed k: a candidate graph can hand a
+    * vector fewer than k neighbors, and dividing by k there would let
+    * an ISOLATED junk collision (each side's neighborhood = just the
+    * pair itself) score `2k/2 = k×` and auto-admit regardless of
+    * cosine; with true counts that degenerate case scores exactly
+    * 1000 (sim/sim) and dies at any threshold above it. Integer
+    * arithmetic avoids order-dependent float sums AND the
+    * floor-vs-truncate divergence (numerator gated nonnegative,
+    * denominator positive — the regime where Spark `div` and DuckDB
+    * `//` agree). Margin is NULL (and `mined` false) when the best sim
+    * or the neighborhood mass is nonpositive — a "pair" mined out of
+    * an all-negative neighborhood is noise by definition.
     */
   private def marginFromSims(sims: DataFrame, k: Int,
       marginMilliMin: Long): DataFrame = {
@@ -1544,20 +1551,22 @@ object Similarity {
       .withColumn("rt", row_number().over(byTgt))
       .persistTracked() // three consumers: best-per-src + both top-k sums
     val wx = ranked.filter(col("rs") <= k)
-      .groupBy("src_id").agg(sum("sim_micro").as("wx_sum"))
+      .groupBy("src_id").agg(sum("sim_micro").as("wx_sum"),
+        count(lit(1)).as("wx_cnt"))
     val wy = ranked.filter(col("rt") <= k)
-      .groupBy("tgt_id").agg(sum("sim_micro").as("wy_sum"))
+      .groupBy("tgt_id").agg(sum("sim_micro").as("wy_sum"),
+        count(lit(1)).as("wy_cnt"))
     ranked.filter(col("rs") === 1)
       .select("src_id", "tgt_id", "sim_micro")
       .join(wx, Seq("src_id"))
       .join(wy, Seq("tgt_id"))
       .withColumn("margin_milli",
         when(col("sim_micro") >= 0L && col("wx_sum") + col("wy_sum") > 0L,
-          expr(s"(sim_micro * 2000 * $k) div (wx_sum + wy_sum)")))
+          expr("(sim_micro * 1000 * (wx_cnt + wy_cnt)) div (wx_sum + wy_sum)")))
       .withColumn("mined",
         coalesce(col("margin_milli") >= marginMilliMin, lit(false)))
       .select("src_id", "tgt_id", "sim_micro", "wx_sum", "wy_sum",
-        "margin_milli", "mined")
+        "wx_cnt", "wy_cnt", "margin_milli", "mined")
   }
 
   /** Margin-based bitext mining (Artetxe & Schwenk '19 — the WMT/CCMatrix
@@ -1577,10 +1586,10 @@ object Similarity {
   def bitextMarginMine(src: DataFrame, tgt: DataFrame, k: Int,
       marginMilliMin: Long, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(src.select(col(idCol).as("src_id"),
+    val q = broadcast(src.select(col(idCol).cast("long").as("src_id"),
         asDouble(col(vecCol)).as("sv"))
       .withColumn("sn", sqrt(dot(col("sv"), col("sv")))))
-    val t = tgt.select(col(idCol).as("tgt_id"),
+    val t = tgt.select(col(idCol).cast("long").as("tgt_id"),
         asDouble(col(vecCol)).as("tv"))
       .withColumn("tn", sqrt(dot(col("tv"), col("tv"))))
     val sims = t.crossJoin(q)
@@ -1613,19 +1622,22 @@ object Similarity {
       else srcNN.select(size(col(vecCol))).take(1) match {
         case Array(r) => r.getInt(0)
         case _ =>
-          return srcNN.select(col(idCol).as("src_id"),
-            col(idCol).as("tgt_id"), lit(0L).as("sim_micro"),
+          // schema mirrors the non-degenerate path exactly (ids are
+          // cast to long on BOTH paths, so the types can never diverge)
+          return srcNN.select(col(idCol).cast("long").as("src_id"),
+            col(idCol).cast("long").as("tgt_id"), lit(0L).as("sim_micro"),
             lit(0L).as("wx_sum"), lit(0L).as("wy_sum"),
+            lit(0L).as("wx_cnt"), lit(0L).as("wy_cnt"),
             lit(0L).as("margin_milli"), lit(false).as("mined")).limit(0)
       }
-    val q = srcNN.select(col(idCol).as("src_id"),
+    val q = srcNN.select(col(idCol).cast("long").as("src_id"),
         asDouble(col(vecCol)).as("sv"))
       .withColumn("sn", sqrt(dot(col("sv"), col("sv"))))
     val tNN = tgt.filter(col(vecCol).isNotNull)
     val qBands = q.select(col("src_id"),
         explode(hyperplaneBands(col("sv"), tables, planesPerTable, d)).as("bb"))
       .select(col("src_id"), col("bb.band"), col("bb.bucket"))
-    val tBands = tNN.select(col(idCol).as("tgt_id"),
+    val tBands = tNN.select(col(idCol).cast("long").as("tgt_id"),
         explode(hyperplaneBands(asDouble(col(vecCol)), tables,
           planesPerTable, d)).as("bb"))
       .select(col("tgt_id"), col("bb.band"), col("bb.bucket"))
@@ -1634,7 +1646,7 @@ object Similarity {
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("src_id"), col("tgt_id"))
       .distinct()
-    val t = tNN.select(col(idCol).as("tgt_id"),
+    val t = tNN.select(col(idCol).cast("long").as("tgt_id"),
         asDouble(col(vecCol)).as("tv"))
       .withColumn("tn", sqrt(dot(col("tv"), col("tv"))))
     val sims = t.join(broadcast(cand.join(q, Seq("src_id"))), Seq("tgt_id"))

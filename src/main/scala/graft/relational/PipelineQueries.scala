@@ -339,17 +339,22 @@ object PipelineQueries {
              row_number() OVER (PARTITION BY tgt_id
                ORDER BY sim_micro DESC, src_id) AS rt
            FROM p),
-         wx AS (SELECT src_id, CAST(sum(sim_micro) AS BIGINT) AS wx_sum
+         wx AS (SELECT src_id, CAST(sum(sim_micro) AS BIGINT) AS wx_sum,
+             CAST(count(*) AS BIGINT) AS wx_cnt
            FROM r WHERE rs <= 5 GROUP BY 1),
-         wy AS (SELECT tgt_id, CAST(sum(sim_micro) AS BIGINT) AS wy_sum
+         wy AS (SELECT tgt_id, CAST(sum(sim_micro) AS BIGINT) AS wy_sum,
+             CAST(count(*) AS BIGINT) AS wy_cnt
            FROM r WHERE rt <= 5 GROUP BY 1),
          b AS (SELECT src_id, tgt_id, sim_micro FROM r WHERE rs = 1),
          m AS (SELECT b.src_id, b.tgt_id, b.sim_micro, wx.wx_sum, wy.wy_sum,
+             wx.wx_cnt, wy.wy_cnt,
              CASE WHEN b.sim_micro >= 0 AND wx.wx_sum + wy.wy_sum > 0
-               THEN (b.sim_micro * 2000 * 5) // (wx.wx_sum + wy.wy_sum)
+               THEN (b.sim_micro * 1000 * (wx.wx_cnt + wy.wy_cnt))
+                 // (wx.wx_sum + wy.wy_sum)
              END AS margin_milli
            FROM b JOIN wx USING (src_id) JOIN wy USING (tgt_id))
-       SELECT src_id, tgt_id, sim_micro, wx_sum, wy_sum, margin_milli,
+       SELECT src_id, tgt_id, sim_micro, wx_sum, wy_sum, wx_cnt, wy_cnt,
+         margin_milli,
          coalesce(margin_milli >= 1800, false) AS mined
        FROM m"""
 

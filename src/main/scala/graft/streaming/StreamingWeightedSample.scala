@@ -21,6 +21,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Rows with non-positive weight carry no E-S key and are ignored,
   * exactly like the batch form.
+  *
+  * INPUT CONTRACT: rows are identified by (id, group, weight) — the
+  * reservoir deduplicates exact replays, both within a micro-batch and
+  * across batches (at-least-once source delivery must not double-count
+  * a doc). Batch equivalence therefore holds for inputs whose rows are
+  * distinct, the normal id-keyed corpus; a MULTISET input where the
+  * same doc row legitimately occurs twice ranks twice in the batch
+  * operator's window but once here.
   */
 object StreamingWeightedSample {
 
@@ -54,7 +62,7 @@ object StreamingWeightedSample {
           val st = state.getOption.getOrElse(Reservoir(Vector.empty, 0L))
           val merged = (st.entries ++ batch.map(d =>
               (esKey(d.doc_id, d.weight, salt), d.doc_id, d.weight)))
-            .distinct // replayed doc in the same batch counts once
+            .distinct // replay dedup — same-batch AND cross-batch (see contract)
             .sortBy(e => (-e._1, e._2))
             .take(k)
           if (merged == st.entries) Iterator.empty

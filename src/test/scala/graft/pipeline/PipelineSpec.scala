@@ -4359,7 +4359,7 @@ class PipelineSpec extends SparkSpecBase {
         .as("embedding"))
     val exact = Similarity.bitextMarginMine(src, tgt, k = 5,
       marginMilliMin = 1800L).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(6)))).toMap
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(8)))).toMap
     // every src with a planted counterpart (vec_id%10==0) finds IT and
     // mines it; srcs without one are never mined (hub margins < 1.5)
     val planted = exact.filter { case (s, _) => s % 10 == 0 }
@@ -4376,7 +4376,7 @@ class PipelineSpec extends SparkSpecBase {
     // here, which the 3-SF oracle equality also pins)
     val banded = Similarity.bitextMarginMineBanded(src, tgt, k = 5,
       marginMilliMin = 1800L).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(6)))).toMap
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(8)))).toMap
     planted.keys.foreach { s =>
       assert(banded.get(s).exists { case (t, m) => t == s + 100000L && m },
         s"banded missed planted src $s")
@@ -4386,8 +4386,9 @@ class PipelineSpec extends SparkSpecBase {
   test("bitextMarginMine: hand-computed integer margin on a 3-vector corpus") {
     import spark.implicits._
     // src x = e1; targets: y1 = e1 (sim 1e6), y2 = 45deg (sim 707107),
-    // y3 = e2 (sim 0). k=2: wx = 1e6 + 707107; y-neighborhoods are
-    // singletons (one src): wy(y1) = 1e6.
+    // y3 = e2 (sim 0). k=2: wx = 1e6 + 707107 over 2 members; the
+    // y-neighborhoods are singletons (one src): wy(y1) = 1e6 over 1 —
+    // the margin divides by the ACTUAL member counts, not k
     val src = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
     val tgt = Seq(
       (11L, Seq(1.0, 0.0)), (12L, Seq(1.0, 1.0)), (13L, Seq(0.0, 1.0)))
@@ -4400,10 +4401,20 @@ class PipelineSpec extends SparkSpecBase {
     assert(row.getLong(2) == 1000000L)
     assert(row.getLong(3) == 1000000L + 707107L) // wx: top-2 of {1e6, 707107, 0}
     assert(row.getLong(4) == 1000000L)           // wy(11): only src 1
-    // margin = (1e6 * 2000 * 2) div (1707107 + 1000000) = 1477...
-    val expect = (1000000L * 2000L * 2L) / (1707107L + 1000000L)
-    assert(row.getLong(5) == expect && expect == 1477L)
-    assert(!row.getBoolean(6)) // 1477 < 1500: high absolute sim, low margin
+    assert(row.getLong(5) == 2L && row.getLong(6) == 1L)
+    // margin = (1e6 * 1000 * (2+1)) div (1707107 + 1000000) = 1108...
+    val expect = (1000000L * 1000L * 3L) / (1707107L + 1000000L)
+    assert(row.getLong(7) == expect && expect == 1108L)
+    assert(!row.getBoolean(8)) // 1108 < 1500: high absolute sim, low margin
+    // the degenerate ISOLATED pair (each side's neighborhood is just
+    // the pair) scores exactly 1000 = sim/sim — the case a fixed-k
+    // divisor would inflate to k×1000 and auto-mine at any cosine
+    val iso = Similarity.bitextMarginMine(
+      Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding"),
+      Seq((21L, Seq(0.9, 0.1))).toDF("vec_id", "embedding"),
+      k = 5, marginMilliMin = 1800L).collect()
+    assert(iso.length == 1)
+    assert(iso.head.getLong(7) == 1000L && !iso.head.getBoolean(8))
   }
 
   test("GearChunks: exact tiling, length bounds, re-sync across shifted prefixes") {
