@@ -133,7 +133,15 @@ object Dedup {
         explode(graft.functions.GearChunks(col(textCol),
           minLen, maxLen, maskBits)).as("c"))
       .select(col("doc"),
-        col("c.start").as("start"), col("c.len").as("len"),
+        // substring takes INT positions: a doc past 2^31 code points
+        // would silently hash wrong substrings after the cast — fail
+        // loudly instead (the packing-bounds discipline)
+        when(col("c.start") + col("c.len") <= Int.MaxValue.toLong,
+          col("c.start")).otherwise(raise_error(lit(
+            "cdcDupChunks: chunk start+len exceeds Int.MaxValue — doc " +
+              "too long for substring's INT positions")).cast("long"))
+          .as("start"),
+        col("c.len").as("len"),
         md5(expr("substring(__t, cast(start as int), cast(len as int))"))
           .as("chunk_hash"))
       .withColumn("__packed",

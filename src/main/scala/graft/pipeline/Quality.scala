@@ -1169,7 +1169,10 @@ object Quality {
       threshold: Long = 400L,
       keywords: Seq[String] = CodeKeywords): DataFrame = {
     require(keywords.nonEmpty, "need at least one keyword probe")
-    val t = col(textCol)
+    // NULL docs must score 0 like empty ones: length(NULL) is NULL and
+    // size(split(NULL)) is -1 under legacy sizeOfNull, which would leak
+    // NULL/garbage signals — coalesce once, every signal then sees ''
+    val t = coalesce(col(textCol), lit(""))
     val lines = split(t, "\n", -1)
     val kwHits = keywords.map(k =>
       when(contains(t, lit(k)), 1L).otherwise(0L)).reduce(_ + _)

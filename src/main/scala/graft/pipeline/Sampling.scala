@@ -537,6 +537,28 @@ object Sampling {
   def packSequencesBinned(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String, budget: Int): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
+    // the histogram fold keys shards by the group VALUE's string form;
+    // array/struct/map/binary toString is identity-based, so every row
+    // would silently become its own shard and the packing would stop
+    // packing — refuse non-atomic shard columns loudly
+    locally {
+      import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType,
+        NullType, StructType}
+      docs.schema(groupCol).dataType match {
+        case BinaryType => require(false,
+          s"packSequencesBinned: shard column '$groupCol' is BINARY — its " +
+            "toString is identity-based, so every row would become its own " +
+            "shard and the packing would silently degrade; cast to a " +
+            "string/numeric shard key")
+        case dt @ (_: ArrayType | _: MapType | _: StructType | NullType) =>
+          require(false,
+            s"packSequencesBinned: shard column '$groupCol' has non-atomic " +
+              s"type ${dt.simpleString} — its toString is identity-based, " +
+              "so every row would become its own shard and the packing " +
+              "would silently degrade; use an atomic shard key")
+        case _ => ()
+      }
+    }
     val B = budget.toLong
     val n = size(TextOps.tokens(col(textCol))).cast("long")
     val pieces = docs

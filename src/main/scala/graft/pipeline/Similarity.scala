@@ -1677,8 +1677,10 @@ object Similarity {
     *
     * Output: `(groupCol, n_chunks, dim, mean_micros: array<bigint>,
     * norm_sq: bigint, unit: array<double> rounded 6dp)` where `norm_sq`
-    * is `Σ mean_i²` (exact; |mean| ≤ 1e6·max|x| keeps it far inside
-    * BIGINT for unit-scale embeddings) and `unit` is the L2-normalized
+    * is `Σ mean_i²` (exact; |mean| ≤ 1e6·max|x|, and each component is
+    * loudly bounded by `floor(sqrt(Long.Max/dim))−1` so the sum can
+    * never wrap BIGINT — far from the bound for unit-scale embeddings,
+    * a hard failure for mis-scaled ones) and `unit` is the L2-normalized
     * mean — IEEE sqrt/divide on integer-exact inputs, deterministic.
     */
   def meanPoolMicros(chunks: DataFrame, groupCol: String,
@@ -1703,8 +1705,24 @@ object Similarity {
             expr("abs(s) div c")).as("mm")))).as("__sm"))
       .select(col("grp").as(groupCol), col("n_chunks"), col("dim"),
         transform(col("__sm"), x => x.getField("mm")).as("mean_micros"))
+      // loud overflow bound (ADVICE r12): norm_sq = Σ mm² wraps BIGINT
+      // silently for non-unit-scale embeddings. Each |mm| is capped at
+      // floor(sqrt(Long.Max / dim)) − 1, so every term ≤ Long.Max/dim
+      // and the dim-term sum stays inside BIGINT — a violating vector
+      // fails here instead of serving a corrupt unit vector.
+      .withColumn("__mm_cap",
+        expr("cast(floor(sqrt(9.223372036854775e18 / dim)) as bigint) - 1"))
       .withColumn("norm_sq",
-        aggregate(col("mean_micros"), lit(0L), (a, x) => a + x * x))
+        when(aggregate(col("mean_micros"), lit(0L),
+            (a, x) => greatest(a, abs(x))) <= col("__mm_cap"),
+          aggregate(col("mean_micros"), lit(0L), (a, x) => a + x * x))
+          .otherwise(raise_error(concat(
+            lit("meanPoolMicros: |mean_micro| exceeds the norm_sq "),
+            lit("overflow bound "), col("__mm_cap").cast("string"),
+            lit(" at dim "), col("dim").cast("string"),
+            lit(" — rescale the embeddings (micros fixed-point assumes " +
+              "roughly unit-scale components)"))).cast("long")))
+      .drop("__mm_cap")
       .withColumn("unit",
         when(col("norm_sq") > 0L,
           transform(col("mean_micros"),

@@ -668,6 +668,24 @@ class PipelineSpec extends SparkSpecBase {
     assert(rep == out)
   }
 
+  test("packSequencesBinned: non-atomic shard keys refused loudly (identity toString)") {
+    import spark.implicits._
+    // an array shard column's toString is identity-based — every row
+    // would become its own shard and packing would silently stop
+    // packing; the guard must name the degradation
+    val arr = Seq((1L, "a b c", Seq("s"))).toDF("doc_id", "text", "shard")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.packSequencesBinned(arr, "doc_id", "text", "shard", 8)
+    }
+    assert(e.getMessage.contains("non-atomic") &&
+      e.getMessage.contains("own shard"), e.getMessage)
+    val bin = Seq((1L, "a b c", Array[Byte](1, 2))).toDF("doc_id", "text", "shard")
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.packSequencesBinned(bin, "doc_id", "text", "shard", 8)
+    }
+    assert(e2.getMessage.contains("BINARY"), e2.getMessage)
+  }
+
   test("chunkTokens: right-aligned last window, exact overlap, zero exchanges") {
     import spark.implicits._
     def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
@@ -4206,6 +4224,8 @@ class PipelineSpec extends SparkSpecBase {
       (4L, ""),
       // real source: all four signals fire
       (5L, "import os\n\ndef f(x):\n    y = x + 1\n    return y\n"))
+      .unionByName(spark.sql(
+        "SELECT 6L AS doc_id, cast(null as string) AS text"))
     val out = Quality.codeGate(d, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r).toMap
     // doc 1: n_chars=15, n_lines=3, sym=2 -> 133; indent 1/3 -> 333;
@@ -4223,6 +4243,10 @@ class PipelineSpec extends SparkSpecBase {
     assert(out(4L).getLong(7) == 0L && !out(4L).getBoolean(8))
     // python: keywords + indent + symbols clear the threshold
     assert(out(5L).getLong(6) >= 3L && out(5L).getBoolean(8))
+    // NULL text scores exactly like empty (ADVICE r12: no NULL leak-through)
+    val r6 = out(6L)
+    assert(r6.getLong(1) == 0L && r6.getLong(2) == 1L &&
+      r6.getLong(7) == 0L && !r6.getBoolean(8))
   }
 
   test("hostCap == window row_number on the real corpus; skew, small hosts, determinism") {
@@ -4348,6 +4372,15 @@ class PipelineSpec extends SparkSpecBase {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(err).exists(_.contains("ragged")), err.toString)
+    // a mis-scaled embedding whose norm_sq would wrap BIGINT fails
+    // loudly instead of serving a corrupt unit vector (ADVICE r12):
+    // mean_micro 4e12 squared is ~1.6e25 >> Long.Max
+    val huge = Seq((7L, Seq(4.0e6, 0.0)), (7L, Seq(4.0e6, 0.0)))
+      .toDF("grp", "embedding")
+    val err2 = intercept[Exception] {
+      Similarity.meanPoolMicros(huge, "grp", "embedding").collect()
+    }
+    assert(msgs(err2).exists(_.contains("overflow bound")), err2.toString)
   }
 
   test("bitextMarginMine: planted counterparts mined, hubs rejected, banded == exact here") {
