@@ -110,6 +110,29 @@ object ScaleSmokeDocs {
       stage("cdc_dedup")(Dedup.cdcDupChunks(cdcDocs, "doc_id", "text")
         .filter(col("n_dup") > 0).count())
     }
+    if (wanted("cdc_screen")) {
+      // round-13 chunk stored-index loop: even ids persist as the
+      // index, odd ids screen against it — the serving cost must stay
+      // batch-proportional (the corpus contributes one narrow scan)
+      val tails = (0 until 7).map(v =>
+        s"shared tail $v " + ("the county atlases and the quarry " +
+          "surveys and the mill ledgers draw the most requests ") * 3)
+      val cdcDocs = docs.withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" "),
+            element_at(typedlit(tails), (col("doc_id") % 7 + 1).cast("int"))))
+          .otherwise(col("text")))
+      val dir = java.nio.file.Files.createTempDirectory("cdc_scale").toString
+      val tIdx = System.nanoTime()
+      Dedup.saveChunkIndex(cdcDocs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", s"$dir/idx")
+      println(f"[docs-scale] n=$n cdc_index_build        ${(System.nanoTime() - tIdx) / 1e9}%8.2fs")
+      stage("cdc_screen")(Dedup.chunksAgainstIndex(
+          cdcDocs.filter(col("doc_id") % 2 === 1), s"$dir/idx",
+          "doc_id", "text")
+        .filter(col("n_dup") > 0).count())
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
     if (wanted("host_cap")) {
       // power-law hosts: host 0 owns ~half the corpus (the skew case a
       // window row_number would pin on one task), the tail is tiny;
@@ -122,6 +145,20 @@ object ScaleSmokeDocs {
       val kept = stage("host_cap")(Sampling.hostCap(
         hosted, "doc_id", "host", "score", n = 10, maxScore = 999L).count())
       require(kept <= 21 * 10, s"more than n per host survived: $kept")
+    }
+    if (wanted("weighted_sample")) {
+      // round-13: one MEGA group holds 90% of the corpus — the shape
+      // that pinned ~0.9·corpus on one task under the old row_number
+      // window; the packed TopKLongs rank must stay ~flat, with the
+      // shuffle carrying <= k longs per (mapper, group)
+      val weighted = spark.range(totalDocs).select(
+        col("id").as("doc_id"),
+        when(pmod(hash(col("id"), lit("wsg")), lit(10)) < 9, lit("mega"))
+          .otherwise(lit("tail")).as("source"),
+        (pmod(hash(col("id"), lit("wsw")), lit(500L)) + 1L).as("n_chars"))
+      val picked = stage("weighted_sample")(Sampling.weightedSample(
+        weighted, "doc_id", "source", "n_chars", k = 1000).count())
+      require(picked == 2000, s"expected k per group (2 groups): $picked")
     }
     val lshPairs = Dedup.minhashLshPairs(
       docs, "doc_id", "text", n = 3, k = 32, bands = 8, threshold = 0.5).persist()

@@ -416,6 +416,58 @@ object PipelineQueries {
                  FROM ex e JOIN done d ON e.word = d.word)"""
 
 
+  /** The p112 greedy WordPiece walk over the FIXED external vocabulary
+    * ([[graft.pipeline.TokenizerFixtures.HfWpPieces]] as literals —
+    * the p61 generated-constants pattern): same positions/best/seg
+    * recursion as [[WpSegCtes]], with the fixture's own unk token and
+    * max_input_chars, so the externally-loaded tokenizer is hash-exact.
+    */
+  private lazy val WpExternalSegCtes: String = {
+    val vocabList = graft.pipeline.TokenizerFixtures.HfWpPieces
+      .map(p => s"'$p'").mkString(", ")
+    val unk = graft.pipeline.TokenizerFixtures.HfWpUnk
+    val maxC = graft.pipeline.TokenizerFixtures.HfWpMaxChars
+    s"""WITH RECURSIVE toks AS MATERIALIZED (
+             SELECT doc_id, $TOKS AS toks FROM documents),
+           vocab AS MATERIALIZED (SELECT unnest([$vocabList]) AS piece),
+           words AS MATERIALIZED (
+             SELECT DISTINCT unnest(toks) AS word FROM toks),
+           positions AS (SELECT word, i AS pos FROM words,
+                           LATERAL unnest(generate_series(1, len(word))) t(i)),
+           m0 AS (SELECT p.word, p.pos,
+                    CASE WHEN p.pos = 1 THEN v.piece
+                         ELSE substr(v.piece, 3) END AS bare
+                  FROM positions p JOIN vocab v
+                    ON (p.pos = 1) = (v.piece NOT LIKE '##%')
+                   AND substr(p.word, p.pos, len(CASE WHEN p.pos = 1
+                         THEN v.piece ELSE substr(v.piece, 3) END)) =
+                       CASE WHEN p.pos = 1 THEN v.piece
+                            ELSE substr(v.piece, 3) END),
+           best AS MATERIALIZED (SELECT word, pos, bare, len(bare) AS plen
+                  FROM (SELECT *, row_number() OVER (PARTITION BY word, pos
+                          ORDER BY len(bare) DESC) rn FROM m0) WHERE rn = 1),
+           seg AS (
+             SELECT word, 1 AS pos, []::VARCHAR[] AS pieces FROM words
+             UNION ALL
+             SELECT s.word,
+               CASE WHEN b.bare IS NULL THEN len(s.word) + 1
+                    ELSE s.pos + b.plen END AS pos,
+               CASE WHEN b.bare IS NULL THEN ['$unk']
+                    ELSE list_append(s.pieces, CASE WHEN s.pos = 1
+                      THEN b.bare ELSE '##' || b.bare END) END AS pieces
+             FROM seg s LEFT JOIN best b ON s.word = b.word AND s.pos = b.pos
+             WHERE s.pos <= len(s.word)
+           ),
+           done AS MATERIALIZED (SELECT word,
+                                   CASE WHEN len(word) > $maxC THEN ['$unk']
+                                        ELSE pieces END AS pieces
+                                 FROM seg WHERE pos = len(word) + 1),
+           ex AS (SELECT doc_id, i, toks[i] AS word FROM toks,
+                    LATERAL unnest(generate_series(1, len(toks))) t(i)),
+           j AS (SELECT e.doc_id, e.i, d.pieces
+                 FROM ex e JOIN done d ON e.word = d.word)"""
+  }
+
   /** The p89 per-block clean chain (tag strip → six-entity decode →
     * whitespace collapse), generated once so the oracle's nesting
     * mirrors `TextOps.mainContentBlocks`' cleanOf token for token.
@@ -892,6 +944,78 @@ object PipelineQueries {
               (col("doc_id") % 7 + 1).cast("int"))).as("text")),
         "doc_id", "text")),
 
+    // the CDC chunk family's cross-snapshot screen (r13, the
+    // crawl-diff loop p135's scaladoc promises): even ids' chunk
+    // hashes persist as the stored index with a second snapshot FOLDED
+    // IN (so the (min first, sum cnt) monoid combine is inside the
+    // certified relation), odd ids screened — shared tails sit at
+    // DIFFERENT absolute offsets per doc, so the match only happens
+    // because the stored geometry re-syncs the batch's boundaries
+    "p138_cdc_screen" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" "),
+          element_at(typedlit(cdcParagraphs),
+            (col("doc_id") % 7 + 1).cast("int"))).as("text"))
+      val out = withPipelineArtifact(dir, "p138_chunk_idx") { stage =>
+        Dedup.saveChunkIndex(planted.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", s"$stage/idx")
+        Dedup.mergeIntoChunkIndex(planted.filter(col("doc_id") % 4 === 2),
+          s"$stage/idx", "doc_id", "text")
+      }
+      Dedup.chunksAgainstIndex(planted.filter(col("doc_id") % 2 === 1),
+        s"$out/idx", "doc_id", "text")
+    }),
+
+    // license/SPDX header gate for the code route (r13): planted
+    // SPDX tags, canonical license-text fingerprints, and the
+    // false-positive probe — prose that NAME-DROPS licenses ("the MIT
+    // license is discussed…", "the Apache license appears…") matches
+    // neither the tag nor any fingerprint and must classify none
+    "p139_license_gate" -> ((s, dir) => {
+      val m = col("doc_id") % 7
+      val hdr = when(m === 1, lit("// SPDX-License-Identifier: MIT\n"))
+        .when(m === 2, lit("/* Licensed under the Apache License, " +
+          "Version 2.0 (the \"License\") */\n"))
+        .when(m === 3, lit("// This program is free software: you can " +
+          "redistribute it under the terms of the GNU General Public " +
+          "License.\n"))
+        .when(m === 4, lit("Permission is hereby granted, free of " +
+          "charge, to any person obtaining a copy of this software.\n"))
+        .when(m === 5, lit("An essay observing that the MIT license is " +
+          "discussed in classrooms while the Apache license appears in " +
+          "seminars.\n"))
+        .when(m === 6, lit("# SPDX-License-Identifier: BSD-3-Clause\n"))
+        .otherwise(lit(""))
+      Quality.licenseGate(
+        docs(s, dir).select(col("doc_id"),
+          concat(hdr, col("text")).as("text")),
+        "doc_id", "text")
+    }),
+
+    // preference-pair (RLHF/DPO) prep (r13): prompts carry the p109
+    // exact-dup plant (%5<2 share 'prompt group (id div 4)'), %11==1
+    // pairs are degenerate (chosen==rejected), %11==2 have an empty
+    // rejected side, prompts of docs<5 stand in for the eval set
+    // (their 3-grams contaminate), and the corpus's natural near-dups
+    // surface through the p3 minhash banding over prompts
+    "p140_preference_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pr = d.select(col("doc_id"),
+        when(col("doc_id") % 5 < 2,
+          concat(lit("prompt group "), expr("doc_id div 4").cast("string")))
+          .otherwise(col("text")).as("prompt"),
+        substring(col("text"), 10, 200).as("chosen"),
+        when(col("doc_id") % 11 === 1, substring(col("text"), 10, 200))
+          .when(col("doc_id") % 11 === 2, lit(""))
+          .otherwise(substring(col("text"), 50, 200)).as("rejected"))
+      val benchmark = Dedup.shingleSets(
+        pr.filter(col("doc_id") < 5), "doc_id", "prompt", 3)
+        .persistTracked()
+        .select(explode(col("sh")).as("sh"))
+      Preference.prepPairs(pr, "doc_id", "prompt", "chosen", "rejected",
+        benchmark, nGram = 3, threshold = 0.4)
+    }),
+
     // the priority family's cross-snapshot screen: index built from
     // doc_id%4==0, a second snapshot FOLDED IN from %4==2 (so the
     // monoid combine across appended partials is inside the certified
@@ -910,6 +1034,38 @@ object PipelineQueries {
           s"$stage/idx", "doc_id", "text", "priority")
       }
       Dedup.priorityAgainstIndex(planted.filter(col("doc_id") % 2 === 1),
+          s"$out/idx", "doc_id", "text", "priority")
+        .select(col("doc").as("doc_id"), col("content_hash"),
+          col("keep_id"), col("keep_priority"), col("n_corpus"),
+          col("n_priorities"), col("keep"))
+    }),
+
+    // p133's oracle VERBATIM over the BUCKETED catalog path (the p110
+    // precedent, closing the r12 backfill gap for the priority family):
+    // stored partials live bucketBy(content_hash) with the fold
+    // appended THROUGH the catalog table, so the per-hash combine and
+    // the batch semi-join consume the table's own partitioning — zero
+    // corpus-side exchanges at any batch size
+    "p137_priority_backfill" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 < 2,
+          concat(lit("grp:"), expr("doc_id div 4").cast("string")))
+          .otherwise(col("text")).as("text"),
+        (substring(col("source"), 4, 10).cast("long") % 4).as("priority"))
+      val out = withPipelineArtifact(dir, "p137_priority_idx_bucketed") { stage =>
+        val bp = s"p137_build_${ProcessHandle.current().pid()}_" +
+          s"${Thread.currentThread().getId}"
+        Dedup.savePriorityIndexBucketed(
+          planted.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", "priority", maxPriority = 3L, s"$stage/idx",
+          nBuckets = 8, tablePrefix = bp)
+        Dedup.mergeIntoPriorityIndexBucketed(
+          planted.filter(col("doc_id") % 4 === 2),
+          s"$stage/idx", "doc_id", "text", "priority", tablePrefix = bp)
+        s.sql(s"DROP TABLE IF EXISTS ${bp}_priority")
+      }
+      Dedup.priorityAgainstIndexBucketed(
+          planted.filter(col("doc_id") % 2 === 1),
           s"$out/idx", "doc_id", "text", "priority")
         .select(col("doc").as("doc_id"), col("content_hash"),
           col("keep_id"), col("keep_priority"), col("n_corpus"),
@@ -1675,6 +1831,26 @@ object PipelineQueries {
         s"$out/idx", "doc_id", "text")
     }),
 
+    // p113's oracle VERBATIM over the BUCKETED catalog path (the p110
+    // precedent, closing the r12 backfill gap for the line family):
+    // the stored line-key partials live bucketBy(lk), so the batch
+    // semi-join consumes the table's own partitioning — the corpus
+    // side never exchanges even when the batch is backfill-scale
+    "p136_line_backfill" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit("\nshared footer please subscribe\nuniq-"),
+          col("doc_id").cast("string")).as("text"))
+      val out = withPipelineArtifact(dir, "p136_line_idx_bucketed") { stage =>
+        val bp = s"p136_build_${ProcessHandle.current().pid()}_" +
+          s"${Thread.currentThread().getId}"
+        Dedup.saveLineIndexBucketed(planted.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", s"$stage/idx", nBuckets = 8, tablePrefix = bp)
+        s.sql(s"DROP TABLE IF EXISTS ${bp}_line")
+      }
+      Dedup.linesAgainstIndexBucketed(planted.filter(col("doc_id") % 2 === 1),
+        s"$out/idx", "doc_id", "text")
+    }),
+
     // URL-frontier screen (round-11 — "have we fetched this URL
     // before, under ANY raw spelling?", the crawl scheduler's hottest
     // question): the p77 plant's RFC 3986 spelling variants are
@@ -1764,6 +1940,76 @@ object PipelineQueries {
             (a, x) => a + when(size(x) === 1 && element_at(x, 1) === unk,
               1L).otherwise(0L)).as("n_unk"),
           array_join(flatten(col("segs")), " ").as("wp_text"))
+    }),
+
+    // published-tokenizer interop, WordPiece half (r13 verdict gap
+    // #1): an HF single-file tokenizer.json (written into the stage
+    // dir from TokenizerFixtures — the query exercises the REAL file
+    // parser) is loaded through loadExternalHfWordPiece and serves the
+    // corpus through the same codegen segmenter as p112; the oracle
+    // replays the greedy walk under the SAME fixed vocab as literals,
+    // so the external path is hash-exact, custom unk and
+    // max_input_chars included
+    "p141_hf_wordpiece_external" -> ((s, dir) => {
+      val tokDir = withPipelineArtifact(dir, "p141_hf_tok") { stage =>
+        graft.pipeline.TokenizerFixtures.write(s, s"$stage/tokenizer.json",
+          graft.pipeline.TokenizerFixtures.hfWordPieceJson)
+      }
+      val (pieces, unk, maxChars) = TokenizerIO.loadExternalHfWordPiece(
+        s, s"$tokDir/tokenizer.json")
+      docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("segs", transform(col("toks"),
+          w => graft.functions.WordPieceSegment(w, pieces, unk, maxChars)))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_words"),
+          aggregate(col("segs"), lit(0L),
+            (a, x) => a + size(x)).as("n_pieces"),
+          aggregate(col("segs"), lit(0L),
+            (a, x) => a + when(size(x) === 1 && element_at(x, 1) === unk,
+              1L).otherwise(0L)).as("n_unk"),
+          array_join(flatten(col("segs")), " ").as("wp_text"))
+    }),
+
+    // published-tokenizer interop, GPT-2 half: vocab.json + merges.txt
+    // (written from TokenizerFixtures, loaded through the real parser
+    // with its byte-coverage and merge-consistency validations) feed
+    // the byte-BPE segmenter VERBATIM — the files are in the same
+    // byte-unicode alphabet the engine compiles — plus token-id
+    // encoding through the loaded vocab map. Merge-loop segmentation
+    // has no SQL mirror (the p47/p93 precedent), so correctness is
+    // certified IN-PLAN: byte-exact lossless reconstruction of every
+    // doc and total vocab coverage of every emitted token id
+    "p142_gpt2_external" -> ((s, dir) => {
+      val tokDir = withPipelineArtifact(dir, "p142_gpt2_tok") { stage =>
+        graft.pipeline.TokenizerFixtures.write(s, s"$stage/vocab.json",
+          graft.pipeline.TokenizerFixtures.gpt2VocabJson)
+        graft.pipeline.TokenizerFixtures.write(s, s"$stage/merges.txt",
+          graft.pipeline.TokenizerFixtures.gpt2MergesTxt)
+      }
+      val (merges, vocab) = TokenizerIO.loadExternalGpt2(
+        s, s"$tokDir/vocab.json", s"$tokDir/merges.txt")
+      val vmap = typedLit(vocab)
+      docs(s, dir)
+        .select(col("doc_id"), col("text"),
+          BpeByte.pretokens(col("text")).as("pts"))
+        .withColumn("mapped", transform(col("pts"),
+          t => graft.functions.ByteUnicode.toUnicode(t)))
+        .withColumn("segs", transform(col("mapped"),
+          m => graft.functions.BpeSegment(m, merges)))
+        .withColumn("ids", transform(flatten(col("segs")),
+          t => element_at(vmap, t)))
+        .select(col("doc_id"),
+          size(col("pts")).cast("long").as("n_pretokens"),
+          size(col("ids")).cast("long").as("n_tokens"),
+          aggregate(col("ids"), lit(0L),
+            (a, x) => a + coalesce(x.cast("long"), lit(0L))).as("id_sum"),
+          forall(col("ids"), i => i.isNotNull).as("all_in_vocab"),
+          (graft.functions.ByteUnicode.toBytes(
+            array_join(flatten(col("segs")), ""))
+            === BpeByte.stripMarker(col("text"))).as("lossless"))
+        .filter(assert_true(col("all_in_vocab") && col("lossless"),
+          concat(lit("external GPT-2 certification failed for doc "),
+            col("doc_id").cast("string"))).isNull)
     }),
 
     // per-language tokenizer-coverage / OOV report over the SAME stored
@@ -2668,7 +2914,61 @@ object PipelineQueries {
                    FROM cand JOIN s sa ON doc_a = sa.doc_id
                              JOIN s sb ON doc_b = sb.doc_id)"""
 
-  val oracle: Map[String, String] = Map(
+  /** The Gear/FastCDC walk over the p135 plant, replayed exactly in
+    * DuckDB (md5-derived gear constants, the 2^64 wrap in HUGEINT, the
+    * same minLen/maxLen/maskBits cut rule), ending at the per-chunk
+    * relation `ch (doc_id, start, len, chash, packed)` — shared by the
+    * p135 within-corpus report and the p138 cross-snapshot screen.
+    */
+  private lazy val cdcWalkSql: String = {
+    def esc(s: String) = s.replace("'", "''")
+    val caseArms = cdcParagraphs.zipWithIndex.map { case (t, i) =>
+      s"WHEN $i THEN '${esc(t)}'" }.mkString("\n             ")
+    s"""WITH RECURSIVE g AS (SELECT i,
+             ('0x' || substr(md5('gear:' || i), 1, 15))::BIGINT AS gv
+           FROM unnest(generate_series(0, 255)) t(i)),
+         dd AS (SELECT doc_id,
+             text || ' ' || CASE doc_id % 7 $caseArms END AS text,
+             length(text || ' ' || CASE doc_id % 7 $caseArms END) AS n
+           FROM documents),
+         walk AS (
+           SELECT doc_id, 0 AS pos, CAST(0 AS HUGEINT) AS h,
+             1 AS cstart, false AS cut, 0 AS clen, 1 AS chunk_start
+           FROM dd
+           UNION ALL
+           SELECT doc_id, pos,
+             CASE WHEN (clen >= 128 OR (clen >= 16 AND nh % 32 = 0))
+               THEN CAST(0 AS HUGEINT) ELSE nh END AS h,
+             CASE WHEN (clen >= 128 OR (clen >= 16 AND nh % 32 = 0))
+               THEN pos + 1 ELSE cstart END AS cstart,
+             (clen >= 128 OR (clen >= 16 AND nh % 32 = 0)) AS cut,
+             clen, cstart AS chunk_start
+           FROM (
+             SELECT w.doc_id, w.pos + 1 AS pos,
+               (w.h * 2 + gg.gv)
+                 % CAST('18446744073709551616' AS HUGEINT) AS nh,
+               w.cstart, w.pos + 1 - w.cstart + 1 AS clen
+             FROM walk w
+             JOIN dd ON dd.doc_id = w.doc_id
+             JOIN g gg
+               ON gg.i = unicode(substr(dd.text, w.pos + 1, 1)) % 256
+             WHERE w.pos < dd.n) s
+         ),
+         bounds AS (
+           SELECT doc_id, chunk_start AS start, clen AS len
+           FROM walk WHERE cut
+           UNION ALL
+           SELECT w.doc_id, w.cstart, dd.n - w.cstart + 1
+           FROM walk w JOIN dd USING (doc_id)
+           WHERE w.pos = dd.n AND NOT w.cut AND dd.n > 0
+         ),
+         ch AS (SELECT b.doc_id, b.start, b.len,
+             md5(substr(dd.text, b.start, b.len)) AS chash,
+             b.doc_id * 16777216 + b.start AS packed
+           FROM bounds b JOIN dd USING (doc_id))"""
+  }
+
+  private val oracleBase: Map[String, String] = Map(
     "p1_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
          count(*) AS dup_cnt FROM documents GROUP BY md5(text)""",
@@ -3668,52 +3968,8 @@ object PipelineQueries {
     // the Gear walk replayed exactly: md5-derived gear constants, the
     // 2^64 wrap in HUGEINT, the same minLen/maxLen/maskBits cut rule;
     // chunk hashes and the first-occurrence packing restated verbatim
-    "p135_cdc_dedup" -> {
-      def esc(s: String) = s.replace("'", "''")
-      val caseArms = cdcParagraphs.zipWithIndex.map { case (t, i) =>
-        s"WHEN $i THEN '${esc(t)}'" }.mkString("\n             ")
-      s"""WITH RECURSIVE g AS (SELECT i,
-             ('0x' || substr(md5('gear:' || i), 1, 15))::BIGINT AS gv
-           FROM unnest(generate_series(0, 255)) t(i)),
-         dd AS (SELECT doc_id,
-             text || ' ' || CASE doc_id % 7 $caseArms END AS text,
-             length(text || ' ' || CASE doc_id % 7 $caseArms END) AS n
-           FROM documents),
-         walk AS (
-           SELECT doc_id, 0 AS pos, CAST(0 AS HUGEINT) AS h,
-             1 AS cstart, false AS cut, 0 AS clen, 1 AS chunk_start
-           FROM dd
-           UNION ALL
-           SELECT doc_id, pos,
-             CASE WHEN (clen >= 128 OR (clen >= 16 AND nh % 32 = 0))
-               THEN CAST(0 AS HUGEINT) ELSE nh END AS h,
-             CASE WHEN (clen >= 128 OR (clen >= 16 AND nh % 32 = 0))
-               THEN pos + 1 ELSE cstart END AS cstart,
-             (clen >= 128 OR (clen >= 16 AND nh % 32 = 0)) AS cut,
-             clen, cstart AS chunk_start
-           FROM (
-             SELECT w.doc_id, w.pos + 1 AS pos,
-               (w.h * 2 + gg.gv)
-                 % CAST('18446744073709551616' AS HUGEINT) AS nh,
-               w.cstart, w.pos + 1 - w.cstart + 1 AS clen
-             FROM walk w
-             JOIN dd ON dd.doc_id = w.doc_id
-             JOIN g gg
-               ON gg.i = unicode(substr(dd.text, w.pos + 1, 1)) % 256
-             WHERE w.pos < dd.n) s
-         ),
-         bounds AS (
-           SELECT doc_id, chunk_start AS start, clen AS len
-           FROM walk WHERE cut
-           UNION ALL
-           SELECT w.doc_id, w.cstart, dd.n - w.cstart + 1
-           FROM walk w JOIN dd USING (doc_id)
-           WHERE w.pos = dd.n AND NOT w.cut AND dd.n > 0
-         ),
-         ch AS (SELECT b.doc_id, b.start, b.len,
-             md5(substr(dd.text, b.start, b.len)) AS chash,
-             b.doc_id * 16777216 + b.start AS packed
-           FROM bounds b JOIN dd USING (doc_id)),
+    "p135_cdc_dedup" -> (cdcWalkSql +
+      s""",
          fo AS (SELECT chash, min(packed) AS fp FROM ch GROUP BY 1),
          per AS (SELECT doc_id,
              CAST(count(*) AS BIGINT) AS n_chunks,
@@ -3730,7 +3986,124 @@ object PipelineQueries {
          coalesce(p.dup_chars, 0) AS dup_chars,
          (coalesce(p.dup_chars, 0) * 1000)
            // greatest(coalesce(p.chunk_chars, 0), 1) AS dup_permille
-       FROM documents d LEFT JOIN per p USING (doc_id)"""
+       FROM documents d LEFT JOIN per p USING (doc_id)"""),
+
+    // the p135 walk VERBATIM under the cross-snapshot temporal
+    // contract, restricted to odd (batch) docs: a batch chunk dies
+    // when its hash appears in ANY even (corpus) doc — regardless of
+    // packing, the corpus was ingested first — or when an earlier
+    // batch occurrence (smaller (doc, start) packing) carries it
+    "p138_cdc_screen" -> (cdcWalkSql +
+      s""",
+         ck AS (SELECT DISTINCT chash FROM ch WHERE doc_id % 2 = 0),
+         bc AS (SELECT * FROM ch WHERE doc_id % 2 = 1),
+         bf AS (SELECT chash, min(packed) AS bfp FROM bc GROUP BY 1),
+         per AS (SELECT bc.doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(bc.len) AS BIGINT) AS chunk_chars,
+             CAST(sum(CASE WHEN ck.chash IS NOT NULL OR bc.packed > bf.bfp
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             CAST(sum(CASE WHEN ck.chash IS NOT NULL OR bc.packed > bf.bfp
+               THEN bc.len ELSE 0 END) AS BIGINT) AS dup_chars
+           FROM bc JOIN bf USING (chash)
+             LEFT JOIN ck ON bc.chash = ck.chash
+           GROUP BY 1)
+       SELECT d.doc_id,
+         coalesce(p.n_chunks, 0) AS n_chunks,
+         coalesce(p.chunk_chars, 0) AS chunk_chars,
+         coalesce(p.n_dup, 0) AS n_dup,
+         coalesce(p.dup_chars, 0) AS dup_chars,
+         (coalesce(p.dup_chars, 0) * 1000)
+           // greatest(coalesce(p.chunk_chars, 0), 1) AS dup_permille
+       FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+         LEFT JOIN per p USING (doc_id)"""),
+
+    // same planted headers, same header-shaped resolution: SPDX tag
+    // first, license-text fingerprints second, name-dropping prose
+    // falls through to none
+    "p139_license_gate" ->
+      raw"""WITH d AS (SELECT doc_id,
+             CASE doc_id % 7
+               WHEN 1 THEN '// SPDX-License-Identifier: MIT' || chr(10)
+               WHEN 2 THEN '/* Licensed under the Apache License, Version 2.0 (the "License") */' || chr(10)
+               WHEN 3 THEN '// This program is free software: you can redistribute it under the terms of the GNU General Public License.' || chr(10)
+               WHEN 4 THEN 'Permission is hereby granted, free of charge, to any person obtaining a copy of this software.' || chr(10)
+               WHEN 5 THEN 'An essay observing that the MIT license is discussed in classrooms while the Apache license appears in seminars.' || chr(10)
+               WHEN 6 THEN '# SPDX-License-Identifier: BSD-3-Clause' || chr(10)
+               ELSE '' END || text AS text
+           FROM documents),
+         h AS (SELECT doc_id, substr(text, 1, 2048) AS hdr,
+             lower(substr(text, 1, 2048)) AS lh FROM d),
+         sx AS (SELECT doc_id, lh,
+             coalesce(regexp_extract(hdr,
+               'SPDX-License-Identifier:\s*([A-Za-z0-9.+\-]+)', 1), '')
+               AS spdx_id
+           FROM h),
+         lc AS (SELECT doc_id, spdx_id,
+             CASE WHEN spdx_id <> '' THEN
+                 CASE WHEN lower(spdx_id) LIKE 'mit%' THEN 'mit'
+                      WHEN lower(spdx_id) LIKE 'apache%' THEN 'apache-2.0'
+                      WHEN lower(spdx_id) LIKE 'bsd%' THEN 'bsd'
+                      WHEN lower(spdx_id) LIKE 'mpl%' THEN 'mpl'
+                      WHEN lower(spdx_id) LIKE '%gpl%' THEN 'gpl'
+                      ELSE 'other-spdx' END
+               WHEN contains(lh, 'permission is hereby granted, free of charge') THEN 'mit'
+               WHEN contains(lh, 'apache license') AND contains(lh, 'version 2.0') THEN 'apache-2.0'
+               WHEN contains(lh, 'redistribution and use in source and binary forms') THEN 'bsd'
+               WHEN contains(lh, 'mozilla public license') THEN 'mpl'
+               WHEN contains(lh, 'gnu general public license')
+                 OR contains(lh, 'gnu lesser general public')
+                 OR contains(lh, 'gnu affero general public') THEN 'gpl'
+               ELSE 'none' END AS license
+           FROM sx)
+       SELECT doc_id, spdx_id, license,
+         CASE WHEN license IN ('mit', 'apache-2.0', 'bsd') THEN 'permissive'
+              WHEN license IN ('gpl', 'mpl') THEN 'copyleft'
+              WHEN license = 'none' THEN 'none'
+              ELSE 'unknown' END AS license_class,
+         (license_class = 'permissive' OR license_class = 'none') AS keep
+       FROM lc""",
+
+    // the flags restated over the same plant: the p3 minhash CTEs over
+    // PROMPTS (near-dup = larger id of a verified pair), keep-first
+    // exact groups, the p17 shingle-hit contamination vs docs<5's
+    // prompts, and the p128 ChatML render for both branches
+    "p140_preference_pairs" -> {
+      val src = "(SELECT doc_id, prompt AS text FROM pr)"
+      s"""WITH pr AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 < 2
+               THEN 'prompt group ' || (doc_id // 4)::VARCHAR
+               ELSE text END AS prompt,
+             substr(text, 10, 200) AS chosen,
+             CASE WHEN doc_id % 11 = 1 THEN substr(text, 10, 200)
+                  WHEN doc_id % 11 = 2 THEN ''
+                  ELSE substr(text, 50, 200) END AS rejected
+           FROM documents),
+         ${minhashPairsCtes(src)},
+         nd AS (SELECT DISTINCT doc_b AS doc_id FROM j WHERE jaccard >= 0.4),
+         ek AS (SELECT md5(prompt) AS h, min(doc_id) AS keep
+           FROM pr GROUP BY 1),
+         bm AS (SELECT DISTINCT unnest(sh) AS sg FROM s WHERE doc_id < 5),
+         exs AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+         ct AS (SELECT DISTINCT exs.doc_id FROM exs JOIN bm USING (sg))
+       SELECT pr.doc_id,
+         (trim(coalesce(chosen, '')) = ''
+           OR trim(coalesce(rejected, '')) = '') AS empty_side,
+         coalesce(chosen, '') = coalesce(rejected, '') AS degenerate,
+         pr.doc_id <> ek.keep AS exact_dup,
+         nd.doc_id IS NOT NULL AS near_dup,
+         ct.doc_id IS NOT NULL AS contaminated,
+         '<|im_start|>user' || chr(10) || prompt || '<|im_end|>' || chr(10)
+           || '<|im_start|>assistant' || chr(10) || coalesce(chosen, '')
+           || '<|im_end|>' || chr(10) AS chosen_rendered,
+         '<|im_start|>user' || chr(10) || prompt || '<|im_end|>' || chr(10)
+           || '<|im_start|>assistant' || chr(10) || coalesce(rejected, '')
+           || '<|im_end|>' || chr(10) AS rejected_rendered,
+         (NOT empty_side AND NOT degenerate AND NOT exact_dup
+           AND NOT near_dup AND NOT contaminated) AS keep
+       FROM pr JOIN ek ON md5(pr.prompt) = ek.h
+         LEFT JOIN nd ON pr.doc_id = nd.doc_id
+         LEFT JOIN ct ON pr.doc_id = ct.doc_id"""
     },
 
     // winner + priority census over corpus (evens, two folded
@@ -4787,16 +5160,20 @@ object PipelineQueries {
          FROM c""",
 
     // E-S reservoir keys replayed exactly: u = (hash60+1)/2^60,
-    // key = ln(u)/n_chars, top-20 per source by key desc (id tiebreak)
+    // key_micro = floor(ln(u)/n_chars * 1e6) — the engine's packed-
+    // BIGINT quantization (TopKLongs, no window) — top-20 per source
+    // by key_micro desc (id tiebreak, the packed order)
     "p125_weighted_sample" ->
       """WITH d AS (SELECT doc_id, source, n_chars,
-                 ln((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 15))::BIGINT
-                     + 1) / 1152921504606846976.0) / n_chars AS key
+                 CAST(floor(
+                   ln((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                       + 1) / 1152921504606846976.0) / n_chars * 1e6)
+                   AS BIGINT) AS kq
                FROM documents
                WHERE n_chars IS NOT NULL AND n_chars > 0)
          SELECT doc_id, source, n_chars,
            CAST(row_number() OVER (PARTITION BY source
-                                   ORDER BY key DESC, doc_id) AS BIGINT)
+                                   ORDER BY kq DESC, doc_id) AS BIGINT)
              AS rank
          FROM d
          QUALIFY rank <= 20""",
@@ -5028,6 +5405,24 @@ object PipelineQueries {
            CAST(coalesce(a.n_unk, 0) AS BIGINT) AS n_unk,
            coalesce(a.wp_text, '') AS wp_text
          FROM toks t LEFT JOIN agg a USING (doc_id)"""),
+
+    // the p112 rollup under the FIXED external vocab (fixture unk
+    // '<unk>', max_input_chars 64) — the externally-loaded tokenizer
+    // serves hash-exact
+    "p141_hf_wordpiece_external" -> (WpExternalSegCtes + {
+      val unk = graft.pipeline.TokenizerFixtures.HfWpUnk
+      raw""",
+           agg AS (SELECT doc_id, count(*) AS n_words,
+               sum(len(pieces)) AS n_pieces,
+               sum(CASE WHEN pieces = ['$unk'] THEN 1 ELSE 0 END) AS n_unk,
+               string_agg(array_to_string(pieces, ' '), ' ' ORDER BY i) AS wp_text
+             FROM j GROUP BY 1)
+         SELECT t.doc_id, CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+           CAST(coalesce(a.n_unk, 0) AS BIGINT) AS n_unk,
+           coalesce(a.wp_text, '') AS wp_text
+         FROM toks t LEFT JOIN agg a USING (doc_id)"""
+    }),
 
     // the p112 segmentation rolled up by language: the tokenizer-QA
     // table every vocab bump ships with — same CTE chain, per-lang sums
@@ -6194,4 +6589,13 @@ object PipelineQueries {
         s"SELECT doc_id, lower(CASE $hdr END) AS __t FROM documents")
     }
   )
+
+  /** The oracle map the driver consumes: the base plus VERBATIM-reuse
+    * rows — the bucketed backfill layouts must return the IDENTICAL
+    * relation to their broadcast-serving siblings, and sharing the SQL
+    * text is that claim.
+    */
+  val oracle: Map[String, String] = oracleBase ++ Map(
+    "p136_line_backfill" -> oracleBase("p113_line_screen"),
+    "p137_priority_backfill" -> oracleBase("p133_priority_screen"))
 }

@@ -35,19 +35,23 @@ object StreamingWeightedSample {
   case class WeightedDoc(doc_id: Long, group: String, weight: Double)
   case class Selection(group: String, doc_id: Long, weight: Double,
       rank: Long, version: Long)
-  case class Reservoir(entries: Vector[(Double, Long, Double)],
+  case class Reservoir(entries: Vector[(Long, Long, Double)],
       version: Long)
 
-  /** The batch operator's key, computed JVM-side: `ln(u)/w` with
-    * `u = (hash60(salt:id)+1)/2^60` — bit-identical to the Column form
-    * (same md5, same long→double conversion, same `ln`).
+  /** The batch operator's QUANTIZED key, computed JVM-side:
+    * `floor(ln(u)/w · 10⁶)` with `u = (hash60(salt:id)+1)/2^60` —
+    * bit-identical to the Column form (same md5, same long→double
+    * conversion, same `ln`, same IEEE multiply and floor), so the
+    * reservoir's (key desc, id asc) order matches the batch packed
+    * order exactly, micro ties included.
     */
-  def esKey(id: Long, weight: Double, salt: String): Double = {
+  def esKeyMicro(id: Long, weight: Double, salt: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"$salt:$id".getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.take(15)
     val h = java.lang.Long.parseLong(hex, 16)
-    math.log((h + 1L) / 1152921504606846976.0) / weight
+    math.floor(
+      math.log((h + 1L) / 1152921504606846976.0) / weight * 1e6).toLong
   }
 
   def weightedSampleStream(docs: Dataset[WeightedDoc], k: Int,
@@ -61,7 +65,7 @@ object StreamingWeightedSample {
             state: GroupState[Reservoir]) =>
           val st = state.getOption.getOrElse(Reservoir(Vector.empty, 0L))
           val merged = (st.entries ++ batch.map(d =>
-              (esKey(d.doc_id, d.weight, salt), d.doc_id, d.weight)))
+              (esKeyMicro(d.doc_id, d.weight, salt), d.doc_id, d.weight)))
             .distinct // replay dedup — same-batch AND cross-batch (see contract)
             .sortBy(e => (-e._1, e._2))
             .take(k)

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.pipeline.CacheLedger.TrackedPersist
 import graft.ts.SparkSpecBase
 
 class PipelineSpec extends SparkSpecBase {
@@ -735,11 +736,14 @@ class PipelineSpec extends SparkSpecBase {
         .map(b => f"$b%02x").mkString.take(15)
       java.lang.Long.parseLong(hex, 16)
     }
-    def key(id: Long, w: Long): Double =
-      math.log((hash60(s"ws:$id") + 1L) / 1152921504606846976.0) / w
+    // the engine's quantized order: key_micro = floor(ln(u)/w * 1e6),
+    // micro ties break by id (the packed-BIGINT total order)
+    def kq(id: Long, w: Long): Long = math.floor(
+      math.log((hash60(s"ws:$id") + 1L) / 1152921504606846976.0) / w * 1e6)
+      .toLong
     val want = rows.collect { case (id, g, Some(w)) if w > 0 => (id, g, w) }
       .groupBy(_._2).flatMap { case (g, rs) =>
-        rs.sortBy(r => (-key(r._1, r._3), r._1)).take(100).zipWithIndex
+        rs.sortBy(r => (-kq(r._1, r._3), r._1)).take(100).zipWithIndex
           .map { case ((id, grp, _), i) => (id, grp, (i + 1).toLong) }
       }.toSet
     assert(got.toSet == want, s"got ${got.length} rows")
@@ -753,6 +757,15 @@ class PipelineSpec extends SparkSpecBase {
         "n_chars", 100)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
     assert(rep == got.toSet)
+    // packing bounds fail loudly: a weight tiny enough to blow the
+    // quantized-key budget must raise, not silently mis-rank
+    val tiny = Seq((1L, "g", 1.0e-9)).toDF("doc_id", "source", "n_chars")
+    val e = intercept[Exception] {
+      Sampling.weightedSample(tiny, "doc_id", "source", "n_chars", 5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("packing bounds")), e.toString)
   }
 
   test("annealSchedule bucketWidth fallback: identical pools when grid-aligned, bounded deficit when coarse") {
@@ -1005,6 +1018,34 @@ class PipelineSpec extends SparkSpecBase {
       "fold != rebuild")
     assert(foldScreen(21L) == "brand new line" &&
       foldScreen(23L) == "another new line", foldScreen)
+    // bucketed layout (r13): identical rewritten batch, fold through
+    // the catalog table, corpus side scans Bucketed: true, plain merge
+    // refuses the layout
+    val bkDir = java.nio.file.Files.createTempDirectory("line_bk").toString
+    Dedup.saveLineIndexBucketed(corpus, "doc_id", "text", bkDir,
+      nBuckets = 8, tablePrefix = "t_ln")
+    assert(screenMap(Dedup.linesAgainstIndexBucketed(batch, bkDir,
+      "doc_id", "text", tablePrefix = "t_ln")) == out,
+      "bucketed line screen diverged")
+    Dedup.mergeIntoLineIndexBucketed(batch, bkDir, "doc_id", "text",
+      tablePrefix = "t_ln")
+    assert(screenMap(Dedup.linesAgainstIndexBucketed(batch2, bkDir,
+      "doc_id", "text", tablePrefix = "t_ln")) == foldScreen,
+      "bucketed fold != plain fold")
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Dedup.linesAgainstIndexBucketed(batch2, bkDir,
+        "doc_id", "text", tablePrefix = "t_ln")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"stored side must scan bucketed:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    val eBk = intercept[IllegalArgumentException] {
+      Dedup.mergeIntoLineIndex(batch, bkDir, "doc_id", "text")
+    }
+    assert(eBk.getMessage.contains("BUCKETED layout"), eBk.getMessage)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(bkDir))
     // a foreign append with keys outside the 60-bit family fails loudly
     Seq((1L << 62, 1L, 0L, 1L)).toDF("lk", "doc", "pos", "cnt")
       .coalesce(1).write.mode("append").parquet(s"$dir/index")
@@ -4525,6 +4566,145 @@ class PipelineSpec extends SparkSpecBase {
     assert(again == out)
   }
 
+  test("chunk stored index: shifted-offset temporal screen, fold == rebuild, geometry + family pinned") {
+    import spark.implicits._
+    val tail = "the archivist noted that the flood plates of eighteen " +
+      "ninety draw the most requests followed by the quarry surveys " +
+      "and the mill ledgers and the county atlases on display"
+    val btail = "entirely novel shared region that only the batch " +
+      "carries twice across two documents with enough length to span " +
+      "several content defined chunks in a row for the within batch rule"
+    val corpusA = docsOf(
+      (2L, "first corpus document body with its own words " + tail))
+    val corpusB = docsOf(
+      (4L, "a different snapshot opening passage " + tail))
+    val batch = docsOf(
+      (11L, "completely fresh prose holding no shared region at all " +
+        "just singular sentences about turbine cooperatives on the ridge"),
+      // the corpus tail at ANOTHER offset: dup only if the stored
+      // geometry re-syncs the batch chunker
+      (13L, "much longer and structurally distinct batch prefix " + tail),
+      (15L, "batch lead " + btail),
+      (17L, "other lead " + btail)) // btail's first batch owner is 15
+    val dir = java.nio.file.Files.createTempDirectory("chunk_idx").toString
+    Dedup.saveChunkIndex(corpusA, "doc_id", "text", s"$dir/f")
+    Dedup.mergeIntoChunkIndex(corpusB, s"$dir/f", "doc_id", "text")
+    Dedup.saveChunkIndex(corpusA.unionByName(corpusB), "doc_id", "text",
+      s"$dir/r")
+    def screen(p: String) =
+      Dedup.chunksAgainstIndex(batch, p, "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    val folded = screen(s"$dir/f")
+    assert(folded == screen(s"$dir/r"), "fold != rebuild")
+    // fresh doc: zero dups; corpus-tail doc: dup chunks despite the
+    // shifted offset; batch-shared region: first batch owner (15)
+    // keeps, the later copy (17) dups
+    assert(folded(11L)._2 == 0L, s"fresh doc flagged: ${folded(11L)}")
+    assert(folded(13L)._2 >= 1L && folded(13L)._3 > 0L,
+      s"shifted corpus tail not caught: ${folded(13L)}")
+    assert(folded(17L)._2 >= 1L, s"within-batch dup missed: ${folded(17L)}")
+    assert(folded(17L)._2 > folded(15L)._2,
+      s"batch-first owner must out-keep the copy: ${folded(15L)} ${folded(17L)}")
+    // determinism at another parallelism
+    assert(Dedup.chunksAgainstIndex(batch.repartition(7), s"$dir/f",
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap == folded)
+    // foreign family fails before any join
+    Dedup.saveExactIndex(corpusA, "doc_id", "text", s"$dir/exact")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.loadChunkIndex(spark, s"$dir/exact")
+    }
+    assert(e.getMessage.contains("not cdc_gear_md5"), e.getMessage)
+    // non-md5 key material in a later file fails the per-file probe
+    Seq(("nothex!", 1L, 1L)).toDF("chunk_hash", "first", "cnt")
+      .coalesce(1).write.mode("append").parquet(s"$dir/f/index")
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.loadChunkIndex(spark, s"$dir/f")
+    }
+    assert(e2.getMessage.contains("non-md5 chunk_hash"), e2.getMessage)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    CacheLedger.drain()
+  }
+
+  test("licenseGate: SPDX wins, fingerprints classify, name-dropping prose stays none") {
+    val d = docsOf(
+      (1L, "// SPDX-License-Identifier: MIT\nint main() {}"),
+      (2L, "/* Licensed under the Apache License, Version 2.0 */\ncode"),
+      (3L, "Permission is hereby granted, free of charge, to any person\ncode"),
+      (4L, "This program is free software under the GNU General Public License.\ncode"),
+      // the false-positive probe: license NAMES in prose, no tag, no
+      // license-text fingerprint
+      (5L, "The MIT license is discussed in many classrooms, and the " +
+        "Apache license appears in most textbooks about open source."),
+      (6L, "// SPDX-License-Identifier: GPL-3.0-only\ncode"),
+      (7L, "# SPDX-License-Identifier: Zlib\ncode"),
+      (8L, "plain prose with no licensing content at all"),
+      (9L, "Redistribution and use in source and binary forms, with or " +
+        "without modification, are permitted.\ncode"))
+    val out = Quality.licenseGate(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getString(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == (("MIT", "mit", "permissive", true)))
+    assert(out(2L) == (("", "apache-2.0", "permissive", true)))
+    assert(out(3L) == (("", "mit", "permissive", true)))
+    assert(out(4L) == (("", "gpl", "copyleft", false)))
+    assert(out(5L) == (("", "none", "none", true)), s"probe: ${out(5L)}")
+    assert(out(6L) == (("GPL-3.0-only", "gpl", "copyleft", false)))
+    assert(out(7L) == (("Zlib", "other-spdx", "unknown", false)))
+    assert(out(8L) == (("", "none", "none", true)))
+    assert(out(9L) == (("", "bsd", "permissive", true)))
+    // keepUnlicensed = false drops the none class
+    val strict = Quality.licenseGate(d, "doc_id", "text",
+        keepUnlicensed = false).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(!strict(5L) && !strict(8L) && strict(1L))
+  }
+
+  test("prepPairs: degenerate/empty/dup/contaminated pairs flagged, clean pairs keep, renders exact") {
+    import spark.implicits._
+    val long1 = "the quick brown fox jumps over the lazy dog while the " +
+      "miller counts sacks of grain beside the river crossing at dawn"
+    val long2 = "the quick brown fox jumps over the lazy dog while the " +
+      "miller counts sacks of grain beside the river crossing at dusk"
+    val pairs = Seq(
+      (1L, "benchmark question about turbine cooperatives", "a", "b"),
+      (10L, "what is the tallest mountain", "Everest", "Everest"), // degenerate
+      (11L, "name a fast sorting algorithm", "quicksort", ""),     // empty side
+      (12L, "shared prompt text exactly", "good answer", "bad answer"),
+      (13L, "shared prompt text exactly", "another", "reply"),     // exact dup of 12
+      (14L, long1, "fine answer", "poor answer"),
+      (15L, long2, "one more", "other one"),                       // near dup of 14
+      (16L, "ask about turbine cooperatives in the region", "x", "y"), // contaminated
+      (17L, "a perfectly clean unique prompt nothing shares", "good", "bad"))
+      .toDF("doc_id", "prompt", "chosen", "rejected")
+    val benchmark = Dedup.shingleSets(
+      pairs.filter(col("doc_id") < 10), "doc_id", "prompt", 3)
+      .persistTracked().select(explode(col("sh")).as("sh"))
+    val out = Preference.prepPairs(pairs, "doc_id", "prompt", "chosen",
+        "rejected", benchmark, nGram = 3, threshold = 0.4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long) = (out(id).getBoolean(1), out(id).getBoolean(2),
+      out(id).getBoolean(3), out(id).getBoolean(4), out(id).getBoolean(5),
+      out(id).getBoolean(8))
+    // (empty, degenerate, exact_dup, near_dup, contaminated, keep)
+    assert(flags(10L) == ((false, true, false, false, false, false)))
+    assert(flags(11L) == ((true, false, false, false, false, false)))
+    assert(flags(12L) == ((false, false, false, false, false, true)))
+    assert(flags(13L)._3 && !flags(13L)._6, s"exact dup: ${flags(13L)}")
+    assert(flags(14L) == ((false, false, false, false, false, true)))
+    assert(flags(15L)._4 && !flags(15L)._6, s"near dup: ${flags(15L)}")
+    assert(flags(16L)._5 && !flags(16L)._6, s"contaminated: ${flags(16L)}")
+    assert(flags(17L) == ((false, false, false, false, false, true)))
+    // renders are the exact ChatML layout for both branches
+    assert(out(17L).getString(6) ==
+      "<|im_start|>user\na perfectly clean unique prompt nothing shares" +
+      "<|im_end|>\n<|im_start|>assistant\ngood<|im_end|>\n")
+    assert(out(17L).getString(7).endsWith("assistant\nbad<|im_end|>\n"))
+    CacheLedger.drain()
+  }
+
   test("priority index: fold == rebuild, screen semantics, loud foreign/oversize failures") {
     import spark.implicits._
     val corpusA = Seq((2L, "shared", 2L), (4L, "corpus only", 1L))
@@ -4553,6 +4733,33 @@ class PipelineSpec extends SparkSpecBase {
     assert(folded(13L) == ((4L, 1L, 1L, 2L, false)))  // corpus prio 1 holds
     assert(folded(15L) == ((15L, 2L, 0L, 1L, true)))  // unseen
     assert(folded(17L) == ((17L, 1L, 1L, 2L, true)))  // beats folded snapshot
+    // bucketed layout (r13): identical screen relation, fold through
+    // the catalog table, Bucketed: true scan, plain merge refuses
+    Dedup.savePriorityIndexBucketed(corpusA, "doc_id", "text", "priority",
+      3L, s"$dir/bk", nBuckets = 8, tablePrefix = "t_pr")
+    Dedup.mergeIntoPriorityIndexBucketed(corpusB, s"$dir/bk", "doc_id",
+      "text", "priority", tablePrefix = "t_pr")
+    def screenBk() =
+      Dedup.priorityAgainstIndexBucketed(batch, s"$dir/bk", "doc_id",
+          "text", "priority", tablePrefix = "t_pr")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getBoolean(6)))).toMap
+    assert(screenBk() == folded, "bucketed priority screen diverged")
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Dedup.priorityAgainstIndexBucketed(batch, s"$dir/bk",
+          "doc_id", "text", "priority", tablePrefix = "t_pr")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"stored side must scan bucketed:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    val eBk = intercept[IllegalArgumentException] {
+      Dedup.mergeIntoPriorityIndex(corpusB, s"$dir/bk", "doc_id", "text",
+        "priority")
+    }
+    assert(eBk.getMessage.contains("BUCKETED layout"), eBk.getMessage)
     // loud failures: bitmask ceiling, foreign family
     intercept[IllegalArgumentException] {
       Dedup.savePriorityIndex(corpusA, "doc_id", "text", "priority", 63L,

@@ -40,6 +40,18 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("p125 weighted sample ranks without a Window (hot-group safety)") {
+    // the r12 verdict's one weak: a row_number window materializes a
+    // whole group in one task, and AQE never splits window partitions —
+    // the ranking must stay inside the TopKLongs packed aggregate
+    val plan = graft.SparkEntry.queries("p125_weighted_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"p125 grew a Window node — the hot-group-unsafe shape:\n$plan")
+    assert(plan.contains("partial_topklongs"),
+      s"p125 no longer ranks through the map-side-pruned TopKLongs:\n$plan")
+  }
+
   test("q2 parquet scan carries pushed filters and a pruned read schema") {
     val df = graft.SparkEntry.queries("q2_filter_pushdown")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

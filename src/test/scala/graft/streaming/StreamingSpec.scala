@@ -629,7 +629,7 @@ class StreamingSpec extends SparkSpecBase {
   test("weightedSampleStream reservoir == batch E-S selection across batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    import StreamingWeightedSample.{WeightedDoc, esKey}
+    import StreamingWeightedSample.{WeightedDoc, esKeyMicro}
     val k = 5
     // two groups; batch 2 deliberately carries the strongest-key doc of
     // g1 (found by recomputing keys) so the reservoir must DISPLACE an
@@ -637,7 +637,8 @@ class StreamingSpec extends SparkSpecBase {
     val all = (1L to 40L).map(i =>
       WeightedDoc(i, if (i % 2 == 0) "g1" else "g2", (i % 7 + 1).toDouble))
     val g1 = all.filter(_.group == "g1")
-    val strongest = g1.maxBy(d => esKey(d.doc_id, d.weight, "ws")).doc_id
+    val strongest = g1.maxBy(d =>
+      (esKeyMicro(d.doc_id, d.weight, "ws"), -d.doc_id)).doc_id
     val batch2 = all.filter(d => d.doc_id == strongest || d.doc_id > 30) :+
       WeightedDoc(999L, "g1", 0.0)
     val batch1 = all.filterNot(d => d.doc_id == strongest || d.doc_id > 30)
