@@ -121,14 +121,19 @@ object Dedup {
     * Output: `(idCol, n_chunks, chunk_chars, n_dup, dup_chars,
     * dup_permille)`.
     */
-  def cdcDupChunks(docs: DataFrame, idCol: String, textCol: String,
-      minLen: Int = 16, maxLen: Int = 128, maskBits: Int = 5,
-      startBits: Int = 24): DataFrame = {
+  /** The per-occurrence CDC chunk relation shared by [[cdcDupChunks]]
+    * and the chunk stored-index family: one row per Gear chunk —
+    * `(doc, start, len, chunk_hash, __packed)` with `__packed` the
+    * loud-bounded first-occurrence packing `doc·2^startBits + start`.
+    */
+  private def cdcChunkOccurrences(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int, maxLen: Int, maskBits: Int,
+      startBits: Int): DataFrame = {
     require(startBits >= 1 && startBits <= 40,
       s"startBits must be in [1,40]: $startBits")
     val startMod = 1L << startBits
     val maxDoc = Long.MaxValue >> startBits
-    val chunks = docs.select(col(idCol).cast("long").as("doc"),
+    docs.select(col(idCol).cast("long").as("doc"),
         col(textCol).as("__t"),
         explode(graft.functions.GearChunks(col(textCol),
           minLen, maxLen, maskBits)).as("c"))
@@ -151,6 +156,13 @@ object Dedup {
           .otherwise(raise_error(lit(
             s"cdcDupChunks packing bounds violated: need 0<=doc<2^" +
               s"${63 - startBits} and start<2^$startBits")).cast("long")))
+  }
+
+  def cdcDupChunks(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 16, maxLen: Int = 128, maskBits: Int = 5,
+      startBits: Int = 24): DataFrame = {
+    val chunks = cdcChunkOccurrences(docs, idCol, textCol, minLen, maxLen,
+      maskBits, startBits)
     val first = chunks.groupBy("chunk_hash")
       .agg(min("__packed").as("__first"))
     val perDoc = chunks.join(first, Seq("chunk_hash"))
@@ -169,6 +181,162 @@ object Dedup {
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
       .withColumn("dup_permille",
         expr("(dup_chars * 1000) div greatest(chunk_chars, 1)"))
+  }
+
+  // ---- CDC chunk stored index ---------------------------------------------
+  //
+  // The cross-snapshot form of [[cdcDupChunks]] (r13, closing its own
+  // scaladoc's "incremental crawl diffing" promise): snapshot N's chunk
+  // hashes persist once, and snapshot N+1 asks "which regions of this
+  // batch did we already store, even if they shifted position?" without
+  // re-chunking the corpus. Same append-only partial-group layout as
+  // the line family — `$path/index` holds (chunk_hash, first, cnt)
+  // rows under the monoid (min first-occurrence packing, sum cnt), so
+  // merges append and N folds serve identically to a rebuild. Meta
+  // pins the CHUNKER GEOMETRY (min_len, max_len, mask_bits,
+  // start_bits): a batch chunked with different parameters draws
+  // different boundaries and would silently stop matching, so the
+  // screen takes its geometry FROM the stored meta, never from caller
+  // defaults.
+
+  /** Batch partials for the chunk index: one row per distinct chunk
+    * hash with its first-occurrence packing and occurrence count.
+    */
+  private def chunkPartials(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int, maxLen: Int, maskBits: Int,
+      startBits: Int): DataFrame =
+    cdcChunkOccurrences(docs, idCol, textCol, minLen, maxLen, maskBits,
+      startBits)
+      .groupBy("chunk_hash")
+      .agg(min("__packed").as("first"), count(lit(1)).as("cnt"))
+
+  /** Persist the CDC chunk state of `docs` as a stored chunk index. */
+  def saveChunkIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, minLen: Int = 16, maxLen: Int = 128,
+      maskBits: Int = 5, startBits: Int = 24): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(("cdc_gear_md5", 32, minLen, maxLen, maskBits, startBits))
+      .toDF("family", "hash_len", "min_len", "max_len", "mask_bits",
+        "start_bits")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    chunkPartials(docs, idCol, textCol, minLen, maxLen, maskBits, startBits)
+      .sortWithinPartitions("chunk_hash")
+      .write.mode("overwrite").parquet(s"$path/index")
+  }
+
+  /** Load + validate a chunk index: family, the pinned chunker
+    * geometry, and the per-file md5 probe. Returns
+    * (partials, minLen, maxLen, maskBits, startBits).
+    */
+  def loadChunkIndex(spark: SparkSession,
+      path: String): (DataFrame, Int, Int, Int, Int) = {
+    val metaDf = spark.read.parquet(s"$path/meta")
+    require(metaDf.columns.contains("family"),
+      s"loadChunkIndex: no family column in meta at $path")
+    val fam = metaDf.select(col("family").cast("string")).collect()
+    require(fam.length == 1,
+      s"loadChunkIndex: expected ONE meta row at $path/meta, got ${fam.length}")
+    require(fam(0).getString(0) == "cdc_gear_md5",
+      s"loadChunkIndex: index family ${fam(0).getString(0)} at $path is " +
+        "not cdc_gear_md5 — screening against foreign key material " +
+        "would silently miss every shared region")
+    val meta = metaDf
+      .select(col("hash_len").cast("int"), col("min_len").cast("int"),
+        col("max_len").cast("int"), col("mask_bits").cast("int"),
+        col("start_bits").cast("int"))
+      .collect()
+    val hashLen = meta(0).getInt(0)
+    val idx = spark.read.parquet(s"$path/index")
+    require(Seq("chunk_hash", "first", "cnt").forall(idx.columns.contains),
+      s"loadChunkIndex: not a chunk index at $path: ${idx.columns.mkString(",")}")
+    probeFiles(spark, s"$path/index").foreach { f =>
+      val r = spark.read.parquet(f)
+        .select(length(col("chunk_hash")),
+          col("chunk_hash").rlike("^[0-9a-f]+$")).limit(1).collect()
+      r.headOption.foreach { row =>
+        require(!row.isNullAt(0) && row.getInt(0) == hashLen && row.getBoolean(1),
+          s"loadChunkIndex: file $f carries a non-md5 chunk_hash but " +
+            s"meta says hash_len=$hashLen at $path")
+      }
+    }
+    (idx, meta(0).getInt(1), meta(0).getInt(2), meta(0).getInt(3),
+      meta(0).getInt(4))
+  }
+
+  /** Screen a batch's CHUNKS against the stored chunk index — the
+    * [[cdcDupChunks]] report under the cross-snapshot temporal
+    * contract: a batch chunk is a duplicate when its hash exists
+    * ANYWHERE in the stored corpus (the corpus was ingested first, so
+    * its occurrence wins regardless of packing), or when an earlier
+    * batch occurrence (smaller (doc, start) packing) carries the same
+    * hash. The chunker geometry comes FROM the stored meta so batch
+    * boundaries re-sync exactly like the corpus's did, even when the
+    * shared region sits at a different offset (the crawl-diff case).
+    *
+    * Shuffle ledger (`broadcastBatch = true`, the serving contract):
+    * the batch's distinct chunk hashes broadcast and SEMI-FILTER the
+    * stored index scan — the corpus contributes one narrow columnar
+    * scan and zero exchanges; every remaining exchange is
+    * batch-proportional. `broadcastBatch = false` falls back to the
+    * symmetric shuffle join for backfill-scale batches.
+    *
+    * Output: `(idCol, n_chunks, chunk_chars, n_dup, dup_chars,
+    * dup_permille)` — docs whose text yields no chunks report zeros.
+    */
+  def chunksAgainstIndex(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val spark = newDocs.sparkSession
+    val (idx, minLen, maxLen, maskBits, startBits) =
+      loadChunkIndex(spark, indexPath)
+    val chunks = cdcChunkOccurrences(newDocs, idCol, textCol, minLen,
+      maxLen, maskBits, startBits).persistTracked()
+    val bKeys = chunks.select("chunk_hash").distinct()
+    val corpusHit = (if (broadcastBatch)
+        idx.join(broadcast(bKeys), Seq("chunk_hash"), "left_semi")
+      else idx.join(bKeys, Seq("chunk_hash"), "left_semi"))
+      .select("chunk_hash").distinct()
+      .withColumn("__in_corpus", lit(true))
+    val batchFirst = chunks.groupBy("chunk_hash")
+      .agg(min("__packed").as("__bf"))
+    val perDoc = chunks
+      .join(batchFirst, Seq("chunk_hash"))
+      .join(if (broadcastBatch) broadcast(corpusHit) else corpusHit,
+        Seq("chunk_hash"), "left")
+      .withColumn("__dup",
+        coalesce(col("__in_corpus"), lit(false)) ||
+          col("__packed") > col("__bf"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("len")).as("chunk_chars"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("__dup"), col("len")).otherwise(0L)).as("dup_chars"))
+    newDocs.select(col(idCol).cast("long").as("doc")).distinct()
+      .join(perDoc, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("chunk_chars"), lit(0L)).as("chunk_chars"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+      .withColumn("dup_permille",
+        expr("(dup_chars * 1000) div greatest(chunk_chars, 1)"))
+  }
+
+  /** Fold a batch INTO the stored chunk index: the batch's own
+    * partials append as new files (O(batch); readers combine by the
+    * (min first, sum cnt) monoid). The batch is chunked with the
+    * STORED geometry — a caller cannot fold mismatched boundaries.
+    */
+  def mergeIntoChunkIndex(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String): Unit = {
+    val spark = newDocs.sparkSession
+    val (_, minLen, maxLen, maskBits, startBits) =
+      loadChunkIndex(spark, indexPath)
+    chunkPartials(newDocs, idCol, textCol, minLen, maxLen, maskBits,
+      startBits)
+      .sortWithinPartitions("chunk_hash")
+      .write.mode("append").parquet(s"$indexPath/index")
   }
 
   // ---- priority stored index ----------------------------------------------
@@ -274,6 +442,16 @@ object Dedup {
       broadcastBatch: Boolean = true): DataFrame = {
     val spark = newDocs.sparkSession
     val (idx, maxPriority, idBits) = loadPriorityIndex(spark, indexPath)
+    priorityScreenBody(newDocs, idx, maxPriority, idBits, idCol, textCol,
+      priorityCol, broadcastBatch)
+  }
+
+  /** The priority screen body over an already-loaded partial-group
+    * relation — shared by the plain and bucketed forms.
+    */
+  private def priorityScreenBody(newDocs: DataFrame, idx: DataFrame,
+      maxPriority: Long, idBits: Int, idCol: String, textCol: String,
+      priorityCol: String, broadcastBatch: Boolean): DataFrame = {
     val idMod = 1L << idBits
     val batch = newDocs.select(col(idCol).cast("long").as("doc"),
         md5(col(textCol)).as("content_hash"),
@@ -310,10 +488,85 @@ object Dedup {
   def mergeIntoPriorityIndex(newDocs: DataFrame, indexPath: String,
       idCol: String, textCol: String, priorityCol: String): Unit = {
     val spark = newDocs.sparkSession
+    BucketedTables.requirePlainLayout(spark, s"$indexPath/meta",
+      "mergeIntoPriorityIndex")
     val (_, maxPriority, idBits) = loadPriorityIndex(spark, indexPath)
     priorityPartials(newDocs, idCol, textCol, priorityCol, maxPriority, idBits)
       .sortWithinPartitions("content_hash")
       .write.mode("append").parquet(s"$indexPath/index")
+  }
+
+  /** [[savePriorityIndex]] in the backfill layout (r12 verdict gap #2):
+    * the same partial-group relation, `bucketBy(content_hash)` as an
+    * external catalog table, meta additionally pins n_buckets.
+    * [[priorityAgainstIndexBucketed]]'s semi-filter and per-hash
+    * combine then consume the table's own hash partitioning — the
+    * corpus side never exchanges at any batch size.
+    */
+  def savePriorityIndexBucketed(docs: DataFrame, idCol: String,
+      textCol: String, priorityCol: String, maxPriority: Long,
+      path: String, idBits: Int = 40, nBuckets: Int = 64,
+      tablePrefix: String = ""): Unit = {
+    require(maxPriority <= 62,
+      s"priority index stores a BIGINT priority bitmask: maxPriority " +
+        s"must be <= 62, got $maxPriority")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prefix = if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(path)
+    Seq(("priority_md5", 32, maxPriority, idBits, nBuckets))
+      .toDF("family", "hash_len", "max_priority", "id_bits", "n_buckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    BucketedTables.saveBucketed(
+      priorityPartials(docs, idCol, textCol, priorityCol, maxPriority, idBits),
+      s"$path/index", s"${prefix}_priority", Seq("content_hash"), nBuckets)
+  }
+
+  /** The backfill-scale priority screen: identical relation to
+    * [[priorityAgainstIndex]], but the stored side is the bucketed
+    * catalog table — only the batch shuffles (into nBuckets
+    * partitions); the corpus side is exchange-free.
+    */
+  def priorityAgainstIndexBucketed(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, priorityCol: String,
+      tablePrefix: String = ""): DataFrame = {
+    val spark = newDocs.sparkSession
+    val (_, maxPriority, idBits) = loadPriorityIndex(spark, indexPath)
+    val metaB = spark.read.parquet(s"$indexPath/meta")
+    require(metaB.columns.contains("n_buckets"),
+      s"priorityAgainstIndexBucketed: $indexPath was not saved in the " +
+        "bucketed layout (no n_buckets in meta) — use " +
+        "priorityAgainstIndex or re-save with savePriorityIndexBucketed")
+    val nBuckets = metaB.select(col("n_buckets").cast("int")).head().getInt(0)
+    val prefix =
+      if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(indexPath)
+    BucketedTables.register(spark, s"${prefix}_priority", s"$indexPath/index",
+      Seq("content_hash"), nBuckets)
+    priorityScreenBody(newDocs, spark.table(s"${prefix}_priority"),
+      maxPriority, idBits, idCol, textCol, priorityCol,
+      broadcastBatch = false)
+  }
+
+  /** [[mergeIntoPriorityIndex]] for the bucketed layout: batch partials
+    * append through the catalog table (correct bucket ids); geometry
+    * must match the stored meta or the fold refuses.
+    */
+  def mergeIntoPriorityIndexBucketed(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, priorityCol: String,
+      tablePrefix: String = ""): Unit = {
+    val spark = newDocs.sparkSession
+    val (_, maxPriority, idBits) = loadPriorityIndex(spark, indexPath)
+    val metaB = spark.read.parquet(s"$indexPath/meta")
+    require(metaB.columns.contains("n_buckets"),
+      s"mergeIntoPriorityIndexBucketed: $indexPath is a plain-layout " +
+        "index — use mergeIntoPriorityIndex")
+    val nBuckets = metaB.select(col("n_buckets").cast("int")).head().getInt(0)
+    val prefix =
+      if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(indexPath)
+    BucketedTables.appendBucketed(
+      priorityPartials(newDocs, idCol, textCol, priorityCol, maxPriority,
+        idBits),
+      s"$indexPath/index", s"${prefix}_priority", Seq("content_hash"),
+      nBuckets)
   }
 
   // ---- exact stored index ------------------------------------------------
@@ -1765,11 +2018,11 @@ object Dedup {
 
   private def linesScreenBody(newDocs: DataFrame, indexPath: String,
       idCol: String, textCol: String, broadcastBatch: Boolean,
-      corpusBloom: Option[org.apache.spark.util.sketch.BloomFilter])
-      : DataFrame = {
+      corpusBloom: Option[org.apache.spark.util.sketch.BloomFilter],
+      idxOverride: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.functions.{split => fsplit}
     val spark = newDocs.sparkSession
-    val idx = loadLineIndex(spark, indexPath)
+    val idx = idxOverride.getOrElse(loadLineIndex(spark, indexPath))
     val lines = newDocs
       .select(col(idCol), posexplode(fsplit(col(textCol), "\n"))
         .as(Seq("pos", "line")))
@@ -1819,10 +2072,77 @@ object Dedup {
   def mergeIntoLineIndex(newDocs: DataFrame, indexPath: String,
       idCol: String, textCol: String): Unit = {
     val spark = newDocs.sparkSession
+    BucketedTables.requirePlainLayout(spark, s"$indexPath/meta",
+      "mergeIntoLineIndex")
     loadLineIndex(spark, indexPath) // validates family before writing
     lineKeyGroups(newDocs, idCol, textCol)
       .sortWithinPartitions("lk")
       .write.mode("append").parquet(s"$indexPath/index")
+  }
+
+  /** [[saveLineIndex]] in the backfill layout (r12 verdict gap #2): the
+    * same (lk, doc, pos, cnt) partial-group relation, `bucketBy(lk)` as
+    * an external catalog table (still plain-parquet readable), meta
+    * additionally pins n_buckets. [[linesAgainstIndexBucketed]]'s
+    * semi-filter then consumes the table's own hash partitioning, so
+    * the corpus side never exchanges at ANY batch size — the screen a
+    * RefinedWeb-style historical re-screen runs, where the batch is too
+    * big to broadcast and the broadcast form's fallback would reshuffle
+    * the full stored corpus per batch.
+    */
+  def saveLineIndexBucketed(docs: DataFrame, idCol: String,
+      textCol: String, path: String, nBuckets: Int = 64,
+      tablePrefix: String = ""): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prefix = if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(path)
+    Seq(("line_md5_60", 60, nBuckets)).toDF("family", "key_bits", "n_buckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    BucketedTables.saveBucketed(lineKeyGroups(docs, idCol, textCol),
+      s"$path/index", s"${prefix}_line", Seq("lk"), nBuckets)
+  }
+
+  /** The backfill-scale line screen: identical rewritten-batch relation
+    * to [[linesAgainstIndex]], but the stored side is the bucketed
+    * catalog table — the corpus-side semi-join runs exchange-free and
+    * only the batch's distinct keys shuffle (into nBuckets partitions).
+    */
+  def linesAgainstIndexBucketed(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, tablePrefix: String = ""): DataFrame = {
+    val spark = newDocs.sparkSession
+    loadLineIndex(spark, indexPath) // family + per-file probe
+    val metaB = spark.read.parquet(s"$indexPath/meta")
+    require(metaB.columns.contains("n_buckets"),
+      s"linesAgainstIndexBucketed: $indexPath was not saved in the " +
+        "bucketed layout (no n_buckets in meta) — use linesAgainstIndex " +
+        "or re-save with saveLineIndexBucketed")
+    val nBuckets = metaB.select(col("n_buckets").cast("int")).head().getInt(0)
+    val prefix =
+      if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(indexPath)
+    BucketedTables.register(spark, s"${prefix}_line", s"$indexPath/index",
+      Seq("lk"), nBuckets)
+    linesScreenBody(newDocs, indexPath, idCol, textCol,
+      broadcastBatch = false, corpusBloom = None,
+      idxOverride = Some(spark.table(s"${prefix}_line")))
+  }
+
+  /** [[mergeIntoLineIndex]] for the bucketed layout: batch partials
+    * append through the catalog table so new files carry correct
+    * bucket ids.
+    */
+  def mergeIntoLineIndexBucketed(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, tablePrefix: String = ""): Unit = {
+    val spark = newDocs.sparkSession
+    loadLineIndex(spark, indexPath)
+    val metaB = spark.read.parquet(s"$indexPath/meta")
+    require(metaB.columns.contains("n_buckets"),
+      s"mergeIntoLineIndexBucketed: $indexPath is a plain-layout " +
+        "index — use mergeIntoLineIndex")
+    val nBuckets = metaB.select(col("n_buckets").cast("int")).head().getInt(0)
+    val prefix =
+      if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(indexPath)
+    BucketedTables.appendBucketed(lineKeyGroups(newDocs, idCol, textCol),
+      s"$indexPath/index", s"${prefix}_line", Seq("lk"), nBuckets)
   }
 
   // ---- duplicated-span removal ----------------------------------------
