@@ -1201,4 +1201,77 @@ object Quality {
       .select(idCol, "n_chars", "n_lines", "sym_milli", "indent_milli",
         "term_milli", "kw_hits", "score_milli", "is_code")
   }
+
+  /** License / SPDX header gate for the code route (the StarCoder /
+    * Dolma pipelines' immediately-next filter after [[codeGate]]'s
+    * code-vs-prose routing: only permissively-licensed source may feed
+    * the code subset). Detection is HEADER-SHAPED, not name-dropping:
+    *
+    *   - an explicit `SPDX-License-Identifier:` tag anywhere in the
+    *     first `headerChars` code points wins outright (the modern
+    *     machine-readable convention — REUSE/SPDX spec);
+    *   - otherwise the canonical license-text fingerprints decide:
+    *     MIT's "permission is hereby granted, free of charge", BSD's
+    *     "redistribution and use in source and binary forms", Apache's
+    *     "apache license" + "version 2.0", MPL's and the GPL family's
+    *     full names. PROSE THAT MENTIONS a license by name ("the MIT
+    *     license is discussed…") matches neither the tag nor any
+    *     license-text fingerprint and classifies `none` — the
+    *     false-positive mode a keyword match would have.
+    *
+    * `license_class` folds to permissive (mit / apache-2.0 / bsd),
+    * copyleft (gpl family / mpl), unknown (an SPDX tag outside the
+    * mapped set — a human must look), or none; `keep` admits
+    * permissive plus (by default) unlicensed docs, which inherit their
+    * repository's license downstream. One zero-shuffle codegen
+    * projection (`substring`/`lower`/`contains`/`regexp_extract`), no
+    * UDF, linear in `headerChars` — the p126 shape.
+    *
+    * Output: `(idCol, spdx_id, license, license_class, keep)`.
+    */
+  def licenseGate(docs: DataFrame, idCol: String, textCol: String,
+      headerChars: Int = 2048, keepUnlicensed: Boolean = true): DataFrame = {
+    require(headerChars > 0, s"headerChars must be positive: $headerChars")
+    val hdr = substring(coalesce(col(textCol), lit("")), 1, headerChars)
+    val lh = lower(hdr)
+    val spdx = regexp_extract(hdr,
+      "SPDX-License-Identifier:\\s*([A-Za-z0-9.+\\-]+)", 1)
+    val hasMit = contains(lh, lit("permission is hereby granted, free of charge"))
+    val hasApache = contains(lh, lit("apache license")) &&
+      contains(lh, lit("version 2.0"))
+    val hasBsd = contains(lh,
+      lit("redistribution and use in source and binary forms"))
+    val hasMpl = contains(lh, lit("mozilla public license"))
+    val hasGpl = contains(lh, lit("gnu general public license")) ||
+      contains(lh, lit("gnu lesser general public")) ||
+      contains(lh, lit("gnu affero general public"))
+    docs.select(col(idCol), spdx.as("spdx_id"),
+        hasMit.as("__mit"), hasApache.as("__apache"), hasBsd.as("__bsd"),
+        hasMpl.as("__mpl"), hasGpl.as("__gpl"))
+      .withColumn("license", {
+        val sl = lower(col("spdx_id"))
+        when(col("spdx_id") =!= "",
+          when(sl.startsWith("mit"), "mit")
+            .when(sl.startsWith("apache"), "apache-2.0")
+            .when(sl.startsWith("bsd"), "bsd")
+            .when(sl.startsWith("mpl"), "mpl")
+            .when(sl.contains("gpl"), "gpl")
+            .otherwise("other-spdx"))
+          .when(col("__mit"), "mit")
+          .when(col("__apache"), "apache-2.0")
+          .when(col("__bsd"), "bsd")
+          .when(col("__mpl"), "mpl")
+          .when(col("__gpl"), "gpl")
+          .otherwise("none")
+      })
+      .drop("__mit", "__apache", "__bsd", "__mpl", "__gpl")
+      .withColumn("license_class",
+        when(col("license").isin("mit", "apache-2.0", "bsd"), "permissive")
+          .when(col("license").isin("gpl", "mpl"), "copyleft")
+          .when(col("license") === "none", "none")
+          .otherwise("unknown"))
+      .withColumn("keep",
+        col("license_class") === "permissive" ||
+          (lit(keepUnlicensed) && col("license_class") === "none"))
+  }
 }

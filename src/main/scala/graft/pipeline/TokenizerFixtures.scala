@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import graft.functions.ByteUnicode
+
+/** Canonical published-tokenizer-format fixtures (r13) — the SINGLE
+  * source of truth for three consumers that must agree byte-for-byte:
+  *
+  *   1. the committed files under `src/test/resources/external_tok/`
+  *     (the parity spec asserts the committed bytes parse to exactly
+  *     these constants, so file and code cannot drift);
+  *   2. the p141/p142 queries, which WRITE these renderings into their
+  *     stage dir and load them back through [[TokenizerIO]]'s external
+  *     loaders — the Verify gate exercises the real file parsers, not
+  *     in-memory shortcuts;
+  *   3. the DuckDB oracles, whose vocab literals are generated from
+  *     the same constants (the p61 generated-constants pattern).
+  *
+  * The GPT-2 fixture is a genuine byte-level BPE artifact pair: all
+  * 256 byte symbols (ids = byte order, the published construction's
+  * id layout for the toy case) plus one merged symbol per merge line,
+  * in the exact `vocab.json`/`merges.txt` syntax the reference
+  * encoder ships. The WordPiece fixture is a genuine HF
+  * `tokenizer.json` (model.type WordPiece, `##` continuations,
+  * explicit unk) with full lowercase letter+digit coverage so greedy
+  * chains are non-trivial on the corpus.
+  */
+object TokenizerFixtures {
+
+  /** Merge list, rank order — builds "the/and/in/of" chains over the
+    * byte-unicode alphabet (Ġ = mapped space).
+    */
+  val Gpt2Merges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("Ġ", "t"), ("Ġt", "h"),
+    ("Ġth", "e"), ("a", "n"), ("an", "d"), ("Ġ", "a"),
+    ("Ġa", "n"), ("Ġan", "d"), ("i", "n"), ("o", "f"),
+    ("e", "r"), ("Ġ", "o"), ("Ġo", "f"), ("e", "s"))
+
+  /** Token → id: the 256 byte symbols at their byte values, then one
+    * token per merge at 256 + rank.
+    */
+  val Gpt2Vocab: Seq[(String, Int)] =
+    (0 until 256).map(b => ByteUnicode.byteToChar(b).toString -> b) ++
+      Gpt2Merges.zipWithIndex.map { case ((l, r), i) => (l + r) -> (256 + i) }
+
+  /** `vocab.json` rendering (Jackson — real JSON escaping, the bytes a
+    * published artifact would carry).
+    */
+  def gpt2VocabJson: String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.createObjectNode()
+    Gpt2Vocab.foreach { case (t, i) => node.put(t, i) }
+    om.writeValueAsString(node)
+  }
+
+  /** `merges.txt` rendering, with the conventional version header. */
+  def gpt2MergesTxt: String =
+    ("#version: 0.2" +: Gpt2Merges.map { case (l, r) => s"$l $r" })
+      .mkString("\n") + "\n"
+
+  /** WordPiece pieces, id order: specials, whole words, bare
+    * letters/digits, `##` continuations (letters, digits, and a few
+    * multi-char suffixes so greedy chains exercise longest-match).
+    */
+  val HfWpPieces: Seq[String] = {
+    val letters = ('a' to 'z').map(_.toString)
+    val digits = ('0' to '9').map(_.toString)
+    Seq("<unk>", "the", "and", "of", "to", "in", "for", "with") ++
+      letters ++ digits ++
+      Seq("##ing", "##ed", "##er", "##es", "##ly", "##tion") ++
+      letters.map("##" + _) ++ digits.map("##" + _)
+  }
+
+  val HfWpUnk: String = "<unk>"
+  val HfWpMaxChars: Int = 64
+
+  /** HF `tokenizer.json` rendering: WordPiece model, no normalizer,
+    * WhitespaceSplit pre-tokenizer, `##` continuations.
+    */
+  def hfWordPieceJson: String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    root.put("version", "1.0")
+    root.putNull("normalizer")
+    root.putObject("pre_tokenizer").put("type", "WhitespaceSplit")
+    val model = root.putObject("model")
+    model.put("type", "WordPiece")
+    model.put("unk_token", HfWpUnk)
+    model.put("continuing_subword_prefix", "##")
+    model.put("max_input_chars_per_word", HfWpMaxChars)
+    val vocab = model.putObject("vocab")
+    HfWpPieces.zipWithIndex.foreach { case (p, i) => vocab.put(p, i) }
+    om.writeValueAsString(root)
+  }
+
+  /** Write a UTF-8 rendering at `path` (Hadoop FS, any scheme). */
+  def write(spark: org.apache.spark.sql.SparkSession, path: String,
+      content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}

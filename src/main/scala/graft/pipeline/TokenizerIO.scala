@@ -80,6 +80,170 @@ object TokenizerIO {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  // ---- published-tokenizer interop (r13 verdict gap #1) ------------------
+  //
+  // Real pipelines tokenize with PUBLISHED artifacts, not self-trained
+  // vocabularies: GPT-2's `vocab.json` + `merges.txt` (the tiktoken/HF
+  // `gpt2` family) and HF's single-file `tokenizer.json`. The engine's
+  // segmenter expressions already implement the right algorithms
+  // (BpeSegment over the ByteUnicode alphabet, WordPieceSegment's
+  // greedy longest-match) — these loaders are the parser + mapping
+  // layer that feeds them, with the same loud-validation discipline as
+  // the parquet loaders: a foreign or unsupported artifact must FAIL,
+  // never segment wrongly.
+
+  private def readUtf8(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  private def jsonTree(spark: SparkSession,
+      path: String): com.fasterxml.jackson.databind.JsonNode = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    try om.readTree(readUtf8(spark, path))
+    catch { case e: com.fasterxml.jackson.core.JacksonException =>
+      throw new IllegalArgumentException(
+        s"loadExternal: $path is not valid JSON: ${e.getMessage}")
+    }
+  }
+
+  private def vocabMap(node: com.fasterxml.jackson.databind.JsonNode,
+      where: String): Map[String, Int] = {
+    require(node != null && node.isObject,
+      s"$where: expected a JSON object mapping token -> id")
+    val b = Map.newBuilder[String, Int]
+    val it = node.properties().iterator()
+    var n = 0
+    while (it.hasNext) {
+      val e = it.next()
+      require(e.getValue.isIntegralNumber,
+        s"$where: id for token '${e.getKey}' is not an integer")
+      b += (e.getKey -> e.getValue.asInt); n += 1
+    }
+    val m = b.result()
+    require(m.nonEmpty, s"$where: empty vocabulary")
+    require(m.size == n, s"$where: duplicate tokens in vocabulary")
+    require(m.values.toSeq.distinct.size == m.size,
+      s"$where: duplicate ids in vocabulary")
+    m
+  }
+
+  /** Load a published GPT-2-format tokenizer: `vocab.json` (token→id,
+    * tokens in the [[graft.functions.ByteUnicode]] byte-unicode
+    * alphabet — the SAME published `bytes_to_unicode` construction, so
+    * the files feed [[graft.functions.BpeSegment]] verbatim) +
+    * `merges.txt` (one "left right" pair per line, rank = line order,
+    * optional `#version` header). Validates loudly:
+    *
+    *   - every single-byte symbol present in the vocab (the GPT-2
+    *     property that makes every string encodable — a vocab missing
+    *     byte symbols would silently emit un-encodable tokens);
+    *   - every merge's sides AND its joined result in the vocab (the
+    *     classic mismatched vocab.json/merges.txt corruption);
+    *   - merge lines well-formed (exactly one space).
+    *
+    * Returns (merges in rank order, token→id map).
+    */
+  def loadExternalGpt2(spark: SparkSession, vocabJsonPath: String,
+      mergesTxtPath: String): (Seq[(String, String)], Map[String, Int]) = {
+    val vocab = vocabMap(jsonTree(spark, vocabJsonPath),
+      s"loadExternalGpt2($vocabJsonPath)")
+    val missingBytes = (0 until 256).map(b =>
+      graft.functions.ByteUnicode.byteToChar(b).toString)
+      .filterNot(vocab.contains)
+    require(missingBytes.isEmpty,
+      s"loadExternalGpt2: vocab at $vocabJsonPath is missing " +
+        s"${missingBytes.size} single-byte symbols (first: " +
+        s"'${missingBytes.head}') — not a byte-level BPE vocab; strings " +
+        "would be silently un-encodable")
+    val merges = readUtf8(spark, mergesTxtPath)
+      .split("\n", -1).iterator.map(_.stripSuffix("\r"))
+      .filterNot(l => l.isEmpty || l.startsWith("#version"))
+      .zipWithIndex.map { case (line, i) =>
+        val parts = line.split(" ", -1)
+        require(parts.length == 2 && parts.forall(_.nonEmpty),
+          s"loadExternalGpt2: merges line ${i + 1} is not 'left right': " +
+            s"'$line'")
+        require(vocab.contains(parts(0)) && vocab.contains(parts(1)) &&
+          vocab.contains(parts(0) + parts(1)),
+          s"loadExternalGpt2: merge '${parts(0)} ${parts(1)}' or its " +
+            "result is absent from vocab.json — mismatched artifact pair")
+        (parts(0), parts(1))
+      }.toSeq
+    require(merges.nonEmpty,
+      s"loadExternalGpt2: no merges in $mergesTxtPath")
+    (merges, vocab)
+  }
+
+  /** Load an HF single-file `tokenizer.json` whose model is WordPiece,
+    * into [[graft.functions.WordPieceSegment]]'s inputs. STRICT about
+    * what the engine actually implements — anything else fails loudly
+    * by NAME rather than segmenting differently from the published
+    * tokenizer:
+    *
+    *   - `model.type` must be "WordPiece";
+    *   - `normalizer` must be absent/null (the engine applies none —
+    *     a BertNormalizer/Lowercase artifact would disagree on cased
+    *     or accented input);
+    *   - `pre_tokenizer` must be absent/null or WhitespaceSplit (the
+    *     engine's word column is whitespace-split);
+    *   - `continuing_subword_prefix` must be "##" (the segmenter's
+    *     compiled convention);
+    *   - `unk_token` must be in the vocab.
+    *
+    * Returns (pieces in id order, unk token, max_input_chars_per_word).
+    */
+  def loadExternalHfWordPiece(spark: SparkSession,
+      path: String): (Seq[String], String, Int) = {
+    val root = jsonTree(spark, path)
+    val model = root.get("model")
+    require(model != null && model.isObject,
+      s"loadExternalHfWordPiece: no model object in $path")
+    val mtype =
+      if (model.hasNonNull("type")) model.get("type").asText() else ""
+    require(mtype == "WordPiece",
+      s"loadExternalHfWordPiece: model.type '$mtype' at $path is not " +
+        "WordPiece — use the matching loader (BPE -> loadExternalGpt2)")
+    val norm = root.get("normalizer")
+    require(norm == null || norm.isNull,
+      s"loadExternalHfWordPiece: unsupported normalizer " +
+        s"'${Option(norm.get("type")).map(_.asText).getOrElse("?")}' at " +
+        s"$path — the engine applies no normalization; normalize the " +
+        "corpus upstream and re-export the tokenizer without one")
+    val pre = root.get("pre_tokenizer")
+    val preType = Option(pre).filterNot(_.isNull)
+      .flatMap(p => Option(p.get("type"))).map(_.asText)
+    require(preType.forall(_ == "WhitespaceSplit"),
+      s"loadExternalHfWordPiece: unsupported pre_tokenizer " +
+        s"'${preType.getOrElse("?")}' at $path — the engine serves " +
+        "whitespace-split words")
+    val prefix = if (model.hasNonNull("continuing_subword_prefix"))
+      model.get("continuing_subword_prefix").asText() else "##"
+    require(prefix == "##",
+      s"loadExternalHfWordPiece: continuing_subword_prefix '$prefix' at " +
+        s"$path is not '##' — the segmenter's compiled convention")
+    val unk = if (model.hasNonNull("unk_token"))
+      model.get("unk_token").asText() else "[UNK]"
+    val maxChars = if (model.hasNonNull("max_input_chars_per_word"))
+      model.get("max_input_chars_per_word").asInt() else 100
+    require(maxChars >= 1,
+      s"loadExternalHfWordPiece: max_input_chars_per_word $maxChars < 1")
+    val vocab = vocabMap(model.get("vocab"),
+      s"loadExternalHfWordPiece($path).model.vocab")
+    require(vocab.contains(unk),
+      s"loadExternalHfWordPiece: unk_token '$unk' absent from vocab at $path")
+    val pieces = vocab.toSeq.sortBy(_._2).map(_._1)
+    (pieces, unk, maxChars)
+  }
+
   def loadUnigram(spark: SparkSession, path: String): Unigram.Model = {
     val pieces = spark.read.parquet(s"$path/pieces")
       .select(col("piece"), col("cost_micro").cast("long"))

@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.ts.SparkSpecBase
+
+/** Published-tokenizer interop (r13): the committed fixture FILES under
+  * `src/test/resources/external_tok/` must parse, through the real
+  * loaders, to exactly the [[TokenizerFixtures]] constants (file and
+  * code cannot drift), segmentation under the loaded artifacts must
+  * match hand-computed expectations, and unsupported artifacts must
+  * fail loudly by name.
+  */
+class ExternalTokenizerSpec extends SparkSpecBase {
+
+  private val fixDir = "src/test/resources/external_tok"
+
+  test("committed GPT-2 fixture parses to the canonical constants; segmentation + ids hand-checked") {
+    val (merges, vocab) = TokenizerIO.loadExternalGpt2(spark,
+      s"$fixDir/gpt2_toy/vocab.json", s"$fixDir/gpt2_toy/merges.txt")
+    assert(merges == TokenizerFixtures.Gpt2Merges)
+    assert(vocab == TokenizerFixtures.Gpt2Vocab.toMap)
+    // hand-computed greedy lowest-rank-first segmentation:
+    //  "the"  -> (t h)r0 -> (th e)r1 -> [the]
+    //  "Ġand" -> (a n)r5 fires before (Ġ a)r7 -> [Ġ, an, d]
+    //            -> (an d)r6 -> [Ġ, and]; (Ġ,and) is no merge
+    //  "Ġof"  -> (o f)r11 before (Ġ o)r13 -> [Ġ, of]
+    import spark.implicits._
+    val out = Seq("the and of").toDF("text")
+      .select(BpeByte.pretokens(col("text")).as("pts"))
+      .select(transform(col("pts"), t =>
+        graft.functions.BpeSegment(
+          graft.functions.ByteUnicode.toUnicode(t), merges)).as("segs"))
+      .collect().head.getSeq[Seq[String]](0)
+    assert(out == Seq(Seq("the"), Seq("Ġ", "and"), Seq("Ġ", "of")), out)
+    // ids through the loaded vocab: byte symbols at their byte value,
+    // merged symbols at 256 + rank
+    assert(vocab("the") == 257 && vocab("and") == 262 && vocab("of") == 267)
+    assert(vocab("Ġ") == 32) // mapped space sits at the space byte
+  }
+
+  test("committed HF WordPiece fixture parses to the constants; greedy serve matches; custom unk honored") {
+    val (pieces, unk, maxChars) = TokenizerIO.loadExternalHfWordPiece(
+      spark, s"$fixDir/hf_wordpiece_toy/tokenizer.json")
+    assert(pieces == TokenizerFixtures.HfWpPieces)
+    assert(unk == TokenizerFixtures.HfWpUnk && unk == "<unk>")
+    assert(maxChars == TokenizerFixtures.HfWpMaxChars && maxChars == 64)
+    import spark.implicits._
+    def seg(w: String) = Seq(w).toDF("w")
+      .select(graft.functions.WordPieceSegment(col("w"), pieces, unk,
+        maxChars).as("s"))
+      .collect().head.getSeq[String](0)
+    // whole word; longest-match chains; ## continuations; digits
+    assert(seg("the") == Seq("the"))
+    assert(seg("theming") == Seq("the", "##m", "##ing"))
+    assert(seg("wither") == Seq("with", "##er"))
+    assert(seg("a1") == Seq("a", "##1"))
+    // uncovered char -> all-or-nothing unk; over-length -> unk unprobed
+    assert(seg("naïve") == Seq("<unk>"))
+    assert(seg("a" * 65) == Seq("<unk>"))
+  }
+
+  test("unsupported external artifacts fail loudly by name") {
+    def writeTmp(content: String): String = {
+      val f = java.nio.file.Files.createTempFile("tok", ".json")
+      java.nio.file.Files.writeString(f, content)
+      f.toString
+    }
+    // a BPE-model tokenizer.json routed to the WordPiece loader
+    val bpe = writeTmp("""{"model":{"type":"BPE","vocab":{"a":0}}}""")
+    val e1 = intercept[IllegalArgumentException] {
+      TokenizerIO.loadExternalHfWordPiece(spark, bpe)
+    }
+    assert(e1.getMessage.contains("not WordPiece"), e1.getMessage)
+    // a normalizer the engine does not implement
+    val norm = writeTmp("""{"normalizer":{"type":"BertNormalizer","lowercase":true},
+      "model":{"type":"WordPiece","unk_token":"[UNK]","vocab":{"[UNK]":0}}}""")
+    val e2 = intercept[IllegalArgumentException] {
+      TokenizerIO.loadExternalHfWordPiece(spark, norm)
+    }
+    assert(e2.getMessage.contains("unsupported normalizer") &&
+      e2.getMessage.contains("BertNormalizer"), e2.getMessage)
+    // a foreign continuation prefix
+    val pfx = writeTmp("""{"model":{"type":"WordPiece","unk_token":"[UNK]",
+      "continuing_subword_prefix":"++","vocab":{"[UNK]":0}}}""")
+    val e3 = intercept[IllegalArgumentException] {
+      TokenizerIO.loadExternalHfWordPiece(spark, pfx)
+    }
+    assert(e3.getMessage.contains("'++'"), e3.getMessage)
+    // a vocab.json missing byte symbols is not byte-level BPE
+    val part = writeTmp("""{"a": 0, "b": 1}""")
+    val mergesOk = java.nio.file.Files.createTempFile("m", ".txt")
+    java.nio.file.Files.writeString(mergesOk, "a b\n")
+    val e4 = intercept[IllegalArgumentException] {
+      TokenizerIO.loadExternalGpt2(spark, part, mergesOk.toString)
+    }
+    assert(e4.getMessage.contains("single-byte symbols"), e4.getMessage)
+    // a merge whose result is absent from vocab (mismatched pair)
+    val badMerges = java.nio.file.Files.createTempFile("m", ".txt")
+    java.nio.file.Files.writeString(badMerges, "#version: 0.2\nĠ q\n")
+    val e5 = intercept[IllegalArgumentException] {
+      TokenizerIO.loadExternalGpt2(spark,
+        s"$fixDir/gpt2_toy/vocab.json", badMerges.toString)
+    }
+    assert(e5.getMessage.contains("mismatched artifact pair"), e5.getMessage)
+    // malformed JSON names the file
+    val junk = writeTmp("{not json")
+    val e6 = intercept[IllegalArgumentException] {
+      TokenizerIO.loadExternalHfWordPiece(spark, junk)
+    }
+    assert(e6.getMessage.contains("not valid JSON"), e6.getMessage)
+  }
+}
