@@ -286,13 +286,27 @@ object Dedup {
     */
   def chunksAgainstIndex(newDocs: DataFrame, indexPath: String,
       idCol: String, textCol: String,
-      broadcastBatch: Boolean = true): DataFrame = {
+      broadcastBatch: Boolean = true): DataFrame =
+    chunksScreenBody(newDocs, indexPath, idCol, textCol, broadcastBatch,
+      corpusBloom = None)
+
+  private def chunksScreenBody(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, broadcastBatch: Boolean,
+      corpusBloom: Option[org.apache.spark.util.sketch.BloomFilter])
+      : DataFrame = {
     val spark = newDocs.sparkSession
     val (idx, minLen, maxLen, maskBits, startBits) =
       loadChunkIndex(spark, indexPath)
     val chunks = cdcChunkOccurrences(newDocs, idCol, textCol, minLen,
       maxLen, maskBits, startBits).persistTracked()
-    val bKeys = chunks.select("chunk_hash").distinct()
+    // sketch-negative chunk hashes are DEFINITELY not in the corpus —
+    // gating the probe set loses nothing (they miss corpusHit anyway)
+    val probe = corpusBloom match {
+      case Some(bf) => chunks.filter(graft.functions.BloomMightContain(
+        xxhash64(col("chunk_hash")), bf))
+      case None => chunks
+    }
+    val bKeys = probe.select("chunk_hash").distinct()
     val corpusHit = (if (broadcastBatch)
         idx.join(broadcast(bKeys), Seq("chunk_hash"), "left_semi")
       else idx.join(bKeys, Seq("chunk_hash"), "left_semi"))
@@ -338,6 +352,36 @@ object Dedup {
       .sortWithinPartitions("chunk_hash")
       .write.mode("append").parquet(s"$indexPath/index")
   }
+
+  /** Build (or REBUILD after folds) the chunk index's bloom sidecar
+    * over `xxhash64(chunk_hash)` — same drift-stamp/loud-failure
+    * contract as [[buildExactBloom]].
+    */
+  def buildChunkBloom(spark: SparkSession, indexPath: String,
+      expectedItems: Long, fpp: Double = 0.01): Unit = {
+    val (idx, _, _, _, _) = loadChunkIndex(spark, indexPath)
+    writeBloomSidecar(indexPath, s"$indexPath/index",
+      idx.select(xxhash64(col("chunk_hash")).as("k")),
+      "cdc_xxhash64", expectedItems, fpp)
+  }
+
+  def loadChunkBloom(spark: SparkSession, indexPath: String)
+      : org.apache.spark.util.sketch.BloomFilter =
+    readBloomSidecar(spark, indexPath, s"$indexPath/index",
+      "cdc_xxhash64", "buildChunkBloom")
+
+  /** [[chunksAgainstIndex]] with the bloom fast path: batch chunk
+    * hashes the sketch rules out never consult the stored index. On a
+    * mostly-fresh crawl increment the broadcast key set and the index
+    * row groups it touches shrink to the sketch-positive minority. No
+    * false negatives ⇒ the report is IDENTICAL to the unbloomed
+    * screen's.
+    */
+  def chunksAgainstIndexBloom(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String,
+      broadcastBatch: Boolean = true): DataFrame =
+    chunksScreenBody(newDocs, indexPath, idCol, textCol, broadcastBatch,
+      corpusBloom = Some(loadChunkBloom(newDocs.sparkSession, indexPath)))
 
   // ---- priority stored index ----------------------------------------------
   //
@@ -451,14 +495,24 @@ object Dedup {
     */
   private def priorityScreenBody(newDocs: DataFrame, idx: DataFrame,
       maxPriority: Long, idBits: Int, idCol: String, textCol: String,
-      priorityCol: String, broadcastBatch: Boolean): DataFrame = {
+      priorityCol: String, broadcastBatch: Boolean,
+      corpusBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None)
+      : DataFrame = {
     val idMod = 1L << idBits
     val batch = newDocs.select(col(idCol).cast("long").as("doc"),
         md5(col(textCol)).as("content_hash"),
         packPriority(idCol, priorityCol, maxPriority, idBits).as("__p"),
         col(priorityCol).cast("int").as("__prio"))
       .persistTracked()
-    val bKeys = batch.select("content_hash").distinct()
+    // sketch-negative hashes are DEFINITELY not in the corpus (no false
+    // negatives), so gating the probe set loses nothing: they take the
+    // stored-miss branch (left-join null) they would have taken anyway
+    val probe = corpusBloom match {
+      case Some(bf) => batch.filter(graft.functions.BloomMightContain(
+        xxhash64(col("content_hash")), bf))
+      case None => batch
+    }
+    val bKeys = probe.select("content_hash").distinct()
     val matching =
       if (broadcastBatch)
         idx.join(broadcast(bKeys), Seq("content_hash"), "left_semi")
@@ -567,6 +621,39 @@ object Dedup {
         idBits),
       s"$indexPath/index", s"${prefix}_priority", Seq("content_hash"),
       nBuckets)
+  }
+
+  /** Build (or REBUILD after folds) the priority index's bloom sidecar
+    * over `xxhash64(content_hash)` — same drift-stamp/loud-failure
+    * contract as [[buildExactBloom]].
+    */
+  def buildPriorityBloom(spark: SparkSession, indexPath: String,
+      expectedItems: Long, fpp: Double = 0.01): Unit = {
+    val (idx, _, _) = loadPriorityIndex(spark, indexPath)
+    writeBloomSidecar(indexPath, s"$indexPath/index",
+      idx.select(xxhash64(col("content_hash")).as("k")),
+      "priority_xxhash64", expectedItems, fpp)
+  }
+
+  def loadPriorityBloom(spark: SparkSession, indexPath: String)
+      : org.apache.spark.util.sketch.BloomFilter =
+    readBloomSidecar(spark, indexPath, s"$indexPath/index",
+      "priority_xxhash64", "buildPriorityBloom")
+
+  /** [[priorityAgainstIndex]] with the bloom fast path: batch hashes
+    * the sketch rules out never consult the stored index — they take
+    * the stored-miss branch directly (winner decided within the
+    * batch). No false negatives ⇒ the returned relation is IDENTICAL
+    * to the unbloomed screen's.
+    */
+  def priorityAgainstIndexBloom(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, priorityCol: String,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val spark = newDocs.sparkSession
+    val bloom = loadPriorityBloom(spark, indexPath)
+    val (idx, maxPriority, idBits) = loadPriorityIndex(spark, indexPath)
+    priorityScreenBody(newDocs, idx, maxPriority, idBits, idCol, textCol,
+      priorityCol, broadcastBatch, corpusBloom = Some(bloom))
   }
 
   // ---- exact stored index ------------------------------------------------

@@ -966,6 +966,48 @@ object PipelineQueries {
         s"$out/idx", "doc_id", "text")
     }),
 
+    // r13: the bloom fast path generalized to the two NEW index
+    // families. No false negatives ⇒ each relation is IDENTICAL to its
+    // plain screen's — the oracles are p133's / p138's VERBATIM
+    "p143_priority_bloom_screen" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 < 2,
+          concat(lit("grp:"), expr("doc_id div 4").cast("string")))
+          .otherwise(col("text")).as("text"),
+        (substring(col("source"), 4, 10).cast("long") % 4).as("priority"))
+      val out = withPipelineArtifact(dir, "p143_priority_bloom_idx") { stage =>
+        Dedup.savePriorityIndex(planted.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", "priority", maxPriority = 3L, s"$stage/idx")
+        Dedup.mergeIntoPriorityIndex(planted.filter(col("doc_id") % 4 === 2),
+          s"$stage/idx", "doc_id", "text", "priority")
+        // sidecar AFTER the fold — stale-stamp discipline
+        Dedup.buildPriorityBloom(s, s"$stage/idx",
+          expectedItems = 10000L, fpp = 0.01)
+      }
+      Dedup.priorityAgainstIndexBloom(planted.filter(col("doc_id") % 2 === 1),
+          s"$out/idx", "doc_id", "text", "priority")
+        .select(col("doc").as("doc_id"), col("content_hash"),
+          col("keep_id"), col("keep_priority"), col("n_corpus"),
+          col("n_priorities"), col("keep"))
+    }),
+
+    "p144_cdc_bloom_screen" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" "),
+          element_at(typedlit(cdcParagraphs),
+            (col("doc_id") % 7 + 1).cast("int"))).as("text"))
+      val out = withPipelineArtifact(dir, "p144_chunk_bloom_idx") { stage =>
+        Dedup.saveChunkIndex(planted.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", s"$stage/idx")
+        Dedup.mergeIntoChunkIndex(planted.filter(col("doc_id") % 4 === 2),
+          s"$stage/idx", "doc_id", "text")
+        Dedup.buildChunkBloom(s, s"$stage/idx",
+          expectedItems = 100000L, fpp = 0.01)
+      }
+      Dedup.chunksAgainstIndexBloom(planted.filter(col("doc_id") % 2 === 1),
+        s"$out/idx", "doc_id", "text")
+    }),
+
     // license/SPDX header gate for the code route (r13): planted
     // SPDX tags, canonical license-text fingerprints, and the
     // false-positive probe — prose that NAME-DROPS licenses ("the MIT
@@ -6597,5 +6639,7 @@ object PipelineQueries {
     */
   val oracle: Map[String, String] = oracleBase ++ Map(
     "p136_line_backfill" -> oracleBase("p113_line_screen"),
-    "p137_priority_backfill" -> oracleBase("p133_priority_screen"))
+    "p137_priority_backfill" -> oracleBase("p133_priority_screen"),
+    "p143_priority_bloom_screen" -> oracleBase("p133_priority_screen"),
+    "p144_cdc_bloom_screen" -> oracleBase("p138_cdc_screen"))
 }

@@ -4611,6 +4611,17 @@ class PipelineSpec extends SparkSpecBase {
         "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap == folded)
+    // bloom sidecar (r13): identical report; stale-after-fold fails
+    Dedup.buildChunkBloom(spark, s"$dir/f", expectedItems = 10000L)
+    def screenBloom() =
+      Dedup.chunksAgainstIndexBloom(batch, s"$dir/f", "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    assert(screenBloom() == folded, "bloom chunk screen diverged")
+    Dedup.mergeIntoChunkIndex(corpusB, s"$dir/f", "doc_id", "text")
+    val eStale = intercept[IllegalArgumentException] { screenBloom() }
+    assert(eStale.getMessage.contains("re-run buildChunkBloom"),
+      eStale.getMessage)
     // foreign family fails before any join
     Dedup.saveExactIndex(corpusA, "doc_id", "text", s"$dir/exact")
     val e = intercept[IllegalArgumentException] {
@@ -4746,6 +4757,20 @@ class PipelineSpec extends SparkSpecBase {
           ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
             r.getBoolean(6)))).toMap
     assert(screenBk() == folded, "bucketed priority screen diverged")
+    // bloom sidecar (r13): identical relation; stale-after-fold fails
+    Dedup.buildPriorityBloom(spark, s"$dir/f", expectedItems = 1000L)
+    def screenBloom() =
+      Dedup.priorityAgainstIndexBloom(batch, s"$dir/f", "doc_id",
+          "text", "priority")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getBoolean(6)))).toMap
+    assert(screenBloom() == folded, "bloom priority screen diverged")
+    Dedup.mergeIntoPriorityIndex(corpusB, s"$dir/f", "doc_id", "text",
+      "priority")
+    val eStale = intercept[IllegalArgumentException] { screenBloom() }
+    assert(eStale.getMessage.contains("re-run buildPriorityBloom"),
+      eStale.getMessage)
     val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
