@@ -126,7 +126,7 @@ object Dedup {
     * `(doc, start, len, chunk_hash, __packed)` with `__packed` the
     * loud-bounded first-occurrence packing `doc·2^startBits + start`.
     */
-  private def cdcChunkOccurrences(docs: DataFrame, idCol: String,
+  private[graft] def cdcChunkOccurrences(docs: DataFrame, idCol: String,
       textCol: String, minLen: Int, maxLen: Int, maskBits: Int,
       startBits: Int): DataFrame = {
     require(startBits >= 1 && startBits <= 40,

@@ -262,6 +262,75 @@ object StreamingDedup {
         (col("__cw").isNull || col("__p") < col("__cw")).as("beats_corpus"))
   }
 
+  final case class ChunkScreenRow(doc_id: Long, n_chunks: Long,
+      chunk_chars: Long, n_dup: Long, dup_chars: Long, dup_permille: Long)
+
+  /** Streaming CDC-chunk screen against a STORED chunk index
+    * ([[graft.pipeline.Dedup.saveChunkIndex]]) — "which regions of
+    * this arriving document did the corpus already store, even
+    * shifted?" per document, as it arrives. Each doc is chunked under
+    * the index's OWN stored geometry (from the meta row — the serve
+    * self-configures, boundary drift is impossible), chunk hashes take
+    * a stateless stream-static LEFT join against the index's distinct
+    * hash set (materialized once, pre-partitioned — the
+    * [[cosineScreenStream]] barrier), and one per-doc fold re-rolls
+    * the report. The fold keeps NO state across batches: a document's
+    * chunks all live in its own micro-batch, so `flatMapGroupsWithState`
+    * here is a per-doc reduce, not a cross-batch reservoir.
+    *
+    * SERVING CONTRACT (the [[priorityScreenStream]] discipline): each
+    * doc is judged against the FROZEN corpus only — within-batch and
+    * cross-batch chunk sharing is the FOLD's job
+    * (`mergeIntoChunkIndex` downstream, then rebuild the sidecar).
+    * Batch-equivalence therefore holds against
+    * [[graft.pipeline.Dedup.chunksAgainstIndex]] whenever the batch
+    * carries no fresh chunk shared BETWEEN batch docs — pinned by the
+    * spec; a batch with internal sharing reports those chunks fresh
+    * here and duplicated there, by contract.
+    *
+    * A doc whose text yields no chunks still emits its zeros row (the
+    * sentinel-union pattern of [[dedupLinesStream]]).
+    */
+  def chunkScreenStream(docs: DataFrame, indexPath: String,
+      idCol: String, textCol: String): Dataset[ChunkScreenRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (idx, minLen, maxLen, maskBits, startBits) =
+      graft.pipeline.Dedup.loadChunkIndex(spark, indexPath)
+    val staticSide = idx.select(col("chunk_hash")).distinct()
+      .withColumn("__known", lit(true))
+      .repartition(col("chunk_hash"))
+      .persistTracked()
+    staticSide.count()
+    val chunks = graft.pipeline.Dedup.cdcChunkOccurrences(docs, idCol,
+        textCol, minLen, maxLen, maskBits, startBits)
+      .select(col("doc"), col("len"), col("chunk_hash"))
+      // zero-length sentinel per doc: a chunk-less doc must still
+      // report its zeros row (real chunks always have len >= 1)
+      .unionByName(docs.select(col(idCol).cast("long").as("doc"),
+        lit(0L).as("len"), lit(null).cast("string").as("chunk_hash")))
+    chunks
+      .join(staticSide, Seq("chunk_hash"), "left")
+      .select(col("doc"), col("len"),
+        coalesce(col("__known"), lit(false)).as("known"))
+      .as[(Long, Long, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (doc: Long, rows: Iterator[(Long, Long, Boolean)],
+            state: GroupState[Boolean]) =>
+          var n = 0L; var chars = 0L; var nd = 0L; var dc = 0L
+          rows.foreach { case (_, len, known) =>
+            if (len > 0) {
+              n += 1; chars += len
+              if (known) { nd += 1; dc += len }
+            }
+          }
+          Iterator.single(ChunkScreenRow(doc, n, chars, nd, dc,
+            dc * 1000L / math.max(chars, 1L)))
+      }
+  }
+
   final case class HammingHit(doc_a: Long, doc_b: Long, hamming: Long)
 
   /** Streaming 48-bit-signature screen against a STORED signature

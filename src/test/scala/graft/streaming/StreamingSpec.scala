@@ -1042,6 +1042,50 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("chunkScreenStream over the stored chunk index == batch screen across batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tail = "the archivist noted that the flood plates of eighteen " +
+      "ninety draw the most requests followed by the quarry surveys " +
+      "and the mill ledgers and the county atlases on display"
+    val corpusA = Seq((2L, "first corpus document body with its own words " + tail))
+      .toDF("doc_id", "text")
+    val corpusB = Seq((4L, "a different snapshot opening passage " + tail))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("chunk_stream_").toString
+    graft.pipeline.Dedup.saveChunkIndex(corpusA, "doc_id", "text", dir)
+    graft.pipeline.Dedup.mergeIntoChunkIndex(corpusB, dir, "doc_id", "text")
+    // no fresh chunk is shared BETWEEN batch docs (the serving
+    // contract), so stream == batch screen exactly; doc 19 is the
+    // chunk-less zeros-row case
+    val rows = Seq(
+      (11L, "completely fresh prose holding no shared region at all " +
+        "just singular sentences about turbine cooperatives on the ridge"),
+      (13L, "much longer and structurally distinct batch prefix " + tail),
+      (19L, ""))
+    val expected = graft.pipeline.Dedup.chunksAgainstIndex(
+        rows.toDF("doc_id", "text"), dir, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(expected(13L)._3 >= 1L, s"shifted tail must dup: $expected")
+    assert(expected(11L)._3 == 0L && expected(19L)._1 == 0L)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.chunkScreenStream(
+        mem.toDF().toDF("doc_id", "text"), dir, "doc_id", "text")
+      .writeStream.format("memory").queryName("chunk_screen_stream")
+      .outputMode("append").start()
+    val got = try {
+      mem.addData(rows.take(1): _*); q.processAllAvailable()
+      mem.addData(rows.drop(1): _*); q.processAllAvailable()
+      spark.table("chunk_screen_stream").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    } finally q.stop()
+    assert(got == expected, s"stream=$got batch=$expected")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    graft.pipeline.CacheLedger.drain()
+  }
+
   test("hostCap on a stream (complete mode) == batch — TopKLongs folds in the state store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
