@@ -57,6 +57,31 @@ object TokenizerFixtures {
     ("#version: 0.2" +: Gpt2Merges.map { case (l, r) => s"$l $r" })
       .mkString("\n") + "\n"
 
+  /** HF single-file `tokenizer.json` rendering of the SAME GPT-2 toy
+    * artifact (model.type BPE, ByteLevel pre-tokenizer, merges in the
+    * `[left, right]` array form so the loader's pair branch is the one
+    * the committed fixture exercises; the string form is spec-covered
+    * inline).
+    */
+  def hfBpeJson: String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    root.put("version", "1.0")
+    root.putNull("normalizer")
+    val pt = root.putObject("pre_tokenizer")
+    pt.put("type", "ByteLevel")
+    pt.put("add_prefix_space", false)
+    val model = root.putObject("model")
+    model.put("type", "BPE")
+    val vocab = model.putObject("vocab")
+    Gpt2Vocab.foreach { case (t, i) => vocab.put(t, i) }
+    val merges = model.putArray("merges")
+    Gpt2Merges.foreach { case (l, r) =>
+      val pair = merges.addArray(); pair.add(l); pair.add(r)
+    }
+    om.writeValueAsString(root)
+  }
+
   /** WordPiece pieces, id order: specials, whole words, bare
     * letters/digits, `##` continuations (letters, digits, and a few
     * multi-char suffixes so greedy chains exercise longest-match).

@@ -183,6 +183,81 @@ object TokenizerIO {
     (merges, vocab)
   }
 
+  /** Load an HF single-file `tokenizer.json` whose model is BPE (the
+    * modern export of the GPT-2 family — same merge semantics as
+    * `vocab.json` + `merges.txt`, one file): `model.vocab` (token→id)
+    * plus `model.merges` as either `"left right"` strings or
+    * `[left, right]` two-element arrays (both appear in published
+    * artifacts). STRICT about what the engine implements:
+    * `normalizer` must be absent/null, `pre_tokenizer` absent/null or
+    * ByteLevel (the engine's GPT-2 pre-tokenization + byte mapping —
+    * `add_prefix_space` must be false/absent), and the same
+    * byte-coverage / merge-consistency validations as
+    * [[loadExternalGpt2]]. Returns (merges in rank order, token→id).
+    */
+  def loadExternalHfBpe(spark: SparkSession,
+      path: String): (Seq[(String, String)], Map[String, Int]) = {
+    val root = jsonTree(spark, path)
+    val model = root.get("model")
+    require(model != null && model.isObject,
+      s"loadExternalHfBpe: no model object in $path")
+    val mtype =
+      if (model.hasNonNull("type")) model.get("type").asText() else ""
+    require(mtype == "BPE",
+      s"loadExternalHfBpe: model.type '$mtype' at $path is not BPE — " +
+        "use the matching loader (WordPiece -> loadExternalHfWordPiece)")
+    val norm = root.get("normalizer")
+    require(norm == null || norm.isNull,
+      s"loadExternalHfBpe: unsupported normalizer " +
+        s"'${Option(norm.get("type")).map(_.asText).getOrElse("?")}' at " +
+        s"$path — the engine applies no normalization")
+    val pre = root.get("pre_tokenizer")
+    val preType = Option(pre).filterNot(_.isNull)
+      .flatMap(p => Option(p.get("type"))).map(_.asText)
+    require(preType.forall(_ == "ByteLevel"),
+      s"loadExternalHfBpe: unsupported pre_tokenizer " +
+        s"'${preType.getOrElse("?")}' at $path — the engine implements " +
+        "the GPT-2 ByteLevel pre-tokenization")
+    val prefixSpace = Option(pre).filterNot(_.isNull)
+      .flatMap(p => Option(p.get("add_prefix_space"))).exists(_.asBoolean)
+    require(!prefixSpace,
+      s"loadExternalHfBpe: add_prefix_space=true at $path is not " +
+        "implemented — the engine pre-tokenizes the text verbatim")
+    val vocab = vocabMap(model.get("vocab"),
+      s"loadExternalHfBpe($path).model.vocab")
+    val missingBytes = (0 until 256).map(b =>
+      graft.functions.ByteUnicode.byteToChar(b).toString)
+      .filterNot(vocab.contains)
+    require(missingBytes.isEmpty,
+      s"loadExternalHfBpe: vocab at $path is missing " +
+        s"${missingBytes.size} single-byte symbols (first: " +
+        s"'${missingBytes.head}') — not a byte-level BPE vocab")
+    val mergesNode = model.get("merges")
+    require(mergesNode != null && mergesNode.isArray && mergesNode.size > 0,
+      s"loadExternalHfBpe: model.merges at $path is not a non-empty array")
+    val merges = (0 until mergesNode.size).map { i =>
+      val m = mergesNode.get(i)
+      val (l, r) =
+        if (m.isTextual) {
+          val parts = m.asText().split(" ", -1)
+          require(parts.length == 2 && parts.forall(_.nonEmpty),
+            s"loadExternalHfBpe: merges[$i] '${m.asText()}' is not " +
+              "'left right'")
+          (parts(0), parts(1))
+        } else if (m.isArray && m.size == 2) {
+          (m.get(0).asText(), m.get(1).asText())
+        } else sys.error(
+          s"loadExternalHfBpe: merges[$i] at $path is neither a " +
+            "'left right' string nor a [left, right] pair")
+      require(vocab.contains(l) && vocab.contains(r) &&
+        vocab.contains(l + r),
+        s"loadExternalHfBpe: merge '$l $r' or its result is absent " +
+          "from model.vocab — mismatched artifact")
+      (l, r)
+    }
+    (merges, vocab)
+  }
+
   /** Load an HF single-file `tokenizer.json` whose model is WordPiece,
     * into [[graft.functions.WordPieceSegment]]'s inputs. STRICT about
     * what the engine actually implements — anything else fails loudly

@@ -59,6 +59,40 @@ class ExternalTokenizerSpec extends SparkSpecBase {
     assert(seg("a" * 65) == Seq("<unk>"))
   }
 
+  test("committed HF-BPE fixture (single-file GPT-2 export) parses to the same merges + vocab") {
+    val (merges, vocab) = TokenizerIO.loadExternalHfBpe(spark,
+      s"$fixDir/hf_bpe_toy/tokenizer.json")
+    // the single-file export and the vocab.json+merges.txt pair are the
+    // SAME artifact — both must load to identical tables
+    assert(merges == TokenizerFixtures.Gpt2Merges)
+    assert(vocab == TokenizerFixtures.Gpt2Vocab.toMap)
+    // the "left right" STRING merge form loads identically
+    def writeTmp(content: String): String = {
+      val f = java.nio.file.Files.createTempFile("tok", ".json")
+      java.nio.file.Files.writeString(f, content)
+      f.toString
+    }
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = om.readTree(TokenizerFixtures.hfBpeJson)
+    val m = tree.get("model").asInstanceOf[
+      com.fasterxml.jackson.databind.node.ObjectNode]
+    val strMerges = m.putArray("merges")
+    TokenizerFixtures.Gpt2Merges.foreach { case (l, r) =>
+      strMerges.add(s"$l $r") }
+    val (merges2, vocab2) = TokenizerIO.loadExternalHfBpe(spark,
+      writeTmp(om.writeValueAsString(tree)))
+    assert(merges2 == merges && vocab2 == vocab)
+    // add_prefix_space=true is not the engine's pre-tokenization
+    val pt = tree.get("pre_tokenizer").asInstanceOf[
+      com.fasterxml.jackson.databind.node.ObjectNode]
+    pt.put("add_prefix_space", true)
+    val e = intercept[IllegalArgumentException] {
+      TokenizerIO.loadExternalHfBpe(spark,
+        writeTmp(om.writeValueAsString(tree)))
+    }
+    assert(e.getMessage.contains("add_prefix_space"), e.getMessage)
+  }
+
   test("unsupported external artifacts fail loudly by name") {
     def writeTmp(content: String): String = {
       val f = java.nio.file.Files.createTempFile("tok", ".json")
