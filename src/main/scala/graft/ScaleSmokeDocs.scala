@@ -822,6 +822,53 @@ object ScaleSmokeDocs {
       batch.unpersist()
     }
 
+    // round-13: backfill-scale line + priority screens over the
+    // BUCKETED layouts — a half-corpus batch (too big to broadcast),
+    // the regime the bucketBy tables exist for: the batch shuffles
+    // into the table's buckets, the corpus side is a bucketed scan
+    // with zero exchanges, so the screen must track the BATCH across
+    // the corpus decade
+    if (Seq("line_backfill_bucketed", "priority_backfill_bucketed")
+        .exists(wanted)) {
+      val batchN = totalDocs / 2
+      val bIsDup = col("id") % 10 === 1
+      val srcId = pmod(col("id") * 97, lit(totalDocs))
+      val batch = spark.range(batchN).select(
+        (col("id") + totalDocs).as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(words - 1)), i => {
+          val h = when(bIsDup, hash(srcId, i))
+            .otherwise(hash(col("id") + totalDocs, i, lit("z")))
+          concat(lit("w"), pmod(h, lit(5000)))
+        })).as("text")).persist()
+      batch.count()
+      if (wanted("line_backfill_bucketed")) {
+        val dir = s"/tmp/graft_lnbk_idx_$totalDocs"
+        val tb = System.nanoTime()
+        Dedup.saveLineIndexBucketed(docs, "doc_id", "text", dir,
+          nBuckets = 32, tablePrefix = s"lnbk_$totalDocs")
+        println(f"[docs-scale] line_bk_index_build     ${(System.nanoTime() - tb) / 1e9}%.2fs")
+        stage("line_backfill_bucketed")(
+          Dedup.linesAgainstIndexBucketed(batch, dir, "doc_id", "text",
+            tablePrefix = s"lnbk_$totalDocs").count())
+      }
+      if (wanted("priority_backfill_bucketed")) {
+        val dir = s"/tmp/graft_prbk_idx_$totalDocs"
+        val tb = System.nanoTime()
+        Dedup.savePriorityIndexBucketed(
+          docs.withColumn("priority", pmod(col("doc_id"), lit(4L))),
+          "doc_id", "text", "priority", maxPriority = 3L, dir,
+          nBuckets = 32, tablePrefix = s"prbk_$totalDocs")
+        println(f"[docs-scale] priority_bk_index_build ${(System.nanoTime() - tb) / 1e9}%.2fs")
+        stage("priority_backfill_bucketed")(
+          Dedup.priorityAgainstIndexBucketed(
+            batch.withColumn("priority", pmod(col("doc_id"), lit(4L))),
+            dir, "doc_id", "text", "priority",
+            tablePrefix = s"prbk_$totalDocs")
+            .filter(col("n_corpus") > 0).count())
+      }
+      batch.unpersist()
+    }
+
     // backfill-scale screen (round-10): the SAME corpus in the bucketed
     // layout, screened by a 632k-doc batch — a batch too big to
     // broadcast, the regime the bucketBy(join keys) tables exist for.
