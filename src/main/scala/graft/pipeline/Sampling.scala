@@ -634,6 +634,40 @@ object Sampling {
             col("piece_len")).as("seq_off"))
   }
 
+  /** Per-sequence attention-span report over [[packSequencesBinned]]'s
+    * piece relation — the pretraining analog of the SFT loss mask
+    * ([[TextOps.renderChatML]]'s spans): a trainer consuming packed
+    * sequences needs, per `(shard, seq_id)`, the document-boundary
+    * offsets to BLOCK cross-document attention (the "Fewer Truncations"
+    * recipe trains with exactly this mask) plus the fill/waste audit
+    * every packing job ships. Pure rollup of the piece relation — one
+    * hash aggregate keyed by (shard, seq) whose groups are ≤
+    * budget pieces by construction, so `collect_list` here is bounded
+    * by the CONTEXT LENGTH, never by corpus size; spans serialize
+    * sorted `"off:end"` (pieces tile without overlap, so seq_off is a
+    * total order within a sequence — deterministic at any
+    * parallelism).
+    *
+    * Output: `(groupCol, seq_id, n_pieces, n_docs, fill, waste,
+    * spans)`.
+    */
+  def packedSequenceSpans(pieces: DataFrame, idCol: String,
+      groupCol: String, budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    pieces.groupBy(col(groupCol), col("seq_id"))
+      .agg(count(lit(1)).as("n_pieces"),
+        countDistinct(col(idCol)).as("n_docs"),
+        sum(col("piece_len")).as("fill"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seq_off").as("off"),
+            (col("seq_off") + col("piece_len")).as("end")))),
+          x => concat(x.getField("off").cast("string"), lit(":"),
+            x.getField("end").cast("string"))), ",").as("spans"))
+      .withColumn("waste", lit(budget.toLong) - col("fill"))
+      .select(col(groupCol), col("seq_id"), col("n_pieces"),
+        col("n_docs"), col("fill"), col("waste"), col("spans"))
+  }
+
   /** Weighted sampling WITHOUT replacement, k per group, deterministic —
     * Efraimidis-Spirakis reservoir order (Inf. Proc. Letters '06):
     * each row draws `u ∈ (0,1]` from its salted id hash and ranks by

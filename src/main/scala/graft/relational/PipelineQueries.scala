@@ -826,6 +826,16 @@ object PipelineQueries {
       Sampling.packSequencesBinned(docs(s, dir), "doc_id", "text", "source",
         budget = 512)),
 
+    // r13: the packed relation's trainer handoff — per (shard, seq):
+    // document-boundary attention spans (the cross-doc attention MASK
+    // the "Fewer Truncations" recipe trains with) + fill/waste audit.
+    // One bounded hash rollup (groups <= budget pieces by construction)
+    "p145_pack_spans" -> ((s, dir) =>
+      Sampling.packedSequenceSpans(
+        Sampling.packSequencesBinned(docs(s, dir), "doc_id", "text",
+          "source", budget = 512),
+        "doc_id", "source", budget = 512)),
+
     // round-12: compression-ratio junk gate beside p84's char entropy —
     // BOTH deflate tails are junk (repetition/templating low, base64/
     // packed payloads high). Planted 12-variant texts keyed by
@@ -3010,6 +3020,61 @@ object PipelineQueries {
            FROM bounds b JOIN dd USING (doc_id))"""
   }
 
+  /** The p117 BFD-packing oracle CTE chain, ending at the full piece
+    * relation `packed (doc_id, source, n_tokens, piece, piece_len,
+    * seq_id, seq_off)` — shared by the p117 relation dump and the p145
+    * per-sequence span rollup.
+    */
+  private lazy val BfdPackSql: String =
+    s"""WITH RECURSIVE d AS MATERIALIZED (
+             SELECT doc_id, source, CAST(len($TOKS) AS BIGINT) AS n
+             FROM documents),
+           pieces AS MATERIALIZED (
+             SELECT doc_id, source, n AS n_tokens, i AS piece,
+               CASE WHEN i < n // 512 THEN 512 ELSE n % 512 END AS piece_len
+             FROM d, LATERAL unnest(generate_series(0, n // 512)) t(i)
+             WHERE (CASE WHEN i < n // 512 THEN 512 ELSE n % 512 END) >= 1),
+           hq AS MATERIALIZED (
+             SELECT source, piece_len, c,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY piece_len DESC) AS g
+             FROM (SELECT source, piece_len, count(*) AS c
+                   FROM pieces GROUP BY 1, 2)),
+           st AS (
+             SELECT source, CAST(1 AS BIGINT) AS g, CAST(0 AS BIGINT) AS t,
+               CAST(0 AS BIGINT) AS f
+             FROM (SELECT DISTINCT source FROM hq)
+             UNION ALL
+             SELECT s.source, s.g + 1,
+               CASE WHEN h.c <= (512 - s.f) // h.piece_len THEN s.t
+                    ELSE s.t + 1 + (h.c - (512 - s.f) // h.piece_len - 1)
+                           // (512 // h.piece_len) END,
+               CASE WHEN h.c <= (512 - s.f) // h.piece_len
+                    THEN s.f + h.c * h.piece_len
+                    ELSE ((h.c - (512 - s.f) // h.piece_len - 1)
+                            % (512 // h.piece_len) + 1) * h.piece_len END
+             FROM st s JOIN hq h ON h.source = s.source AND h.g = s.g),
+           rk AS (
+             SELECT p.*, row_number() OVER (PARTITION BY source, piece_len
+               ORDER BY doc_id, piece) AS j
+             FROM pieces p),
+           asg AS (
+             SELECT rk.doc_id, rk.source, rk.n_tokens, rk.piece,
+               rk.piece_len, rk.j, st.t, st.f,
+               (512 - st.f) // rk.piece_len AS r,
+               512 // rk.piece_len AS k
+             FROM rk
+             JOIN hq ON rk.source = hq.source AND rk.piece_len = hq.piece_len
+             JOIN st ON st.source = hq.source AND st.g = hq.g),
+           packed AS (
+             SELECT doc_id, source, n_tokens, piece, piece_len,
+               CAST(CASE WHEN j <= r THEN t
+                         ELSE t + 1 + (j - r - 1) // k END AS BIGINT) AS seq_id,
+               CAST(CASE WHEN j <= r THEN f + (j - 1) * piece_len
+                         ELSE ((j - r - 1) % k) * piece_len END AS BIGINT)
+                 AS seq_off
+             FROM asg)"""
+
   private val oracleBase: Map[String, String] = Map(
     "p1_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
@@ -3788,54 +3853,25 @@ object PipelineQueries {
     // r = (512 - f) // len pieces top off the current bin, k = 512 //
     // len fill each fresh bin; exit state feeds the next (shorter)
     // group. All-BIGINT, so hash-exact by construction.
-    "p117_pack_bfd" ->
-      s"""WITH RECURSIVE d AS MATERIALIZED (
-             SELECT doc_id, source, CAST(len($TOKS) AS BIGINT) AS n
-             FROM documents),
-           pieces AS MATERIALIZED (
-             SELECT doc_id, source, n AS n_tokens, i AS piece,
-               CASE WHEN i < n // 512 THEN 512 ELSE n % 512 END AS piece_len
-             FROM d, LATERAL unnest(generate_series(0, n // 512)) t(i)
-             WHERE (CASE WHEN i < n // 512 THEN 512 ELSE n % 512 END) >= 1),
-           hq AS MATERIALIZED (
-             SELECT source, piece_len, c,
-               row_number() OVER (PARTITION BY source
-                 ORDER BY piece_len DESC) AS g
-             FROM (SELECT source, piece_len, count(*) AS c
-                   FROM pieces GROUP BY 1, 2)),
-           st AS (
-             SELECT source, CAST(1 AS BIGINT) AS g, CAST(0 AS BIGINT) AS t,
-               CAST(0 AS BIGINT) AS f
-             FROM (SELECT DISTINCT source FROM hq)
-             UNION ALL
-             SELECT s.source, s.g + 1,
-               CASE WHEN h.c <= (512 - s.f) // h.piece_len THEN s.t
-                    ELSE s.t + 1 + (h.c - (512 - s.f) // h.piece_len - 1)
-                           // (512 // h.piece_len) END,
-               CASE WHEN h.c <= (512 - s.f) // h.piece_len
-                    THEN s.f + h.c * h.piece_len
-                    ELSE ((h.c - (512 - s.f) // h.piece_len - 1)
-                            % (512 // h.piece_len) + 1) * h.piece_len END
-             FROM st s JOIN hq h ON h.source = s.source AND h.g = s.g),
-           rk AS (
-             SELECT p.*, row_number() OVER (PARTITION BY source, piece_len
-               ORDER BY doc_id, piece) AS j
-             FROM pieces p),
-           asg AS (
-             SELECT rk.doc_id, rk.source, rk.n_tokens, rk.piece,
-               rk.piece_len, rk.j, st.t, st.f,
-               (512 - st.f) // rk.piece_len AS r,
-               512 // rk.piece_len AS k
-             FROM rk
-             JOIN hq ON rk.source = hq.source AND rk.piece_len = hq.piece_len
-             JOIN st ON st.source = hq.source AND st.g = hq.g)
-         SELECT doc_id, source, n_tokens, piece, piece_len,
-           CAST(CASE WHEN j <= r THEN t
-                     ELSE t + 1 + (j - r - 1) // k END AS BIGINT) AS seq_id,
-           CAST(CASE WHEN j <= r THEN f + (j - 1) * piece_len
-                     ELSE ((j - r - 1) % k) * piece_len END AS BIGINT)
-             AS seq_off
-         FROM asg""",
+    "p117_pack_bfd" -> (BfdPackSql + """
+         SELECT doc_id, source, n_tokens, piece, piece_len, seq_id,
+           seq_off
+         FROM packed"""),
+
+    // the packed piece relation rolled up per (shard, sequence): the
+    // document-boundary attention spans + fill/waste audit — same
+    // CTEs, one GROUP BY with an ordered string_agg
+    "p145_pack_spans" -> (BfdPackSql + """
+         SELECT source, seq_id,
+           CAST(count(*) AS BIGINT) AS n_pieces,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(piece_len) AS BIGINT) AS fill,
+           CAST(512 - sum(piece_len) AS BIGINT) AS waste,
+           string_agg(CAST(seq_off AS VARCHAR) || ':' ||
+               CAST(seq_off + piece_len AS VARCHAR), ','
+             ORDER BY seq_off) AS spans
+         FROM packed GROUP BY 1, 2"""),
+
 
     // ENGINE-GENERATED literal table: n_bytes from the variant strings,
     // deflate_bytes from the shared DeflateLen helper (zlib level 6 raw

@@ -669,6 +669,51 @@ class PipelineSpec extends SparkSpecBase {
     assert(rep == out)
   }
 
+  test("packedSequenceSpans: spans tile without overlap, fill+waste = budget, boundaries match pieces") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val B = 16
+    val d = Seq(
+      (1L, words(7), "s"), (2L, words(7), "s"), (3L, words(9), "s"),
+      (4L, words(40), "s"), // longer than budget: splits minimally
+      (5L, words(5), "t"))
+      .toDF("doc_id", "text", "source")
+    val pieces = Sampling.packSequencesBinned(d, "doc_id", "text",
+      "source", B)
+    val out = Sampling.packedSequenceSpans(pieces, "doc_id", "source", B)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getString(6)))).toMap
+    // every sequence: spans parse, tile in order without overlap, and
+    // total length == fill; fill + waste == budget
+    out.foreach { case ((src, seq), (nP, nD, fill, waste, spans)) =>
+      val sp = spans.split(",").map { s =>
+        val Array(a, b) = s.split(":"); (a.toLong, b.toLong) }
+      assert(sp.length == nP && nD <= nP)
+      assert(fill + waste == B, s"$src/$seq: $fill + $waste != $B")
+      assert(sp.map { case (a, b) => b - a }.sum == fill)
+      sp.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) => assert(e1 <= s2,
+          s"$src/$seq overlaps: $spans")
+        case _ =>
+      }
+    }
+    // the split doc's full-budget pieces own their sequences outright
+    val fullSeqs = out.filter(_._2._3 == B.toLong)
+    assert(fullSeqs.exists(_._2._5 == s"0:$B"),
+      s"no full-budget single-span sequence: $out")
+    // shard t: one sequence holding the one 5-token doc
+    assert(out(("t", 0L)) == ((1L, 1L, 5L, 11L, "0:5")))
+    // deterministic at any parallelism
+    val rep = Sampling.packedSequenceSpans(
+      Sampling.packSequencesBinned(d.repartition(7), "doc_id", "text",
+        "source", B), "doc_id", "source", B)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getString(6)))).toMap
+    assert(rep == out)
+  }
+
   test("packSequencesBinned: non-atomic shard keys refused loudly (identity toString)") {
     import spark.implicits._
     // an array shard column's toString is identity-based — every row
