@@ -2022,6 +2022,35 @@ object PipelineQueries {
           array_join(flatten(col("segs")), " ").as("wp_text"))
     }),
 
+    // context-fit report under the EXTERNAL tokenizer (r13): p98's
+    // truncation accounting re-based on the loaded artifact's REAL
+    // subword counts — the number every context-length decision
+    // actually needs (whitespace tokens undercount by the fertility
+    // factor). Same stored artifact as p141.
+    "p146_external_context_fit" -> ((s, dir) => {
+      val tokDir = withPipelineArtifact(dir, "p141_hf_tok") { stage =>
+        graft.pipeline.TokenizerFixtures.write(s, s"$stage/tokenizer.json",
+          graft.pipeline.TokenizerFixtures.hfWordPieceJson)
+      }
+      val (pieces, unk, maxChars) = TokenizerIO.loadExternalHfWordPiece(
+        s, s"$tokDir/tokenizer.json")
+      docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("__n", aggregate(col("toks"), lit(0L),
+          (a, w) => a + size(graft.functions.WordPieceSegment(
+            w, pieces, unk, maxChars))))
+        .select(col("__n"),
+          explode(typedLit(Seq(64L, 128L, 256L))).as("ctx_len"))
+        .groupBy("ctx_len")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("__n") > col("ctx_len"), 1L).otherwise(0L))
+            .cast("long").as("n_truncated"),
+          sum(col("__n")).cast("long").as("n_tokens"),
+          sum(greatest(col("__n") - col("ctx_len"), lit(0L))).cast("long")
+            .as("tokens_lost"))
+        .withColumn("lost_frac",
+          round(col("tokens_lost") * lit(1.0) / col("n_tokens"), 6))
+    }),
+
     // published-tokenizer interop, GPT-2 half: vocab.json + merges.txt
     // (written from TokenizerFixtures, loaded through the real parser
     // with its byte-coverage and merge-consistency validations) feed
@@ -5501,6 +5530,23 @@ object PipelineQueries {
            coalesce(a.wp_text, '') AS wp_text
          FROM toks t LEFT JOIN agg a USING (doc_id)"""
     }),
+
+    // p98's truncation arithmetic over the external artifact's REAL
+    // per-doc piece counts — same greedy CTE chain as p141
+    "p146_external_context_fit" -> (WpExternalSegCtes + raw""",
+           pn AS (SELECT doc_id, sum(len(pieces)) AS n FROM j GROUP BY 1),
+           alln AS (SELECT t.doc_id, coalesce(pn.n, 0) AS n
+             FROM toks t LEFT JOIN pn USING (doc_id)),
+           x AS (SELECT n, unnest([64, 128, 256]) AS ctx_len FROM alln)
+         SELECT CAST(ctx_len AS BIGINT) AS ctx_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n > ctx_len THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truncated,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(sum(greatest(n - ctx_len, 0)) AS BIGINT) AS tokens_lost,
+           round(sum(greatest(n - ctx_len, 0)) * 1.0 / sum(n), 6)
+             AS lost_frac
+         FROM x GROUP BY ctx_len"""),
 
     // the p112 segmentation rolled up by language: the tokenizer-QA
     // table every vocab bump ships with — same CTE chain, per-lang sums

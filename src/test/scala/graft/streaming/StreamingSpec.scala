@@ -1162,6 +1162,32 @@ class StreamingSpec extends SparkSpecBase {
       assert(cGot == cExpected)
     } finally { qG.stop(); qC.stop() }
   }
+
+  test("licenseGate serves on streams unchanged (stateless projection)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "// SPDX-License-Identifier: MIT\nint main() {}"),
+      (2L, "The MIT license is discussed in classrooms."),
+      (3L, "This program is free software under the GNU General Public License."),
+      (4L, ""))
+    val corpus = rows.toDF("doc_id", "text")
+    val expected = graft.pipeline.Quality.licenseGate(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.pipeline.Quality.licenseGate(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("license_gate_stream")
+      .outputMode("append").start()
+    val got = try {
+      mem.addData(rows.take(2): _*); q.processAllAvailable()
+      mem.addData(rows.drop(2): _*); q.processAllAvailable()
+      spark.table("license_gate_stream").collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    } finally q.stop()
+    assert(got == expected)
+    assert(got(1L).last == true && got(3L).last == false)
+  }
 }
 
 object StreamingSpec {
