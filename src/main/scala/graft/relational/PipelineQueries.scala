@@ -1430,6 +1430,28 @@ object PipelineQueries {
     // unicode cleanup normalization over docs wrapped in planted
     // encoding junk (curly quotes, NBSP, ZWSP, em-dash, ellipsis — the
     // p49 planted-chrome pattern); normalized text is oracle-hashed
+    // Unicode NFC canonical composition (r13 — the pre-hash normalize
+    // p58's punctuation pass does NOT cover): the same visible text
+    // arrives precomposed (é U+00E9) or decomposed (e + U+0301) and
+    // would split duplicate groups under md5. Plant: %4==1 docs carry
+    // the DECOMPOSED spelling of the exact suffix %4==2 docs carry
+    // precomposed — after NFC their content hashes must unify. One
+    // codegen projection (NfcNormalize expression), zero shuffles.
+    "p147_nfc_normalize" -> ((s, dir) => {
+      val wrapped = concat(col("text"),
+        when(col("doc_id") % 4 === 1, lit(" café crème"))
+          .when(col("doc_id") % 4 === 2, lit(" café crème"))
+          .when(col("doc_id") % 4 === 3, lit(" Ångström"))
+          .otherwise(lit(" plain")))
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.NfcNormalize(wrapped).as("text_nfc"),
+        (wrapped =!= graft.functions.NfcNormalize(wrapped)).as("changed"),
+        length(wrapped).cast("long").as("n_raw"),
+        length(graft.functions.NfcNormalize(wrapped)).cast("long")
+          .as("n_nfc"),
+        md5(graft.functions.NfcNormalize(wrapped)).as("content_hash"))
+    }),
+
     "p58_text_normalize" -> ((s, dir) => {
       // plant: curly-quoted prefix + NBSP, and on every 3rd doc an
       // ellipsis + ZWSP + em-dash tail (unicode escapes, not literal
@@ -4124,6 +4146,25 @@ object PipelineQueries {
            // greatest(coalesce(p.chunk_chars, 0), 1) AS dup_permille
        FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
          LEFT JOIN per p USING (doc_id)"""),
+
+    // the same plant spelled with chr() codes (decomposed = base char
+    // + combining mark, precomposed = the single code point), run
+    // through DuckDB's own UAX#15 NFC — the %4==1 / %4==2 hash
+    // unification is the operator's claim
+    "p147_nfc_normalize" ->
+      """WITH d AS (SELECT doc_id, text ||
+             CASE doc_id % 4
+               WHEN 1 THEN ' cafe' || chr(769) || ' cre' || chr(768) || 'me'
+               WHEN 2 THEN ' caf' || chr(233) || ' cr' || chr(232) || 'me'
+               WHEN 3 THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+               ELSE ' plain' END AS w
+           FROM documents)
+         SELECT doc_id, nfc_normalize(w) AS text_nfc,
+           w <> nfc_normalize(w) AS changed,
+           CAST(length(w) AS BIGINT) AS n_raw,
+           CAST(length(nfc_normalize(w)) AS BIGINT) AS n_nfc,
+           md5(nfc_normalize(w)) AS content_hash
+         FROM d""",
 
     // same planted headers, same header-shaped resolution: SPDX tag
     // first, license-text fingerprints second, name-dropping prose

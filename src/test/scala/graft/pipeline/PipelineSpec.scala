@@ -4684,6 +4684,34 @@ class PipelineSpec extends SparkSpecBase {
     CacheLedger.drain()
   }
 
+  test("NfcNormalize: composes decomposed sequences, unifies content hashes, idempotent, null-safe") {
+    import spark.implicits._
+    val decomposed = "café crème"   // e + combining acute/grave
+    val precomposed = "café crème"    // single code points
+    val d = Seq((1L, decomposed), (2L, precomposed),
+      (3L, "plain ascii"), (4L, "Ångström"))
+      .toDF("doc_id", "text")
+      .unionByName(spark.sql("SELECT 5L AS doc_id, cast(null as string) AS text"))
+    val out = d.select(col("doc_id"),
+        graft.functions.NfcNormalize(col("text")).as("nfc"),
+        md5(graft.functions.NfcNormalize(col("text"))).as("h"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    // the two spellings of the same visible text unify
+    assert(out(1L) == out(2L), s"${out(1L)} vs ${out(2L)}")
+    assert(out(1L)._1 == precomposed)
+    // ASCII passes through; combining ring/diaeresis compose
+    assert(out(3L)._1 == "plain ascii")
+    assert(out(4L)._1 == "Ångström")
+    // null -> null
+    assert(out(5L) == ((null, null)))
+    // idempotent
+    val twice = d.filter(col("doc_id") === 1L).select(
+      graft.functions.NfcNormalize(
+        graft.functions.NfcNormalize(col("text")))).head().getString(0)
+    assert(twice == precomposed)
+  }
+
   test("licenseGate: SPDX wins, fingerprints classify, name-dropping prose stays none") {
     val d = docsOf(
       (1L, "// SPDX-License-Identifier: MIT\nint main() {}"),
