@@ -1175,6 +1175,176 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  // ---- shingle inverted index (cross-snapshot containment) ---------------
+  //
+  // The stored-index form of [[containmentPairs]] (r13 — the seventh
+  // family): "is this NEW doc mostly contained in some stored doc?" is
+  // the quote/mirror/excerpt question a minhash index structurally
+  // cannot serve — banding estimates JACCARD, and a 50-token quote
+  // inside a 5000-token page has J ≈ 0.01, invisible to any band
+  // geometry. Containment needs shingle-granular postings, so this
+  // family stores the inverted index itself: `$path/postings`
+  // (sg, doc) for shingles with build-time df ≤ maxDf (the p54
+  // hot-shingle storage bound) + `$path/docs` (doc, n_sh) for the
+  // containment denominators. Both relations are append-only (fold =
+  // the batch's own postings/sizes as new files); because the serving
+  // screen RE-DERIVES df over the matched keys (batch-bounded) and
+  // applies the cutoff there, N folded snapshots serve with the same
+  // df semantics as a rebuild — up to the documented asymmetry that a
+  // shingle CUT at build time in one snapshot cannot contribute its
+  // other snapshots' postings' true df (it was never stored), so a
+  // cross-snapshot-hot shingle contributes only its stored minority.
+
+  /** Hashed postings + sizes of `docs`: ((sg, doc), (doc, n_sh)). */
+  private def shinglePostings(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): (DataFrame, DataFrame) = {
+    val withSh = shingleSets(docs, idCol, textCol, n)
+      .select(col("doc"),
+        array_distinct(transform(col("sh"), s => hash60(s))).as("sh"))
+      .persistTracked()
+    (withSh.select(explode(col("sh")).as("sg"), col("doc")),
+      withSh.select(col("doc"), size(col("sh")).cast("long").as("n_sh")))
+  }
+
+  /** Persist the shingle inverted index of `docs` at `path`. */
+  def saveShingleIndex(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, path: String, maxDf: Int = 10000): Unit = {
+    require(n >= 1 && maxDf >= 1, s"need n >= 1, maxDf >= 1: $n, $maxDf")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(("shingle_h60", 60, n, maxDf))
+      .toDF("family", "key_bits", "n", "max_df")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    val (postings, sizes) = shinglePostings(docs, idCol, textCol, n)
+    val kept = postings.join(
+      postings.groupBy("sg").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select("sg"),
+      Seq("sg"), "left_semi")
+    kept.sortWithinPartitions("sg")
+      .write.mode("overwrite").parquet(s"$path/postings")
+    sizes.write.mode("overwrite").parquet(s"$path/docs")
+  }
+
+  /** Load + validate a shingle index: family, shingle width, df bound,
+    * the per-file 60-bit key probe. Returns (postings, sizes, n, maxDf).
+    */
+  def loadShingleIndex(spark: SparkSession,
+      path: String): (DataFrame, DataFrame, Int, Int) = {
+    val metaDf = spark.read.parquet(s"$path/meta")
+    // family FIRST (a foreign family's meta lacks the geometry columns —
+    // the family mismatch is the useful error, not an unresolved column)
+    require(metaDf.columns.contains("family"),
+      s"loadShingleIndex: no family column in meta at $path")
+    val fam = metaDf.select(col("family").cast("string")).collect()
+    require(fam.length == 1,
+      s"loadShingleIndex: expected ONE meta row at $path/meta, got ${fam.length}")
+    require(fam(0).getString(0) == "shingle_h60",
+      s"loadShingleIndex: index family ${fam(0).getString(0)} at $path " +
+        "is not shingle_h60 — foreign key material would silently stop " +
+        "matching batch shingles")
+    val meta = metaDf
+      .select(col("family").cast("string"), col("key_bits").cast("int"),
+        col("n").cast("int"), col("max_df").cast("int"))
+      .collect()
+    val bits = meta(0).getInt(1)
+    val postings = spark.read.parquet(s"$path/postings")
+    require(Seq("sg", "doc").forall(postings.columns.contains),
+      s"loadShingleIndex: not a postings relation at $path: " +
+        postings.columns.mkString(","))
+    val sizes = spark.read.parquet(s"$path/docs")
+    require(Seq("doc", "n_sh").forall(sizes.columns.contains),
+      s"loadShingleIndex: not a doc-size relation at $path: " +
+        sizes.columns.mkString(","))
+    probeFiles(spark, s"$path/postings").foreach { f =>
+      val r = spark.read.parquet(f).select(col("sg").cast("long"))
+        .limit(1).collect()
+      r.headOption.foreach { row =>
+        val k = row.getLong(0)
+        require(k >= 0 && k < (1L << bits),
+          s"loadShingleIndex: file $f carries key $k outside the " +
+            s"$bits-bit family at $path")
+      }
+    }
+    (postings, sizes, meta(0).getInt(2), meta(0).getInt(3))
+  }
+
+  /** Screen a batch against the stored shingle index — directed
+    * containment between each batch doc and each stored doc they share
+    * shingles with: `containment = inter / n_sh(inner)`, both
+    * directions reported at or above `threshold` (batch-inside-corpus
+    * is the excerpt/quote case; corpus-inside-batch the expansion
+    * case). Shingle width comes FROM the stored meta; the df cutoff is
+    * re-derived over the MATCHED keys (batch-bounded, so folded
+    * snapshots keep the build-time semantics — see the family note).
+    *
+    * Shuffle ledger (`broadcastBatch = true`, the serving contract):
+    * the batch's distinct shingle hashes broadcast and SEMI-FILTER the
+    * narrow stored postings scan — the corpus contributes one
+    * two-column columnar scan and zero exchanges; everything after is
+    * proportional to the matched postings (bounded by batch keys ×
+    * maxDf).
+    *
+    * Output: `(doc_inner, doc_outer, inter, containment)`.
+    */
+  def containmentAgainstIndex(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, threshold: Double,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val spark = newDocs.sparkSession
+    val (postings, sizes, n, maxDf) = loadShingleIndex(spark, indexPath)
+    val (bPostings0, bSizes) = shinglePostings(newDocs, idCol, textCol, n)
+    val bPostings = bPostings0.persistTracked()
+    val bKeys = bPostings.select("sg").distinct()
+    val matched = (if (broadcastBatch)
+        postings.join(broadcast(bKeys), Seq("sg"), "left_semi")
+      else postings.join(bKeys, Seq("sg"), "left_semi"))
+      .persistTracked()
+    // serve-time df over the matched keys only (batch-bounded): the
+    // union across folded snapshots must honor the stored bound
+    val hot = matched.groupBy("sg").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select("sg")
+    val cold = matched.join(
+      if (broadcastBatch) broadcast(hot) else hot, Seq("sg"), "left_anti")
+    val inter = bPostings
+      .join(cold.withColumnRenamed("doc", "__cdoc"), Seq("sg"))
+      .groupBy(col("doc").as("__bdoc"), col("__cdoc"))
+      .agg(count(lit(1)).as("inter"))
+    val cSizes = sizes.join(
+      if (broadcastBatch) broadcast(inter.select(col("__cdoc").as("doc"))
+        .distinct())
+      else inter.select(col("__cdoc").as("doc")).distinct(),
+      Seq("doc"), "left_semi")
+    val sized = inter
+      .join(bSizes.select(col("doc").as("__bdoc"), col("n_sh").as("__nb")),
+        Seq("__bdoc"))
+      .join(cSizes.select(col("doc").as("__cdoc"), col("n_sh").as("__nc")),
+        Seq("__cdoc"))
+    sized.select(col("__bdoc").as("doc_inner"),
+        col("__cdoc").as("doc_outer"), col("inter"),
+        round(col("inter") * lit(1.0) / col("__nb"), 6).as("containment"))
+      .unionByName(sized.select(col("__cdoc").as("doc_inner"),
+        col("__bdoc").as("doc_outer"), col("inter"),
+        round(col("inter") * lit(1.0) / col("__nc"), 6).as("containment")))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** Fold a batch INTO the stored shingle index: the batch's own
+    * postings (under the stored shingle width and build-time df bound)
+    * and doc sizes append as new files — O(batch).
+    */
+  def mergeIntoShingleIndex(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String): Unit = {
+    val spark = newDocs.sparkSession
+    val (_, _, n, maxDf) = loadShingleIndex(spark, indexPath)
+    val (postings, sizes) = shinglePostings(newDocs, idCol, textCol, n)
+    val kept = postings.join(
+      postings.groupBy("sg").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select("sg"),
+      Seq("sg"), "left_semi")
+    kept.sortWithinPartitions("sg")
+      .write.mode("append").parquet(s"$indexPath/postings")
+    sizes.write.mode("append").parquet(s"$indexPath/docs")
+  }
+
   /** One-sided shingle CONTAINMENT (Broder '97's other resemblance
     * measure): C(inner ⊆ outer) = |A∩B| / |A_inner| — the doc-in-doc
     * signal Jaccard structurally misses. A 50-token quote fully inside a

@@ -976,6 +976,34 @@ object PipelineQueries {
         s"$out/idx", "doc_id", "text")
     }),
 
+    // cross-snapshot CONTAINMENT screen (r13 — the excerpt/quote
+    // question no minhash band can serve: J ≈ n_quote/n_page is
+    // invisible at any geometry): even ids' shingle POSTINGS persist
+    // as the stored inverted index with a second snapshot FOLDED from
+    // %4==2; odd batch docs screen against it — %10==1 batch docs
+    // carry a 24-token interior excerpt of their even neighbor, so
+    // their shingles are a strict subset and batch-inside-corpus
+    // containment must read 1.0
+    "p148_containment_screen" -> ((s, dir) => {
+      val base = docs(s, dir)
+      val evens = base.filter(col("doc_id") % 2 === 0)
+      val batch = base.filter(col("doc_id") % 2 === 1)
+        .join(evens.select((col("doc_id") + 1).as("doc_id"),
+          col("text").as("__src")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 1,
+            concat_ws(" ", slice(tokens(col("__src")), 2, 24)))
+            .otherwise(col("text")).as("text"))
+      val out = withPipelineArtifact(dir, "p148_shingle_idx") { stage =>
+        Dedup.saveShingleIndex(evens.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", n = 3, s"$stage/idx", maxDf = 100000)
+        Dedup.mergeIntoShingleIndex(evens.filter(col("doc_id") % 4 === 2),
+          s"$stage/idx", "doc_id", "text")
+      }
+      Dedup.containmentAgainstIndex(batch, s"$out/idx", "doc_id", "text",
+        threshold = 0.8)
+    }),
+
     // r13: the bloom fast path generalized to the two NEW index
     // families. No false negatives ⇒ each relation is IDENTICAL to its
     // plain screen's — the oracles are p133's / p138's VERBATIM
@@ -4146,6 +4174,56 @@ object PipelineQueries {
            // greatest(coalesce(p.chunk_chars, 0), 1) AS dup_permille
        FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
          LEFT JOIN per p USING (doc_id)"""),
+
+    // the p54 directed-containment CTEs over the planted
+    // excerpt-in-page corpus, restricted to cross-split (batch odd ×
+    // corpus even) pairs — both directions, same hashed shingles,
+    // same one-division rounding
+    "p148_containment_screen" ->
+      raw"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+             srcm AS (SELECT doc_id + 1 AS doc_id, text AS srctext FROM ev),
+             bt AS (SELECT b.doc_id,
+                 CASE WHEN b.doc_id % 10 = 1 THEN
+                   array_to_string((list_filter(string_split_regex(
+                     lower(trim(s.srctext)), '\s+'), x -> x != ''))[2:25], ' ')
+                 ELSE b.text END AS text
+               FROM documents b LEFT JOIN srcm s ON b.doc_id = s.doc_id
+               WHERE b.doc_id % 2 = 1),
+             u AS (SELECT doc_id, text FROM ev
+                   UNION ALL SELECT doc_id, text FROM bt),
+             d AS (SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                   x -> x != '') AS toks
+               FROM u),
+             s0 AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                   THEN list_distinct(list_transform(
+                     generate_series(1, len(toks) - 2),
+                     i -> array_to_string(toks[i:i+2], ' ')))
+                   ELSE [] END AS sh0
+               FROM d),
+             sx AS (SELECT doc_id, list_distinct(list_transform(sh0, sg ->
+                 ('0x' || substr(md5(sg), 1, 15))::BIGINT)) AS sh
+               FROM s0),
+             ex AS (SELECT doc_id, unnest(sh) AS sg FROM sx),
+             sz AS (SELECT doc_id, len(sh) AS n_sh FROM sx),
+             inter AS (SELECT b.doc_id AS bdoc, c.doc_id AS cdoc,
+                 count(*) AS inter
+               FROM ex b JOIN ex c ON b.sg = c.sg
+               WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+               GROUP BY 1, 2),
+             cz AS (SELECT i.bdoc, i.cdoc, i.inter,
+                 sb.n_sh AS nb, sc.n_sh AS nc
+               FROM inter i JOIN sz sb ON i.bdoc = sb.doc_id
+                 JOIN sz sc ON i.cdoc = sc.doc_id),
+             dirn AS (SELECT bdoc AS doc_inner, cdoc AS doc_outer,
+                 inter, round(inter * 1.0 / nb, 6) AS containment FROM cz
+               UNION ALL
+               SELECT cdoc AS doc_inner, bdoc AS doc_outer,
+                 inter, round(inter * 1.0 / nc, 6) AS containment FROM cz)
+         SELECT doc_inner, doc_outer, CAST(inter AS BIGINT) AS inter,
+           containment
+         FROM dirn WHERE containment >= 0.8""",
 
     // the same plant spelled with chr() codes (decomposed = base char
     // + combining mark, precomposed = the single code point), run

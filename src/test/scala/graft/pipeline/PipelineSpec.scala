@@ -4684,6 +4684,52 @@ class PipelineSpec extends SparkSpecBase {
     CacheLedger.drain()
   }
 
+  test("shingle stored index: excerpt containment 1.0, fold == rebuild, serve-time df cutoff, foreign family fails") {
+    import spark.implicits._
+    def words(a: Int, b: Int) = (a to b).map(i => s"w$i").mkString(" ")
+    val corpusA = docsOf((2L, words(1, 60)))
+    val corpusB = docsOf((4L, words(100, 160)))
+    val batch = docsOf(
+      (11L, words(10, 29)),            // interior excerpt of doc 2 -> 1.0
+      (13L, words(120, 139)),          // excerpt of the FOLDED doc 4 -> 1.0
+      (15L, "totally fresh words " + words(900, 940)))
+    val dir = java.nio.file.Files.createTempDirectory("sh_idx").toString
+    Dedup.saveShingleIndex(corpusA, "doc_id", "text", n = 3, s"$dir/f")
+    Dedup.mergeIntoShingleIndex(corpusB, s"$dir/f", "doc_id", "text")
+    Dedup.saveShingleIndex(corpusA.unionByName(corpusB), "doc_id", "text",
+      n = 3, s"$dir/r")
+    def screen(p: String) =
+      Dedup.containmentAgainstIndex(batch, p, "doc_id", "text", 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+    val folded = screen(s"$dir/f")
+    assert(folded == screen(s"$dir/r"), "fold != rebuild")
+    // both excerpts fully contained (18 shingles each), fresh doc absent
+    assert(folded((11L, 2L)) == ((18L, 1.0)), folded.toString)
+    assert(folded((13L, 4L)) == ((18L, 1.0)), folded.toString)
+    assert(!folded.keys.exists(_._1 == 15L))
+    // the big docs are NOT contained in their excerpts (reverse
+    // direction under threshold)
+    assert(!folded.contains((2L, 11L)) && !folded.contains((4L, 13L)))
+    // serve-time df cutoff: an index built with maxDf 1 stores only
+    // df-1 shingles; a batch doc whose every shingle matches TWO
+    // stored docs is cut to nothing
+    val hotCorpus = docsOf((2L, words(1, 30)), (4L, words(1, 30)))
+    Dedup.saveShingleIndex(hotCorpus, "doc_id", "text", n = 3,
+      s"$dir/hot", maxDf = 1)
+    assert(Dedup.containmentAgainstIndex(docsOf((11L, words(5, 20))),
+      s"$dir/hot", "doc_id", "text", 0.1).count() == 0,
+      "df-cut shingles must not match")
+    // foreign family fails before any join
+    Dedup.saveExactIndex(corpusA, "doc_id", "text", s"$dir/exact")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.loadShingleIndex(spark, s"$dir/exact")
+    }
+    assert(e.getMessage.contains("not shingle_h60"), e.getMessage)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    CacheLedger.drain()
+  }
+
   test("NfcNormalize: composes decomposed sequences, unifies content hashes, idempotent, null-safe") {
     import spark.implicits._
     val decomposed = "café crème"   // e + combining acute/grave
