@@ -146,6 +146,38 @@ object ScaleSmokeDocs {
         hosted, "doc_id", "host", "score", n = 10, maxScore = 999L).count())
       require(kept <= 21 * 10, s"more than n per host survived: $kept")
     }
+    if (wanted("containment_screen")) {
+      // round-13 shingle-index loop: even ids' postings persist, odd
+      // ids screen — every 10th odd doc is a 20-word interior excerpt
+      // of its even neighbor (containment 1.0); serving cost must
+      // track the batch (corpus = one narrow semi-filtered postings
+      // scan)
+      // odd %10==1 docs regenerate with the EVEN neighbor's words and
+      // then cut to an interior 20-word window — a true excerpt
+      val cdocs = spark.range(totalDocs).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(words - 1)), i => {
+          val srcId = when(col("id") % 10 === 1, col("id") - 1)
+            .otherwise(when(col("id") % 100 === 1, col("id") - 1)
+              .otherwise(col("id")))
+          concat(lit("w"), pmod(hash(srcId, i), lit(5000)))
+        })).as("text"))
+        .withColumn("text", when(col("doc_id") % 10 === 1,
+          concat_ws(" ", slice(split(col("text"), " "), 5, 20)))
+          .otherwise(col("text")))
+      val dir = java.nio.file.Files.createTempDirectory("sh_scale").toString
+      val tIdx = System.nanoTime()
+      Dedup.saveShingleIndex(cdocs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", n = 3, s"$dir/idx", maxDf = 1000)
+      println(f"[docs-scale] n=$n shingle_index_build    ${(System.nanoTime() - tIdx) / 1e9}%8.2fs")
+      val hits = stage("containment_screen")(Dedup.containmentAgainstIndex(
+          cdocs.filter(col("doc_id") % 2 === 1), s"$dir/idx",
+          "doc_id", "text", threshold = 0.9)
+        .filter(col("doc_inner") % 2 === 1).count())
+      require(hits >= n / 10 * 8 / 10,
+        s"planted excerpts mostly missed: $hits of ~${n / 10}")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
     if (wanted("weighted_sample")) {
       // round-13: one MEGA group holds 90% of the corpus — the shape
       // that pinned ~0.9·corpus on one task under the old row_number

@@ -1291,9 +1291,27 @@ object Dedup {
       broadcastBatch: Boolean = true): DataFrame = {
     val spark = newDocs.sparkSession
     val (postings, sizes, n, maxDf) = loadShingleIndex(spark, indexPath)
+    containmentScreenBody(newDocs, postings, sizes, n, maxDf, idCol,
+      textCol, threshold, broadcastBatch, corpusBloom = None)
+  }
+
+  private def containmentScreenBody(newDocs: DataFrame,
+      postings: DataFrame, sizes: DataFrame, n: Int, maxDf: Int,
+      idCol: String, textCol: String, threshold: Double,
+      broadcastBatch: Boolean,
+      corpusBloom: Option[org.apache.spark.util.sketch.BloomFilter])
+      : DataFrame = {
     val (bPostings0, bSizes) = shinglePostings(newDocs, idCol, textCol, n)
     val bPostings = bPostings0.persistTracked()
-    val bKeys = bPostings.select("sg").distinct()
+    // sketch-negative shingle hashes are DEFINITELY not in the stored
+    // postings — gating the probe set loses nothing (they would match
+    // no posting anyway)
+    val probe = corpusBloom match {
+      case Some(bf) => bPostings.filter(
+        graft.functions.BloomMightContain(col("sg").cast("long"), bf))
+      case None => bPostings
+    }
+    val bKeys = probe.select("sg").distinct()
     val matched = (if (broadcastBatch)
         postings.join(broadcast(bKeys), Seq("sg"), "left_semi")
       else postings.join(bKeys, Seq("sg"), "left_semi"))
@@ -1334,6 +1352,8 @@ object Dedup {
   def mergeIntoShingleIndex(newDocs: DataFrame, indexPath: String,
       idCol: String, textCol: String): Unit = {
     val spark = newDocs.sparkSession
+    BucketedTables.requirePlainLayout(spark, s"$indexPath/meta",
+      "mergeIntoShingleIndex")
     val (_, _, n, maxDf) = loadShingleIndex(spark, indexPath)
     val (postings, sizes) = shinglePostings(newDocs, idCol, textCol, n)
     val kept = postings.join(
@@ -1342,6 +1362,112 @@ object Dedup {
       Seq("sg"), "left_semi")
     kept.sortWithinPartitions("sg")
       .write.mode("append").parquet(s"$indexPath/postings")
+    sizes.write.mode("append").parquet(s"$indexPath/docs")
+  }
+
+  /** Build (or REBUILD after folds) the shingle index's bloom sidecar
+    * over the stored 60-bit shingle hashes — same drift-stamp/loud
+    * contract as [[buildExactBloom]].
+    */
+  def buildShingleBloom(spark: SparkSession, indexPath: String,
+      expectedItems: Long, fpp: Double = 0.01): Unit = {
+    val (postings, _, _, _) = loadShingleIndex(spark, indexPath)
+    writeBloomSidecar(indexPath, s"$indexPath/postings",
+      postings.select(col("sg").cast("long").as("k")).distinct(),
+      "shingle_sg60", expectedItems, fpp)
+  }
+
+  def loadShingleBloom(spark: SparkSession, indexPath: String)
+      : org.apache.spark.util.sketch.BloomFilter =
+    readBloomSidecar(spark, indexPath, s"$indexPath/postings",
+      "shingle_sg60", "buildShingleBloom")
+
+  /** [[containmentAgainstIndex]] with the bloom fast path: batch
+    * shingle hashes the sketch rules out never reach the stored
+    * postings — on a mostly-fresh batch the broadcast key set shrinks
+    * to the sketch-positive minority. No false negatives ⇒ identical
+    * relation.
+    */
+  def containmentAgainstIndexBloom(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, threshold: Double,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val spark = newDocs.sparkSession
+    val bloom = loadShingleBloom(spark, indexPath)
+    val (postings, sizes, n, maxDf) = loadShingleIndex(spark, indexPath)
+    containmentScreenBody(newDocs, postings, sizes, n, maxDf, idCol,
+      textCol, threshold, broadcastBatch, corpusBloom = Some(bloom))
+  }
+
+  /** [[saveShingleIndex]] in the backfill layout: postings
+    * `bucketBy(sg)` as an external catalog table (sizes stay plain —
+    * they join on doc, a different key), meta additionally pins
+    * n_buckets. [[containmentAgainstIndexBucketed]]'s semi-filter then
+    * consumes the table's own hash partitioning — zero corpus-side
+    * exchanges at any batch size.
+    */
+  def saveShingleIndexBucketed(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, path: String, maxDf: Int = 10000,
+      nBuckets: Int = 64, tablePrefix: String = ""): Unit = {
+    require(n >= 1 && maxDf >= 1, s"need n >= 1, maxDf >= 1: $n, $maxDf")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prefix = if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(path)
+    Seq(("shingle_h60", 60, n, maxDf, nBuckets))
+      .toDF("family", "key_bits", "n", "max_df", "n_buckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    val (postings, sizes) = shinglePostings(docs, idCol, textCol, n)
+    val kept = postings.join(
+      postings.groupBy("sg").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select("sg"),
+      Seq("sg"), "left_semi")
+    BucketedTables.saveBucketed(kept, s"$path/postings",
+      s"${prefix}_shingle", Seq("sg"), nBuckets)
+    sizes.write.mode("overwrite").parquet(s"$path/docs")
+  }
+
+  /** The backfill-scale containment screen: identical relation to
+    * [[containmentAgainstIndex]], stored postings consumed through the
+    * bucketed catalog table — only the batch shuffles.
+    */
+  def containmentAgainstIndexBucketed(newDocs: DataFrame,
+      indexPath: String, idCol: String, textCol: String,
+      threshold: Double, tablePrefix: String = ""): DataFrame = {
+    val spark = newDocs.sparkSession
+    val (_, sizes, n, maxDf) = loadShingleIndex(spark, indexPath)
+    val metaB = spark.read.parquet(s"$indexPath/meta")
+    require(metaB.columns.contains("n_buckets"),
+      s"containmentAgainstIndexBucketed: $indexPath was not saved in " +
+        "the bucketed layout (no n_buckets in meta) — use " +
+        "containmentAgainstIndex or re-save with saveShingleIndexBucketed")
+    val nBuckets = metaB.select(col("n_buckets").cast("int")).head().getInt(0)
+    val prefix =
+      if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(indexPath)
+    BucketedTables.register(spark, s"${prefix}_shingle",
+      s"$indexPath/postings", Seq("sg"), nBuckets)
+    containmentScreenBody(newDocs, spark.table(s"${prefix}_shingle"),
+      sizes, n, maxDf, idCol, textCol, threshold,
+      broadcastBatch = false, corpusBloom = None)
+  }
+
+  /** [[mergeIntoShingleIndex]] for the bucketed layout. */
+  def mergeIntoShingleIndexBucketed(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, tablePrefix: String = ""): Unit = {
+    val spark = newDocs.sparkSession
+    val (_, _, n, maxDf) = loadShingleIndex(spark, indexPath)
+    val metaB = spark.read.parquet(s"$indexPath/meta")
+    require(metaB.columns.contains("n_buckets"),
+      s"mergeIntoShingleIndexBucketed: $indexPath is a plain-layout " +
+        "index — use mergeIntoShingleIndex")
+    val nBuckets = metaB.select(col("n_buckets").cast("int")).head().getInt(0)
+    val prefix =
+      if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(indexPath)
+    val (postings, sizes) = shinglePostings(newDocs, idCol, textCol, n)
+    val kept = postings.join(
+      postings.groupBy("sg").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select("sg"),
+      Seq("sg"), "left_semi")
+    BucketedTables.appendBucketed(kept, s"$indexPath/postings",
+      s"${prefix}_shingle", Seq("sg"), nBuckets)
     sizes.write.mode("append").parquet(s"$indexPath/docs")
   }
 

@@ -1004,6 +1004,56 @@ object PipelineQueries {
         threshold = 0.8)
     }),
 
+    // r13: the shingle family's bloom fast path and bucketed backfill
+    // layout — each must return p148's IDENTICAL relation (oracle
+    // verbatim, the established per-family pattern)
+    "p149_containment_bloom" -> ((s, dir) => {
+      val base = docs(s, dir)
+      val evens = base.filter(col("doc_id") % 2 === 0)
+      val batch = base.filter(col("doc_id") % 2 === 1)
+        .join(evens.select((col("doc_id") + 1).as("doc_id"),
+          col("text").as("__src")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 1,
+            concat_ws(" ", slice(tokens(col("__src")), 2, 24)))
+            .otherwise(col("text")).as("text"))
+      val out = withPipelineArtifact(dir, "p149_shingle_bloom_idx") { stage =>
+        Dedup.saveShingleIndex(evens.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", n = 3, s"$stage/idx", maxDf = 100000)
+        Dedup.mergeIntoShingleIndex(evens.filter(col("doc_id") % 4 === 2),
+          s"$stage/idx", "doc_id", "text")
+        Dedup.buildShingleBloom(s, s"$stage/idx",
+          expectedItems = 1000000L, fpp = 0.01)
+      }
+      Dedup.containmentAgainstIndexBloom(batch, s"$out/idx", "doc_id",
+        "text", threshold = 0.8)
+    }),
+
+    "p150_containment_backfill" -> ((s, dir) => {
+      val base = docs(s, dir)
+      val evens = base.filter(col("doc_id") % 2 === 0)
+      val batch = base.filter(col("doc_id") % 2 === 1)
+        .join(evens.select((col("doc_id") + 1).as("doc_id"),
+          col("text").as("__src")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 1,
+            concat_ws(" ", slice(tokens(col("__src")), 2, 24)))
+            .otherwise(col("text")).as("text"))
+      val out = withPipelineArtifact(dir, "p150_shingle_idx_bucketed") { stage =>
+        val bp = s"p150_build_${ProcessHandle.current().pid()}_" +
+          s"${Thread.currentThread().getId}"
+        Dedup.saveShingleIndexBucketed(evens.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", n = 3, s"$stage/idx", maxDf = 100000,
+          nBuckets = 8, tablePrefix = bp)
+        Dedup.mergeIntoShingleIndexBucketed(
+          evens.filter(col("doc_id") % 4 === 2),
+          s"$stage/idx", "doc_id", "text", tablePrefix = bp)
+        s.sql(s"DROP TABLE IF EXISTS ${bp}_shingle")
+      }
+      Dedup.containmentAgainstIndexBucketed(batch, s"$out/idx", "doc_id",
+        "text", threshold = 0.8)
+    }),
+
     // r13: the bloom fast path generalized to the two NEW index
     // families. No false negatives ⇒ each relation is IDENTICAL to its
     // plain screen's — the oracles are p133's / p138's VERBATIM
@@ -6842,5 +6892,7 @@ object PipelineQueries {
     "p136_line_backfill" -> oracleBase("p113_line_screen"),
     "p137_priority_backfill" -> oracleBase("p133_priority_screen"),
     "p143_priority_bloom_screen" -> oracleBase("p133_priority_screen"),
-    "p144_cdc_bloom_screen" -> oracleBase("p138_cdc_screen"))
+    "p144_cdc_bloom_screen" -> oracleBase("p138_cdc_screen"),
+    "p149_containment_bloom" -> oracleBase("p148_containment_screen"),
+    "p150_containment_backfill" -> oracleBase("p148_containment_screen"))
 }

@@ -4711,6 +4711,43 @@ class PipelineSpec extends SparkSpecBase {
     // the big docs are NOT contained in their excerpts (reverse
     // direction under threshold)
     assert(!folded.contains((2L, 11L)) && !folded.contains((4L, 13L)))
+    // bloom sidecar: identical relation; stale-after-fold fails by name
+    Dedup.buildShingleBloom(spark, s"$dir/f", expectedItems = 10000L)
+    def screenBloom() =
+      Dedup.containmentAgainstIndexBloom(batch, s"$dir/f", "doc_id",
+          "text", 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(screenBloom() == folded, "bloom containment screen diverged")
+    Dedup.mergeIntoShingleIndex(corpusB, s"$dir/f", "doc_id", "text")
+    val eStale = intercept[IllegalArgumentException] { screenBloom() }
+    assert(eStale.getMessage.contains("re-run buildShingleBloom"),
+      eStale.getMessage)
+    // bucketed layout: identical relation, fold through the catalog
+    // table, Bucketed: true scan, plain merge refuses
+    Dedup.saveShingleIndexBucketed(corpusA, "doc_id", "text", n = 3,
+      s"$dir/bk", maxDf = 10000, nBuckets = 8, tablePrefix = "t_sh")
+    Dedup.mergeIntoShingleIndexBucketed(corpusB, s"$dir/bk", "doc_id",
+      "text", tablePrefix = "t_sh")
+    def screenBk() =
+      Dedup.containmentAgainstIndexBucketed(batch, s"$dir/bk", "doc_id",
+          "text", 0.8, tablePrefix = "t_sh")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(screenBk() == folded, "bucketed containment screen diverged")
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Dedup.containmentAgainstIndexBucketed(batch, s"$dir/bk",
+          "doc_id", "text", 0.8, tablePrefix = "t_sh")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"stored postings must scan bucketed:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    val eBk = intercept[IllegalArgumentException] {
+      Dedup.mergeIntoShingleIndex(corpusB, s"$dir/bk", "doc_id", "text")
+    }
+    assert(eBk.getMessage.contains("BUCKETED layout"), eBk.getMessage)
     // serve-time df cutoff: an index built with maxDf 1 stores only
     // df-1 shingles; a batch doc whose every shingle matches TWO
     // stored docs is cut to nothing
