@@ -292,11 +292,12 @@ object Dedup {
 
   private def chunksScreenBody(newDocs: DataFrame, indexPath: String,
       idCol: String, textCol: String, broadcastBatch: Boolean,
-      corpusBloom: Option[org.apache.spark.util.sketch.BloomFilter])
-      : DataFrame = {
+      corpusBloom: Option[org.apache.spark.util.sketch.BloomFilter],
+      idxOverride: Option[DataFrame] = None): DataFrame = {
     val spark = newDocs.sparkSession
-    val (idx, minLen, maxLen, maskBits, startBits) =
+    val (idx0, minLen, maxLen, maskBits, startBits) =
       loadChunkIndex(spark, indexPath)
+    val idx = idxOverride.getOrElse(idx0)
     val chunks = cdcChunkOccurrences(newDocs, idCol, textCol, minLen,
       maxLen, maskBits, startBits).persistTracked()
     // sketch-negative chunk hashes are DEFINITELY not in the corpus —
@@ -345,6 +346,8 @@ object Dedup {
   def mergeIntoChunkIndex(newDocs: DataFrame, indexPath: String,
       idCol: String, textCol: String): Unit = {
     val spark = newDocs.sparkSession
+    BucketedTables.requirePlainLayout(spark, s"$indexPath/meta",
+      "mergeIntoChunkIndex")
     val (_, minLen, maxLen, maskBits, startBits) =
       loadChunkIndex(spark, indexPath)
     chunkPartials(newDocs, idCol, textCol, minLen, maxLen, maskBits,
@@ -369,6 +372,70 @@ object Dedup {
       : org.apache.spark.util.sketch.BloomFilter =
     readBloomSidecar(spark, indexPath, s"$indexPath/index",
       "cdc_xxhash64", "buildChunkBloom")
+
+  /** [[saveChunkIndex]] in the backfill layout: the same
+    * (chunk_hash, first, cnt) partial groups, `bucketBy(chunk_hash)`
+    * as an external catalog table, meta additionally pins n_buckets —
+    * the corpus side of a backfill-scale chunk screen never exchanges.
+    */
+  def saveChunkIndexBucketed(docs: DataFrame, idCol: String,
+      textCol: String, path: String, minLen: Int = 16, maxLen: Int = 128,
+      maskBits: Int = 5, startBits: Int = 24, nBuckets: Int = 64,
+      tablePrefix: String = ""): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prefix = if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(path)
+    Seq(("cdc_gear_md5", 32, minLen, maxLen, maskBits, startBits, nBuckets))
+      .toDF("family", "hash_len", "min_len", "max_len", "mask_bits",
+        "start_bits", "n_buckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    BucketedTables.saveBucketed(
+      chunkPartials(docs, idCol, textCol, minLen, maxLen, maskBits,
+        startBits),
+      s"$path/index", s"${prefix}_chunk", Seq("chunk_hash"), nBuckets)
+  }
+
+  /** The backfill-scale chunk screen: identical relation to
+    * [[chunksAgainstIndex]], stored partials consumed through the
+    * bucketed catalog table — only the batch shuffles.
+    */
+  def chunksAgainstIndexBucketed(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, tablePrefix: String = ""): DataFrame = {
+    val spark = newDocs.sparkSession
+    loadChunkIndex(spark, indexPath) // family + geometry + probe
+    val metaB = spark.read.parquet(s"$indexPath/meta")
+    require(metaB.columns.contains("n_buckets"),
+      s"chunksAgainstIndexBucketed: $indexPath was not saved in the " +
+        "bucketed layout (no n_buckets in meta) — use chunksAgainstIndex " +
+        "or re-save with saveChunkIndexBucketed")
+    val nBuckets = metaB.select(col("n_buckets").cast("int")).head().getInt(0)
+    val prefix =
+      if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(indexPath)
+    BucketedTables.register(spark, s"${prefix}_chunk", s"$indexPath/index",
+      Seq("chunk_hash"), nBuckets)
+    chunksScreenBody(newDocs, indexPath, idCol, textCol,
+      broadcastBatch = false, corpusBloom = None,
+      idxOverride = Some(spark.table(s"${prefix}_chunk")))
+  }
+
+  /** [[mergeIntoChunkIndex]] for the bucketed layout. */
+  def mergeIntoChunkIndexBucketed(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, tablePrefix: String = ""): Unit = {
+    val spark = newDocs.sparkSession
+    val (_, minLen, maxLen, maskBits, startBits) =
+      loadChunkIndex(spark, indexPath)
+    val metaB = spark.read.parquet(s"$indexPath/meta")
+    require(metaB.columns.contains("n_buckets"),
+      s"mergeIntoChunkIndexBucketed: $indexPath is a plain-layout " +
+        "index — use mergeIntoChunkIndex")
+    val nBuckets = metaB.select(col("n_buckets").cast("int")).head().getInt(0)
+    val prefix =
+      if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(indexPath)
+    BucketedTables.appendBucketed(
+      chunkPartials(newDocs, idCol, textCol, minLen, maxLen, maskBits,
+        startBits),
+      s"$indexPath/index", s"${prefix}_chunk", Seq("chunk_hash"), nBuckets)
+  }
 
   /** [[chunksAgainstIndex]] with the bloom fast path: batch chunk
     * hashes the sketch rules out never consult the stored index. On a

@@ -976,6 +976,28 @@ object PipelineQueries {
         s"$out/idx", "doc_id", "text")
     }),
 
+    // r13: the chunk family's bucketed backfill — the last cell of the
+    // per-family layout matrix (plain/bloom/bucketed × eight families);
+    // p138's oracle VERBATIM
+    "p151_cdc_backfill" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" "),
+          element_at(typedlit(cdcParagraphs),
+            (col("doc_id") % 7 + 1).cast("int"))).as("text"))
+      val out = withPipelineArtifact(dir, "p151_chunk_idx_bucketed") { stage =>
+        val bp = s"p151_build_${ProcessHandle.current().pid()}_" +
+          s"${Thread.currentThread().getId}"
+        Dedup.saveChunkIndexBucketed(planted.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", s"$stage/idx", nBuckets = 8, tablePrefix = bp)
+        Dedup.mergeIntoChunkIndexBucketed(
+          planted.filter(col("doc_id") % 4 === 2),
+          s"$stage/idx", "doc_id", "text", tablePrefix = bp)
+        s.sql(s"DROP TABLE IF EXISTS ${bp}_chunk")
+      }
+      Dedup.chunksAgainstIndexBucketed(planted.filter(col("doc_id") % 2 === 1),
+        s"$out/idx", "doc_id", "text")
+    }),
+
     // cross-snapshot CONTAINMENT screen (r13 — the excerpt/quote
     // question no minhash band can serve: J ≈ n_quote/n_page is
     // invisible at any geometry): even ids' shingle POSTINGS persist
@@ -6894,5 +6916,6 @@ object PipelineQueries {
     "p143_priority_bloom_screen" -> oracleBase("p133_priority_screen"),
     "p144_cdc_bloom_screen" -> oracleBase("p138_cdc_screen"),
     "p149_containment_bloom" -> oracleBase("p148_containment_screen"),
-    "p150_containment_backfill" -> oracleBase("p148_containment_screen"))
+    "p150_containment_backfill" -> oracleBase("p148_containment_screen"),
+    "p151_cdc_backfill" -> oracleBase("p138_cdc_screen"))
 }

@@ -4656,6 +4656,30 @@ class PipelineSpec extends SparkSpecBase {
         "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap == folded)
+    // bucketed layout (r13): identical report, fold through the
+    // catalog table, Bucketed: true scan, plain merge refuses
+    Dedup.saveChunkIndexBucketed(corpusA, "doc_id", "text", s"$dir/bk",
+      nBuckets = 8, tablePrefix = "t_ch")
+    Dedup.mergeIntoChunkIndexBucketed(corpusB, s"$dir/bk", "doc_id",
+      "text", tablePrefix = "t_ch")
+    assert(Dedup.chunksAgainstIndexBucketed(batch, s"$dir/bk", "doc_id",
+        "text", tablePrefix = "t_ch")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap == folded,
+      "bucketed chunk screen diverged")
+    val threshBk = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Dedup.chunksAgainstIndexBucketed(batch, s"$dir/bk",
+          "doc_id", "text", tablePrefix = "t_ch")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"stored side must scan bucketed:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshBk)
+    val eBkCh = intercept[IllegalArgumentException] {
+      Dedup.mergeIntoChunkIndex(corpusB, s"$dir/bk", "doc_id", "text")
+    }
+    assert(eBkCh.getMessage.contains("BUCKETED layout"), eBkCh.getMessage)
     // bloom sidecar (r13): identical report; stale-after-fold fails
     Dedup.buildChunkBloom(spark, s"$dir/f", expectedItems = 10000L)
     def screenBloom() =
