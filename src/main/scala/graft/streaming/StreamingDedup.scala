@@ -331,6 +331,75 @@ object StreamingDedup {
       }
   }
 
+  final case class ContainmentHit(doc_id: Long, corpus_doc: Long,
+      inter: Long, containment: Double)
+
+  /** Streaming CONTAINMENT screen against a STORED shingle index
+    * ([[graft.pipeline.Dedup.saveShingleIndex]]) — "is this arriving
+    * document an excerpt/quote of something already stored?" per doc,
+    * as it arrives. The batch-inside-corpus DIRECTION ONLY (the
+    * frontier question; the reverse direction asks about the frozen
+    * corpus and belongs to the batch screen): each arriving doc's
+    * shingle hashes take a stateless stream-static join against the
+    * stored postings — materialized ONCE with the df cutoff applied
+    * over the FULL stored relation (for folded snapshots this is the
+    * exact union-df semantics, at least as strict as the batch
+    * screen's matched-keys cutoff) and pre-partitioned on sg — then a
+    * per-(doc, corpus_doc) fold computes `inter / n_sh(doc)`. The fold
+    * keeps no state across batches (a doc's shingles live in its own
+    * micro-batch).
+    *
+    * Batch-equivalence (pinned by the spec): rows = the batch
+    * [[graft.pipeline.Dedup.containmentAgainstIndex]] relation
+    * restricted to `doc_inner` = an arriving doc, for any micro-batch
+    * split, whenever no matched shingle's df straddles the cutoff
+    * between the two df scopes (a single-snapshot index always
+    * qualifies).
+    */
+  def containmentScreenStream(docs: DataFrame, indexPath: String,
+      idCol: String, textCol: String,
+      threshold: Double): Dataset[ContainmentHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (postings, _, n, maxDf) =
+      graft.pipeline.Dedup.loadShingleIndex(spark, indexPath)
+    val cold = postings.join(
+      postings.groupBy("sg").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select("sg"),
+      Seq("sg"), "left_semi")
+    val staticSide = cold
+      .select(col("sg"), col("doc").as("corpus_doc"))
+      .repartition(col("sg"))
+      .persistTracked()
+    staticSide.count()
+    val toks = graft.pipeline.TextOps.tokens(col(textCol))
+    val withSh = docs
+      .select(col(idCol).cast("long").as("doc_id"), toks.as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col("doc_id"), array_distinct(transform(
+        graft.pipeline.Dedup.shingles(col("__toks"), n),
+        s => graft.pipeline.TextOps.hash60(s))).as("sh"))
+    withSh
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+        explode(col("sh")).as("sg"))
+      .join(staticSide, Seq("sg"))
+      .select(col("doc_id"), col("corpus_doc"), col("n_sh"))
+      .as[(Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: (Long, Long), rows: Iterator[(Long, Long, Long)],
+            state: GroupState[Boolean]) =>
+          var inter = 0L; var nSh = 0L
+          rows.foreach { r => inter += 1; nSh = r._3 }
+          val c = BigDecimal(inter * 1.0 / nSh)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (c >= threshold)
+            Iterator.single(ContainmentHit(key._1, key._2, inter, c))
+          else Iterator.empty
+      }
+  }
+
   final case class HammingHit(doc_a: Long, doc_b: Long, hamming: Long)
 
   /** Streaming 48-bit-signature screen against a STORED signature

@@ -1086,6 +1086,43 @@ class StreamingSpec extends SparkSpecBase {
     graft.pipeline.CacheLedger.drain()
   }
 
+  test("containmentScreenStream == batch screen's batch-inside-corpus direction across splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def words(a: Int, b: Int) = (a to b).map(i => s"w$i").mkString(" ")
+    val corpusA = Seq((2L, words(1, 60))).toDF("doc_id", "text")
+    val corpusB = Seq((4L, words(100, 160))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sh_stream_").toString
+    graft.pipeline.Dedup.saveShingleIndex(corpusA, "doc_id", "text", 3, dir)
+    graft.pipeline.Dedup.mergeIntoShingleIndex(corpusB, dir, "doc_id", "text")
+    val rows = Seq(
+      (11L, words(10, 29)),   // excerpt of doc 2 -> containment 1.0
+      (13L, words(120, 139)), // excerpt of the FOLDED doc 4 -> 1.0
+      (15L, "totally fresh words " + words(900, 940)))
+    val expected = graft.pipeline.Dedup.containmentAgainstIndex(
+        rows.toDF("doc_id", "text"), dir, "doc_id", "text", 0.8)
+      .filter(col("doc_inner").isin(11L, 13L, 15L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(expected((11L, 2L)) == ((18L, 1.0)) &&
+      expected((13L, 4L)) == ((18L, 1.0)) && expected.size == 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.containmentScreenStream(
+        mem.toDF().toDF("doc_id", "text"), dir, "doc_id", "text", 0.8)
+      .writeStream.format("memory").queryName("containment_stream")
+      .outputMode("append").start()
+    val got = try {
+      mem.addData(rows.take(1): _*); q.processAllAvailable()
+      mem.addData(rows.drop(1): _*); q.processAllAvailable()
+      spark.table("containment_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+    } finally q.stop()
+    assert(got == expected, s"stream=$got batch=$expected")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    graft.pipeline.CacheLedger.drain()
+  }
+
   test("hostCap on a stream (complete mode) == batch — TopKLongs folds in the state store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
