@@ -178,6 +178,29 @@ object ScaleSmokeDocs {
         s"planted excerpts mostly missed: $hits of ~${n / 10}")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
+    if (wanted("preference_pairs")) {
+      // round-13: the composed RLHF/DPO prep at corpus scale — exact
+      // prompt groups + minhash banding + shingle contamination +
+      // double ChatML render in ONE relation; every component has its
+      // own decade row, this pins the composition. Plants: %100==1
+      // prompts duplicate their neighbor (exact dups), %50==2 pairs
+      // degenerate, docs<100 are the benchmark
+      val pairs = docs.select(col("doc_id"),
+        when(col("doc_id") % 100 === 1,
+          concat(lit("dup-prompt-"), expr("doc_id div 2").cast("string")))
+          .otherwise(col("text")).as("prompt"),
+        substring(col("text"), 10, 120).as("chosen"),
+        when(col("doc_id") % 50 === 2, substring(col("text"), 10, 120))
+          .otherwise(substring(col("text"), 40, 120)).as("rejected"))
+      val benchmark = Dedup.shingleSets(
+        pairs.filter(col("doc_id") < 100), "doc_id", "prompt", 3)
+        .select(explode(col("sh")).as("sh"))
+      val kept = stage("preference_pairs")(Preference.prepPairs(
+          pairs, "doc_id", "prompt", "chosen", "rejected", benchmark,
+          nGram = 3, threshold = 0.5)
+        .filter(col("keep")).count())
+      require(kept < n, s"plants must flag something: kept=$kept of $n")
+    }
     if (wanted("weighted_sample")) {
       // round-13: one MEGA group holds 90% of the corpus — the shape
       // that pinned ~0.9·corpus on one task under the old row_number
