@@ -51,9 +51,13 @@ object Preference {
     val base = pairs.select(col(idCol), col(promptCol).as("__prompt"),
       col(chosenCol).as("__chosen"), col(rejectedCol).as("__rejected"))
       .persistTracked()
-    // keep-first exact prompt groups: one hash aggregate, no window
+    // keep-first exact prompt groups: one hash aggregate, no window.
+    // NULL prompts coalesce to '' BEFORE hashing — md5(NULL) is NULL
+    // and a plain equi-join on it would silently DROP the pair from
+    // the audit (the one thing an audit relation must never do)
+    val ph = md5(coalesce(col("__prompt"), lit("")))
     val exactKeep = base
-      .groupBy(md5(col("__prompt")).as("__h"))
+      .groupBy(ph.as("__h"))
       .agg(min(col(idCol)).as("__keep"))
     // verified near-dup pairs (doc_a < doc_b): the larger id is flagged
     val nearIds = Dedup.minhashLshPairs(
@@ -72,7 +76,7 @@ object Preference {
         struct(lit("assistant").as("role"), c.as("content"))))
         .getField("rendered")
     base
-      .join(exactKeep, md5(col("__prompt")) === col("__h"))
+      .join(exactKeep, ph === col("__h"))
       .join(nearIds, Seq(idCol), "left")
       .join(contam, Seq(idCol))
       .select(col(idCol),

@@ -4781,6 +4781,16 @@ class PipelineSpec extends SparkSpecBase {
     assert(Dedup.containmentAgainstIndex(docsOf((11L, words(5, 20))),
       s"$dir/hot", "doc_id", "text", 0.1).count() == 0,
       "df-cut shingles must not match")
+    // SERVE-TIME cutoff under folds: each snapshot stores its copy
+    // (df 1 <= maxDf at build), but the UNION df is 2 > maxDf — the
+    // screen must re-derive df over the matched keys and cut
+    Dedup.saveShingleIndex(docsOf((2L, words(200, 230))), "doc_id",
+      "text", n = 3, s"$dir/fold1", maxDf = 1)
+    Dedup.mergeIntoShingleIndex(docsOf((4L, words(200, 230))),
+      s"$dir/fold1", "doc_id", "text")
+    assert(Dedup.containmentAgainstIndex(docsOf((11L, words(205, 220))),
+      s"$dir/fold1", "doc_id", "text", 0.1).count() == 0,
+      "fold-union df must honor the stored bound at serve time")
     // foreign family fails before any join
     Dedup.saveExactIndex(corpusA, "doc_id", "text", s"$dir/exact")
     val e = intercept[IllegalArgumentException] {
@@ -4893,6 +4903,14 @@ class PipelineSpec extends SparkSpecBase {
       "<|im_start|>user\na perfectly clean unique prompt nothing shares" +
       "<|im_end|>\n<|im_start|>assistant\ngood<|im_end|>\n")
     assert(out(17L).getString(7).endsWith("assistant\nbad<|im_end|>\n"))
+    // a NULL-prompt pair stays in the audit (never silently dropped)
+    val withNull = pairs.unionByName(spark.sql(
+      "SELECT 18L AS doc_id, cast(null as string) AS prompt, " +
+        "'c' AS chosen, 'r' AS rejected"))
+    val audited = Preference.prepPairs(withNull, "doc_id", "prompt",
+        "chosen", "rejected", benchmark, nGram = 3, threshold = 0.4)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(audited.contains(18L), s"null-prompt pair dropped: $audited")
     CacheLedger.drain()
   }
 
