@@ -2173,6 +2173,39 @@ object PipelineQueries {
           round(col("tokens_lost") * lit(1.0) / col("n_tokens"), 6))
     }),
 
+    // token-denominated mixture planning (r13): mixtures are specified
+    // in TOKENS, not documents (the Pile/Dolma practice) — per source:
+    // docs, REAL subword tokens under the external artifact, actual
+    // token share, the hash-derived target share (p32's deterministic
+    // target recipe), and the over/under-sampling factor a mixture job
+    // needs. Pure aggregates + one broadcast scalar — no window
+    "p152_token_mix" -> ((s, dir) => {
+      val tokDir = withPipelineArtifact(dir, "p141_hf_tok") { stage =>
+        graft.pipeline.TokenizerFixtures.write(s, s"$stage/tokenizer.json",
+          graft.pipeline.TokenizerFixtures.hfWordPieceJson)
+      }
+      val (pieces, unk, maxChars) = TokenizerIO.loadExternalHfWordPiece(
+        s, s"$tokDir/tokenizer.json")
+      val per = docs(s, dir)
+        .select(col("source"), tokens(col("text")).as("toks"))
+        .withColumn("__n", aggregate(col("toks"), lit(0L),
+          (a, w) => a + size(graft.functions.WordPieceSegment(
+            w, pieces, unk, maxChars))))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("__n")).cast("long").as("n_tokens"))
+        .withColumn("target_w",
+          (TextOps.hash60(concat(lit("mix:"), col("source"))) % 5 + 1)
+            .cast("long"))
+      val tot = per.agg(sum("n_tokens").as("__tt"), sum("target_w").as("__tw"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("(n_tokens * 1000) div __tt").as("share_milli"),
+          expr("(target_w * 1000) div __tw").as("target_milli"),
+          expr("(target_w * 1000 * __tt) div (__tw * n_tokens)")
+            .as("sample_factor_milli"))
+    }),
+
     // published-tokenizer interop, GPT-2 half: vocab.json + merges.txt
     // (written from TokenizerFixtures, loaded through the real parser
     // with its byte-coverage and merge-consistency validations) feed
@@ -5721,6 +5754,25 @@ object PipelineQueries {
            coalesce(a.wp_text, '') AS wp_text
          FROM toks t LEFT JOIN agg a USING (doc_id)"""
     }),
+
+    // per-source token totals under the same external segmentation +
+    // the p32-style hash-derived targets, integer milli arithmetic
+    "p152_token_mix" -> (WpExternalSegCtes + raw""",
+           pn AS (SELECT doc_id, sum(len(pieces)) AS n FROM j GROUP BY 1),
+           per AS (SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(coalesce(pn.n, 0)) AS BIGINT) AS n_tokens,
+               CAST(('0x' || substr(md5('mix:' || d.source), 1, 15))::BIGINT
+                 % 5 + 1 AS BIGINT) AS target_w
+             FROM documents d LEFT JOIN pn USING (doc_id)
+             GROUP BY d.source),
+           tot AS (SELECT sum(n_tokens) AS tt, sum(target_w) AS tw FROM per)
+         SELECT source, n_docs, n_tokens,
+           CAST((n_tokens * 1000) // tt AS BIGINT) AS share_milli,
+           CAST((target_w * 1000) // tw AS BIGINT) AS target_milli,
+           CAST((target_w * 1000 * tt) // (tw * n_tokens) AS BIGINT)
+             AS sample_factor_milli
+         FROM per CROSS JOIN tot"""),
 
     // p98's truncation arithmetic over the external artifact's REAL
     // per-doc piece counts — same greedy CTE chain as p141
