@@ -194,6 +194,9 @@ class PlanShapeSpec extends SparkSpecBase {
     // crossJoin; assignSeeds now unrolls the collected seeds into one
     // codegen projection, so p64/p69 carry no BNLJ at all)
     val scalarAttachJoins = Set("p13_text_tfidf", "p32_domain_mix",
+      // p152 attaches the one-row (total tokens, total target weight)
+      // scalar to the ≤|sources|-row mixture frame (the p36 shape)
+      "p152_token_mix",
       // p107 attaches the one-row corpus-token total (the p36 shape)
       "p107_repeat_upsample",
       // p104 is the brute-force pair loop BY DESIGN (the oracle-exact
