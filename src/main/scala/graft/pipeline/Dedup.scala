@@ -41,12 +41,28 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
-  /** Keep one row per distinct text (first by id). */
+  /** Keep one row per distinct text (first by id). NO window (r13 —
+    * the p125 discipline applied to the oldest operator): a
+    * `row_number() OVER (PARTITION BY md5(text))` materializes every
+    * copy of a text in ONE task, so a viral boilerplate doc with 10⁸
+    * copies pins one executor — and this operator sits inside the
+    * composed cleanCorpus paths, where that input is exactly what
+    * arrives. Instead the survivor is ONE `min_by(full row, id)`
+    * aggregate: partial aggregation collapses a hot hash to one row
+    * per map partition before the exchange, reduce-side state is one
+    * row per distinct text, and — unlike an aggregate + semi-join
+    * formulation — the input subtree appears ONCE in the plan (the
+    * two-reference form doubled the composed cleanCorpus plan tree and
+    * tripled its driver planning time, measured). Ties on (hash, id)
+    * pick an arbitrary copy — input rows are identified by (id, text),
+    * the id-keyed corpus contract.
+    */
   def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    docs.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val cols = docs.columns
+    docs
+      .groupBy(md5(col(textCol)).as("__h"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__row"))
+      .select(cols.map(c => col(s"__row.`$c`").as(c)): _*)
   }
 
   /** Cross-source PRIORITY dedup — when the same text arrives from
