@@ -215,6 +215,45 @@ object ScaleSmokeDocs {
         weighted, "doc_id", "source", "n_chars", k = 1000).count())
       require(picked == 2000, s"expected k per group (2 groups): $picked")
     }
+    if (wanted("thread_flatten")) {
+      // round-13 follow-on: pointer doubling must stay LOG-depth — the
+      // corpus as 50-deep chains flattens in 6 self-join rounds
+      // regardless of message count (a chained-join traversal would
+      // pay 50 shuffles and a depth-linear critical path)
+      val msgs = spark.range(totalDocs).select(
+        col("id"),
+        when(col("id") % 50 === 0, lit(null).cast("long"))
+          .otherwise(col("id") - 1).as("parent"),
+        when(col("id") % 2 === 0, lit("user")).otherwise(lit("assistant"))
+          .as("role"),
+        concat(lit("msg "), col("id").cast("string")).as("content"))
+      val flat = stage("thread_flatten")(Preference.flattenThreads(
+        msgs, "id", "parent", "role", "content", maxDepth = 64).count())
+      require(flat == (totalDocs + 49) / 50, s"one leaf per chain: $flat")
+    }
+    if (wanted("robots_filter")) {
+      // a 90%-viral host must pin nothing: the verdict is one broadcast
+      // join (fan-out bounded by that host's own 41 rules) + a
+      // partial-aggregated max — no window, no corpus-keyed state
+      import spark.implicits._
+      val rules = ((0 until 40).map(i =>
+        ("viral.example.org", s"/p$i", i % 2 == 0)) :+
+        ("viral.example.org", "/", false))
+        .toDF("host", "path_prefix", "allow")
+      val urls = spark.range(totalDocs).select(col("id").as("doc_id"),
+        concat(lit("https://"),
+          when(pmod(hash(col("id"), lit("rh")), lit(10)) < 9,
+            lit("viral.example.org"))
+            .otherwise(concat(lit("host"),
+              pmod(col("id"), lit(1000)).cast("string"),
+              lit(".example.org"))),
+          lit("/p"), pmod(col("id"), lit(40)).cast("string"), lit("/x"))
+          .as("url"))
+      val kept = stage("robots_filter")(UrlOps.robotsFilter(
+        urls, "doc_id", "url", rules).filter(col("keep")).count())
+      require(kept > 0 && kept < totalDocs,
+        s"viral-host rules must both keep and drop: kept=$kept of $totalDocs")
+    }
     val lshPairs = Dedup.minhashLshPairs(
       docs, "doc_id", "text", n = 3, k = 32, bands = 8, threshold = 0.5).persist()
     val found = stage("minhash_lsh")(lshPairs.count())

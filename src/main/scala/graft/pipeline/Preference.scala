@@ -93,4 +93,87 @@ object Preference {
         !col("empty_side") && !col("degenerate") && !col("exact_dup") &&
           !col("near_dup") && !col("contaminated"))
   }
+
+  /** Threaded-conversation flattening — the step BEFORE preference/SFT
+    * prep on forum / chat-branching data (ShareGPT trees, assistant
+    * regeneration branches): one row per message `(id, parent — NULL
+    * for a root, role, content)` in, one row per LEAF out, carrying
+    * the full root-to-leaf path as parallel arrays `(ids, roles,
+    * contents)` plus `root_id` and `depth` — each leaf row IS one
+    * linear conversation, one projection away from
+    * [[TextOps.renderChatML]] / [[prepPairs]].
+    *
+    * Algorithm: POINTER DOUBLING (the parallel list-ranking classic —
+    * Wyllie '79): state `(id, anc, path)` starts at `(id, parent,
+    * [self])`; each round self-joins on `anc == id`, PREPENDING the
+    * ancestor's collected path and jumping `anc` to the ancestor's
+    * `anc`. Path span doubles per round, so ceil(log2(maxDepth))
+    * shuffles flatten ANY forest of that depth — a 64-deep thread
+    * costs 6 rounds, not 64 chained joins. Each round
+    * localCheckpoints (the distributed union-find discipline: one
+    * materializing job + lineage cut per round, else the self-join
+    * doubles the plan tree every round).
+    *
+    * Loud failures, never a wrong traversal: a parent id absent from
+    * the relation (dangling pointer) is rejected up front; a pointer
+    * still live after the round budget means depth > maxDepth OR a
+    * parent CYCLE — both named in the error.
+    *
+    * Scale: every round's join is key-unique on both sides (ids are
+    * unique), fan-out exactly 1 — no hot key exists structurally;
+    * state rows carry one ≤ depth-length array each, so the shuffle
+    * volume is O(total path length) = the output's own size.
+    */
+  def flattenThreads(msgs: DataFrame, idCol: String, parentCol: String,
+      roleCol: String, contentCol: String, maxDepth: Int = 64): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 4096,
+      s"flattenThreads: maxDepth $maxDepth outside [1, 4096]")
+    val m = msgs.select(col(idCol).cast("long").as("id"),
+      col(parentCol).cast("long").as("parent"),
+      col(roleCol).cast("string").as("role"),
+      col(contentCol).cast("string").as("content"))
+    val ids = m.select(col("id").as("__pid"))
+    val dangling = m.filter(col("parent").isNotNull)
+      .join(ids, col("parent") === col("__pid"), "left_anti").count()
+    require(dangling == 0,
+      s"flattenThreads: $dangling messages point at a parent id absent " +
+        "from the relation — repair or drop the dangling subtrees upstream")
+    var state = m.select(col("id"), col("parent").as("anc"),
+      array(col("id")).as("ids"), array(col("role")).as("roles"),
+      array(col("content")).as("contents"))
+      .localCheckpoint()
+    var span = 1
+    while (span < maxDepth) {
+      val t = state.select(col("id").as("t_id"), col("anc").as("t_anc"),
+        col("ids").as("t_ids"), col("roles").as("t_roles"),
+        col("contents").as("t_contents"))
+      state = state.join(t, col("anc") === col("t_id"), "left")
+        .select(col("id"),
+          when(col("t_id").isNull, col("anc")).otherwise(col("t_anc"))
+            .as("anc"),
+          when(col("t_id").isNull, col("ids"))
+            .otherwise(concat(col("t_ids"), col("ids"))).as("ids"),
+          when(col("t_id").isNull, col("roles"))
+            .otherwise(concat(col("t_roles"), col("roles"))).as("roles"),
+          when(col("t_id").isNull, col("contents"))
+            .otherwise(concat(col("t_contents"), col("contents")))
+            .as("contents"))
+        .localCheckpoint()
+      span *= 2
+    }
+    val live = state.filter(col("anc").isNotNull).count()
+    require(live == 0,
+      s"flattenThreads: $live messages still carry a live ancestor " +
+        s"pointer after span-$span doubling — thread depth exceeds " +
+        s"maxDepth=$maxDepth, or the parent relation contains a cycle " +
+        "(which no traversal terminates)")
+    val parents = m.filter(col("parent").isNotNull)
+      .select(col("parent").as("__pp")).distinct()
+    state
+      .join(parents, col("id") === col("__pp"), "left_anti")
+      .select(col("id").as("leaf_id"),
+        element_at(col("ids"), 1).as("root_id"),
+        size(col("ids")).cast("long").as("depth"),
+        col("ids"), col("roles"), col("contents"))
+  }
 }

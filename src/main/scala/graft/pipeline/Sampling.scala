@@ -44,6 +44,43 @@ object Sampling {
     docs.withColumn("bucket", b).withColumn("split", label)
   }
 
+  /** Near-dup-cluster-CONSISTENT holdout split — the leakage gate a
+    * per-doc hash split ([[holdoutSplit]], p24) cannot give: two
+    * near-duplicate documents land in train and test independently,
+    * so every near-dup pair is a potential eval leak (the
+    * train-test-contamination path Lee et al. '22 measure). Here the
+    * corpus's verified MinHash-LSH pairs ([[Dedup.minhashLshPairs]])
+    * collapse to connected components ([[Dedup.duplicateClusters]]),
+    * and every member draws its split from its CLUSTER
+    * REPRESENTATIVE's key (singletons from their own id) — a
+    * near-dup cluster moves between splits as a UNIT, so no pair can
+    * straddle train/test.
+    *
+    * Shape at 100 TB: the pair → cluster path is the scale-certified
+    * p3/p14 machinery (banded equality joins, 1M-gated union-find
+    * with distributed fallback); the split attach is ONE left
+    * equi-join on the unique id (clusters are the corpus's duplicate
+    * subset, smaller by construction) plus the zero-shuffle
+    * salted-hash projection of [[holdoutSplit]].
+    *
+    * Output: (idCol, split_key, bucket, split).
+    */
+  def clusterConsistentSplit(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.4,
+      weights: Seq[(String, Int)] =
+        Seq("train" -> 8000, "val" -> 1000, "test" -> 1000),
+      salt: String = "split"): DataFrame = {
+    val clusters = Dedup.duplicateClusters(
+      Dedup.minhashLshPairs(docs, idCol, textCol, n, k, bands, threshold))
+    val keyed = docs.select(col(idCol))
+      .join(clusters, col(idCol) === col("doc"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("split_key"))
+    holdoutSplit(keyed, "split_key", weights, salt)
+      .select(col(idCol), col("split_key"), col("bucket"), col("split"))
+  }
+
   /** Deterministic stratified sample: keep a per-stratum fraction
     * (`fractions` in [0,1], `default` for unlisted strata) using the
     * same salted-hash draw as [[holdoutSplit]]. A pure filter — no

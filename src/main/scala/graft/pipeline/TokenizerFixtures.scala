@@ -117,13 +117,102 @@ object TokenizerFixtures {
     om.writeValueAsString(root)
   }
 
+  // ---- SentencePiece unigram fixture (r13 follow-on) ---------------------
+
+  /** (piece, score, type) — a genuine toy unigram model: one UNKNOWN,
+    * two CONTROL specials (excluded from the lattice, as the runtime
+    * does), ▁-prefixed word pieces, bare subwords/suffixes, and full
+    * letter+digit singles so every corpus word is coverable. Scores are
+    * distinct everywhere (the engine's cost tie-break — longer piece —
+    * never has to fire against a published artifact's unknown rule).
+    */
+  val SpPieces: Seq[(String, Float, Int)] = {
+    val specials = Seq(("<unk>", 0.0f, 2), ("<s>", 0.0f, 3), ("</s>", 0.0f, 3))
+    val words = Seq(
+      ("▁", -2.2f), ("▁the", -2.8f), ("▁of", -3.0f), ("▁and", -3.1f),
+      ("▁in", -3.2f), ("▁a", -3.3f), ("▁to", -3.4f),
+      ("the", -3.6f), ("and", -3.7f), ("ing", -3.8f), ("ed", -4.0f),
+      ("er", -4.1f), ("es", -4.2f), ("in", -4.3f), ("on", -4.4f),
+      ("an", -4.5f), ("at", -4.6f), ("or", -4.7f), ("en", -4.8f),
+      ("ar", -4.9f), ("st", -5.0f))
+    val letters = ('a' to 'z').zipWithIndex.map { case (c, i) =>
+      (c.toString, -6.0f - i * 0.01f) }
+    val digits = ('0' to '9').zipWithIndex.map { case (c, i) =>
+      (c.toString, -6.5f - i * 0.01f) }
+    specials ++ (words ++ letters ++ digits).map { case (p, s) => (p, s, 1) }
+  }
+
+  // protobuf wire encoding (public format): varint keys, length-
+  // delimited submessages, little-endian float32
+  private def pbVarint(n: Long): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var v = n
+    while ((v & ~0x7fL) != 0L) { out += ((v & 0x7f) | 0x80).toByte; v >>>= 7 }
+    out += v.toByte
+    out.toArray
+  }
+  private def pbKey(field: Int, wt: Int): Array[Byte] =
+    pbVarint((field.toLong << 3) | wt)
+  private def pbLen(field: Int, body: Array[Byte]): Array[Byte] =
+    pbKey(field, 2) ++ pbVarint(body.length) ++ body
+  private def pbString(field: Int, s: String): Array[Byte] =
+    pbLen(field, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def pbFloat(field: Int, f: Float): Array[Byte] = {
+    val bits = java.lang.Float.floatToIntBits(f)
+    pbKey(field, 5) ++ Array[Byte](bits.toByte, (bits >> 8).toByte,
+      (bits >> 16).toByte, (bits >> 24).toByte)
+  }
+  private def pbVarintField(field: Int, v: Long): Array[Byte] =
+    pbKey(field, 0) ++ pbVarint(v)
+
+  /** Serialized ModelProto: repeated pieces (field 1: piece/score/type),
+    * trainer_spec (field 2: model_type=UNIGRAM, vocab_size), and
+    * normalizer_spec (field 3: name=identity, the three whitespace
+    * flags explicitly true) — the exact bytes `spm_train` would emit
+    * for this toy configuration.
+    */
+  def spModelBytes: Array[Byte] = {
+    val pieces = SpPieces.flatMap { case (p, score, tpe) =>
+      pbLen(1, pbString(1, p) ++ pbFloat(2, score) ++ pbVarintField(3, tpe))
+    }.toArray
+    val trainer = pbLen(2,
+      pbVarintField(3, 1) ++ // model_type = UNIGRAM
+        pbVarintField(4, SpPieces.length)) // vocab_size
+    val normalizer = pbLen(3,
+      pbString(1, "identity") ++ pbVarintField(3, 1) ++
+        pbVarintField(4, 1) ++ pbVarintField(5, 1))
+    pieces ++ trainer ++ normalizer
+  }
+
+  /** The loaded-model constants the committed `.model` must parse to
+    * (micro-nat costs of the NORMAL pieces; unk = (10 − min score)·1e6
+    * per the SentencePiece runtime rule).
+    */
+  def spExpectedModel: SentencePiece.Model = {
+    val lattice = SpPieces.filter(_._3 == 1)
+    SentencePiece.Model(
+      lattice.map { case (p, s, _) => p -> math.round(-s.toDouble * 1e6) },
+      "<unk>",
+      math.round((10.0 - lattice.map(_._2).min.toDouble) * 1e6),
+      lattice.map(p => p._1.codePointCount(0, p._1.length)).max,
+      addDummyPrefix = true)
+  }
+
   /** Write a UTF-8 rendering at `path` (Hadoop FS, any scheme). */
   def write(spark: org.apache.spark.sql.SparkSession, path: String,
-      content: String): Unit = {
+      content: String): Unit =
+    writeBytes(spark, path,
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Write raw bytes at `path` (Hadoop FS, any scheme) — the binary
+    * sibling of [[write]] for the SentencePiece `.model` rendering.
+    */
+  def writeBytes(spark: org.apache.spark.sql.SparkSession, path: String,
+      content: Array[Byte]): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(content)
     finally out.close()
   }
 }

@@ -92,7 +92,7 @@ object TokenizerIO {
   // the parquet loaders: a foreign or unsupported artifact must FAIL,
   // never segment wrongly.
 
-  private def readUtf8(spark: SparkSession, path: String): String = {
+  private def readRaw(spark: SparkSession, path: String): Array[Byte] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
@@ -101,9 +101,21 @@ object TokenizerIO {
       val buf = new Array[Byte](65536)
       var n = in.read(buf)
       while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      bos.toByteArray
     } finally in.close()
   }
+
+  private def readUtf8(spark: SparkSession, path: String): String =
+    new String(readRaw(spark, path), java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Load a published SentencePiece `.model` (the T5/Llama/Gemma
+    * artifact family) into the unigram Viterbi segmenter's inputs —
+    * parsing, strictness envelope and the score→integer-cost mapping
+    * documented on [[SentencePiece.parse]].
+    */
+  def loadExternalSentencePiece(spark: SparkSession,
+      path: String): SentencePiece.Model =
+    SentencePiece.parse(readRaw(spark, path), s"loadExternalSentencePiece($path)")
 
   private def jsonTree(spark: SparkSession,
       path: String): com.fasterxml.jackson.databind.JsonNode = {

@@ -81,6 +81,9 @@ object PipelineQueries {
     "graft/pipeline/BpeByte$.class",        // merge training
     "graft/pipeline/WordPiece$.class",      // vocab recipe
     "graft/pipeline/TokenizerIO$.class",    // tokenizer persistence
+    "graft/pipeline/TokenizerFixtures$.class", // external-artifact bytes
+    "graft/pipeline/SentencePiece$.class",  // .model parser
+    "graft/pipeline/Preference$.class",     // thread flattening
     "graft/sources/JsonlCorpus$.class",     // JSONL write
     "graft/relational/PipelineQueries$.class")) // build parameters
 
@@ -203,6 +206,60 @@ object PipelineQueries {
 
   private val TOKS =
     raw"""list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')"""
+
+  /** p154's parsed robots rule table (RFC 9309 Allow/Disallow lines),
+    * interpolated into BOTH the engine DataFrame and the oracle VALUES
+    * (the FunnelPasser discipline): sites 0-4 carry a disallow/
+    * re-allow pair under /private plus an allow-wins tie under /pub;
+    * site0 additionally a root disallow; sites 5-9 are unlisted.
+    */
+  private val RobotsRules: Seq[(String, String, Boolean)] =
+    (0 to 4).flatMap { h =>
+      val host = s"site$h.example.org"
+      Seq((host, "/private", false), (host, "/private/ok", true),
+        (host, "/pub", false), (host, "/pub", true))
+    } :+ ("site0.example.org", "/", false)
+
+  private def robotsRulesValues: String =
+    RobotsRules.map { case (h, p, a) => s"('$h', '$p', $a)" }.mkString(", ")
+
+  /** p155's robots.txt bodies (host index % 5 picks one), interpolated
+    * into both sides: t0 the plain star group (+ ignored crawl-delay,
+    * comments), t1 an exact-agent group overriding a root-disallow
+    * star group, t2 a multi-agent header, t3 an orphan rule before any
+    * group + case/spacing variants + the empty-Disallow convention,
+    * t4 a foreign-agent-only file (no rules apply).
+    */
+  private val RobotsBodies: Seq[String] = Seq(
+    "# corpus crawler policy\nUser-agent: *\nDisallow: /private\n" +
+      "Allow: /private/ok\nCrawl-delay: 5\n",
+    "User-agent: graftbot\nDisallow: /secret\n\nUser-agent: *\nDisallow: /\n",
+    "User-agent: graftbot\nUser-agent: otherbot\nDisallow: /x\n\n" +
+      "User-agent: *\nAllow: /x/ok\n",
+    "Disallow: /orphan\nUser-agent: *\nDISALLOW : /real\nDisallow:\n",
+    "User-agent: somebot\nDisallow: /\n")
+
+  /** DuckDB literal rendering of a body (newlines via chr(10)). */
+  private def robotsBodySql(t: String): String =
+    t.split("\n", -1).map(l => s"'$l'").mkString(" || chr(10) || ")
+
+  /** p154/p156's planted URL corpus: 10 hosts × 4 path shapes,
+    * decorrelated (host from doc_id div 4 so every host sees every
+    * path case).
+    */
+  private def robotsUrlPlant(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      concat(lit("https://site"),
+        (expr("doc_id div 4") % 10).cast("string"),
+        lit(".example.org"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("/private/p"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("/private/ok/p"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("/pub/p"), col("doc_id").cast("string")))
+          .otherwise(concat(lit("/p"), col("doc_id").cast("string"))))
+        .as("url"))
 
   /** p118's planted texts — 12 variants keyed by doc_id % 12: 0..3
     * machine repetition (ratio ≈ 22‰), 4..7 deterministic high-entropy
@@ -2248,6 +2305,127 @@ object PipelineQueries {
             col("doc_id").cast("string"))).isNull)
     }),
 
+    // published-tokenizer interop, SentencePiece half (r13 follow-on —
+    // the T5/Llama/Gemma artifact family): a binary `.model` written
+    // from TokenizerFixtures' protobuf renderer is loaded through the
+    // real wire parser (loadExternalSentencePiece, with its strict
+    // normalizer/model-type/piece-type envelope) and serves the corpus
+    // through the codegen unigram Viterbi segmenter, one ▁-prefixed
+    // unit per whitespace word — exact vs whole-sentence Viterbi by
+    // the no-interior-▁ decomposition the loader enforces. Viterbi
+    // min-cost paths have no SQL mirror (the p62/p142 precedent), so
+    // correctness is certified IN-PLAN: byte-exact lossless
+    // reconstruction of every escaped doc, and every emitted piece
+    // either a model piece or a single-code-point unk fallback
+    "p153_sentencepiece_external" -> ((s, dir) => {
+      val tokDir = withPipelineArtifact(dir, "p153_sp_tok") { stage =>
+        graft.pipeline.TokenizerFixtures.writeBytes(s, s"$stage/sp.model",
+          graft.pipeline.TokenizerFixtures.spModelBytes)
+      }
+      val m = TokenizerIO.loadExternalSentencePiece(s, s"$tokDir/sp.model")
+      val vmap = typedLit(m.pieces.toMap)
+      docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("segs", transform(col("toks"),
+          w => graft.functions.UnigramSegment(
+            concat(lit("▁"), w), m.pieces, m.unkCostMicro,
+            m.maxPieceLen)))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_words"),
+          aggregate(col("segs"), lit(0L),
+            (a, x) => a + size(x)).as("n_pieces"),
+          aggregate(flatten(col("segs")), lit(0L),
+            (a, p) => a + when(element_at(vmap, p).isNull, 1L)
+              .otherwise(0L)).as("n_unk"),
+          array_join(flatten(col("segs")), " ").as("sp_text"),
+          (array_join(flatten(col("segs")), "") ===
+            when(size(col("toks")) === 0, lit(""))
+              .otherwise(concat(lit("▁"),
+                array_join(col("toks"), "▁")))).as("lossless"),
+          forall(flatten(col("segs")),
+            p => element_at(vmap, p).isNotNull || length(p) === 1)
+            .as("covered"))
+        .filter(assert_true(col("lossless") && col("covered"),
+          concat(lit("external SentencePiece certification failed for doc "),
+            col("doc_id").cast("string"))).isNull)
+    }),
+
+    // robots-exclusion compliance gate (RFC 9309) over planted URLs:
+    // every doc carries one URL on one of 10 hosts with 4 path shapes;
+    // the rule table (RobotsRules, interpolated into BOTH sides)
+    // exercises the longest-match override (/private disallowed but
+    // /private/ok re-allowed), the allow-wins specificity tie (/pub
+    // both ways), a root disallow on site0, and unlisted hosts
+    // (site5-9) passing by default
+    "p154_robots_filter" -> ((s, dir) => {
+      import s.implicits._
+      val rules = RobotsRules.toDF("host", "path_prefix", "allow")
+      UrlOps.robotsFilter(robotsUrlPlant(docs(s, dir)), "doc_id", "url",
+        rules)
+    }),
+
+    // the robots verdict's ZERO-SHUFFLE serving form (rules as one map
+    // literal + a HOF fold — the streaming ingest / batch fast path)
+    // over the SAME plant and rule table as p154; oracle = p154's
+    // VERBATIM (the identical-relation claim, the p143/p149 pattern)
+    "p156_robots_serve" -> ((s, dir) =>
+      UrlOps.robotsVerdict(robotsUrlPlant(docs(s, dir)), "doc_id", "url",
+        RobotsRules)),
+
+    // threaded-conversation flattening (pointer doubling) over a
+    // planted forest: every 5-block of doc_ids forms one tree (root
+    // 5k; 5k+1 under it; 5k+2 and 5k+3 BRANCH under 5k+1; 5k+4 under
+    // 5k+3), so leaves alternate depth 3 and depth 4 and every tree
+    // has exactly two conversations. The flattened relation is an
+    // artifact (the doubling is a driver loop — built once per
+    // corpus); the oracle replays the traversal as a recursive CTE
+    "p157_thread_flatten" -> ((s, dir) => {
+      val out = withPipelineArtifact(dir, "p157_threads") { stage =>
+        val msgs = docs(s, dir).select(col("doc_id").as("id"),
+          when(col("doc_id") % 5 === 0, lit(null).cast("long"))
+            .when(col("doc_id") % 5 === 3, col("doc_id") - 2)
+            .otherwise(col("doc_id") - 1).as("parent"),
+          when(col("doc_id") % 2 === 0, lit("user"))
+            .otherwise(lit("assistant")).as("role"),
+          substring(col("text"), 1, 60).as("content"))
+        Preference.flattenThreads(msgs, "id", "parent", "role", "content",
+          maxDepth = 8)
+          .write.mode("overwrite").parquet(s"$stage/flat")
+      }
+      s.read.parquet(s"$out/flat")
+        .select(col("leaf_id"), col("root_id"), col("depth"),
+          array_join(zip_with(col("roles"), col("contents"),
+            (r, c) => concat(r, lit(": "), c)), "\n").as("convo"))
+    }),
+
+    // near-dup-cluster-CONSISTENT holdout split (the train/test
+    // leakage gate a per-doc hash split cannot give): members of one
+    // verified minhash cluster — the p14 relation — draw their split
+    // from the cluster REPRESENTATIVE's key, so no near-dup pair can
+    // straddle train/test; singletons keep the p24 per-id draw
+    "p158_cluster_split" -> ((s, dir) =>
+      Sampling.clusterConsistentSplit(docs(s, dir), "doc_id", "text")),
+
+    // robots.txt PARSING (RFC 9309 §2.1-2.2 — the other half of the
+    // REP loop; p154 proves the matcher, this proves raw file → rule
+    // relation): one templated body per planted host (RobotsBodies,
+    // interpolated into BOTH sides) parsed for agent 'graftbot' —
+    // comments, ignored fields, group boundaries, the exact-beats-star
+    // tier rule, multi-agent headers, orphan rules, case/spacing
+    // variants and the empty-Disallow convention all exercised
+    "p155_robots_parse" -> ((s, dir) => {
+      val body = RobotsBodies.zipWithIndex.tail.foldLeft(
+        when(col("t") === 0, lit(RobotsBodies.head))) {
+        case (acc, (b, i)) => acc.when(col("t") === i, lit(b))
+      }
+      val hosts = docs(s, dir)
+        .select((expr("doc_id div 4") % 10).cast("int").as("h")).distinct()
+        .select(concat(lit("site"), col("h").cast("string"),
+          lit(".example.org")).as("host"), (col("h") % 5).as("t"))
+        .withColumn("body", body)
+      UrlOps.parseRobotsTxt(hosts, "host", "body", "graftbot")
+    }),
+
     // per-language tokenizer-coverage / OOV report over the SAME stored
     // WordPiece artifact as p112 — the tokenizer-QA table every vocab
     // bump ships with: words, pieces, [UNK] words, unk-permille and
@@ -3719,6 +3897,149 @@ object PipelineQueries {
            len(list_filter(hosts, x -> list_contains(
              ['ads.tracker.net', 'spam.example.com'], x))) = 0 AS keep
          FROM h""",
+
+    // mirrors UrlOps.robotsFilter over the planted URL corpus: same
+    // host/path extraction regexes (identical Java-regex / RE2
+    // semantics), same packed (2·prefix_len + allow) priority, longest
+    // match via max, allow winning ties, no-match rows kept
+    "p154_robots_filter" ->
+      s"""WITH rules(host, path_prefix, allow) AS (VALUES $robotsRulesValues),
+           d AS (SELECT doc_id,
+             'https://site' || ((doc_id // 4) % 10)::VARCHAR ||
+             '.example.org' ||
+             CASE WHEN doc_id % 4 = 0 THEN '/private/p' || doc_id::VARCHAR
+                  WHEN doc_id % 4 = 1 THEN '/private/ok/p' || doc_id::VARCHAR
+                  WHEN doc_id % 4 = 2 THEN '/pub/p' || doc_id::VARCHAR
+                  ELSE '/p' || doc_id::VARCHAR END AS url
+           FROM documents),
+           parts AS (SELECT doc_id,
+             lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+             CASE WHEN regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) = ''
+                  THEN '/'
+                  ELSE regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)
+             END AS path
+           FROM d),
+           m AS (SELECT p.doc_id, p.host, r.path_prefix,
+                   CASE WHEN r.path_prefix IS NULL THEN NULL
+                        ELSE CAST(length(r.path_prefix) AS BIGINT) * 2 +
+                             CASE WHEN r.allow THEN 1 ELSE 0 END
+                   END AS prio
+                 FROM parts p LEFT JOIN rules r
+                   ON p.host = r.host
+                  AND starts_with(p.path, r.path_prefix))
+         SELECT doc_id, max(host) AS host,
+           CAST(count(path_prefix) AS BIGINT) AS n_rules_matched,
+           coalesce(max(prio) // 2, -1) AS matched_len,
+           (max(prio) IS NULL OR max(prio) % 2 = 1) AS keep
+         FROM m GROUP BY doc_id""",
+
+    // mirrors UrlOps.parseRobotsTxt: same line split / comment strip /
+    // field regexes, the lag-then-running-sum group assignment, the
+    // exact-beats-star tier rule, orphan (group-0) rules dropped by
+    // the group join, empty values carrying no rule
+    "p155_robots_parse" ->
+      s"""WITH hosts AS (SELECT DISTINCT
+             'site' || ((doc_id // 4) % 10)::VARCHAR || '.example.org' AS host,
+             ((doc_id // 4) % 10) % 5 AS t
+           FROM documents),
+           bodies AS (SELECT host,
+             CASE t WHEN 0 THEN ${robotsBodySql(RobotsBodies(0))}
+                    WHEN 1 THEN ${robotsBodySql(RobotsBodies(1))}
+                    WHEN 2 THEN ${robotsBodySql(RobotsBodies(2))}
+                    WHEN 3 THEN ${robotsBodySql(RobotsBodies(3))}
+                    ELSE ${robotsBodySql(RobotsBodies(4))} END AS body
+           FROM hosts),
+           ln AS (SELECT host, i AS line_no,
+                    trim(regexp_replace(ls[i], '#.*$$', '')) AS l
+                  FROM (SELECT host,
+                          string_split_regex(body, '\\r?\\n') AS ls
+                        FROM bodies) b,
+                       unnest(generate_series(1, len(ls))) t(i)),
+           rel AS (SELECT * FROM (
+                     SELECT host, line_no,
+                       lower(regexp_extract(l, '^([A-Za-z-]+)\\s*:', 1)) AS field,
+                       trim(regexp_extract(l, '^[A-Za-z-]+\\s*:\\s*(.*)$$', 1)) AS value
+                     FROM ln WHERE l != '')
+                   WHERE field IN ('user-agent', 'allow', 'disallow')),
+           g0 AS (SELECT *, lag(field) OVER
+                    (PARTITION BY host ORDER BY line_no) AS prev_field
+                  FROM rel),
+           g1 AS (SELECT *, sum(CASE WHEN field = 'user-agent' AND
+                      (prev_field IS NULL OR prev_field != 'user-agent')
+                      THEN 1 ELSE 0 END) OVER
+                    (PARTITION BY host ORDER BY line_no) AS grp
+                  FROM g0),
+           groups AS (SELECT host, grp,
+                        max(CASE WHEN lower(value) = 'graftbot'
+                            THEN 1 ELSE 0 END) AS exact,
+                        max(CASE WHEN value = '*' THEN 1 ELSE 0 END) AS star
+                      FROM g1 WHERE field = 'user-agent' GROUP BY host, grp),
+           tier AS (SELECT host, max(exact) AS has_exact
+                    FROM groups GROUP BY host),
+           sel AS (SELECT g.host, g.grp FROM groups g JOIN tier USING (host)
+                   WHERE CASE WHEN has_exact = 1 THEN exact = 1
+                              ELSE star = 1 END)
+         SELECT DISTINCT g1.host, value AS path_prefix,
+           field = 'allow' AS allow
+         FROM g1 JOIN sel ON g1.host = sel.host AND g1.grp = sel.grp
+         WHERE field != 'user-agent' AND value != ''""",
+
+    // mirrors flattenThreads over the planted 5-block forest: the
+    // recursive CTE walks root-down accumulating the same 'role:
+    // content' lines; leaves = ids never referenced as a parent
+    "p157_thread_flatten" ->
+      """WITH RECURSIVE msgs AS (SELECT doc_id AS id,
+             CASE WHEN doc_id % 5 = 0 THEN NULL
+                  WHEN doc_id % 5 = 3 THEN doc_id - 2
+                  ELSE doc_id - 1 END AS parent,
+             CASE WHEN doc_id % 2 = 0 THEN 'user'
+                  ELSE 'assistant' END AS role,
+             substr(text, 1, 60) AS content
+           FROM documents),
+           paths AS (
+             SELECT id, id AS root_id, 1 AS depth,
+               role || ': ' || content AS convo
+             FROM msgs WHERE parent IS NULL
+             UNION ALL
+             SELECT m.id, p.root_id, p.depth + 1,
+               p.convo || chr(10) || m.role || ': ' || m.content
+             FROM msgs m JOIN paths p ON m.parent = p.id)
+         SELECT p.id AS leaf_id, p.root_id,
+           CAST(p.depth AS BIGINT) AS depth, p.convo
+         FROM paths p
+         ANTI JOIN (SELECT DISTINCT parent FROM msgs
+                    WHERE parent IS NOT NULL) q
+           ON p.id = q.parent""",
+
+    // the p14 cluster walk + the p24 split recipe re-keyed on the
+    // cluster representative (singletons on their own id)
+    "p158_cluster_split" ->
+      s"""WITH RECURSIVE ${minhashPairsCtes("documents")},
+             pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.4),
+             edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                       UNION SELECT doc_b, doc_a FROM pairs),
+             nodes AS (SELECT DISTINCT src AS doc FROM edges),
+             walk AS (SELECT doc, doc AS label FROM nodes
+                      UNION
+                      SELECT e.src AS doc, w.label
+                      FROM edges e JOIN walk w ON e.dst = w.doc),
+             cl AS (SELECT doc, min(label) AS cluster_id
+                    FROM walk GROUP BY doc),
+             keyed AS (SELECT d.doc_id,
+                         coalesce(cl.cluster_id, d.doc_id) AS split_key
+                       FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc),
+             b AS (SELECT doc_id, split_key,
+                     ('0x' || substr(md5('split:' || split_key::VARCHAR),
+                       1, 15))::BIGINT % 10000 AS bucket
+                   FROM keyed)
+         SELECT doc_id, split_key, bucket,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split
+         FROM b""",
 
     // mirrors removeDuplicateSpans over the span-planted corpus:
     // case-preserving whitespace tokens, k=8 grams hashed to 60 bits,
@@ -6969,5 +7290,7 @@ object PipelineQueries {
     "p144_cdc_bloom_screen" -> oracleBase("p138_cdc_screen"),
     "p149_containment_bloom" -> oracleBase("p148_containment_screen"),
     "p150_containment_backfill" -> oracleBase("p148_containment_screen"),
-    "p151_cdc_backfill" -> oracleBase("p138_cdc_screen"))
+    "p151_cdc_backfill" -> oracleBase("p138_cdc_screen"),
+    // the zero-shuffle serving form computes the identical relation
+    "p156_robots_serve" -> oracleBase("p154_robots_filter"))
 }

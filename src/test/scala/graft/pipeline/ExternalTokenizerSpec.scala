@@ -143,4 +143,107 @@ class ExternalTokenizerSpec extends SparkSpecBase {
     }
     assert(e6.getMessage.contains("not valid JSON"), e6.getMessage)
   }
+
+  // ---- SentencePiece .model (r13 follow-on) ------------------------------
+
+  test("committed SentencePiece fixture parses to the constants; Viterbi serve hand-checked") {
+    val m = TokenizerIO.loadExternalSentencePiece(spark,
+      s"$fixDir/sp_unigram_toy/sp.model")
+    assert(m == TokenizerFixtures.spExpectedModel)
+    // the renderer and committed bytes cannot drift either
+    val committed = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$fixDir/sp_unigram_toy/sp.model"))
+    assert(java.util.Arrays.equals(committed,
+      TokenizerFixtures.spModelBytes))
+    // unk follows the SentencePiece runtime rule: (10 − min score)·1e6
+    // (min lattice score is digit '9' at −6.59)
+    assert(m.unkPiece == "<unk>" && m.unkCostMicro == 16590000L)
+    assert(m.maxPieceLen == 4 && m.addDummyPrefix)
+    // control pieces (<s>, </s>) are NOT lattice pieces
+    val ps = m.pieces.map(_._1).toSet
+    assert(!ps.contains("<s>") && !ps.contains("</s>") && !ps.contains("<unk>"))
+    assert(ps.contains("▁the") && m.pieces.toMap.apply("▁the") == 2800000L)
+
+    import spark.implicits._
+    def seg(unit: String): Seq[String] = Seq(unit).toDF("w")
+      .select(graft.functions.UnigramSegment(col("w"), m.pieces,
+        m.unkCostMicro, m.maxPieceLen).as("s"))
+      .collect().head.getSeq[String](0)
+    // hand-run Viterbi (micro-nat costs in comments):
+    //  ▁the      -> [▁the] 2.8M beats [▁,the] 5.8M
+    //  ▁standing -> [▁,st,and,ing] 2.2+5.0+3.7+3.8 = 14.7M beats
+    //               [▁,st,an,d,ing] 21.53M
+    //  ▁order    -> [▁,or,d,er] 2.2+4.7+6.03+4.1 = 17.03M
+    assert(seg("▁the") == Seq("▁the"))
+    assert(seg("▁standing") == Seq("▁", "st", "and", "ing"))
+    assert(seg("▁order") == Seq("▁", "or", "d", "er"))
+    // unknown code point -> single-cp unk fallback, lossless
+    assert(seg("▁é") == Seq("▁", "é"))
+  }
+
+  test("unsupported SentencePiece artifacts fail loudly by name") {
+    // local minimal protobuf encoder (the wire format is public; the
+    // spec builds VARIANT artifacts the fixture renderer refuses to)
+    def vi(n: Long): Array[Byte] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      var v = n
+      while ((v & ~0x7fL) != 0L) { out += ((v & 0x7f) | 0x80).toByte; v >>>= 7 }
+      (out += v.toByte).toArray
+    }
+    def key(f: Int, wt: Int) = vi((f.toLong << 3) | wt)
+    def ld(f: Int, b: Array[Byte]) = key(f, 2) ++ vi(b.length) ++ b
+    def str(f: Int, s: String) = ld(f, s.getBytes("UTF-8"))
+    def flt(f: Int, x: Float) = {
+      val bits = java.lang.Float.floatToIntBits(x)
+      key(f, 5) ++ Array[Byte](bits.toByte, (bits >> 8).toByte,
+        (bits >> 16).toByte, (bits >> 24).toByte)
+    }
+    def num(f: Int, v: Long) = key(f, 0) ++ vi(v)
+    def piece(p: String, score: Float, tpe: Int) =
+      ld(1, str(1, p) ++ flt(2, score) ++ num(3, tpe))
+    val basePieces = piece("<unk>", 0.0f, 2) ++ piece("a", -1.0f, 1) ++
+      piece("b", -2.0f, 1)
+
+    def parse(b: Array[Byte]) = SentencePiece.parse(b, "test")
+    def failing(b: Array[Byte]): String =
+      intercept[IllegalArgumentException](parse(b)).getMessage
+
+    // BPE model_type routed here
+    assert(failing(basePieces ++ ld(2, num(3, 2))).contains("BPE"))
+    // a non-identity normalizer is named (nmt_nfkc family)
+    assert(failing(basePieces ++ ld(3, str(1, "nmt_nfkc") ++
+      ld(2, Array[Byte](1, 2, 3)))).contains("nmt_nfkc"))
+    // a precompiled charsmap is rejected even under an identity name
+    assert(failing(basePieces ++ ld(3, str(1, "identity") ++
+      ld(2, Array[Byte](1, 2, 3)))).contains("charsmap"))
+    // escape_whitespaces=false breaks the ▁ convention
+    assert(failing(basePieces ++ ld(3, num(5, 0)))
+      .contains("escape_whitespaces"))
+    // add_dummy_prefix=false / remove_extra_whitespaces=false named
+    assert(failing(basePieces ++ ld(3, num(3, 0)))
+      .contains("add_dummy_prefix"))
+    assert(failing(basePieces ++ ld(3, num(4, 0)))
+      .contains("remove_extra_whitespaces"))
+    // byte_fallback (BYTE pieces) not implemented
+    assert(failing(basePieces ++ piece("<0x41>", -3.0f, 6))
+      .contains("byte_fallback"))
+    // user-defined symbols not implemented
+    assert(failing(basePieces ++ piece("<extra_id_0>", 0.0f, 4))
+      .contains("USER_DEFINED"))
+    // exactly one UNKNOWN piece
+    assert(failing(basePieces ++ piece("<unk2>", 0.0f, 2))
+      .contains("UNKNOWN"))
+    // interior ▁ would break the per-word serving decomposition
+    assert(failing(basePieces ++ piece("a▁b", -3.0f, 1))
+      .contains("past position 0"))
+    // positive score is not a log probability
+    assert(failing(basePieces ++ piece("zz", 0.5f, 1))
+      .contains("positive score"))
+    // truncation and junk are loud parse errors, never a garbage model
+    val ok = TokenizerFixtures.spModelBytes
+    assert(failing(ok.dropRight(3)).contains("not a SentencePiece model"))
+    intercept[IllegalArgumentException] {
+      parse("definitely not a protobuf model file".getBytes("UTF-8"))
+    }
+  }
 }

@@ -4995,6 +4995,216 @@ class PipelineSpec extends SparkSpecBase {
     assert(e.getMessage.contains("not priority_md5"), e.getMessage)
   }
 
+  test("robotsFilter: RFC 9309 longest-match + allow-tie semantics, hand-checked") {
+    import spark.implicits._
+    val rules = Seq(
+      ("site1.example.org", "/private", false),
+      ("site1.example.org", "/private/ok", true),
+      ("site1.example.org", "/pub", false),
+      ("site1.example.org", "/pub", true),
+      ("site0.example.org", "/", false),
+      ("site0.example.org", "/private", false),
+      ("site0.example.org", "/private/ok", true))
+      .toDF("host", "path_prefix", "allow")
+    val docs = Seq(
+      (1L, "https://site5.example.org/p1"), // unlisted host
+      (2L, "https://site1.example.org/private/x"), // disallowed
+      (3L, "https://site1.example.org/private/ok/x"), // longest re-allows
+      (4L, "https://site1.example.org/pub/x"), // specificity tie -> allow
+      (5L, "https://site0.example.org/anything"), // root disallow
+      (6L, "https://site0.example.org/private/ok/x"), // 3 matches, longest allows
+      (7L, "HTTPS://SITE1.EXAMPLE.ORG/private/x"), // host case-folded
+      (8L, "https://site1.example.org"), // empty path -> "/", no rule
+      (9L, "https://site0.example.org"), // empty path -> "/" root disallow
+      (10L, "https://site1.example.org/private?x=1")) // query in match scope
+      .toDF("doc_id", "url")
+    val out = UrlOps.robotsFilter(docs, "doc_id", "url", rules)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+      .toSeq
+    assert(out == Seq(
+      (1L, "site5.example.org", 0L, -1L, true),
+      (2L, "site1.example.org", 1L, 8L, false),
+      (3L, "site1.example.org", 2L, 11L, true),
+      (4L, "site1.example.org", 2L, 4L, true),
+      (5L, "site0.example.org", 1L, 1L, false),
+      (6L, "site0.example.org", 3L, 11L, true),
+      (7L, "site1.example.org", 1L, 8L, false),
+      (8L, "site1.example.org", 0L, -1L, true),
+      (9L, "site0.example.org", 1L, 1L, false),
+      (10L, "site1.example.org", 1L, 8L, false)), out.mkString("\n"))
+    // a wildcard rule fails loudly by name, never silently prefix-matches
+    val wild = Seq(("site1.example.org", "/a/*/b", false))
+      .toDF("host", "path_prefix", "allow")
+    val e = intercept[Exception] {
+      UrlOps.robotsFilter(docs, "doc_id", "url", wild).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    assert(chain(e).contains("wildcard rule"), chain(e))
+  }
+
+  test("parseRobotsTxt: RFC 9309 group/tier semantics; composes into robotsFilter") {
+    import spark.implicits._
+    val robots = Seq(
+      // star group + comments + ignored fields
+      ("a.org", "# policy\nUser-agent: *\nDisallow: /private\n" +
+        "Allow: /private/ok\nCrawl-delay: 5\nSitemap: https://a.org/s.xml\n"),
+      // exact agent group beats the root-disallow star group
+      ("b.org", "User-agent: graftbot\nDisallow: /secret\n\n" +
+        "User-agent: *\nDisallow: /\n"),
+      // multi-agent header; orphan rule before any group dropped;
+      // case/spacing variants; empty Disallow carries no rule
+      ("c.org", "Disallow: /orphan\nUser-agent: graftbot\n" +
+        "User-agent: otherbot\nDISALLOW : /x\nDisallow:\n"),
+      // foreign-agent-only file: nothing applies
+      ("d.org", "User-agent: somebot\nDisallow: /\n"))
+      .toDF("host", "body")
+    val rules = UrlOps.parseRobotsTxt(robots, "host", "body", "GraftBot")
+    val got = rules.orderBy("host", "path_prefix")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+      .toSeq
+    assert(got == Seq(
+      ("a.org", "/private", false), ("a.org", "/private/ok", true),
+      ("b.org", "/secret", false), ("c.org", "/x", false)), got.mkString("\n"))
+    // the full REP loop: parsed rules feed the matcher
+    val docs = Seq(
+      (1L, "https://a.org/private/ok/page"), // re-allowed by longest match
+      (2L, "https://b.org/public"), // star group did NOT apply
+      (3L, "https://b.org/secret/x"), // the exact group's rule did
+      (4L, "https://d.org/anything")) // no applicable rules at all
+      .toDF("doc_id", "url")
+    val verdicts = UrlOps.robotsFilter(docs, "doc_id", "url", rules)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getBoolean(4)))
+      .toSeq
+    assert(verdicts == Seq((1L, true), (2L, true), (3L, false), (4L, true)),
+      verdicts.mkString("\n"))
+  }
+
+  test("robotsVerdict == robotsFilter row-for-row; wildcard rejected at build") {
+    import spark.implicits._
+    val rules = Seq(
+      ("site1.example.org", "/private", false),
+      ("site1.example.org", "/private/ok", true),
+      ("site1.example.org", "/pub", false),
+      ("site1.example.org", "/pub", true),
+      ("site0.example.org", "/", false))
+    val docs = (0L until 200L).toDF("doc_id")
+      .selectExpr("doc_id",
+        "concat('https://site', cast(doc_id % 3 as string), '.example.org'," +
+          " case when doc_id % 4 = 0 then concat('/private/p', doc_id)" +
+          " when doc_id % 4 = 1 then concat('/private/ok/p', doc_id)" +
+          " when doc_id % 4 = 2 then concat('/pub/p', doc_id)" +
+          " else concat('/p', doc_id) end) as url")
+    val viaJoin = UrlOps.robotsFilter(docs, "doc_id", "url",
+      rules.toDF("host", "path_prefix", "allow"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val viaLit = UrlOps.robotsVerdict(docs, "doc_id", "url", rules)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaJoin == viaLit)
+    val e = intercept[IllegalArgumentException] {
+      UrlOps.robotsVerdict(docs, "doc_id", "url",
+        Seq(("a.org", "/x/*", false)))
+    }
+    assert(e.getMessage.contains("wildcard"), e.getMessage)
+  }
+
+  test("flattenThreads: branches, varied depths, loud dangling/cycle/over-depth") {
+    import spark.implicits._
+    val msgs = Seq(
+      (10L, None, "user", "hi"),
+      (11L, Some(10L), "assistant", "hello"),
+      (12L, Some(11L), "user", "branch-a"),
+      (13L, Some(11L), "user", "branch-b"),
+      (14L, Some(13L), "assistant", "deep"),
+      (20L, None, "user", "solo"))
+      .toDF("id", "parent", "role", "content")
+    val out = Preference.flattenThreads(msgs, "id", "parent", "role",
+      "content", maxDepth = 8)
+      .orderBy("leaf_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3), r.getSeq[String](5)))
+      .toSeq
+    assert(out == Seq(
+      (12L, 10L, 3L, Seq(10L, 11L, 12L), Seq("hi", "hello", "branch-a")),
+      (14L, 10L, 4L, Seq(10L, 11L, 13L, 14L),
+        Seq("hi", "hello", "branch-b", "deep")),
+      (20L, 20L, 1L, Seq(20L), Seq("solo"))), out.mkString("\n"))
+    // composes into the ChatML renderer (the p128 contract)
+    val rendered = Preference.flattenThreads(msgs, "id", "parent", "role",
+        "content", maxDepth = 8)
+      .filter(col("leaf_id") === 12L)
+      .select(TextOps.renderChatML(zip_with(col("roles"), col("contents"),
+        (r, c) => struct(r.as("role"), c.as("content")))).as("r"))
+      .collect().head.getStruct(0).getString(0)
+    assert(rendered ==
+      "<|im_start|>user\nhi<|im_end|>\n" +
+        "<|im_start|>assistant\nhello<|im_end|>\n" +
+        "<|im_start|>user\nbranch-a<|im_end|>\n", rendered)
+    // dangling parent: named count, fails before any traversal
+    val dangling = Seq((1L, Some(99L), "user", "x"))
+      .toDF("id", "parent", "role", "content")
+    val e1 = intercept[IllegalArgumentException] {
+      Preference.flattenThreads(dangling, "id", "parent", "role", "content")
+    }
+    assert(e1.getMessage.contains("absent"), e1.getMessage)
+    // a parent cycle can never flatten — loud, names the cause
+    val cycle = Seq((1L, Some(2L), "user", "a"), (2L, Some(1L), "user", "b"))
+      .toDF("id", "parent", "role", "content")
+    val e2 = intercept[IllegalArgumentException] {
+      Preference.flattenThreads(cycle, "id", "parent", "role", "content",
+        maxDepth = 4)
+    }
+    assert(e2.getMessage.contains("cycle"), e2.getMessage)
+    // depth just past the budget is equally loud
+    val chain = (1L to 5L).map(i =>
+      (i, if (i == 1L) None else Some(i - 1L), "user", s"m$i"))
+      .toDF("id", "parent", "role", "content")
+    val e3 = intercept[IllegalArgumentException] {
+      Preference.flattenThreads(chain, "id", "parent", "role", "content",
+        maxDepth = 4)
+    }
+    assert(e3.getMessage.contains("maxDepth=4"), e3.getMessage)
+    // and the same chain under an adequate budget flattens fine
+    val ok = Preference.flattenThreads(chain, "id", "parent", "role",
+      "content", maxDepth = 8).collect()
+    assert(ok.length == 1 && ok.head.getLong(2) == 5L)
+  }
+
+  test("clusterConsistentSplit: near-dup clusters never straddle splits; singletons keep the p24 draw") {
+    import spark.implicits._
+    // three identical-text clusters of 4 + unique singletons
+    val docs = (0L until 60L).map { i =>
+      val text = if (i < 12L)
+        s"shared duplicate corpus text block number ${i / 4} " * 6
+      else (0 until 12).map(k => s"w${i}x$k").mkString(" ")
+      (i, text)
+    }.toDF("doc_id", "text")
+    val out = Sampling.clusterConsistentSplit(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(out.length == 60)
+    // every cluster member carries the representative's key and split
+    for (c <- 0 until 3) {
+      val members = out.filter(t => t._1 >= c * 4 && t._1 < (c + 1) * 4)
+      assert(members.map(_._2).distinct == Seq(c * 4L),
+        s"cluster $c keys: $members")
+      assert(members.map(_._4).distinct.size == 1,
+        s"cluster $c straddles splits: $members")
+    }
+    // singletons: split_key is the id itself and the draw matches p24's
+    val plain = Sampling.holdoutSplit(docs.filter(col("doc_id") >= 12),
+      "doc_id").select(col("doc_id"), col("bucket"), col("split"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val singles = out.filter(_._1 >= 12L)
+      .map(t => (t._1, t._3, t._4)).toSet
+    assert(out.filter(_._1 >= 12L).forall(t => t._1 == t._2))
+    assert(singles == plain)
+  }
+
   test("priorityGroups: trusted source wins across dup groups; bounds enforced") {
     import spark.implicits._
     val d = Seq(

@@ -1225,6 +1225,36 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == expected)
     assert(got(1L).last == true && got(3L).last == false)
   }
+
+  test("robotsVerdict screens an ingest stream unchanged (stateless projection)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rules = Seq(
+      ("a.org", "/private", false), ("a.org", "/private/ok", true),
+      ("b.org", "/", false))
+    val rows = Seq(
+      (1L, "https://a.org/private/page"), // disallowed
+      (2L, "https://a.org/private/ok/page"), // longest match re-allows
+      (3L, "https://b.org/x"), // root disallow
+      (4L, "https://c.org/x")) // unlisted host
+    val expected = graft.pipeline.UrlOps.robotsVerdict(
+        rows.toDF("doc_id", "url"), "doc_id", "url", rules)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.pipeline.UrlOps.robotsVerdict(
+        mem.toDF().toDF("doc_id", "url"), "doc_id", "url", rules)
+      .writeStream.format("memory").queryName("robots_stream")
+      .outputMode("append").start()
+    val got = try {
+      mem.addData(rows.take(2): _*); q.processAllAvailable()
+      mem.addData(rows.drop(2): _*); q.processAllAvailable()
+      spark.table("robots_stream").collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    } finally q.stop()
+    assert(got == expected)
+    assert(got(1L).last == false && got(2L).last == true &&
+      got(3L).last == false && got(4L).last == true)
+  }
 }
 
 object StreamingSpec {
