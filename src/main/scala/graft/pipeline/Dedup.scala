@@ -848,14 +848,24 @@ object Dedup {
       .agg(min(col("keep_id")).as("__ck"), sum(col("dup_cnt")).as("__cn"))
     val batchMin = batch.groupBy("content_hash")
       .agg(min(col("doc")).as("__bm"))
+    // a post-deletion key can hold copies with an UNKNOWN winner
+    // (keep_id NULL, [[deleteFromExactIndex]]): an arriving copy is a
+    // duplicate of retained corpus content and must NOT become keeper
+    // — keep=false, keep_id NULL. Unreachable for never-deleted
+    // indexes (their stored winners are never NULL while cnt > 0).
+    val unknownWinner =
+      col("__ck").isNull && coalesce(col("__cn"), lit(0L)) > 0
     batch
       .join(batchMin, Seq("content_hash"))
       .join(stored, Seq("content_hash"), "left")
       // Spark's least skips NULLs, so an index miss keeps the batch min
       .select(col("doc"), col("content_hash"),
-        least(col("__ck"), col("__bm")).as("keep_id"),
+        when(unknownWinner, lit(null).cast("long"))
+          .otherwise(least(col("__ck"), col("__bm"))).as("keep_id"),
         coalesce(col("__cn"), lit(0L)).as("n_corpus"),
-        (col("doc") === least(col("__ck"), col("__bm"))).as("keep"))
+        when(unknownWinner, lit(false))
+          .otherwise(col("doc") === least(col("__ck"), col("__bm")))
+          .as("keep"))
   }
 
   /** Fold a batch INTO the stored exact index: the batch's own
@@ -877,6 +887,97 @@ object Dedup {
         col("dup_cnt").cast("long"))
       .sortWithinPartitions("content_hash")
       .write.mode("append").parquet(s"$indexPath/index")
+  }
+
+  /** DELETION from a stored exact index (the right-to-be-forgotten /
+    * takedown path every long-lived corpus index eventually needs —
+    * opt-out requests arrive AFTER the index is built): subtract the
+    * deleted docs' own recomputed partials and write a NEW index at
+    * `outPath`.
+    *
+    * Why a rewrite, not a fold: the stored relation's (min keep_id,
+    * sum dup_cnt) partial-group monoid is APPEND-only — a count could
+    * subtract via a negative append, but a min can never be
+    * retracted — so deletion combines totals once and rewrites,
+    * O(index + deletes): one hash aggregate per side + one join on
+    * content_hash, never a corpus rescan.
+    *
+    * Honest semantics, loudly enforced:
+    *   - a key whose every contributor is deleted DISAPPEARS (screens
+    *     stop flagging new copies — the content is forgotten);
+    *   - a surviving key whose stored WINNER is among the deleted ids
+    *     keeps its count but carries keep_id = NULL: the next-smallest
+    *     retained id is not derivable from monoid state (it was folded
+    *     away), and inventing one would be wrong. Screens treat such
+    *     a key honestly: an arriving copy reports keep=false with
+    *     keep_id NULL (it IS a duplicate of retained corpus content,
+    *     just of an unknown winner — see [[exactScreenBody]]); callers
+    *     that need a winner rebuild from the retained corpus;
+    *   - deleting a doc the index never saw, or more copies of a key
+    *     than it holds (a double delete), is an IN-PLAN error — the
+    *     count would otherwise go silently negative;
+    *   - the new index carries NO bloom sidecar even if the old one
+    *     did: a Bloom filter cannot delete (clearing shared bits
+    *     would create false negatives) — rebuild via
+    *     [[buildExactBloom]], which stamps against the new files.
+    */
+  def deleteFromExactIndex(deletedDocs: DataFrame, indexPath: String,
+      outPath: String, idCol: String, textCol: String): Unit = {
+    val spark = deletedDocs.sparkSession
+    require(new org.apache.hadoop.fs.Path(outPath).toString !=
+      new org.apache.hadoop.fs.Path(indexPath).toString,
+      "deleteFromExactIndex: outPath must differ from indexPath — a " +
+        "reader must never observe a half-rewritten index")
+    BucketedTables.requirePlainLayout(spark, s"$indexPath/meta",
+      "deleteFromExactIndex")
+    val totals = loadExactIndex(spark, indexPath)
+      .groupBy("content_hash")
+      .agg(min(col("keep_id")).as("keep_id"), sum(col("dup_cnt")).as("dup_cnt"))
+    val delDocs = deletedDocs.select(col(idCol).cast("long").as("__del_id"),
+      md5(col(textCol)).as("content_hash"))
+    // loud on duplicate ids in the delete list — they would both
+    // double-subtract counts and fan out the winner join
+    val nDel = delDocs.count()
+    val nDelIds = delDocs.select("__del_id").distinct().count()
+    require(nDel == nDelIds,
+      s"deleteFromExactIndex: delete list carries ${nDel - nDelIds} " +
+        "duplicate ids — counts would double-subtract")
+    // per-hash delete counts (bounded partial-aggregate state: one
+    // count per hash — a viral deleted text collapses map-side), plus
+    // a 1:1 winner-membership join (at most one delete row can carry
+    // the stored winner's (hash, id), ids being unique)
+    val del = delDocs.groupBy("content_hash")
+      .agg(count(lit(1)).as("__del_cnt"))
+    val winFlag = delDocs.select(col("content_hash").as("__wh"),
+      col("__del_id"))
+    // the misuse checks live INSIDE the projected count (raise_error
+    // branches), not in separate filter(assert_true) nodes — the
+    // optimizer may evaluate the cheap `> 0` predicate first and
+    // silently drop exactly the rows that must fail
+    val newCnt = col("dup_cnt") - coalesce(col("__del_cnt"), lit(0L))
+    val checkedCnt =
+      when(col("dup_cnt").isNull, raise_error(concat(
+        lit("deleteFromExactIndex: delete list carries content the " +
+          "index never saw (hash "), col("content_hash"),
+        lit(") — wrong index or wrong delete list"))).cast("long"))
+        .when(newCnt < 0, raise_error(concat(
+          lit("deleteFromExactIndex: more copies deleted than the " +
+            "index holds for hash "), col("content_hash"),
+          lit(" — double delete or foreign corpus"))).cast("long"))
+        .otherwise(newCnt)
+    val out = totals.join(del, Seq("content_hash"), "full_outer")
+      .join(winFlag, col("content_hash") === col("__wh") &&
+        col("keep_id") === col("__del_id"), "left")
+      .select(col("content_hash"),
+        when(col("__del_id").isNotNull, lit(null).cast("long"))
+          .otherwise(col("keep_id")).as("keep_id"),
+        checkedCnt.as("dup_cnt"))
+      .filter(col("dup_cnt") > 0)
+    import spark.implicits._
+    Seq(("exact_md5", 32)).toDF("family", "hash_len")
+      .write.mode("overwrite").parquet(s"$outPath/meta")
+    out.sortWithinPartitions("content_hash")
+      .write.mode("overwrite").parquet(s"$outPath/index")
   }
 
   // ---- bloom sidecar for the exact index ---------------------------------

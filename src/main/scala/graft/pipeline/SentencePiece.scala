@@ -142,6 +142,72 @@ object SentencePiece {
     }
   }
 
+  // ---- wire ENCODING (the render/export half) ----------------------------
+
+  private[pipeline] def pbVarint(n: Long): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var v = n
+    while ((v & ~0x7fL) != 0L) { out += ((v & 0x7f) | 0x80).toByte; v >>>= 7 }
+    out += v.toByte
+    out.toArray
+  }
+  private[pipeline] def pbKey(field: Int, wt: Int): Array[Byte] =
+    pbVarint((field.toLong << 3) | wt)
+  private[pipeline] def pbLen(field: Int, body: Array[Byte]): Array[Byte] =
+    pbKey(field, 2) ++ pbVarint(body.length) ++ body
+  private[pipeline] def pbString(field: Int, s: String): Array[Byte] =
+    pbLen(field, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private[pipeline] def pbFloat(field: Int, f: Float): Array[Byte] = {
+    val bits = java.lang.Float.floatToIntBits(f)
+    pbKey(field, 5) ++ Array[Byte](bits.toByte, (bits >> 8).toByte,
+      (bits >> 16).toByte, (bits >> 24).toByte)
+  }
+  private[pipeline] def pbVarintField(field: Int, v: Long): Array[Byte] =
+    pbKey(field, 0) ++ pbVarint(v)
+
+  /** Serialize a loaded/trained model back to the published `.model`
+    * wire format (the interop EXPORT half — an engine-trained
+    * [[Unigram.Model]] becomes an artifact any SentencePiece runtime
+    * loads): `<unk>` first as the UNKNOWN piece (score 0, the trainer
+    * convention — the runtime re-derives the unk score from
+    * min_score − 10, the same rule [[parse]] applies), then the
+    * lattice pieces with `score = −cost_micro / 1e6` as float32,
+    * trainer_spec model_type=UNIGRAM, identity normalizer with the
+    * three whitespace flags explicitly true.
+    *
+    * Precision: the FORMAT stores float32 scores, so a cost above
+    * ~16.7M micro-nats may round-trip ±1 micro — that is the published
+    * format's own precision, not a parser defect; [[parse]] ∘
+    * [[render]] is exact for every cost the quantizer emits below
+    * that. Pieces must satisfy the same envelope parse enforces
+    * (validated here so an unloadable artifact can never be written).
+    */
+  def render(pieces: Seq[(String, Long)], unkPiece: String): Array[Byte] = {
+    require(pieces.nonEmpty, "render: no pieces")
+    require(pieces.map(_._1).distinct.length == pieces.length,
+      "render: duplicate pieces")
+    require(!pieces.exists(_._1 == unkPiece),
+      s"render: unk piece '$unkPiece' collides with a lattice piece")
+    pieces.foreach { case (p, c) =>
+      require(p.nonEmpty && p.indexOf('▁', 1) < 0,
+        s"render: piece '$p' violates the interior-▁ envelope")
+      require(c >= 0L, s"render: negative cost $c for piece '$p'")
+    }
+    val pieceMsgs =
+      pbLen(1, pbString(1, unkPiece) ++ pbFloat(2, 0.0f) ++
+        pbVarintField(3, TUnknown)) ++
+      pieces.flatMap { case (p, c) =>
+        pbLen(1, pbString(1, p) ++ pbFloat(2, (-(c.toDouble / 1e6)).toFloat) ++
+          pbVarintField(3, TNormal))
+      }
+    val trainer = pbLen(2,
+      pbVarintField(3, 1) ++ pbVarintField(4, pieces.length + 1))
+    val normalizer = pbLen(3,
+      pbString(1, "identity") ++ pbVarintField(3, 1) ++
+        pbVarintField(4, 1) ++ pbVarintField(5, 1))
+    pieceMsgs ++ trainer ++ normalizer
+  }
+
   /** Parse + validate a serialized ModelProto. `where` names the file
     * in every error.
     */

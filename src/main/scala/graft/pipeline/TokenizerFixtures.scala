@@ -142,28 +142,8 @@ object TokenizerFixtures {
     specials ++ (words ++ letters ++ digits).map { case (p, s) => (p, s, 1) }
   }
 
-  // protobuf wire encoding (public format): varint keys, length-
-  // delimited submessages, little-endian float32
-  private def pbVarint(n: Long): Array[Byte] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
-    var v = n
-    while ((v & ~0x7fL) != 0L) { out += ((v & 0x7f) | 0x80).toByte; v >>>= 7 }
-    out += v.toByte
-    out.toArray
-  }
-  private def pbKey(field: Int, wt: Int): Array[Byte] =
-    pbVarint((field.toLong << 3) | wt)
-  private def pbLen(field: Int, body: Array[Byte]): Array[Byte] =
-    pbKey(field, 2) ++ pbVarint(body.length) ++ body
-  private def pbString(field: Int, s: String): Array[Byte] =
-    pbLen(field, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-  private def pbFloat(field: Int, f: Float): Array[Byte] = {
-    val bits = java.lang.Float.floatToIntBits(f)
-    pbKey(field, 5) ++ Array[Byte](bits.toByte, (bits >> 8).toByte,
-      (bits >> 16).toByte, (bits >> 24).toByte)
-  }
-  private def pbVarintField(field: Int, v: Long): Array[Byte] =
-    pbKey(field, 0) ++ pbVarint(v)
+  // protobuf wire encoding shared with the export path
+  import SentencePiece.{pbLen, pbString, pbFloat, pbVarintField}
 
   /** Serialized ModelProto: repeated pieces (field 1: piece/score/type),
     * trainer_spec (field 2: model_type=UNIGRAM, vocab_size), and

@@ -117,6 +117,17 @@ object TokenizerIO {
       path: String): SentencePiece.Model =
     SentencePiece.parse(readRaw(spark, path), s"loadExternalSentencePiece($path)")
 
+  /** Export an engine-trained unigram model ([[Unigram.trainModel]])
+    * as a published SentencePiece `.model` — the interop loop's WRITE
+    * half: the artifact loads in any SentencePiece runtime (and back
+    * through [[loadExternalSentencePiece]]). Wire layout and the
+    * float32 precision note on [[SentencePiece.render]].
+    */
+  def saveAsSentencePiece(spark: SparkSession, m: Unigram.Model,
+      path: String, unkPiece: String = "<unk>"): Unit =
+    TokenizerFixtures.writeBytes(spark, path,
+      SentencePiece.render(m.pieces, unkPiece))
+
   private def jsonTree(spark: SparkSession,
       path: String): com.fasterxml.jackson.databind.JsonNode = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -2406,6 +2406,25 @@ object PipelineQueries {
     "p158_cluster_split" -> ((s, dir) =>
       Sampling.clusterConsistentSplit(docs(s, dir), "doc_id", "text")),
 
+    // right-to-be-forgotten DELETION from the stored exact index: the
+    // planted-corpus index minus every doc_id % 7 == 0 — singleton
+    // keys of deleted docs DISAPPEAR, group counts shrink, and groups
+    // whose min-id WINNER is deleted keep their count with keep_id
+    // NULL (the monoid cannot re-derive the next retained winner; the
+    // oracle states the same rule). Built as an artifact like the
+    // other index queries; the returned relation is the new index
+    "p159_index_delete" -> ((s, dir) => {
+      val out = withPipelineArtifact(dir, "p159_idx_del") { stage =>
+        val corpus = exactPlant(docs(s, dir))
+        Dedup.saveExactIndex(corpus, "doc_id", "text", s"$stage/idx")
+        Dedup.deleteFromExactIndex(
+          corpus.filter(col("doc_id") % 7 === 0),
+          s"$stage/idx", s"$stage/idx_del", "doc_id", "text")
+      }
+      Dedup.loadExactIndex(s, s"$out/idx_del")
+        .select(col("content_hash"), col("keep_id"), col("dup_cnt"))
+    }),
+
     // robots.txt PARSING (RFC 9309 §2.1-2.2 — the other half of the
     // REP loop; p154 proves the matcher, this proves raw file → rule
     // relation): one templated body per planted host (RobotsBodies,
@@ -4040,6 +4059,27 @@ object PipelineQueries {
                 WHEN bucket < 9000 THEN 'val'
                 ELSE 'test' END AS split
          FROM b""",
+
+    // mirrors deleteFromExactIndex over the planted corpus: totals
+    // minus the delete list's per-hash counts, empty keys dropped,
+    // deleted winners NULLed (the delete rule is by id, so the winner
+    // test is keep_id % 7 = 0)
+    "p159_index_delete" ->
+      """WITH d0 AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 < 2 THEN 'grp:' || (doc_id // 4)::VARCHAR
+                  ELSE text END AS text
+           FROM documents),
+           h AS (SELECT doc_id, md5(text) AS content_hash FROM d0),
+           tot AS (SELECT content_hash, min(doc_id) AS keep_id,
+                     CAST(count(*) AS BIGINT) AS dup_cnt
+                   FROM h GROUP BY 1),
+           del AS (SELECT content_hash, CAST(count(*) AS BIGINT) AS del_cnt
+                   FROM h WHERE doc_id % 7 = 0 GROUP BY 1)
+         SELECT t.content_hash,
+           CASE WHEN t.keep_id % 7 = 0 THEN NULL ELSE t.keep_id END AS keep_id,
+           t.dup_cnt - coalesce(d.del_cnt, 0) AS dup_cnt
+         FROM tot t LEFT JOIN del d USING (content_hash)
+         WHERE t.dup_cnt - coalesce(d.del_cnt, 0) > 0""",
 
     // mirrors removeDuplicateSpans over the span-planted corpus:
     // case-preserving whitespace tokens, k=8 grams hashed to 60 bits,

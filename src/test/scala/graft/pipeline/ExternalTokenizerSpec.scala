@@ -246,4 +246,41 @@ class ExternalTokenizerSpec extends SparkSpecBase {
       parse("definitely not a protobuf model file".getBytes("UTF-8"))
     }
   }
+
+  test("SentencePiece export round-trips: fixture exactly, trained model within float32") {
+    // render ∘ parse on the fixture's lattice reproduces the model
+    // exactly (every cost below the float32 integer-precision bound)
+    val exp = TokenizerFixtures.spExpectedModel
+    val rt = SentencePiece.parse(
+      SentencePiece.render(exp.pieces, exp.unkPiece), "roundtrip")
+    assert(rt == exp)
+    // an engine-TRAINED model exports to a loadable artifact; cost
+    // drift is bounded by the format's own float32 score precision
+    val dict = Array(("the", 50L), ("them", 20L), ("theme", 10L),
+      ("thesis", 5L), ("such", 8L), ("much", 7L))
+    val trained = Unigram.trainLocal(dict, vocabSize = 12, maxPieceLen = 4)
+    val path = java.nio.file.Files.createTempDirectory("sp").toString + "/m.model"
+    TokenizerIO.saveAsSentencePiece(spark, trained, path)
+    val loaded = TokenizerIO.loadExternalSentencePiece(spark, path)
+    val tCosts = trained.pieces.toMap
+    assert(loaded.pieces.map(_._1).toSet == tCosts.keySet)
+    val maxDrift = loaded.pieces.map { case (p, c) =>
+      math.abs(c - tCosts(p)) }.max
+    assert(maxDrift <= 1L, s"cost drift $maxDrift > 1 micro-nat")
+    // the trainer's unk rule (max cost + 10M) IS the runtime's
+    // (min_score − 10) after negation — the loop closes on its own
+    assert(math.abs(loaded.unkCostMicro - trained.unkCostMicro) <= 1L)
+    assert(loaded.maxPieceLen == trained.maxPieceLen)
+    // an unloadable artifact can never be written
+    val e = intercept[IllegalArgumentException] {
+      SentencePiece.render(Seq(("a▁b", 1000L)), "<unk>")
+    }
+    assert(e.getMessage.contains("interior-▁"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      SentencePiece.render(Seq(("a", 1L), ("a", 2L)), "<unk>")
+    }
+    intercept[IllegalArgumentException] {
+      SentencePiece.render(Seq(("a", 1L)), "a")
+    }
+  }
 }

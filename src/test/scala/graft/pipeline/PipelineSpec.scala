@@ -5205,6 +5205,73 @@ class PipelineSpec extends SparkSpecBase {
     assert(singles == plain)
   }
 
+  test("deleteFromExactIndex: delete == rebuild modulo NULLed winners; screens honest; loud misuse") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val corpus = Seq(
+      (1L, "alpha"), (2L, "alpha"), (3L, "alpha"), // winner 1
+      (4L, "beta"), (5L, "beta"), // winner 4
+      (6L, "gamma"), (7L, "delta")) // singletons
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("idxdel").toString
+    Dedup.saveExactIndex(corpus, "doc_id", "text", s"$dir/idx")
+    // delete alpha's WINNER (1), a beta non-winner (5), ALL of delta (7)
+    Dedup.deleteFromExactIndex(
+      corpus.filter(col("doc_id").isin(1L, 5L, 7L)),
+      s"$dir/idx", s"$dir/idx2", "doc_id", "text")
+    val got = Dedup.loadExactIndex(spark, s"$dir/idx2")
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      (md5hex("alpha"), None, 2L), // winner forgotten, copies remain
+      (md5hex("beta"), Some(4L), 1L), // winner retained, count shrunk
+      (md5hex("gamma"), Some(6L), 1L))) // fully-deleted delta is GONE
+    // the screen stays honest: an arriving copy of winner-less content
+    // is a duplicate (keep=false, keep_id NULL); forgotten content
+    // screens as new; untouched content keeps the stored winner
+    val screen = Dedup.exactAgainstIndex(
+      Seq((100L, "alpha"), (101L, "delta"), (102L, "beta"))
+        .toDF("doc_id", "text"), s"$dir/idx2", "doc_id", "text")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(screen == Set(
+      (100L, None, 2L, false),
+      (101L, Some(101L), 0L, true),
+      (102L, Some(4L), 1L, false)), screen)
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    // deleting content the index never saw is loud
+    val e1 = intercept[Exception] {
+      Dedup.deleteFromExactIndex(Seq((9L, "zeta")).toDF("doc_id", "text"),
+        s"$dir/idx", s"$dir/idx3", "doc_id", "text")
+    }
+    assert(chain(e1).contains("never saw"), chain(e1))
+    // deleting more copies than the index holds is loud
+    val e2 = intercept[Exception] {
+      Dedup.deleteFromExactIndex(
+        Seq((6L, "gamma"), (8L, "gamma")).toDF("doc_id", "text"),
+        s"$dir/idx", s"$dir/idx4", "doc_id", "text")
+    }
+    assert(chain(e2).contains("more copies"), chain(e2))
+    // duplicate ids in the delete list are loud
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.deleteFromExactIndex(
+        Seq((1L, "alpha"), (1L, "alpha")).toDF("doc_id", "text"),
+        s"$dir/idx", s"$dir/idx5", "doc_id", "text")
+    }
+    assert(e3.getMessage.contains("duplicate ids"), e3.getMessage)
+    // in-place rewrite is refused
+    val e4 = intercept[IllegalArgumentException] {
+      Dedup.deleteFromExactIndex(corpus.limit(1), s"$dir/idx",
+        s"$dir/idx", "doc_id", "text")
+    }
+    assert(e4.getMessage.contains("half-rewritten"), e4.getMessage)
+  }
+
   test("priorityGroups: trusted source wins across dup groups; bounds enforced") {
     import spark.implicits._
     val d = Seq(
