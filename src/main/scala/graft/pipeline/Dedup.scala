@@ -2647,6 +2647,71 @@ object Dedup {
       .write.mode("append").parquet(s"$indexPath/index")
   }
 
+  /** [[deleteFromExactIndex]] for the LINE family (the screen
+    * RefinedWeb-style pipelines run most — takedowns must purge
+    * boilerplate state too, or a forgotten page's unique lines keep
+    * suppressing future content): subtract the deleted docs' own
+    * recomputed line-key partials ([[lineKeyGroups]] over the delete
+    * list) and rewrite to `outPath`, O(index + deleted lines). Same
+    * contract, one family-specific easing: a surviving key whose
+    * stored first-(doc, pos) winner belongs to a deleted DOC carries
+    * NULL doc/pos — and here that costs serving NOTHING, because the
+    * line screens consume key existence only ([[linesScreenBody]]
+    * never reads the winner). Misuse (keys the index never saw,
+    * over-delete, duplicate delete ids, in-place rewrite) raises
+    * loudly inside the projected count; the bloom sidecar is not
+    * carried — rebuild via [[buildLineBloom]].
+    */
+  def deleteFromLineIndex(deletedDocs: DataFrame, indexPath: String,
+      outPath: String, idCol: String, textCol: String): Unit = {
+    val spark = deletedDocs.sparkSession
+    require(new org.apache.hadoop.fs.Path(outPath).toString !=
+      new org.apache.hadoop.fs.Path(indexPath).toString,
+      "deleteFromLineIndex: outPath must differ from indexPath — a " +
+        "reader must never observe a half-rewritten index")
+    BucketedTables.requirePlainLayout(spark, s"$indexPath/meta",
+      "deleteFromLineIndex")
+    val nDel = deletedDocs.count()
+    val nDelIds = deletedDocs.select(col(idCol)).distinct().count()
+    require(nDel == nDelIds,
+      s"deleteFromLineIndex: delete list carries ${nDel - nDelIds} " +
+        "duplicate ids — counts would double-subtract")
+    val totals = loadLineIndex(spark, indexPath)
+      .groupBy("lk")
+      .agg(min(struct(col("doc"), col("pos"))).as("__f"),
+        sum(col("cnt")).as("cnt"))
+      .select(col("lk"), col("__f.doc").as("doc"),
+        col("__f.pos").as("pos"), col("cnt"))
+    val del = lineKeyGroups(deletedDocs, idCol, textCol)
+      .select(col("lk"), col("cnt").as("__del_cnt"))
+    val delIds = deletedDocs.select(col(idCol).cast("long").as("__del_id"))
+    val newCnt = col("cnt") - coalesce(col("__del_cnt"), lit(0L))
+    val checkedCnt =
+      when(col("cnt").isNull, raise_error(concat(
+        lit("deleteFromLineIndex: delete list carries line keys the " +
+          "index never saw (lk "), col("lk").cast("string"),
+        lit(") — wrong index or wrong delete list"))).cast("long"))
+        .when(newCnt < 0, raise_error(concat(
+          lit("deleteFromLineIndex: more occurrences deleted than the " +
+            "index holds for lk "), col("lk").cast("string"),
+          lit(" — double delete or foreign corpus"))).cast("long"))
+        .otherwise(newCnt)
+    val out = totals.join(del, Seq("lk"), "full_outer")
+      .join(delIds, col("doc") === col("__del_id"), "left")
+      .select(col("lk"),
+        when(col("__del_id").isNotNull, lit(null).cast("long"))
+          .otherwise(col("doc")).as("doc"),
+        when(col("__del_id").isNotNull, lit(null).cast("long"))
+          .otherwise(col("pos")).as("pos"),
+        checkedCnt.as("cnt"))
+      .filter(col("cnt") > 0)
+    import spark.implicits._
+    Seq(("line_md5_60", 60)).toDF("family", "key_bits")
+      .write.mode("overwrite").parquet(s"$outPath/meta")
+    out.sortWithinPartitions("lk")
+      .write.mode("overwrite").parquet(s"$outPath/index")
+  }
+
   /** [[saveLineIndex]] in the backfill layout (r12 verdict gap #2): the
     * same (lk, doc, pos, cnt) partial-group relation, `bucketBy(lk)` as
     * an external catalog table (still plain-parquet readable), meta

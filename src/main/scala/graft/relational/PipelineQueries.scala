@@ -2425,6 +2425,27 @@ object PipelineQueries {
         .select(col("content_hash"), col("keep_id"), col("dup_cnt"))
     }),
 
+    // the LINE family's deletion (takedowns must purge boilerplate
+    // state too): the p113-planted line index minus every doc_id%7
+    // doc — deleted docs' uniq- lines disappear, the shared footer's
+    // count shrinks AND its first-(doc,pos) winner (doc 0, itself
+    // deleted) goes NULL; serving is unaffected (line screens consume
+    // key existence only)
+    "p160_line_index_delete" -> ((s, dir) => {
+      val out = withPipelineArtifact(dir, "p160_line_del") { stage =>
+        val corpus = docs(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            lit("\nshared footer please subscribe\nuniq-"),
+            col("doc_id").cast("string")).as("text"))
+        Dedup.saveLineIndex(corpus, "doc_id", "text", s"$stage/idx")
+        Dedup.deleteFromLineIndex(
+          corpus.filter(col("doc_id") % 7 === 0),
+          s"$stage/idx", s"$stage/idx_del", "doc_id", "text")
+      }
+      Dedup.loadLineIndex(s, s"$out/idx_del")
+        .select(col("lk"), col("doc"), col("pos"), col("cnt"))
+    }),
+
     // robots.txt PARSING (RFC 9309 §2.1-2.2 — the other half of the
     // REP loop; p154 proves the matcher, this proves raw file → rule
     // relation): one templated body per planted host (RobotsBodies,
@@ -4080,6 +4101,35 @@ object PipelineQueries {
            t.dup_cnt - coalesce(d.del_cnt, 0) AS dup_cnt
          FROM tot t LEFT JOIN del d USING (content_hash)
          WHERE t.dup_cnt - coalesce(d.del_cnt, 0) > 0""",
+
+    // mirrors deleteFromLineIndex over the p113 plant: per-line-key
+    // totals minus the delete list's counts; the lexicographic
+    // (doc, pos) winner packed as doc*4+pos (every planted doc has
+    // exactly 3 lines, so pos < 4); winners of deleted docs NULLed
+    "p160_line_index_delete" ->
+      raw"""WITH d0 AS (SELECT doc_id,
+                text || chr(10) || 'shared footer please subscribe' ||
+                chr(10) || 'uniq-' || doc_id::VARCHAR AS text
+              FROM documents),
+             l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d0),
+             l AS (SELECT doc_id, i - 1 AS pos, ls[i] AS line
+                   FROM l0, unnest(generate_series(1, len(ls))) t(i)),
+             k AS (SELECT doc_id, pos,
+                     ('0x' || substr(md5(array_to_string(list_filter(
+                       string_split_regex(lower(trim(line)), '\s+'),
+                       x -> x != ''), ' ')), 1, 15))::BIGINT AS lk
+                   FROM l WHERE regexp_matches(line, '\S')),
+             tot AS (SELECT lk, min(doc_id * 4 + pos) AS w,
+                       CAST(count(*) AS BIGINT) AS cnt
+                     FROM k GROUP BY 1),
+             del AS (SELECT lk, CAST(count(*) AS BIGINT) AS del_cnt
+                     FROM k WHERE doc_id % 7 = 0 GROUP BY 1)
+         SELECT t.lk,
+           CASE WHEN (t.w // 4) % 7 = 0 THEN NULL ELSE t.w // 4 END AS doc,
+           CASE WHEN (t.w // 4) % 7 = 0 THEN NULL ELSE t.w % 4 END AS pos,
+           t.cnt - coalesce(d.del_cnt, 0) AS cnt
+         FROM tot t LEFT JOIN del d USING (lk)
+         WHERE t.cnt - coalesce(d.del_cnt, 0) > 0""",
 
     // mirrors removeDuplicateSpans over the span-planted corpus:
     // case-preserving whitespace tokens, k=8 grams hashed to 60 bits,

@@ -5272,6 +5272,46 @@ class PipelineSpec extends SparkSpecBase {
     assert(e4.getMessage.contains("half-rewritten"), e4.getMessage)
   }
 
+  test("deleteFromLineIndex: counts shrink, deleted winners NULL, forgotten keys screen as new") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "footer\nonly-in-one"),
+      (2L, "footer\nuniq-two"),
+      (3L, "footer\nuniq-three"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("linedel").toString
+    Dedup.saveLineIndex(corpus, "doc_id", "text", s"$dir/idx")
+    // delete doc 1: footer winner (doc 1, pos 0) is gone, count shrinks;
+    // 'only-in-one' is fully forgotten
+    Dedup.deleteFromLineIndex(corpus.filter(col("doc_id") === 1),
+      s"$dir/idx", s"$dir/idx2", "doc_id", "text")
+    val got = Dedup.loadLineIndex(spark, s"$dir/idx2")
+      .collect().map(r => (
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3))).toSet
+    assert(got == Set(
+      (None, None, 2L), // footer: winner deleted, 2 copies remain
+      (Some(2L), Some(1L), 1L), // uniq-two
+      (Some(3L), Some(1L), 1L)), got) // uniq-three
+    // a new doc re-carrying the forgotten line passes the screen
+    // verbatim; the footer still dies (key existence is what serves)
+    val screened = Dedup.linesAgainstIndex(
+      Seq((9L, "footer\nonly-in-one")).toDF("doc_id", "text"),
+      s"$dir/idx2", "doc_id", "text")
+      .collect().map(r => r.getString(1)).toSeq
+    assert(screened == Seq("only-in-one"), screened)
+    // over-delete is loud (two docs claim the one remaining footer+line)
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    val e = intercept[Exception] {
+      Dedup.deleteFromLineIndex(
+        Seq((8L, "never-indexed-line")).toDF("doc_id", "text"),
+        s"$dir/idx2", s"$dir/idx3", "doc_id", "text")
+    }
+    assert(chain(e).contains("never saw"), chain(e))
+  }
+
   test("priorityGroups: trusted source wins across dup groups; bounds enforced") {
     import spark.implicits._
     val d = Seq(
