@@ -2240,6 +2240,54 @@ object Dedup {
     else explodeBands(spark.read.parquet(s"$path/index"))
   }
 
+  /** [[deleteFromExactIndex]] for the PER-DOC near-dup index
+    * ([[saveMinhashIndex]]'s (doc, sh, sig, bb) rows + exploded band
+    * cells): unlike the AGGREGATED exact/line families there is no
+    * winner ambiguity to surface — every screen verdict derives from
+    * surviving docs' own rows — so deletion is a plain id ANTI-JOIN
+    * rewrite of both stored relations, O(index), and the deleted
+    * index is EXACTLY the index of the retained corpus (no NULLed
+    * fields, no semantics caveat). The loud contract is shared:
+    * delete ids the index never saw raise (a takedown that silently
+    * no-ops is a compliance bug), duplicate delete ids raise, outPath
+    * must differ, and the bloom sidecar is rebuilt
+    * ([[buildMinhashBloom]]), never carried — its band cells changed.
+    */
+  def deleteFromMinhashIndex(deletedIds: DataFrame, indexPath: String,
+      outPath: String, idCol: String): Unit = {
+    val spark = deletedIds.sparkSession
+    require(new org.apache.hadoop.fs.Path(outPath).toString !=
+      new org.apache.hadoop.fs.Path(indexPath).toString,
+      "deleteFromMinhashIndex: outPath must differ from indexPath — a " +
+        "reader must never observe a half-rewritten index")
+    BucketedTables.requirePlainLayout(spark, s"$indexPath/meta",
+      "deleteFromMinhashIndex")
+    val (n, k, bands, idx) = loadMinhashIndex(spark, indexPath)
+    val dels = deletedIds.select(col(idCol).cast("long").as("__del_id"))
+      .persistTracked()
+    val nDel = dels.count()
+    val nDelIds = dels.distinct().count()
+    require(nDel == nDelIds,
+      s"deleteFromMinhashIndex: delete list carries ${nDel - nDelIds} " +
+        "duplicate ids")
+    val absent = dels.join(idx.select(col("doc")),
+      col("__del_id") === col("doc"), "left_anti").count()
+    require(absent == 0,
+      s"deleteFromMinhashIndex: $absent delete ids are absent from the " +
+        "index — wrong index or wrong delete list (a silently no-op " +
+        "takedown is a compliance bug)")
+    import spark.implicits._
+    Seq((n, k, bands)).toDF("n", "k", "bands")
+      .write.mode("overwrite").parquet(s"$outPath/meta")
+    idx.join(dels, col("doc") === col("__del_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$outPath/index")
+    storedBandCells(spark, indexPath)
+      .join(dels, col("doc") === col("__del_id"), "left_anti")
+      .sortWithinPartitions("band", "bucket")
+      .write.mode("overwrite").parquet(s"$outPath/bands")
+    dels.unpersist()
+  }
+
   /** The cross-snapshot serving shape: near-dup crawl N+1 against the
     * STORED index of crawl N ([[saveMinhashIndex]]) — per-batch cost is
     * the batch's own prep plus the band join; the historical corpus is

@@ -2446,6 +2446,28 @@ object PipelineQueries {
         .select(col("lk"), col("doc"), col("pos"), col("cnt"))
     }),
 
+    // the NEAR-DUP family's deletion: the p71 even-corpus minhash
+    // index minus every doc_id%6==0 doc (per-doc rows — a plain
+    // anti-join rewrite, no winner caveat), then the odd batch
+    // screened against the deleted index. The oracle is p71's pair
+    // relation with the deleted evens excluded from BOTH sides —
+    // i.e. the deleted index serves exactly as one built on the
+    // retained corpus
+    "p161_minhash_index_delete" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val out = withPipelineArtifact(dir, "p161_mh_del") { stage =>
+        Dedup.saveMinhashIndex(
+          Dedup.minhashIndex(d.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", n = 3, k = 32, bands = 8),
+          s"$stage/idx", n = 3)
+        Dedup.deleteFromMinhashIndex(
+          d.filter(col("doc_id") % 6 === 0).select(col("doc_id")),
+          s"$stage/idx", s"$stage/idx_del", "doc_id")
+      }
+      Dedup.nearDupAgainstIndex(d.filter(col("doc_id") % 2 === 1),
+        s"$out/idx_del", "doc_id", "text", threshold = 0.4)
+    }),
+
     // robots.txt PARSING (RFC 9309 §2.1-2.2 — the other half of the
     // REP loop; p154 proves the matcher, this proves raw file → rule
     // relation): one templated body per planted host (RobotsBodies,
@@ -4130,6 +4152,16 @@ object PipelineQueries {
            t.cnt - coalesce(d.del_cnt, 0) AS cnt
          FROM tot t LEFT JOIN del d USING (lk)
          WHERE t.cnt - coalesce(d.del_cnt, 0) > 0""",
+
+    // p71's screen relation with the deleted evens off BOTH sides
+    // (doc%6=0 implies even, so odd batch docs are never excluded):
+    // the deleted index must serve exactly as one built on the
+    // retained corpus
+    "p161_minhash_index_delete" ->
+      s"""WITH ${minhashPairsCtes("documents")}
+         SELECT doc_a, doc_b, jaccard FROM j
+         WHERE jaccard >= 0.4 AND (doc_a % 2 = 1 OR doc_b % 2 = 1)
+           AND doc_a % 6 != 0 AND doc_b % 6 != 0""",
 
     // mirrors removeDuplicateSpans over the span-planted corpus:
     // case-preserving whitespace tokens, k=8 grams hashed to 60 bits,

@@ -5312,6 +5312,56 @@ class PipelineSpec extends SparkSpecBase {
     assert(chain(e).contains("never saw"), chain(e))
   }
 
+  test("deleteFromMinhashIndex: deleted index serves as a retained rebuild; loud misuse") {
+    import spark.implicits._
+    val docs = (0L until 40L).map { i =>
+      val text = if (i % 10 <= 1) s"shared near dup text block ${i / 10} " * 8
+        else (0 until 12).map(k => s"t${i}x$k").mkString(" ")
+      (i, text)
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mhdel").toString
+    Dedup.saveMinhashIndex(
+      Dedup.minhashIndex(docs, "doc_id", "text", n = 3, k = 32, bands = 8),
+      s"$dir/idx", n = 3)
+    Dedup.deleteFromMinhashIndex(
+      docs.filter(col("doc_id") % 4 === 0).select("doc_id"),
+      s"$dir/idx", s"$dir/idx2", "doc_id")
+    // the deleted index is EXACTLY an index of the retained corpus:
+    // identical screen verdicts on a batch of planted near-dups
+    Dedup.saveMinhashIndex(
+      Dedup.minhashIndex(docs.filter(col("doc_id") % 4 =!= 0),
+        "doc_id", "text", n = 3, k = 32, bands = 8),
+      s"$dir/idxR", n = 3)
+    val batch = Seq(
+      (100L, "shared near dup text block 0 " * 8),
+      (101L, "shared near dup text block 2 " * 8)).toDF("doc_id", "text")
+    def screen(p: String) = Dedup.nearDupAgainstIndex(
+      batch, p, "doc_id", "text", threshold = 0.4)
+      .collect().map(_.toSeq.take(2)).toSet
+    val a = screen(s"$dir/idx2")
+    val b = screen(s"$dir/idxR")
+    assert(a == b, s"$a vs $b")
+    // docs 0 and 20 (deleted) must be gone; 1 and 21 still pair
+    assert(!a.exists(r => r.contains(0L) || r.contains(20L)), a)
+    assert(a.exists(_.contains(1L)) && a.exists(_.contains(21L)), a)
+    // loud misuse
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.deleteFromMinhashIndex(Seq(999L).toDF("doc_id"),
+        s"$dir/idx2", s"$dir/idx3", "doc_id")
+    }
+    assert(e1.getMessage.contains("absent"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.deleteFromMinhashIndex(Seq(1L, 1L).toDF("doc_id"),
+        s"$dir/idx", s"$dir/idx4", "doc_id")
+    }
+    assert(e2.getMessage.contains("duplicate ids"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.deleteFromMinhashIndex(Seq(1L).toDF("doc_id"),
+        s"$dir/idx", s"$dir/idx", "doc_id")
+    }
+    assert(e3.getMessage.contains("half-rewritten"), e3.getMessage)
+  }
+
   test("priorityGroups: trusted source wins across dup groups; bounds enforced") {
     import spark.implicits._
     val d = Seq(
