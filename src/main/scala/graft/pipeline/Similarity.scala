@@ -1403,6 +1403,49 @@ object Similarity {
     v.unpersist()
   }
 
+  /** [[graft.pipeline.Dedup.deleteFromMinhashIndex]] for the cosine
+    * family: the stored state is per-vector rows (vectors + band
+    * cells), so right-to-be-forgotten deletion is a plain id ANTI-JOIN
+    * rewrite of both relations — the deleted index IS the retained
+    * corpus's index, no winner caveat. Same loud contract: delete ids
+    * the index never saw raise (a silently no-op takedown is a
+    * compliance bug), duplicate ids raise, outPath must differ, the
+    * bloom sidecar rebuilds ([[buildCosineBloom]]) rather than carries.
+    */
+  def deleteFromCosineIndex(deletedIds: DataFrame, indexPath: String,
+      outPath: String, idCol: String = "vec_id"): Unit = {
+    val spark = deletedIds.sparkSession
+    require(new org.apache.hadoop.fs.Path(outPath).toString !=
+      new org.apache.hadoop.fs.Path(indexPath).toString,
+      "deleteFromCosineIndex: outPath must differ from indexPath — a " +
+        "reader must never observe a half-rewritten index")
+    graft.pipeline.BucketedTables.requirePlainLayout(spark,
+      s"$indexPath/meta", "deleteFromCosineIndex")
+    val (tables, planes, d, vectors, bands) = loadCosineIndex(spark, indexPath)
+    val dels = deletedIds.select(col(idCol).cast("long").as("__del_id"))
+      .persistTracked()
+    val nDel = dels.count()
+    val nDelIds = dels.distinct().count()
+    require(nDel == nDelIds,
+      s"deleteFromCosineIndex: delete list carries ${nDel - nDelIds} " +
+        "duplicate ids")
+    val absent = dels.join(vectors.select(col("id")),
+      col("__del_id") === col("id"), "left_anti").count()
+    require(absent == 0,
+      s"deleteFromCosineIndex: $absent delete ids are absent from the " +
+        "index — wrong index or wrong delete list (a silently no-op " +
+        "takedown is a compliance bug)")
+    import spark.implicits._
+    Seq((tables, planes, d)).toDF("tables", "planes_per_table", "dim")
+      .write.mode("overwrite").parquet(s"$outPath/meta")
+    vectors.join(dels, col("id") === col("__del_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$outPath/vectors")
+    bands.join(dels, col("id") === col("__del_id"), "left_anti")
+      .sortWithinPartitions("band", "bucket")
+      .write.mode("overwrite").parquet(s"$outPath/bands")
+    dels.unpersist()
+  }
+
   /** The embedding-side crawl-N+1 serving shape: near-dup an arriving
     * batch against the STORED index — only the batch is banded fresh;
     * the corpus arrives pre-banded and pre-normed from parquet.

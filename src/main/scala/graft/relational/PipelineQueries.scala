@@ -84,6 +84,7 @@ object PipelineQueries {
     "graft/pipeline/TokenizerFixtures$.class", // external-artifact bytes
     "graft/pipeline/SentencePiece$.class",  // .model parser
     "graft/pipeline/Preference$.class",     // thread flattening
+    "graft/pipeline/Similarity$.class",     // cosine index build/delete
     "graft/sources/JsonlCorpus$.class",     // JSONL write
     "graft/relational/PipelineQueries$.class")) // build parameters
 
@@ -2468,6 +2469,24 @@ object PipelineQueries {
         s"$out/idx_del", "doc_id", "text", threshold = 0.4)
     }),
 
+    // the COSINE family's deletion (the p161 pattern on the embedding
+    // side): the even-corpus cosine index minus every vec_id%6==0
+    // vector, odd batch screened against the deleted index; oracle =
+    // p73's pair relation with deleted evens off both sides
+    "p162_cosine_index_delete" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val out = withPipelineArtifact(dir, "p162_cos_del") { stage =>
+        Similarity.saveCosineIndex(e.filter(col("vec_id") % 2 === 0),
+          s"$stage/idx", tables = 16, planesPerTable = 8, dim = 64)
+        Similarity.deleteFromCosineIndex(
+          e.filter(col("vec_id") % 6 === 0).select(col("vec_id")),
+          s"$stage/idx", s"$stage/idx_del", "vec_id")
+      }
+      Similarity.cosineNearDupAgainstIndex(
+        e.filter(col("vec_id") % 2 === 1), s"$out/idx_del",
+        threshold = 0.35)
+    }),
+
     // robots.txt PARSING (RFC 9309 §2.1-2.2 — the other half of the
     // REP loop; p154 proves the matcher, this proves raw file → rule
     // relation): one templated body per planted host (RobotsBodies,
@@ -4162,6 +4181,32 @@ object PipelineQueries {
          SELECT doc_a, doc_b, jaccard FROM j
          WHERE jaccard >= 0.4 AND (doc_a % 2 = 1 OR doc_b % 2 = 1)
            AND doc_a % 6 != 0 AND doc_b % 6 != 0""",
+
+    // p73's pair relation with the deleted evens off both sides (the
+    // p161 rule on the embedding family)
+    "p162_cosine_index_delete" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             pl AS (SELECT p, list_transform(generate_series(0, 63), d ->
+                      ((('0x' || substr(md5('plane:' || p || ':' || d), 1, 12))::BIGINT
+                        % 2001) - 1000) / 1000.0) AS pv
+                    FROM unnest(generate_series(0, 127)) t(p)),
+             bits AS (SELECT vec_id, p // 8 AS band, 1 << (p % 8) AS w,
+                        CASE WHEN list_dot_product(v, pv) >= 0 THEN 1 ELSE 0 END AS bit
+                      FROM e, pl),
+             bk AS (SELECT vec_id, band, sum(bit * w) AS bucket
+                    FROM bits GROUP BY 1, 2),
+             cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                      FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.vec_id < b.vec_id),
+             pr AS (SELECT vec_a, vec_b,
+                      round(list_dot_product(ea.v, eb.v) /
+                        (sqrt(list_dot_product(ea.v, ea.v)) *
+                         sqrt(list_dot_product(eb.v, eb.v))), 6) AS sim
+                    FROM cand JOIN e ea ON vec_a = ea.vec_id
+                              JOIN e eb ON vec_b = eb.vec_id)
+         SELECT vec_a, vec_b, sim FROM pr
+         WHERE sim >= 0.35 AND (vec_a % 2 = 1 OR vec_b % 2 = 1)
+           AND vec_a % 6 != 0 AND vec_b % 6 != 0""",
 
     // mirrors removeDuplicateSpans over the span-planted corpus:
     // case-preserving whitespace tokens, k=8 grams hashed to 60 bits,

@@ -5362,6 +5362,42 @@ class PipelineSpec extends SparkSpecBase {
     assert(e3.getMessage.contains("half-rewritten"), e3.getMessage)
   }
 
+  test("deleteFromCosineIndex: deleted index serves as a retained rebuild; loud misuse") {
+    import spark.implicits._
+    // three planted near-identical pairs (i, i+1) at i % 10 == 0
+    val vecs = (0 until 30).map { i =>
+      val v = if (i % 10 <= 1)
+        Array.tabulate(8)(d => math.sin((i / 10) * 7.0 + d * 1.3))
+      else Array.tabulate(8)(d => math.cos(i * 3.7 + d * 0.9))
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("cosdel").toString
+    Similarity.saveCosineIndex(vecs, s"$dir/idx",
+      tables = 16, planesPerTable = 8, dim = 8)
+    Similarity.deleteFromCosineIndex(
+      vecs.filter(col("vec_id") % 4 === 0).select("vec_id"),
+      s"$dir/idx", s"$dir/idx2", "vec_id")
+    Similarity.saveCosineIndex(vecs.filter(col("vec_id") % 4 =!= 0),
+      s"$dir/idxR", tables = 16, planesPerTable = 8, dim = 8)
+    val batch = Seq(
+      (100L, Array.tabulate(8)(d => math.sin(0 * 7.0 + d * 1.3)).toSeq),
+      (101L, Array.tabulate(8)(d => math.sin(2 * 7.0 + d * 1.3)).toSeq))
+      .toDF("vec_id", "embedding")
+    def screen(p: String) = Similarity.cosineNearDupAgainstIndex(
+      batch, p, threshold = 0.9).collect().map(_.toSeq).toSet
+    val a = screen(s"$dir/idx2")
+    val b = screen(s"$dir/idxR")
+    assert(a == b, s"$a vs $b")
+    // deleted winners (0, 20) gone; their retained twins (1, 21) pair
+    assert(!a.exists(r => r.contains(0L) || r.contains(20L)), a)
+    assert(a.exists(_.contains(1L)) && a.exists(_.contains(21L)), a)
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.deleteFromCosineIndex(Seq(999L).toDF("vec_id"),
+        s"$dir/idx2", s"$dir/idx3", "vec_id")
+    }
+    assert(e1.getMessage.contains("absent"), e1.getMessage)
+  }
+
   test("priorityGroups: trusted source wins across dup groups; bounds enforced") {
     import spark.implicits._
     val d = Seq(
