@@ -133,6 +133,39 @@ object ScaleSmokeDocs {
         .filter(col("n_dup") > 0).count())
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
+    if (wanted("index_delete")) {
+      // r13 takedown decade row: the exact-family deletion is an
+      // O(index + deletes) rewrite (one hash aggregate per side, one
+      // key join) — docs/s must hold ~flat across the decade, proving
+      // no corpus re-scan and no per-delete loop hides inside
+      val dir = java.nio.file.Files.createTempDirectory("del_scale").toString
+      val tIdx = System.nanoTime()
+      Dedup.saveExactIndex(docs, "doc_id", "text", s"$dir/idx")
+      println(f"[docs-scale] n=$n exact_index_build      ${(System.nanoTime() - tIdx) / 1e9}%8.2fs")
+      stage("index_delete") {
+        Dedup.deleteFromExactIndex(docs.filter(col("doc_id") % 7 === 0),
+          s"$dir/idx", s"$dir/idx_del", "doc_id", "text")
+        spark.read.parquet(s"$dir/idx_del/index").count()
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+    if (wanted("index_compact")) {
+      // r13 compaction decade row: two appended snapshots (every key
+      // doubled) rewritten to one combined row per key — the same
+      // single hash-aggregate shape as the serve combine, ~flat docs/s
+      val dir = java.nio.file.Files.createTempDirectory("cmp_scale").toString
+      val tIdx = System.nanoTime()
+      Dedup.saveExactIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", s"$dir/idx")
+      Dedup.mergeIntoExactIndex(docs.filter(col("doc_id") % 2 === 1),
+        s"$dir/idx", "doc_id", "text")
+      println(f"[docs-scale] n=$n exact_index_build2     ${(System.nanoTime() - tIdx) / 1e9}%8.2fs")
+      stage("index_compact") {
+        Dedup.compactExactIndex(spark, s"$dir/idx", s"$dir/idx_c")
+        spark.read.parquet(s"$dir/idx_c/index").count()
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
     if (wanted("host_cap")) {
       // power-law hosts: host 0 owns ~half the corpus (the skew case a
       // window row_number would pin on one task), the tail is tiny;

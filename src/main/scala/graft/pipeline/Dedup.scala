@@ -372,6 +372,105 @@ object Dedup {
       .write.mode("append").parquet(s"$indexPath/index")
   }
 
+  /** [[compactExactIndex]] for the CDC chunk family: the (min first,
+    * sum cnt) combine the screens run, run once — one row per chunk
+    * hash after N folds, serving byte-identical. NULL firsts from
+    * deletion are skipped by min (all-NULL stays NULL), the exact
+    * family's rule. Bloom sidecar rebuilt via [[buildChunkBloom]],
+    * never carried.
+    */
+  def compactChunkIndex(spark: SparkSession, indexPath: String,
+      outPath: String): Unit = {
+    require(new org.apache.hadoop.fs.Path(outPath).toString !=
+      new org.apache.hadoop.fs.Path(indexPath).toString,
+      "compactChunkIndex: outPath must differ from indexPath — a " +
+        "reader must never observe a half-rewritten index")
+    BucketedTables.requirePlainLayout(spark, s"$indexPath/meta",
+      "compactChunkIndex")
+    val (idx, minLen, maxLen, maskBits, startBits) =
+      loadChunkIndex(spark, indexPath)
+    import spark.implicits._
+    Seq(("cdc_gear_md5", 32, minLen, maxLen, maskBits, startBits))
+      .toDF("family", "hash_len", "min_len", "max_len", "mask_bits",
+        "start_bits")
+      .write.mode("overwrite").parquet(s"$outPath/meta")
+    idx.groupBy("chunk_hash")
+      .agg(min(col("first")).as("first"), sum(col("cnt")).as("cnt"))
+      .sortWithinPartitions("chunk_hash")
+      .write.mode("overwrite").parquet(s"$outPath/index")
+  }
+
+  /** [[deleteFromExactIndex]] for the CDC chunk family: re-chunk the
+    * deleted docs under the STORED geometry, subtract their partials,
+    * and write a NEW index at `outPath`, O(index + deletes) — never a
+    * corpus rescan. The (min first, sum cnt) monoid gets the exact
+    * family's honest deletion semantics:
+    *   - a chunk hash whose every occurrence is deleted DISAPPEARS
+    *     (screens stop flagging the region — the content is
+    *     forgotten);
+    *   - a surviving hash whose stored FIRST-occurrence packing
+    *     belongs to a deleted doc keeps its count with `first` NULL —
+    *     the next-earliest retained (doc, start) was folded away.
+    *     Packed values are unique per occurrence, so the stored first
+    *     is deleted IFF the delete partials' own min equals the
+    *     stored min (no id join needed). Serving is unaffected:
+    *     [[chunksAgainstIndex]] consumes key EXISTENCE only;
+    *   - content the index never saw, over-deletion and duplicate
+    *     delete ids raise; outPath must differ; the bloom sidecar is
+    *     rebuilt via [[buildChunkBloom]], never carried.
+    */
+  def deleteFromChunkIndex(deletedDocs: DataFrame, indexPath: String,
+      outPath: String, idCol: String, textCol: String): Unit = {
+    val spark = deletedDocs.sparkSession
+    require(new org.apache.hadoop.fs.Path(outPath).toString !=
+      new org.apache.hadoop.fs.Path(indexPath).toString,
+      "deleteFromChunkIndex: outPath must differ from indexPath — a " +
+        "reader must never observe a half-rewritten index")
+    BucketedTables.requirePlainLayout(spark, s"$indexPath/meta",
+      "deleteFromChunkIndex")
+    val (idx, minLen, maxLen, maskBits, startBits) =
+      loadChunkIndex(spark, indexPath)
+    val delIds = deletedDocs.select(col(idCol).cast("long").as("__del_id"))
+    val nDel = delIds.count()
+    val nDelIds = delIds.distinct().count()
+    require(nDel == nDelIds,
+      s"deleteFromChunkIndex: delete list carries ${nDel - nDelIds} " +
+        "duplicate ids — counts would double-subtract")
+    val totals = idx.groupBy("chunk_hash")
+      .agg(min(col("first")).as("first"), sum(col("cnt")).as("cnt"))
+    val del = chunkPartials(deletedDocs, idCol, textCol, minLen, maxLen,
+        maskBits, startBits)
+      .select(col("chunk_hash"), col("first").as("__df"),
+        col("cnt").as("__del_cnt"))
+    // misuse checks inside the projected count (raise_error branches) —
+    // see deleteFromExactIndex for why not filter(assert_true)
+    val newCnt = col("cnt") - coalesce(col("__del_cnt"), lit(0L))
+    val checkedCnt =
+      when(col("cnt").isNull, raise_error(concat(
+        lit("deleteFromChunkIndex: delete list carries chunk content " +
+          "the index never saw (hash "), col("chunk_hash"),
+        lit(") — wrong index, wrong delete list or foreign geometry")))
+        .cast("long"))
+        .when(newCnt < 0, raise_error(concat(
+          lit("deleteFromChunkIndex: more occurrences deleted than the " +
+            "index holds for hash "), col("chunk_hash"),
+          lit(" — double delete or foreign corpus"))).cast("long"))
+        .otherwise(newCnt)
+    val out = totals.join(del, Seq("chunk_hash"), "full_outer")
+      .select(col("chunk_hash"),
+        when(col("__df") === col("first"), lit(null).cast("long"))
+          .otherwise(col("first")).as("first"),
+        checkedCnt.as("cnt"))
+      .filter(col("cnt") > 0)
+    import spark.implicits._
+    Seq(("cdc_gear_md5", 32, minLen, maxLen, maskBits, startBits))
+      .toDF("family", "hash_len", "min_len", "max_len", "mask_bits",
+        "start_bits")
+      .write.mode("overwrite").parquet(s"$outPath/meta")
+    out.sortWithinPartitions("chunk_hash")
+      .write.mode("overwrite").parquet(s"$outPath/index")
+  }
+
   /** Build (or REBUILD after folds) the chunk index's bloom sidecar
     * over `xxhash64(chunk_hash)` — same drift-stamp/loud-failure
     * contract as [[buildExactBloom]].
@@ -606,16 +705,29 @@ object Dedup {
     val batchAgg = batch.groupBy("content_hash")
       .agg(min(col("__p")).as("__bw"),
         bit_or(expr("shiftleft(1L, __prio)")).as("__bm"))
+    // a post-deletion key can hold copies with an UNKNOWN winner (win
+    // NULL, [[deleteFromPriorityIndex]]): an arriving copy is a
+    // duplicate of retained corpus content whose trust tier was folded
+    // away — it must NOT claim the win, and no winner is reportable:
+    // keep=false, keep_id/keep_priority NULL (the exactScreenBody
+    // rule). Unreachable for never-deleted indexes.
+    val unknownWinner =
+      col("__cw").isNull && coalesce(col("__cn"), lit(0L)) > 0
     batch
       .join(batchAgg, Seq("content_hash"))
       .join(stored, Seq("content_hash"), "left")
       .select(col("doc"), col("content_hash"),
-        (least(col("__cw"), col("__bw")) % idMod).as("keep_id"),
-        expr(s"least(__cw, __bw) div $idMod").as("keep_priority"),
+        when(unknownWinner, lit(null).cast("long"))
+          .otherwise(least(col("__cw"), col("__bw")) % idMod).as("keep_id"),
+        when(unknownWinner, lit(null).cast("long"))
+          .otherwise(expr(s"least(__cw, __bw) div $idMod"))
+          .as("keep_priority"),
         coalesce(col("__cn"), lit(0L)).as("n_corpus"),
         bit_count(coalesce(col("__cm"), lit(0L))
           .bitwiseOR(col("__bm"))).cast("long").as("n_priorities"),
-        (col("__p") === least(col("__cw"), col("__bw"))).as("keep"))
+        when(unknownWinner, lit(false))
+          .otherwise(col("__p") === least(col("__cw"), col("__bw")))
+          .as("keep"))
   }
 
   /** Fold a batch INTO the stored priority index: the batch's own
@@ -631,6 +743,111 @@ object Dedup {
     priorityPartials(newDocs, idCol, textCol, priorityCol, maxPriority, idBits)
       .sortWithinPartitions("content_hash")
       .write.mode("append").parquet(s"$indexPath/index")
+  }
+
+  /** [[compactExactIndex]] for the PRIORITY family: the (min win,
+    * sum dup_cnt, bit_or prio_mask) combine the screens run, run once
+    * — one row per key after N folds, serving byte-identical. NULL
+    * wins from deletion are skipped by min (all-NULL stays NULL), the
+    * exact family's rule. Bloom sidecar rebuilt via
+    * [[buildPriorityBloom]], never carried.
+    */
+  def compactPriorityIndex(spark: SparkSession, indexPath: String,
+      outPath: String): Unit = {
+    require(new org.apache.hadoop.fs.Path(outPath).toString !=
+      new org.apache.hadoop.fs.Path(indexPath).toString,
+      "compactPriorityIndex: outPath must differ from indexPath — a " +
+        "reader must never observe a half-rewritten index")
+    BucketedTables.requirePlainLayout(spark, s"$indexPath/meta",
+      "compactPriorityIndex")
+    val (idx, maxPriority, idBits) = loadPriorityIndex(spark, indexPath)
+    import spark.implicits._
+    Seq(("priority_md5", 32, maxPriority, idBits))
+      .toDF("family", "hash_len", "max_priority", "id_bits")
+      .write.mode("overwrite").parquet(s"$outPath/meta")
+    idx.groupBy("content_hash")
+      .agg(min(col("win")).as("win"), sum(col("dup_cnt")).as("dup_cnt"),
+        bit_or(col("prio_mask")).as("prio_mask"))
+      .sortWithinPartitions("content_hash")
+      .write.mode("overwrite").parquet(s"$outPath/index")
+  }
+
+  /** [[deleteFromExactIndex]] for the PRIORITY family: subtract the
+    * deleted docs' own recomputed partials (under the STORED packing
+    * geometry) and write a NEW index at `outPath`, O(index + deletes).
+    * Two of the three monoid stats are non-retractable and get the
+    * exact family's honest treatment:
+    *   - a key whose every contributor is deleted DISAPPEARS;
+    *   - a surviving key whose stored packed WINNER belongs to a
+    *     deleted doc keeps its count with `win` NULL — the
+    *     next-most-trusted retained (priority, id) was folded away
+    *     and inventing one would be wrong. The winner test needs no
+    *     id join: packed values are unique per doc, so the stored
+    *     winner is deleted IFF the delete partials' own min equals
+    *     the stored min. Screens treat NULL-win keys honestly
+    *     ([[priorityAgainstIndex]]): an arriving copy reports
+    *     keep=false with NULL keep_id/keep_priority;
+    *   - `prio_mask` is a bit_or — bits cannot be retracted without a
+    *     corpus rescan, so the surviving mask is kept AS STORED: an
+    *     over-approximation (a deleted contributor's sole priority
+    *     bit lingers). Callers needing the exact retained mask
+    *     rebuild from the retained corpus.
+    * The shared loud contract: content the index never saw raises,
+    * over-deletion (counts going negative) raises, duplicate delete
+    * ids raise, outPath must differ, and the bloom sidecar is rebuilt
+    * via [[buildPriorityBloom]], never carried.
+    */
+  def deleteFromPriorityIndex(deletedDocs: DataFrame, indexPath: String,
+      outPath: String, idCol: String, textCol: String,
+      priorityCol: String): Unit = {
+    val spark = deletedDocs.sparkSession
+    require(new org.apache.hadoop.fs.Path(outPath).toString !=
+      new org.apache.hadoop.fs.Path(indexPath).toString,
+      "deleteFromPriorityIndex: outPath must differ from indexPath — a " +
+        "reader must never observe a half-rewritten index")
+    BucketedTables.requirePlainLayout(spark, s"$indexPath/meta",
+      "deleteFromPriorityIndex")
+    val (idx, maxPriority, idBits) = loadPriorityIndex(spark, indexPath)
+    val delIds = deletedDocs.select(col(idCol).cast("long").as("__del_id"))
+    val nDel = delIds.count()
+    val nDelIds = delIds.distinct().count()
+    require(nDel == nDelIds,
+      s"deleteFromPriorityIndex: delete list carries ${nDel - nDelIds} " +
+        "duplicate ids — counts would double-subtract")
+    val totals = idx.groupBy("content_hash")
+      .agg(min(col("win")).as("win"), sum(col("dup_cnt")).as("dup_cnt"),
+        bit_or(col("prio_mask")).as("prio_mask"))
+    val del = priorityPartials(deletedDocs, idCol, textCol, priorityCol,
+        maxPriority, idBits)
+      .select(col("content_hash"), col("win").as("__dw"),
+        col("dup_cnt").as("__del_cnt"))
+    // the misuse checks live INSIDE the projected count (raise_error
+    // branches), not in separate filter(assert_true) nodes — the
+    // optimizer may evaluate the cheap `> 0` predicate first and
+    // silently drop exactly the rows that must fail
+    val newCnt = col("dup_cnt") - coalesce(col("__del_cnt"), lit(0L))
+    val checkedCnt =
+      when(col("dup_cnt").isNull, raise_error(concat(
+        lit("deleteFromPriorityIndex: delete list carries content the " +
+          "index never saw (hash "), col("content_hash"),
+        lit(") — wrong index or wrong delete list"))).cast("long"))
+        .when(newCnt < 0, raise_error(concat(
+          lit("deleteFromPriorityIndex: more copies deleted than the " +
+            "index holds for hash "), col("content_hash"),
+          lit(" — double delete or foreign corpus"))).cast("long"))
+        .otherwise(newCnt)
+    val out = totals.join(del, Seq("content_hash"), "full_outer")
+      .select(col("content_hash"),
+        when(col("__dw") === col("win"), lit(null).cast("long"))
+          .otherwise(col("win")).as("win"),
+        checkedCnt.as("dup_cnt"), col("prio_mask"))
+      .filter(col("dup_cnt") > 0)
+    import spark.implicits._
+    Seq(("priority_md5", 32, maxPriority, idBits))
+      .toDF("family", "hash_len", "max_priority", "id_bits")
+      .write.mode("overwrite").parquet(s"$outPath/meta")
+    out.sortWithinPartitions("content_hash")
+      .write.mode("overwrite").parquet(s"$outPath/index")
   }
 
   /** [[savePriorityIndex]] in the backfill layout (r12 verdict gap #2):
@@ -887,6 +1104,41 @@ object Dedup {
         col("dup_cnt").cast("long"))
       .sortWithinPartitions("content_hash")
       .write.mode("append").parquet(s"$indexPath/index")
+  }
+
+  /** COMPACTION of a stored exact index (the read-amplification fix
+    * every append-only partial-group store eventually needs): after N
+    * [[mergeIntoExactIndex]] folds a hot key holds up to N rows and
+    * every screen re-pays the combine; compaction runs the SAME
+    * associative combine the screens run — min keep_id (skipping the
+    * NULL winners deletion leaves behind, exactly as the serve's
+    * min does), sum dup_cnt — once, and writes ONE row per key to a
+    * NEW index at `outPath`. Pure rewrite: serving against the
+    * compacted index returns byte-identical relations, and compact
+    * after N folds ≡ a fresh rebuild of the same corpus, modulo the
+    * deletion family's documented NULL-winner carryover. O(index),
+    * never touches the corpus. outPath must differ (the half-rewritten
+    * reader rule); the bloom sidecar survives semantically (the key
+    * set is unchanged) but is NOT carried — it stamps against the old
+    * index files; rebuild via [[buildExactBloom]].
+    */
+  def compactExactIndex(spark: SparkSession, indexPath: String,
+      outPath: String): Unit = {
+    require(new org.apache.hadoop.fs.Path(outPath).toString !=
+      new org.apache.hadoop.fs.Path(indexPath).toString,
+      "compactExactIndex: outPath must differ from indexPath — a " +
+        "reader must never observe a half-rewritten index")
+    BucketedTables.requirePlainLayout(spark, s"$indexPath/meta",
+      "compactExactIndex")
+    val idx = loadExactIndex(spark, indexPath)
+    import spark.implicits._
+    Seq(("exact_md5", 32)).toDF("family", "hash_len")
+      .write.mode("overwrite").parquet(s"$outPath/meta")
+    idx.groupBy("content_hash")
+      .agg(min(col("keep_id")).as("keep_id"),
+        sum(col("dup_cnt")).as("dup_cnt"))
+      .sortWithinPartitions("content_hash")
+      .write.mode("overwrite").parquet(s"$outPath/index")
   }
 
   /** DELETION from a stored exact index (the right-to-be-forgotten /
@@ -1450,6 +1702,56 @@ object Dedup {
       }
     }
     (postings, sizes, meta(0).getInt(2), meta(0).getInt(3))
+  }
+
+  /** [[deleteFromMinhashIndex]] for the shingle containment family:
+    * both stored relations ((sg, doc) postings + (doc, n_sh) sizes)
+    * are PER-DOC rows, so deletion is a plain id anti-join rewrite,
+    * O(index), and the deleted index serves exactly as one built on
+    * the retained corpus — up to the family's documented build-time
+    * asymmetry, which deletion can only NARROW, never widen: a shingle
+    * df-cut at build time stays cut (its postings were never stored,
+    * so they cannot come back when deletions drop its df below
+    * max_df). Membership is checked against the SIZES relation — a
+    * doc whose every shingle was df-cut still has a size row, and a
+    * takedown of such a doc must not raise. The shared loud contract:
+    * unseen delete ids raise, duplicate delete ids raise, outPath must
+    * differ, and the bloom sidecar is rebuilt via
+    * [[buildShingleBloom]], never carried.
+    */
+  def deleteFromShingleIndex(deletedIds: DataFrame, indexPath: String,
+      outPath: String, idCol: String): Unit = {
+    val spark = deletedIds.sparkSession
+    require(new org.apache.hadoop.fs.Path(outPath).toString !=
+      new org.apache.hadoop.fs.Path(indexPath).toString,
+      "deleteFromShingleIndex: outPath must differ from indexPath — a " +
+        "reader must never observe a half-rewritten index")
+    BucketedTables.requirePlainLayout(spark, s"$indexPath/meta",
+      "deleteFromShingleIndex")
+    val (postings, sizes, n, maxDf) = loadShingleIndex(spark, indexPath)
+    val dels = deletedIds.select(col(idCol).cast("long").as("__del_id"))
+      .persistTracked()
+    val nDel = dels.count()
+    val nDelIds = dels.distinct().count()
+    require(nDel == nDelIds,
+      s"deleteFromShingleIndex: delete list carries ${nDel - nDelIds} " +
+        "duplicate ids")
+    val absent = dels.join(sizes.select(col("doc")),
+      col("__del_id") === col("doc"), "left_anti").count()
+    require(absent == 0,
+      s"deleteFromShingleIndex: $absent delete ids are absent from the " +
+        "index — wrong index or wrong delete list (a silently no-op " +
+        "takedown is a compliance bug)")
+    import spark.implicits._
+    Seq(("shingle_h60", 60, n, maxDf))
+      .toDF("family", "key_bits", "n", "max_df")
+      .write.mode("overwrite").parquet(s"$outPath/meta")
+    postings.join(dels, col("doc") === col("__del_id"), "left_anti")
+      .sortWithinPartitions("sg")
+      .write.mode("overwrite").parquet(s"$outPath/postings")
+    sizes.join(dels, col("doc") === col("__del_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$outPath/docs")
+    dels.unpersist()
   }
 
   /** Screen a batch against the stored shingle index — directed
@@ -2695,6 +2997,36 @@ object Dedup {
       .write.mode("append").parquet(s"$indexPath/index")
   }
 
+  /** [[compactExactIndex]] for the LINE family: one (lk, doc, pos,
+    * cnt) row per key after N folds — winner = the lexicographic-min
+    * (doc, pos) across non-NULL partials (a deletion's NULL winner is
+    * skipped, the exact family's rule; all-NULL stays NULL), count =
+    * the sum. Serving (key existence) is byte-identical before and
+    * after. Bloom sidecar not carried (file-stamp rule) — rebuild via
+    * [[buildLineBloom]].
+    */
+  def compactLineIndex(spark: SparkSession, indexPath: String,
+      outPath: String): Unit = {
+    require(new org.apache.hadoop.fs.Path(outPath).toString !=
+      new org.apache.hadoop.fs.Path(indexPath).toString,
+      "compactLineIndex: outPath must differ from indexPath — a " +
+        "reader must never observe a half-rewritten index")
+    BucketedTables.requirePlainLayout(spark, s"$indexPath/meta",
+      "compactLineIndex")
+    val idx = loadLineIndex(spark, indexPath)
+    import spark.implicits._
+    Seq(("line_md5_60", 60)).toDF("family", "key_bits")
+      .write.mode("overwrite").parquet(s"$outPath/meta")
+    idx.groupBy("lk")
+      .agg(min(when(col("doc").isNotNull,
+          struct(col("doc"), col("pos")))).as("__f"),
+        sum(col("cnt")).as("cnt"))
+      .select(col("lk"), col("__f.doc").as("doc"),
+        col("__f.pos").as("pos"), col("cnt"))
+      .sortWithinPartitions("lk")
+      .write.mode("overwrite").parquet(s"$outPath/index")
+  }
+
   /** [[deleteFromExactIndex]] for the LINE family (the screen
     * RefinedWeb-style pipelines run most — takedowns must purge
     * boilerplate state too, or a forgotten page's unique lines keep
@@ -3591,6 +3923,53 @@ object Dedup {
       }
     }
     (h, m, sigs, bands)
+  }
+
+  /** [[deleteFromMinhashIndex]] for the 48-bit signature (hamming)
+    * family: both stored relations ((doc, sh) sigs + exploded band
+    * cells) are PER-DOC rows, so deletion is a plain id anti-join
+    * rewrite, O(index), and the deleted index is EXACTLY the index of
+    * the retained signatures — no NULLed fields, no semantics caveat.
+    * The shared loud contract: delete ids the index never saw raise
+    * (a silently no-op takedown is a compliance bug), duplicate delete
+    * ids raise, outPath must differ, and the bloom sidecar is rebuilt
+    * via [[buildSignatureBloom]], never carried — a Bloom filter
+    * cannot delete (clearing shared bits would create false
+    * negatives).
+    */
+  def deleteFromSignatureIndex(deletedIds: DataFrame, indexPath: String,
+      outPath: String, idCol: String): Unit = {
+    val spark = deletedIds.sparkSession
+    require(new org.apache.hadoop.fs.Path(outPath).toString !=
+      new org.apache.hadoop.fs.Path(indexPath).toString,
+      "deleteFromSignatureIndex: outPath must differ from indexPath — " +
+        "a reader must never observe a half-rewritten index")
+    BucketedTables.requirePlainLayout(spark, s"$indexPath/meta",
+      "deleteFromSignatureIndex")
+    val (maxHamming, nBlocks, sigs, bands) =
+      loadSignatureIndex(spark, indexPath)
+    val dels = deletedIds.select(col(idCol).cast("long").as("__del_id"))
+      .persistTracked()
+    val nDel = dels.count()
+    val nDelIds = dels.distinct().count()
+    require(nDel == nDelIds,
+      s"deleteFromSignatureIndex: delete list carries ${nDel - nDelIds} " +
+        "duplicate ids")
+    val absent = dels.join(sigs.select(col("doc")),
+      col("__del_id") === col("doc"), "left_anti").count()
+    require(absent == 0,
+      s"deleteFromSignatureIndex: $absent delete ids are absent from " +
+        "the index — wrong index or wrong delete list (a silently " +
+        "no-op takedown is a compliance bug)")
+    import spark.implicits._
+    Seq((maxHamming, nBlocks)).toDF("max_hamming", "n_blocks")
+      .write.mode("overwrite").parquet(s"$outPath/meta")
+    sigs.join(dels, col("doc") === col("__del_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$outPath/sigs")
+    bands.join(dels, col("doc") === col("__del_id"), "left_anti")
+      .sortWithinPartitions("band", "bits")
+      .write.mode("overwrite").parquet(s"$outPath/bands")
+    dels.unpersist()
   }
 
   /** Near-dup an arriving signature batch against the STORED index —

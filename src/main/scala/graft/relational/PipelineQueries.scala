@@ -2487,6 +2487,206 @@ object PipelineQueries {
         threshold = 0.35)
     }),
 
+    // the HAMMING family's deletion (r13 follow-on — the takedown
+    // matrix extended to the signature side): the p82-planted
+    // even-corpus signature index minus every doc_id%6==0 doc (per-doc
+    // sigs + band rows — a plain anti-join rewrite, no winner caveat),
+    // odd batch screened against the deleted index. Oracle = p82's
+    // pair relation with the deleted evens off both sides: the deleted
+    // index must serve exactly as one built on the retained signatures
+    "p163_hamming_index_delete" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id").as("bid"), col("text").as("btext"))
+      val grouped = d.select(col("doc_id"))
+        .join(base, col("doc_id") - col("doc_id") % 3 === col("bid"))
+        .select(col("doc_id"), encode(col("btext"), "UTF-8").as("media"))
+      val planted = Multimodal.imageDHash(grouped).withColumn("dhash",
+        col("dhash")
+          .bitwiseXOR(when(col("doc_id") % 3 >= 1,
+            expr("shiftleft(1L, cast(doc_id % 48 as int))"))
+            .otherwise(lit(0L)))
+          .bitwiseXOR(when(col("doc_id") % 3 === 2,
+            expr("shiftleft(1L, cast((doc_id * 31 + 17) % 48 as int))"))
+            .otherwise(lit(0L))))
+      val out = withPipelineArtifact(dir, "p163_ham_del") { stage =>
+        Dedup.saveSignatureIndex(planted.filter(col("doc_id") % 2 === 0),
+          s"$stage/idx", "doc_id", "dhash", maxHamming = 4)
+        Dedup.deleteFromSignatureIndex(
+          planted.filter(col("doc_id") % 6 === 0).select(col("doc_id")),
+          s"$stage/idx", s"$stage/idx_del", "doc_id")
+      }
+      Dedup.hammingAgainstIndex(planted.filter(col("doc_id") % 2 === 1),
+        s"$out/idx_del", "doc_id", "dhash")
+    }),
+
+    // the PRIORITY family's deletion (the p159 monoid rules + the
+    // family's own non-retractable extras): the p132-planted corpus
+    // indexed whole, minus every doc_id%7==0 doc. Singleton keys of
+    // deleted docs disappear, counts shrink, keys whose min-(priority,
+    // id) WINNER is deleted go NULL on keep_id AND keep_priority (both
+    // decode from the one packed win), and prio_mask stays AS STORED —
+    // the bit_or cannot retract, so the oracle states the same
+    // superset rule (mask over ALL original contributors)
+    "p164_priority_index_delete" -> ((s, dir) => {
+      val corpus = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 < 2,
+          concat(lit("grp:"), expr("doc_id div 4").cast("string")))
+          .otherwise(col("text")).as("text"),
+        (substring(col("source"), 4, 10).cast("long") % 4).as("priority"))
+      val out = withPipelineArtifact(dir, "p164_prio_del") { stage =>
+        Dedup.savePriorityIndex(corpus, "doc_id", "text", "priority",
+          maxPriority = 3L, s"$stage/idx")
+        Dedup.deleteFromPriorityIndex(
+          corpus.filter(col("doc_id") % 7 === 0),
+          s"$stage/idx", s"$stage/idx_del", "doc_id", "text", "priority")
+      }
+      val (idx, _, idBits) = Dedup.loadPriorityIndex(s, s"$out/idx_del")
+      val idMod = 1L << idBits
+      idx.select(col("content_hash"),
+        (col("win") % idMod).as("keep_id"),
+        expr(s"win div $idMod").as("keep_priority"),
+        col("dup_cnt"), col("prio_mask"))
+    }),
+
+    // the CDC CHUNK family's deletion (the p159 monoid rules under the
+    // p138 plant, fold INCLUDED so the subtract combines across
+    // appended snapshots): the even-corpus chunk index minus every
+    // doc_id%6==0 doc — chunk hashes held only by deleted docs
+    // disappear, counts shrink, and hashes whose FIRST-occurrence
+    // packing sits in a deleted doc keep their count with the decoded
+    // (first_doc, first_start) NULL
+    "p165_chunk_index_delete" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" "),
+          element_at(typedlit(cdcParagraphs),
+            (col("doc_id") % 7 + 1).cast("int"))).as("text"))
+      val out = withPipelineArtifact(dir, "p165_chunk_del") { stage =>
+        Dedup.saveChunkIndex(planted.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", s"$stage/idx")
+        Dedup.mergeIntoChunkIndex(planted.filter(col("doc_id") % 4 === 2),
+          s"$stage/idx", "doc_id", "text")
+        Dedup.deleteFromChunkIndex(
+          planted.filter(col("doc_id") % 6 === 0),
+          s"$stage/idx", s"$stage/idx_del", "doc_id", "text")
+      }
+      val (idx, _, _, _, startBits) =
+        Dedup.loadChunkIndex(s, s"$out/idx_del")
+      val startMod = 1L << startBits
+      idx.select(col("chunk_hash"),
+        expr(s"first div $startMod").as("first_doc"),
+        (col("first") % startMod).as("first_start"),
+        col("cnt"))
+    }),
+
+    // the SHINGLE family's deletion (p161's per-doc-row rule on the
+    // containment side): the p148-planted even-corpus inverted index
+    // minus every doc_id%8==0 doc, odd batch screened for directed
+    // containment against the deleted index. Oracle = p148's with the
+    // deleted docs off the corpus side — including the %10==1 batch
+    // excerpts whose SOURCE page was deleted, whose containment hit
+    // must vanish with it
+    "p166_shingle_index_delete" -> ((s, dir) => {
+      val base = docs(s, dir)
+      val evens = base.filter(col("doc_id") % 2 === 0)
+      val batch = base.filter(col("doc_id") % 2 === 1)
+        .join(evens.select((col("doc_id") + 1).as("doc_id"),
+          col("text").as("__src")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 1,
+            concat_ws(" ", slice(tokens(col("__src")), 2, 24)))
+            .otherwise(col("text")).as("text"))
+      val out = withPipelineArtifact(dir, "p166_shingle_del") { stage =>
+        Dedup.saveShingleIndex(evens.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", n = 3, s"$stage/idx", maxDf = 100000)
+        Dedup.mergeIntoShingleIndex(evens.filter(col("doc_id") % 4 === 2),
+          s"$stage/idx", "doc_id", "text")
+        Dedup.deleteFromShingleIndex(
+          evens.filter(col("doc_id") % 8 === 0).select(col("doc_id")),
+          s"$stage/idx", s"$stage/idx_del", "doc_id")
+      }
+      Dedup.containmentAgainstIndex(batch, s"$out/idx_del", "doc_id",
+        "text", threshold = 0.8)
+    }),
+
+    // COMPACTION of the exact index (r13 follow-on — the
+    // read-amplification fix after N folds): the even corpus lands as
+    // TWO appended snapshots (%4==0 save + %4==2 fold), compaction
+    // rewrites the doubled-up keys to one combined row each, and the
+    // odd batch screens against the compacted index. Oracle = p109's
+    // VERBATIM: serving must be byte-identical before and after
+    "p167_exact_compact" -> ((s, dir) => {
+      val planted = exactPlant(docs(s, dir))
+      val out = withPipelineArtifact(dir, "p167_exact_compact") { stage =>
+        Dedup.saveExactIndex(planted.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", s"$stage/idx")
+        Dedup.mergeIntoExactIndex(planted.filter(col("doc_id") % 4 === 2),
+          s"$stage/idx", "doc_id", "text")
+        Dedup.compactExactIndex(s, s"$stage/idx", s"$stage/idx_c")
+      }
+      Dedup.exactAgainstIndex(planted.filter(col("doc_id") % 2 === 1),
+          s"$out/idx_c", "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("content_hash"),
+          col("keep_id"), col("n_corpus"), col("keep"))
+    }),
+
+    // line-family compaction under the p113 plant (the shared footer
+    // is the multi-row hot key the fold doubles); oracle = p113's
+    // VERBATIM
+    "p168_line_compact" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit("\nshared footer please subscribe\nuniq-"),
+          col("doc_id").cast("string")).as("text"))
+      val out = withPipelineArtifact(dir, "p168_line_compact") { stage =>
+        Dedup.saveLineIndex(planted.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", s"$stage/idx")
+        Dedup.mergeIntoLineIndex(planted.filter(col("doc_id") % 4 === 2),
+          s"$stage/idx", "doc_id", "text")
+        Dedup.compactLineIndex(s, s"$stage/idx", s"$stage/idx_c")
+      }
+      Dedup.linesAgainstIndex(planted.filter(col("doc_id") % 2 === 1),
+        s"$out/idx_c", "doc_id", "text")
+    }),
+
+    // priority-family compaction under the p133 plant (min win, sum
+    // cnt, bit_or mask combined once); oracle = p133's VERBATIM
+    "p169_priority_compact" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 < 2,
+          concat(lit("grp:"), expr("doc_id div 4").cast("string")))
+          .otherwise(col("text")).as("text"),
+        (substring(col("source"), 4, 10).cast("long") % 4).as("priority"))
+      val out = withPipelineArtifact(dir, "p169_priority_compact") { stage =>
+        Dedup.savePriorityIndex(planted.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", "priority", maxPriority = 3L, s"$stage/idx")
+        Dedup.mergeIntoPriorityIndex(planted.filter(col("doc_id") % 4 === 2),
+          s"$stage/idx", "doc_id", "text", "priority")
+        Dedup.compactPriorityIndex(s, s"$stage/idx", s"$stage/idx_c")
+      }
+      Dedup.priorityAgainstIndex(planted.filter(col("doc_id") % 2 === 1),
+          s"$out/idx_c", "doc_id", "text", "priority")
+        .select(col("doc").as("doc_id"), col("content_hash"),
+          col("keep_id"), col("keep_priority"), col("n_corpus"),
+          col("n_priorities"), col("keep"))
+    }),
+
+    // chunk-family compaction under the p138 plant (min first, sum
+    // cnt combined once); oracle = p138's VERBATIM
+    "p170_chunk_compact" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" "),
+          element_at(typedlit(cdcParagraphs),
+            (col("doc_id") % 7 + 1).cast("int"))).as("text"))
+      val out = withPipelineArtifact(dir, "p170_chunk_compact") { stage =>
+        Dedup.saveChunkIndex(planted.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", s"$stage/idx")
+        Dedup.mergeIntoChunkIndex(planted.filter(col("doc_id") % 4 === 2),
+          s"$stage/idx", "doc_id", "text")
+        Dedup.compactChunkIndex(s, s"$stage/idx", s"$stage/idx_c")
+      }
+      Dedup.chunksAgainstIndex(planted.filter(col("doc_id") % 2 === 1),
+        s"$out/idx_c", "doc_id", "text")
+    }),
+
     // robots.txt PARSING (RFC 9309 §2.1-2.2 — the other half of the
     // REP loop; p154 proves the matcher, this proves raw file → rule
     // relation): one templated body per planted host (RobotsBodies,
@@ -4208,6 +4408,116 @@ object PipelineQueries {
          WHERE sim >= 0.35 AND (vec_a % 2 = 1 OR vec_b % 2 = 1)
            AND vec_a % 6 != 0 AND vec_b % 6 != 0""",
 
+    // p82's pair relation with the deleted evens off BOTH sides
+    // (doc%6=0 implies even, so odd batch docs are never excluded):
+    // the deleted signature index must serve exactly as one built on
+    // the retained signatures
+    "p163_hamming_index_delete" ->
+      """WITH g AS (SELECT d.doc_id, b.text AS btext
+               FROM documents d
+               JOIN documents b ON b.doc_id = d.doc_id - (d.doc_id % 3)),
+             h AS (SELECT doc_id,
+                     ('0x' || substr(md5(btext), 1, 12))::BIGINT AS dh0
+                   FROM g),
+             p AS (SELECT doc_id,
+                     xor(xor(dh0,
+                       CASE WHEN doc_id % 3 >= 1
+                            THEN (1::BIGINT << (doc_id % 48)::INT)
+                            ELSE 0::BIGINT END),
+                       CASE WHEN doc_id % 3 = 2
+                            THEN (1::BIGINT << ((doc_id * 31 + 17) % 48)::INT)
+                            ELSE 0::BIGINT END) AS dh
+                   FROM h)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+         FROM p a JOIN p b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dh, b.dh)) <= 4
+           AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+           AND a.doc_id % 6 != 0 AND b.doc_id % 6 != 0""",
+
+    // mirrors deleteFromPriorityIndex over the p132 plant: per-hash
+    // totals minus the delete list's counts, empty keys dropped, both
+    // decoded winner halves NULLed when the packed winner's id is
+    // deleted (packed values are unique per doc, so winner-deleted ⟺
+    // the delete partials' min equals the stored min ⟺ id%7=0), and
+    // prio_mask kept as the bit_or over ALL original contributors —
+    // the documented non-retractable-superset rule
+    "p164_priority_index_delete" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 < 2 THEN 'grp:' || (doc_id // 4)::VARCHAR
+                  ELSE text END AS text,
+             CAST(substr(source, 4) AS BIGINT) % 4 AS priority
+           FROM documents),
+           h AS (SELECT doc_id, priority, md5(text) AS content_hash FROM d),
+           tot AS (SELECT content_hash,
+                     min(priority * 1099511627776 + doc_id) AS win,
+                     CAST(count(*) AS BIGINT) AS dup_cnt,
+                     CAST(sum(DISTINCT (1::BIGINT << priority::INT))
+                       AS BIGINT) AS prio_mask
+                   FROM h GROUP BY 1),
+           del AS (SELECT content_hash, CAST(count(*) AS BIGINT) AS del_cnt
+                   FROM h WHERE doc_id % 7 = 0 GROUP BY 1)
+         SELECT t.content_hash,
+           CASE WHEN (t.win % 1099511627776) % 7 = 0 THEN NULL
+                ELSE CAST(t.win % 1099511627776 AS BIGINT) END AS keep_id,
+           CASE WHEN (t.win % 1099511627776) % 7 = 0 THEN NULL
+                ELSE CAST(t.win // 1099511627776 AS BIGINT) END
+             AS keep_priority,
+           t.dup_cnt - coalesce(d.del_cnt, 0) AS dup_cnt,
+           t.prio_mask
+         FROM tot t LEFT JOIN del d USING (content_hash)
+         WHERE t.dup_cnt - coalesce(d.del_cnt, 0) > 0""",
+
+    // the shingle-family p148 CTEs with the deleted docs off the
+    // corpus side of the candidate join — including the %10==1 batch
+    // excerpts whose source page was deleted
+    "p166_shingle_index_delete" ->
+      raw"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+             srcm AS (SELECT doc_id + 1 AS doc_id, text AS srctext FROM ev),
+             bt AS (SELECT b.doc_id,
+                 CASE WHEN b.doc_id % 10 = 1 THEN
+                   array_to_string((list_filter(string_split_regex(
+                     lower(trim(s.srctext)), '\s+'), x -> x != ''))[2:25], ' ')
+                 ELSE b.text END AS text
+               FROM documents b LEFT JOIN srcm s ON b.doc_id = s.doc_id
+               WHERE b.doc_id % 2 = 1),
+             u AS (SELECT doc_id, text FROM ev
+                   UNION ALL SELECT doc_id, text FROM bt),
+             d AS (SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                   x -> x != '') AS toks
+               FROM u),
+             s0 AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                   THEN list_distinct(list_transform(
+                     generate_series(1, len(toks) - 2),
+                     i -> array_to_string(toks[i:i+2], ' ')))
+                   ELSE [] END AS sh0
+               FROM d),
+             sx AS (SELECT doc_id, list_distinct(list_transform(sh0, sg ->
+                 ('0x' || substr(md5(sg), 1, 15))::BIGINT)) AS sh
+               FROM s0),
+             ex AS (SELECT doc_id, unnest(sh) AS sg FROM sx),
+             sz AS (SELECT doc_id, len(sh) AS n_sh FROM sx),
+             inter AS (SELECT b.doc_id AS bdoc, c.doc_id AS cdoc,
+                 count(*) AS inter
+               FROM ex b JOIN ex c ON b.sg = c.sg
+               WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+                 AND c.doc_id % 8 != 0
+               GROUP BY 1, 2),
+             cz AS (SELECT i.bdoc, i.cdoc, i.inter,
+                 sb.n_sh AS nb, sc.n_sh AS nc
+               FROM inter i JOIN sz sb ON i.bdoc = sb.doc_id
+                 JOIN sz sc ON i.cdoc = sc.doc_id),
+             dirn AS (SELECT bdoc AS doc_inner, cdoc AS doc_outer,
+                 inter, round(inter * 1.0 / nb, 6) AS containment FROM cz
+               UNION ALL
+               SELECT cdoc AS doc_inner, bdoc AS doc_outer,
+                 inter, round(inter * 1.0 / nc, 6) AS containment FROM cz)
+         SELECT doc_inner, doc_outer, CAST(inter AS BIGINT) AS inter,
+           containment
+         FROM dirn WHERE containment >= 0.8""",
+
     // mirrors removeDuplicateSpans over the span-planted corpus:
     // case-preserving whitespace tokens, k=8 grams hashed to 60 bits,
     // every occurrence after the (doc_id, pos)-first removed, covered
@@ -4767,6 +5077,29 @@ object PipelineQueries {
            // greatest(coalesce(p.chunk_chars, 0), 1) AS dup_permille
        FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
          LEFT JOIN per p USING (doc_id)"""),
+
+    // mirrors deleteFromChunkIndex over the even-corpus index (fold
+    // included): per-chunk-hash totals minus the deleted docs'
+    // re-chunked counts, empty keys dropped, the decoded
+    // (first_doc, first_start) NULLed when the first-occurrence doc is
+    // deleted (packed occurrences are unique, so winner-deleted ⟺ the
+    // first packing's doc is divisible by 6)
+    "p165_chunk_index_delete" -> (cdcWalkSql +
+      s""",
+         ec AS (SELECT * FROM ch WHERE doc_id % 2 = 0),
+         tot AS (SELECT chash, min(packed) AS fp,
+                   CAST(count(*) AS BIGINT) AS cnt
+                 FROM ec GROUP BY 1),
+         del AS (SELECT chash, CAST(count(*) AS BIGINT) AS del_cnt
+                 FROM ec WHERE doc_id % 6 = 0 GROUP BY 1)
+       SELECT t.chash AS chunk_hash,
+         CASE WHEN (t.fp // 16777216) % 6 = 0 THEN NULL
+              ELSE CAST(t.fp // 16777216 AS BIGINT) END AS first_doc,
+         CASE WHEN (t.fp // 16777216) % 6 = 0 THEN NULL
+              ELSE CAST(t.fp % 16777216 AS BIGINT) END AS first_start,
+         t.cnt - coalesce(d.del_cnt, 0) AS cnt
+       FROM tot t LEFT JOIN del d USING (chash)
+       WHERE t.cnt - coalesce(d.del_cnt, 0) > 0"""),
 
     // the p54 directed-containment CTEs over the planted
     // excerpt-in-page corpus, restricted to cross-split (batch odd ×
@@ -7459,5 +7792,11 @@ object PipelineQueries {
     "p150_containment_backfill" -> oracleBase("p148_containment_screen"),
     "p151_cdc_backfill" -> oracleBase("p138_cdc_screen"),
     // the zero-shuffle serving form computes the identical relation
-    "p156_robots_serve" -> oracleBase("p154_robots_filter"))
+    "p156_robots_serve" -> oracleBase("p154_robots_filter"),
+    // compaction is a pure rewrite: serving is byte-identical, so each
+    // compacted screen certifies against its plain sibling's verbatim
+    "p167_exact_compact" -> oracleBase("p109_exact_screen"),
+    "p168_line_compact" -> oracleBase("p113_line_screen"),
+    "p169_priority_compact" -> oracleBase("p133_priority_screen"),
+    "p170_chunk_compact" -> oracleBase("p138_cdc_screen"))
 }

@@ -194,7 +194,11 @@ object StreamingDedup {
     * sketch rules out take the miss branch WITHOUT touching the join
     * at all (no false negatives ⇒ rows identical, pinned by the spec).
     * Output: (doc_id, content_hash, n_corpus, corpus_keep — null when
-    * the corpus has never seen the content).
+    * the corpus has never seen the content (n_corpus 0), and ALSO null
+    * when a [[graft.pipeline.Dedup.deleteFromExactIndex]] takedown
+    * forgot the stored winner of still-retained copies (n_corpus > 0
+    * — a duplicate of unknown canonical id; the two cases separate on
+    * n_corpus).
     */
   def exactScreenStream(docs: DataFrame, indexPath: String,
       idCol: String, textCol: String,
@@ -250,6 +254,15 @@ object StreamingDedup {
       .repartition(col("content_hash"))
       .persistTracked()
     staticSide.count()
+    // a post-deletion key can hold retained copies with an UNKNOWN
+    // winner (win NULL but count > 0, [[deleteFromPriorityIndex]]):
+    // an arriving copy must NOT claim beats_corpus — the retained
+    // copies' trust tier was folded away, so outranking them is not
+    // provable. The honest verdict is the batch screen's: false, with
+    // the decoded winner halves NULL. Unreachable for never-deleted
+    // indexes; distinct from the frontier-admit case (count 0).
+    val unknownWinner =
+      col("__cw").isNull && coalesce(col("__cn"), lit(0L)) > 0
     docs.select(col(idCol).cast("long").as("doc_id"),
         md5(col(textCol)).as("content_hash"),
         graft.pipeline.Dedup.packPriority(idCol, priorityCol,
@@ -259,7 +272,9 @@ object StreamingDedup {
         (col("__cw") % idMod).as("corpus_keep_id"),
         expr(s"__cw div $idMod").as("corpus_keep_priority"),
         coalesce(col("__cn"), lit(0L)).as("n_corpus"),
-        (col("__cw").isNull || col("__p") < col("__cw")).as("beats_corpus"))
+        when(unknownWinner, lit(false))
+          .otherwise(col("__cw").isNull || col("__p") < col("__cw"))
+          .as("beats_corpus"))
   }
 
   final case class ChunkScreenRow(doc_id: Long, n_chunks: Long,

@@ -5421,4 +5421,309 @@ class PipelineSpec extends SparkSpecBase {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("packing bounds")), e.toString)
   }
+
+  test("deleteFromSignatureIndex: deleted index serves as a retained rebuild; loud misuse") {
+    import spark.implicits._
+    // planted near-pairs (i, i+1) at i % 10 == 0: one bit flip apart;
+    // everything else md5-far
+    val sigs = (0L until 30L).map { i =>
+      val base = (BigInt(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"sig${i / 10 * 10}".getBytes("UTF-8")).take(6)
+          .map("%02x".format(_)).mkString, 16)).toLong & ((1L << 48) - 1)
+      val sh = if (i % 10 <= 1) base ^ (if (i % 10 == 1) 1L << (i % 48) else 0L)
+        else (BigInt(java.security.MessageDigest.getInstance("MD5")
+          .digest(s"far$i".getBytes("UTF-8")).take(6)
+          .map("%02x".format(_)).mkString, 16)).toLong & ((1L << 48) - 1)
+      (i, sh)
+    }.toDF("doc_id", "dhash")
+    val dir = java.nio.file.Files.createTempDirectory("sigdel").toString
+    Dedup.saveSignatureIndex(sigs, s"$dir/idx", "doc_id", "dhash",
+      maxHamming = 4)
+    Dedup.deleteFromSignatureIndex(
+      sigs.filter(col("doc_id") % 4 === 0).select("doc_id"),
+      s"$dir/idx", s"$dir/idx2", "doc_id")
+    Dedup.saveSignatureIndex(sigs.filter(col("doc_id") % 4 =!= 0),
+      s"$dir/idxR", "doc_id", "dhash", maxHamming = 4)
+    val batch = sigs.filter(col("doc_id") % 10 === 1)
+      .select((col("doc_id") + 100L).as("doc_id"), col("dhash"))
+    def screen(p: String) = Dedup.hammingAgainstIndex(
+      batch, p, "doc_id", "dhash").collect().map(_.toSeq.take(2)).toSet
+    val a = screen(s"$dir/idx2")
+    val b = screen(s"$dir/idxR")
+    assert(a == b, s"$a vs $b")
+    // deleted pair-partners 0 and 20 are gone; retained 1/10/11/21 pair
+    assert(!a.exists(r => r.contains(0L) || r.contains(20L)), a)
+    assert(a.exists(_.contains(1L)) && a.exists(_.contains(21L)), a)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.deleteFromSignatureIndex(Seq(999L).toDF("doc_id"),
+        s"$dir/idx2", s"$dir/idx3", "doc_id")
+    }
+    assert(e1.getMessage.contains("absent"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.deleteFromSignatureIndex(Seq(1L, 1L).toDF("doc_id"),
+        s"$dir/idx", s"$dir/idx4", "doc_id")
+    }
+    assert(e2.getMessage.contains("duplicate ids"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.deleteFromSignatureIndex(Seq(1L).toDF("doc_id"),
+        s"$dir/idx", s"$dir/idx", "doc_id")
+    }
+    assert(e3.getMessage.contains("half-rewritten"), e3.getMessage)
+  }
+
+  test("deleteFromShingleIndex: deleted index serves as a retained rebuild; loud misuse") {
+    import spark.implicits._
+    val page = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      (0L, page), // will be deleted — the excerpt's only source
+      (2L, page + " with an extended unique twist ending here"),
+      (4L, "completely different content about distributed query engines and shuffles"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("shdel").toString
+    Dedup.saveShingleIndex(docs, "doc_id", "text", n = 3, s"$dir/idx")
+    Dedup.deleteFromShingleIndex(Seq(0L).toDF("doc_id"),
+      s"$dir/idx", s"$dir/idx2", "doc_id")
+    Dedup.saveShingleIndex(docs.filter(col("doc_id") =!= 0L),
+      "doc_id", "text", n = 3, s"$dir/idxR")
+    // an excerpt of the shared page: still contained in retained doc 2,
+    // no longer reported against deleted doc 0
+    val batch = Seq((9L, "quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    def screen(p: String) = Dedup.containmentAgainstIndex(
+      batch, p, "doc_id", "text", threshold = 0.8)
+      .collect().map(_.toSeq).toSet
+    val a = screen(s"$dir/idx2")
+    val b = screen(s"$dir/idxR")
+    assert(a == b, s"$a vs $b")
+    assert(!a.exists(_.contains(0L)), a)
+    assert(a.exists(_.contains(2L)), a)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.deleteFromShingleIndex(Seq(999L).toDF("doc_id"),
+        s"$dir/idx2", s"$dir/idx3", "doc_id")
+    }
+    assert(e1.getMessage.contains("absent"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.deleteFromShingleIndex(Seq(2L).toDF("doc_id"),
+        s"$dir/idx", s"$dir/idx", "doc_id")
+    }
+    assert(e2.getMessage.contains("half-rewritten"), e2.getMessage)
+  }
+
+  test("deleteFromPriorityIndex: monoid subtract, NULLed winners, superset mask; screens honest; loud misuse") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val corpus = Seq(
+      (1L, "alpha", 2L), (2L, "alpha", 1L), (3L, "alpha", 3L), // winner 2 (prio 1)
+      (4L, "beta", 0L), (5L, "beta", 1L), // winner 4 (prio 0)
+      (6L, "gamma", 2L), (7L, "delta", 0L)) // singletons
+      .toDF("doc_id", "text", "priority")
+    val dir = java.nio.file.Files.createTempDirectory("priodel").toString
+    Dedup.savePriorityIndex(corpus, "doc_id", "text", "priority",
+      maxPriority = 3L, s"$dir/idx")
+    // delete alpha's WINNER (2), a beta non-winner (5), ALL of delta (7)
+    Dedup.deleteFromPriorityIndex(
+      corpus.filter(col("doc_id").isin(2L, 5L, 7L)),
+      s"$dir/idx", s"$dir/idx2", "doc_id", "text", "priority")
+    val (idx, _, idBits) = Dedup.loadPriorityIndex(spark, s"$dir/idx2")
+    val idMod = 1L << idBits
+    val got = idx.collect().map(r => (r.getString(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1) % idMod),
+      r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      // alpha: winner forgotten, copies remain, mask keeps deleted doc
+      // 2's priority-1 bit (the documented non-retractable superset)
+      (md5hex("alpha"), None, 2L, (1L << 1) | (1L << 2) | (1L << 3)),
+      (md5hex("beta"), Some(4L), 1L, (1L << 0) | (1L << 1)),
+      (md5hex("gamma"), Some(6L), 1L, 1L << 2)), got) // delta GONE
+    // screens honest: a copy of winner-less alpha reports keep=false
+    // with NULL keep_id AND keep_priority; forgotten delta screens as
+    // new; beta keeps its stored more-trusted winner
+    val screen = Dedup.priorityAgainstIndex(
+      Seq((100L, "alpha", 0L), (101L, "delta", 2L), (102L, "beta", 3L))
+        .toDF("doc_id", "text", "priority"),
+      s"$dir/idx2", "doc_id", "text", "priority")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4), r.getBoolean(6))).toSet
+    assert(screen == Set(
+      (100L, None, None, 2L, false),
+      (101L, Some(101L), Some(2L), 0L, true),
+      (102L, Some(4L), Some(0L), 1L, false)), screen)
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    val e1 = intercept[Exception] {
+      Dedup.deleteFromPriorityIndex(
+        Seq((9L, "zeta", 0L)).toDF("doc_id", "text", "priority"),
+        s"$dir/idx", s"$dir/idx3", "doc_id", "text", "priority")
+    }
+    assert(chain(e1).contains("never saw"), chain(e1))
+    val e2 = intercept[Exception] {
+      Dedup.deleteFromPriorityIndex(
+        Seq((6L, "gamma", 2L), (8L, "gamma", 0L))
+          .toDF("doc_id", "text", "priority"),
+        s"$dir/idx", s"$dir/idx4", "doc_id", "text", "priority")
+    }
+    assert(chain(e2).contains("more copies"), chain(e2))
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.deleteFromPriorityIndex(
+        Seq((2L, "alpha", 1L), (2L, "alpha", 1L))
+          .toDF("doc_id", "text", "priority"),
+        s"$dir/idx", s"$dir/idx5", "doc_id", "text", "priority")
+    }
+    assert(e3.getMessage.contains("duplicate ids"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      Dedup.deleteFromPriorityIndex(corpus.limit(1), s"$dir/idx",
+        s"$dir/idx", "doc_id", "text", "priority")
+    }
+    assert(e4.getMessage.contains("half-rewritten"), e4.getMessage)
+  }
+
+  test("deleteFromChunkIndex: monoid subtract, NULLed firsts; screens serve as a retained rebuild; loud misuse") {
+    import spark.implicits._
+    val shared = ("the shared paragraph of text that every snapshot keeps " +
+      "carrying around verbatim across crawls and re-crawls forever ") * 3
+    val corpus = Seq(
+      (1L, "doc one unique preamble body text goes here first. " + shared),
+      (2L, "doc two other totally different lead-in sentence! " + shared),
+      (3L, "doc three standalone content with nothing shared at all " +
+        "beyond its own words repeated its own way " * 4))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("cdcdel").toString
+    Dedup.saveChunkIndex(corpus, "doc_id", "text", s"$dir/idx")
+    // delete doc 1 — the first occurrence of every shared-region chunk
+    Dedup.deleteFromChunkIndex(corpus.filter(col("doc_id") === 1L),
+      s"$dir/idx", s"$dir/idx2", "doc_id", "text")
+    Dedup.saveChunkIndex(corpus.filter(col("doc_id") =!= 1L),
+      "doc_id", "text", s"$dir/idxR")
+    val (del, _, _, _, startBits) = Dedup.loadChunkIndex(spark, s"$dir/idx2")
+    val (reb, _, _, _, _) = Dedup.loadChunkIndex(spark, s"$dir/idxR")
+    val startMod = 1L << startBits
+    val delRows = del.collect().map(r => r.getString(0) ->
+      ((if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2))))
+      .toMap
+    val rebRows = reb.collect().map(r =>
+      (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    // same surviving keys with the same counts as a retained rebuild
+    assert(delRows.keySet == rebRows.keySet,
+      s"${delRows.keySet.size} vs ${rebRows.keySet.size}")
+    delRows.foreach { case (k, (first, cnt)) =>
+      assert(cnt == rebRows(k)._2, s"$k: $cnt vs ${rebRows(k)._2}")
+      first match {
+        // a surviving first must be the rebuild's first (not deleted)
+        case Some(f) =>
+          assert(f == rebRows(k)._1 && f / startMod != 1L, s"$k")
+        // NULLed first ⟺ the rebuild's first occurrence moved off doc 1
+        case None => assert(rebRows(k)._1 / startMod != 1L, s"$k")
+      }
+    }
+    // shared chunks survive (docs 2 held copies); doc-1-only chunks gone
+    assert(delRows.exists(_._2._1.isEmpty), "expected NULLed firsts")
+    // the screen (key existence) is identical to the retained rebuild
+    val batch = Seq((9L, "fresh batch doc quoting the shared region: " +
+      shared)).toDF("doc_id", "text")
+    def screen(p: String) = Dedup.chunksAgainstIndex(
+      batch, p, "doc_id", "text").collect().map(_.toSeq).toSet
+    assert(screen(s"$dir/idx2") == screen(s"$dir/idxR"))
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    val e1 = intercept[Exception] {
+      Dedup.deleteFromChunkIndex(
+        Seq((9L, "text the index has never chunked before in any form " +
+          "or shape with plenty of length to emit chunks " * 3))
+          .toDF("doc_id", "text"),
+        s"$dir/idx", s"$dir/idx3", "doc_id", "text")
+    }
+    assert(chain(e1).contains("never saw"), chain(e1))
+    val e2 = intercept[Exception] {
+      // doc 3's text claimed TWICE — more occurrences than stored
+      Dedup.deleteFromChunkIndex(
+        corpus.filter(col("doc_id") === 3L)
+          .unionByName(corpus.filter(col("doc_id") === 3L)
+            .select((col("doc_id") + 5L).as("doc_id"), col("text"))),
+        s"$dir/idx", s"$dir/idx4", "doc_id", "text")
+    }
+    assert(chain(e2).contains("more occurrences"), chain(e2))
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.deleteFromChunkIndex(corpus.limit(1), s"$dir/idx",
+        s"$dir/idx", "doc_id", "text")
+    }
+    assert(e3.getMessage.contains("half-rewritten"), e3.getMessage)
+  }
+
+  test("compact*Index: one row per key, compact == rebuild, NULL winners carry; loud in-place") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha\nfooter", 1L), (2L, "alpha\nfooter", 0L),
+      (3L, "beta\nfooter", 2L), (4L, "beta\nfooter", 1L),
+      (5L, "gamma\nfooter", 0L))
+      .toDF("doc_id", "text", "priority")
+    val a = corpus.filter(col("doc_id") <= 2L) // snapshot 1
+    val b = corpus.filter(col("doc_id") > 2L) // snapshot 2
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+
+    // exact: fold doubles the footer-less alpha/beta keys across files
+    Dedup.saveExactIndex(a, "doc_id", "text", s"$dir/e")
+    Dedup.mergeIntoExactIndex(b, s"$dir/e", "doc_id", "text")
+    Dedup.compactExactIndex(spark, s"$dir/e", s"$dir/eC")
+    Dedup.saveExactIndex(corpus, "doc_id", "text", s"$dir/eR")
+    def rows(p: String) = Dedup.loadExactIndex(spark, p).collect()
+      .map(_.toSeq).toSet
+    assert(rows(s"$dir/eC") == rows(s"$dir/eR"))
+    // compacted = ONE row per key (the rebuild relation is already so)
+    assert(Dedup.loadExactIndex(spark, s"$dir/eC").groupBy("content_hash")
+      .count().filter(col("count") > 1).count() == 0L)
+
+    // line: the shared footer is the multi-row hot key
+    Dedup.saveLineIndex(a, "doc_id", "text", s"$dir/l")
+    Dedup.mergeIntoLineIndex(b, s"$dir/l", "doc_id", "text")
+    Dedup.compactLineIndex(spark, s"$dir/l", s"$dir/lC")
+    Dedup.saveLineIndex(corpus, "doc_id", "text", s"$dir/lR")
+    def lrows(p: String) = Dedup.loadLineIndex(spark, p).collect()
+      .map(_.toSeq).toSet
+    assert(lrows(s"$dir/lC") == lrows(s"$dir/lR"))
+
+    // priority: min-win + mask combine across the fold
+    Dedup.savePriorityIndex(a, "doc_id", "text", "priority",
+      maxPriority = 3L, s"$dir/p")
+    Dedup.mergeIntoPriorityIndex(b, s"$dir/p", "doc_id", "text", "priority")
+    Dedup.compactPriorityIndex(spark, s"$dir/p", s"$dir/pC")
+    Dedup.savePriorityIndex(corpus, "doc_id", "text", "priority",
+      maxPriority = 3L, s"$dir/pR")
+    def prows(p: String) = Dedup.loadPriorityIndex(spark, p)._1.collect()
+      .map(_.toSeq).toSet
+    assert(prows(s"$dir/pC") == prows(s"$dir/pR"))
+
+    // chunk: min-first + cnt combine across the fold
+    val longText = ("the compaction paragraph that both snapshots " +
+      "carry around verbatim across crawls and re-crawls forever ") * 3
+    val ca = Seq((1L, "one lead. " + longText)).toDF("doc_id", "text")
+    val cb = Seq((2L, "two other lead! " + longText)).toDF("doc_id", "text")
+    Dedup.saveChunkIndex(ca, "doc_id", "text", s"$dir/c")
+    Dedup.mergeIntoChunkIndex(cb, s"$dir/c", "doc_id", "text")
+    Dedup.compactChunkIndex(spark, s"$dir/c", s"$dir/cC")
+    Dedup.saveChunkIndex(ca.unionByName(cb), "doc_id", "text", s"$dir/cR")
+    def crows(p: String) = Dedup.loadChunkIndex(spark, p)._1.collect()
+      .map(_.toSeq).toSet
+    assert(crows(s"$dir/cC") == crows(s"$dir/cR"))
+
+    // a deletion's NULL winner survives compaction (all-NULL stays
+    // NULL — there is nothing to re-derive); count intact
+    Dedup.deleteFromExactIndex(
+      Seq((1L, "alpha\nfooter")).toDF("doc_id", "text"),
+      s"$dir/eC", s"$dir/eD", "doc_id", "text")
+    Dedup.compactExactIndex(spark, s"$dir/eD", s"$dir/eDC")
+    val alphaRow = Dedup.loadExactIndex(spark, s"$dir/eDC")
+      .filter(col("keep_id").isNull).collect()
+    assert(alphaRow.length == 1 && alphaRow(0).getLong(2) == 1L,
+      alphaRow.mkString(","))
+
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.compactExactIndex(spark, s"$dir/e", s"$dir/e")
+    }
+    assert(e1.getMessage.contains("half-rewritten"), e1.getMessage)
+  }
 }

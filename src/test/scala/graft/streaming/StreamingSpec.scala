@@ -1042,6 +1042,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("priorityScreenStream against a DELETED index: unknown winners never lose to the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((2L, "shared", 2L), (3L, "shared", 1L),
+      (4L, "corpus only", 1L)).toDF("doc_id", "text", "priority")
+    val dir = java.nio.file.Files.createTempDirectory("prio_del_stream_").toString
+    graft.pipeline.Dedup.savePriorityIndex(corpus, "doc_id", "text",
+      "priority", 3L, s"$dir/idx")
+    // take down the shared key's WINNER (3): one retained copy stays,
+    // its trust tier folded away
+    graft.pipeline.Dedup.deleteFromPriorityIndex(
+      corpus.filter(col("doc_id") === 3L),
+      s"$dir/idx", s"$dir/idx2", "doc_id", "text", "priority")
+    val rows = Seq(
+      (11L, "shared", 0L),      // higher trust than ANY stored copy —
+                                // but the winner is unknown: false
+      (13L, "corpus only", 0L), // known winner (prio 1) loses: true
+      (15L, "brand new", 2L))   // unseen -> frontier admit: true
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.StreamingDedup.priorityScreenStream(
+        mem.toDF().toDF("doc_id", "text", "priority"),
+        s"$dir/idx2", "doc_id", "text", "priority")
+      .writeStream.format("memory").queryName("prio_del_stream")
+      .outputMode("append").start()
+    val got = try {
+      mem.addData(rows: _*); q.processAllAvailable()
+      spark.table("prio_del_stream").collect()
+        .map(r => r.getLong(0) -> ((r.isNullAt(2), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    } finally q.stop()
+    // the unknown-winner key: NULL decoded winner, count 1, beats FALSE
+    assert(got(11L) == ((true, 1L, false)), got(11L).toString)
+    assert(got(13L) == ((false, 1L, true)), got(13L).toString)
+    assert(got(15L) == ((true, 0L, true)), got(15L).toString)
+  }
+
   test("chunkScreenStream over the stored chunk index == batch screen across batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
