@@ -149,6 +149,27 @@ object ScaleSmokeDocs {
       }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
+    if (wanted("blocklist")) {
+      // r13 blocklist decade row: 10k two-token phrases over the
+      // corpus's own token space, ONE automaton walk per doc — docs/s
+      // must hold ~flat across the decade AND be independent of list
+      // size. The rlike alternation baseline (same 1k phrases, the
+      // regex class the automaton replaces) is measured at the same n
+      // for the constant-factor row.
+      def phrases(k: Int): Seq[String] = (0 until k).map(i =>
+        s"w${(i * 7 + i / 5000) % 5000} w${(i * 13 + 11 + 3 * (i / 5000)) % 5000}")
+      val ac10k = graft.functions.AhoCorasick.build(phrases(10000))
+      stage("blocklist_ac_10k")(docs.select(
+          graft.functions.AcDistinctMatches(col("text"), ac10k).as("n"))
+        .filter(col("n") > 0).count())
+      val ac1k = graft.functions.AhoCorasick.build(phrases(1000))
+      stage("blocklist_ac_1k")(docs.select(
+          graft.functions.AcDistinctMatches(col("text"), ac1k).as("n"))
+        .filter(col("n") > 0).count())
+      stage("blocklist_rlike_1k")(docs.filter(
+        col("text").rlike(phrases(1000).distinct
+          .map(java.util.regex.Pattern.quote).mkString("|"))).count())
+    }
     if (wanted("index_compact")) {
       // r13 compaction decade row: two appended snapshots (every key
       // doubled) rewritten to one combined row per key — the same

@@ -25,6 +25,24 @@ object PipelineQueries {
     * join), and the 4-wide grouping makes the duplicate pairs straddle
     * the even/odd corpus/batch split.
     */
+  /** The p171 blocklist plant: 400 two-word phrases over the corpus
+    * generator's own 30-word vocabulary, picked by pure modular
+    * arithmetic so the oracle restates the identical list (the p61
+    * generated-constants pattern). Collisions are intended — both
+    * sides count DISTINCT listed phrases, so duplicates must collapse
+    * identically.
+    */
+  private lazy val BlockVocab: IndexedSeq[String] = IndexedSeq(
+    "a", "agg", "batch", "big", "column", "customer", "data", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window")
+
+  private lazy val BlocklistPhrases: Seq[String] = (0 until 400).map { i =>
+    BlockVocab((i * 7 + i / 30) % 30) + " " +
+      BlockVocab((i * 11 + 3 * (i / 30) + 5) % 30)
+  }
+
   private def exactPlant(d: DataFrame): DataFrame =
     d.select(col("doc_id"),
       when(col("doc_id") % 5 < 2,
@@ -2687,6 +2705,23 @@ object PipelineQueries {
         s"$out/idx_c", "doc_id", "text")
     }),
 
+    // large-blocklist gate via ONE Aho-Corasick automaton walk (r13
+    // follow-on — the C4 bad-words screen at real list sizes): 400
+    // generated two-word phrases compile driver-side into a byte-level
+    // automaton that rides the plan as a reference object; per doc,
+    // the count of DISTINCT listed phrases present (byte containment ≡
+    // char containment for valid UTF-8) and the gate verdict. Zero
+    // shuffle, one codegen projection, O(text) independent of list
+    // size — the regex-alternation class this replaces is
+    // O(text × phrases)
+    "p171_blocklist_gate" -> ((s, dir) => {
+      val ac = graft.functions.AhoCorasick.build(BlocklistPhrases)
+      docs(s, dir).select(col("doc_id"),
+          graft.functions.AcDistinctMatches(lower(col("text")), ac)
+            .cast("long").as("n_phrases"))
+        .withColumn("keep", col("n_phrases") <= 24)
+    }),
+
     // robots.txt PARSING (RFC 9309 §2.1-2.2 — the other half of the
     // REP loop; p154 proves the matcher, this proves raw file → rule
     // relation): one templated body per planted host (RobotsBodies,
@@ -4517,6 +4552,28 @@ object PipelineQueries {
          SELECT doc_inner, doc_outer, CAST(inter AS BIGINT) AS inter,
            containment
          FROM dirn WHERE containment >= 0.8""",
+
+    // the p171 phrase list restated by the same modular arithmetic
+    // over the literal vocabulary; DISTINCT collapses the intended
+    // collisions exactly as the automaton's build does, and
+    // contains(lower(text), p) is the byte-containment the automaton
+    // computes
+    "p171_blocklist_gate" ->
+      """WITH v AS (SELECT ['a','agg','batch','big','column','customer',
+             'data','fast','filter','group','hash','join','key','line',
+             'merge','order','part','query','row','scan','slow','small',
+             'sort','spark','stream','table','the','value','vector',
+             'window'] AS vs),
+           ph AS (SELECT DISTINCT
+               vs[((i*7 + i//30) % 30) + 1] || ' ' ||
+               vs[((i*11 + 3*(i//30) + 5) % 30) + 1] AS p
+             FROM unnest(generate_series(0, 399)) t(i), v),
+           m AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_phrases
+                 FROM documents d JOIN ph ON contains(lower(d.text), ph.p)
+                 GROUP BY 1)
+         SELECT d.doc_id, coalesce(m.n_phrases, 0) AS n_phrases,
+           coalesce(m.n_phrases, 0) <= 24 AS keep
+         FROM documents d LEFT JOIN m USING (doc_id)""",
 
     // mirrors removeDuplicateSpans over the span-planted corpus:
     // case-preserving whitespace tokens, k=8 grams hashed to 60 bits,
