@@ -170,6 +170,25 @@ object ScaleSmokeDocs {
         col("text").rlike(phrases(1000).distinct
           .map(java.util.regex.Pattern.quote).mkString("|"))).count())
     }
+    if (wanted("editdist")) {
+      // r13 edit-distance decade row: 24-char titles, groups of 3 with
+      // one planted substitution/deletion each — symdel blocking emits
+      // ~25 variants per key, the equality join touches only true
+      // near-neighborhoods, docs/s must hold ~flat
+      val base = docs.select(col("doc_id").as("bid"),
+        substring(col("text"), 1, 24).as("t0"))
+      val titled = docs.select(col("doc_id"))
+        .join(base, col("doc_id") - col("doc_id") % 3 === col("bid"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 1,
+            concat(substring(col("t0"), 1, 4), lit("q"),
+              substring(col("t0"), 6, 24)))
+            .when(col("doc_id") % 3 === 2,
+              concat(substring(col("t0"), 1, 4), substring(col("t0"), 6, 24)))
+            .otherwise(col("t0")).as("title"))
+      stage("editdist_pairs")(Dedup.editDistancePairs(
+        titled, "doc_id", "title", maxEdits = 1).count())
+    }
     if (wanted("index_compact")) {
       // r13 compaction decade row: two appended snapshots (every key
       // doubled) rewritten to one combined row per key — the same

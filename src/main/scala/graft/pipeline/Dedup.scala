@@ -1232,6 +1232,115 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$outPath/index")
   }
 
+  /** TAKEDOWN AUDIT — the verification half of the deletion loop: a
+    * compliance reviewer holds the delete list and asks, per deleted
+    * doc, what the rewritten index still knows. Three honest outcomes
+    * per doc, all derivable from the index alone (no corpus access):
+    *   - `still_present = false`: the content is fully forgotten —
+    *     every copy was deleted, the key is gone;
+    *   - `still_present = true` with `winner_forgotten = false`: OTHER
+    *     retained docs carry the same content (the takedown removed
+    *     this doc's copy, not the content — the correct outcome for
+    *     shared text, and the reviewer sees the retained count);
+    *   - `winner_forgotten = true`: this doc (or a fellow deletee) was
+    *     the stored canonical winner — the key survives with
+    *     keep_id NULL, and screens report its copies as duplicates of
+    *     an unknown winner ([[exactScreenBody]]).
+    * One hash projection + one broadcast-able join against the
+    * combined partials — O(deletes) exchanges, the corpus contributes
+    * one narrow index scan.
+    */
+  def takedownAudit(deletedDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val spark = deletedDocs.sparkSession
+    val idx = loadExactIndex(spark, indexPath)
+    val del = deletedDocs.select(col(idCol).cast("long").as("doc_id"),
+      md5(col(textCol)).as("content_hash"))
+    val bKeys = del.select("content_hash").distinct()
+    val matching =
+      if (broadcastBatch)
+        idx.join(broadcast(bKeys), Seq("content_hash"), "left_semi")
+      else idx.join(bKeys, Seq("content_hash"), "left_semi")
+    val totals = matching.groupBy("content_hash")
+      .agg(min(col("keep_id")).as("__k"), sum(col("dup_cnt")).as("__n"),
+        max(when(col("keep_id").isNull, 1).otherwise(0)).as("__nullwin"))
+    del.join(totals, Seq("content_hash"), "left")
+      .select(col("doc_id"), col("content_hash"),
+        col("__n").isNotNull.as("still_present"),
+        coalesce(col("__n"), lit(0L)).as("retained_copies"),
+        (col("__n").isNotNull && col("__nullwin") === 1)
+          .as("winner_forgotten"))
+  }
+
+  // ---- edit-distance near-dup (short keys: titles, prompts) --------------
+  //
+  // The instruction/prompt dedup regime: two strings are duplicates
+  // when their LEVENSHTEIN distance is ≤ k — shingle Jaccard is blind
+  // here (a one-char edit in a 20-char prompt rewrites every 3-shingle
+  // spanning it), and all-pairs verify is corpus-quadratic. Blocking
+  // is the symmetric-deletion scheme (FastSS / SymSpell): every string
+  // emits its deletion variants with ≤ k code points removed, and
+  // ed(a, b) ≤ k  ⟹  D_k(a) ∩ D_k(b) ≠ ∅ — each edit is absorbed by
+  // deleting the edited position from one or both sides — so a plain
+  // EQUALITY join on variants is a LOSSLESS candidate generator, and
+  // the verify (Spark's codegen levenshtein, threshold form) only
+  // confirms. Variant count is len+1 at k=1 and O(len²) at k=2, which
+  // is why the operator contracts a SHORT key column and enforces it
+  // loudly.
+
+  /** All pairs within Levenshtein distance `maxEdits` over a SHORT key
+    * column. Candidates from the symmetric-deletion equality join
+    * (lossless, see the family note), verified with the threshold
+    * levenshtein — O(k × |key|) per candidate, codegen. Keys longer
+    * than `lenCap` code points raise in-plan: the variant set is
+    * len-linear (k=1) to len-quadratic (k=2), and a silent 10 KB
+    * "title" would explode the join, not miss pairs. True duplicate
+    * GROUPS pair quadratically in group size — that is the answer,
+    * not a skew accident. Output: (doc_a, doc_b, edit_dist).
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+      maxEdits: Int = 1, lenCap: Int = 256): DataFrame = {
+    require(maxEdits >= 1 && maxEdits <= 2,
+      s"editDistancePairs supports maxEdits in {1, 2} (variant count " +
+        s"is len^k per key): $maxEdits")
+    val checked = docs.select(col(idCol).cast("long").as("doc"),
+      when(length(col(textCol)) <= lenCap, col(textCol))
+        .otherwise(raise_error(concat(
+          lit(s"editDistancePairs: key longer than lenCap=$lenCap code " +
+            "points — deletion-variant blocking is for SHORT keys " +
+            "(titles, prompts); raise lenCap only with the len^"),
+          lit(maxEdits.toString), lit(" variant cost understood"))))
+        .as("__t"))
+    val del1 = expr("transform(sequence(1, length(__t)), i -> " +
+      "concat(substring(__t, 1, i - 1), " +
+      "substring(__t, i + 1, length(__t))))")
+    val vars0 = concat(array(col("__t")), del1)
+    val vars =
+      if (maxEdits == 1) array_distinct(vars0)
+      else array_distinct(concat(vars0,
+        flatten(expr("transform(transform(sequence(1, length(__t)), i -> " +
+          "concat(substring(__t, 1, i - 1), " +
+          "substring(__t, i + 1, length(__t)))), s -> " +
+          "transform(sequence(1, length(s)), j -> " +
+          "concat(substring(s, 1, j - 1), " +
+          "substring(s, j + 1, length(s)))))"))))
+    val exploded = checked
+      .select(col("doc"), col("__t"), explode(vars).as("__v"))
+      .persistTracked()
+    exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.__v") === col("b.__v") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.__t").as("__ta"), col("b.__t").as("__tb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("__ta"), col("__tb"), maxEdits).as("__d"))
+      .filter(col("__d") >= 0)
+      .select(col("doc_a"), col("doc_b"),
+        col("__d").cast("long").as("edit_dist"))
+  }
+
   // ---- bloom sidecar for the exact index ---------------------------------
   //
   // The frontier FAST PATH: at crawl scale the overwhelming majority of

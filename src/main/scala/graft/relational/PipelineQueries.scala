@@ -2722,6 +2722,50 @@ object PipelineQueries {
         .withColumn("keep", col("n_phrases") <= 24)
     }),
 
+    // TAKEDOWN AUDIT (r13 follow-on — the verification half of the
+    // p159 deletion): the p159 artifact chain re-run, then every
+    // deleted doc audited against the REWRITTEN index — fully
+    // forgotten singletons, content retained via other docs (with the
+    // retained count), and forgotten-winner keys all separated, from
+    // the index alone
+    "p172_takedown_audit" -> ((s, dir) => {
+      val corpus = exactPlant(docs(s, dir))
+      val out = withPipelineArtifact(dir, "p172_audit_idx") { stage =>
+        Dedup.saveExactIndex(corpus, "doc_id", "text", s"$stage/idx")
+        Dedup.deleteFromExactIndex(
+          corpus.filter(col("doc_id") % 7 === 0),
+          s"$stage/idx", s"$stage/idx_del", "doc_id", "text")
+      }
+      Dedup.takedownAudit(corpus.filter(col("doc_id") % 7 === 0),
+        s"$out/idx_del", "doc_id", "text")
+    }),
+
+    // edit-distance near-dup over SHORT keys (r13 follow-on — the
+    // prompt/title dedup regime shingle Jaccard is blind to): groups
+    // of ≤3 docs share a 24-char title; members carry ONE planted
+    // char substitution or deletion at position 5. Candidates from
+    // the symmetric-deletion (SymSpell) equality join — lossless for
+    // ed ≤ 1 by construction — verified with the threshold
+    // levenshtein. The oracle is blocking-independent: brute-force
+    // all-pairs levenshtein, so hash-equality certifies the
+    // losslessness claim over this corpus
+    "p173_editdist_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id").as("bid"),
+        lower(substring(col("text"), 1, 24)).as("t0"))
+      val planted = d.select(col("doc_id"))
+        .join(base, col("doc_id") - col("doc_id") % 3 === col("bid"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 1,
+            concat(substring(col("t0"), 1, 4), lit("q"),
+              substring(col("t0"), 6, 24)))
+            .when(col("doc_id") % 3 === 2,
+              concat(substring(col("t0"), 1, 4),
+                substring(col("t0"), 6, 24)))
+            .otherwise(col("t0")).as("title"))
+      Dedup.editDistancePairs(planted, "doc_id", "title", maxEdits = 1)
+    }),
+
     // robots.txt PARSING (RFC 9309 §2.1-2.2 — the other half of the
     // REP loop; p154 proves the matcher, this proves raw file → rule
     // relation): one templated body per planted host (RobotsBodies,
@@ -4552,6 +4596,58 @@ object PipelineQueries {
          SELECT doc_inner, doc_outer, CAST(inter AS BIGINT) AS inter,
            containment
          FROM dirn WHERE containment >= 0.8""",
+
+    // the p159 survivor CTEs joined back to the delete list: a deleted
+    // doc's hash is still_present iff its group kept copies
+    // (dup_cnt − del_cnt > 0), with that retained count; the winner is
+    // forgotten iff the surviving key's stored min-id winner was
+    // itself a deletee (keep_id % 7 = 0 — the delete rule is by id)
+    "p172_takedown_audit" ->
+      """WITH d0 AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 < 2 THEN 'grp:' || (doc_id // 4)::VARCHAR
+                  ELSE text END AS text
+           FROM documents),
+           h AS (SELECT doc_id, md5(text) AS content_hash FROM d0),
+           tot AS (SELECT content_hash, min(doc_id) AS keep_id,
+                     CAST(count(*) AS BIGINT) AS dup_cnt
+                   FROM h GROUP BY 1),
+           del AS (SELECT content_hash, CAST(count(*) AS BIGINT) AS del_cnt
+                   FROM h WHERE doc_id % 7 = 0 GROUP BY 1),
+           sv AS (SELECT t.content_hash,
+                    t.dup_cnt - coalesce(d.del_cnt, 0) AS rem,
+                    t.keep_id % 7 = 0 AS wf
+                  FROM tot t LEFT JOIN del d USING (content_hash)
+                  WHERE t.dup_cnt - coalesce(d.del_cnt, 0) > 0)
+         SELECT h.doc_id, h.content_hash,
+           sv.content_hash IS NOT NULL AS still_present,
+           coalesce(sv.rem, 0) AS retained_copies,
+           coalesce(sv.wf, false) AS winner_forgotten
+         FROM h LEFT JOIN sv USING (content_hash)
+         WHERE h.doc_id % 7 = 0""",
+
+    // BLOCKING-INDEPENDENT truth for p173: brute-force all-pairs
+    // levenshtein over the planted titles (length prefilter only —
+    // |len diff| > k already implies distance > k); hash-equality
+    // against the engine's symmetric-deletion candidates certifies
+    // the blocking lossless over this corpus
+    "p173_editdist_dedup" ->
+      """WITH g AS (SELECT d.doc_id, b.text AS btext
+               FROM documents d
+               JOIN documents b ON b.doc_id = d.doc_id - (d.doc_id % 3)),
+           t AS (SELECT doc_id, lower(substr(btext, 1, 24)) AS t0 FROM g),
+           p AS (SELECT doc_id,
+               CASE WHEN doc_id % 3 = 1
+                      THEN substr(t0, 1, 4) || 'q' || substr(t0, 6, 24)
+                    WHEN doc_id % 3 = 2
+                      THEN substr(t0, 1, 4) || substr(t0, 6, 24)
+                    ELSE t0 END AS title
+             FROM t)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.title, b.title) AS BIGINT) AS edit_dist
+         FROM p a JOIN p b
+           ON a.doc_id < b.doc_id
+           AND abs(len(a.title) - len(b.title)) <= 1
+           AND levenshtein(a.title, b.title) <= 1""",
 
     // the p171 phrase list restated by the same modular arithmetic
     // over the literal vocabulary; DISTINCT collapses the intended

@@ -5726,4 +5726,72 @@ class PipelineSpec extends SparkSpecBase {
     }
     assert(e1.getMessage.contains("half-rewritten"), e1.getMessage)
   }
+
+  test("editDistancePairs: symdel blocking == brute force at k=1 and k=2; long keys loud") {
+    import spark.implicits._
+    // dense near-neighborhood: substitutions, deletions, insertions,
+    // a transposition (= 2 edits), identical twins and far strings
+    val titles = Seq(
+      (0L, "open the pod bay doors"), (1L, "open the pod bay door"),
+      (2L, "opun the pod bay doors"), (3L, "open the pod bay doors"),
+      (4L, "opne the pod bay doors"), (5L, "completely different"),
+      (6L, "xy"), (7L, "xz"), (8L, "x"), (9L, ""))
+      .toDF("doc_id", "title")
+    def brute(k: Int): Set[(Long, Long, Long)] = {
+      val rows = titles.collect().map(r => (r.getLong(0), r.getString(1)))
+      (for {
+        (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+        d = {
+          val m = Array.tabulate(ta.length + 1, tb.length + 1) { (i, j) =>
+            if (i == 0) j else if (j == 0) i else 0 }
+          for (i <- 1 to ta.length; j <- 1 to tb.length)
+            m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+              m(i - 1)(j - 1) + (if (ta(i - 1) == tb(j - 1)) 0 else 1))
+          m(ta.length)(tb.length)
+        } if d <= k
+      } yield (ia, ib, d.toLong)).toSet
+    }
+    Seq(1, 2).foreach { k =>
+      val got = Dedup.editDistancePairs(titles, "doc_id", "title",
+        maxEdits = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == brute(k), s"k=$k: got ${got.size}, want ${brute(k).size}")
+    }
+    // the transposition pair (1,4)... (0,4) is 2 edits: k=1 misses it,
+    // k=2 finds it — the planted separation the two runs must show
+    assert(!brute(1).exists(p => p._1 == 0L && p._2 == 4L))
+    assert(brute(2).exists(p => p._1 == 0L && p._2 == 4L))
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    val e = intercept[Exception] {
+      Dedup.editDistancePairs(
+        Seq((1L, "x" * 300)).toDF("doc_id", "title"),
+        "doc_id", "title").collect()
+    }
+    assert(chain(e).contains("lenCap"), chain(e))
+  }
+
+  test("takedownAudit: forgotten / retained-via-others / forgotten-winner all separated") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha"), (2L, "alpha"), (3L, "alpha"),
+      (4L, "beta"), (5L, "beta"), (7L, "delta"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("audit").toString
+    Dedup.saveExactIndex(corpus, "doc_id", "text", s"$dir/idx")
+    // delete alpha's winner (1), a beta NON-winner (5), all of delta (7)
+    Dedup.deleteFromExactIndex(
+      corpus.filter(col("doc_id").isin(1L, 5L, 7L)),
+      s"$dir/idx", s"$dir/idx2", "doc_id", "text")
+    val got = Dedup.takedownAudit(
+      corpus.filter(col("doc_id").isin(1L, 5L, 7L)),
+      s"$dir/idx2", "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got == Map(
+      1L -> ((true, 2L, true)),  // alpha: 2 copies retained, winner gone
+      5L -> ((true, 1L, false)), // beta: retained via doc 4, winner intact
+      7L -> ((false, 0L, false))), got) // delta fully forgotten
+  }
 }
