@@ -170,6 +170,24 @@ object ScaleSmokeDocs {
         col("text").rlike(phrases(1000).distinct
           .map(java.util.regex.Pattern.quote).mkString("|"))).count())
     }
+    if (wanted("winnow")) {
+      // r13 winnowing decade row: groups of 3 share a 14-token snippet
+      // in three formattings; fingerprint explode + one equality
+      // self-join — docs/s must hold ~flat (fp density is ~2/(w+1) of
+      // the gram count, sharing is group-local)
+      val lead = (col("doc_id") - col("doc_id") % 3).cast("string")
+      val toks = array(lit("winnow"), lit("block"), lead, lit("alpha"),
+        lit("beta"), lit("gamma"), lit("delta"), lit("epsilon"),
+        lit("zeta"), lit("eta"), lit("theta"), lit("iota"),
+        lit("kappa"), lead)
+      val snippet = when(col("doc_id") % 3 === 1, concat_ws("\n  ", toks))
+        .when(col("doc_id") % 3 === 2, concat_ws("\t\t", toks))
+        .otherwise(concat_ws(" ", toks))
+      val planted = docs.select(col("doc_id"),
+        concat(col("text"), lit(" "), snippet).as("text"))
+      stage("winnow_overlap")(Dedup.winnowOverlap(
+        planted, "doc_id", "text", minShared = 4).count())
+    }
     if (wanted("editdist")) {
       // r13 edit-distance decade row: 24-char titles, groups of 3 with
       // one planted substitution/deletion each — symdel blocking emits

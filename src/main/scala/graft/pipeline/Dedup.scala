@@ -1273,6 +1273,89 @@ object Dedup {
           .as("winner_forgotten"))
   }
 
+  // ---- winnowing fingerprints (Schleimer et al. '03, the MOSS
+  // scheme) -----------------------------------------------------------------
+  //
+  // The formatting-insensitive overlap detector the byte-level CDC
+  // family cannot be: a reformatted block (tabs→spaces, joined or
+  // re-wrapped lines) shifts every byte, so Gear boundaries re-sync
+  // to DIFFERENT content — but its whitespace TOKEN stream is
+  // unchanged, and winnowing fingerprints that stream. Guarantee
+  // (the paper's, in token units): any shared run of ≥ w + k − 1
+  // tokens selects at least one common fingerprint, while per-doc
+  // storage is ~2/(w+1) of the gram count — the local-selection
+  // property a plain "every j-th gram" sample lacks (a one-token
+  // insertion shifts global positions; window minima re-align).
+
+  /** The winnowing fingerprint SET of each doc: whitespace tokens
+    * (lowercased — so ANY reformatting is invisible by construction),
+    * the SEQUENTIAL k-token gram hashes (60-bit md5, the shingle
+    * family's key space — order preserved, unlike a shingle SET),
+    * then a w-gram sliding window keeping each window's MINIMUM hash;
+    * distinct per doc. Docs with fewer than k + w − 1 tokens emit no
+    * rows (no full window exists — they are under the guarantee
+    * floor: any shared run of ≥ k + w − 1 tokens selects at least one
+    * common fingerprint). Zero-shuffle until the caller's explode.
+    * Output: (doc, fp).
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 2 && w >= 1, s"need k >= 2, w >= 1: $k, $w")
+    // the gram relation is MATERIALIZED before the window step: the
+    // optimizer does not CSE array references inside higher-order
+    // lambdas, and CollapseProject would inline the whole gram
+    // transform into every window's slice — re-tokenizing and
+    // re-hashing the document once PER WINDOW (the README's measured
+    // 20× shingle trap; here it measured minutes-for-seconds at
+    // sf0.1). One cached narrow (doc, __g) relation breaks the
+    // collapse.
+    val grams = docs.select(col(idCol).cast("long").as("doc"),
+        TextOps.tokens(col(textCol)).as("__toks"))
+      .withColumn("__g",
+        when(size(col("__toks")) >= k, expr(
+          s"transform(sequence(1, size(__toks) - ${k - 1}), " +
+            s"i -> cast(conv(substring(md5(array_join(" +
+            s"slice(__toks, i, $k), ' ')), 1, 15), 16, 10) as bigint))"))
+          .otherwise(expr("cast(array() as array<bigint>)")))
+      .select(col("doc"), col("__g"))
+      .persistTracked()
+    grams
+      .withColumn("__f",
+        when(size(col("__g")) >= w,
+          array_distinct(expr(
+            s"transform(sequence(1, size(__g) - ${w - 1}), " +
+              s"j -> array_min(slice(__g, j, $w)))")))
+          .otherwise(expr("cast(array() as array<bigint>)")))
+      .select(col("doc"), explode(col("__f")).as("fp"))
+  }
+
+  /** Pairwise fingerprint overlap — the plagiarism/clone report:
+    * (doc_a, doc_b, n_shared) for pairs sharing ≥ `minShared`
+    * distinct fingerprints. One equality self-join on fp (the shingle
+    * family's shape); fingerprints with document frequency > maxDf
+    * are dropped FIRST — a boilerplate fingerprint shared by the
+    * whole corpus would pair quadratically, and a fingerprint that
+    * common identifies nothing (the [[saveShingleIndex]] bound).
+    */
+  def winnowOverlap(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4, minShared: Int = 4,
+      maxDf: Int = 10000): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      s"need minShared >= 1, maxDf >= 2: $minShared, $maxDf")
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+      .persistTracked()
+    val kept = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select("fp"),
+      Seq("fp"), "left_semi")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ---- edit-distance near-dup (short keys: titles, prompts) --------------
   //
   // The instruction/prompt dedup regime: two strings are duplicates

@@ -2766,6 +2766,29 @@ object PipelineQueries {
       Dedup.editDistancePairs(planted, "doc_id", "title", maxEdits = 1)
     }),
 
+    // winnowing fingerprint overlap (r13 follow-on — MOSS, the
+    // formatting-insensitive clone detector byte-CDC can't be): each
+    // group of 3 docs carries ONE group-unique code-ish snippet in
+    // three formattings (spaces / newline+indent / tabs) — the same
+    // token stream, so the members must pair on shared fingerprints
+    // even though every byte offset differs. Body-text gram
+    // coincidences are part of the truth: the oracle replays the full
+    // tokenize→gram→window-min pipeline over ALL pairs
+    "p174_winnow_overlap" -> ((s, dir) => {
+      val lead = (col("doc_id") - col("doc_id") % 3).cast("string")
+      val toks = array(lit("winnow"), lit("block"), lead, lit("alpha"),
+        lit("beta"), lit("gamma"), lit("delta"), lit("epsilon"),
+        lit("zeta"), lit("eta"), lit("theta"), lit("iota"),
+        lit("kappa"), lead)
+      val snippet = when(col("doc_id") % 3 === 1, concat_ws("\n  ", toks))
+        .when(col("doc_id") % 3 === 2, concat_ws("\t\t", toks))
+        .otherwise(concat_ws(" ", toks))
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" "), snippet).as("text"))
+      Dedup.winnowOverlap(planted, "doc_id", "text",
+        k = 4, w = 4, minShared = 4, maxDf = 100000)
+    }),
+
     // robots.txt PARSING (RFC 9309 §2.1-2.2 — the other half of the
     // REP loop; p154 proves the matcher, this proves raw file → rule
     // relation): one templated body per planted host (RobotsBodies,
@@ -4648,6 +4671,52 @@ object PipelineQueries {
            ON a.doc_id < b.doc_id
            AND abs(len(a.title) - len(b.title)) <= 1
            AND levenshtein(a.title, b.title) <= 1""",
+
+    // the winnowing pipeline replayed verbatim: tokenize → SEQUENTIAL
+    // 4-token gram hashes → 4-window minima → distinct per doc →
+    // all-pairs shared counts at the same threshold (slices are 4
+    // elements, DuckDB ranges being inclusive; 7 tokens / 4 grams are
+    // the k + w − 1 guarantee floors under which no full window
+    // exists)
+    "p174_winnow_overlap" ->
+      raw"""WITH d AS (SELECT doc_id,
+             list_value('winnow', 'block', (doc_id - doc_id % 3)::VARCHAR,
+               'alpha', 'beta', 'gamma', 'delta', 'epsilon', 'zeta',
+               'eta', 'theta', 'iota', 'kappa',
+               (doc_id - doc_id % 3)::VARCHAR) AS tk,
+             text AS bt
+           FROM documents),
+           p AS (SELECT doc_id, bt || ' ' ||
+               CASE doc_id % 3
+                 WHEN 1 THEN array_to_string(tk, chr(10) || '  ')
+                 WHEN 2 THEN array_to_string(tk, chr(9) || chr(9))
+                 ELSE array_to_string(tk, ' ') END AS text
+             FROM d),
+           c AS (SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 x -> x != '') AS toks
+             FROM p),
+           g AS (SELECT doc_id,
+               CASE WHEN len(toks) >= 4 THEN
+                 list_transform(generate_series(1, len(toks) - 3),
+                   i -> ('0x' || substr(md5(array_to_string(
+                     toks[i:i+3], ' ')), 1, 15))::BIGINT)
+               ELSE [] END AS gs
+             FROM c),
+           f AS (SELECT doc_id,
+               CASE WHEN len(gs) >= 4 THEN
+                 list_distinct(list_transform(
+                   generate_series(1, len(gs) - 3),
+                   j -> list_min(gs[j:j+3])))
+               ELSE [] END AS fp
+             FROM g),
+           e AS (SELECT doc_id, unnest(fp) AS fp FROM f),
+           pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_shared
+             FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+         SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+         FROM pr WHERE n_shared >= 4""",
 
     // the p171 phrase list restated by the same modular arithmetic
     // over the literal vocabulary; DISTINCT collapses the intended

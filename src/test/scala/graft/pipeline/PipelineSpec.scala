@@ -5772,6 +5772,49 @@ class PipelineSpec extends SparkSpecBase {
     assert(chain(e).contains("lenCap"), chain(e))
   }
 
+  test("winnowFingerprints: reference parity, formatting invariance, guarantee floor") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def ref(text: String, k: Int, w: Int): Set[Long] = {
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < k + w - 1) Set.empty
+      else {
+        val grams = toks.sliding(k).map(g =>
+          java.lang.Long.parseLong(
+            md5hex(g.mkString(" ")).substring(0, 15), 16)).toArray
+        grams.sliding(w).map(_.min).toSet
+      }
+    }
+    val texts = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      // same token stream, hostile formatting — identical fingerprints
+      (2L, "  alpha\n\tbeta   gamma\ndelta\t\tepsilon zeta\n eta  theta iota "),
+      (3L, "alpha beta gamma delta epsilon zeta eta"), // exactly k+w-1
+      (4L, "alpha beta gamma delta epsilon zeta"), // one under the floor
+      (5L, "totally different words in this one right here now"))
+    val got = Dedup.winnowFingerprints(texts.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    texts.foreach { case (id, t) =>
+      assert(got.getOrElse(id, Set.empty[Long]) == ref(t, 4, 4),
+        s"doc $id")
+    }
+    assert(got(1L) == got(2L)) // formatting invariance
+    assert(got(1L).nonEmpty && !got.contains(4L)) // the floor is sharp
+    // the paper's guarantee: docs 1 and 3 share a >= k+w-1 token run,
+    // so they MUST share at least one fingerprint
+    assert(got(1L).intersect(got(3L)).nonEmpty)
+    assert(got(1L).intersect(got(5L)).isEmpty)
+    // overlap relation finds exactly the sharing pairs at threshold 1
+    val pairs = Dedup.winnowOverlap(texts.toDF("doc_id", "text"),
+        "doc_id", "text", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), pairs)
+  }
+
   test("takedownAudit: forgotten / retained-via-others / forgotten-winner all separated") {
     import spark.implicits._
     val corpus = Seq(
