@@ -1356,6 +1356,254 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  // ---- winnow stored index (the ninth index family) ----------------------
+  //
+  // Cross-snapshot winnowing: crawl N's fingerprints persist once, and
+  // crawl N+1 asks "which stored docs does this batch doc share
+  // formatting-insensitive content with?" without re-fingerprinting
+  // the corpus. Per-doc posting rows like the shingle family:
+  // `$path/postings` (fp, doc) for fingerprints with build-time
+  // df ≤ max_df + `$path/docs` (doc, n_fp). Meta pins the WINNOW
+  // GEOMETRY (k, w): a batch fingerprinted under different gram or
+  // window widths selects different minima and would silently stop
+  // matching, so the screen takes its geometry FROM the stored meta.
+  // Both relations are append-only (fold = the batch's own rows as
+  // new files); the serving screen RE-DERIVES df over the matched
+  // keys and applies the stored bound there, with the shingle
+  // family's documented build-time-cut asymmetry.
+
+  /** Persist the winnow fingerprint index of `docs` at `path`. */
+  def saveWinnowIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, k: Int = 4, w: Int = 4, maxDf: Int = 10000): Unit = {
+    require(k >= 2 && w >= 1 && maxDf >= 1,
+      s"need k >= 2, w >= 1, maxDf >= 1: $k, $w, $maxDf")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(("winnow_h60", 60, k, w, maxDf))
+      .toDF("family", "key_bits", "k", "w", "max_df")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+      .persistTracked()
+    val kept = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select("fp"),
+      Seq("fp"), "left_semi")
+    kept.sortWithinPartitions("fp")
+      .write.mode("overwrite").parquet(s"$path/postings")
+    fps.groupBy("doc").agg(count(lit(1)).as("n_fp"))
+      .write.mode("overwrite").parquet(s"$path/docs")
+  }
+
+  /** Load + validate a winnow index: family, the pinned (k, w)
+    * geometry, df bound, the per-file 60-bit key probe. Returns
+    * (postings, sizes, k, w, maxDf).
+    */
+  def loadWinnowIndex(spark: SparkSession,
+      path: String): (DataFrame, DataFrame, Int, Int, Int) = {
+    val metaDf = spark.read.parquet(s"$path/meta")
+    require(metaDf.columns.contains("family"),
+      s"loadWinnowIndex: no family column in meta at $path")
+    val fam = metaDf.select(col("family").cast("string")).collect()
+    require(fam.length == 1,
+      s"loadWinnowIndex: expected ONE meta row at $path/meta, got ${fam.length}")
+    require(fam(0).getString(0) == "winnow_h60",
+      s"loadWinnowIndex: index family ${fam(0).getString(0)} at $path " +
+        "is not winnow_h60 — foreign key material would silently stop " +
+        "matching batch fingerprints")
+    val meta = metaDf
+      .select(col("key_bits").cast("int"), col("k").cast("int"),
+        col("w").cast("int"), col("max_df").cast("int"))
+      .collect()
+    val bits = meta(0).getInt(0)
+    val postings = spark.read.parquet(s"$path/postings")
+    require(Seq("fp", "doc").forall(postings.columns.contains),
+      s"loadWinnowIndex: not a postings relation at $path: " +
+        postings.columns.mkString(","))
+    val sizes = spark.read.parquet(s"$path/docs")
+    require(Seq("doc", "n_fp").forall(sizes.columns.contains),
+      s"loadWinnowIndex: not a doc-size relation at $path: " +
+        sizes.columns.mkString(","))
+    probeFiles(spark, s"$path/postings").foreach { f =>
+      val r = spark.read.parquet(f).select(col("fp").cast("long"))
+        .limit(1).collect()
+      r.headOption.foreach { row =>
+        val key = row.getLong(0)
+        require(key >= 0 && key < (1L << bits),
+          s"loadWinnowIndex: file $f carries key $key outside the " +
+            s"$bits-bit family at $path")
+      }
+    }
+    (postings, sizes, meta(0).getInt(1), meta(0).getInt(2),
+      meta(0).getInt(3))
+  }
+
+  /** Screen a batch against the stored winnow index: (doc_a = batch,
+    * doc_b = corpus, n_shared) for pairs sharing ≥ `minShared`
+    * distinct fingerprints — [[winnowOverlap]] restricted to
+    * cross-split pairs, under the cross-snapshot serving contract.
+    * Geometry comes FROM the stored meta; the df bound is re-derived
+    * over the MATCHED keys (batch-bounded, the shingle-family
+    * discipline and its documented fold asymmetry).
+    *
+    * Shuffle ledger (`broadcastBatch = true`, the serving contract):
+    * the batch's distinct fingerprints broadcast and SEMI-FILTER the
+    * narrow stored postings scan — the corpus contributes one
+    * two-column columnar scan and zero exchanges; everything after is
+    * proportional to the matched postings (≤ batch keys × maxDf).
+    */
+  def winnowAgainstIndex(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, minShared: Int = 4,
+      broadcastBatch: Boolean = true): DataFrame =
+    winnowScreenBody(newDocs, indexPath, idCol, textCol, minShared,
+      broadcastBatch, corpusBloom = None)
+
+  private def winnowScreenBody(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, minShared: Int,
+      broadcastBatch: Boolean,
+      corpusBloom: Option[org.apache.spark.util.sketch.BloomFilter])
+      : DataFrame = {
+    val spark = newDocs.sparkSession
+    val (postings, _, k, w, maxDf) = loadWinnowIndex(spark, indexPath)
+    val bFps = winnowFingerprints(newDocs, idCol, textCol, k, w)
+      .persistTracked()
+    // sketch-negative fingerprints are DEFINITELY not stored — gating
+    // the probe set loses nothing (they would match no posting anyway)
+    val probe = corpusBloom match {
+      case Some(bf) => bFps.filter(
+        graft.functions.BloomMightContain(col("fp").cast("long"), bf))
+      case None => bFps
+    }
+    val bKeys = probe.select("fp").distinct()
+    val matched = (if (broadcastBatch)
+        postings.join(broadcast(bKeys), Seq("fp"), "left_semi")
+      else postings.join(bKeys, Seq("fp"), "left_semi"))
+      .persistTracked()
+    // serve-time df over the matched keys only (batch-bounded): the
+    // union across folded snapshots must honor the stored bound
+    val hot = matched.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select("fp")
+    val cold = matched.join(
+      if (broadcastBatch) broadcast(hot) else hot, Seq("fp"), "left_anti")
+    bFps.join(cold.withColumnRenamed("doc", "__cdoc"), Seq("fp"))
+      .groupBy(col("doc").as("doc_a"), col("__cdoc").as("doc_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Row-local [[winnowFingerprints]] — the same tokens → k-gram
+    * 60-bit md5 → w-window minima → distinct pipeline as plain Scala,
+    * value-identical by construction (`hash60Local` is `hash60`'s
+    * scalar twin). The STREAMING screen computes batch fingerprints
+    * through this in a typed map: the expression form needs a
+    * materialization barrier between the gram and window transforms
+    * (see [[winnowFingerprints]]) and a streaming frame cannot
+    * persist — a stateless per-row map has no such hazard.
+    */
+  def winnowLocal(text: String, k: Int, w: Int): Seq[Long] = {
+    val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < k + w - 1) Seq.empty
+    else {
+      val grams = toks.sliding(k).map(g =>
+        graft.pipeline.TextClassifier.hash60Local(g.mkString(" "))).toArray
+      grams.sliding(w).map(_.min).toVector.distinct
+    }
+  }
+
+  /** Fold a batch INTO the stored winnow index: the batch's own
+    * df-capped postings and sizes append as new files — O(batch);
+    * geometry from the stored meta.
+    */
+  def mergeIntoWinnowIndex(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String): Unit = {
+    val spark = newDocs.sparkSession
+    BucketedTables.requirePlainLayout(spark, s"$indexPath/meta",
+      "mergeIntoWinnowIndex")
+    val (_, _, k, w, maxDf) = loadWinnowIndex(spark, indexPath)
+    val fps = winnowFingerprints(newDocs, idCol, textCol, k, w)
+      .persistTracked()
+    val kept = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select("fp"),
+      Seq("fp"), "left_semi")
+    kept.sortWithinPartitions("fp")
+      .write.mode("append").parquet(s"$indexPath/postings")
+    fps.groupBy("doc").agg(count(lit(1)).as("n_fp"))
+      .write.mode("append").parquet(s"$indexPath/docs")
+  }
+
+  /** [[deleteFromShingleIndex]] for the winnow family: per-doc posting
+    * rows, so deletion is a plain id anti-join rewrite — the deleted
+    * index serves exactly as one built on the retained corpus, up to
+    * the same build-time df-cut asymmetry (deletion only NARROWS it).
+    * Shared loud contract: unseen ids raise (checked against the
+    * SIZES relation — a doc whose every fingerprint was df-cut still
+    * has a size row), duplicate ids raise, outPath differs, bloom
+    * sidecar rebuilt via [[buildWinnowBloom]], never carried.
+    */
+  def deleteFromWinnowIndex(deletedIds: DataFrame, indexPath: String,
+      outPath: String, idCol: String): Unit = {
+    val spark = deletedIds.sparkSession
+    require(new org.apache.hadoop.fs.Path(outPath).toString !=
+      new org.apache.hadoop.fs.Path(indexPath).toString,
+      "deleteFromWinnowIndex: outPath must differ from indexPath — a " +
+        "reader must never observe a half-rewritten index")
+    BucketedTables.requirePlainLayout(spark, s"$indexPath/meta",
+      "deleteFromWinnowIndex")
+    val (postings, sizes, k, w, maxDf) = loadWinnowIndex(spark, indexPath)
+    val dels = deletedIds.select(col(idCol).cast("long").as("__del_id"))
+      .persistTracked()
+    val nDel = dels.count()
+    val nDelIds = dels.distinct().count()
+    require(nDel == nDelIds,
+      s"deleteFromWinnowIndex: delete list carries ${nDel - nDelIds} " +
+        "duplicate ids")
+    val absent = dels.join(sizes.select(col("doc")),
+      col("__del_id") === col("doc"), "left_anti").count()
+    require(absent == 0,
+      s"deleteFromWinnowIndex: $absent delete ids are absent from the " +
+        "index — wrong index or wrong delete list (a silently no-op " +
+        "takedown is a compliance bug)")
+    import spark.implicits._
+    Seq(("winnow_h60", 60, k, w, maxDf))
+      .toDF("family", "key_bits", "k", "w", "max_df")
+      .write.mode("overwrite").parquet(s"$outPath/meta")
+    postings.join(dels, col("doc") === col("__del_id"), "left_anti")
+      .sortWithinPartitions("fp")
+      .write.mode("overwrite").parquet(s"$outPath/postings")
+    sizes.join(dels, col("doc") === col("__del_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$outPath/docs")
+    dels.unpersist()
+  }
+
+  /** Build (or REBUILD after folds/deletions) the winnow index's bloom
+    * sidecar over its stored fingerprint keys — the family's
+    * [[buildShingleBloom]].
+    */
+  def buildWinnowBloom(spark: SparkSession, indexPath: String,
+      expectedItems: Long, fpp: Double = 0.01): Unit = {
+    loadWinnowIndex(spark, indexPath) // family/meta/probe validation
+    writeBloomSidecar(indexPath, s"$indexPath/postings",
+      spark.read.parquet(s"$indexPath/postings")
+        .select(col("fp").cast("long").as("k")),
+      "winnow_fp60", expectedItems, fpp)
+  }
+
+  def loadWinnowBloom(spark: SparkSession, indexPath: String)
+      : org.apache.spark.util.sketch.BloomFilter =
+    readBloomSidecar(spark, indexPath, s"$indexPath/postings",
+      "winnow_fp60", "buildWinnowBloom")
+
+  /** [[winnowAgainstIndex]] with the bloom fast path — identical pairs
+    * (no false negatives), stored postings probed only by the
+    * sketch-positive batch fingerprints.
+    */
+  def winnowAgainstIndexBloom(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, minShared: Int = 4,
+      broadcastBatch: Boolean = true): DataFrame =
+    winnowScreenBody(newDocs, indexPath, idCol, textCol, minShared,
+      broadcastBatch,
+      Some(loadWinnowBloom(newDocs.sparkSession, indexPath)))
+
   // ---- edit-distance near-dup (short keys: titles, prompts) --------------
   //
   // The instruction/prompt dedup regime: two strings are duplicates

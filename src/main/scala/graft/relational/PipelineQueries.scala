@@ -43,6 +43,23 @@ object PipelineQueries {
       BlockVocab((i * 11 + 3 * (i / 30) + 5) % 30)
   }
 
+  /** The p174 winnowing plant: each group of 3 docs appends ONE
+    * group-unique 14-token snippet in three formattings (spaces /
+    * newline+indent / tabs) — the same token stream, so winnowing must
+    * pair the members although every byte offset differs.
+    */
+  private def winnowPlant(d: DataFrame): DataFrame = {
+    val lead = (col("doc_id") - col("doc_id") % 3).cast("string")
+    val toks = array(lit("winnow"), lit("block"), lead, lit("alpha"),
+      lit("beta"), lit("gamma"), lit("delta"), lit("epsilon"),
+      lit("zeta"), lit("eta"), lit("theta"), lit("iota"),
+      lit("kappa"), lead)
+    val snippet = when(col("doc_id") % 3 === 1, concat_ws("\n  ", toks))
+      .when(col("doc_id") % 3 === 2, concat_ws("\t\t", toks))
+      .otherwise(concat_ws(" ", toks))
+    d.select(col("doc_id"), concat(col("text"), lit(" "), snippet).as("text"))
+  }
+
   private def exactPlant(d: DataFrame): DataFrame =
     d.select(col("doc_id"),
       when(col("doc_id") % 5 < 2,
@@ -2774,19 +2791,61 @@ object PipelineQueries {
     // even though every byte offset differs. Body-text gram
     // coincidences are part of the truth: the oracle replays the full
     // tokenize→gram→window-min pipeline over ALL pairs
-    "p174_winnow_overlap" -> ((s, dir) => {
-      val lead = (col("doc_id") - col("doc_id") % 3).cast("string")
-      val toks = array(lit("winnow"), lit("block"), lead, lit("alpha"),
-        lit("beta"), lit("gamma"), lit("delta"), lit("epsilon"),
-        lit("zeta"), lit("eta"), lit("theta"), lit("iota"),
-        lit("kappa"), lead)
-      val snippet = when(col("doc_id") % 3 === 1, concat_ws("\n  ", toks))
-        .when(col("doc_id") % 3 === 2, concat_ws("\t\t", toks))
-        .otherwise(concat_ws(" ", toks))
-      val planted = docs(s, dir).select(col("doc_id"),
-        concat(col("text"), lit(" "), snippet).as("text"))
-      Dedup.winnowOverlap(planted, "doc_id", "text",
-        k = 4, w = 4, minShared = 4, maxDf = 100000)
+    "p174_winnow_overlap" -> ((s, dir) =>
+      Dedup.winnowOverlap(winnowPlant(docs(s, dir)), "doc_id", "text",
+        k = 4, w = 4, minShared = 4, maxDf = 100000)),
+
+    // the winnow STORED-INDEX screen (the ninth index family's
+    // cross-snapshot serve, fold included): even ids' fingerprint
+    // postings persist (%4==0 save + %4==2 merge), odd batch docs
+    // screen — the %3-group snippets straddle the even/odd split, so
+    // the match only happens through the stored postings. Oracle =
+    // p174's CTEs restricted to cross-split pairs
+    "p175_winnow_screen" -> ((s, dir) => {
+      val planted = winnowPlant(docs(s, dir))
+      val out = withPipelineArtifact(dir, "p175_winnow_idx") { stage =>
+        Dedup.saveWinnowIndex(planted.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", s"$stage/idx", maxDf = 100000)
+        Dedup.mergeIntoWinnowIndex(planted.filter(col("doc_id") % 4 === 2),
+          s"$stage/idx", "doc_id", "text")
+      }
+      Dedup.winnowAgainstIndex(planted.filter(col("doc_id") % 2 === 1),
+        s"$out/idx", "doc_id", "text", minShared = 4)
+    }),
+
+    // the winnow family's deletion (per-doc posting rows — the p166
+    // rule): the p175 index minus every doc_id%8==0 doc, odd batch
+    // screened; oracle = p175's with the deleted evens off the corpus
+    // side
+    "p176_winnow_index_delete" -> ((s, dir) => {
+      val planted = winnowPlant(docs(s, dir))
+      val out = withPipelineArtifact(dir, "p176_winnow_del") { stage =>
+        Dedup.saveWinnowIndex(planted.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", s"$stage/idx", maxDf = 100000)
+        Dedup.mergeIntoWinnowIndex(planted.filter(col("doc_id") % 4 === 2),
+          s"$stage/idx", "doc_id", "text")
+        Dedup.deleteFromWinnowIndex(
+          planted.filter(col("doc_id") % 8 === 0).select(col("doc_id")),
+          s"$stage/idx", s"$stage/idx_del", "doc_id")
+      }
+      Dedup.winnowAgainstIndex(planted.filter(col("doc_id") % 2 === 1),
+        s"$out/idx_del", "doc_id", "text", minShared = 4)
+    }),
+
+    // the winnow family's bloom fast path — no false negatives ⇒
+    // p175's IDENTICAL relation (oracle verbatim, the per-family
+    // pattern)
+    "p177_winnow_bloom" -> ((s, dir) => {
+      val planted = winnowPlant(docs(s, dir))
+      val out = withPipelineArtifact(dir, "p177_winnow_bloom_idx") { stage =>
+        Dedup.saveWinnowIndex(planted.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", s"$stage/idx", maxDf = 100000)
+        Dedup.mergeIntoWinnowIndex(planted.filter(col("doc_id") % 4 === 2),
+          s"$stage/idx", "doc_id", "text")
+        Dedup.buildWinnowBloom(s, s"$stage/idx", expectedItems = 2000000L)
+      }
+      Dedup.winnowAgainstIndexBloom(planted.filter(col("doc_id") % 2 === 1),
+        s"$out/idx", "doc_id", "text", minShared = 4)
     }),
 
     // robots.txt PARSING (RFC 9309 §2.1-2.2 — the other half of the
@@ -3820,6 +3879,44 @@ object PipelineQueries {
                  AS seq_off
              FROM asg)"""
 
+  /** The p174 winnowing CTE chain through the exploded per-doc
+    * fingerprint relation `e(doc_id, fp)` — shared by the p174
+    * all-pairs oracle and the p175/p176 cross-split screen oracles.
+    */
+  private lazy val winnowCtes: String =
+    raw"""d AS (SELECT doc_id,
+             list_value('winnow', 'block', (doc_id - doc_id % 3)::VARCHAR,
+               'alpha', 'beta', 'gamma', 'delta', 'epsilon', 'zeta',
+               'eta', 'theta', 'iota', 'kappa',
+               (doc_id - doc_id % 3)::VARCHAR) AS tk,
+             text AS bt
+           FROM documents),
+           p AS (SELECT doc_id, bt || ' ' ||
+               CASE doc_id % 3
+                 WHEN 1 THEN array_to_string(tk, chr(10) || '  ')
+                 WHEN 2 THEN array_to_string(tk, chr(9) || chr(9))
+                 ELSE array_to_string(tk, ' ') END AS text
+             FROM d),
+           c AS (SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 x -> x != '') AS toks
+             FROM p),
+           g AS (SELECT doc_id,
+               CASE WHEN len(toks) >= 4 THEN
+                 list_transform(generate_series(1, len(toks) - 3),
+                   i -> ('0x' || substr(md5(array_to_string(
+                     toks[i:i+3], ' ')), 1, 15))::BIGINT)
+               ELSE [] END AS gs
+             FROM c),
+           f AS (SELECT doc_id,
+               CASE WHEN len(gs) >= 4 THEN
+                 list_distinct(list_transform(
+                   generate_series(1, len(gs) - 3),
+                   j -> list_min(gs[j:j+3])))
+               ELSE [] END AS fp
+             FROM g),
+           e AS (SELECT doc_id, unnest(fp) AS fp FROM f)"""
+
   private val oracleBase: Map[String, String] = Map(
     "p1_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
@@ -4679,41 +4776,37 @@ object PipelineQueries {
     // the k + w − 1 guarantee floors under which no full window
     // exists)
     "p174_winnow_overlap" ->
-      raw"""WITH d AS (SELECT doc_id,
-             list_value('winnow', 'block', (doc_id - doc_id % 3)::VARCHAR,
-               'alpha', 'beta', 'gamma', 'delta', 'epsilon', 'zeta',
-               'eta', 'theta', 'iota', 'kappa',
-               (doc_id - doc_id % 3)::VARCHAR) AS tk,
-             text AS bt
-           FROM documents),
-           p AS (SELECT doc_id, bt || ' ' ||
-               CASE doc_id % 3
-                 WHEN 1 THEN array_to_string(tk, chr(10) || '  ')
-                 WHEN 2 THEN array_to_string(tk, chr(9) || chr(9))
-                 ELSE array_to_string(tk, ' ') END AS text
-             FROM d),
-           c AS (SELECT doc_id,
-               list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                 x -> x != '') AS toks
-             FROM p),
-           g AS (SELECT doc_id,
-               CASE WHEN len(toks) >= 4 THEN
-                 list_transform(generate_series(1, len(toks) - 3),
-                   i -> ('0x' || substr(md5(array_to_string(
-                     toks[i:i+3], ' ')), 1, 15))::BIGINT)
-               ELSE [] END AS gs
-             FROM c),
-           f AS (SELECT doc_id,
-               CASE WHEN len(gs) >= 4 THEN
-                 list_distinct(list_transform(
-                   generate_series(1, len(gs) - 3),
-                   j -> list_min(gs[j:j+3])))
-               ELSE [] END AS fp
-             FROM g),
-           e AS (SELECT doc_id, unnest(fp) AS fp FROM f),
+      s"""WITH $winnowCtes,
            pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                count(*) AS n_shared
              FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+         SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+         FROM pr WHERE n_shared >= 4""",
+
+    // the p174 CTEs restricted to cross-split (batch-odd × corpus-
+    // even) pairs — the stored-index screen must return the identical
+    // relation without ever re-fingerprinting the corpus
+    "p175_winnow_screen" ->
+      s"""WITH $winnowCtes,
+           pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_shared
+             FROM e a JOIN e b ON a.fp = b.fp
+               AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+             GROUP BY 1, 2)
+         SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+         FROM pr WHERE n_shared >= 4""",
+
+    // p175's relation with the deleted evens off the corpus side: the
+    // deleted winnow index serves exactly as one built on the
+    // retained corpus
+    "p176_winnow_index_delete" ->
+      s"""WITH $winnowCtes,
+           pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_shared
+             FROM e a JOIN e b ON a.fp = b.fp
+               AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+               AND b.doc_id % 8 != 0
              GROUP BY 1, 2)
          SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
          FROM pr WHERE n_shared >= 4""",
@@ -8020,5 +8113,7 @@ object PipelineQueries {
     "p167_exact_compact" -> oracleBase("p109_exact_screen"),
     "p168_line_compact" -> oracleBase("p113_line_screen"),
     "p169_priority_compact" -> oracleBase("p133_priority_screen"),
-    "p170_chunk_compact" -> oracleBase("p138_cdc_screen"))
+    "p170_chunk_compact" -> oracleBase("p138_cdc_screen"),
+    // the winnow bloom fast path returns p175's identical relation
+    "p177_winnow_bloom" -> oracleBase("p175_winnow_screen"))
 }

@@ -415,6 +415,62 @@ object StreamingDedup {
       }
   }
 
+  final case class WinnowHit(doc_id: Long, corpus_doc: Long,
+      n_shared: Long)
+
+  /** Streaming WINNOW screen against a STORED winnow index
+    * ([[graft.pipeline.Dedup.saveWinnowIndex]]) — formatting-
+    * insensitive clone hits per arriving doc, as it arrives. Each
+    * batch doc is fingerprinted under the index's OWN stored (k, w)
+    * geometry (the serve self-configures) via the row-local
+    * [[graft.pipeline.Dedup.winnowLocal]] — value-identical to the
+    * batch expression pipeline, and the streaming-safe form: the
+    * expression pipeline needs a persist barrier between its gram
+    * and window transforms, which a streaming frame cannot take.
+    * Stored postings (df-capped with the stored bound, the
+    * containmentScreenStream discipline) materialize once
+    * pre-partitioned on fp; the per-(doc, corpus_doc) shared count
+    * folds in a stateless flatMapGroupsWithState. Batch-equivalence
+    * vs [[graft.pipeline.Dedup.winnowAgainstIndex]] holds per
+    * micro-batch (pinned by the spec); within-batch sharing is the
+    * fold's job, per the serving contract.
+    */
+  def winnowScreenStream(docs: DataFrame, indexPath: String,
+      idCol: String, textCol: String,
+      minShared: Int = 4): Dataset[WinnowHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (postings, _, k, w, maxDf) =
+      graft.pipeline.Dedup.loadWinnowIndex(spark, indexPath)
+    val cold = postings.join(
+      postings.groupBy("fp").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select("fp"),
+      Seq("fp"), "left_semi")
+    val staticSide = cold
+      .select(col("fp"), col("doc").as("corpus_doc"))
+      .repartition(col("fp"))
+      .persistTracked()
+    staticSide.count()
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        coalesce(col(textCol), lit("")).as("__t"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        graft.pipeline.Dedup.winnowLocal(t, k, w).map(fp => (id, fp)) }
+      .toDF("doc_id", "fp")
+      .join(staticSide, Seq("fp"))
+      .select(col("doc_id"), col("corpus_doc"))
+      .as[(Long, Long)]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: (Long, Long), rows: Iterator[(Long, Long)],
+            state: GroupState[Boolean]) =>
+          val n = rows.size.toLong
+          if (n >= minShared) Iterator.single(WinnowHit(key._1, key._2, n))
+          else Iterator.empty
+      }
+  }
+
   final case class HammingHit(doc_a: Long, doc_b: Long, hamming: Long)
 
   /** Streaming 48-bit-signature screen against a STORED signature

@@ -5815,6 +5815,57 @@ class PipelineSpec extends SparkSpecBase {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), pairs)
   }
 
+  test("winnow index family: fold == rebuild serve, deletion rebuild-exact, loud misuse") {
+    import spark.implicits._
+    val snippet = "winnow block seven alpha beta gamma delta epsilon " +
+      "zeta eta theta iota kappa seven"
+    val corpus = Seq(
+      (0L, "first page body " + snippet),
+      (2L, "second page other body " + snippet),
+      (4L, "unrelated page holding plain prose sentences that only " +
+        "this page carries onward"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("winidx").toString
+    // fold: two snapshots must serve as one rebuild
+    Dedup.saveWinnowIndex(corpus.filter(col("doc_id") <= 0L),
+      "doc_id", "text", s"$dir/idx")
+    Dedup.mergeIntoWinnowIndex(corpus.filter(col("doc_id") > 0L),
+      s"$dir/idx", "doc_id", "text")
+    Dedup.saveWinnowIndex(corpus, "doc_id", "text", s"$dir/idxR")
+    val batch = Seq((9L, "arriving doc quoting\t" +
+      snippet.split(" ").mkString("\n"))).toDF("doc_id", "text")
+    def screen(p: String) = Dedup.winnowAgainstIndex(
+      batch, p, "doc_id", "text", minShared = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(screen(s"$dir/idx") == screen(s"$dir/idxR"))
+    assert(screen(s"$dir/idx") == Set((9L, 0L), (9L, 2L)))
+    // deletion: anti-join rewrite serves as a retained rebuild
+    Dedup.deleteFromWinnowIndex(Seq(0L).toDF("doc_id"),
+      s"$dir/idx", s"$dir/idx2", "doc_id")
+    Dedup.saveWinnowIndex(corpus.filter(col("doc_id") =!= 0L),
+      "doc_id", "text", s"$dir/idxR2")
+    assert(screen(s"$dir/idx2") == screen(s"$dir/idxR2"))
+    assert(screen(s"$dir/idx2") == Set((9L, 2L)))
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.deleteFromWinnowIndex(Seq(999L).toDF("doc_id"),
+        s"$dir/idx2", s"$dir/idx3", "doc_id")
+    }
+    assert(e1.getMessage.contains("absent"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.deleteFromWinnowIndex(Seq(2L).toDF("doc_id"),
+        s"$dir/idx", s"$dir/idx", "doc_id")
+    }
+    assert(e2.getMessage.contains("half-rewritten"), e2.getMessage)
+    // foreign family refused loudly
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.loadWinnowIndex(spark, {
+        Dedup.saveExactIndex(corpus, "doc_id", "text", s"$dir/foreign")
+        s"$dir/foreign"
+      })
+    }
+    assert(e3.getMessage.contains("winnow_h60"), e3.getMessage)
+  }
+
   test("takedownAudit: forgotten / retained-via-others / forgotten-winner all separated") {
     import spark.implicits._
     val corpus = Seq(

@@ -1078,6 +1078,51 @@ class StreamingSpec extends SparkSpecBase {
     assert(got(15L) == ((true, 0L, true)), got(15L).toString)
   }
 
+  test("winnowScreenStream over the stored winnow index == batch screen across batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val snippet = "winnow block nine alpha beta gamma delta epsilon " +
+      "zeta eta theta iota kappa nine"
+    val corpus = Seq(
+      (2L, "corpus page with its own words and then " + snippet),
+      (4L, "another page holding nothing shared at all beyond itself " +
+        "plain prose sentences continue onward here"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("winnow_stream_").toString
+    graft.pipeline.Dedup.saveWinnowIndex(corpus, "doc_id", "text",
+      s"$dir/idx")
+    // doc 11 re-carries the snippet REFORMATTED (tabs + newlines) —
+    // must hit corpus doc 2 through the stored postings; doc 13 is
+    // fresh; doc 15 is the sub-floor short-text case
+    val rows = Seq(
+      (11L, "totally new framing text\n" +
+        snippet.split(" ").mkString("\t")),
+      (13L, "fresh prose with no shared block in sight just original " +
+        "sentences rolling along"),
+      (15L, "too short"))
+    val expected = graft.pipeline.Dedup.winnowAgainstIndex(
+        rows.toDF("doc_id", "text"), s"$dir/idx", "doc_id", "text",
+        minShared = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected.exists(h => h._1 == 11L && h._2 == 2L),
+      s"fixture must hit: $expected")
+    assert(!expected.exists(h => h._1 == 13L || h._1 == 15L), expected)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.winnowScreenStream(
+        mem.toDF().toDF("doc_id", "text"), s"$dir/idx", "doc_id", "text",
+        minShared = 4)
+      .writeStream.format("memory").queryName("winnow_screen_stream")
+      .outputMode("append").start()
+    val got = try {
+      mem.addData(rows.take(1): _*); q.processAllAvailable()
+      mem.addData(rows.drop(1): _*); q.processAllAvailable()
+      spark.table("winnow_screen_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    } finally q.stop()
+    assert(got == expected, s"stream=$got batch=$expected")
+    graft.pipeline.CacheLedger.drain()
+  }
+
   test("chunkScreenStream over the stored chunk index == batch screen across batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
