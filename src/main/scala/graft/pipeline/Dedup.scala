@@ -1635,14 +1635,46 @@ object Dedup {
     require(maxEdits >= 1 && maxEdits <= 2,
       s"editDistancePairs supports maxEdits in {1, 2} (variant count " +
         s"is len^k per key): $maxEdits")
-    val checked = docs.select(col(idCol).cast("long").as("doc"),
-      when(length(col(textCol)) <= lenCap, col(textCol))
-        .otherwise(raise_error(concat(
-          lit(s"editDistancePairs: key longer than lenCap=$lenCap code " +
-            "points — deletion-variant blocking is for SHORT keys " +
-            "(titles, prompts); raise lenCap only with the len^"),
-          lit(maxEdits.toString), lit(" variant cost understood"))))
-        .as("__t"))
+    // variants ride HASHED (60-bit) through the self-join — a hash
+    // collision only adds a candidate the levenshtein verify kills,
+    // so losslessness is preserved and the shuffle key stays narrow
+    val exploded = checkedTitles(docs, idCol, textCol, maxEdits, lenCap)
+      .select(col("doc"), col("__t"),
+        explode(symdelVariantHashes(maxEdits)).as("__v"))
+      .persistTracked()
+    exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.__v") === col("b.__v") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.__t").as("__ta"), col("b.__t").as("__tb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("__ta"), col("__tb"), maxEdits).as("__d"))
+      .filter(col("__d") >= 0)
+      .select(col("doc_a"), col("doc_b"),
+        col("__d").cast("long").as("edit_dist"))
+  }
+
+  // ---- edit-distance stored index (the title/prompt family) --------------
+  //
+  // Cross-snapshot form of [[editDistancePairs]]: a curated prompt/
+  // title corpus is indexed once, and each arriving batch asks "is
+  // this within k edits of something we already hold?" without
+  // re-deriving corpus variants. Stored relations: `$path/titles`
+  // (doc, title — the verify side) + `$path/variants` (vh, doc) with
+  // vh = hash60(deletion variant): equal variants hash equal, so
+  // hashing keeps the postings narrow WITHOUT breaking the symdel
+  // losslessness (a hash collision only adds a candidate the
+  // levenshtein verify kills). Meta pins (max_edits, len_cap) — a
+  // batch blocked at a different k generates a different variant set
+  // and would silently miss pairs, so the screen takes both FROM the
+  // stored meta.
+
+  /** Deletion-variant hashes of `__t` as an array column (the symdel
+    * blocking set, hashed): the string itself + 1-deletions
+    * (+ 2-deletions at maxEdits 2), distinct BEFORE hashing.
+    */
+  private def symdelVariantHashes(maxEdits: Int): Column = {
     val del1 = expr("transform(sequence(1, length(__t)), i -> " +
       "concat(substring(__t, 1, i - 1), " +
       "substring(__t, i + 1, length(__t))))")
@@ -1656,20 +1688,193 @@ object Dedup {
           "transform(sequence(1, length(s)), j -> " +
           "concat(substring(s, 1, j - 1), " +
           "substring(s, j + 1, length(s)))))"))))
-    val exploded = checked
-      .select(col("doc"), col("__t"), explode(vars).as("__v"))
+    transform(vars, v => TextOps.hash60(v))
+  }
+
+  /** Row-local [[symdelVariantHashes]] — the distinct deletion
+    * variants of `text` (≤ maxEdits code points removed), 60-bit
+    * hashed, value-identical to the expression form by construction
+    * (`hash60Local` is `hash60`'s scalar twin; deletions are by CODE
+    * POINT, matching Spark's substring semantics). The streaming
+    * screen's batch side.
+    */
+  def symdelLocal(text: String, maxEdits: Int): Seq[Long] = {
+    val cps = text.codePoints().toArray
+    def drop1(s: Array[Int]): Seq[Array[Int]] =
+      s.indices.map(i => s.patch(i, Nil, 1))
+    val d1 = drop1(cps)
+    val all = (Seq(cps) ++ d1 ++
+      (if (maxEdits >= 2) d1.flatMap(drop1) else Nil))
+      .map(a => new String(a, 0, a.length)).distinct
+    all.map(graft.pipeline.TextClassifier.hash60Local)
+  }
+
+  private def checkedTitles(docs: DataFrame, idCol: String,
+      textCol: String, maxEdits: Int, lenCap: Int): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc"),
+      when(length(col(textCol)) <= lenCap, col(textCol))
+        .otherwise(raise_error(concat(
+          lit(s"editdist index: key longer than lenCap=$lenCap code " +
+            "points — deletion-variant blocking is for SHORT keys " +
+            "(titles, prompts); raise lenCap only with the len^"),
+          lit(maxEdits.toString), lit(" variant cost understood"))))
+        .as("__t"))
+
+  /** Persist the edit-distance index of `docs` at `path`. */
+  def saveEditDistIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, maxEdits: Int = 1, lenCap: Int = 256): Unit = {
+    require(maxEdits >= 1 && maxEdits <= 2,
+      s"saveEditDistIndex supports maxEdits in {1, 2}: $maxEdits")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(("editdist_symdel60", 60, maxEdits, lenCap))
+      .toDF("family", "key_bits", "max_edits", "len_cap")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    val t = checkedTitles(docs, idCol, textCol, maxEdits, lenCap)
       .persistTracked()
-    exploded.as("a")
-      .join(exploded.as("b"),
-        col("a.__v") === col("b.__v") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.__t").as("__ta"), col("b.__t").as("__tb"))
+    t.select(col("doc"), col("__t").as("title"))
+      .write.mode("overwrite").parquet(s"$path/titles")
+    t.select(col("doc"), explode(symdelVariantHashes(maxEdits)).as("vh"))
+      .sortWithinPartitions("vh")
+      .write.mode("overwrite").parquet(s"$path/variants")
+  }
+
+  /** Load + validate an edit-distance index. Returns
+    * (titles, variants, maxEdits, lenCap).
+    */
+  def loadEditDistIndex(spark: SparkSession,
+      path: String): (DataFrame, DataFrame, Int, Int) = {
+    val metaDf = spark.read.parquet(s"$path/meta")
+    require(metaDf.columns.contains("family"),
+      s"loadEditDistIndex: no family column in meta at $path")
+    val fam = metaDf.select(col("family").cast("string")).collect()
+    require(fam.length == 1,
+      s"loadEditDistIndex: expected ONE meta row at $path/meta, got ${fam.length}")
+    require(fam(0).getString(0) == "editdist_symdel60",
+      s"loadEditDistIndex: index family ${fam(0).getString(0)} at $path " +
+        "is not editdist_symdel60 — foreign key material would silently " +
+        "stop matching batch variants")
+    val meta = metaDf.select(col("key_bits").cast("int"),
+      col("max_edits").cast("int"), col("len_cap").cast("int")).collect()
+    val bits = meta(0).getInt(0)
+    val titles = spark.read.parquet(s"$path/titles")
+    require(Seq("doc", "title").forall(titles.columns.contains),
+      s"loadEditDistIndex: not a titles relation at $path: " +
+        titles.columns.mkString(","))
+    val variants = spark.read.parquet(s"$path/variants")
+    require(Seq("vh", "doc").forall(variants.columns.contains),
+      s"loadEditDistIndex: not a variants relation at $path: " +
+        variants.columns.mkString(","))
+    probeFiles(spark, s"$path/variants").foreach { f =>
+      val r = spark.read.parquet(f).select(col("vh").cast("long"))
+        .limit(1).collect()
+      r.headOption.foreach { row =>
+        val key = row.getLong(0)
+        require(key >= 0 && key < (1L << bits),
+          s"loadEditDistIndex: file $f carries key $key outside the " +
+            s"$bits-bit family at $path")
+      }
+    }
+    (titles, variants, meta(0).getInt(1), meta(0).getInt(2))
+  }
+
+  /** Screen a batch against the stored edit-distance index: (doc_a =
+    * batch, doc_b = corpus, edit_dist) for pairs within the STORED
+    * maxEdits — [[editDistancePairs]] restricted to cross-split
+    * pairs. Shuffle ledger (`broadcastBatch = true`, the serving
+    * contract): the batch's distinct variant hashes broadcast and
+    * SEMI-FILTER the narrow stored variants scan; candidates join
+    * back to the stored titles only for the levenshtein verify —
+    * every exchange after the semi-filter is candidate-proportional.
+    */
+  def editDistanceAgainstIndex(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val spark = newDocs.sparkSession
+    val (titles, variants, maxEdits, lenCap) =
+      loadEditDistIndex(spark, indexPath)
+    val batch = checkedTitles(newDocs, idCol, textCol, maxEdits, lenCap)
+      .persistTracked()
+    val bVars = batch
+      .select(col("doc"), explode(symdelVariantHashes(maxEdits)).as("vh"))
+      .persistTracked()
+    val bKeys = bVars.select("vh").distinct()
+    val matched = (if (broadcastBatch)
+        variants.join(broadcast(bKeys), Seq("vh"), "left_semi")
+      else variants.join(bKeys, Seq("vh"), "left_semi"))
+    val cands = bVars
+      .join(matched.withColumnRenamed("doc", "__cdoc"), Seq("vh"))
+      .select(col("doc").as("doc_a"), col("__cdoc").as("doc_b"))
       .distinct()
+    cands
+      .join(batch.select(col("doc").as("doc_a"), col("__t").as("__ta")),
+        Seq("doc_a"))
+      .join(titles.select(col("doc").as("doc_b"), col("title").as("__tb")),
+        Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("__ta"), col("__tb"), maxEdits).as("__d"))
       .filter(col("__d") >= 0)
       .select(col("doc_a"), col("doc_b"),
         col("__d").cast("long").as("edit_dist"))
+  }
+
+  /** Fold a batch INTO the stored edit-distance index — O(batch),
+    * geometry from the stored meta.
+    */
+  def mergeIntoEditDistIndex(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String): Unit = {
+    val spark = newDocs.sparkSession
+    BucketedTables.requirePlainLayout(spark, s"$indexPath/meta",
+      "mergeIntoEditDistIndex")
+    val (_, _, maxEdits, lenCap) = loadEditDistIndex(spark, indexPath)
+    val t = checkedTitles(newDocs, idCol, textCol, maxEdits, lenCap)
+      .persistTracked()
+    t.select(col("doc"), col("__t").as("title"))
+      .write.mode("append").parquet(s"$indexPath/titles")
+    t.select(col("doc"), explode(symdelVariantHashes(maxEdits)).as("vh"))
+      .sortWithinPartitions("vh")
+      .write.mode("append").parquet(s"$indexPath/variants")
+  }
+
+  /** [[deleteFromShingleIndex]] for the edit-distance family: per-doc
+    * rows in both relations — a plain id anti-join rewrite, the
+    * deleted index serves exactly as a retained rebuild. Shared loud
+    * contract (unseen ids checked against the titles relation).
+    */
+  def deleteFromEditDistIndex(deletedIds: DataFrame, indexPath: String,
+      outPath: String, idCol: String): Unit = {
+    val spark = deletedIds.sparkSession
+    require(new org.apache.hadoop.fs.Path(outPath).toString !=
+      new org.apache.hadoop.fs.Path(indexPath).toString,
+      "deleteFromEditDistIndex: outPath must differ from indexPath — a " +
+        "reader must never observe a half-rewritten index")
+    BucketedTables.requirePlainLayout(spark, s"$indexPath/meta",
+      "deleteFromEditDistIndex")
+    val (titles, variants, maxEdits, lenCap) =
+      loadEditDistIndex(spark, indexPath)
+    val dels = deletedIds.select(col(idCol).cast("long").as("__del_id"))
+      .persistTracked()
+    val nDel = dels.count()
+    val nDelIds = dels.distinct().count()
+    require(nDel == nDelIds,
+      s"deleteFromEditDistIndex: delete list carries ${nDel - nDelIds} " +
+        "duplicate ids")
+    val absent = dels.join(titles.select(col("doc")),
+      col("__del_id") === col("doc"), "left_anti").count()
+    require(absent == 0,
+      s"deleteFromEditDistIndex: $absent delete ids are absent from " +
+        "the index — wrong index or wrong delete list (a silently " +
+        "no-op takedown is a compliance bug)")
+    import spark.implicits._
+    Seq(("editdist_symdel60", 60, maxEdits, lenCap))
+      .toDF("family", "key_bits", "max_edits", "len_cap")
+      .write.mode("overwrite").parquet(s"$outPath/meta")
+    titles.join(dels, col("doc") === col("__del_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$outPath/titles")
+    variants.join(dels, col("doc") === col("__del_id"), "left_anti")
+      .sortWithinPartitions("vh")
+      .write.mode("overwrite").parquet(s"$outPath/variants")
+    dels.unpersist()
   }
 
   // ---- bloom sidecar for the exact index ---------------------------------

@@ -60,6 +60,25 @@ object PipelineQueries {
     d.select(col("doc_id"), concat(col("text"), lit(" "), snippet).as("text"))
   }
 
+  /** The p173 title plant: groups of 3 docs share a 24-char title;
+    * members carry ONE planted char substitution or deletion at
+    * position 5.
+    */
+  private def editdistPlant(d: DataFrame): DataFrame = {
+    val base = d.select(col("doc_id").as("bid"),
+      lower(substring(col("text"), 1, 24)).as("t0"))
+    d.select(col("doc_id"))
+      .join(base, col("doc_id") - col("doc_id") % 3 === col("bid"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 1,
+          concat(substring(col("t0"), 1, 4), lit("q"),
+            substring(col("t0"), 6, 24)))
+          .when(col("doc_id") % 3 === 2,
+            concat(substring(col("t0"), 1, 4),
+              substring(col("t0"), 6, 24)))
+          .otherwise(col("t0")).as("title"))
+  }
+
   private def exactPlant(d: DataFrame): DataFrame =
     d.select(col("doc_id"),
       when(col("doc_id") % 5 < 2,
@@ -2766,21 +2785,47 @@ object PipelineQueries {
     // levenshtein. The oracle is blocking-independent: brute-force
     // all-pairs levenshtein, so hash-equality certifies the
     // losslessness claim over this corpus
-    "p173_editdist_dedup" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val base = d.select(col("doc_id").as("bid"),
-        lower(substring(col("text"), 1, 24)).as("t0"))
-      val planted = d.select(col("doc_id"))
-        .join(base, col("doc_id") - col("doc_id") % 3 === col("bid"))
-        .select(col("doc_id"),
-          when(col("doc_id") % 3 === 1,
-            concat(substring(col("t0"), 1, 4), lit("q"),
-              substring(col("t0"), 6, 24)))
-            .when(col("doc_id") % 3 === 2,
-              concat(substring(col("t0"), 1, 4),
-                substring(col("t0"), 6, 24)))
-            .otherwise(col("t0")).as("title"))
-      Dedup.editDistancePairs(planted, "doc_id", "title", maxEdits = 1)
+    "p173_editdist_dedup" -> ((s, dir) =>
+      Dedup.editDistancePairs(editdistPlant(docs(s, dir)),
+        "doc_id", "title", maxEdits = 1)),
+
+    // the edit-distance STORED-INDEX screen (the title/prompt family's
+    // cross-snapshot serve, fold included): even titles persist
+    // (%4==0 save + %4==2 merge), odd batch screens — the %3-group
+    // edits straddle the split. Oracle = p173's truth restricted to
+    // cross-split pairs (blocking-independent, so the hashed-variant
+    // candidates are re-certified lossless here)
+    "p178_editdist_screen" -> ((s, dir) => {
+      val planted = editdistPlant(docs(s, dir))
+      val out = withPipelineArtifact(dir, "p178_editdist_idx") { stage =>
+        Dedup.saveEditDistIndex(planted.filter(col("doc_id") % 4 === 0),
+          "doc_id", "title", s"$stage/idx")
+        Dedup.mergeIntoEditDistIndex(
+          planted.filter(col("doc_id") % 4 === 2),
+          s"$stage/idx", "doc_id", "title")
+      }
+      Dedup.editDistanceAgainstIndex(
+        planted.filter(col("doc_id") % 2 === 1),
+        s"$out/idx", "doc_id", "title")
+    }),
+
+    // the edit-distance family's deletion (per-doc rows — the p166
+    // rule): the p178 index minus every doc_id%8==0 doc
+    "p179_editdist_index_delete" -> ((s, dir) => {
+      val planted = editdistPlant(docs(s, dir))
+      val out = withPipelineArtifact(dir, "p179_editdist_del") { stage =>
+        Dedup.saveEditDistIndex(planted.filter(col("doc_id") % 4 === 0),
+          "doc_id", "title", s"$stage/idx")
+        Dedup.mergeIntoEditDistIndex(
+          planted.filter(col("doc_id") % 4 === 2),
+          s"$stage/idx", "doc_id", "title")
+        Dedup.deleteFromEditDistIndex(
+          planted.filter(col("doc_id") % 8 === 0).select(col("doc_id")),
+          s"$stage/idx", s"$stage/idx_del", "doc_id")
+      }
+      Dedup.editDistanceAgainstIndex(
+        planted.filter(col("doc_id") % 2 === 1),
+        s"$out/idx_del", "doc_id", "title")
     }),
 
     // winnowing fingerprint overlap (r13 follow-on — MOSS, the
@@ -3917,6 +3962,23 @@ object PipelineQueries {
              FROM g),
            e AS (SELECT doc_id, unnest(fp) AS fp FROM f)"""
 
+  /** The p173 title-plant CTE chain through `p(doc_id, title)` —
+    * shared by the all-pairs p173 oracle and the p178/p179
+    * cross-split screen oracles.
+    */
+  private lazy val editdistCtes: String =
+    """g AS (SELECT d.doc_id, b.text AS btext
+               FROM documents d
+               JOIN documents b ON b.doc_id = d.doc_id - (d.doc_id % 3)),
+           t AS (SELECT doc_id, lower(substr(btext, 1, 24)) AS t0 FROM g),
+           p AS (SELECT doc_id,
+               CASE WHEN doc_id % 3 = 1
+                      THEN substr(t0, 1, 4) || 'q' || substr(t0, 6, 24)
+                    WHEN doc_id % 3 = 2
+                      THEN substr(t0, 1, 4) || substr(t0, 6, 24)
+                    ELSE t0 END AS title
+             FROM t)"""
+
   private val oracleBase: Map[String, String] = Map(
     "p1_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
@@ -4751,21 +4813,34 @@ object PipelineQueries {
     // against the engine's symmetric-deletion candidates certifies
     // the blocking lossless over this corpus
     "p173_editdist_dedup" ->
-      """WITH g AS (SELECT d.doc_id, b.text AS btext
-               FROM documents d
-               JOIN documents b ON b.doc_id = d.doc_id - (d.doc_id % 3)),
-           t AS (SELECT doc_id, lower(substr(btext, 1, 24)) AS t0 FROM g),
-           p AS (SELECT doc_id,
-               CASE WHEN doc_id % 3 = 1
-                      THEN substr(t0, 1, 4) || 'q' || substr(t0, 6, 24)
-                    WHEN doc_id % 3 = 2
-                      THEN substr(t0, 1, 4) || substr(t0, 6, 24)
-                    ELSE t0 END AS title
-             FROM t)
+      s"""WITH $editdistCtes
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(levenshtein(a.title, b.title) AS BIGINT) AS edit_dist
          FROM p a JOIN p b
            ON a.doc_id < b.doc_id
+           AND abs(len(a.title) - len(b.title)) <= 1
+           AND levenshtein(a.title, b.title) <= 1""",
+
+    // the p173 truth restricted to cross-split (batch-odd ×
+    // corpus-even) pairs — the stored title index must serve the
+    // identical relation without re-deriving corpus variants
+    "p178_editdist_screen" ->
+      s"""WITH $editdistCtes
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.title, b.title) AS BIGINT) AS edit_dist
+         FROM p a JOIN p b
+           ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+           AND abs(len(a.title) - len(b.title)) <= 1
+           AND levenshtein(a.title, b.title) <= 1""",
+
+    // p178's relation with the deleted evens off the corpus side
+    "p179_editdist_index_delete" ->
+      s"""WITH $editdistCtes
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.title, b.title) AS BIGINT) AS edit_dist
+         FROM p a JOIN p b
+           ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+           AND b.doc_id % 8 != 0
            AND abs(len(a.title) - len(b.title)) <= 1
            AND levenshtein(a.title, b.title) <= 1""",
 

@@ -471,6 +471,68 @@ object StreamingDedup {
       }
   }
 
+  final case class EditDistHit(doc_id: Long, corpus_doc: Long,
+      edit_dist: Long)
+
+  /** Streaming EDIT-DISTANCE screen against a stored title index
+    * ([[graft.pipeline.Dedup.saveEditDistIndex]]) — prompt dedup at
+    * ingest: is this arriving title within the stored k edits of
+    * something the corpus already holds? Each arriving title's symdel
+    * variant hashes generate row-locally (trivially stateless; the
+    * geometry comes from the stored meta), candidates come off the
+    * stream-static variant join, a stateless per-(doc, corpus_doc)
+    * fold dedups multi-variant agreement, and Spark's threshold
+    * levenshtein verifies against the stored titles — the
+    * [[graft.pipeline.Dedup.editDistanceAgainstIndex]] relation per
+    * micro-batch, pinned by the spec. Over-cap titles are REJECTED
+    * loudly row-side (raise_error), the batch contract.
+    */
+  def editDistScreenStream(docs: DataFrame, indexPath: String,
+      idCol: String, textCol: String): Dataset[EditDistHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (titles, variants, maxEdits, lenCap) =
+      graft.pipeline.Dedup.loadEditDistIndex(spark, indexPath)
+    val staticVars = variants
+      .select(col("vh"), col("doc").as("corpus_doc"))
+      .repartition(col("vh"))
+      .persistTracked()
+    staticVars.count()
+    val staticTitles = titles
+      .select(col("doc").as("corpus_doc"), col("title").as("__tb"))
+      .persistTracked()
+    staticTitles.count()
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        when(length(col(textCol)) <= lenCap, col(textCol))
+          .otherwise(raise_error(lit(
+            s"editDistScreenStream: title longer than the stored " +
+              s"lenCap=$lenCap — the symdel variant cost is len^" +
+              s"$maxEdits"))).as("__t"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        graft.pipeline.Dedup.symdelLocal(t, maxEdits)
+          .map(vh => (id, t, vh)) }
+      .toDF("doc_id", "__ta", "vh")
+      .join(staticVars, Seq("vh"))
+      .select(col("doc_id"), col("__ta"), col("corpus_doc"))
+      .as[(Long, String, Long)]
+      .groupByKey(r => (r._1, r._3))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: (Long, Long), rows: Iterator[(Long, String, Long)],
+            state: GroupState[Boolean]) =>
+          Iterator.single((key._1, key._2, rows.next()._2))
+      }
+      .toDF("doc_id", "corpus_doc", "__ta")
+      .join(staticTitles, Seq("corpus_doc"))
+      .select(col("doc_id"), col("corpus_doc"),
+        levenshtein(col("__ta"), col("__tb"), maxEdits).as("__d"))
+      .filter(col("__d") >= 0)
+      .select(col("doc_id"), col("corpus_doc"),
+        col("__d").cast("long").as("edit_dist"))
+      .as[EditDistHit]
+  }
+
   final case class HammingHit(doc_a: Long, doc_b: Long, hamming: Long)
 
   /** Streaming 48-bit-signature screen against a STORED signature

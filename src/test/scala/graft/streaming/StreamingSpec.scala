@@ -1123,6 +1123,47 @@ class StreamingSpec extends SparkSpecBase {
     graft.pipeline.CacheLedger.drain()
   }
 
+  test("editDistScreenStream over the stored title index == batch screen across batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (2L, "open the pod bay doors"),
+      (4L, "a wholly unrelated title"))
+      .toDF("doc_id", "title")
+    val dir = java.nio.file.Files.createTempDirectory("editdist_stream_").toString
+    graft.pipeline.Dedup.saveEditDistIndex(corpus, "doc_id", "title",
+      s"$dir/idx")
+    val rows = Seq(
+      (11L, "open the pod bay door"),   // one deletion from doc 2
+      (13L, "opun the pod bay doors"),  // one substitution from doc 2
+      (15L, "nothing like the corpus"), // fresh
+      (17L, "open the pod bay doors"))  // exact copy (distance 0)
+    val expected = graft.pipeline.Dedup.editDistanceAgainstIndex(
+        rows.toDF("doc_id", "title"), s"$dir/idx", "doc_id", "title")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected == Set((11L, 2L, 1L), (13L, 2L, 1L), (17L, 2L, 0L)),
+      expected)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.editDistScreenStream(
+        mem.toDF().toDF("doc_id", "title"), s"$dir/idx", "doc_id", "title")
+      .writeStream.format("memory").queryName("editdist_screen_stream")
+      .outputMode("append").start()
+    val got = try {
+      mem.addData(rows.take(2): _*); q.processAllAvailable()
+      mem.addData(rows.drop(2): _*); q.processAllAvailable()
+      spark.table("editdist_screen_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    } finally q.stop()
+    assert(got == expected, s"stream=$got batch=$expected")
+    // the row-local variant hashes are the expression form's values
+    val exprSide = graft.pipeline.Dedup.editDistancePairs(
+      Seq((1L, "open the pod bay doors"), (2L, "open the pod bay door"))
+        .toDF("doc_id", "title"), "doc_id", "title")
+      .collect()
+    assert(exprSide.length == 1 && exprSide(0).getLong(2) == 1L)
+    graft.pipeline.CacheLedger.drain()
+  }
+
   test("chunkScreenStream over the stored chunk index == batch screen across batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
