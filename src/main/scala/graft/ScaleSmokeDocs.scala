@@ -174,12 +174,13 @@ object ScaleSmokeDocs {
       // r13 winnowing decade row: groups of 3 share a 14-token snippet
       // in three formattings; fingerprint explode + one equality
       // self-join — docs/s must hold ~flat (fp density is ~2/(w+1) of
-      // the gram count, sharing is group-local)
+      // the gram count; the group id woven into every other position
+      // keeps snippet grams GROUP-LOCAL — a corpus-universal gram is
+      // the hot-key mode the maxDf bound cuts, not the decade claim)
       val lead = (col("doc_id") - col("doc_id") % 3).cast("string")
-      val toks = array(lit("winnow"), lit("block"), lead, lit("alpha"),
-        lit("beta"), lit("gamma"), lit("delta"), lit("epsilon"),
-        lit("zeta"), lit("eta"), lit("theta"), lit("iota"),
-        lit("kappa"), lead)
+      val toks = array(lit("winnow"), lead, lit("block"), lead,
+        lit("alpha"), lead, lit("beta"), lead, lit("gamma"), lead,
+        lit("delta"), lead, lit("epsilon"), lead)
       val snippet = when(col("doc_id") % 3 === 1, concat_ws("\n  ", toks))
         .when(col("doc_id") % 3 === 2, concat_ws("\t\t", toks))
         .otherwise(concat_ws(" ", toks))

@@ -1301,16 +1301,19 @@ object Dedup {
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 4): DataFrame = {
     require(k >= 2 && w >= 1, s"need k >= 2, w >= 1: $k, $w")
-    // the gram relation is MATERIALIZED before the window step: the
-    // optimizer does not CSE array references inside higher-order
-    // lambdas, and CollapseProject would inline the whole gram
-    // transform into every window's slice — re-tokenizing and
-    // re-hashing the document once PER WINDOW (the README's measured
-    // 20× shingle trap; here it measured minutes-for-seconds at
-    // sf0.1). One cached narrow (doc, __g) relation breaks the
-    // collapse.
-    val grams = docs.select(col(idCol).cast("long").as("doc"),
+    // BOTH intermediate relations are MATERIALIZED: the optimizer does
+    // not CSE array references inside higher-order lambdas, and
+    // CollapseProject would inline the upstream projection into every
+    // lambda element — tokens(text) into every GRAM's slice
+    // (re-tokenizing the document once per gram: measured 22 s for
+    // sf0.1's one query), and the gram transform into every WINDOW's
+    // slice (re-hashing per window: measured minutes at sf0.1). Two
+    // cached narrow relations break both collapses — the README's
+    // shingle-trap discipline, one level deeper.
+    val toks = docs.select(col(idCol).cast("long").as("doc"),
         TextOps.tokens(col(textCol)).as("__toks"))
+      .persistTracked()
+    val grams = toks
       .withColumn("__g",
         when(size(col("__toks")) >= k, expr(
           s"transform(sequence(1, size(__toks) - ${k - 1}), " +
@@ -1460,10 +1463,11 @@ object Dedup {
   private def winnowScreenBody(newDocs: DataFrame, indexPath: String,
       idCol: String, textCol: String, minShared: Int,
       broadcastBatch: Boolean,
-      corpusBloom: Option[org.apache.spark.util.sketch.BloomFilter])
-      : DataFrame = {
+      corpusBloom: Option[org.apache.spark.util.sketch.BloomFilter],
+      postingsOverride: Option[DataFrame] = None): DataFrame = {
     val spark = newDocs.sparkSession
-    val (postings, _, k, w, maxDf) = loadWinnowIndex(spark, indexPath)
+    val (postings0, _, k, w, maxDf) = loadWinnowIndex(spark, indexPath)
+    val postings = postingsOverride.getOrElse(postings0)
     val bFps = winnowFingerprints(newDocs, idCol, textCol, k, w)
       .persistTracked()
     // sketch-negative fingerprints are DEFINITELY not stored — gating
@@ -1603,6 +1607,84 @@ object Dedup {
     winnowScreenBody(newDocs, indexPath, idCol, textCol, minShared,
       broadcastBatch,
       Some(loadWinnowBloom(newDocs.sparkSession, indexPath)))
+
+  /** [[saveWinnowIndex]] in the backfill layout: postings
+    * bucketBy(fp) as an external catalog table, meta additionally
+    * pins n_buckets; [[winnowAgainstIndexBucketed]]'s semi-filter and
+    * candidate join consume the table's own hash partitioning — the
+    * corpus side never exchanges even at backfill-scale batches.
+    */
+  def saveWinnowIndexBucketed(docs: DataFrame, idCol: String,
+      textCol: String, path: String, k: Int = 4, w: Int = 4,
+      maxDf: Int = 10000, nBuckets: Int = 64,
+      tablePrefix: String = ""): Unit = {
+    require(k >= 2 && w >= 1 && maxDf >= 1,
+      s"need k >= 2, w >= 1, maxDf >= 1: $k, $w, $maxDf")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prefix = if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(path)
+    Seq(("winnow_h60", 60, k, w, maxDf, nBuckets))
+      .toDF("family", "key_bits", "k", "w", "max_df", "n_buckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+      .persistTracked()
+    val kept = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select("fp"),
+      Seq("fp"), "left_semi")
+    BucketedTables.saveBucketed(kept, s"$path/postings",
+      s"${prefix}_winnow", Seq("fp"), nBuckets)
+    fps.groupBy("doc").agg(count(lit(1)).as("n_fp"))
+      .write.mode("overwrite").parquet(s"$path/docs")
+  }
+
+  /** Backfill-scale twin of [[winnowAgainstIndex]]: identical
+    * relation, stored postings consumed through the bucketed catalog
+    * table — only the batch shuffles.
+    */
+  def winnowAgainstIndexBucketed(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, minShared: Int = 4,
+      tablePrefix: String = ""): DataFrame = {
+    val spark = newDocs.sparkSession
+    loadWinnowIndex(spark, indexPath) // family + geometry + probe
+    val metaB = spark.read.parquet(s"$indexPath/meta")
+    require(metaB.columns.contains("n_buckets"),
+      s"winnowAgainstIndexBucketed: $indexPath was not saved in the " +
+        "bucketed layout (no n_buckets in meta) — use " +
+        "winnowAgainstIndex or re-save with saveWinnowIndexBucketed")
+    val nBuckets = metaB.select(col("n_buckets").cast("int")).head().getInt(0)
+    val prefix =
+      if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(indexPath)
+    BucketedTables.register(spark, s"${prefix}_winnow",
+      s"$indexPath/postings", Seq("fp"), nBuckets)
+    winnowScreenBody(newDocs, indexPath, idCol, textCol, minShared,
+      broadcastBatch = false, corpusBloom = None,
+      postingsOverride = Some(spark.table(s"${prefix}_winnow")))
+  }
+
+  /** [[mergeIntoWinnowIndex]] for the bucketed layout. */
+  def mergeIntoWinnowIndexBucketed(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, tablePrefix: String = ""): Unit = {
+    val spark = newDocs.sparkSession
+    val (_, _, k, w, maxDf) = loadWinnowIndex(spark, indexPath)
+    val metaB = spark.read.parquet(s"$indexPath/meta")
+    require(metaB.columns.contains("n_buckets"),
+      s"mergeIntoWinnowIndexBucketed: $indexPath is a plain-layout " +
+        "index — use mergeIntoWinnowIndex")
+    val nBuckets = metaB.select(col("n_buckets").cast("int")).head().getInt(0)
+    val prefix =
+      if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(indexPath)
+    val fps = winnowFingerprints(newDocs, idCol, textCol, k, w)
+      .persistTracked()
+    val kept = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select("fp"),
+      Seq("fp"), "left_semi")
+    BucketedTables.appendBucketed(kept, s"$indexPath/postings",
+      s"${prefix}_winnow", Seq("fp"), nBuckets)
+    fps.groupBy("doc").agg(count(lit(1)).as("n_fp"))
+      .write.mode("append").parquet(s"$indexPath/docs")
+  }
 
   // ---- edit-distance near-dup (short keys: titles, prompts) --------------
   //
@@ -1789,15 +1871,30 @@ object Dedup {
     */
   def editDistanceAgainstIndex(newDocs: DataFrame, indexPath: String,
       idCol: String, textCol: String,
-      broadcastBatch: Boolean = true): DataFrame = {
+      broadcastBatch: Boolean = true): DataFrame =
+    editDistScreenBody(newDocs, indexPath, idCol, textCol,
+      broadcastBatch, corpusBloom = None)
+
+  private def editDistScreenBody(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String, broadcastBatch: Boolean,
+      corpusBloom: Option[org.apache.spark.util.sketch.BloomFilter],
+      variantsOverride: Option[DataFrame] = None): DataFrame = {
     val spark = newDocs.sparkSession
-    val (titles, variants, maxEdits, lenCap) =
+    val (titles, variants0, maxEdits, lenCap) =
       loadEditDistIndex(spark, indexPath)
+    val variants = variantsOverride.getOrElse(variants0)
     val batch = checkedTitles(newDocs, idCol, textCol, maxEdits, lenCap)
       .persistTracked()
-    val bVars = batch
+    val bVars0 = batch
       .select(col("doc"), explode(symdelVariantHashes(maxEdits)).as("vh"))
       .persistTracked()
+    // sketch-negative variant hashes are DEFINITELY not stored —
+    // gating the probe set loses nothing (no posting to match)
+    val bVars = corpusBloom match {
+      case Some(bf) => bVars0.filter(
+        graft.functions.BloomMightContain(col("vh").cast("long"), bf))
+      case None => bVars0
+    }
     val bKeys = bVars.select("vh").distinct()
     val matched = (if (broadcastBatch)
         variants.join(broadcast(bKeys), Seq("vh"), "left_semi")
@@ -1816,6 +1913,105 @@ object Dedup {
       .filter(col("__d") >= 0)
       .select(col("doc_a"), col("doc_b"),
         col("__d").cast("long").as("edit_dist"))
+  }
+
+  /** Build (or REBUILD after folds/deletions) the edit-distance
+    * index's bloom sidecar over its stored variant hashes.
+    */
+  def buildEditDistBloom(spark: SparkSession, indexPath: String,
+      expectedItems: Long, fpp: Double = 0.01): Unit = {
+    loadEditDistIndex(spark, indexPath) // family/meta/probe validation
+    writeBloomSidecar(indexPath, s"$indexPath/variants",
+      spark.read.parquet(s"$indexPath/variants")
+        .select(col("vh").cast("long").as("k")),
+      "editdist_vh60", expectedItems, fpp)
+  }
+
+  def loadEditDistBloom(spark: SparkSession, indexPath: String)
+      : org.apache.spark.util.sketch.BloomFilter =
+    readBloomSidecar(spark, indexPath, s"$indexPath/variants",
+      "editdist_vh60", "buildEditDistBloom")
+
+  /** [[editDistanceAgainstIndex]] with the bloom fast path — identical
+    * pairs (no false negatives).
+    */
+  def editDistanceAgainstIndexBloom(newDocs: DataFrame, indexPath: String,
+      idCol: String, textCol: String,
+      broadcastBatch: Boolean = true): DataFrame =
+    editDistScreenBody(newDocs, indexPath, idCol, textCol,
+      broadcastBatch,
+      Some(loadEditDistBloom(newDocs.sparkSession, indexPath)))
+
+  /** [[saveEditDistIndex]] in the backfill layout: variants
+    * bucketBy(vh) as an external catalog table, titles plain, meta
+    * additionally pins n_buckets.
+    */
+  def saveEditDistIndexBucketed(docs: DataFrame, idCol: String,
+      textCol: String, path: String, maxEdits: Int = 1,
+      lenCap: Int = 256, nBuckets: Int = 64,
+      tablePrefix: String = ""): Unit = {
+    require(maxEdits >= 1 && maxEdits <= 2,
+      s"saveEditDistIndexBucketed supports maxEdits in {1, 2}: $maxEdits")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prefix = if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(path)
+    Seq(("editdist_symdel60", 60, maxEdits, lenCap, nBuckets))
+      .toDF("family", "key_bits", "max_edits", "len_cap", "n_buckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    val t = checkedTitles(docs, idCol, textCol, maxEdits, lenCap)
+      .persistTracked()
+    t.select(col("doc"), col("__t").as("title"))
+      .write.mode("overwrite").parquet(s"$path/titles")
+    BucketedTables.saveBucketed(
+      t.select(col("doc"), explode(symdelVariantHashes(maxEdits)).as("vh")),
+      s"$path/variants", s"${prefix}_editdist", Seq("vh"), nBuckets)
+  }
+
+  /** Backfill-scale twin of [[editDistanceAgainstIndex]]: identical
+    * relation, stored variants consumed through the bucketed catalog
+    * table — only the batch shuffles.
+    */
+  def editDistanceAgainstIndexBucketed(newDocs: DataFrame,
+      indexPath: String, idCol: String, textCol: String,
+      tablePrefix: String = ""): DataFrame = {
+    val spark = newDocs.sparkSession
+    loadEditDistIndex(spark, indexPath) // family + geometry + probe
+    val metaB = spark.read.parquet(s"$indexPath/meta")
+    require(metaB.columns.contains("n_buckets"),
+      s"editDistanceAgainstIndexBucketed: $indexPath was not saved in " +
+        "the bucketed layout (no n_buckets in meta) — use " +
+        "editDistanceAgainstIndex or re-save with " +
+        "saveEditDistIndexBucketed")
+    val nBuckets = metaB.select(col("n_buckets").cast("int")).head().getInt(0)
+    val prefix =
+      if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(indexPath)
+    BucketedTables.register(spark, s"${prefix}_editdist",
+      s"$indexPath/variants", Seq("vh"), nBuckets)
+    editDistScreenBody(newDocs, indexPath, idCol, textCol,
+      broadcastBatch = false, corpusBloom = None,
+      variantsOverride = Some(spark.table(s"${prefix}_editdist")))
+  }
+
+  /** [[mergeIntoEditDistIndex]] for the bucketed layout. */
+  def mergeIntoEditDistIndexBucketed(newDocs: DataFrame,
+      indexPath: String, idCol: String, textCol: String,
+      tablePrefix: String = ""): Unit = {
+    val spark = newDocs.sparkSession
+    val (_, _, maxEdits, lenCap) = loadEditDistIndex(spark, indexPath)
+    val metaB = spark.read.parquet(s"$indexPath/meta")
+    require(metaB.columns.contains("n_buckets"),
+      s"mergeIntoEditDistIndexBucketed: $indexPath is a plain-layout " +
+        "index — use mergeIntoEditDistIndex")
+    val nBuckets = metaB.select(col("n_buckets").cast("int")).head().getInt(0)
+    val prefix =
+      if (tablePrefix.nonEmpty) tablePrefix else bucketedPrefix(indexPath)
+    val t = checkedTitles(newDocs, idCol, textCol, maxEdits, lenCap)
+      .persistTracked()
+    t.select(col("doc"), col("__t").as("title"))
+      .write.mode("append").parquet(s"$indexPath/titles")
+    BucketedTables.appendBucketed(
+      t.select(col("doc"), explode(symdelVariantHashes(maxEdits)).as("vh")),
+      s"$indexPath/variants", s"${prefix}_editdist", Seq("vh"), nBuckets)
   }
 
   /** Fold a batch INTO the stored edit-distance index — O(batch),

@@ -46,14 +46,18 @@ object PipelineQueries {
   /** The p174 winnowing plant: each group of 3 docs appends ONE
     * group-unique 14-token snippet in three formattings (spaces /
     * newline+indent / tabs) — the same token stream, so winnowing must
-    * pair the members although every byte offset differs.
+    * pair the members although every byte offset differs. The group
+    * id is woven into EVERY OTHER position so every 4-gram contains
+    * it: snippet fingerprints stay group-local instead of becoming a
+    * corpus-universal df=N key whose self-join is quadratic (the
+    * exact hot-fingerprint mode winnowOverlap's maxDf bound exists
+    * for — the plant certifies correctness, not the bound).
     */
   private def winnowPlant(d: DataFrame): DataFrame = {
     val lead = (col("doc_id") - col("doc_id") % 3).cast("string")
-    val toks = array(lit("winnow"), lit("block"), lead, lit("alpha"),
-      lit("beta"), lit("gamma"), lit("delta"), lit("epsilon"),
-      lit("zeta"), lit("eta"), lit("theta"), lit("iota"),
-      lit("kappa"), lead)
+    val toks = array(lit("winnow"), lead, lit("block"), lead,
+      lit("alpha"), lead, lit("beta"), lead, lit("gamma"), lead,
+      lit("delta"), lead, lit("epsilon"), lead)
     val snippet = when(col("doc_id") % 3 === 1, concat_ws("\n  ", toks))
       .when(col("doc_id") % 3 === 2, concat_ws("\t\t", toks))
       .otherwise(concat_ws(" ", toks))
@@ -2893,6 +2897,66 @@ object PipelineQueries {
         s"$out/idx", "doc_id", "text", minShared = 4)
     }),
 
+    // the winnow family's bucketed backfill — p175's oracle VERBATIM
+    // over the catalog path (the established per-family pattern)
+    "p180_winnow_backfill" -> ((s, dir) => {
+      val planted = winnowPlant(docs(s, dir))
+      val out = withPipelineArtifact(dir, "p180_winnow_idx_bucketed") { stage =>
+        val bp = s"p180_build_${ProcessHandle.current().pid()}_" +
+          s"${Thread.currentThread().getId}"
+        Dedup.saveWinnowIndexBucketed(
+          planted.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", s"$stage/idx", maxDf = 100000, nBuckets = 8,
+          tablePrefix = bp)
+        Dedup.mergeIntoWinnowIndexBucketed(
+          planted.filter(col("doc_id") % 4 === 2),
+          s"$stage/idx", "doc_id", "text", tablePrefix = bp)
+        s.sql(s"DROP TABLE IF EXISTS ${bp}_winnow")
+      }
+      Dedup.winnowAgainstIndexBucketed(
+        planted.filter(col("doc_id") % 2 === 1),
+        s"$out/idx", "doc_id", "text", minShared = 4)
+    }),
+
+    // the edit-distance family's bloom fast path — p178's IDENTICAL
+    // relation (no false negatives; oracle verbatim)
+    "p181_editdist_bloom" -> ((s, dir) => {
+      val planted = editdistPlant(docs(s, dir))
+      val out = withPipelineArtifact(dir, "p181_editdist_bloom_idx") { stage =>
+        Dedup.saveEditDistIndex(planted.filter(col("doc_id") % 4 === 0),
+          "doc_id", "title", s"$stage/idx")
+        Dedup.mergeIntoEditDistIndex(
+          planted.filter(col("doc_id") % 4 === 2),
+          s"$stage/idx", "doc_id", "title")
+        Dedup.buildEditDistBloom(s, s"$stage/idx",
+          expectedItems = 2000000L)
+      }
+      Dedup.editDistanceAgainstIndexBloom(
+        planted.filter(col("doc_id") % 2 === 1),
+        s"$out/idx", "doc_id", "title")
+    }),
+
+    // the edit-distance family's bucketed backfill — p178's oracle
+    // VERBATIM over the catalog path
+    "p182_editdist_backfill" -> ((s, dir) => {
+      val planted = editdistPlant(docs(s, dir))
+      val out = withPipelineArtifact(dir, "p182_editdist_idx_bucketed") { stage =>
+        val bp = s"p182_build_${ProcessHandle.current().pid()}_" +
+          s"${Thread.currentThread().getId}"
+        Dedup.saveEditDistIndexBucketed(
+          planted.filter(col("doc_id") % 4 === 0),
+          "doc_id", "title", s"$stage/idx", nBuckets = 8,
+          tablePrefix = bp)
+        Dedup.mergeIntoEditDistIndexBucketed(
+          planted.filter(col("doc_id") % 4 === 2),
+          s"$stage/idx", "doc_id", "title", tablePrefix = bp)
+        s.sql(s"DROP TABLE IF EXISTS ${bp}_editdist")
+      }
+      Dedup.editDistanceAgainstIndexBucketed(
+        planted.filter(col("doc_id") % 2 === 1),
+        s"$out/idx", "doc_id", "title")
+    }),
+
     // robots.txt PARSING (RFC 9309 §2.1-2.2 — the other half of the
     // REP loop; p154 proves the matcher, this proves raw file → rule
     // relation): one templated body per planted host (RobotsBodies,
@@ -3930,10 +3994,13 @@ object PipelineQueries {
     */
   private lazy val winnowCtes: String =
     raw"""d AS (SELECT doc_id,
-             list_value('winnow', 'block', (doc_id - doc_id % 3)::VARCHAR,
-               'alpha', 'beta', 'gamma', 'delta', 'epsilon', 'zeta',
-               'eta', 'theta', 'iota', 'kappa',
-               (doc_id - doc_id % 3)::VARCHAR) AS tk,
+             list_value('winnow', (doc_id - doc_id % 3)::VARCHAR,
+               'block', (doc_id - doc_id % 3)::VARCHAR,
+               'alpha', (doc_id - doc_id % 3)::VARCHAR,
+               'beta', (doc_id - doc_id % 3)::VARCHAR,
+               'gamma', (doc_id - doc_id % 3)::VARCHAR,
+               'delta', (doc_id - doc_id % 3)::VARCHAR,
+               'epsilon', (doc_id - doc_id % 3)::VARCHAR) AS tk,
              text AS bt
            FROM documents),
            p AS (SELECT doc_id, bt || ' ' ||
@@ -8190,5 +8257,10 @@ object PipelineQueries {
     "p169_priority_compact" -> oracleBase("p133_priority_screen"),
     "p170_chunk_compact" -> oracleBase("p138_cdc_screen"),
     // the winnow bloom fast path returns p175's identical relation
-    "p177_winnow_bloom" -> oracleBase("p175_winnow_screen"))
+    "p177_winnow_bloom" -> oracleBase("p175_winnow_screen"),
+    // the bucketed/bloom serving forms return their plain siblings'
+    // identical relations
+    "p180_winnow_backfill" -> oracleBase("p175_winnow_screen"),
+    "p181_editdist_bloom" -> oracleBase("p178_editdist_screen"),
+    "p182_editdist_backfill" -> oracleBase("p178_editdist_screen"))
 }
