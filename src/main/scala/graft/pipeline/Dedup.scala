@@ -1791,10 +1791,16 @@ object Dedup {
     all.map(graft.pipeline.TextClassifier.hash60Local)
   }
 
+  /** Title column with the loud length cap. NULL titles coalesce to
+    * '' (the chunkFixed discipline): two absent keys ARE identical —
+    * they pair at distance 0 — and length(NULL) would otherwise take
+    * the raise_error branch with a misleading over-cap message.
+    */
   private def checkedTitles(docs: DataFrame, idCol: String,
       textCol: String, maxEdits: Int, lenCap: Int): DataFrame =
     docs.select(col(idCol).cast("long").as("doc"),
-      when(length(col(textCol)) <= lenCap, col(textCol))
+      when(length(coalesce(col(textCol), lit(""))) <= lenCap,
+        coalesce(col(textCol), lit("")))
         .otherwise(raise_error(concat(
           lit(s"editdist index: key longer than lenCap=$lenCap code " +
             "points — deletion-variant blocking is for SHORT keys " +

@@ -5770,6 +5770,16 @@ class PipelineSpec extends SparkSpecBase {
         "doc_id", "title").collect()
     }
     assert(chain(e).contains("lenCap"), chain(e))
+    // NULL titles coalesce to '' (not a bogus over-cap error): two
+    // absent keys are identical, a one-char key is one edit away
+    val withNull = Seq((1L, null.asInstanceOf[String]), (2L, ""),
+      (3L, "x"), (4L, "unrelated title words"))
+      .toDF("doc_id", "title")
+    val nullPairs = Dedup.editDistancePairs(withNull, "doc_id", "title")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(nullPairs == Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)),
+      nullPairs)
   }
 
   test("winnowFingerprints: reference parity, formatting invariance, guarantee floor") {
