@@ -22,13 +22,37 @@ object ProfileQ {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.maxPlanStringLength",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PLAN_STR", "2147483632"))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (sys.env.get("SPARK_GRAFT_PROFILE_JOBS").contains("1")) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            t0.put(js.jobId, System.nanoTime())
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val d = (System.nanoTime() - t0.getOrDefault(je.jobId, 0L)) / 1e6
+            println(f"  JOB ${je.jobId}%4d ${d}%8.1f ms")
+          }
+        })
+    }
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
     val names =
       if (args.nonEmpty) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted
+    // build-only sampling mode: loop plan construction forever so a
+    // thread-dump sampler can attribute driver-side build cost
+    if (sys.env.get("SPARK_GRAFT_PROFILE_MODE").contains("build")) {
+      val fn = SparkEntry.queries(names.head)
+      while (true) { fn(spark, sfDir); graft.pipeline.CacheLedger.drain() }
+    }
     names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query: $name"))

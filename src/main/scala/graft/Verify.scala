@@ -16,6 +16,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // plan-STRING generation (AQE update events, execution-start
+      // events) is pure driver overhead that grows with plan size; the
+      // engine's composed pipelines render to multi-MB strings nobody
+      // reads with the UI off. Capped, env-overridable (guide §7.3:
+      // very large plans spend driver time in planning/printing).
+      .config("spark.sql.maxPlanStringLength",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PLAN_STR", "65536"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -4231,10 +4231,6 @@ object Dedup {
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persistTracked()
-    // materialize the pair pipeline ONCE — every propagation round (and
-    // the initial labels) reads the cached edges, not the upstream
-    // minhash/LSH computation
-    val nDirected = edges.count()
     // The pair relation is a REDUCED artifact — near-dup pairs number
     // far below corpus rows — so up to ~1M pairs (≈16 MB) a driver-side
     // union-find beats rounds of distributed shuffles outright (the same
@@ -4246,28 +4242,39 @@ object Dedup {
     // The fast path requires LONG doc ids (it reads rows with getLong
     // and emits a long-typed result); any other id type — string, int —
     // falls through to the type-generic distributed propagation.
+    //
+    // r13 optimization: the size gate and the pair fetch are ONE action —
+    // collect up to cap+1 undirected pairs (limit stops early on an
+    // over-cap graph); exactly cap+1 rows back means "too big, take the
+    // distributed path". The previous shape paid a full count() job AND
+    // a collect() job over the same cached relation per invocation.
     val longIds = edges.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (longIds && nDirected / 2 <= driverUnionFindMax) {
+    if (longIds) {
       val spark = pairs.sparkSession
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
+      val undirected = edges.filter(col("src") < col("dst"))
+        .limit(math.min(driverUnionFindMax + 1, Int.MaxValue.toLong).toInt)
+        .collect()
+      if (undirected.length <= driverUnionFindMax) {
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        undirected.foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val docs = parent.keySet ++ parent.values
+        val rows = docs.toSeq.map(d => (d, find(d)))
+        edges.unpersist()
+        import spark.implicits._
+        return rows.toDF("doc", "cluster_id")
       }
-      edges.filter(col("src") < col("dst")).collect().foreach { row =>
-        val (a, b) = (row.getLong(0), row.getLong(1))
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val docs = parent.keySet ++ parent.values
-      val rows = docs.toSeq.map(d => (d, find(d)))
-      edges.unpersist()
-      import spark.implicits._
-      return rows.toDF("doc", "cluster_id")
     }
     // Each round references the previous round's labels FOUR times (the
     // propagation join twice, the pointer-jump self-join doubling it),
@@ -4455,16 +4462,21 @@ object Dedup {
       .persistTracked()
     val lc = Quality.lineCorrections(mc, idCol, "text")
       .select(col(idCol), col("text_clean").as("text"))
-      .persistTracked() // feeds three gate projections + the scrub chain
-    val g = Quality.gopherRules(lc, idCol, "text")
-      .select(col(idCol), col("keep").as("__g"))
-    val c = Quality.c4Clean(lc, idCol, "text")
-      .select(col(idCol), col("keep").as("__c"))
-    val w = Quality.wordlistFilter(lc, idCol, "text", blocklist,
-        maxFraction = 0.0)
-      .select(col(idCol), col("keep_strict").as("__w"))
-    val gated = lc.join(g, idCol).join(c, idCol).join(w, idCol)
-      .filter(col("__g") && col("__c") && col("__w"))
+      .persistTracked() // feeds the fused gate pass + the scrub chain
+    // ONE pass for all three gates (r13 optimization): the verdicts are
+    // the gates' own expression builders — identical booleans to the
+    // standalone operators — over token/line arrays materialized once,
+    // so the corpus is scanned ONCE and no (id, keep) frames are joined
+    // back (the previous shape: three gate scans + three id joins)
+    val t = col("text")
+    val gated = lc
+      .withColumn("__fe_toks", TextOps.tokens(t))
+      .withColumn("__fe_lines", split(t, "\n"))
+      .withColumn("__fe_clean",
+        array_join(filter(col("__fe_lines"), Quality.c4LineKeep(_)), "\n"))
+      .filter(Quality.gopherKeepExpr(t, col("__fe_toks"), col("__fe_lines")) &&
+        Quality.c4KeepExpr(t, col("__fe_clean")) &&
+        Quality.wordlistKeepStrictExpr(col("__fe_toks"), blocklist))
       .select(col(idCol), col("text"))
     val scrubbed = Seq(
       Quality.piiScrub(_: DataFrame, idCol, "text"),

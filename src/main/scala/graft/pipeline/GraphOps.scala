@@ -77,20 +77,30 @@ object GraphOps {
           "dampingMicro scale) or pass assertBound=false after a per-sink analysis")
     }
     val base = 1000000L - dampingMicro
-    var ranks = vertices.withColumn("rank_micro", lit(1000000L))
+    // out-degree is loop-INVARIANT: join it into the vertex frame ONCE
+    // (r13 optimization) and carry `__deg` through every rank frame, so
+    // each iteration pays two joins + one aggregate instead of three
+    // joins — at any scale that is one full exchange of the rank frame
+    // saved per iteration. Dangling vertices carry __deg NULL and
+    // contribute nothing, exactly as the previous ranks⋈outdeg inner
+    // join dropped them from the contribution side.
+    val vdeg = vertices
+      .join(outdeg, col("node") === col("src"), "left")
+      .select(col("node"), col("__deg")).persistTracked()
+    var ranks = vdeg.withColumn("rank_micro", lit(1000000L))
     var lastBarrier: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       val contrib = ranks
-        .join(outdeg, col("node") === col("src"))
-        .select(col("src"),
+        .filter(col("__deg").isNotNull)
+        .select(col("node").as("src"),
           expr(s"((rank_micro * $dampingMicro) div 1000000) div __deg")
             .as("__c"))
         .join(e, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum("__c").as("__in"))
-      val next = vertices
+      val next = vdeg
         .join(contrib, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("__deg"),
           (lit(base) + coalesce(col("__in"), lit(0L))).as("rank_micro"))
       // a rank frame is consumed ONCE by the next iteration, so caching
       // every step is pure overhead (10 job launches for a 10-iteration
@@ -107,6 +117,6 @@ object GraphOps {
         ranks = m
       } else ranks = next
     }
-    ranks
+    ranks.select(col("node"), col("rank_micro"))
   }
 }

@@ -368,8 +368,28 @@ object Quality {
     */
   def gopherRules(docs: DataFrame, idCol: String, textCol: String,
       carry: Seq[String] = Nil): DataFrame = {
-    val t = col(textCol)
-    val toks = tokens(t)
+    val sigs = gopherSignalExprs(col(textCol), col("__g_toks"), col("__g_lines"))
+    docs
+      // materialize the token/line arrays ONCE per row: the signal
+      // expressions reference them 4×/2×, and HigherOrderFunction
+      // inputs get no codegen CSE — inlining the tokenizer into every
+      // reference re-splits the text per signal (the ngrams caller
+      // contract; CollapseProject keeps multiply-referenced non-cheap
+      // aliases un-inlined, so this stays one codegen stage)
+      .withColumn("__g_toks", tokens(col(textCol)))
+      .withColumn("__g_lines", split(col(textCol), "\n"))
+      .select((col(idCol) +: carry.map(col)) ++
+        sigs.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("keep", gopherKeepFrom(col))
+  }
+
+  /** The seven Gopher signal expressions over PRE-MATERIALIZED token and
+    * line array columns — the single source both [[gopherRules]] and the
+    * fused gate stack ([[filterFunnel]], [[Dedup.cleanCorpusFrontEnd]])
+    * derive from, so the standalone and fused verdicts cannot drift.
+    */
+  private[pipeline] def gopherSignalExprs(t: Column, toks: Column,
+      lines: Column): Seq[(String, Column)] = {
     val nWords = size(toks).cast("long")
     val meanLen = ratio(
       aggregate(transform(toks, x => length(x).cast("long")), lit(0L), (a, x) => a + x),
@@ -377,7 +397,6 @@ object Quality {
     val nHash = length(t) - length(regexp_replace(t, "#", ""))
     val nEllipsis = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / lit(3)
     val symbolRatio = ratio((nHash + nEllipsis).cast("long"), nWords)
-    val lines = split(t, "\n")
     val nLines = size(lines).cast("long")
     val bulletFrac = ratio(
       size(filter(lines, l => substring(ltrim(l), 1, 1).isin("•", "-"))).cast("long"),
@@ -390,22 +409,32 @@ object Quality {
       size(filter(toks, w => w.rlike("[a-z]"))).cast("long"), nWords)
     val nStop = size(filter(array(GopherStops.map(lit): _*),
       w => array_contains(toks, w))).cast("long")
-    docs.select(col(idCol) +: carry.map(col) :+
-      nWords.as("n_words") :+
-      meanLen.as("mean_word_len") :+
-      symbolRatio.as("symbol_word_ratio") :+
-      bulletFrac.as("bullet_line_frac") :+
-      ellipsisFrac.as("ellipsis_line_frac") :+
-      alphaFrac.as("alpha_word_frac") :+
-      nStop.as("n_stop_distinct"): _*)
-      .withColumn("keep",
-        col("n_words") >= 50 && col("n_words") <= 100000 &&
-          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
-          col("symbol_word_ratio") <= 0.1 &&
-          col("bullet_line_frac") <= 0.9 &&
-          col("ellipsis_line_frac") <= 0.3 &&
-          col("alpha_word_frac") >= 0.8 &&
-          col("n_stop_distinct") >= 2)
+    Seq("n_words" -> nWords, "mean_word_len" -> meanLen,
+      "symbol_word_ratio" -> symbolRatio, "bullet_line_frac" -> bulletFrac,
+      "ellipsis_line_frac" -> ellipsisFrac, "alpha_word_frac" -> alphaFrac,
+      "n_stop_distinct" -> nStop)
+  }
+
+  /** The Gopher keep conjunction over a signal-name → Column resolver —
+    * [[gopherRules]] passes `col` (named output columns), the fused
+    * stack passes the raw signal expressions.
+    */
+  private[pipeline] def gopherKeepFrom(sig: String => Column): Column =
+    sig("n_words") >= 50 && sig("n_words") <= 100000 &&
+      sig("mean_word_len") >= 3.0 && sig("mean_word_len") <= 10.0 &&
+      sig("symbol_word_ratio") <= 0.1 &&
+      sig("bullet_line_frac") <= 0.9 &&
+      sig("ellipsis_line_frac") <= 0.3 &&
+      sig("alpha_word_frac") >= 0.8 &&
+      sig("n_stop_distinct") >= 2
+
+  /** The whole Gopher verdict as one boolean over pre-materialized
+    * token/line arrays (for the fused single-pass gate stack).
+    */
+  private[pipeline] def gopherKeepExpr(t: Column, toks: Column,
+      lines: Column): Column = {
+    val m = gopherSignalExprs(t, toks, lines).toMap
+    gopherKeepFrom(m)
   }
 
   /** C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
@@ -426,24 +455,51 @@ object Quality {
   def c4Clean(docs: DataFrame, idCol: String, textCol: String,
       carry: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
-    val lines = split(t, "\n")
-    def lineKeep(l: Column): Column =
-      substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"") &&
-        size(filter(split(trim(l), "\\s+"), x => x =!= "")) >= 3 &&
-        !lower(l).contains("javascript")
-    val keptLines = filter(lines, lineKeep(_))
-    val textClean = array_join(keptLines, "\n")
-    docs.select(col(idCol) +: carry.map(col) :+
-      size(lines).cast("long").as("n_lines") :+
-      size(keptLines).cast("long").as("n_kept") :+
-      (length(textClean) -
-        length(regexp_replace(textClean, "[.!?]", ""))).cast("long")
-        .as("n_sentences") :+
-      lower(t).contains("lorem ipsum").as("has_lorem") :+
-      t.contains("{").as("has_brace") :+
-      textClean.as("text_clean"): _*)
+    // materialize lines → kept lines → joined clean text stepwise: each
+    // is referenced more than once downstream, and inlined copies would
+    // re-run the whole filter chain per reference (CollapseProject
+    // preserves the steps; still one codegen stage, zero shuffles)
+    docs
+      .withColumn("__c4_lines", split(t, "\n"))
+      .withColumn("__c4_kept", filter(col("__c4_lines"), c4LineKeep(_)))
+      .withColumn("__c4_clean", array_join(col("__c4_kept"), "\n"))
+      .select(col(idCol) +: carry.map(col) :+
+        size(col("__c4_lines")).cast("long").as("n_lines") :+
+        size(col("__c4_kept")).cast("long").as("n_kept") :+
+        (length(col("__c4_clean")) -
+          length(regexp_replace(col("__c4_clean"), "[.!?]", ""))).cast("long")
+          .as("n_sentences") :+
+        lower(t).contains("lorem ipsum").as("has_lorem") :+
+        t.contains("{").as("has_brace") :+
+        col("__c4_clean").as("text_clean"): _*)
       .withColumn("keep",
         col("n_sentences") >= 5 && !col("has_lorem") && !col("has_brace"))
+  }
+
+  /** C4's line-keep predicate (shared by [[c4Clean]] and the fused gate
+    * stack): terminal punctuation, ≥ 3 words, no "javascript".
+    */
+  private[pipeline] def c4LineKeep(l: Column): Column =
+    substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"") &&
+      size(filter(split(trim(l), "\\s+"), x => x =!= "")) >= 3 &&
+      !lower(l).contains("javascript")
+
+  /** The C4 page verdict over the text and a PRE-MATERIALIZED clean-text
+    * column (`array_join(filter(lines, c4LineKeep), "\n")`) — the fused
+    * gate stack materializes that once and passes it here.
+    */
+  private[pipeline] def c4KeepExpr(t: Column, textClean: Column): Column =
+    (length(textClean) -
+      length(regexp_replace(textClean, "[.!?]", ""))).cast("long") >= 5 &&
+      !lower(t).contains("lorem ipsum") && !t.contains("{")
+
+  /** The strict word-list verdict over a pre-materialized token array
+    * (shared with [[wordlistFilter]]'s `keep_strict`).
+    */
+  private[pipeline] def wordlistKeepStrictExpr(toks: Column,
+      blocklist: Seq[String]): Column = {
+    val listed = array(blocklist.map(w => lit(w.toLowerCase)): _*)
+    size(filter(toks, t => array_contains(listed, t))) === 0
   }
 
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -464,13 +520,17 @@ object Quality {
   def piiScrub(docs: DataFrame, idCol: String, textCol: String,
       carry: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
-    val afterEmail = regexp_replace(t, EmailRe, "[EMAIL]")
-    val afterIp = regexp_replace(afterEmail, Ipv4Re, "[IP]")
-    docs.select(col(idCol) +: carry.map(col) :+
-      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails") :+
-      size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))).cast("long").as("n_ips") :+
-      size(regexp_extract_all(afterIp, lit(PhoneRe), lit(0))).cast("long").as("n_phones") :+
-      regexp_replace(afterIp, PhoneRe, "[PHONE]").as("text_redacted"): _*)
+    // the stage texts are materialized columns (r13 optimization): each
+    // was referenced twice (count + next stage), and without a named
+    // alias the whole upstream regex chain re-ran per reference
+    docs
+      .withColumn("__pii_ae", regexp_replace(t, EmailRe, "[EMAIL]"))
+      .withColumn("__pii_ai", regexp_replace(col("__pii_ae"), Ipv4Re, "[IP]"))
+      .select(col(idCol) +: carry.map(col) :+
+        size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails") :+
+        size(regexp_extract_all(col("__pii_ae"), lit(Ipv4Re), lit(0))).cast("long").as("n_ips") :+
+        size(regexp_extract_all(col("__pii_ai"), lit(PhoneRe), lit(0))).cast("long").as("n_phones") :+
+        regexp_replace(col("__pii_ai"), PhoneRe, "[PHONE]").as("text_redacted"): _*)
   }
 
   /** Payment-card candidate: 13–19 digits with optional single
@@ -514,16 +574,22 @@ object Quality {
   def luhnCardScrub(docs: DataFrame, idCol: String, textCol: String,
       carry: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
-    val cands = regexp_extract_all(t, lit(CardCandidateRe), lit(0))
-    // the Luhn walk runs on the separator-stripped digits while the
-    // redaction replace targets the raw spelling
-    val validRaw = filter(cands, x => luhnValid(regexp_replace(x, "[ -]", "")))
-    docs.select(col(idCol) +: carry.map(col) :+
-      size(cands).cast("long").as("n_candidates") :+
-      size(validRaw).cast("long").as("n_valid") :+
-      (size(validRaw) === 0).as("keep") :+
-      aggregate(validRaw, t, (acc, x) => replace(acc, x, lit("[CARD]")))
-        .as("text_redacted"): _*)
+    // candidate and valid arrays materialized once (r13 optimization):
+    // `validRaw` was referenced three times, re-running the candidate
+    // regex AND the Luhn fold per reference. The Luhn walk runs on the
+    // separator-stripped digits while the redaction replace targets the
+    // raw spelling.
+    docs
+      .withColumn("__card_cands",
+        regexp_extract_all(t, lit(CardCandidateRe), lit(0)))
+      .withColumn("__card_valid", filter(col("__card_cands"),
+        x => luhnValid(regexp_replace(x, "[ -]", ""))))
+      .select(col(idCol) +: carry.map(col) :+
+        size(col("__card_cands")).cast("long").as("n_candidates") :+
+        size(col("__card_valid")).cast("long").as("n_valid") :+
+        (size(col("__card_valid")) === 0).as("keep") :+
+        aggregate(col("__card_valid"), t,
+          (acc, x) => replace(acc, x, lit("[CARD]"))).as("text_redacted"): _*)
   }
 
   /** Filtering funnel report — the per-stage rejection table every
@@ -533,25 +599,33 @@ object Quality {
     * the FIRST gate that rejects it — Gopher rules, then the C4
     * sentence/lorem/brace page gate, then the strict word-list — or
     * to the survivor bucket. Output is the tiny (stage, n_docs)
-    * frame. Each gate is the existing verified operator; the three
-    * (id, keep) sides are narrow boolean projections joined back on
-    * the id — three cheap long/bool shuffles, never a second text
-    * scan of the corpus per gate.
+    * frame.
+    *
+    * Plan shape (r13 optimization): ONE pass — the three verdicts are
+    * the gates' own expression builders ([[gopherKeepExpr]],
+    * [[c4KeepExpr]], [[wordlistKeepStrictExpr]] — identical booleans to
+    * the standalone operators by construction) computed in a single
+    * projection over one corpus scan, followed by the tiny stage
+    * aggregate. The previous shape ran one text scan PER gate and
+    * joined three (id, keep) frames back on the id — at corpus scale
+    * that is two extra full text scans and three exchanges of the
+    * whole id space for a relation this function immediately reduces
+    * to four rows.
     */
   def filterFunnel(docs: DataFrame, idCol: String, textCol: String,
       blocklist: Seq[String], maxFraction: Double = 0.0): DataFrame = {
-    val g = gopherRules(docs, idCol, textCol)
-      .select(col(idCol), col("keep").as("__g"))
-    val c = c4Clean(docs, idCol, textCol)
-      .select(col(idCol), col("keep").as("__c"))
-    val w = wordlistFilter(docs, idCol, textCol, blocklist, maxFraction)
-      .select(col(idCol), col("keep_strict").as("__w"))
-    docs.select(col(idCol))
-      .join(g, Seq(idCol)).join(c, Seq(idCol)).join(w, Seq(idCol))
+    val t = col(textCol)
+    docs
+      .withColumn("__ff_toks", tokens(t))
+      .withColumn("__ff_lines", split(t, "\n"))
+      .withColumn("__ff_clean",
+        array_join(filter(col("__ff_lines"), c4LineKeep(_)), "\n"))
       .select(
-        when(!col("__g"), lit("1_gopher"))
-          .when(!col("__c"), lit("2_c4"))
-          .when(!col("__w"), lit("3_wordlist"))
+        when(!gopherKeepExpr(t, col("__ff_toks"), col("__ff_lines")),
+          lit("1_gopher"))
+          .when(!c4KeepExpr(t, col("__ff_clean")), lit("2_c4"))
+          .when(!wordlistKeepStrictExpr(col("__ff_toks"), blocklist),
+            lit("3_wordlist"))
           .otherwise(lit("4_survivor")).as("stage"))
       .groupBy("stage").agg(count(lit(1)).as("n_docs"))
   }
@@ -628,13 +702,18 @@ object Quality {
       l.rlike("[A-Z]") && !l.rlike("[a-z]") &&
         size(filter(split(trim(l), "\\s+"), t => length(t) > 0)) <= maxCapsTokens
     def dropped(l: Column) = numeric(l) || counter(l) || caps(l)
-    val ls = split(col(textCol), "\n")
-    docs.select(col(idCol) +: carry.map(col) :+
-      size(ls).cast("long").as("n_lines") :+
-      size(filter(ls, numeric(_))).cast("long").as("n_numeric") :+
-      size(filter(ls, counter(_))).cast("long").as("n_counter") :+
-      size(filter(ls, caps(_))).cast("long").as("n_caps") :+
-      array_join(filter(ls, l => !dropped(l)), "\n").as("text_clean"): _*)
+    // materialize the line array ONCE (r13 optimization): five output
+    // expressions reference it, HOF inputs get no CSE, and the split
+    // otherwise re-runs per reference (the gopherRules discipline)
+    val ls = col("__lc_lines")
+    docs
+      .withColumn("__lc_lines", split(col(textCol), "\n"))
+      .select(col(idCol) +: carry.map(col) :+
+        size(ls).cast("long").as("n_lines") :+
+        size(filter(ls, numeric(_))).cast("long").as("n_numeric") :+
+        size(filter(ls, counter(_))).cast("long").as("n_counter") :+
+        size(filter(ls, caps(_))).cast("long").as("n_caps") :+
+        array_join(filter(ls, l => !dropped(l)), "\n").as("text_clean"): _*)
   }
 
   /** Flesch–Kincaid readability (Kincaid et al. 1975 — the surface
@@ -846,14 +925,17 @@ object Quality {
   def ibanScrub(docs: DataFrame, idCol: String, textCol: String,
       carry: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
-    val cands = regexp_extract_all(t, lit(IbanCandidateRe), lit(0))
-    val validRaw = filter(cands, ibanValid(_))
-    docs.select(col(idCol) +: carry.map(col) :+
-      size(cands).cast("long").as("n_candidates") :+
-      size(validRaw).cast("long").as("n_valid") :+
-      (size(validRaw) === 0).as("keep") :+
-      aggregate(validRaw, t, (acc, x) => replace(acc, x, lit("[IBAN]")))
-        .as("text_redacted"): _*)
+    // same materialize-once discipline as [[luhnCardScrub]] (r13)
+    docs
+      .withColumn("__iban_cands",
+        regexp_extract_all(t, lit(IbanCandidateRe), lit(0)))
+      .withColumn("__iban_valid", filter(col("__iban_cands"), ibanValid(_)))
+      .select(col(idCol) +: carry.map(col) :+
+        size(col("__iban_cands")).cast("long").as("n_candidates") :+
+        size(col("__iban_valid")).cast("long").as("n_valid") :+
+        (size(col("__iban_valid")) === 0).as("keep") :+
+        aggregate(col("__iban_valid"), t,
+          (acc, x) => replace(acc, x, lit("[IBAN]"))).as("text_redacted"): _*)
   }
 
   /** Scheme-qualified URL host pattern, capture group 1 = the host.
@@ -1173,10 +1255,13 @@ object Quality {
     // size(split(NULL)) is -1 under legacy sizeOfNull, which would leak
     // NULL/garbage signals — coalesce once, every signal then sees ''
     val t = coalesce(col(textCol), lit(""))
-    val lines = split(t, "\n", -1)
+    // line array materialized once (r13): three signals reference it
+    val lines = col("__cg_lines")
     val kwHits = keywords.map(k =>
       when(contains(t, lit(k)), 1L).otherwise(0L)).reduce(_ + _)
-    docs.select(col(idCol),
+    docs
+      .withColumn("__cg_lines", split(t, "\n", -1))
+      .select(col(idCol),
         length(t).cast("long").as("n_chars"),
         size(lines).cast("long").as("n_lines"),
         (length(t) - length(translate(t, "{}();=<>[]", "")))

@@ -191,14 +191,34 @@ object TextOps {
         cleanOf(c).as("txt"),
         length(cleanOf(array_join(regexp_extract_all(c,
           lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)), " "))).as("lch")))
-    val nonEmpty = filter(scored, b => length(b.getField("txt")) > 0)
-    val kept = filter(nonEmpty, b =>
-      length(b.getField("txt")) >= minChars &&
-        b.getField("lch") * 100 <= length(b.getField("txt")) * maxLinkDensityPct)
-    struct(
-      size(nonEmpty).cast("long").as("n_blocks"),
-      size(kept).cast("long").as("n_kept"),
-      array_join(transform(kept, b => b.getField("txt")), "\n").as("text_main"))
+    // ONE fold over the scored blocks (r13 optimization): the previous
+    // filter/filter/size/size/transform formulation referenced `scored`
+    // three times, and HOF subtrees get no subexpression elimination
+    // (lambda variables block CSE) — the whole per-block regex chain ran
+    // ~3× per document. The fold walks the scored array once and
+    // accumulates the identical (n_blocks, n_kept, text_main): a block
+    // counts when its clean text is non-empty, keeps when additionally
+    // ≥ minChars and within the integer link-density bound, and kept
+    // texts join with "\n" in document order.
+    aggregate(scored,
+      struct(lit(0L).as("nb"), lit(0L).as("nk"), lit("").as("tm")),
+      (a, b) => {
+        val len = length(b.getField("txt"))
+        val keep = len >= math.max(minChars, 1) &&
+          b.getField("lch") * 100 <= len * maxLinkDensityPct
+        struct(
+          (a.getField("nb") + when(len > 0, 1L).otherwise(0L)).as("nb"),
+          (a.getField("nk") + when(keep, 1L).otherwise(0L)).as("nk"),
+          when(keep,
+            concat(a.getField("tm"),
+              when(a.getField("nk") > 0, lit("\n")).otherwise(lit("")),
+              b.getField("txt")))
+            .otherwise(a.getField("tm")).as("tm"))
+      },
+      a => struct(
+        a.getField("nb").as("n_blocks"),
+        a.getField("nk").as("n_kept"),
+        a.getField("tm").as("text_main")))
   }
 
   /** SFT conversation → training text in the ChatML wire format, plus

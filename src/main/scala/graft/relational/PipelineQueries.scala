@@ -1545,16 +1545,15 @@ object PipelineQueries {
     "p47_bpe_segment" -> ((s, dir) => {
       val merges = Bpe.trainMerges(docs(s, dir), "text", nMerges = 200,
         maxWords = 100000).map(m => (m._2, m._3))
+      // r13 optimization: fused codegen serve pass (same kernel, same
+      // values — SegmentServeSpec) replaces the interpreted HOF chain
       docs(s, dir).select(col("doc_id"), tokens(col("text")).as("__toks"))
-        .select(col("doc_id"), col("__toks"),
-          transform(col("__toks"),
-            t => graft.functions.BpeSegment(t, merges)).as("__segs"))
+        .withColumn("__st", graft.functions.SegmentServe.bpe(
+          col("__toks"), merges, Seq.empty, byteMode = false))
         .select(col("doc_id"),
           size(col("__toks")).cast("long").as("n_tokens"),
-          aggregate(transform(col("__segs"), a => size(a).cast("long")),
-            lit(0L), (a, x) => a + x).as("n_subwords"),
-          forall(zip_with(col("__toks"), col("__segs"),
-            (t, sg) => concat_ws("", sg) === t), b => b).as("rebuilt_ok"))
+          col("__st.n_segments").as("n_subwords"),
+          col("__st.rebuilt_ok").as("rebuilt_ok"))
         .filter(assert_true(col("rebuilt_ok"),
           concat(lit("BPE reconstruction failed for doc "),
             col("doc_id").cast("string"))).isNull)
@@ -1573,16 +1572,15 @@ object PipelineQueries {
       // unigram behavior, but then the query demonstrates nothing)
       val m = Unigram.trainModel(docs(s, dir), "text", vocabSize = 120,
         maxWords = 100000, maxPieceLen = 3)
+      // r13 optimization: fused codegen serve pass (same Viterbi kernel,
+      // same values — SegmentServeSpec) replaces the interpreted HOFs
       docs(s, dir).select(col("doc_id"), tokens(col("text")).as("__toks"))
-        .select(col("doc_id"), col("__toks"),
-          transform(col("__toks"), t => graft.functions.UnigramSegment(
-            t, m.pieces, m.unkCostMicro, m.maxPieceLen)).as("__segs"))
+        .withColumn("__st", graft.functions.SegmentServe.unigram(
+          col("__toks"), m.pieces, m.unkCostMicro, m.maxPieceLen, ""))
         .select(col("doc_id"),
           size(col("__toks")).cast("long").as("n_tokens"),
-          aggregate(transform(col("__segs"), a => size(a).cast("long")),
-            lit(0L), (a, x) => a + x).as("n_pieces"),
-          forall(zip_with(col("__toks"), col("__segs"),
-            (t, sg) => concat_ws("", sg) === t), b => b).as("rebuilt_ok"))
+          col("__st.n_pieces").as("n_pieces"),
+          col("__st.rebuilt_ok").as("rebuilt_ok"))
         .filter(assert_true(col("rebuilt_ok"),
           concat(lit("unigram reconstruction failed for doc "),
             col("doc_id").cast("string"))).isNull)
@@ -2219,17 +2217,16 @@ object PipelineQueries {
           s"$stage/wp")
       }
       val (vocab, unk) = TokenizerIO.loadWordPiece(s, s"$tokDir/wp")
+      // r13 optimization: fused codegen serve pass (same greedy kernel,
+      // same values — SegmentServeSpec) replaces the interpreted HOFs
       d.select(col("doc_id"), tokens(col("text")).as("toks"))
-        .withColumn("segs", transform(col("toks"),
-          w => WordPiece.segment(w, vocab, unk)))
+        .withColumn("__st", graft.functions.SegmentServe.wordPiece(
+          col("toks"), vocab, unk, 100))
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_words"),
-          aggregate(col("segs"), lit(0L),
-            (a, x) => a + size(x)).as("n_pieces"),
-          aggregate(col("segs"), lit(0L),
-            (a, x) => a + when(size(x) === 1 && element_at(x, 1) === unk,
-              1L).otherwise(0L)).as("n_unk"),
-          array_join(flatten(col("segs")), " ").as("wp_text"))
+          col("__st.n_pieces").as("n_pieces"),
+          col("__st.n_unk").as("n_unk"),
+          col("__st.wp_text").as("wp_text"))
     }),
 
     // published-tokenizer interop, WordPiece half (r13 verdict gap
@@ -2247,17 +2244,16 @@ object PipelineQueries {
       }
       val (pieces, unk, maxChars) = TokenizerIO.loadExternalHfWordPiece(
         s, s"$tokDir/tokenizer.json")
+      // r13 optimization: fused codegen serve pass (same greedy kernel,
+      // same values — SegmentServeSpec) replaces the interpreted HOFs
       docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
-        .withColumn("segs", transform(col("toks"),
-          w => graft.functions.WordPieceSegment(w, pieces, unk, maxChars)))
+        .withColumn("__st", graft.functions.SegmentServe.wordPiece(
+          col("toks"), pieces, unk, maxChars))
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_words"),
-          aggregate(col("segs"), lit(0L),
-            (a, x) => a + size(x)).as("n_pieces"),
-          aggregate(col("segs"), lit(0L),
-            (a, x) => a + when(size(x) === 1 && element_at(x, 1) === unk,
-              1L).otherwise(0L)).as("n_unk"),
-          array_join(flatten(col("segs")), " ").as("wp_text"))
+          col("__st.n_pieces").as("n_pieces"),
+          col("__st.n_unk").as("n_unk"),
+          col("__st.wp_text").as("wp_text"))
     }),
 
     // context-fit report under the EXTERNAL tokenizer (r13): p98's
@@ -2272,10 +2268,10 @@ object PipelineQueries {
       }
       val (pieces, unk, maxChars) = TokenizerIO.loadExternalHfWordPiece(
         s, s"$tokDir/tokenizer.json")
+      // r13 optimization: fused codegen serve pass (SegmentServeSpec)
       docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
-        .withColumn("__n", aggregate(col("toks"), lit(0L),
-          (a, w) => a + size(graft.functions.WordPieceSegment(
-            w, pieces, unk, maxChars))))
+        .withColumn("__n", graft.functions.SegmentServe.wordPiece(
+          col("toks"), pieces, unk, maxChars).getField("n_pieces"))
         .select(col("__n"),
           explode(typedLit(Seq(64L, 128L, 256L))).as("ctx_len"))
         .groupBy("ctx_len")
@@ -2304,9 +2300,8 @@ object PipelineQueries {
         s, s"$tokDir/tokenizer.json")
       val per = docs(s, dir)
         .select(col("source"), tokens(col("text")).as("toks"))
-        .withColumn("__n", aggregate(col("toks"), lit(0L),
-          (a, w) => a + size(graft.functions.WordPieceSegment(
-            w, pieces, unk, maxChars))))
+        .withColumn("__n", graft.functions.SegmentServe.wordPiece(
+          col("toks"), pieces, unk, maxChars).getField("n_pieces"))
         .groupBy("source")
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum(col("__n")).cast("long").as("n_tokens"))
@@ -2340,24 +2335,21 @@ object PipelineQueries {
       }
       val (merges, vocab) = TokenizerIO.loadExternalGpt2(
         s, s"$tokDir/vocab.json", s"$tokDir/merges.txt")
-      val vmap = typedLit(vocab)
+      // r13 optimization: the interpreted HOF chain (transform→transform
+      // →flatten→aggregate/forall with element_at on a map LITERAL — a
+      // linear scan per token) is now ONE codegen pass per doc over the
+      // same kernels; values identical (SegmentServeSpec pins it)
       docs(s, dir)
         .select(col("doc_id"), col("text"),
           BpeByte.pretokens(col("text")).as("pts"))
-        .withColumn("mapped", transform(col("pts"),
-          t => graft.functions.ByteUnicode.toUnicode(t)))
-        .withColumn("segs", transform(col("mapped"),
-          m => graft.functions.BpeSegment(m, merges)))
-        .withColumn("ids", transform(flatten(col("segs")),
-          t => element_at(vmap, t)))
+        .withColumn("__st", graft.functions.SegmentServe.bpe(
+          col("pts"), merges, vocab.toSeq, byteMode = true))
         .select(col("doc_id"),
           size(col("pts")).cast("long").as("n_pretokens"),
-          size(col("ids")).cast("long").as("n_tokens"),
-          aggregate(col("ids"), lit(0L),
-            (a, x) => a + coalesce(x.cast("long"), lit(0L))).as("id_sum"),
-          forall(col("ids"), i => i.isNotNull).as("all_in_vocab"),
-          (graft.functions.ByteUnicode.toBytes(
-            array_join(flatten(col("segs")), ""))
+          col("__st.n_segments").as("n_tokens"),
+          col("__st.id_sum").as("id_sum"),
+          col("__st.all_in_vocab").as("all_in_vocab"),
+          (graft.functions.ByteUnicode.toBytes(col("__st.seg_concat"))
             === BpeByte.stripMarker(col("text"))).as("lossless"))
         .filter(assert_true(col("all_in_vocab") && col("lossless"),
           concat(lit("external GPT-2 certification failed for doc "),
@@ -2382,28 +2374,23 @@ object PipelineQueries {
           graft.pipeline.TokenizerFixtures.spModelBytes)
       }
       val m = TokenizerIO.loadExternalSentencePiece(s, s"$tokDir/sp.model")
-      val vmap = typedLit(m.pieces.toMap)
+      // r13 optimization: one codegen pass per doc over the same Viterbi
+      // kernel replaces the interpreted HOF chain + per-piece linear map
+      // scans; values identical (SegmentServeSpec pins it)
       docs(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .withColumn("segs", transform(col("toks"),
-          w => graft.functions.UnigramSegment(
-            concat(lit("▁"), w), m.pieces, m.unkCostMicro,
-            m.maxPieceLen)))
+        .withColumn("__st", graft.functions.SegmentServe.unigram(
+          col("toks"), m.pieces, m.unkCostMicro, m.maxPieceLen, "▁"))
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_words"),
-          aggregate(col("segs"), lit(0L),
-            (a, x) => a + size(x)).as("n_pieces"),
-          aggregate(flatten(col("segs")), lit(0L),
-            (a, p) => a + when(element_at(vmap, p).isNull, 1L)
-              .otherwise(0L)).as("n_unk"),
-          array_join(flatten(col("segs")), " ").as("sp_text"),
-          (array_join(flatten(col("segs")), "") ===
+          col("__st.n_pieces").as("n_pieces"),
+          col("__st.n_unk").as("n_unk"),
+          col("__st.sp_text").as("sp_text"),
+          (col("__st.piece_concat") ===
             when(size(col("toks")) === 0, lit(""))
               .otherwise(concat(lit("▁"),
                 array_join(col("toks"), "▁")))).as("lossless"),
-          forall(flatten(col("segs")),
-            p => element_at(vmap, p).isNotNull || length(p) === 1)
-            .as("covered"))
+          col("__st.covered").as("covered"))
         .filter(assert_true(col("lossless") && col("covered"),
           concat(lit("external SentencePiece certification failed for doc "),
             col("doc_id").cast("string"))).isNull)
@@ -2990,16 +2977,14 @@ object PipelineQueries {
           s"$stage/wp")
       }
       val (vocab, unk) = TokenizerIO.loadWordPiece(s, s"$tokDir/wp")
+      // r13 optimization: fused codegen serve pass (SegmentServeSpec)
       d.select(col("lang"), tokens(col("text")).as("toks"))
-        .withColumn("segs", transform(col("toks"),
-          w => WordPiece.segment(w, vocab, unk)))
+        .withColumn("__st", graft.functions.SegmentServe.wordPiece(
+          col("toks"), vocab, unk, 100))
         .select(col("lang"),
           size(col("toks")).cast("long").as("nw"),
-          aggregate(col("segs"), lit(0L),
-            (a, x) => a + size(x)).as("np"),
-          aggregate(col("segs"), lit(0L),
-            (a, x) => a + when(size(x) === 1 && element_at(x, 1) === unk,
-              1L).otherwise(0L)).as("nu"))
+          col("__st.n_pieces").as("np"),
+          col("__st.n_unk").as("nu"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("nw").as("n_words"),
           sum("np").as("n_pieces"), sum("nu").as("n_unk"))
@@ -3368,21 +3353,18 @@ object PipelineQueries {
             .otherwise(lit("spaced   out   tail"))).as("text"))
       val merges = BpeByte.trainMerges(planted(docs(s, dir)), "text",
         nMerges = 24, maxWords = 100000).map(m => (m._2, m._3))
+      // r13 optimization: fused codegen serve pass (same kernels, same
+      // values — SegmentServeSpec) replaces the interpreted HOF chain
       planted(docs(s, dir))
         .select(col("doc_id"), col("text"),
           BpeByte.pretokens(col("text")).as("pts"))
-        .withColumn("mapped", transform(col("pts"),
-          t => graft.functions.ByteUnicode.toUnicode(t)))
-        .withColumn("segs", transform(col("mapped"),
-          m => graft.functions.BpeSegment(m, merges)))
+        .withColumn("__st", graft.functions.SegmentServe.bpe(
+          col("pts"), merges, Seq.empty, byteMode = true))
         .select(col("doc_id"),
           size(col("pts")).cast("long").as("n_pretokens"),
-          aggregate(transform(col("segs"), a => size(a).cast("long")),
-            lit(0L), (a, x) => a + x).as("n_tokens"),
-          forall(zip_with(col("mapped"), col("segs"),
-            (m, sg) => concat_ws("", sg) === m), b => b).as("rebuilt_ok"),
-          (graft.functions.ByteUnicode.toBytes(
-            array_join(flatten(col("segs")), ""))
+          col("__st.n_segments").as("n_tokens"),
+          col("__st.rebuilt_ok").as("rebuilt_ok"),
+          (graft.functions.ByteUnicode.toBytes(col("__st.seg_concat"))
             === BpeByte.stripMarker(col("text"))).as("lossless"))
         .filter(assert_true(col("rebuilt_ok") && col("lossless"),
           concat(lit("byte-BPE reconstruction failed for doc "),
@@ -3620,19 +3602,15 @@ object PipelineQueries {
       // narrow per-doc counts persisted: the segmentation HOF chain is
       // the expensive part and must run ONCE per doc, not once per
       // exploded ctx_len row (interpreted HOFs get no CSE)
+      // r13 optimization: fused codegen serve pass (SegmentServeSpec)
       val per = d
         .select(col("text"), size(tokens(col("text"))).cast("long").as("n_ws"),
           BpeByte.pretokens(col("text")).as("pts"))
-        .withColumn("mapped", transform(col("pts"),
-          t => graft.functions.ByteUnicode.toUnicode(t)))
-        .withColumn("segs", transform(col("mapped"),
-          m => graft.functions.BpeSegment(m, merges)))
-        .withColumn("n_bpe",
-          aggregate(transform(col("segs"), a => size(a).cast("long")),
-            lit(0L), (a, x) => a + x))
+        .withColumn("__st", graft.functions.SegmentServe.bpe(
+          col("pts"), merges, Seq.empty, byteMode = true))
+        .withColumn("n_bpe", col("__st.n_segments"))
         .withColumn("lossless", graft.functions.ByteUnicode.toBytes(
-          array_join(flatten(col("segs")), ""))
-          === BpeByte.stripMarker(col("text")))
+          col("__st.seg_concat")) === BpeByte.stripMarker(col("text")))
         .filter(assert_true(col("lossless"),
           lit("byte-BPE context-fit segmentation not lossless")).isNull)
         .select("n_ws", "n_bpe")
