@@ -266,7 +266,7 @@ object Dedup {
     val idx = spark.read.parquet(s"$path/index")
     require(Seq("chunk_hash", "first", "cnt").forall(idx.columns.contains),
       s"loadChunkIndex: not a chunk index at $path: ${idx.columns.mkString(",")}")
-    probeFiles(spark, s"$path/index").foreach { f =>
+    probeEach(spark, s"$path/index") { f =>
       val r = spark.read.parquet(f)
         .select(length(col("chunk_hash")),
           col("chunk_hash").rlike("^[0-9a-f]+$")).limit(1).collect()
@@ -641,7 +641,7 @@ object Dedup {
     require(Seq("content_hash", "win", "dup_cnt", "prio_mask")
         .forall(idx.columns.contains),
       s"loadPriorityIndex: not a priority index at $path: ${idx.columns.mkString(",")}")
-    probeFiles(spark, s"$path/index").foreach { f =>
+    probeEach(spark, s"$path/index") { f =>
       val r = spark.read.parquet(f)
         .select(length(col("content_hash")),
           col("content_hash").rlike("^[0-9a-f]+$")).limit(1).collect()
@@ -1010,7 +1010,7 @@ object Dedup {
     require(Seq("content_hash", "keep_id", "dup_cnt")
         .forall(idx.columns.contains),
       s"loadExactIndex: not an exact index at $path: ${idx.columns.mkString(",")}")
-    probeFiles(spark, s"$path/index").foreach { f =>
+    probeEach(spark, s"$path/index") { f =>
       val r = spark.read.parquet(f)
         .select(length(col("content_hash")),
           col("content_hash").rlike("^[0-9a-f]+$")).limit(1).collect()
@@ -1426,7 +1426,7 @@ object Dedup {
     require(Seq("doc", "n_fp").forall(sizes.columns.contains),
       s"loadWinnowIndex: not a doc-size relation at $path: " +
         sizes.columns.mkString(","))
-    probeFiles(spark, s"$path/postings").foreach { f =>
+    probeEach(spark, s"$path/postings") { f =>
       val r = spark.read.parquet(f).select(col("fp").cast("long"))
         .limit(1).collect()
       r.headOption.foreach { row =>
@@ -1853,7 +1853,7 @@ object Dedup {
     require(Seq("vh", "doc").forall(variants.columns.contains),
       s"loadEditDistIndex: not a variants relation at $path: " +
         variants.columns.mkString(","))
-    probeFiles(spark, s"$path/variants").foreach { f =>
+    probeEach(spark, s"$path/variants") { f =>
       val r = spark.read.parquet(f).select(col("vh").cast("long"))
         .limit(1).collect()
       r.headOption.foreach { row =>
@@ -2538,7 +2538,7 @@ object Dedup {
     require(Seq("doc", "n_sh").forall(sizes.columns.contains),
       s"loadShingleIndex: not a doc-size relation at $path: " +
         sizes.columns.mkString(","))
-    probeFiles(spark, s"$path/postings").foreach { f =>
+    probeEach(spark, s"$path/postings") { f =>
       val r = spark.read.parquet(f).select(col("sg").cast("long"))
         .limit(1).collect()
       r.headOption.foreach { row =>
@@ -3330,7 +3330,7 @@ object Dedup {
     // (footer + first page), keeping the load path O(files-sampled),
     // never O(corpus). Within-file drift remains
     // [[validateMinhashIndex]]'s full-audit job.
-    probeFiles(spark, s"$path/index").foreach { f =>
+    probeEach(spark, s"$path/index") { f =>
       val r = spark.read.parquet(f)
         .select(size(col("sig")), size(col("bb"))).limit(1).collect()
       r.headOption.foreach { row =>
@@ -3351,6 +3351,31 @@ object Dedup {
     * the history. Bounded, because a per-load O(corpus) validation
     * scan would put the entire history on every batch's critical path.
     */
+  /** Run the per-file geometry probe over [[probeFiles]]' sample
+    * CONCURRENTLY (r13 optimization; guide §2.6 — overlap independent
+    * jobs): each probe is an independent limit-1 read whose wall cost
+    * is almost entirely job-scheduling latency, and every stored-index
+    * LOAD pays the whole set — serially that was up to 32 back-to-back
+    * ~25 ms jobs on the critical path of every screen/merge/delete.
+    * A small driver pool overlaps them; any probe failure propagates
+    * (the require semantics are unchanged — all probes still run).
+    */
+  private[pipeline] def probeEach(spark: SparkSession, dir: String)(
+      probe: String => Unit): Unit = {
+    val files = probeFiles(spark, dir)
+    if (files.isEmpty) return
+    if (files.size == 1) { probe(files.head); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, files.size))
+    val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      files
+        .map(f => scala.concurrent.Future(probe(f))(ec))
+        .foreach(f => scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
+  }
+
   private[pipeline] def probeFiles(spark: SparkSession, dir: String,
       cap: Int = 16): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -3718,7 +3743,7 @@ object Dedup {
     val idx = spark.read.parquet(s"$path/index")
     require(Seq("lk", "doc", "pos", "cnt").forall(idx.columns.contains),
       s"loadLineIndex: not a line index at $path: ${idx.columns.mkString(",")}")
-    probeFiles(spark, s"$path/index").foreach { f =>
+    probeEach(spark, s"$path/index") { f =>
       val r = spark.read.parquet(f).select(col("lk").cast("long"))
         .limit(1).collect()
       r.headOption.foreach { row =>
@@ -4767,7 +4792,7 @@ object Dedup {
     val widthOf = geom.map { case (b, blocks) =>
       (b.toLong, blocks.map(_._2).sum)
     }.toMap
-    probeFiles(spark, s"$path/bands").foreach { f =>
+    probeEach(spark, s"$path/bands") { f =>
       val r = spark.read.parquet(f)
         .select(col("band").cast("long"), col("bits").cast("long"))
         .limit(1).collect()

@@ -1343,7 +1343,7 @@ object Similarity {
     // surfaces as silently missed duplicates. One row per sampled
     // file: vector length must equal the meta dim, and band cells must
     // come from THIS (tables, planesPerTable) family.
-    Dedup.probeFiles(spark, s"$path/vectors").foreach { f =>
+    Dedup.probeEach(spark, s"$path/vectors") { f =>
       val r = spark.read.parquet(f).select(size(col("v"))).limit(1).collect()
       r.headOption.foreach { row =>
         require(row.getInt(0) == dim,
@@ -1352,7 +1352,7 @@ object Similarity {
             "silently miss duplicates")
       }
     }
-    Dedup.probeFiles(spark, s"$path/bands").foreach { f =>
+    Dedup.probeEach(spark, s"$path/bands") { f =>
       val r = spark.read.parquet(f)
         .select(col("band").cast("long"), col("bucket").cast("long"))
         .limit(1).collect()

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The generic hashed char-3-gram LINEAR text classifier core
@@ -202,9 +202,25 @@ object TextClassifier {
     // callers that want the oracle-mirrorable bucket function.
     val feat: String => Map[Int, Long] =
       if (fast) bucketsRing(_, b) else bucketsMd5(_, b)
-    val buckets = if (fast) ringBuckets(textCol, b) else md5Buckets(textCol, b)
     val weights = trainFromDF(labeled, idCol, labelCol, textCol, classes, b,
       feat, maxSamples)
+    serveCertified(heldOut, idCol, labelCol, textCol, classes, b, weights,
+      agreementFloor, fast)
+  }
+
+  /** The SERVE half of [[trainAndServe]] — classification of `heldOut`
+    * under already-trained `weights` plus the in-plan held-out-agreement
+    * certificate. Factored out (r13) so a persisted trained gate (the
+    * p100-style build-once artifact) serves without re-running the
+    * driver-loop trainer; the certificate still computes for real on
+    * every invocation. `fast` must match the family the weights were
+    * trained with (pin it in the artifact's meta).
+    */
+  def serveCertified(heldOut: DataFrame, idCol: String, labelCol: String,
+      textCol: String, classes: Seq[String], b: Int,
+      weights: IndexedSeq[IndexedSeq[Long]], agreementFloor: Double,
+      fast: Boolean): DataFrame = {
+    val buckets = if (fast) ringBuckets(textCol, b) else md5Buckets(textCol, b)
     val served = classifyWith(heldOut, idCol, buckets,
       classes, weights, "pred")
       .join(heldOut.select(col(idCol),
@@ -216,6 +232,48 @@ object TextClassifier {
       .filter(assert_true(col("mean_agreement") >= lit(agreementFloor),
         concat(lit(s"trained gate's held-out agreement fell below " +
           s"$agreementFloor: "), col("mean_agreement").cast("string"))).isNull)
+  }
+
+  /** Persist trained weights with their full serving envelope (classes,
+    * bucket count, feature family) — the [[TokenizerIO]] discipline: a
+    * later load under a DIFFERENT envelope must fail loudly, never
+    * serve silently-wrong scores.
+    */
+  def saveWeights(spark: SparkSession, path: String, classes: Seq[String],
+      b: Int, fast: Boolean, weights: IndexedSeq[IndexedSeq[Long]]): Unit = {
+    import spark.implicits._
+    Seq((classes.mkString(","), b, if (fast) "ring" else "md5"))
+      .toDF("classes", "b", "family")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    weights.zipWithIndex
+      .flatMap { case (ws, li) =>
+        ws.zipWithIndex.map { case (w, bi) => (li, bi, w) }
+      }
+      .toDF("class_idx", "bucket", "w")
+      .write.mode("overwrite").parquet(s"$path/weights")
+  }
+
+  /** Load weights saved by [[saveWeights]], validating the envelope. */
+  def loadWeights(spark: SparkSession, path: String, classes: Seq[String],
+      b: Int, fast: Boolean): IndexedSeq[IndexedSeq[Long]] = {
+    val meta = spark.read.parquet(s"$path/meta")
+      .select(col("classes").cast("string"), col("b").cast("int"),
+        col("family").cast("string")).collect()
+    require(meta.length == 1, s"loadWeights: expected ONE meta row at $path")
+    val want = (classes.mkString(","), b, if (fast) "ring" else "md5")
+    val got = (meta(0).getString(0), meta(0).getInt(1), meta(0).getString(2))
+    require(got == want,
+      s"loadWeights: stored envelope $got at $path does not match the " +
+        s"serving envelope $want — scores would be silently wrong")
+    val rows = spark.read.parquet(s"$path/weights")
+      .select(col("class_idx").cast("int"), col("bucket").cast("int"),
+        col("w").cast("long")).collect()
+    require(rows.length == classes.size * b,
+      s"loadWeights: ${rows.length} weight rows at $path, " +
+        s"expected ${classes.size * b}")
+    val out = Array.fill(classes.size)(new Array[Long](b))
+    rows.foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    out.map(_.toIndexedSeq).toIndexedSeq
   }
 
   /** The md5-path scoring as a complete DuckDB query generated from the

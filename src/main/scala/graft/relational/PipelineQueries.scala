@@ -1543,8 +1543,16 @@ object PipelineQueries {
     }),
 
     "p47_bpe_segment" -> ((s, dir) => {
-      val merges = Bpe.trainMerges(docs(s, dir), "text", nMerges = 200,
-        maxWords = 100000).map(m => (m._2, m._3))
+      // r13: the trained merge table is a build-once artifact (the p100
+      // rationale, verbatim): repeated plan construction must not
+      // re-run the driver-loop trainer, and the persisted form IS the
+      // production serve path
+      val tokDir = withPipelineArtifact(dir, "p47_bpe200") { stage =>
+        TokenizerIO.saveBpe(Bpe.trainMerges(docs(s, dir), "text",
+          nMerges = 200, maxWords = 100000), s, s"$stage/bpe")
+      }
+      val merges = TokenizerIO.loadBpe(s, s"$tokDir/bpe")
+        .map(m => (m._2, m._3))
       // r13 optimization: fused codegen serve pass (same kernel, same
       // values — SegmentServeSpec) replaces the interpreted HOF chain
       docs(s, dir).select(col("doc_id"), tokens(col("text")).as("__toks"))
@@ -1570,8 +1578,13 @@ object PipelineQueries {
       // SUBWORD segmentation on the 31-word synthetic vocab (at the
       // default 8 every frequent word becomes one piece — correct
       // unigram behavior, but then the query demonstrates nothing)
-      val m = Unigram.trainModel(docs(s, dir), "text", vocabSize = 120,
-        maxWords = 100000, maxPieceLen = 3)
+      // r13: build-once trained-model artifact (the p100/p47 rationale)
+      val tokDir = withPipelineArtifact(dir, "p62_unigram120") { stage =>
+        TokenizerIO.saveUnigram(Unigram.trainModel(docs(s, dir), "text",
+          vocabSize = 120, maxWords = 100000, maxPieceLen = 3),
+          s, s"$stage/uni")
+      }
+      val m = TokenizerIO.loadUnigram(s, s"$tokDir/uni")
       // r13 optimization: fused codegen serve pass (same Viterbi kernel,
       // same values — SegmentServeSpec) replaces the interpreted HOFs
       docs(s, dir).select(col("doc_id"), tokens(col("text")).as("__toks"))
@@ -3238,15 +3251,27 @@ object PipelineQueries {
         .select(col("doc_id"),
           when(col("keep"), lit("good")).otherwise(lit("bad")).as("weak_label"))
         .join(planted, "doc_id")
-      TextClassifier.trainAndServe(
-        labeled.filter(col("doc_id") % 2 === 0),
+      // rows-only query certified in-plan: the ring feature family
+      // serves ~10× cheaper than md5-per-gram and nothing here needs
+      // the oracle-mirrorable bucket function. r13: the trained weights
+      // are a build-once artifact (the p100/p47 rationale — the
+      // driver-loop perceptron is a pure function of the corpus and
+      // must not re-run per plan construction); the held-out-agreement
+      // certificate still computes IN-PLAN on every invocation.
+      val gateDir = withPipelineArtifact(dir, "p90_gate_ring256") { stage =>
+        TextClassifier.saveWeights(s, s"$stage/w", Seq("good", "bad"),
+          b = 256, fast = true,
+          TextClassifier.trainFromDF(
+            labeled.filter(col("doc_id") % 2 === 0),
+            "doc_id", "weak_label", "text", Seq("good", "bad"), b = 256,
+            TextClassifier.bucketsRing(_, 256), maxSamples = 2000))
+      }
+      TextClassifier.serveCertified(
         labeled.filter(col("doc_id") % 2 === 1),
-        "doc_id", "weak_label", "text", Seq("good", "bad"),
-        b = 256, maxSamples = 2000, agreementFloor = 0.9,
-        // rows-only query certified in-plan: the ring feature family
-        // serves ~10× cheaper than md5-per-gram and nothing here needs
-        // the oracle-mirrorable bucket function
-        fast = true)
+        "doc_id", "weak_label", "text", Seq("good", "bad"), b = 256,
+        TextClassifier.loadWeights(s, s"$gateDir/w", Seq("good", "bad"),
+          b = 256, fast = true),
+        agreementFloor = 0.9, fast = true)
     }),
 
     // clean-corpus v2 — the flagship integration query: the FULL
@@ -3351,8 +3376,13 @@ object PipelineQueries {
           lit("\n\nDon't stop; we'll go 1234 times!!  "),
           when(col("doc_id") % 3 === 0, lit("\t\tindented tail here"))
             .otherwise(lit("spaced   out   tail"))).as("text"))
-      val merges = BpeByte.trainMerges(planted(docs(s, dir)), "text",
-        nMerges = 24, maxWords = 100000).map(m => (m._2, m._3))
+      // r13: build-once trained-merge artifact (the p100/p47 rationale)
+      val tokDir = withPipelineArtifact(dir, "p93_bpe24") { stage =>
+        TokenizerIO.saveBpe(BpeByte.trainMerges(planted(docs(s, dir)),
+          "text", nMerges = 24, maxWords = 100000), s, s"$stage/bpe")
+      }
+      val merges = TokenizerIO.loadBpe(s, s"$tokDir/bpe")
+        .map(m => (m._2, m._3))
       // r13 optimization: fused codegen serve pass (same kernels, same
       // values — SegmentServeSpec) replaces the interpreted HOF chain
       planted(docs(s, dir))
